@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Top-1-per-key dedup — the reference's signature pattern (SURVEY §2.5,
+  * W1–W4; reference `1-basedata_first_query.sql:4-5`,
+  * `3-basedata_df_final_query.sql:49-63`).
+  *
+  * `row_number() OVER (PARTITION BY keys ORDER BY order)` then keep rank 1.
+  *
+  * Scale notes:
+  *  - One shuffle on the partition keys; Spark's window exec sorts within
+  *    partitions, so the cost is shuffle + sort — the minimum possible for
+  *    this semantics without a pre-bucketed layout.
+  *  - Callers MUST pass a total order (unique tiebreaker last) or the
+  *    surviving row is partition-order-dependent (SURVEY §7 hard-point 1).
+  *  - For very hot keys the window itself is skew-sensitive; AQE cannot
+  *    split a single window partition. If one key dominates, pre-aggregate
+  *    with max_by instead (see [[Aggregates.argmax]]) which gets map-side
+  *    partial aggregation for free.
+  */
+object Dedup {
+
+  /** Keep the first row per key group under `order` (ascending list as
+    * given — pass `col.desc` for latest-first).
+    */
+  def topOnePerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Latest version per (entity, calendar day) — W2
+    * (`1-basedata_first_query.sql:4-5`): dedup a CDC stream to one record
+    * per listing per day, newest change wins.
+    */
+  def latestPerKeyAndDay(
+      df: DataFrame,
+      key: Column,
+      changeTs: Column,
+      tiebreak: Seq[Column]): DataFrame =
+    topOnePerKey(df, Seq(key, to_date(changeTs)), changeTs.desc +: tiebreak)
+
+  /** Exact duplicate removal at training-data scale: group identical values
+    * of `dupKeys` and keep the row with the smallest `keep` value.
+    * Hash-shuffle on the dup key; equivalent plan to `groupBy(...).agg(min_by)`
+    * but preserves all columns without listing them.
+    */
+  def dropExactDuplicates(df: DataFrame, dupKeys: Seq[Column], keep: Column): DataFrame =
+    topOnePerKey(df, dupKeys, Seq(keep.asc))
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local oracle checker mimicking the driver's DuckDB compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+For each query result parquet under verifyOutDir, runs the matching SQL from
+oracle_sql.json in DuckDB over the sfDir tables, sorts columns by name and
+rows by all values, and compares (exact for ints/strings/dates, 1e-9 rel for
+floats). Dev-side tool only — not part of the shipped library.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def load_result(path):
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+def normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def compare(a, b, name):
+    if list(a.columns) != list(b.columns):
+        print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); return False
+    if len(a) != len(b):
+        print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); return False
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            an, bn = av.astype(float).to_numpy(), bv.astype(float).to_numpy()
+            ok = np.isclose(an, bn, rtol=1e-9, atol=1e-9, equal_nan=True).all()
+        else:
+            ok = (av.fillna("__N__") == bv.fillna("__N__")).all() if av.dtype == object \
+                 else av.equals(bv)
+        if not ok:
+            bad = (av != bv)
+            print(f"FAIL {name}: column {c} mismatch; first diffs:")
+            print(pd.DataFrame({"spark": av[bad].head(5), "oracle": bv[bad].head(5)}))
+            return False
+    print(f"OK   {name}: {len(a)} rows x {len(a.columns)} cols")
+    return True
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    fails = 0
+    for name in sorted(os.listdir(out)):
+        d = os.path.join(out, name)
+        if not os.path.isdir(d) or (only and name not in only):
+            continue
+        spark_df = normalize(load_result(d))
+        if name not in oracle:
+            print(f"SKIP {name}: rows-only ({len(spark_df)} rows)")
+            continue
+        try:
+            ora_df = normalize(con.sql(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+        if not compare(spark_df, ora_df, name):
+            fails += 1
+    sys.exit(1 if fails else 0)
+
+if __name__ == "__main__":
+    main()
