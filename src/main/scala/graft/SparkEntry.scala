@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
@@ -11,6 +11,11 @@ import graft.ops._
   * named query over the synthetic tables plus, where SQL-expressible, an
   * equivalent DuckDB oracle in [[oracleSql]]. Column names are aliased
   * identically on both sides — the driver's compare sorts columns by name.
+  *
+  * Determinism: every window/argmax carries a unique tiebreaker
+  * (SURVEY §7 hard-point 1); float-summing aggregates use integral-valued
+  * inputs or rounded outputs so Spark/DuckDB summation order can't flip a
+  * hash compare.
   */
 object SparkEntry {
 
@@ -18,18 +23,198 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("w2_latest_per_key_day")(spark, "/root/testdata/sf0.001")
 
+  private type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, Q] = referenceOps
+
+  // ---------------------------------------------------------------- §2 ops
+
+  private def referenceOps: Map[String, Q] = Map(
     // W2 (1-basedata_first_query.sql:4-5): latest version per (key, day).
-    // Stand-in: latest lineitem per (l_orderkey, ship day); l_linenumber is
-    // the unique tiebreaker (FIXTURES.md §8).
     "w2_latest_per_key_day" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-      Dedup
-        .latestPerKeyAndDay(li, col("l_orderkey"), col("l_shipdate"),
-          Seq(col("l_linenumber").desc))
+      // (l_orderkey, l_shipdate, l_linenumber) is NOT unique in the synthetic
+      // data — l_partkey completes the total order (SURVEY §7 hard-point 1).
+      Dedup.latestPerKeyAndDay(Tables.lineitem(s, dir), col("l_orderkey"),
+          col("l_shipdate"), Seq(col("l_linenumber").desc, col("l_partkey").desc))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
           "l_extendedprice", "l_returnflag", "l_shipdate")
+    },
+
+    // J1/W1 (0-merge_delete_query.sql:24-40): as-of join — each purchase
+    // event picks the user's latest click at-or-before it.
+    "j1_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      AsOfJoin.asOf(purchases, clicks,
+          Seq((col("user_id"), col("c_user_id"))),
+          leftTs = col("ts"), rightTs = col("click_ts"),
+          leftId = col("event_id"), tiebreak = Seq(col("click_id").desc))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_id").as("prior_click_id"),
+          col("click_value").as("prior_click_value"))
+    },
+
+    // Query-0 pipeline (0-merge_delete_query.sql): CDC delete-resurrection —
+    // 'error' events play the Delete tombstones, other events the versions.
+    "j1_cdc_resurrect" -> { (s, dir) =>
+      AsOfJoin.resurrectDeletes(Tables.events(s, dir),
+        entityKey = "user_id", opCol = "event_type", tsCol = "ts",
+        deleteValue = "error", payloadCols = Seq("value", "props"),
+        tiebreakCol = "event_id")
+    },
+
+    // A1 (2-basedata_df_query.sql:17-25): max + max_by (argmax) per key.
+    "a1_argmax" -> { (s, dir) =>
+      Aggregates.argmax(Tables.lineitem(s, dir), Seq(col("l_orderkey")),
+        ts = col("l_shipdate"), value = col("l_returnflag"),
+        tiebreak = Seq(col("l_linenumber"), col("l_partkey")))
+    },
+
+    // A2/A3 (2-basedata_df_query.sql:27-45): per-key SUM(COALESCE(x,0)) × 3.
+    "a2_sum_coalesce" -> { (s, dir) =>
+      Aggregates.sumCoalesce(Tables.lineitem(s, dir), Seq(col("l_partkey")), Seq(
+        (col("l_quantity"), "sum_qty"),
+        (when(col("l_returnflag") === "R", col("l_quantity")), "sum_qty_r"),
+        (when(col("l_linestatus") === "F", col("l_quantity")), "sum_qty_f")))
+    },
+
+    // A4 (3-basedata_df_final_query.sql:1-19): plain per-key max.
+    "a4_max_per_key" -> { (s, dir) =>
+      Aggregates.maxPerKey(Tables.orders(s, dir), col("o_custkey"),
+        col("o_orderdate"), "max_orderdate")
+    },
+
+    // J2 (1-basedata_first_query.sql:21-35): left equi-join enrichment.
+    "j2_left_enrich" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment"))
+      Joins.leftEnrich(Tables.orders(s, dir), c, Seq("o_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+    },
+
+    // J3 (2-basedata_df_query.sql:1-15): activity filter as a plain INNER
+    // join — duplicate ids amplify, faithfully (SURVEY §7 hard-point 3).
+    "j3_inner_activity" -> { (s, dir) =>
+      val active = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .select(col("o_custkey").as("c_custkey"))
+      Joins.innerActivityFilter(Tables.customer(s, dir), active, Seq("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+
+    // J4/J5 (2-basedata_df_query.sql:47-63): left join to pre-aggregated
+    // counters with COALESCE(cnt, 0).
+    "j5_counter_join" -> { (s, dir) =>
+      val counters = Aggregates.sumCoalesce(Tables.lineitem(s, dir),
+        Seq(col("l_orderkey").as("o_orderkey")), Seq(
+          (col("l_quantity"), "qty_total"),
+          (when(col("l_returnflag") === "R", col("l_quantity")), "qty_returned")))
+      Joins.leftCounterJoin(Tables.orders(s, dir), counters,
+          Seq("o_orderkey"), Seq("qty_total", "qty_returned"))
+        .select("o_orderkey", "o_orderstatus", "qty_total", "qty_returned")
+    },
+
+    // J6 (3-basedata_df_final_query.sql:21-29): newer-version-exists via
+    // left join + null-failing comparison.
+    "j6_newer_exists" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val fMax = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("f_max"))
+      val allMax = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("all_max"))
+      Joins.newerExists(fMax, allMax, Seq("o_custkey"), "f_max", "all_max")
+    },
+
+    // J7 (3-basedata_df_final_query.sql:32-42): faithful SQL NOT IN
+    // (null-aware anti join after Catalyst's RewritePredicateSubquery).
+    "j7_not_in_anti" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer
+              |WHERE c_custkey NOT IN (
+              |  SELECT o_custkey FROM orders
+              |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin)
+    },
+
+    // J8 (script/main.py:128-154): broadcast lookup join on a substring
+    // prefix key, string-vs-int implicit cast preserved.
+    "j8_broadcast_prefix" -> { (s, dir) =>
+      val probe = Tables.customer(s, dir).select(col("c_custkey"),
+        concat(lpad(col("c_nationkey").cast("string"), 2, "0"),
+          lpad((col("c_custkey") % 100).cast("string"), 2, "0")).as("geoid"))
+      Joins.broadcastPrefixJoin(probe,
+          Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")),
+          col("geoid"), 2, "n_nationkey")
+        .select("c_custkey", "geoid", "n_name")
+    },
+
+    // U1/U3(ALL) (0-merge_delete_query.sql:50-58, script/main.py:42-53):
+    // overlapping splits unioned with duplicates preserved.
+    "u1_union_all" -> { (s, dir) =>
+      val sup = Tables.supplier(s, dir)
+      SetOps.union(Seq(
+        sup.filter(col("s_acctbal") < 5000),
+        sup.filter(col("s_nationkey") < 13)), "ALL")
+    },
+
+    // U3(DISTINCT): same splits, duplicates collapsed.
+    "u3_union_distinct" -> { (s, dir) =>
+      val sup = Tables.supplier(s, dir)
+      SetOps.union(Seq(
+        sup.filter(col("s_acctbal") < 5000),
+        sup.filter(col("s_nationkey") < 13)), "DISTINCT")
+    },
+
+    // W3/W4 + U2 (3-basedata_df_final_query.sql:44-72): price-change
+    // history for one month window.
+    "w3_price_change_history" -> { (s, dir) =>
+      PriceChange.history(Tables.lineitem(s, dir), key = col("l_orderkey"),
+          price = col("l_extendedprice"), ts = col("l_shipdate"),
+          tiebreak = Seq(col("l_linenumber").desc, col("l_partkey").desc),
+          monthStart = "1998-06-01", monthEnd = "1998-07-01")
+        .select("l_orderkey", "l_extendedprice", "l_shipdate", "price_src")
+    },
+
+    // P1/P2/F1-F6 (script/main.py:74-89,166-171; helper.py:74-96): filter +
+    // scalar-function projection pack: isin, startswith, round-cast,
+    // regexp_replace, substring, coalesce, dynamic CASE chain.
+    "p1_scalar_pack" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_type").isin("ECONOMY", "SMALL") &&
+          (col("p_name").startsWith("s") || col("p_name").startsWith("r")))
+        .select(
+          col("p_partkey"),
+          round(col("p_retailprice")).cast("int").as("retail_int"),
+          regexp_replace(col("p_name"), " ", "").as("name_nospace"),
+          substring(col("p_brand"), 1, 6).as("brand_pfx"),
+          Reshape.whenChain(col("p_type"), Seq(
+            "ECONOMY" -> lit("E"), "SMALL" -> lit("S")), lit("OTHER")).as("type_code"),
+          coalesce(col("p_size").cast("double"), lit(0.0)).as("size_d"))
+    },
+
+    // F7 (helper.py:53-62): single-entry map column with NOT_APPLICABLE
+    // default. Map columns aren't DuckDB-hash-comparable → rows-only check;
+    // semantics covered by ReshapeSpec.
+    "f7_subtype_map" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Reshape.subTypeMap(col("lang"),
+          when(col("n_chars") > 200, col("source"))).as("subTypes"))
+    },
+
+    // F8 (helper.py:19-51): flat → nested struct schema for JSON export.
+    // Struct output → rows-only check; round-trip covered by ReshapeSpec.
+    "f8_nest_schema" -> { (s, dir) =>
+      Reshape.nestSchema(Tables.documents(s, dir).select(
+        col("doc_id").as("meta_id"),
+        col("lang").as("meta_geo_lang"),
+        col("source").as("meta_geo_source"),
+        col("text").as("body_text"),
+        col("n_chars").as("body_stats_chars")))
     }
   )
 
@@ -43,7 +228,133 @@ object SparkEntry {
         |FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY l_orderkey, CAST(l_shipdate AS DATE)
-        |    ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
-        |  FROM lineitem) WHERE rn = 1""".stripMargin
+        |    ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    "j1_asof_join" ->
+      """SELECT event_id, user_id, ts, prior_click_id, prior_click_value FROM (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |         c.event_id AS prior_click_id, c.value AS prior_click_value,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM events p JOIN events c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |) WHERE rn = 1""".stripMargin,
+
+    "j1_cdc_resurrect" ->
+      """WITH deletes AS (
+        |  SELECT user_id, event_type, ts FROM events WHERE event_type = 'error'),
+        |versions AS (
+        |  SELECT user_id, ts, event_id, value, props FROM events
+        |  WHERE event_type <> 'error'),
+        |res AS (
+        |  SELECT d.user_id, d.event_type, d.ts, v.value, v.props,
+        |         row_number() OVER (PARTITION BY d.user_id, d.ts
+        |           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM deletes d JOIN versions v
+        |    ON d.user_id = v.user_id AND v.ts <= d.ts)
+        |SELECT user_id, event_type, ts, value, props FROM res WHERE rn = 1
+        |UNION ALL
+        |SELECT user_id, event_type, ts, value, props FROM events
+        |WHERE event_type <> 'error'""".stripMargin,
+
+    "a1_argmax" ->
+      """SELECT l_orderkey, max(l_shipdate) AS max_ts,
+        |  (max({'o0': l_shipdate, 'o1': l_linenumber, 'o2': l_partkey,
+        |        'v': l_returnflag})).v AS latest_value
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "a2_sum_coalesce" ->
+      """SELECT l_partkey,
+        |  sum(coalesce(l_quantity, 0)) AS sum_qty,
+        |  sum(coalesce(CASE WHEN l_returnflag = 'R' THEN l_quantity END, 0)) AS sum_qty_r,
+        |  sum(coalesce(CASE WHEN l_linestatus = 'F' THEN l_quantity END, 0)) AS sum_qty_f
+        |FROM lineitem GROUP BY l_partkey""".stripMargin,
+
+    "a4_max_per_key" ->
+      "SELECT o_custkey, max(o_orderdate) AS max_orderdate FROM orders GROUP BY o_custkey",
+
+    "j2_left_enrich" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "j3_inner_activity" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal
+        |FROM customer c INNER JOIN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |) a ON c.c_custkey = a.o_custkey""".stripMargin,
+
+    "j5_counter_join" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  coalesce(qty_total, 0) AS qty_total,
+        |  coalesce(qty_returned, 0) AS qty_returned
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    sum(coalesce(l_quantity, 0)) AS qty_total,
+        |    sum(coalesce(CASE WHEN l_returnflag = 'R' THEN l_quantity END, 0)) AS qty_returned
+        |  FROM lineitem GROUP BY l_orderkey
+        |) ON o_orderkey = l_orderkey""".stripMargin,
+
+    "j6_newer_exists" ->
+      """WITH f AS (
+        |  SELECT o_custkey, max(o_orderdate) AS f_max FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |a AS (
+        |  SELECT o_custkey, max(o_orderdate) AS all_max FROM orders GROUP BY o_custkey)
+        |SELECT f.o_custkey, f.f_max, a.all_max
+        |FROM f LEFT JOIN a ON f.o_custkey = a.o_custkey
+        |WHERE f.f_max < a.all_max""".stripMargin,
+
+    "j7_not_in_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+
+    "j8_broadcast_prefix" ->
+      """SELECT c_custkey, geoid, n_name FROM (
+        |  SELECT c_custkey,
+        |    lpad(CAST(c_nationkey AS VARCHAR), 2, '0') ||
+        |    lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS geoid
+        |  FROM customer) p
+        |LEFT JOIN nation ON substring(p.geoid, 1, 2) = n_nationkey""".stripMargin,
+
+    "u1_union_all" ->
+      """SELECT * FROM supplier WHERE s_acctbal < 5000
+        |UNION ALL
+        |SELECT * FROM supplier WHERE s_nationkey < 13""".stripMargin,
+
+    "u3_union_distinct" ->
+      """SELECT * FROM supplier WHERE s_acctbal < 5000
+        |UNION
+        |SELECT * FROM supplier WHERE s_nationkey < 13""".stripMargin,
+
+    "w3_price_change_history" ->
+      """SELECT l_orderkey, l_extendedprice, l_shipdate, 'current' AS price_src FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_orderkey, l_extendedprice
+        |    ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC) AS rn
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1998-06-01' AND l_shipdate < '1998-07-01') WHERE rn = 1
+        |UNION ALL
+        |SELECT l_orderkey, l_extendedprice, l_shipdate, 'previous' AS price_src FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC) AS rn
+        |  FROM lineitem WHERE l_shipdate < '1998-06-01') WHERE rn = 1""".stripMargin,
+
+    "p1_scalar_pack" ->
+      """SELECT p_partkey,
+        |  CAST(round(p_retailprice) AS INT) AS retail_int,
+        |  regexp_replace(p_name, ' ', '', 'g') AS name_nospace,
+        |  substring(p_brand, 1, 6) AS brand_pfx,
+        |  CASE WHEN p_type = 'ECONOMY' THEN 'E'
+        |       WHEN p_type = 'SMALL' THEN 'S' ELSE 'OTHER' END AS type_code,
+        |  coalesce(CAST(p_size AS DOUBLE), 0.0) AS size_d
+        |FROM part
+        |WHERE p_type IN ('ECONOMY', 'SMALL')
+        |  AND (p_name LIKE 's%' OR p_name LIKE 'r%')""".stripMargin
   )
 }

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Schema reshaping — the reference's only genuinely custom logic
+  * (SURVEY §2.2 P3–P6, §2.8 F6–F8; `script/helper.py:19-96,150-186`).
+  *
+  * Everything here is driver-side plan construction: it builds a single wide
+  * `select`, so Catalyst sees one projection (CollapseProject folds it with
+  * neighbours) and executors never materialize intermediate schemas.
+  */
+object Reshape {
+
+  /** F8 / `Helper.nest_schema` (`script/helper.py:19-51`): re-nest a flat
+    * schema whose column names encode structure with `_` separators
+    * (`classified_geo_city` → `classified.geo.city` struct) into real
+    * `StructType` columns for JSON export.
+    *
+    * A name that is both a leaf and a prefix of other columns (`a` and
+    * `a_b`) is ambiguous — rejected, matching the reference's dict-tree
+    * which cannot represent it either.
+    */
+  def nestSchema(df: DataFrame): DataFrame = {
+    sealed trait Node
+    case class Leaf(fullName: String) extends Node
+    case class Branch(children: scala.collection.mutable.LinkedHashMap[String, Node]) extends Node
+
+    val root = Branch(scala.collection.mutable.LinkedHashMap.empty)
+    df.columns.foreach { c =>
+      val parts = c.split("_")
+      var cur = root
+      parts.zipWithIndex.foreach { case (p, i) =>
+        if (i == parts.length - 1) {
+          if (cur.children.contains(p))
+            throw new IllegalArgumentException(s"ambiguous column nesting at '$c'")
+          cur.children(p) = Leaf(c)
+        } else {
+          cur.children.getOrElseUpdate(p, Branch(scala.collection.mutable.LinkedHashMap.empty)) match {
+            case b: Branch => cur = b
+            case _: Leaf =>
+              throw new IllegalArgumentException(s"ambiguous column nesting at '$c'")
+          }
+        }
+      }
+    }
+
+    def emit(node: Node): Column = node match {
+      case Leaf(full) => col(full)
+      case Branch(ch) =>
+        struct(ch.map { case (name, n) => emit(n).alias(name) }.toSeq: _*)
+    }
+
+    df.select(root.children.map { case (name, n) => emit(n).alias(name) }.toSeq: _*)
+  }
+
+  /** Inverse of [[nestSchema]] (for tests): flatten struct columns back to
+    * `_`-joined flat names, depth-first in field order.
+    */
+  def flattenSchema(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def expand(prefix: String, c: Column, dt: org.apache.spark.sql.types.DataType): Seq[Column] =
+      dt match {
+        case st: StructType =>
+          st.fields.toSeq.flatMap(f => expand(s"${prefix}_${f.name}", c.getField(f.name), f.dataType))
+        case _ => Seq(c.alias(prefix))
+      }
+    df.select(df.schema.fields.toSeq.flatMap(f => expand(f.name, col(f.name), f.dataType)): _*)
+  }
+
+  /** P5 (`script/main.py:174-178`, `script/helper.py:150-155`): strip a
+    * prefix from every matching column name (optionally restricted to a
+    * configured list), as ONE select — not a fold of `withColumnRenamed`,
+    * which would build an O(n) deep plan for Catalyst to collapse.
+    */
+  def stripPrefix(df: DataFrame, prefix: String, only: Option[Set[String]] = None): DataFrame = {
+    val cols = df.columns.map { c =>
+      val eligible = c.startsWith(prefix) && only.forall(_.contains(c))
+      if (eligible) col(c).alias(c.stripPrefix(prefix)) else col(c)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** P3 (`script/main.py:96-110`): keep only columns matching the configured
+    * prefix families — the reference's runtime-schema-driven projection.
+    */
+  def selectByPrefixes(df: DataFrame, prefixes: Seq[String]): DataFrame =
+    df.select(df.columns.filter(c => prefixes.exists(c.startsWith)).map(col).toSeq: _*)
+
+  /** F6 (`script/helper.py:74-96`): dynamic CASE chain built from a mapping:
+    * `CASE WHEN key = k1 THEN v1 ... ELSE default END` where each value is a
+    * column reference. Deterministic order: mapping iteration order.
+    */
+  def whenChain(key: Column, mapping: Seq[(String, Column)], default: Column): Column =
+    mapping.foldLeft(Option.empty[Column]) { case (acc, (k, v)) =>
+      Some(acc.map(_.when(key === k, v)).getOrElse(when(key === k, v)))
+    }.map(_.otherwise(default)).getOrElse(default)
+
+  /** F7 (`script/helper.py:53-62`): single-entry map column keyed by the
+    * lower-cased type with NOT_APPLICABLE defaulting.
+    */
+  def subTypeMap(typeCol: Column, valueCol: Column): Column =
+    when(valueCol.isNotNull, map(lower(typeCol), valueCol))
+      .otherwise(map(lower(typeCol), lit("NOT_APPLICABLE")))
+
+  /** P9 (`script/helper.py:165-172`): audit/changelog metadata columns. */
+  def withChangeLog(df: DataFrame, system: String, version: String,
+                    operation: String, note: String): DataFrame =
+    df.withColumns(Map(
+      "metaData_changeLog_timestamp" -> current_timestamp(),
+      "metaData_changeLog_system"    -> lit(system),
+      "metaData_changeLog_version"   -> lit(version),
+      "metaData_changeLog_operation" -> lit(operation),
+      "metaData_changeLog_note"      -> lit(note)))
+}

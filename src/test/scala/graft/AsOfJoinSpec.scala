@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val cdc = Seq(
+    // (entity, op, ts, value, props, id)
+    ("e1", "Upsert", ts("2024-01-01 10:00:00"), 1.0, "v1", 1L),
+    ("e1", "Upsert", ts("2024-01-02 10:00:00"), 2.0, "v2", 2L),
+    ("e1", "Delete", ts("2024-01-03 10:00:00"), -1.0, null, 3L),
+    ("e1", "Upsert", ts("2024-01-04 10:00:00"), 4.0, "v4", 4L),
+    // tombstone with NO prior version → dropped by the inner join
+    ("e2", "Delete", ts("2024-01-01 00:00:00"), -1.0, null, 5L),
+    // ts tie between two versions → higher id wins
+    ("e3", "Upsert", ts("2024-01-01 00:00:00"), 30.0, "a", 6L),
+    ("e3", "Upsert", ts("2024-01-01 00:00:00"), 31.0, "b", 7L),
+    ("e3", "Delete", ts("2024-01-02 00:00:00"), -1.0, null, 8L)
+  ).toDF("k", "op", "ts", "value", "props", "id")
+
+  test("resurrectDeletes attaches latest prior payload and unions survivors") {
+    val out = AsOfJoin.resurrectDeletes(cdc, "k", "op", "ts", "Delete",
+      payloadCols = Seq("value", "props"), tiebreakCol = "id")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1),
+      r.getTimestamp(2), r.getDouble(3))).toSet
+
+    // e1 delete resurrects v2 (latest <= delete ts)
+    assert(rows.contains(("e1", "Delete", ts("2024-01-03 10:00:00"), 2.0)))
+    // e2 tombstone with no prior version is gone
+    assert(!rows.exists(r => r._1 == "e2"))
+    // e3 ts tie broken by id desc → value 31.0
+    assert(rows.contains(("e3", "Delete", ts("2024-01-02 00:00:00"), 31.0)))
+    // survivors pass through: 5 non-delete rows + 2 resurrected
+    assert(out.count() == 7)
+  }
+
+  test("asOf picks latest right row at-or-before each left row") {
+    val left = Seq((100L, "u1", ts("2024-01-02 12:00:00"))).toDF("lid", "k", "lts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), "old", 1L),
+      ("u1", ts("2024-01-02 12:00:00"), "exact", 2L),
+      ("u1", ts("2024-01-03 00:00:00"), "future", 3L)
+    ).toDF("rk", "rts", "tag", "rid")
+    val out = AsOfJoin.asOf(left, right, Seq((col("k"), col("rk"))),
+      col("lts"), col("rts"), col("lid"), Seq(col("rid").desc))
+    val got = out.select("tag").as[String].collect().toSeq
+    assert(got == Seq("exact")) // <= is inclusive; future row never matches
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topOnePerKey keeps exactly one row per key, a member of the input, maximal under the order") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val rows = List.fill(60)((rnd.nextInt(6), rnd.nextInt(100), rnd.nextLong(1000)))
+      val df = rows.toDF("k", "v", "uid")
+      val out = Dedup.topOnePerKey(df, Seq(col("k")),
+        Seq(col("v").desc, col("uid").desc)).collect()
+      val byKey = out.groupBy(_.getInt(0))
+      assert(byKey.values.forall(_.length == 1))
+      assert(byKey.keySet == rows.map(_._1).toSet)
+      val input = rows.toSet
+      assert(out.forall(r => input.contains((r.getInt(0), r.getInt(1), r.getLong(2)))))
+      val expected = rows.groupBy(_._1).view.mapValues(_.maxBy(t => (t._2, t._3))).toMap
+      assert(out.forall(r => expected(r.getInt(0)) == ((r.getInt(0), r.getInt(1), r.getLong(2)))))
+    }
+  }
+
+  test("dropExactDuplicates keeps the row with smallest keep-column") {
+    val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("txt", "id")
+    val out = Dedup.dropExactDuplicates(df, Seq(col("txt")), col("id"))
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 1L), ("b", 2L)))
+  }
+}

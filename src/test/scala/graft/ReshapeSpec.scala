@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Reshape
+
+class ReshapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nestSchema builds structs from _-separated names") {
+    val df = Seq((1, "city", 9.9)).toDF("meta_id", "geo_city_name", "geo_lat")
+    val nested = Reshape.nestSchema(df)
+    assert(nested.columns.toSeq == Seq("meta", "geo"))
+    val geo = nested.schema("geo").dataType.asInstanceOf[StructType]
+    assert(geo.fieldNames.toSeq == Seq("city", "lat"))
+    assert(geo("city").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("name"))
+    assert(nested.select($"geo.city.name").as[String].head() == "city")
+  }
+
+  test("nestSchema then flattenSchema is identity") {
+    val df = Seq((1, "x", 2.0, true))
+      .toDF("a_b_c", "a_b_d", "a_e", "f")
+    val round = Reshape.flattenSchema(Reshape.nestSchema(df))
+    assert(round.columns.toSeq == df.columns.toSeq)
+    assert(round.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("nestSchema rejects leaf/branch ambiguity") {
+    val df = Seq((1, 2)).toDF("a", "a_b")
+    assertThrows[IllegalArgumentException](Reshape.nestSchema(df))
+  }
+
+  test("stripPrefix renames in one projection, optionally restricted") {
+    val df = Seq((1, 2, 3)).toDF("cleaned_x", "cleaned_y", "other")
+    assert(Reshape.stripPrefix(df, "cleaned_").columns.toSeq == Seq("x", "y", "other"))
+    assert(Reshape.stripPrefix(df, "cleaned_", Some(Set("cleaned_x")))
+      .columns.toSeq == Seq("x", "cleaned_y", "other"))
+  }
+
+  test("selectByPrefixes keeps configured families only") {
+    val df = Seq((1, 2, 3, 4)).toDF("classified_a", "cleaned_b", "cleanupdataproblems", "junk")
+    assert(Reshape.selectByPrefixes(df, Seq("classified_", "cleaned_", "cleanup"))
+      .columns.toSeq == Seq("classified_a", "cleaned_b", "cleanupdataproblems"))
+  }
+
+  test("whenChain picks mapped column else default") {
+    val df = Seq(("HOUSE", "h", "a"), ("APARTMENT", "h", "a"), ("PLOT", "h", "a"))
+      .toDF("t", "houseCol", "aptCol")
+    val out = df.select(Reshape.whenChain(col("t"),
+      Seq("HOUSE" -> col("houseCol"), "APARTMENT" -> col("aptCol")),
+      lit("NOT_APPLICABLE")).as("v")).as[String].collect().toSeq
+    assert(out == Seq("h", "a", "NOT_APPLICABLE"))
+  }
+
+  test("subTypeMap defaults to NOT_APPLICABLE on null value") {
+    val df = Seq(("HOUSE", Some("BUNGALOW")), ("PLOT", None))
+      .toDF("t", "sub")
+    val out = df.select(Reshape.subTypeMap(col("t"), col("sub")).as("m"))
+      .as[Map[String, String]].collect().toSeq
+    assert(out == Seq(Map("house" -> "BUNGALOW"), Map("plot" -> "NOT_APPLICABLE")))
+  }
+}

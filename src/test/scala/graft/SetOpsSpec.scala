@@ -1,0 +1,31 @@
+package graft
+
+import graft.ops.SetOps
+
+class SetOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def a = Seq(1, 2, 3).toDF("x")
+  private def b = Seq(3, 4).toDF("x")
+
+  test("union ALL preserves duplicates") {
+    assert(SetOps.union(Seq(a, b), "ALL").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3, 3, 4))
+  }
+
+  test("union DISTINCT collapses duplicates") {
+    assert(SetOps.union(Seq(a, b), "distinct").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3, 4))
+  }
+
+  test("unionAll aligns by name, not position") {
+    val left = Seq((1, "a")).toDF("n", "s")
+    val right = Seq(("b", 2)).toDF("s", "n")
+    val out = SetOps.unionAll(Seq(left, right)).as[(Int, String)].collect().toSet
+    assert(out == Set((1, "a"), (2, "b")))
+  }
+
+  test("unknown union type is rejected") {
+    assertThrows[IllegalArgumentException](SetOps.union(Seq(a, b), "OUTER"))
+  }
+}

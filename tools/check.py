@@ -25,7 +25,13 @@ def normalize(df):
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            def freeze(v):
+                if isinstance(v, (list, np.ndarray)):
+                    return tuple(freeze(x) for x in v)
+                if isinstance(v, dict):
+                    return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+                return v
+            df[c] = df[c].apply(freeze)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
