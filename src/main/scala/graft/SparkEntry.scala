@@ -4,6 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
+import graft.dedup.{Jaccard, MinHashLSH, SimHash}
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,8 +29,88 @@ object SparkEntry {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, Q] = referenceOps
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data pipeline extensions (dedup / similarity / text /
+    * multimodal).
+    */
+  def queries: Map[String, Q] = referenceOps ++ trainingOps
+
+  // ------------------------------------------- training-data pipeline ops
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to", "it")
+
+  private def trainingOps: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on the dup key, keep smallest doc_id.
+    "d1_dedup_exact" -> { (s, dir) =>
+      Dedup.dropExactDuplicates(Tables.documents(s, dir),
+          Seq(col("lang"), col("source")), col("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+    },
+
+    // MinHash+LSH near-dup (scale path); exact-Jaccard-verified candidates.
+    "d2_minhash_neardup" -> { (s, dir) =>
+      MinHashLSH.nearDuplicates(Tables.documents(s, dir), col("doc_id"),
+        col("text"), threshold = 0.95)
+    },
+
+    // SimHash near-dup: 64-bit fingerprints, Hamming <= 3 via chunk join.
+    "d3_simhash_neardup" -> { (s, dir) =>
+      SimHash.nearDuplicates(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
+    // Exact token-set Jaccard, probe sample vs corpus (quadratic baseline
+    // that d2 approximates — probe-sampled so it stays linear per probe).
+    "d4_jaccard_pairs" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Jaccard.similarPairs(
+        Jaccard.shingleSets(docs.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"), 1),
+        Jaccard.shingleSets(docs, col("doc_id"), col("text"), 1),
+        threshold = 0.9)
+    },
+
+    // Embedding-cosine near-dup, probe sample vs corpus.
+    "d5_embedding_neardup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.nearDupPairs(emb.filter(col("vec_id") % 10 === 0), emb, threshold = 0.4)
+    },
+
+    // ANN: exact brute-force cosine top-k (the correctness baseline).
+    "s1_ann_bruteforce_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+    },
+
+    // ANN: LSH-bucketed approximate top-k (the scale path).
+    "s2_ann_lsh_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+    },
+
+    // Text quality scoring: lengths, token stats, ratios, BPE-ish count.
+    "t1_text_quality" -> { (s, dir) =>
+      TextAnalysis.qualityMetrics(Tables.documents(s, dir), col("doc_id"),
+        col("text"), stopwords)
+    },
+
+    // Language-ID (stopword profiles + CJK ratio) — heuristic scores.
+    "t2_lang_id" -> { (s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+
+    // Rolling-hash document fingerprint.
+    "t3_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    },
+
+    // Multimodal plumbing: binary payload + metadata -> per-partition
+    // feature extraction (decode stubbed; schema/batching real).
+    "m1_multimodal_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMediaDataset(
+          Multimodal.packDocuments(Tables.documents(s, dir)))).toDF()
+    }
+  )
 
   // ---------------------------------------------------------------- §2 ops
 
@@ -344,6 +428,61 @@ object SparkEntry {
         |    PARTITION BY l_orderkey
         |    ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC) AS rn
         |  FROM lineitem WHERE l_shipdate < '1998-06-01') WHERE rn = 1""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "d4_jaccard_pairs" ->
+      """WITH probes AS (
+        |  SELECT doc_id AS id_a, list_distinct(string_split(lower(text), ' ')) AS sa
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS id_b, list_distinct(string_split(lower(text), ' ')) AS sb
+        |  FROM documents)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    round(len(list_intersect(sa, sb))::DOUBLE /
+        |      (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+        |  FROM probes JOIN corpus ON id_a < id_b)
+        |WHERE jaccard >= 0.9""".stripMargin,
+
+    "d5_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id % 10 = 0
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+
+    "s1_ann_bruteforce_topk" ->
+      """SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0)
+        |WHERE rank <= 5""".stripMargin,
+
+    "t1_text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(lower(text), ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(lower(text), ' '))) AS n_uniq_tokens,
+        |  round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE /
+        |    len(string_split(lower(text), ' ')), 6) AS uniq_ratio,
+        |  round(len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['the','a','of','and','is','in','to','it'], t)))::DOUBLE /
+        |    len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+        |  round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / length(text), 6)
+        |    AS punct_ratio,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  round(list_sum(list_transform(string_split(lower(text), ' '), t -> len(t)))::DOUBLE /
+        |    len(string_split(lower(text), ' ')), 6) AS avg_token_len
+        |FROM documents""".stripMargin,
 
     "p1_scalar_pack" ->
       """SELECT p_partkey,

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * quality scoring, token counting, language-ID, fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins + array higher-order
+  * functions — zero UDFs — so the operators run narrow (no shuffle at all:
+  * they are pure per-row projections that scale embarrassingly to any data
+  * size; the scan's partitioning is the parallelism).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lower-cased. Single-space split (literal, not \s+)
+    * keeps semantics identical across engines for the oracle check.
+    */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Quality-score projection: length, token stats, uniq/stopword ratios,
+    * punctuation ratio, and a BPE-ish regex token count. Ratios are rounded
+    * so float formatting can't flake a hash compare.
+    */
+  def qualityMetrics(df: DataFrame, id: Column, text: Column,
+                     stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val sw = typedLit(stopwords)
+    df.select(
+      id,
+      length(text).as("n_chars"),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 6).as("uniq_ratio"),
+      round(size(filter(toks, t => array_contains(sw, t))).cast("double") / nTok, 6)
+        .as("stopword_ratio"),
+      round(regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") / length(text), 6)
+        .as("punct_ratio"),
+      regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"),
+      round(aggregate(transform(toks, t => length(t)), lit(0), _ + _).cast("double") / nTok, 6)
+        .as("avg_token_len"))
+  }
+
+  /** Language-ID via stopword-profile scoring + CJK character ratio — the
+    * standard n-gram-profile heuristic reduced to marker tokens. Returns the
+    * argmax language (ties broken alphabetically-last for determinism) plus
+    * the per-language scores for downstream thresholding.
+    */
+  def languageId(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "is", "in", "to", "it"),
+      "es" -> Seq("el", "la", "de", "y", "es", "en", "los", "un"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+      "fr" -> Seq("le", "la", "de", "et", "est", "un", "les", "des"))
+    val toks = tokens(text)
+    val scores = profiles.map { case (lang, markers) =>
+      lang -> (size(filter(toks, t => array_contains(typedLit(markers), t)))
+        .cast("double") / size(toks))
+    }
+    // CJK scripts have no whitespace markers — score by character class.
+    val cjkScore = regexp_count(text, lit("[\\u4e00-\\u9fff]")).cast("double") /
+      greatest(length(text), lit(1))
+    val all = scores :+ ("zh" -> cjkScore)
+    // argmax via lexicographic max over (score, lang) structs: deterministic.
+    val best = array_max(array(all.map { case (l, s) =>
+      struct(s.as("score"), lit(l).as("lang"))
+    }: _*))
+    df.select(
+      (id +: best.getField("lang").as("pred_lang") +:
+        round(best.getField("score"), 6).as("pred_score") +:
+        all.map { case (l, s) => round(s, 6).as(s"score_$l") }): _*)
+  }
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * token hashes (base-31 Horner over xxhash64(token), mod 1e9+7 so the
+    * accumulator never overflows — Spark 4 runs ANSI mode, where silent
+    * wraparound is an error). Equal token sequences get equal fingerprints
+    * on any cluster layout. Pure projection — no shuffle.
+    */
+  def fingerprint(text: Column): Column = {
+    val p = 1000000007L
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(p)), lit(p)))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Jaccard, MinHashLSH, SimHash}
+
+/** Fuzzy-dedup specs over planted near-duplicates. */
+class DedupFuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 exact/near clusters + unrelated docs.
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // ~dup of 1
+    (3L, "a completely different document about spark query optimization and shuffles"),
+    (4L, "a completely different document about spark query optimization and shuffles"), // exact dup of 3
+    (5L, "unrelated text mentioning databases indexes transactions and consistency models"),
+    (6L, "watermelon banana apple orange grape kiwi mango papaya lime lemon cherry plum")
+  ).toDF("doc_id", "text")
+
+  test("MinHashLSH finds planted near-dups and skips unrelated docs") {
+    // bands=16 (r=4): detection prob at jaccard 0.85 is ~1-(1-0.52)^16 ≈ 1.
+    val pairs = MinHashLSH.nearDuplicates(corpus, col("doc_id"), col("text"),
+        threshold = 0.8, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("MinHash signature is similarity-preserving: identical docs share all minhashes") {
+    val sigs = MinHashLSH.signatures(corpus, col("doc_id"), col("text"),
+        numHashes = 32, shingleN = 1, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(3L) == sigs(4L))
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree12 >= 24, s"near-dup docs should agree on most minhashes, got $agree12/32")
+  }
+
+  test("SimHash: exact dups have distance 0, near-dups small, unrelated large") {
+    val fps = SimHash.fingerprints(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(3L), fps(4L)) == 0)
+    assert(ham(fps(1L), fps(2L)) <= 8)
+    assert(ham(fps(1L), fps(6L)) > 8)
+  }
+
+  test("SimHash pair join returns exactly the hamming<=3 pairs") {
+    val pairs = SimHash.nearDuplicates(corpus, col("doc_id"), col("text"), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fps = SimHash.fingerprints(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
+
+  test("exact Jaccard matches hand-computed similarity") {
+    val sets = Jaccard.shingleSets(corpus, col("doc_id"), col("text"), 1)
+    val pairs = Jaccard.similarPairs(sets, sets, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((3L, 4L)) == 1.0)
+    // docs 1,2: 14 tokens each, 12 distinct each (the x3... today/tonight);
+    // intersection 11, union 13 -> 11/13
+    assert(math.abs(pairs((1L, 2L)) - 11.0 / 13.0) < 1e-5)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)),   // close to 0
+    (2L, Array(0f, 1f, 0f, 0f)),       // orthogonal to 0
+    (3L, Array(-1f, 0f, 0f, 0f)),      // opposite of 0
+    (4L, Array(1f, 0f, 0f, 0f))        // identical to 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val sims = vecs.alias("a").crossJoin(vecs.alias("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("s"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(sims((0L, 4L)) == 1.0)
+    assert(sims((0L, 2L)) == 0.0)
+    assert(sims((0L, 3L)) == -1.0)
+    assert(sims((0L, 1L)) > 0.99 && sims((0L, 1L)) < 1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc, excludes self, breaks ties by id") {
+    val top = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(top.map(_._2) == Seq(4L, 1L, 2L)) // identical, near, orthogonal
+    assert(top.forall(_._1 == 0L))
+    assert(top.forall(_._2 != 0L))
+  }
+
+  test("lshTopK recall on testdata: >=50% of exact top-5 found") {
+    // Random (unclustered) embeddings are LSH's worst case: true top-5
+    // neighbors sit at cosine ~0.4. With 4 planes × 8 tables expected
+    // recall is ~0.7; assert a margin below that.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val probes = emb.filter(col("vec_id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(probes, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(probes, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityMetrics computes token stats on a known sentence") {
+    val df = Seq((1L, "The quick fox and the dog")).toDF("id", "text")
+    val r = TextAnalysis.qualityMetrics(df, col("id"), col("text"),
+      Seq("the", "a", "of", "and", "is")).collect()(0)
+    assert(r.getAs[Int]("n_chars") == 25)
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_uniq_tokens") == 5) // 'the' twice after lower()
+    assert(r.getAs[Double]("stopword_ratio") == 0.5) // the, and, the
+    assert(r.getAs[Int]("n_bpe_tokens") == 6)
+  }
+
+  test("languageId picks profile languages on real sentences") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "el perro es de la casa y los gatos en un patio"),
+      (3L, "der hund ist ein tier und die katze ist zu haus"),
+      (4L, "这是一个中文句子没有空格")
+    ).toDF("id", "text")
+    val out = TextAnalysis.languageId(df, col("id"), col("text"))
+      .select("id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+    assert(out(4L) == "zh")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha")
+    ).toDF("id", "text")
+    val fp = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+}
