@@ -1,0 +1,62 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Input sources (SURVEY §2.1 S1/S4/S6; reference `script/main.py:129-134,
+  * 250-258`, `script/helper.py:64-72`).
+  *
+  * S2/S3 (catalog scans with partition pushdown) reduce to
+  * `spark.read.table(...).where(partitionPredicate)` — at local scale the
+  * synthetic tables are plain parquet, so [[parquet]] plus a `.where` on the
+  * partition column exercises the same Catalyst path
+  * (`PruneFileSourcePartitions`).
+  */
+object Sources {
+
+  /** S1 (`script/main.py:250-258`): recursive S3/FS parquet scan. Spark
+    * handles partition-style subdirs natively; `recursiveFileLookup` covers
+    * arbitrary (non-partition) nesting like the reference's raw landing
+    * paths.
+    */
+  def parquet(spark: SparkSession, path: String, recursive: Boolean = false): DataFrame = {
+    val r = spark.read
+    (if (recursive) r.option("recursiveFileLookup", "true") else r).parquet(path)
+  }
+
+  /** S4 (`script/main.py:129-134`): CSV lookup load, header + inferSchema —
+    * used for the small geo lookup tables that feed broadcast joins (J8).
+    */
+  def csvLookup(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S6 (`script/helper.py:64-72`): SQL template load + `{placeholder}`
+    * substitution (Python `str.format` semantics: every `{key}` replaced,
+    * unknown keys are an error, `{{`/`}}` escape literal braces).
+    */
+  def formatSql(template: String, params: Map[String, String]): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < template.length) {
+      template.charAt(i) match {
+        case '{' if i + 1 < template.length && template.charAt(i + 1) == '{' =>
+          out += '{'; i += 2
+        case '}' if i + 1 < template.length && template.charAt(i + 1) == '}' =>
+          out += '}'; i += 2
+        case '{' =>
+          val end = template.indexOf('}', i)
+          if (end < 0) throw new IllegalArgumentException(s"unclosed '{' at $i")
+          val key = template.substring(i + 1, end)
+          out ++= params.getOrElse(key,
+            throw new IllegalArgumentException(s"missing template param '$key'"))
+          i = end + 1
+        case c => out += c; i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** S6: file variant — read a `.sql` template from disk then interpolate. */
+  def readAndFormatSql(path: String, params: Map[String, String]): String =
+    formatSql(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8), params)
+}
