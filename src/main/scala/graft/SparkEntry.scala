@@ -8,6 +8,7 @@ import graft.dedup.{Jaccard, MinHashLSH, SimHash}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
+import graft.pipeline.ConsumePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -299,7 +300,12 @@ object SparkEntry {
         col("source").as("meta_geo_source"),
         col("text").as("body_text"),
         col("n_chars").as("body_stats_chars")))
-    }
+    },
+
+    // The full composed 4-stage consume pipeline (SURVEY §3.3): CDC repair →
+    // day-dedup + enrichment → activity/control/counter joins → invalid anti
+    // join + price-change history → geo broadcast + per-iteration union.
+    "pipe_consume_e2e" -> { (s, dir) => ConsumePipeline.build(s, dir) }
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -483,6 +489,91 @@ object SparkEntry {
         |  round(list_sum(list_transform(string_split(lower(text), ' '), t -> len(t)))::DOUBLE /
         |    len(string_split(lower(text), ' ')), 6) AS avg_token_len
         |FROM documents""".stripMargin,
+
+    "pipe_consume_e2e" ->
+      """WITH repaired AS (
+        |  SELECT user_id, event_type, ts, value, event_id FROM (
+        |    SELECT d.user_id, d.event_type, d.ts, v.value, v.event_id,
+        |           row_number() OVER (PARTITION BY d.user_id, d.ts
+        |             ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |    FROM (SELECT user_id, event_type, ts FROM events
+        |          WHERE event_type = 'error') d
+        |    JOIN (SELECT user_id, ts, event_id, value FROM events
+        |          WHERE event_type <> 'error') v
+        |      ON d.user_id = v.user_id AND v.ts <= d.ts) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, event_type, ts, value, event_id FROM events
+        |  WHERE event_type <> 'error'),
+        |base1 AS (
+        |  SELECT r.user_id, r.event_type, r.ts, r.value, r.event_id,
+        |         c.c_name, c.c_mktsegment
+        |  FROM (
+        |    SELECT * FROM (
+        |      SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY ts DESC, event_id DESC, event_type DESC) AS rn
+        |      FROM repaired) WHERE rn = 1) r
+        |  LEFT JOIN customer c ON r.user_id = c.c_custkey),
+        |active AS (
+        |  SELECT DISTINCT o_custkey AS user_id FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |control AS (
+        |  SELECT user_id AS ctl_user_id,
+        |    (max({'o0': ts, 'o1': event_id, 'v': value})).v AS last_signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |clicks AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        |         sum(coalesce(value, 0)) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |views AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |base2 AS (
+        |  SELECT b.*, ctl.last_signup_value,
+        |    CAST(coalesce(ck.n_clicks, 0) AS BIGINT) AS n_clicks,
+        |    coalesce(ck.click_value, 0) AS click_value,
+        |    CAST(coalesce(vw.n_views, 0) AS BIGINT) AS n_views
+        |  FROM base1 b
+        |  JOIN active a ON b.user_id = a.user_id
+        |  LEFT JOIN control ctl ON b.user_id = ctl.ctl_user_id
+        |  LEFT JOIN clicks ck ON b.user_id = ck.user_id
+        |  LEFT JOIN views vw ON b.user_id = vw.user_id),
+        |fmax AS (SELECT user_id, max(ts) AS f_max FROM base2
+        |         WHERE event_type = 'purchase' GROUP BY user_id),
+        |allmax AS (SELECT user_id, max(ts) AS all_max FROM base2 GROUP BY user_id),
+        |invalid AS (
+        |  SELECT f.user_id FROM fmax f LEFT JOIN allmax a ON f.user_id = a.user_id
+        |  WHERE f.f_max < a.all_max),
+        |valid AS (
+        |  SELECT * FROM base2 WHERE user_id NOT IN (SELECT user_id FROM invalid)),
+        |hist AS (
+        |  SELECT user_id, event_type, ts, value, last_signup_value, n_clicks,
+        |         click_value, n_views, c_name, c_mktsegment,
+        |         'current' AS price_src FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, value
+        |      ORDER BY ts DESC, event_id DESC, event_type DESC) AS rn
+        |    FROM valid
+        |    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-01')
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, event_type, ts, value, last_signup_value, n_clicks,
+        |         click_value, n_views, c_name, c_mktsegment,
+        |         'previous' AS price_src FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC, event_type DESC) AS rn
+        |    FROM valid WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1)
+        |SELECT user_id, event_type, ts, value, last_signup_value, n_clicks,
+        |  click_value, n_views, c_name, c_mktsegment, price_src, geoid, n_name,
+        |  partition_month,
+        |  CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'it1'
+        |       ELSE 'it2' END AS iteration
+        |FROM (
+        |  SELECT h.*,
+        |    lpad(CAST(h.user_id % 25 AS VARCHAR), 2, '0') ||
+        |    lpad(CAST(h.user_id % 100 AS VARCHAR), 2, '0') AS geoid,
+        |    strftime(h.ts, '%Y-%m') AS partition_month
+        |  FROM hist h) g
+        |LEFT JOIN nation n ON substring(g.geoid, 1, 2) = n_nationkey""".stripMargin,
 
     "p1_scalar_pack" ->
       """SELECT p_partkey,

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops._
+
+/** One pipeline iteration = the reference's (country × distribution) loop
+  * row (`script/config.json:161-186`); here the synthetic analog partitions
+  * users by market segment.
+  */
+final case class IterationSpec(name: String, segments: Seq[String])
+
+/** Pipeline parameters — the reference's runtime args (date windows) + loop
+  * matrix (`script/main.py:196-247,305`).
+  */
+final case class ConsumeParams(
+    activityFrom: String = "1996-01-01",
+    activityTo: String = "1998-01-01",
+    monthStart: String = "2024-01-15",
+    monthEnd: String = "2024-02-01",
+    iterations: Seq[IterationSpec] = Seq(
+      IterationSpec("it1", Seq("BUILDING", "AUTOMOBILE")),
+      IterationSpec("it2", Seq("MACHINERY", "HOUSEHOLD", "FURNITURE"))))
+
+/** The reference's full 4-stage consume pipeline (SURVEY §3.3,
+  * `script/main.py:250-416`), re-expressed over the synthetic tables:
+  *
+  *   - `events`  plays the CDC listings stream (`red_red_cleaned`;
+  *     `event_type = 'error'` rows are the Delete tombstones),
+  *   - `customer` plays the text-enrichment table (`red_red_text`),
+  *   - `orders`   plays the activity table (`red_vd_cleaned`),
+  *   - `events['signup']` plays the fraud-control stream (`red_ecd_raw`),
+  *   - `events['click'/'view']` play the contact-request / visit counters,
+  *   - `nation`   plays the broadcast geo lookup CSVs.
+  *
+  * Each stage is a thin composition of the §2 operators; the value of this
+  * layer is the faithful *pipeline shape*: stage order, the per-iteration
+  * loop with union accumulation, and the cache/unpersist lifecycle
+  * (`script/main.py:125,324,370`).
+  *
+  * Scale notes: every stage keys on `user_id` (the reference's
+  * classifiedId), so Catalyst reuses one hash-partitioning across the
+  * dedup window, the enrichment joins, and the aggregations; the only
+  * broadcast is the small geo lookup. At 100 TB the CDC repair and day-dedup
+  * dominate — both are single-shuffle ops on the entity key.
+  */
+object ConsumePipeline {
+
+  /** Stage 0 (`0-merge_delete_query.sql`): CDC repair — resurrect Delete
+    * tombstones with the payload of the latest earlier version.
+    */
+  def repairCdc(events: DataFrame): DataFrame =
+    AsOfJoin.resurrectDeletes(events, entityKey = "user_id", opCol = "event_type",
+      tsCol = "ts", deleteValue = "error",
+      payloadCols = Seq("value", "props", "event_id"), tiebreakCol = "event_id")
+
+  /** Stage 1 (`1-basedata_first_query.sql`): latest version per (entity,
+    * day) + left-join enrichment (the reference's text join J2).
+    */
+  def baseFirst(repaired: DataFrame, customers: DataFrame): DataFrame = {
+    val latest = Dedup.latestPerKeyAndDay(repaired, col("user_id"), col("ts"),
+      Seq(col("event_id").desc, col("event_type").desc))
+    Joins.leftEnrich(latest,
+      customers.select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment")),
+      Seq("user_id"))
+  }
+
+  /** Stage 2 (`2-basedata_df_query.sql`): activity filter (J3, ids made
+    * unique so the inner join is a pure filter) + argmax control join (J4/A1)
+    * + two counter joins (J5/A2/A3).
+    */
+  def baseEnriched(
+      base: DataFrame,
+      orders: DataFrame,
+      events: DataFrame,
+      activityFrom: String,
+      activityTo: String): DataFrame = {
+    val active = orders
+      .filter(col("o_orderdate") >= lit(activityFrom) && col("o_orderdate") < lit(activityTo))
+      .select(col("o_custkey").as("user_id")).distinct()
+    val filtered = Joins.innerActivityFilter(base, active, Seq("user_id"))
+
+    val control = Aggregates.argmax(
+      events.filter(col("event_type") === "signup"),
+      Seq(col("user_id").as("ctl_user_id")), ts = col("ts"), value = col("value"),
+      tiebreak = Seq(col("event_id")))
+    val withCtl = filtered
+      .join(control, filtered("user_id") === control("ctl_user_id"), "left")
+      .drop("ctl_user_id", "max_ts")
+      .withColumnRenamed("latest_value", "last_signup_value")
+
+    val clicks = Aggregates.sumCoalesce(events.filter(col("event_type") === "click"),
+      Seq(col("user_id")), Seq((lit(1L), "n_clicks"), (col("value"), "click_value")))
+    val views = Aggregates.sumCoalesce(events.filter(col("event_type") === "view"),
+      Seq(col("user_id")), Seq((lit(1L), "n_views")))
+
+    Joins.leftCounterJoin(
+      Joins.leftCounterJoin(withCtl, clicks, Seq("user_id"), Seq("n_clicks", "click_value")),
+      views, Seq("user_id"), Seq("n_views"))
+  }
+
+  /** Stage 3 (`3-basedata_df_final_query.sql`): newer-version-exists
+    * detection (J6) → invalid-id anti join (J7, keys non-null by
+    * construction so the broadcastable `left_anti` plan is safe) →
+    * price-change history for the month window (W3/W4 + U2).
+    */
+  def baseFinal(base: DataFrame, monthStart: String, monthEnd: String): DataFrame = {
+    val fMax = base.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(max(col("ts")).as("f_max"))
+    val allMax = base.groupBy(col("user_id")).agg(max(col("ts")).as("all_max"))
+    val invalid = Joins.newerExists(fMax, allMax, Seq("user_id"), "f_max", "all_max")
+      .select(col("user_id").as("invalid_user_id"))
+    val valid = Joins.antiJoin(base, invalid, col("user_id") === col("invalid_user_id"))
+    PriceChange.history(valid, key = col("user_id"), price = col("value"),
+      ts = col("ts"), tiebreak = Seq(col("event_id").desc, col("event_type").desc),
+      monthStart = monthStart, monthEnd = monthEnd)
+  }
+
+  /** `modify_data` (`script/main.py:157-193`): derived geo key + broadcast
+    * lookup join (J8) + partition column (P8).
+    */
+  def modify(df: DataFrame, nations: DataFrame): DataFrame = {
+    val withGeo = df.withColumn("geoid",
+      concat(lpad((col("user_id") % 25).cast("string"), 2, "0"),
+        lpad((col("user_id") % 100).cast("string"), 2, "0")))
+    Joins.broadcastPrefixJoin(withGeo,
+        nations.select(col("n_nationkey"), col("n_name")),
+        col("geoid"), prefixLen = 2, lookupKey = "n_nationkey")
+      .withColumn("partition_month", date_format(col("ts"), "yyyy-MM"))
+  }
+
+  private val outputCols = Seq("user_id", "event_type", "ts", "value",
+    "last_signup_value", "n_clicks", "click_value", "n_views", "c_name",
+    "c_mktsegment", "price_src", "geoid", "n_name", "partition_month",
+    "iteration")
+
+  /** Full composed pipeline as one lazy DataFrame (no sinks): stage 0 cached
+    * and shared across iterations (C1), stage 1 cached within each iteration
+    * (the reference's `BaseDataFirst` cache), results union-accumulated (U3).
+    */
+  def build(spark: SparkSession, dir: String,
+            params: ConsumeParams = ConsumeParams()): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val nation = Tables.nation(spark, dir)
+
+    val repaired = repairCdc(events).cache()
+    params.iterations.map { it =>
+      val b1 = baseFirst(repaired, customer)
+        .filter(col("c_mktsegment").isin(it.segments: _*))
+        .cache()
+      val b2 = baseEnriched(b1, orders, events, params.activityFrom, params.activityTo)
+      val b3 = baseFinal(b2, params.monthStart, params.monthEnd)
+      modify(b3, nation)
+        .withColumn("iteration", lit(it.name))
+        .select(outputCols.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+}

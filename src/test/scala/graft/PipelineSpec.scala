@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ConsumeJob, ConsumeParams, ConsumePipeline, IterationSpec}
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("composed pipeline produces rows with expected shape") {
+    val out = ConsumePipeline.build(spark, sf)
+    val cols = out.columns.toSeq
+    assert(cols.contains("price_src") && cols.contains("iteration") &&
+      cols.contains("partition_month"))
+    val n = out.count()
+    assert(n > 0)
+    // both iterations contribute, price_src carries both labels
+    val labels = out.select("price_src").distinct().collect().map(_.getString(0)).toSet
+    assert(labels == Set("current", "previous"))
+  }
+
+  test("iterations partition users disjointly (union has no cross-dup)") {
+    val out = ConsumePipeline.build(spark, sf)
+    val perUser = out.groupBy("user_id").agg(countDistinct("iteration").as("n"))
+    assert(perUser.filter(col("n") > 1).count() == 0)
+  }
+
+  test("ConsumeJob writes json/csv per iteration and final partitioned table") {
+    val outDir = Files.createTempDirectory("graft-job").toString
+    val result = ConsumeJob.run(spark, sf, outDir)
+    assert(result.count() > 0)
+
+    for (it <- Seq("it1", "it2")) {
+      val json = new java.io.File(s"$outDir/json/$it")
+        .listFiles.filter(_.getName.endsWith(".json.gz"))
+      assert(json.length == 1, s"json export missing for $it")
+      val csv = new java.io.File(s"$outDir/csv/$it")
+        .listFiles.filter(_.getName.endsWith(".csv.gz"))
+      assert(csv.length == 1, s"csv export missing for $it")
+    }
+    // nested JSON really is nested: user.id struct round-trips
+    val back = spark.read.json(s"$outDir/json/it1")
+    assert(back.schema("user").dataType.typeName == "struct")
+
+    // final table partitioned by month, delete-insert safe to re-run
+    val table = spark.read.parquet(s"$outDir/table")
+    assert(table.count() == result.count())
+    val again = ConsumeJob.run(spark, sf, outDir)
+    val table2 = spark.read.parquet(s"$outDir/table")
+    assert(table2.count() == again.count(), "re-run must not duplicate partitions")
+  }
+
+  test("custom iteration matrix is honored") {
+    val params = ConsumeParams(iterations =
+      Seq(IterationSpec("only", Seq("BUILDING", "AUTOMOBILE", "MACHINERY",
+        "HOUSEHOLD", "FURNITURE"))))
+    val out = ConsumePipeline.build(spark, sf, params)
+    assert(out.select("iteration").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("only"))
+  }
+}
