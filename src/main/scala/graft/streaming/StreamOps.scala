@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A keyed CDC-style event — the streaming analog of the reference's
+  * listings stream rows (entity key + change timestamp + payload).
+  */
+final case class KeyedEvent(
+    user_id: Long,
+    ts: java.sql.Timestamp,
+    event_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Structured Streaming facade (SURVEY §2.10).
+  *
+  * The reference consumes its Kafka/Kinesis streams as already-landed batch
+  * snapshots; these are the true streaming equivalents of its batch idioms,
+  * so the same pipeline semantics can run on a live `readStream` source:
+  *
+  *  - late/out-of-order data: watermarks instead of the reference's 10-day
+  *    look-back window re-read;
+  *  - per-day counters (A2/A3): watermarked tumbling-window aggregation
+  *    instead of daily batch groupBy;
+  *  - latest-version-per-key dedup (W2): `mapGroupsWithState` keeping one
+  *    state row per entity instead of a `row_number` window over history;
+  *  - duplicate suppression: `dropDuplicatesWithinWatermark` instead of the
+  *    batch top-1-per-key window.
+  *
+  * Scale notes: all stateful ops key on the entity id, so state is
+  * hash-distributed across executors; watermarks bound state size (state per
+  * key is O(1) here — a single latest row or a window's partial counts).
+  */
+object StreamOps {
+
+  /** A2/A3 streaming analog: per-(tumbling window, key) event counts and
+    * null-safe value sums, emitting finalized windows via the watermark.
+    */
+  def windowedCounters(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration).as("win"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(coalesce(col(valueCol), lit(0.0))).as("value_sum"))
+      .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
+        col(keyCol), col("n_events"), col("value_sum"))
+
+  /** Streaming exact-dedup: suppress repeated ids arriving within the
+    * watermark horizon (at-least-once source → effectively-once sink).
+    */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      idCols: Seq[String],
+      tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** W2 streaming analog: maintain the latest event per key as managed
+    * state; each trigger emits the keys whose latest row changed. Order is
+    * (ts, event_id) — the same deterministic total order the batch dedup
+    * uses.
+    */
+  def latestPerKey(ds: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    implicit val eventEnc = Encoders.product[KeyedEvent]
+    implicit val longEnc = Encoders.scalaLong
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[KeyedEvent], state: GroupState[KeyedEvent]) =>
+          val candidates = events ++ state.getOption.iterator
+          val latest = candidates.maxBy(e => (e.ts.getTime, e.event_id))
+          state.update(latest)
+          latest
+      }
+  }
+
+  /** Wire a streaming DataFrame through to an in-memory or file sink for
+    * tests/jobs: update-mode for stateful latest-per-key, append for
+    * watermarked aggregations.
+    */
+  def startMemorySink(df: DataFrame, queryName: String, outputMode: OutputMode) =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+}

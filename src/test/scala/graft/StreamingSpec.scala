@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{KeyedEvent, StreamOps}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("latestPerKey keeps newest row per key across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val query = StreamOps.startMemorySink(
+      StreamOps.latestPerKey(input.toDS()).toDF(), "latest_q", OutputMode.Update())
+
+    input.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+      KeyedEvent(1L, ts("2024-01-01 11:00:00"), 101L, "view", 2.0),
+      KeyedEvent(2L, ts("2024-01-01 09:00:00"), 102L, "click", 3.0))
+    query.processAllAvailable()
+    // out-of-order late event for key 1 must NOT displace the newer state
+    input.addData(KeyedEvent(1L, ts("2024-01-01 10:30:00"), 103L, "click", 9.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("latest_q")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts")).as("latest"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    query.stop()
+    assert(rows(1L) == 101L) // 11:00 event survives the 10:30 late arrival
+    assert(rows(2L) == 102L)
+  }
+
+  test("windowedCounters emits per-window counts and sums after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val counters = StreamOps.windowedCounters(
+      input.toDF(), "ts", "user_id", "value", "1 hour", "10 minutes")
+    val query = StreamOps.startMemorySink(counters, "counter_q", OutputMode.Append())
+
+    input.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.5),
+      KeyedEvent(1L, ts("2024-01-01 10:20:00"), 2L, "click", 2.5),
+      KeyedEvent(2L, ts("2024-01-01 10:40:00"), 3L, "click", 4.0))
+    query.processAllAvailable()
+    // advance watermark far enough to close the 10:00 window
+    input.addData(KeyedEvent(3L, ts("2024-01-01 12:00:00"), 4L, "click", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("counter_q")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.contains((1L, 2L, 4.0))) // key 1: two events, 1.5 + 2.5
+    assert(out.contains((2L, 1L, 4.0)))
+  }
+
+  test("dedupWithinWatermark suppresses duplicate ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val deduped = StreamOps.dedupWithinWatermark(
+      input.toDF(), Seq("event_id"), "ts", "1 hour")
+    val query = StreamOps.startMemorySink(deduped, "dedup_q", OutputMode.Append())
+
+    input.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+      KeyedEvent(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0), // dup
+      KeyedEvent(1L, ts("2024-01-01 10:01:00"), 101L, "view", 2.0))
+    query.processAllAvailable()
+    query.stop()
+
+    assert(spark.table("dedup_q").count() == 2)
+  }
+}
