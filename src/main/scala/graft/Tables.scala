@@ -13,7 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    parallelized(spark, spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Input parallelization guard: the driver-generated test parquet is one
+    * file with ONE row group, so the scan plans a single input partition and
+    * every CPU-heavy projection downstream runs single-threaded (measured:
+    * 6 s for minhash signatures at sf0.1 on 32 idle cores). When the scan
+    * yields fewer splits than the session's parallelism, redistribute once
+    * up front; with production inputs (many files / row groups) this is a
+    * no-op. Filters still reach the parquet scan — Catalyst pushes
+    * predicates and pruning through round-robin repartition.
+    */
+  private def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

