@@ -3,6 +3,9 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+
+import graft.functions.ArrayCosine
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -34,14 +37,22 @@ object Similarity {
     zip_with(d, array_repeat(norm, size(d)), (x, n) => x / n)
   }
 
-  /** Dot product of two unit vectors = cosine similarity. */
+  /** Dot product of two unit vectors = cosine similarity (HOF form, kept
+    * for composability; the batch paths use [[cosine]] instead).
+    */
   def dotUnit(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
-  /** Cosine similarity of two raw float-array columns (single-pair use;
-    * batch paths pre-normalize instead).
+  /** Cosine similarity via the native codegen'd [[ArrayCosine]] expression:
+    * one fused loop per pair, no intermediate arrays. Pass `array<double>`
+    * inputs on hot paths (cast float embeddings once per ROW before a pair
+    * join — the implicit cast would otherwise run per PAIR).
     */
-  def cosine(a: Column, b: Column): Column = dotUnit(unitNorm(a), unitNorm(b))
+  def cosine(a: Column, b: Column): Column =
+    asColumn(ArrayCosine(asExpression(a), asExpression(b)))
+
+  /** Float embedding pre-cast for pair joins. */
+  private def asDouble(emb: Column): Column = emb.cast("array<double>")
 
   /** Exact top-k neighbors per query (self-match excluded), deterministic:
     * ties broken by corpus id ascending. Broadcast the probe side when it's
@@ -49,11 +60,11 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      broadcastQueries: Boolean = true): DataFrame = {
-    val qn = queries.select(col("vec_id").as("query_id"), unitNorm(col("embedding")).as("q_u"))
+    val qn = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_u"))
     val q = if (broadcastQueries) broadcast(qn) else qn
-    val c = corpus.select(col("vec_id").as("neighbor_id"), unitNorm(col("embedding")).as("c_u"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_u"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(dotUnit(col("q_u"), col("c_u")), 6))
+      .withColumn("cosine", round(cosine(col("q_u"), col("c_u")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -91,8 +102,8 @@ object Similarity {
     val codes = (0 until tables).map { t =>
       (t, hyperplanes(nPlanes, dim, seed + t))
     }
-    val qUnit = queries.select(col("vec_id").as("query_id"), unitNorm(col("embedding")).as("q_u"))
-    val cUnit = corpus.select(col("vec_id").as("neighbor_id"), unitNorm(col("embedding")).as("c_u"))
+    val qUnit = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_u"))
+    val cUnit = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_u"))
     // Bucket index carries (id, table, code) ONLY, computed from the RAW
     // stored column (sign bits are scale-invariant) — embeddings rejoin
     // after the candidate ids are deduped, so neither the multi-table
@@ -112,7 +123,7 @@ object Similarity {
     val scored = candidateIds
       .join(qUnit, Seq("query_id"))
       .join(cUnit, Seq("neighbor_id"))
-      .withColumn("cosine", round(dotUnit(col("q_u"), col("c_u")), 6))
+      .withColumn("cosine", round(cosine(col("q_u"), col("c_u")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -125,10 +136,10 @@ object Similarity {
     * first.
     */
   def nearDupPairs(probes: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
-    val p = broadcast(probes.select(col("vec_id").as("id_a"), unitNorm(col("embedding")).as("u_a")))
-    val c = corpus.select(col("vec_id").as("id_b"), unitNorm(col("embedding")).as("u_b"))
+    val p = broadcast(probes.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("u_a")))
+    val c = corpus.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("u_b"))
     c.join(p, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(dotUnit(col("u_a"), col("u_b")), 6))
+      .withColumn("cosine", round(cosine(col("u_a"), col("u_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
