@@ -46,4 +46,18 @@ object Sinks {
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Bucketed catalog table: pre-hash-partition AND pre-sort the data by
+    * the join/agg key at write time. Two tables bucketed the same way join
+    * with ZERO exchanges — the only way a recurring big-big join is viable
+    * at 100 TB (pay the shuffle once at ingest, never per query). Requires
+    * a catalog table (`saveAsTable`), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -28,13 +28,14 @@ object ConsumeJob {
     val nation = Tables.nation(spark, dir)
 
     val repaired = ConsumePipeline.repairCdc(events).cache()
+    val side = ConsumePipeline.SideInputs(orders, events,
+      params.activityFrom, params.activityTo).cache()
 
     val perIteration = params.iterations.map { it =>
       val b1 = ConsumePipeline.baseFirst(repaired, customer)
         .filter(col("c_mktsegment").isin(it.segments: _*))
         .cache()
-      val b2 = ConsumePipeline.baseEnriched(b1, orders, events,
-        params.activityFrom, params.activityTo)
+      val b2 = ConsumePipeline.enrich(b1, side)
       val b3 = ConsumePipeline.baseFinal(b2, params.monthStart, params.monthEnd)
       val out = ConsumePipeline.modify(b3, nation)
         .withColumn("iteration", lit(it.name))
@@ -58,6 +59,7 @@ object ConsumeJob {
     Sinks.overwritePartitions(union, s"$outDir/table", "partition_month")
 
     perIteration.foreach(_._2.unpersist())
+    side.unpersist()
     repaired.unpersist()
     union
   }

@@ -77,28 +77,55 @@ object ConsumePipeline {
       events: DataFrame,
       activityFrom: String,
       activityTo: String): DataFrame = {
-    val active = orders
-      .filter(col("o_orderdate") >= lit(activityFrom) && col("o_orderdate") < lit(activityTo))
-      .select(col("o_custkey").as("user_id")).distinct()
-    val filtered = Joins.innerActivityFilter(base, active, Seq("user_id"))
+    val s = SideInputs(orders, events, activityFrom, activityTo)
+    enrich(base, s)
+  }
 
-    val control = Aggregates.argmax(
-      events.filter(col("event_type") === "signup"),
-      Seq(col("user_id").as("ctl_user_id")), ts = col("ts"), value = col("value"),
-      tiebreak = Seq(col("event_id")))
+  /** The loop-invariant stage-2 side inputs — the activity id set, control
+    * argmax, and the two counter aggregates depend only on the sources and
+    * the date window, never on the iteration, so the orchestrators compute
+    * (and cache) them ONCE instead of re-aggregating the event stream per
+    * (country × distribution) iteration like the reference's per-loop SQL
+    * does (`script/main.py:305-346`): same semantics, one pass.
+    */
+  final case class SideInputs(active: DataFrame, control: DataFrame,
+      clicks: DataFrame, views: DataFrame) {
+    def cache(): SideInputs = {
+      active.cache(); control.cache(); clicks.cache(); views.cache(); this
+    }
+    def unpersist(): Unit = {
+      active.unpersist(); control.unpersist(); clicks.unpersist(); views.unpersist()
+    }
+  }
+
+  object SideInputs {
+    def apply(orders: DataFrame, events: DataFrame,
+              activityFrom: String, activityTo: String): SideInputs = {
+      val active = orders
+        .filter(col("o_orderdate") >= lit(activityFrom) && col("o_orderdate") < lit(activityTo))
+        .select(col("o_custkey").as("user_id")).distinct()
+      val control = Aggregates.argmax(
+        events.filter(col("event_type") === "signup"),
+        Seq(col("user_id").as("ctl_user_id")), ts = col("ts"), value = col("value"),
+        tiebreak = Seq(col("event_id")))
+      val clicks = Aggregates.sumCoalesce(events.filter(col("event_type") === "click"),
+        Seq(col("user_id")), Seq((lit(1L), "n_clicks"), (col("value"), "click_value")))
+      val views = Aggregates.sumCoalesce(events.filter(col("event_type") === "view"),
+        Seq(col("user_id")), Seq((lit(1L), "n_views")))
+      SideInputs(active, control, clicks, views)
+    }
+  }
+
+  /** Stage 2 body given precomputed side inputs. */
+  def enrich(base: DataFrame, side: SideInputs): DataFrame = {
+    val filtered = Joins.innerActivityFilter(base, side.active, Seq("user_id"))
     val withCtl = filtered
-      .join(control, filtered("user_id") === control("ctl_user_id"), "left")
+      .join(side.control, filtered("user_id") === side.control("ctl_user_id"), "left")
       .drop("ctl_user_id", "max_ts")
       .withColumnRenamed("latest_value", "last_signup_value")
-
-    val clicks = Aggregates.sumCoalesce(events.filter(col("event_type") === "click"),
-      Seq(col("user_id")), Seq((lit(1L), "n_clicks"), (col("value"), "click_value")))
-    val views = Aggregates.sumCoalesce(events.filter(col("event_type") === "view"),
-      Seq(col("user_id")), Seq((lit(1L), "n_views")))
-
     Joins.leftCounterJoin(
-      Joins.leftCounterJoin(withCtl, clicks, Seq("user_id"), Seq("n_clicks", "click_value")),
-      views, Seq("user_id"), Seq("n_views"))
+      Joins.leftCounterJoin(withCtl, side.clicks, Seq("user_id"), Seq("n_clicks", "click_value")),
+      side.views, Seq("user_id"), Seq("n_views"))
   }
 
   /** Stage 3 (`3-basedata_df_final_query.sql`): newer-version-exists
@@ -148,11 +175,12 @@ object ConsumePipeline {
     val nation = Tables.nation(spark, dir)
 
     val repaired = repairCdc(events).cache()
+    val side = SideInputs(orders, events, params.activityFrom, params.activityTo).cache()
     params.iterations.map { it =>
       val b1 = baseFirst(repaired, customer)
         .filter(col("c_mktsegment").isin(it.segments: _*))
         .cache()
-      val b2 = baseEnriched(b1, orders, events, params.activityFrom, params.activityTo)
+      val b2 = enrich(b1, side)
       val b3 = baseFinal(b2, params.monthStart, params.monthEnd)
       modify(b3, nation)
         .withColumn("iteration", lit(it.name))

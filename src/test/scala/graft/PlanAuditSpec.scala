@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the judged properties are not "returns right rows"
+  * but "plans the way a 100 TB run needs" — broadcasts chosen, filters
+  * pushed into the parquet scan, aggregates partial-before-shuffle, no
+  * redundant exchanges. These specs pin those plan shapes so a refactor
+  * that silently regresses one fails CI.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("broadcast prefix join (J8) plans a BroadcastHashJoin — no shuffle of the probe side") {
+    val p = plan(SparkEntry.queries("j8_broadcast_prefix")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join in:\n$p")
+  }
+
+  test("scalar-pack filters (P1/P2) push down to the parquet scan") {
+    val p = plan(SparkEntry.queries("p1_scalar_pack")(spark, sf))
+    assert(p.contains("PushedFilters: [") && p.contains("In(p_type"),
+      s"expected p_type IN pushed to scan in:\n$p")
+  }
+
+  test("column pruning reaches the scan: 2-column projection reads 2 columns") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"scan reads more than projected:\n$readSchema")
+  }
+
+  test("sum-coalesce aggregation (A2) is partial+final (map-side combine)") {
+    val p = plan(SparkEntry.queries("a2_sum_coalesce")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate in:\n$p")
+  }
+
+  test("top-1-per-key window (W2) costs exactly one hash exchange") {
+    val df = ops.Dedup.latestPerKeyAndDay(Tables.lineitem(spark, sf),
+      col("l_orderkey"), col("l_shipdate"), Seq(col("l_linenumber").desc))
+    val p = plan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("embedding near-dup broadcasts the probe side (no corpus shuffle)") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(sim.Similarity.nearDupPairs(
+      emb.filter(col("vec_id") % 10 === 0), emb, 0.4))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NLJ for probe×corpus in:\n$p")
+  }
+
+  test("whole-stage codegen compiles the cosine scoring stage (no fallback)") {
+    // AQE's pre-execution explain reports 0 codegen subtrees — disable it
+    // for the inspection so the final physical plan is visible.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      val df = sim.Similarity.nearDupPairs(
+        emb.filter(col("vec_id") % 10 === 0), emb, 0.4)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen"), s"no codegen stages:\n$codegen")
+      // the custom expression's generated loop is present in emitted code
+      assert(codegen.contains("Math.sqrt"), "ArrayCosine did not reach generated code")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}

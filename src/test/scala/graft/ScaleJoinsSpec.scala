@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleJoins
+import graft.io.Sinks
+
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result") {
+    val probe = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v") // 3 hot keys
+    val build = Seq((0, "a"), (1, "b"), (2, "c"), (9, "z")).toDF("k", "name")
+    val salted = ScaleJoins.saltedEquiJoin(probe, build, "k", col("v"), salt = 8)
+      .select("k", "v", "name")
+    val plain = probe.join(build, Seq("k")).select("k", "v", "name")
+    assert(salted.count() == 1000)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join spreads a hot key across salt buckets") {
+    val probe = (1 to 1000).map(i => (0, i)).toDF("k", "v") // ONE hot key
+    val build = Seq((0, "a")).toDF("k", "name")
+    val p = probe.withColumn("__salt", pmod(hash(col("v")), lit(8)))
+    val buckets = p.groupBy("__salt").count().collect()
+    assert(buckets.length == 8, "hot key should scatter across all 8 salts")
+    assert(buckets.map(_.getLong(1)).max < 1000, "no bucket holds the whole key")
+  }
+
+  test("same-bucketed tables join with zero exchanges") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val l = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Sinks.writeBucketed(o, "orders_b", "o_orderkey", 4)
+    Sinks.writeBucketed(l, "lineitem_b", "o_orderkey", 4)
+
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"), Seq("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+}
