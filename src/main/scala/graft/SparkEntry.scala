@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops._
 import graft.dedup.{Jaccard, MinHashLSH, SimHash}
-import graft.sim.Similarity
+import graft.sim.{Ivf, Similarity}
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
 import graft.pipeline.ConsumePipeline
@@ -87,6 +87,12 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
     },
 
+    // ANN: IVF coarse-quantizer approximate top-k (the index path).
+    "s3_ann_ivf_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ivf.topK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+    },
+
     // Text quality scoring: lengths, token stats, ratios, BPE-ish count.
     "t1_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityMetrics(Tables.documents(s, dir), col("doc_id"),
@@ -136,9 +142,9 @@ object SparkEntry {
         .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
           col("ts").as("click_ts"), col("value").as("click_value"))
       AsOfJoin.asOf(purchases, clicks,
-          Seq((col("user_id"), col("c_user_id"))),
-          leftTs = col("ts"), rightTs = col("click_ts"),
-          leftId = col("event_id"), tiebreak = Seq(col("click_id").desc))
+          Seq(("user_id", "c_user_id")),
+          leftTs = "ts", rightTs = "click_ts",
+          tiebreak = Seq("click_id"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("click_id").as("prior_click_id"),
           col("click_value").as("prior_click_value"))
@@ -300,6 +306,26 @@ object SparkEntry {
         col("source").as("meta_geo_source"),
         col("text").as("body_text"),
         col("n_chars").as("body_stats_chars")))
+    },
+
+    // F9/F10-adjacent/F11 (main.py:183-184, helper.py:119-123, SQL to_date
+    // uses): temporal casts, month formatting, typed null columns, and
+    // string-literal-vs-timestamp comparison coercion (SURVEY §7 hard-pt 5).
+    "f9_temporal_pack" -> { (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        lit(null).cast("string").as("geo_state"),
+        (col("o_orderdate") >= lit("1997-01-01")).as("recent"))
+    },
+
+    // P3/P5 (main.py:96-110,174-178): runtime-schema-driven prefix
+    // projection and bulk prefix strip as one select.
+    "p5_prefix_reshape" -> { (s, dir) =>
+      Reshape.stripPrefix(
+        Reshape.selectByPrefixes(Tables.lineitem(s, dir), Seq("l_")), "l_")
+        .select("orderkey", "linenumber", "partkey", "quantity", "returnflag")
     },
 
     // The full composed 4-stage consume pipeline (SURVEY §3.3): CDC repair →
@@ -489,6 +515,20 @@ object SparkEntry {
         |  round(list_sum(list_transform(string_split(lower(text), ' '), t -> len(t)))::DOUBLE /
         |    len(string_split(lower(text), ' ')), 6) AS avg_token_len
         |FROM documents""".stripMargin,
+
+    "f9_temporal_pack" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  CAST(NULL AS VARCHAR) AS geo_state,
+        |  o_orderdate >= TIMESTAMP '1997-01-01' AS recent
+        |FROM orders""".stripMargin,
+
+    "p5_prefix_reshape" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |  l_partkey AS partkey, l_quantity AS quantity,
+        |  l_returnflag AS returnflag
+        |FROM lineitem""".stripMargin,
 
     "pipe_consume_e2e" ->
       """WITH repaired AS (

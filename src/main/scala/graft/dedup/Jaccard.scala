@@ -30,8 +30,13 @@ object Jaccard {
     * of [[shingleSets]]); id_a from probes, id_b from corpus, id_a < id_b.
     */
   def similarPairs(probes: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
-    val pa = probes.select(col("__id").as("id_a"), col("__set").as("set_a"))
-    val pb = corpus.select(col("__id").as("id_b"), col("__set").as("set_b"))
+    // Cache both set frames: each feeds 2-3 consumers (df computation,
+    // prefix index, verification join), and Catalyst additionally clones the
+    // tokenization expression into generator-inferred `size(set)>0` filters
+    // below each consumer — without the cache the corpus gets re-tokenized
+    // ~4x. (id, set) only — never the source text.
+    val pa = probes.select(col("__id").as("id_a"), col("__set").as("set_a")).cache()
+    val pb = corpus.select(col("__id").as("id_b"), col("__set").as("set_b")).cache()
 
     // Global token order: corpus document frequency, token as tiebreaker.
     // Tokens unseen in the corpus sort rarest (df 0) — order only has to be

@@ -79,8 +79,11 @@ object MinHashLSH {
       struct(lit(j).as("band"),
         xxhash64(concat_ws("#", (0 until r).map(i => col("sig")(j * r + i)): _*)).as("bh"))
     }: _*)
+    // Cached: the bucket self-join reads `banded` on BOTH sides — without
+    // this the whole signature computation runs twice.
     val banded = sigs.select(col("__id"), explode(bandStructs).as("b"))
       .select(col("__id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .cache()
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.__id") < col("y.__id"))

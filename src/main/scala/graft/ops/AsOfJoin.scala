@@ -8,44 +8,64 @@ import org.apache.spark.sql.functions._
   * left row, attach the single most recent right row with
   * `right.ts <= left.ts` on equal keys.
   *
-  * Plan shape: equi-join on `keys` (the range predicate rides along as a
-  * join condition, so Catalyst plans a sort-merge join keyed on `keys` and
-  * filters the range inside it — one shuffle per side), then a window dedup
-  * keyed by the left row id to keep only the latest matching right row.
+  * Plan shape: NOT the textbook range-join + row_number dedup — that
+  * materializes |left| × (versions-per-key) intermediate rows, which
+  * detonates on hot keys (a CDC stream with 1000 versions per entity pays a
+  * 1000× blowup before the dedup window throws it away). Instead both
+  * sides union into one stream per key, sorted by (ts, side, tiebreak), and
+  * a running `last(payload, ignoreNulls)` window carries the latest right
+  * payload forward into each left row: one shuffle + one sort per key,
+  * ZERO intermediate blowup, O(n log n) regardless of version depth.
   *
-  * Scale notes:
-  *  - Match multiplicity is bounded by versions-per-key, so the intermediate
-  *    blowup is (left rows) × (avg right versions per key). For CDC streams
-  *    with deep history, pre-filter the right side to the look-back window
-  *    first (the reference does exactly this with its 10-day window).
-  *  - Both the join and the window shuffle on the same key family; Spark
-  *    reuses the partitioning where possible, so the window adds a sort, not
-  *    a second full shuffle.
+  * Requirements: non-key column names must be disjoint between the sides
+  * (same condition a plain join needs for unambiguous output).
   */
 object AsOfJoin {
 
-  /** Generic as-of: keep each left row's latest right match.
+  /** Generic as-of: attach each left row's latest right match; left rows
+    * with no earlier right row are dropped (inner semantics).
     *
-    * @param leftId   unique id of a left row (window partition key — must be
-    *                 unique per left row or results are ill-defined)
-    * @param tiebreak right-side columns appended to the descending-ts order
-    *                 to make the pick deterministic on ts ties
+    * @param keys     (leftKey, rightKey) column-name pairs
+    * @param leftTs   left event-time column name
+    * @param rightTs  right event-time column name (kept in the output)
+    * @param tiebreak right column names breaking rightTs ties — HIGHEST
+    *                 value wins, applied in order
     */
   def asOf(
       left: DataFrame,
       right: DataFrame,
-      keys: Seq[(Column, Column)],
-      leftTs: Column,
-      rightTs: Column,
-      leftId: Column,
-      tiebreak: Seq[Column]): DataFrame = {
-    val cond = keys.map { case (l, r) => l === r }.reduce(_ && _) && (rightTs <= leftTs)
-    val joined = left.join(right, cond, "inner")
-    val w = Window.partitionBy(leftId).orderBy(rightTs.desc +: tiebreak: _*)
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      keys: Seq[(String, String)],
+      leftTs: String,
+      rightTs: String,
+      tiebreak: Seq[String]): DataFrame = {
+    val keyNames = keys.map(_._1)
+    val rKeyed = keys.foldLeft(right) { case (df, (l, r)) =>
+      if (l == r) df else df.withColumnRenamed(r, l)
+    }
+    val payloadCols = rKeyed.columns.filterNot(keyNames.contains).toSeq
+
+    val rTagged = rKeyed.select(
+      keyNames.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        struct(payloadCols.map(col): _*).as("__match")) ++
+        tiebreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+
+    // right rows sort before the left row they may serve at equal ts
+    // (right.ts <= left.ts is inclusive); among rights, later tiebreak wins.
+    val order = col("__ts").asc +: col("__side").asc +:
+      tiebreak.map(c => col(s"__tb_$c").asc)
+    val w = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rTagged.unionByName(lTagged, allowMissingColumns = true)
+      .withColumn("__m", last(col("__match"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .select(left.columns.map(col) ++ payloadCols.map(c => col(s"__m.$c")): _*)
   }
 
   /** CDC delete-resurrection (reference `0-merge_delete_query.sql`, whole
@@ -57,8 +77,7 @@ object AsOfJoin {
     * keep their own key/op/ts and borrow payload; non-deleted rows pass
     * through unchanged (reference `0-merge_delete_query.sql:50-58` UNION ALL).
     *
-    * @param tiebreakCol extra version-side payload column name used to break
-    *                    ts ties deterministically (e.g. a unique id)
+    * @param tiebreakCol version-side column breaking ts ties (highest wins)
     */
   def resurrectDeletes(
       df: DataFrame,
@@ -70,25 +89,16 @@ object AsOfJoin {
       tiebreakCol: String): DataFrame = {
     val deletes = df.filter(col(opCol) === deleteValue)
       .select(entityKey, opCol, tsCol)
-      .alias("d")
     val versions = df.filter(col(opCol) =!= deleteValue)
-      .select((Seq(entityKey, tsCol, tiebreakCol) ++ payloadCols).distinct.map(col): _*)
-      .alias("v")
+      .select((Seq(entityKey, tsCol, tiebreakCol) ++ payloadCols)
+        .distinct.map(col): _*)
+      .withColumnRenamed(tsCol, "__vts")
 
-    val cond = col(s"d.$entityKey") === col(s"v.$entityKey") &&
-      col(s"v.$tsCol") <= col(s"d.$tsCol")
-    val w = Window
-      .partitionBy(col(s"d.$entityKey"), col(s"d.$tsCol"))
-      .orderBy(col(s"v.$tsCol").desc, col(s"v.$tiebreakCol").desc)
-
-    val resurrected = deletes.join(versions, cond, "inner")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(
-        col(s"d.$entityKey").as(entityKey) +:
-          col(s"d.$opCol").as(opCol) +:
-          col(s"d.$tsCol").as(tsCol) +:
-          payloadCols.map(c => col(s"v.$c").as(c)): _*)
+    val resurrected = asOf(deletes, versions,
+        keys = Seq((entityKey, entityKey)),
+        leftTs = tsCol, rightTs = "__vts",
+        tiebreak = Seq(tiebreakCol))
+      .select((Seq(entityKey, opCol, tsCol) ++ payloadCols).map(col): _*)
 
     val survivors = df.filter(col(opCol) =!= deleteValue)
       .select((Seq(entityKey, opCol, tsCol) ++ payloadCols).map(col): _*)

@@ -1,0 +1,76 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * alternative to [[Similarity.lshTopK]]:
+  *
+  *  1. pick `nCells` centroids from the corpus (deterministic hash-ordered
+  *     global top-k — a distributed `TakeOrderedAndProject`, no collect);
+  *  2. assign every corpus vector to its best centroid (one broadcast
+  *     cross-join against the tiny centroid set + argmax);
+  *  3. per query, score the same centroids and search only the `nProbe`
+  *     best cells' vectors.
+  *
+  * Work per query drops from |corpus| to ~(nProbe/nCells)·|corpus| at the
+  * cost of recall when a true neighbor lives in an unprobed cell. The cell
+  * assignment is the reusable "index": at 100 TB it is computed once,
+  * written bucketed by cell, and queries touch only their probed buckets.
+  *
+  * A production IVF runs a few k-means refinement iterations; hash-sampled
+  * centroids are the deterministic, shuffle-free baseline (Lloyd iterations
+  * would be `nCells`-way broadcast joins of the same shape as [[assign]]).
+  */
+object Ivf {
+
+  /** Deterministic pseudo-random centroid pick: global top-`nCells` by
+    * hashed id, tagged with dense cell ids.
+    */
+  def centroids(corpus: DataFrame, nCells: Int): DataFrame = {
+    val picked = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("c_emb"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+    picked.select(
+      (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
+      col("c_emb"))
+  }
+
+  /** Rank all (vector, centroid) pairs by cosine and keep each vector's
+    * `keep` best cells. Centroids are broadcast — the corpus never moves.
+    */
+  private def assignCells(vectors: DataFrame, cents: DataFrame, idName: String,
+                          embName: String, keep: Int): DataFrame = {
+    val scored = vectors
+      .select(col("vec_id").as(idName), col("embedding").cast("array<double>").as(embName))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", Similarity.cosine(col(embName), col("c_emb")))
+    val w = Window.partitionBy(col(idName)).orderBy(col("__sim").desc, col("cell").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= keep)
+      .select(col(idName), col(embName), col("cell"))
+  }
+
+  /** Single-cell corpus assignment (the IVF index). */
+  def assign(corpus: DataFrame, cents: DataFrame, idName: String = "neighbor_id",
+             embName: String = "c_u"): DataFrame =
+    assignCells(corpus, cents, idName, embName, keep = 1)
+
+  /** Approximate top-k: search only each query's `nProbe` best cells. */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = centroids(corpus, nCells)
+    val corpusCells = assign(corpus, cents)
+    val queryCells = assignCells(queries, cents, "query_id", "q_u", keep = nProbe)
+    val scored = queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Similarity.cosine(col("q_u"), col("c_u")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__rn").as("rank"))
+  }
+}

@@ -46,9 +46,20 @@ class AsOfJoinSpec extends SparkSpec {
       ("u1", ts("2024-01-02 12:00:00"), "exact", 2L),
       ("u1", ts("2024-01-03 00:00:00"), "future", 3L)
     ).toDF("rk", "rts", "tag", "rid")
-    val out = AsOfJoin.asOf(left, right, Seq((col("k"), col("rk"))),
-      col("lts"), col("rts"), col("lid"), Seq(col("rid").desc))
+    val out = AsOfJoin.asOf(left, right, Seq(("k", "rk")),
+      leftTs = "lts", rightTs = "rts", tiebreak = Seq("rid"))
     val got = out.select("tag").as[String].collect().toSeq
     assert(got == Seq("exact")) // <= is inclusive; future row never matches
+  }
+
+  test("asOf scales without pair blowup: no join in the plan, one window") {
+    val left = Seq((100L, "u1", ts("2024-01-02 12:00:00"))).toDF("lid", "k", "lts")
+    val right = Seq(("u1", ts("2024-01-01 00:00:00"), "old", 1L))
+      .toDF("rk", "rts", "tag", "rid")
+    val plan = AsOfJoin.asOf(left, right, Seq(("k", "rk")),
+      leftTs = "lts", rightTs = "rts", tiebreak = Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a pair join:\n$plan")
+    assert(plan.contains("Window"), s"expected running-window plan:\n$plan")
   }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{Ivf, Similarity}
+
+class IvfSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("centroids are deterministic and dense-numbered") {
+    val emb = Tables.embeddings(spark, sf)
+    val c1 = Ivf.centroids(emb, 8).collect().map(_.getInt(0)).sorted
+    val c2 = Ivf.centroids(emb, 8).collect().map(_.getInt(0)).sorted
+    assert(c1.toSeq == (0 until 8) && c2.toSeq == (0 until 8))
+  }
+
+  test("every corpus vector lands in exactly one cell") {
+    val emb = Tables.embeddings(spark, sf)
+    val assigned = Ivf.assign(emb, Ivf.centroids(emb, 8))
+    assert(assigned.count() == emb.count())
+    assert(assigned.groupBy("neighbor_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("IVF top-k recall against exact brute force is reasonable") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Ivf.topK(queries, emb, k = 5, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id")
+    val hits = approx.intersect(exact).count().toDouble
+    val total = exact.count().toDouble
+    assert(total > 0)
+    // probing half the cells of a random-centroid index: expect >= 40%
+    assert(hits / total >= 0.4, s"recall ${hits / total} too low")
+  }
+}
