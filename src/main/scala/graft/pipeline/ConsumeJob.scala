@@ -22,7 +22,7 @@ object ConsumeJob {
   /** @return the accumulated union that was written to `outDir/table`. */
   def run(spark: SparkSession, dir: String, outDir: String,
           params: ConsumeParams = ConsumeParams()): DataFrame = {
-    val events = Tables.events(spark, dir)
+    val events = Tables.events(spark, dir).cache()
     val customer = Tables.customer(spark, dir)
     val orders = Tables.orders(spark, dir)
     val nation = Tables.nation(spark, dir)
@@ -61,6 +61,7 @@ object ConsumeJob {
     perIteration.foreach(_._2.unpersist())
     side.unpersist()
     repaired.unpersist()
+    events.unpersist()
     union
   }
 }

@@ -81,21 +81,22 @@ object ConsumePipeline {
     enrich(base, s)
   }
 
-  /** The loop-invariant stage-2 side inputs — the activity id set, control
-    * argmax, and the two counter aggregates depend only on the sources and
-    * the date window, never on the iteration, so the orchestrators compute
-    * (and cache) them ONCE instead of re-aggregating the event stream per
+  /** The loop-invariant stage-2 side inputs — the activity id set and the
+    * per-user event statistics depend only on the sources and the date
+    * window, never on the iteration, so the orchestrators compute (and
+    * cache) them ONCE instead of re-aggregating the event stream per
     * (country × distribution) iteration like the reference's per-loop SQL
-    * does (`script/main.py:305-346`): same semantics, one pass.
+    * does (`script/main.py:305-346`).
+    *
+    * The control argmax and both counter families (reference queries
+    * 2-basedata_df_query.sql:17-45 — three separate scans + groupBys there)
+    * fuse into ONE conditional aggregation: a single scan and a single
+    * shuffle produce every per-user statistic, and stage 2 pays one left
+    * join instead of three.
     */
-  final case class SideInputs(active: DataFrame, control: DataFrame,
-      clicks: DataFrame, views: DataFrame) {
-    def cache(): SideInputs = {
-      active.cache(); control.cache(); clicks.cache(); views.cache(); this
-    }
-    def unpersist(): Unit = {
-      active.unpersist(); control.unpersist(); clicks.unpersist(); views.unpersist()
-    }
+  final case class SideInputs(active: DataFrame, userStats: DataFrame) {
+    def cache(): SideInputs = { active.cache(); userStats.cache(); this }
+    def unpersist(): Unit = { active.unpersist(); userStats.unpersist() }
   }
 
   object SideInputs {
@@ -104,28 +105,32 @@ object ConsumePipeline {
       val active = orders
         .filter(col("o_orderdate") >= lit(activityFrom) && col("o_orderdate") < lit(activityTo))
         .select(col("o_custkey").as("user_id")).distinct()
-      val control = Aggregates.argmax(
-        events.filter(col("event_type") === "signup"),
-        Seq(col("user_id").as("ctl_user_id")), ts = col("ts"), value = col("value"),
-        tiebreak = Seq(col("event_id")))
-      val clicks = Aggregates.sumCoalesce(events.filter(col("event_type") === "click"),
-        Seq(col("user_id")), Seq((lit(1L), "n_clicks"), (col("value"), "click_value")))
-      val views = Aggregates.sumCoalesce(events.filter(col("event_type") === "view"),
-        Seq(col("user_id")), Seq((lit(1L), "n_views")))
-      SideInputs(active, control, clicks, views)
+      val isSignup = col("event_type") === "signup"
+      val isClick = col("event_type") === "click"
+      val isView = col("event_type") === "view"
+      val userStats = events.groupBy(col("user_id").as("stat_user_id"))
+        .agg(
+          // argmax(value by (ts, event_id)) over signup rows only — nulls
+          // from other event types are ignored by max
+          max(when(isSignup, struct(col("ts").as("o0"), col("event_id").as("o1"),
+              col("value").as("v"))))
+            .getField("v").as("last_signup_value"),
+          sum(when(isClick, lit(1L))).as("n_clicks"),
+          sum(when(isClick, coalesce(col("value"), lit(0.0)))).as("click_value"),
+          sum(when(isView, lit(1L))).as("n_views"))
+      SideInputs(active, userStats)
     }
   }
 
   /** Stage 2 body given precomputed side inputs. */
   def enrich(base: DataFrame, side: SideInputs): DataFrame = {
     val filtered = Joins.innerActivityFilter(base, side.active, Seq("user_id"))
-    val withCtl = filtered
-      .join(side.control, filtered("user_id") === side.control("ctl_user_id"), "left")
-      .drop("ctl_user_id", "max_ts")
-      .withColumnRenamed("latest_value", "last_signup_value")
-    Joins.leftCounterJoin(
-      Joins.leftCounterJoin(withCtl, side.clicks, Seq("user_id"), Seq("n_clicks", "click_value")),
-      side.views, Seq("user_id"), Seq("n_views"))
+    filtered
+      .join(side.userStats, filtered("user_id") === side.userStats("stat_user_id"), "left")
+      .drop("stat_user_id")
+      .withColumn("n_clicks", coalesce(col("n_clicks"), lit(0L)))
+      .withColumn("click_value", coalesce(col("click_value"), lit(0.0)))
+      .withColumn("n_views", coalesce(col("n_views"), lit(0L)))
   }
 
   /** Stage 3 (`3-basedata_df_final_query.sql`): newer-version-exists
@@ -169,7 +174,11 @@ object ConsumePipeline {
     */
   def build(spark: SparkSession, dir: String,
             params: ConsumeParams = ConsumeParams()): DataFrame = {
-    val events = Tables.events(spark, dir)
+    // The CDC stream feeds the repair (two filtered branches) and the fused
+    // side aggregation — cache it so each consumer reads memory, not the
+    // source scan. (C1: the reference caches the same table,
+    // `script/main.py:125`.)
+    val events = Tables.events(spark, dir).cache()
     val customer = Tables.customer(spark, dir)
     val orders = Tables.orders(spark, dir)
     val nation = Tables.nation(spark, dir)
