@@ -15,23 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** (id, simhash) — explode tokens, one groupBy with 64 vote-sums (partial
-    * aggregation ⇒ the shuffle carries 64 ints per doc), then OR the sign
-    * bits together.
+  /** (id, simhash) — one shuffle-free fold per document: hash the distinct
+    * tokens once, then a single `aggregate` pass carries all 64 bit-vote
+    * counters (same plan shape as [[MinHashLSH.signatures]]; the explode +
+    * 64-column groupBy alternative shuffles every (doc, token) row and its
+    * wide aggregate falls out of whole-stage codegen).
     */
   def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = array_distinct(split(lower(text), " "))
-    val exploded = df.select(id.as("__id"), explode(toks).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v_$i")
-    }
-    exploded.groupBy(col("__id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("__id"),
-        (0 until 64).map { i =>
-          when(col(s"__v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _).as("simhash"))
+    // 1L << i for i = 0..63 — bit masks; zip_with can't shift by a column,
+    // so the mask array stands in for the shift.
+    val powers = typedLit((0 until 64).map(i => 1L << i))
+    val hashes = transform(array_distinct(split(lower(text), " ")), t => xxhash64(t))
+    val votes = aggregate(hashes, typedLit(Seq.fill(64)(0)),
+      (acc, h) => zip_with(acc, powers,
+        (v, p) => v + when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1)))
+    df.select(id.as("__id"),
+      aggregate(
+        zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+        lit(0L), (a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** Pairs (id_a < id_b) with Hamming distance ≤ maxHamming. */
@@ -43,8 +44,11 @@ object SimHash {
         shiftright(col("simhash"), j * bits)
           .bitwiseAND((1L << bits) - 1).as("cv"))
     }: _*)
+    // Cached: the chunk self-join reads `chunked` on BOTH sides — without
+    // this the fingerprint computation runs twice.
     val chunked = fps.select(col("__id"), col("simhash"), explode(chunkStructs).as("ch"))
       .select(col("__id"), col("simhash"), col("ch.c").as("c"), col("ch.cv").as("cv"))
+      .cache()
     chunked.alias("x").join(chunked.alias("y"),
         col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
           col("x.__id") < col("y.__id"))
