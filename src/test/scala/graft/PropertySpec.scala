@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Dedup, Reshape}
+
+/** Property-based checks (SURVEY §5.3): scalacheck generators driven
+  * directly (no scalatestplus bridge in the offline cache), fixed seed for
+  * reproducibility.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // --- nestSchema round-trip ------------------------------------------------
+
+  private val segment: Gen[String] = for {
+    len <- Gen.choose(1, 6)
+    cs <- Gen.listOfN(len, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  /** Random prefix-free flat column-name sets: no name is a segment-prefix
+    * of another (nestSchema rejects those as ambiguous, like the
+    * reference's dict tree).
+    */
+  private val flatColumns: Gen[Seq[String]] = for {
+    n <- Gen.choose(1, 8)
+    names <- Gen.listOfN(n, for {
+      depth <- Gen.choose(1, 4)
+      segs <- Gen.listOfN(depth, segment)
+    } yield segs.mkString("_"))
+  } yield {
+    val distinct = names.distinct
+    distinct.filterNot(a => distinct.exists(b =>
+      b != a && (b + "_").startsWith(a + "_")))
+  }
+
+  test("property: flattenSchema(nestSchema(df)) == df for arbitrary flat schemas") {
+    samples(flatColumns, 25).filter(_.nonEmpty).foreach { cols =>
+      val row = org.apache.spark.sql.Row.fromSeq(cols.indices.map(_.toLong))
+      val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.LongType)))
+      val df = spark.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
+      val back = Reshape.flattenSchema(Reshape.nestSchema(df))
+      assert(back.columns.toSet == df.columns.toSet, s"columns differ for $cols")
+      assert(back.select(cols.map(col): _*).collect().head ==
+        df.select(cols.map(col): _*).collect().head, s"values differ for $cols")
+    }
+  }
+
+  // --- topOnePerKey invariants ---------------------------------------------
+
+  private val keyedRows: Gen[List[(Int, Int, Int)]] =
+    Gen.listOf(for {
+      k <- Gen.choose(0, 5)
+      ord <- Gen.choose(0, 100)
+      payload <- Gen.choose(0, 1000)
+    } yield (k, ord, payload))
+
+  test("property: topOnePerKey emits <=1 row per key, each a member of input, max ord wins") {
+    samples(keyedRows, 25).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k", "ord", "payload")
+      // total order: (ord desc, payload desc) — payload breaks ord ties
+      val out = Dedup.topOnePerKey(df, Seq(col("k")),
+        Seq(col("ord").desc, col("payload").desc)).collect()
+      val byKey = rows.groupBy(_._1)
+      assert(out.length == byKey.size, "exactly one row per distinct key")
+      out.foreach { r =>
+        val t = (r.getInt(0), r.getInt(1), r.getInt(2))
+        assert(rows.contains(t), s"output row $t not in input")
+        val expected = byKey(t._1).maxBy(x => (x._2, x._3))
+        assert(t == expected, s"wrong pick for key ${t._1}: $t vs $expected")
+      }
+    }
+  }
+
+  // --- whenChain matches a plain Scala fold --------------------------------
+
+  test("property: whenChain equals reference map lookup with default") {
+    val mapping = Seq("a" -> "A", "b" -> "B", "c" -> "C")
+    val inputs: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", ""))
+    samples(inputs, 20).filter(_.nonEmpty).foreach { vals =>
+      val df = vals.toDF("v")
+      val out = df.select(Reshape.whenChain(col("v"),
+          mapping.map { case (k, s) => k -> lit(s) }, lit("DEF")).as("r"))
+        .as[String].collect().toSeq
+      val expected = vals.map(v => mapping.toMap.getOrElse(v, "DEF"))
+      assert(out == expected)
+    }
+  }
+}
