@@ -58,6 +58,25 @@ class PlanAuditSpec extends SparkSpec {
       s"expected broadcast NLJ for probe×corpus in:\n$p")
   }
 
+  test("catalog scan prunes partitions from a partition-column predicate (S2)") {
+    // the reference's push_down_predicate on partitioncreateddate
+    // (script/main.py:263-298) — Catalyst's PruneFileSourcePartitions
+    val docs = Tables.documents(spark, sf)
+      .withColumn("pm", concat(lit("2024-0"), (col("doc_id") % 3 + 1).cast("string")))
+    docs.write.mode("overwrite").partitionBy("pm")
+      .format("parquet").saveAsTable("docs_part")
+    try {
+      val pruned = spark.read.table("docs_part").where(col("pm") === "2024-01")
+      val p = plan(pruned)
+      assert(p.contains("PartitionFilters: [") && p.contains("(pm"),
+        s"expected partition filter in:\n$p")
+      val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+      assert(!scanLine.contains("PushedFilters: [IsNotNull(pm)"),
+        "partition predicate must prune, not scan-filter")
+      assert(pruned.count() > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS docs_part")
+  }
+
   test("whole-stage codegen compiles the cosine scoring stage (no fallback)") {
     // AQE's pre-execution explain reports 0 codegen subtrees — disable it
     // for the inspection so the final physical plan is visible.
