@@ -24,9 +24,12 @@ import graft.pipeline.ConsumePipeline
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed 4-stage consume pipeline — the reference's whole job as
+    * one DataFrame.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("w2_latest_per_key_day")(spark, "/root/testdata/sf0.001")
+    queries("pipe_consume_e2e")(spark, "/root/testdata/sf0.001")
 
   private type Q = (SparkSession, String) => DataFrame
 
@@ -308,6 +311,18 @@ object SparkEntry {
         col("n_chars").as("body_stats_chars")))
     },
 
+    // P7/F12/F13 (config.json:104, 2-basedata_df_query.sql:21): nested
+    // struct-field access and array-index projection.
+    "p7_nested_access" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          struct(col("vec_id").as("id"), col("label").as("l")).as("meta"),
+          col("embedding"))
+        .select(col("vec_id"),
+          col("meta.l").as("meta_label"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_dim"))
+    },
+
     // F9/F10-adjacent/F11 (main.py:183-184, helper.py:119-123, SQL to_date
     // uses): temporal casts, month formatting, typed null columns, and
     // string-literal-vs-timestamp comparison coercion (SURVEY §7 hard-pt 5).
@@ -515,6 +530,11 @@ object SparkEntry {
         |  round(list_sum(list_transform(string_split(lower(text), ' '), t -> len(t)))::DOUBLE /
         |    len(string_split(lower(text), ' ')), 6) AS avg_token_len
         |FROM documents""".stripMargin,
+
+    "p7_nested_access" ->
+      """SELECT vec_id, label AS meta_label,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim
+        |FROM embeddings""".stripMargin,
 
     "f9_temporal_pack" ->
       """SELECT o_orderkey,
