@@ -33,7 +33,7 @@ object ConsumeJob {
 
     val perIteration = params.iterations.map { it =>
       val b1 = ConsumePipeline.baseFirst(repaired, customer)
-        .filter(col("c_mktsegment").isin(it.segments: _*))
+        .filter(it.filter)
         .cache()
       val b2 = ConsumePipeline.enrich(b1, side)
       val b3 = ConsumePipeline.baseFinal(b2, params.monthStart, params.monthEnd)

@@ -1,16 +1,23 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops._
 
 /** One pipeline iteration = the reference's (country × distribution) loop
-  * row (`script/config.json:161-186`); here the synthetic analog partitions
-  * users by market segment.
+  * row (`script/config.json:161-186`): a name plus an arbitrary row filter
+  * (the reference's is `geoid LIKE prefix% AND distributionType = …`; the
+  * synthetic analog partitions users by market segment).
   */
-final case class IterationSpec(name: String, segments: Seq[String])
+final case class IterationSpec(name: String, filter: Column)
+
+object IterationSpec {
+  /** Synthetic-table helper: iterate by customer market segment. */
+  def bySegments(name: String, segments: Seq[String]): IterationSpec =
+    IterationSpec(name, col("c_mktsegment").isin(segments: _*))
+}
 
 /** Pipeline parameters — the reference's runtime args (date windows) + loop
   * matrix (`script/main.py:196-247,305`).
@@ -21,8 +28,22 @@ final case class ConsumeParams(
     monthStart: String = "2024-01-15",
     monthEnd: String = "2024-02-01",
     iterations: Seq[IterationSpec] = Seq(
-      IterationSpec("it1", Seq("BUILDING", "AUTOMOBILE")),
-      IterationSpec("it2", Seq("MACHINERY", "HOUSEHOLD", "FURNITURE"))))
+      IterationSpec.bySegments("it1", Seq("BUILDING", "AUTOMOBILE")),
+      IterationSpec.bySegments("it2", Seq("MACHINERY", "HOUSEHOLD", "FURNITURE"))))
+
+object ConsumeParams {
+  /** Build the iteration matrix from a reference-shaped [[graft.io.JobConfig]]
+    * — one iteration per `countryValues` row (`script/main.py:305`), with
+    * the row→predicate mapping supplied by the caller (the reference's is
+    * geo-prefix × distribution type on its own column names).
+    */
+  def fromConfig(cfg: graft.io.JobConfig,
+                 rowFilter: graft.io.CountryRow => Column): ConsumeParams =
+    ConsumeParams(iterations = cfg.countryValues.map { r =>
+      IterationSpec(s"${r.countryName}_${r.distributionType}".toLowerCase,
+        rowFilter(r))
+    })
+}
 
 /** The reference's full 4-stage consume pipeline (SURVEY §3.3,
   * `script/main.py:250-416`), re-expressed over the synthetic tables:
@@ -187,7 +208,7 @@ object ConsumePipeline {
     val side = SideInputs(orders, events, params.activityFrom, params.activityTo).cache()
     params.iterations.map { it =>
       val b1 = baseFirst(repaired, customer)
-        .filter(col("c_mktsegment").isin(it.segments: _*))
+        .filter(it.filter)
         .cache()
       val b2 = enrich(b1, side)
       val b3 = baseFinal(b2, params.monthStart, params.monthEnd)

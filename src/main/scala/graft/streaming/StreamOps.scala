@@ -82,6 +82,46 @@ object StreamOps {
       }
   }
 
+  /** Streaming CDC repair — the live-stream analog of
+    * [[graft.ops.AsOfJoin.resurrectDeletes]] (reference
+    * `0-merge_delete_query.sql`): each key's latest version is managed
+    * state; a tombstone (`event_type == deleteType`) emits a resurrected
+    * row borrowing that state's payload, versions pass through and advance
+    * the state. Tombstones with no prior version drop, like the batch inner
+    * join.
+    *
+    * Ordering: events are sorted by (ts, event_id) WITHIN each trigger
+    * batch; across triggers the state only moves forward, so a version
+    * arriving in a later trigger than an earlier-keyed tombstone cannot
+    * retroactively resurrect it — the batch operator re-run over the landed
+    * table (the reference's daily job) remains the reconciliation path.
+    * State per key is O(1).
+    */
+  def repairCdcStream(ds: Dataset[KeyedEvent],
+                      deleteType: String = "error"): Dataset[KeyedEvent] = {
+    implicit val eventEnc = Encoders.product[KeyedEvent]
+    implicit val longEnc = Encoders.scalaLong
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[KeyedEvent], state: GroupState[KeyedEvent]) =>
+          var latest = state.getOption
+          val out = Seq.newBuilder[KeyedEvent]
+          events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == deleteType) {
+              latest.foreach(v =>
+                out += KeyedEvent(e.user_id, e.ts, v.event_id, deleteType, v.value))
+            } else {
+              if (latest.forall(l => Ordering[(Long, Long)].lt(
+                  (l.ts.getTime, l.event_id), (e.ts.getTime, e.event_id))))
+                latest = Some(e)
+              out += e
+            }
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Wire a streaming DataFrame through to an in-memory or file sink for
     * tests/jobs: update-mode for stateful latest-per-key, append for
     * watermarked aggregations.

@@ -53,10 +53,24 @@ class PipelineSpec extends SparkSpec {
 
   test("custom iteration matrix is honored") {
     val params = ConsumeParams(iterations =
-      Seq(IterationSpec("only", Seq("BUILDING", "AUTOMOBILE", "MACHINERY",
-        "HOUSEHOLD", "FURNITURE"))))
+      Seq(IterationSpec.bySegments("only", Seq("BUILDING", "AUTOMOBILE",
+        "MACHINERY", "HOUSEHOLD", "FURNITURE"))))
     val out = ConsumePipeline.build(spark, sf, params)
     assert(out.select("iteration").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("only"))
+  }
+
+  test("iteration matrix builds from a reference-shaped config") {
+    val cfg = graft.io.JobConfig.parse(
+      """{"countryValues":[
+        |  {"geoid":108,"country_name":"GERMANY","distribution_type":"BUY","data_source":"SELL"},
+        |  {"geoid":103,"country_name":"AUSTRIA","distribution_type":"RENT","data_source":"RENTAL"}
+        |]}""".stripMargin)
+    val params = ConsumeParams.fromConfig(cfg, r =>
+      if (r.geoid == 108) col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+      else col("c_mktsegment").isin("MACHINERY", "HOUSEHOLD", "FURNITURE"))
+    assert(params.iterations.map(_.name) == Seq("germany_buy", "austria_rent"))
+    val out = ConsumePipeline.build(spark, sf, params)
+    assert(out.select("iteration").distinct().count() == 2)
   }
 }

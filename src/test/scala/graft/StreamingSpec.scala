@@ -58,6 +58,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((2L, 1L, 4.0)))
   }
 
+  test("repairCdcStream resurrects tombstones from managed state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val query = StreamOps.startMemorySink(
+      StreamOps.repairCdcStream(input.toDS()).toDF(), "repair_q",
+      OutputMode.Append())
+
+    // trigger 1: two versions; trigger 2: a tombstone → borrows v2's payload
+    input.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:00:00"), 1L, "upsert", 10.0),
+      KeyedEvent(1L, ts("2024-01-01 11:00:00"), 2L, "upsert", 20.0),
+      // tombstone with NO prior version → dropped
+      KeyedEvent(2L, ts("2024-01-01 09:00:00"), 3L, "error", -1.0))
+    query.processAllAvailable()
+    input.addData(KeyedEvent(1L, ts("2024-01-02 00:00:00"), 4L, "error", -1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("repair_q").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getDouble(4))).toSeq
+    // 2 versions pass through + 1 resurrected with value 20.0; user 2 dropped
+    assert(rows.count(_._2 == "upsert") == 2)
+    assert(rows.contains((1L, "error", 20.0)))
+    assert(!rows.exists(_._1 == 2L))
+  }
+
   test("dedupWithinWatermark suppresses duplicate ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedEvent]
