@@ -33,7 +33,9 @@ object Profile {
     val pairs = MinHashLSH.candidatePairs(sigs, 6)
     time("candidatePairs")(println("pairs=" + pairs.count()))
     val nd = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"), 0.95)
-    time("nearDuplicates e2e")(println("out=" + nd.count()))
+    time("nearDuplicates e2e cold")(println("out=" + nd.count()))
+    val nd2 = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"), 0.95)
+    time("nearDuplicates e2e warm")(println("out=" + nd2.count()))
     spark.stop()
   }
 }
