@@ -96,6 +96,18 @@ object SparkEntry {
       Ivf.topK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
     },
 
+    // The native cosine expression through SQL (SparkSessionExtensions /
+    // live registration): all-pairs cosine over a probe sample.
+    "s4_cosine_sql" -> { (s, dir) =>
+      org.apache.spark.sql.graftfn.registerGraftFunctions(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+      s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+              |                   CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS cosine
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE a.vec_id % 25 = 0 AND b.vec_id % 25 = 0""".stripMargin)
+    },
+
     // Text quality scoring: lengths, token stats, ratios, BPE-ish count.
     "t1_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityMetrics(Tables.documents(s, dir), col("doc_id"),
@@ -513,6 +525,12 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id % 50 = 0)
         |WHERE rank <= 5""".stripMargin,
+
+    "s4_cosine_sql" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id % 25 = 0 AND b.vec_id % 25 = 0""".stripMargin,
 
     "t1_text_quality" ->
       """SELECT doc_id,
