@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
-import graft.dedup.{Jaccard, MinHashLSH, SimHash}
+import graft.dedup.{Clusters, Jaccard, MinHashLSH, SimHash}
 import graft.sim.{Ivf, Similarity}
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
@@ -76,6 +76,16 @@ object SparkEntry {
     "d5_embedding_neardup" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.nearDupPairs(emb.filter(col("vec_id") % 10 === 0), emb, threshold = 0.4)
+    },
+
+    // End-to-end near-dup DEDUP: LSH pairs → connected components → keep
+    // one representative per cluster (what a training pipeline ships).
+    "d6_neardup_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
+        threshold = 0.95).select("id_a", "id_b")
+      Clusters.dropNearDuplicates(docs, col("doc_id"), pairs)
+        .select("doc_id", "lang", "source", "n_chars")
     },
 
     // ANN: exact brute-force cosine top-k (the correctness baseline).

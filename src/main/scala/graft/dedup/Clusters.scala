@@ -1,0 +1,69 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING: turn a pair list (id_a, id_b) into connected
+  * components and pick one representative per component — what a dedup
+  * pipeline actually keeps. (Pairs alone over-delete: with A~B and B~C but
+  * A≁C, dropping "every id that appears as id_b" would drop C even though
+  * its only surviving neighbor B is itself dropped.)
+  *
+  * Components via iterative min-label propagation (the standard
+  * Pregel/GraphX "connected components" reduced to DataFrame joins): each
+  * node repeatedly takes the min label among itself and its neighbors.
+  * Converges in O(component diameter) rounds — near-dup components are
+  * dense clique-ish clusters, so 2-3 rounds in practice; `maxIter` bounds
+  * adversarial chains. Each round is one join + one aggregation on the
+  * edge list: fully distributed, no driver-side graph.
+  */
+object Clusters {
+
+  /** (id, component) for every id appearing in `pairs`; component = min id
+    * reachable. Ids not in any pair are absent (callers treat missing as
+    * singleton).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint (not cache) on every iterative frame: caching keeps
+    // the LOGICAL plan growing each round — by a handful of iterations the
+    // composed plan string alone OOMs the driver. Checkpointing truncates
+    // lineage to the materialized result. (On a production cluster prefer
+    // `checkpoint` to reliable storage for executor-loss tolerance.)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min(col("component")).as("ncomp"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .localCheckpoint() // eager: materializes + truncates lineage
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("u.component") =!= col("l.component"))
+        .limit(1).count() // any-change probe, not a full count
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Drop near-duplicates: keep each component's minimum id plus every id
+    * not mentioned in `pairs`.
+    */
+  def dropNearDuplicates(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val doomed = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__doomed"))
+    df.join(doomed, id === col("__doomed"), "left_anti")
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Clusters
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents merges chained pairs into one component") {
+    // chain 1-2, 2-3, 3-4 plus separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Clusters.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("dropNearDuplicates keeps one representative per cluster + singletons") {
+    val docs = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Clusters.dropNearDuplicates(docs, col("doc_id"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3} -> keep 1; {10,11} -> keep 10; rest untouched
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
+  test("transitivity: A~B, B~C with no A~C pair still collapses to one representative") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Clusters.dropNearDuplicates(docs, col("doc_id"), pairs)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+}
