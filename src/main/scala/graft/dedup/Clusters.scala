@@ -44,14 +44,14 @@ object Clusters {
       val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"))
+            .as("component"),
+          // change flag rides along so the convergence probe is a filter
+          // over the checkpointed result, not another join
+          (coalesce(col("ncomp"), col("component")) < col("component"))
+            .as("__changed"))
         .localCheckpoint() // eager: materializes + truncates lineage
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("u.component") =!= col("l.component"))
-        .limit(1).count() // any-change probe, not a full count
-      labels = updated
-      converged = changed == 0
+      converged = updated.filter(col("__changed")).limit(1).count() == 0
+      labels = updated.drop("__changed")
       iter += 1
     }
     labels
