@@ -542,6 +542,34 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id % 25 = 0 AND b.vec_id % 25 = 0""".stripMargin,
 
+    "t2_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['the','a','of','and','is','in','to','it'], t)))::DOUBLE /
+        |      len(string_split(lower(text), ' ')) AS s_en,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['el','la','de','y','es','en','los','un'], t)))::DOUBLE /
+        |      len(string_split(lower(text), ' ')) AS s_es,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['der','die','das','und','ist','ein','zu','den'], t)))::DOUBLE /
+        |      len(string_split(lower(text), ' ')) AS s_de,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['le','la','de','et','est','un','les','des'], t)))::DOUBLE /
+        |      len(string_split(lower(text), ' ')) AS s_fr,
+        |    len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE /
+        |      greatest(length(text), 1) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |       WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |       ELSE 'de' END AS pred_lang,
+        |  round(m, 6) AS pred_score,
+        |  round(s_en, 6) AS score_en, round(s_es, 6) AS score_es,
+        |  round(s_de, 6) AS score_de, round(s_fr, 6) AS score_fr,
+        |  round(s_zh, 6) AS score_zh
+        |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM scored)""".stripMargin,
+
     "t1_text_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
