@@ -79,6 +79,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // --- asOf matches a naive per-row reference ------------------------------
+
+  private val asOfCase: Gen[(List[(Int, Int, Int)], List[(Int, Int, Int, Int)])] =
+    for {
+      nL <- Gen.choose(1, 15)
+      nR <- Gen.choose(0, 25)
+      lefts <- Gen.listOfN(nL, for {
+        k <- Gen.choose(0, 3); ts <- Gen.choose(0, 20); id <- Gen.choose(0, 1000)
+      } yield (k, ts, id))
+      rights <- Gen.listOfN(nR, for {
+        k <- Gen.choose(0, 3); ts <- Gen.choose(0, 20)
+        rid <- Gen.choose(0, 1000); v <- Gen.choose(0, 99)
+      } yield (k, ts, rid, v))
+    } yield (lefts, rights)
+
+  test("property: asOf equals the naive latest-right-at-or-before reference") {
+    samples(asOfCase, 20).foreach { case (leftsRaw, rights) =>
+      // unique left ids — duplicates would make row identity ambiguous
+      val lefts = leftsRaw.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, i) }
+      val ldf = lefts.map { case (k, ts, id) =>
+        (k, new java.sql.Timestamp(ts * 1000L), id)
+      }.toDF("k", "lts", "lid")
+      val rdf = rights.map { case (k, ts, rid, v) =>
+        (k, new java.sql.Timestamp(ts * 1000L), rid, v)
+      }.toDF("rk", "rts", "rid", "v")
+
+      val got = graft.ops.AsOfJoin.asOf(ldf, rdf, Seq(("k", "rk")),
+          leftTs = "lts", rightTs = "rts", tiebreak = Seq("rid"))
+        .select("lid", "rid", "v").collect()
+        .map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+
+      val expected = lefts.flatMap { case (k, lts, lid) =>
+        val matches = rights.filter(r => r._1 == k && r._2 <= lts)
+        if (matches.isEmpty) None
+        else {
+          val best = matches.maxBy(r => (r._2, r._3))
+          Some(lid -> (best._3, best._4))
+        }
+      }.toMap
+      assert(got == expected, s"lefts=$lefts rights=$rights")
+    }
+  }
+
   // --- whenChain matches a plain Scala fold --------------------------------
 
   test("property: whenChain equals reference map lookup with default") {
