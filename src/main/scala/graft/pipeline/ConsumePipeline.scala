@@ -160,10 +160,15 @@ object ConsumePipeline {
     * price-change history for the month window (W3/W4 + U2).
     */
   def baseFinal(base: DataFrame, monthStart: String, monthEnd: String): DataFrame = {
-    val fMax = base.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(max(col("ts")).as("f_max"))
-    val allMax = base.groupBy(col("user_id")).agg(max(col("ts")).as("all_max"))
-    val invalid = Joins.newerExists(fMax, allMax, Seq("user_id"), "f_max", "all_max")
+    // J6 fused: one conditional aggregation replaces the reference's two
+    // CTE groupBys + left join (`3-basedata_df_final_query.sql:1-29`).
+    // Same semantics: users with no purchase have null f_max, and
+    // `null < all_max` fails exactly like the missing left-join row did.
+    val invalid = base.groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", col("ts"))).as("f_max"),
+        max(col("ts")).as("all_max"))
+      .filter(col("f_max") < col("all_max"))
       .select(col("user_id").as("invalid_user_id"))
     val valid = Joins.antiJoin(base, invalid, col("user_id") === col("invalid_user_id"))
     PriceChange.history(valid, key = col("user_id"), price = col("value"),
