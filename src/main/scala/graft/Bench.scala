@@ -31,9 +31,15 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      ordered.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      }
+      // bounded so the warmup can never more than ~double the bench wall
+      // time on a slow/contended host
+      val budgetNs =
+        sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET_SEC", "180").toLong * 1000000000L
+      val t0 = System.nanoTime()
+      ordered.iterator.takeWhile(_ => System.nanoTime() - t0 < budgetNs)
+        .foreach { case (_, fn) =>
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        }
       spark.sharedState.cacheManager.clearCache() // warm code, cold data
     }
 

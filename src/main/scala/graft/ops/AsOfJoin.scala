@@ -65,7 +65,7 @@ object AsOfJoin {
     rTagged.unionByName(lTagged, allowMissingColumns = true)
       .withColumn("__m", last(col("__match"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1 && col("__m").isNotNull)
-      .select(left.columns.map(col) ++ payloadCols.map(c => col(s"__m.$c")): _*)
+      .select(left.columns.toSeq.map(col) ++ payloadCols.map(c => col(s"__m.$c")): _*)
   }
 
   /** CDC delete-resurrection (reference `0-merge_delete_query.sql`, whole
