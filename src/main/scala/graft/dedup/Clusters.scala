@@ -32,8 +32,10 @@ object Clusters {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed with round 1 computed directly: component = min(id, neighbors)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
+      .select(col("src").as("id"), col("component"))
       .localCheckpoint()
     var iter = 0
     var converged = false
