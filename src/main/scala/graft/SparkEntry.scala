@@ -136,11 +136,19 @@ object SparkEntry {
     },
 
     // Multimodal plumbing: binary payload + metadata -> per-partition
-    // feature extraction (decode stubbed; schema/batching real).
+    // feature extraction (decode stubbed; schema/batching real). The
+    // normalized float32 histogram is projected back to its exact integer
+    // byte counts (count = round(f * n): float32 relative error ~2^-23
+    // cannot move a count by 0.5 until n ~ 2M bytes) so the driver can
+    // sort/hash the row — the float vector itself isn't pandas-hashable.
     "m1_multimodal_features" -> { (s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.asMediaDataset(
           Multimodal.packDocuments(Tables.documents(s, dir)))).toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          concat_ws(",", transform(col("features"),
+            x => round(x.cast("double") * greatest(col("n_bytes"), lit(1)))
+              .cast("long").cast("string"))).as("byte_hist"))
     }
   )
 
@@ -314,23 +322,28 @@ object SparkEntry {
     },
 
     // F7 (helper.py:53-62): single-entry map column with NOT_APPLICABLE
-    // default. Map columns aren't DuckDB-hash-comparable → rows-only check;
-    // semantics covered by ReshapeSpec.
+    // default. Serialized with to_json so the driver's pandas sort can hash
+    // it (both engines emit identical compact JSON); raw-map semantics
+    // covered by ReshapeSpec.
     "f7_subtype_map" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
-        Reshape.subTypeMap(col("lang"),
-          when(col("n_chars") > 200, col("source"))).as("subTypes"))
+        to_json(Reshape.subTypeMap(col("lang"),
+          when(col("n_chars") > 200, col("source")))).as("subtypes_json"))
     },
 
-    // F8 (helper.py:19-51): flat → nested struct schema for JSON export.
-    // Struct output → rows-only check; round-trip covered by ReshapeSpec.
+    // F8 (helper.py:19-51): flat → nested struct schema for JSON export —
+    // serialized exactly the way the reference ships it (its primary sink IS
+    // gzip JSON, script/main.py:377-384). The JSON string is also what makes
+    // the struct driver-hashable; round-trip covered by ReshapeSpec.
     "f8_nest_schema" -> { (s, dir) =>
-      Reshape.nestSchema(Tables.documents(s, dir).select(
+      val nested = Reshape.nestSchema(Tables.documents(s, dir).select(
         col("doc_id").as("meta_id"),
         col("lang").as("meta_geo_lang"),
         col("source").as("meta_geo_source"),
         col("text").as("body_text"),
         col("n_chars").as("body_stats_chars")))
+      nested.select(col("meta.id").as("doc_id"),
+        to_json(struct(col("meta"), col("body"))).as("doc_json"))
     },
 
     // P7/F12/F13 (config.json:104, 2-basedata_df_query.sql:21): nested
@@ -368,13 +381,84 @@ object SparkEntry {
     // The full composed 4-stage consume pipeline (SURVEY §3.3): CDC repair →
     // day-dedup + enrichment → activity/control/counter joins → invalid anti
     // join + price-change history → geo broadcast + per-iteration union.
-    "pipe_consume_e2e" -> { (s, dir) => ConsumePipeline.build(s, dir) }
+    "pipe_consume_e2e" -> { (s, dir) => ConsumePipeline.build(s, dir) },
+
+    // The same pipeline driven by the reference's execution mode: four
+    // parameterized SQL TEMPLATES run via temp views + spark.sql
+    // (script/helper.py:64-72,225-269), DataFrame code only for modify_data.
+    "pipe_consume_sql" -> { (s, dir) => graft.pipeline.ConsumeSqlPipeline.build(s, dir) }
   )
+
+  /** The engine-neutral token hash as DuckDB SQL: base-131 Horner over
+    * `ord(char)` mod 1e9+7, seed 7 — mirrors [[TextAnalysis.tokenHash]].
+    */
+  private def duckTokenHash(t: String): String =
+    s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(list_filter(string_split($t, ''), c -> len(c) > 0),
+       |        c -> CAST(ord(c) AS BIGINT))),
+       |    (a, x) -> (a * 131 + x) % 1000000007)""".stripMargin
+
+  /** d3 oracle: brute-force simhash + Hamming in DuckDB, generated from the
+    * SAME affine hash constants as [[graft.dedup.SimHash.fingerprints]].
+    */
+  private def simhashOracle: String = {
+    val params = graft.dedup.SimHash.hashParams()
+    val aList = params.map(_._1).mkString("[", ",", "]")
+    val bList = params.map(_._2).mkString("[", ",", "]")
+    s"""WITH hs AS (
+       |  SELECT doc_id, list_transform(list_distinct(string_split(lower(text), ' ')),
+       |    t -> ${duckTokenHash("t")}) AS h
+       |  FROM documents),
+       |fp AS (
+       |  SELECT doc_id, list_transform(range(1, 65), k ->
+       |    CASE WHEN 2 * len(list_filter(h,
+       |           x -> ($aList[CAST(k AS INT)] * x + $bList[CAST(k AS INT)]) % 2147483647 < 1073741824))
+       |         > len(h)
+       |         THEN 1 ELSE 0 END) AS bits
+       |  FROM hs)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_filter(list_zip(a.bits, b.bits),
+       |        z -> struct_extract(z, 1) <> struct_extract(z, 2))) AS hamming
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= 3""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "t3_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(lower(text), ' '),
+         |      t -> ${duckTokenHash("t")})),
+         |    (acc, th) -> (acc * 31 + th) % 1000000007) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "d3_simhash_neardup" -> simhashOracle,
+
+    "d6_neardup_dedup" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+        |  FROM documents),
+        |sim AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS j
+        |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM sim WHERE j >= 0.95
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM sim WHERE j >= 0.95),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |labels AS (
+        |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)""".stripMargin,
     "w2_latest_per_key_day" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
         |       l_extendedprice, l_returnflag, l_shipdate
@@ -606,7 +690,52 @@ object SparkEntry {
         |  l_returnflag AS returnflag
         |FROM lineitem""".stripMargin,
 
-    "pipe_consume_e2e" ->
+    "pipe_consume_sql" -> pipeConsumeOracle,
+    "pipe_consume_e2e" -> pipeConsumeOracle,
+
+    "f7_subtype_map" ->
+      """SELECT doc_id, to_json(map([lower(lang)],
+        |  [CASE WHEN n_chars > 200 THEN source ELSE 'NOT_APPLICABLE' END])) AS subtypes_json
+        |FROM documents""".stripMargin,
+
+    "f8_nest_schema" ->
+      """SELECT doc_id, to_json({
+        |  'meta': {'id': doc_id, 'geo': {'lang': lang, 'source': source}},
+        |  'body': {'text': text, 'stats': {'chars': n_chars}}}) AS doc_json
+        |FROM documents""".stripMargin,
+
+    "m1_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(1, n + 1), i ->
+        |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i - 1 AS INT), 1)) - 1) * 16 +
+        |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1)) AS bs
+        |  FROM b)
+        |SELECT doc_id, 'application/octet-stream' AS mime, CAST(n AS INT) AS n_bytes,
+        |  array_to_string(list_transform(range(0, 16), k ->
+        |    CAST(len(list_filter(bs, x -> x % 16 = k)) AS VARCHAR)), ',') AS byte_hist
+        |FROM bytes""".stripMargin,
+
+    "p1_scalar_pack" ->
+      """SELECT p_partkey,
+        |  CAST(round(p_retailprice) AS INT) AS retail_int,
+        |  regexp_replace(p_name, ' ', '', 'g') AS name_nospace,
+        |  substring(p_brand, 1, 6) AS brand_pfx,
+        |  CASE WHEN p_type = 'ECONOMY' THEN 'E'
+        |       WHEN p_type = 'SMALL' THEN 'S' ELSE 'OTHER' END AS type_code,
+        |  coalesce(CAST(p_size AS DOUBLE), 0.0) AS size_d
+        |FROM part
+        |WHERE p_type IN ('ECONOMY', 'SMALL')
+        |  AND (p_name LIKE 's%' OR p_name LIKE 'r%')""".stripMargin
+  )
+
+  /** Oracle for BOTH consume-pipeline variants (DataFrame + SQL templates) —
+    * they are row-identical by construction (ConsumeSqlSpec).
+    */
+  private val pipeConsumeOracle: String =
       """WITH repaired AS (
         |  SELECT user_id, event_type, ts, value, event_id FROM (
         |    SELECT d.user_id, d.event_type, d.ts, v.value, v.event_id,
@@ -689,18 +818,5 @@ object SparkEntry {
         |    lpad(CAST(h.user_id % 100 AS VARCHAR), 2, '0') AS geoid,
         |    strftime(h.ts, '%Y-%m') AS partition_month
         |  FROM hist h) g
-        |LEFT JOIN nation n ON substring(g.geoid, 1, 2) = n_nationkey""".stripMargin,
-
-    "p1_scalar_pack" ->
-      """SELECT p_partkey,
-        |  CAST(round(p_retailprice) AS INT) AS retail_int,
-        |  regexp_replace(p_name, ' ', '', 'g') AS name_nospace,
-        |  substring(p_brand, 1, 6) AS brand_pfx,
-        |  CASE WHEN p_type = 'ECONOMY' THEN 'E'
-        |       WHEN p_type = 'SMALL' THEN 'S' ELSE 'OTHER' END AS type_code,
-        |  coalesce(CAST(p_size AS DOUBLE), 0.0) AS size_d
-        |FROM part
-        |WHERE p_type IN ('ECONOMY', 'SMALL')
-        |  AND (p_name LIKE 's%' OR p_name LIKE 'r%')""".stripMargin
-  )
+        |LEFT JOIN nation n ON substring(g.geoid, 1, 2) = n_nationkey""".stripMargin
 }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, mime: String, n_bytes: Int, payload: Array[Byte])
-  case class MediaFeatures(doc_id: Long, mime: String, features: Array[Float])
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int, features: Array[Float])
 
   /** Pack a text table into the multimodal layout: payload as binary +
     * metadata struct. In production the payload is the raw image/audio blob
@@ -55,7 +55,7 @@ object Multimodal {
         val hist = new Array[Float](dim)
         decoded.foreach(b => hist((b & 0xff) % dim) += 1f)
         val n = math.max(decoded.length, 1).toFloat
-        MediaFeatures(r.doc_id, r.mime, hist.map(_ / n))
+        MediaFeatures(r.doc_id, r.mime, decoded.length, hist.map(_ / n))
       }
     }
   }

@@ -20,6 +20,8 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.asMediaDataset(Multimodal.packDocuments(docs)), dim = 16).collect()
     assert(feats.forall(_.features.length == 16))
     feats.foreach(f => assert(math.abs(f.features.sum - 1f) < 1e-5))
+    // n_bytes reports the DECODED byte count (payload length under the stub)
+    assert(feats.map(f => f.doc_id -> f.n_bytes).toMap == Map(1L -> 11, 2L -> 3))
   }
 
   test("resizeStub truncates/pads payloads to the target size") {
