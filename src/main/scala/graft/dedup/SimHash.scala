@@ -3,9 +3,17 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.text.TextAnalysis
+
 /** SimHash near-duplicate detection: each document gets a 64-bit fingerprint
   * whose bits are majority votes of its token hashes; near-dups are pairs
   * with small Hamming distance.
+  *
+  * Bit hashes come from a pairwise-independent affine family over the
+  * engine-neutral [[TextAnalysis.tokenHash]]: bit i of token t votes +1 iff
+  * `(a_i·h(t) + b_i) mod P < P/2`. Pure 64-bit modular arithmetic — exactly
+  * reproducible in the DuckDB oracle (unlike xxhash64 bit-sampling, which
+  * only Spark can compute).
   *
   * Pairing uses the pigeonhole chunk trick: split the fingerprint into
   * `maxHamming + 1` chunks — any pair within `maxHamming` bits must agree on
@@ -15,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
+  /** Affine-family modulus (Mersenne prime 2^31−1) and the majority-vote
+    * threshold: values below `Half` vote the bit to 1.
+    */
+  val P: Long = 2147483647L
+  val Half: Long = (P + 1) / 2 // 1073741824
+
+  /** Deterministic per-bit hash family: (a, b) with 1 <= a < P, 0 <= b < P.
+    * The d3 oracle SQL is generated from the SAME constants.
+    */
+  def hashParams(bits: Int = 64, seed: Long = 7L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
+  }
+
   /** (id, simhash) — one shuffle-free fold per document: hash the distinct
     * tokens once, then a single `aggregate` pass carries all 64 bit-vote
     * counters (same plan shape as [[MinHashLSH.signatures]]; the explode +
@@ -22,13 +44,18 @@ object SimHash {
     * wide aggregate falls out of whole-stage codegen).
     */
   def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val params = hashParams()
     // 1L << i for i = 0..63 — bit masks; zip_with can't shift by a column,
     // so the mask array stands in for the shift.
     val powers = typedLit((0 until 64).map(i => 1L << i))
-    val hashes = transform(array_distinct(split(lower(text), " ")), t => xxhash64(t))
+    val ab = typedLit(params) // array<struct<_1: a, _2: b>>
+    val hashes = transform(array_distinct(split(lower(text), " ")),
+      t => TextAnalysis.tokenHash(t))
     val votes = aggregate(hashes, typedLit(Seq.fill(64)(0)),
-      (acc, h) => zip_with(acc, powers,
-        (v, p) => v + when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1)))
+      (acc, h) => zip_with(acc, ab,
+        (v, pr) => v + when(
+          pmod(h * pr.getField("_1") + pr.getField("_2"), lit(P)) < Half, 1)
+          .otherwise(-1)))
     df.select(id.as("__id"),
       aggregate(
         zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),

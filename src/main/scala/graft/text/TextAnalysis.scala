@@ -72,15 +72,27 @@ object TextAnalysis {
         all.map { case (l, s) => round(s, 6).as(s"score_$l") }): _*)
   }
 
-  /** Document fingerprint: order-sensitive polynomial rolling hash over
-    * token hashes (base-31 Horner over xxhash64(token), mod 1e9+7 so the
-    * accumulator never overflows — Spark 4 runs ANSI mode, where silent
-    * wraparound is an error). Equal token sequences get equal fingerprints
-    * on any cluster layout. Pure projection — no shuffle.
+  /** Modulus for the polynomial hashes: large prime, small enough that the
+    * Horner step `acc * 131 + cp` never overflows a signed 64-bit long
+    * (Spark 4 runs ANSI mode, where silent wraparound is an error).
     */
-  def fingerprint(text: Column): Column = {
-    val p = 1000000007L
+  val HashP = 1000000007L
+
+  /** Engine-neutral token hash: base-131 Horner over character code points
+    * mod [[HashP]], seeded at 7. Chosen over xxhash64 so the DuckDB oracle
+    * can reproduce it exactly (`list_reduce` + `ord`) — a classic
+    * Rabin–Karp rolling hash, deterministic on any engine.
+    */
+  def tokenHash(t: Column): Column =
+    aggregate(filter(split(t, ""), c => length(c) > 0),
+      lit(7L), (a, c) => pmod(a * 131 + ascii(c), lit(HashP)))
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * token hashes (base-31 Horner over [[tokenHash]], mod [[HashP]]). Equal
+    * token sequences get equal fingerprints on any cluster layout. Pure
+    * projection — no shuffle.
+    */
+  def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(p)), lit(p)))
-  }
+      (acc, t) => pmod(acc * 31 + tokenHash(t), lit(HashP)))
 }
