@@ -77,6 +77,13 @@ object AsOfJoin {
     * keep their own key/op/ts and borrow payload; non-deleted rows pass
     * through unchanged (reference `0-merge_delete_query.sql:50-58` UNION ALL).
     *
+    * Duplicate-tombstone tie rule (pinned to the reference): the reference
+    * ranks the deletes×versions join `PARTITION BY (key, changeDate)`
+    * (`0-merge_delete_query.sql:27-41`), so several tombstones sharing
+    * (key, ts) produce ONE resurrected row, not one each. The tombstone
+    * projection here is (key, op, ts) — duplicates are identical rows — so
+    * a `distinct()` reproduces that collapse exactly.
+    *
     * @param tiebreakCol version-side column breaking ts ties (highest wins)
     */
   def resurrectDeletes(
@@ -89,6 +96,7 @@ object AsOfJoin {
       tiebreakCol: String): DataFrame = {
     val deletes = df.filter(col(opCol) === deleteValue)
       .select(entityKey, opCol, tsCol)
+      .distinct() // collapse duplicate (key, ts) tombstones — see tie rule
     val versions = df.filter(col(opCol) =!= deleteValue)
       .select((Seq(entityKey, tsCol, tiebreakCol) ++ payloadCols)
         .distinct.map(col): _*)

@@ -39,6 +39,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 7)
   }
 
+  test("duplicate (key, ts) tombstones resurrect ONE row (reference tie rule)") {
+    // reference 0-merge_delete_query.sql:27-41 ranks the deletes×versions
+    // join PARTITION BY (key, changeDate) — several tombstones sharing
+    // (key, ts) collapse to a single resurrected row
+    val dup = Seq(
+      ("e1", "Upsert", ts("2024-01-01 10:00:00"), 1.0, "v1", 1L),
+      ("e1", "Delete", ts("2024-01-02 10:00:00"), -1.0, null, 2L),
+      ("e1", "Delete", ts("2024-01-02 10:00:00"), -1.0, null, 3L),
+      ("e1", "Delete", ts("2024-01-03 10:00:00"), -1.0, null, 4L)
+    ).toDF("k", "op", "ts", "value", "props", "id")
+    val out = AsOfJoin.resurrectDeletes(dup, "k", "op", "ts", "Delete",
+      payloadCols = Seq("value", "props"), tiebreakCol = "id")
+    val deletes = out.filter(col("op") === "Delete").collect()
+      .map(r => (r.getTimestamp(2), r.getDouble(3))).toSeq
+    // 2 distinct (key, ts) tombstone groups, each resurrecting value 1.0
+    assert(deletes.sortBy(_._1.getTime) == Seq(
+      (ts("2024-01-02 10:00:00"), 1.0), (ts("2024-01-03 10:00:00"), 1.0)))
+    assert(out.count() == 3) // 1 survivor + 2 resurrected
+  }
+
   test("asOf picks latest right row at-or-before each left row") {
     val left = Seq((100L, "u1", ts("2024-01-02 12:00:00"))).toDF("lid", "k", "lts")
     val right = Seq(
