@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Jaccard {
 
-  /** (id, shingle set) prep. */
+  /** (id, shingle set) prep — sorted, so verification can run the
+    * codegen'd merge-scan intersection ([[graft.functions.SortedIntersectSize]]).
+    */
   def shingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.select(id.as("__id"), array_distinct(MinHashLSH.wordShingles(text, n)).as("__set"))
+    df.select(id.as("__id"),
+      sort_array(array_distinct(MinHashLSH.wordShingles(text, n))).as("__set"))
 
   /** Exact Jaccard ≥ threshold between `probes` and `corpus` (both outputs
     * of [[shingleSets]]); id_a from probes, id_b from corpus, id_a < id_b.
@@ -67,10 +70,14 @@ object Jaccard {
           col("n_id_a") >= col("n_id_b") * threshold - lit(1e-9))
       .select("id_a", "id_b").distinct()
 
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
     candidates
       .join(pa, Seq("id_a"))
       .join(pb, Seq("id_b"))
-      .withColumn("shared", size(array_intersect(col("set_a"), col("set_b"))))
+      // merge-scan intersect (sets are sorted by shingleSets): no per-pair
+      // hash set / result array allocation on the verification hot path
+      .withColumn("shared", asColumn(graft.functions.SortedIntersectSize(
+        asExpression(col("set_a")), asExpression(col("set_b")))))
       .withColumn("jaccard",
         round(col("shared").cast("double") /
           (size(col("set_a")) + size(col("set_b")) - col("shared")), 6))

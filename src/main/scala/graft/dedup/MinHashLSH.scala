@@ -71,7 +71,8 @@ object MinHashLSH {
   def candidatePairs(sigs: DataFrame, bands: Int): DataFrame =
     candidatePairs(sigs, bands, sigs.select(size(col("sig"))).first().getInt(0))
 
-  def candidatePairs(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+  def candidatePairs(sigs: DataFrame, bands: Int, numHashes: Int,
+                     maxBucket: Int = 5000): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val r = numHashes / bands
     val bandStructs = array((0 until bands).map { j =>
@@ -83,7 +84,19 @@ object MinHashLSH {
     val banded = sigs.select(col("__id"), explode(bandStructs).as("b"))
       .select(col("__id"), col("b.band").as("band"), col("b.bh").as("bh"))
       .cache()
-    banded.alias("x").join(banded.alias("y"),
+    // Degenerate-bucket guard: a bucket of m docs contributes m(m−1)/2 pairs
+    // to the self-join — ONE boilerplate shingle cluster goes quadratic at
+    // corpus scale. Buckets above maxBucket are dropped (standard web-dedup
+    // practice): their members still meet in any of the other bands-1 bands
+    // unless the collision is itself degenerate. The oversized list is tiny
+    // (aggregated), so it broadcasts into an anti join — the banded rows
+    // never reshuffle for the filter.
+    val oversized = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(col("band"), col("bh"))
+    val kept = banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    kept.alias("x").join(kept.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
@@ -95,7 +108,8 @@ object MinHashLSH {
     */
   def nearDuplicates(df: DataFrame, id: Column, text: Column,
                      threshold: Double, numHashes: Int = 72, bands: Int = 6,
-                     shingleN: Int = 1, seed: Long = 42L): DataFrame = {
+                     shingleN: Int = 1, seed: Long = 42L,
+                     maxBucket: Int = 5000): DataFrame = {
     // b=6, r=12: detection prob ≈ 0.996 at jaccard 0.95 but only ≈ 0.35 at
     // 0.8 and ≈ 0.08 at 0.7 — near-full recall at the dedup threshold while
     // keeping template corpora (many mid-similarity pairs) from flooding the
@@ -112,18 +126,24 @@ object MinHashLSH {
     // minhash-fraction pre-filter would cost two extra joins shipping
     // k-long signatures to prune almost nothing — the exact intersect on
     // the (shorter) shingle sets IS the cheapest verifier.
+    // SORTED sets: one sort_array per row buys the codegen'd merge-scan
+    // intersection (SortedIntersectSize) on every candidate pair below.
     val sets = df.select(id.as("__id"),
-      array_distinct(transform(wordShingles(text, shingleN), s => xxhash64(s)))
+      sort_array(array_distinct(transform(wordShingles(text, shingleN), s => xxhash64(s))))
         .as("__set"))
       .cache() // joined twice (id_a, id_b) — don't re-tokenize the corpus
     val sigs = signatures(df, id, text, numHashes, shingleN, seed)
-    val pairs = candidatePairs(sigs, bands, numHashes)
+    val pairs = candidatePairs(sigs, bands, numHashes, maxBucket)
 
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
     pairs
       .join(sets.select(col("__id").as("id_a"), col("__set").as("set_a")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__set").as("set_b")), Seq("id_b"))
-      // |A∪B| = |A|+|B|−|A∩B| — one intersect per pair, no array_union pass
-      .withColumn("__shared", size(array_intersect(col("set_a"), col("set_b"))))
+      // |A∪B| = |A|+|B|−|A∩B| — one merge-scan intersect per pair, zero
+      // allocation (array_intersect builds a hash set + result array per
+      // PAIR — the dominant cost with millions of candidates)
+      .withColumn("__shared", asColumn(graft.functions.SortedIntersectSize(
+        asExpression(col("set_a")), asExpression(col("set_b")))))
       .withColumn("jaccard",
         round(col("__shared").cast("double") /
           (size(col("set_a")) + size(col("set_b")) - col("__shared")), 6))

@@ -57,6 +57,50 @@ class DedupFuzzySpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("degenerate LSH buckets above maxBucket are dropped; others unaffected") {
+    // 40 identical docs: every band hashes them into ONE bucket of 40 —
+    // the adversarial boilerplate cluster that goes quadratic at scale
+    val boiler = (1L to 40L).map(i => (i, "spam spam lovely spam wonderful spam"))
+      .toDF("doc_id", "text")
+    val capped = MinHashLSH.nearDuplicates(boiler, col("doc_id"), col("text"),
+      threshold = 0.9, numHashes = 64, bands = 16, maxBucket = 10)
+    assert(capped.count() == 0, "oversized buckets must be dropped")
+    val uncapped = MinHashLSH.nearDuplicates(boiler, col("doc_id"), col("text"),
+      threshold = 0.9, numHashes = 64, bands = 16, maxBucket = 5000)
+    assert(uncapped.count() == 40L * 39 / 2)
+    // normal corpus far below the cap: identical output with/without cap
+    val a = MinHashLSH.nearDuplicates(corpus, col("doc_id"), col("text"),
+      threshold = 0.8, numHashes = 64, bands = 16, maxBucket = 5000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val b = MinHashLSH.nearDuplicates(corpus, col("doc_id"), col("text"),
+      threshold = 0.8, numHashes = 64, bands = 16, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("sorted merge-scan intersect agrees with array_intersect") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (i, a, b)
+    }
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    val df = rows.toDF("i", "a", "b")
+      .withColumn("fast", asColumn(graft.functions.SortedIntersectSize(
+        asExpression(col("a")), asExpression(col("b")))))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+    // string variant
+    val sdf = rows.map { case (i, a, b) =>
+      (i, a.map(x => f"t$x%03d").sorted, b.map(x => f"t$x%03d").sorted)
+    }.toDF("i", "a", "b")
+      .withColumn("fast", asColumn(graft.functions.SortedIntersectSize(
+        asExpression(col("a")), asExpression(col("b")))))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+    assert(sdf.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("exact Jaccard matches hand-computed similarity") {
     val sets = Jaccard.shingleSets(corpus, col("doc_id"), col("text"), 1)
     val pairs = Jaccard.similarPairs(sets, sets, threshold = 0.1)
