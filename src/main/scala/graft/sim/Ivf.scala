@@ -33,8 +33,12 @@ object Ivf {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("c_emb"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCells)
+    // constant partition key: the frame is ≤ nCells rows post-limit, so a
+    // single-partition window is the right plan — partitionBy(lit) documents
+    // that and silences the (here misleading) global-window warning
     picked.select(
-      (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
+      (row_number().over(Window.partitionBy(lit(0)).orderBy(col("vec_id"))) - 1)
+        .as("cell"),
       col("c_emb"))
   }
 
@@ -63,19 +67,26 @@ object Ivf {
     * broadcast assignment + one aggregation; empty cells keep their old
     * centroid. Tightens cells around the data so fewer probes reach the
     * same recall.
+    *
+    * @param dim embedding dimensionality; pass <= 0 (the default) to derive
+    *            it from the first corpus vector — `element_at` past the
+    *            array end would otherwise silently null the new centroids.
     */
   def refine(corpus: DataFrame, cents: DataFrame, iters: Int,
-             dim: Int = 64): DataFrame = {
+             dim: Int = -1): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else corpus.select(size(col("embedding"))).first().getInt(0)
     var current = cents
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, current, "m_id", "m_emb")
       // per-dimension scalar sums: one shuffle, O(dim) agg state per cell —
       // never a collect_list of member vectors (unbounded buffer at scale)
-      val sumCols = (1 to dim).map(i =>
+      val sumCols = (1 to d).map(i =>
         sum(element_at(col("m_emb"), i)).as(s"s_$i")) :+ count(lit(1)).as("n")
       val sums = assigned.groupBy(col("cell")).agg(sumCols.head, sumCols.tail: _*)
       val means = sums.select(col("cell"),
-        array((1 to dim).map(i => col(s"s_$i") / col("n")): _*).as("mean"))
+        array((1 to d).map(i => col(s"s_$i") / col("n")): _*).as("mean"))
       current = current.alias("c")
         .join(means.alias("m"), Seq("cell"), "left")
         .select(col("cell"), coalesce(col("mean"), col("c_emb")).as("c_emb"))

@@ -21,6 +21,22 @@ class IvfSpec extends SparkSpec {
     assert(assigned.groupBy("neighbor_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("refine derives dimensionality from the data (dim != 64)") {
+    import spark.implicits._
+    // 8-dim embeddings: a hard-coded dim=64 would null every recomputed
+    // centroid via out-of-range element_at
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat), s"l${i % 3}")
+    }.toDF("vec_id", "embedding", "label")
+    val refined = Ivf.refine(emb, Ivf.centroids(emb, 4), iters = 2)
+    val rows = refined.collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length == 8 && v.forall(x => !x.isNaN))
+    }
+  }
+
   test("IVF top-k recall against exact brute force is reasonable") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 20 === 0)
