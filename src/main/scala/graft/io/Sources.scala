@@ -59,4 +59,16 @@ object Sources {
   def readAndFormatSql(path: String, params: Map[String, String]): String =
     formatSql(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8), params)
+
+  /** S6: classpath variant — templates shipped inside the library jar
+    * (the `src/main/resources/graft/queries` directory), so the SQL
+    * pipeline runs identically from sbt, spark-submit, or a test.
+    */
+  def readAndFormatSqlResource(resource: String, params: Map[String, String]): String = {
+    val in = getClass.getClassLoader.getResourceAsStream(resource)
+    require(in != null, s"missing SQL template resource '$resource'")
+    try formatSql(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8), params)
+    finally in.close()
+  }
 }

@@ -189,7 +189,7 @@ object ConsumePipeline {
       .withColumn("partition_month", date_format(col("ts"), "yyyy-MM"))
   }
 
-  private val outputCols = Seq("user_id", "event_type", "ts", "value",
+  private[pipeline] val outputCols = Seq("user_id", "event_type", "ts", "value",
     "last_signup_value", "n_clicks", "click_value", "n_views", "c_name",
     "c_mktsegment", "price_src", "geoid", "n_name", "partition_month",
     "iteration")

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Sources
+
+/** The consume pipeline driven by parameterized SQL TEMPLATES — the
+  * reference's actual execution mode (`script/helper.py:64-72,225-269` reads
+  * `.sql` files, formats `{placeholders}`, and runs them via `spark.sql`
+  * against temp views; only the final `modify_data` step is DataFrame code,
+  * `script/main.py:157-193`).
+  *
+  * Same semantics as [[ConsumePipeline.build]] — ConsumeSqlSpec asserts the
+  * two are row-identical, and the driver's `pipe_consume_sql` query shares
+  * `pipe_consume_e2e`'s oracle. The DataFrame pipeline remains the
+  * recommended path (fused side aggregates, explicit caching); this one
+  * exists for template fidelity: a reference user can keep maintaining SQL
+  * files.
+  *
+  * Templates live on the classpath (the `graft/queries` resource dir) and
+  * interpolate with Python `str.format` semantics via [[Sources.formatSql]].
+  */
+object ConsumeSqlPipeline {
+
+  private val extraCols = Seq("value", "props", "event_id")
+  private val base2Cols = Seq("user_id", "event_type", "ts") ++ extraCols ++
+    Seq("c_name", "c_mktsegment", "last_signup_value", "n_clicks",
+      "click_value", "n_views")
+
+  def build(spark: SparkSession, dir: String,
+            params: ConsumeParams = ConsumeParams()): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_cdc")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    val nation = Tables.nation(spark, dir)
+
+    val q0 = Sources.readAndFormatSqlResource("graft/queries/0-merge_delete.sql", Map(
+      "cdc_view" -> "graft_cdc",
+      "delete_value" -> "error",
+      "extra_columns_wo_prefix" -> extraCols.mkString(", "),
+      "extra_columns_with_prefix" -> extraCols.map("b." + _).mkString(", ")))
+    // cached across the iteration loop — the reference caches its cleaned
+    // CDC table the same way (script/main.py:125)
+    spark.sql(q0).cache().createOrReplaceTempView("graft_repaired")
+
+    params.iterations.map { it =>
+      val q1 = Sources.readAndFormatSqlResource("graft/queries/1-basedata_first.sql", Map(
+        "repaired_view" -> "graft_repaired",
+        "customer_view" -> "graft_customer",
+        "extra_columns_wo_prefix" -> extraCols.mkString(", "),
+        "extra_columns_l_prefix" -> extraCols.map("l." + _).mkString(", "),
+        // Column → SQL text: the loop filter lives inside query 1, exactly
+        // like the reference's {geoid}/{distribution_type} placeholders
+        "iteration_filter" ->
+          org.apache.spark.sql.graftfn.asSqlText(it.filter)))
+      // cached per iteration like the reference's BaseDataFirst
+      // (script/main.py:324,370) — stage 2+3 read it several times
+      spark.sql(q1).cache().createOrReplaceTempView(s"graft_base1_${it.name}")
+
+      val q2 = Sources.readAndFormatSqlResource("graft/queries/2-basedata_df.sql", Map(
+        "orders_view" -> "graft_orders",
+        "cdc_view" -> "graft_cdc",
+        "base1_view" -> s"graft_base1_${it.name}",
+        "activity_from" -> params.activityFrom,
+        "activity_to" -> params.activityTo))
+      spark.sql(q2).createOrReplaceTempView(s"graft_base2_${it.name}")
+
+      val q3 = Sources.readAndFormatSqlResource("graft/queries/3-basedata_final.sql", Map(
+        "base2_view" -> s"graft_base2_${it.name}",
+        "final_columns" -> base2Cols.mkString(", "),
+        "month_start" -> params.monthStart,
+        "month_end" -> params.monthEnd))
+
+      ConsumePipeline.modify(spark.sql(q3), nation)
+        .withColumn("iteration", lit(it.name))
+        .select(ConsumePipeline.outputCols.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+}

@@ -18,6 +18,14 @@ package object graftfn {
   /** Extract the Catalyst expression behind a (classic) Column. */
   def asExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Render a (classic) Column's predicate/expression as SQL text — used to
+    * inject programmatic filters into SQL templates. Goes through the full
+    * ColumnNode → Expression conversion (the lazy `ExpressionUtils`
+    * wrapper prints as an unresolvable `columnnodeexpression(...)` call).
+    */
+  def asSqlText(c: Column): String =
+    classic.ColumnNodeToExpressionConverter(c.node).sql
+
   /** Register graft's SQL functions on a LIVE session (the
     * `SparkSessionExtensions` route only applies at session construction).
     */
