@@ -45,21 +45,15 @@ object SimHash {
     */
   def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
     val params = hashParams()
-    // 1L << i for i = 0..63 — bit masks; zip_with can't shift by a column,
-    // so the mask array stands in for the shift.
-    val powers = typedLit((0 until 64).map(i => 1L << i))
-    val ab = typedLit(params) // array<struct<_1: a, _2: b>>
     val hashes = transform(array_distinct(split(lower(text), " ")),
       t => TextAnalysis.tokenHash(t))
-    val votes = aggregate(hashes, typedLit(Seq.fill(64)(0)),
-      (acc, h) => zip_with(acc, ab,
-        (v, pr) => v + when(
-          pmod(h * pr.getField("_1") + pr.getField("_2"), lit(P)) < Half, 1)
-          .otherwise(-1)))
+    // the 64×n vote loop runs as one generated Java nest
+    // (SimHashFingerprint) — the aggregate(zip_with(...)) HOF formulation
+    // costs an interpreted lambda dispatch per (token, bit)
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
     df.select(id.as("__id"),
-      aggregate(
-        zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-        lit(0L), (a, b) => a.bitwiseOR(b)).as("simhash"))
+      asColumn(graft.functions.SimHashFingerprint(asExpression(hashes),
+        params.map(_._1).toArray, params.map(_._2).toArray, P)).as("simhash"))
   }
 
   /** Pairs (id_a < id_b) with Hamming distance ≤ maxHamming. */
