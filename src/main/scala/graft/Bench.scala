@@ -23,14 +23,29 @@ object Bench {
     * runs out. Unlisted queries default to 0 and run last.
     */
   private val costHint: Map[String, Double] = Map(
-    "d6_neardup_dedup" -> 44.1, "d4_jaccard_pairs" -> 16.7,
-    "d2_minhash_neardup" -> 15.7, "pipe_consume_e2e" -> 7.7,
-    "s3_ann_ivf_topk" -> 2.8, "d5_embedding_neardup" -> 2.4,
-    "a1_argmax" -> 1.6, "w2_latest_per_key_day" -> 1.4,
-    "s2_ann_lsh_topk" -> 1.3, "d3_simhash_neardup" -> 1.2,
-    "w3_price_change_history" -> 1.2, "a2_sum_coalesce" -> 1.1,
-    "j1_cdc_resurrect" -> 1.0, "j1_asof_join" -> 0.9,
-    "j6_newer_exists" -> 0.9, "s1_ann_bruteforce_topk" -> 0.9)
+    "d6_neardup_dedup" -> 33.0, "pipe_consume_sql" -> 30.0,
+    "pipe_consume_e2e" -> 16.0, "d2_minhash_neardup" -> 9.0,
+    "w2_latest_per_key_day" -> 7.6, "d4_jaccard_pairs" -> 6.1,
+    "s3_ann_ivf_topk" -> 5.4, "d3_simhash_neardup" -> 4.5,
+    "s2_ann_lsh_topk" -> 4.0, "a1_argmax" -> 3.7,
+    "a2_sum_coalesce" -> 3.5, "w3_price_change_history" -> 3.5,
+    "d1_dedup_exact" -> 2.7, "s1_ann_bruteforce_topk" -> 1.9,
+    "j1_cdc_resurrect" -> 1.5, "j6_newer_exists" -> 1.4,
+    "a4_max_per_key" -> 1.4, "d5_embedding_neardup" -> 1.3,
+    "t3_fingerprint" -> 1.3, "j1_asof_join" -> 1.1,
+    "u3_union_distinct" -> 1.1)
+
+  /** Drop every cached DataFrame AND every persisted/localCheckpoint RDD
+    * block. `cacheManager.clearCache()` alone leaves localCheckpoint blocks
+    * (RDD-level, e.g. connected-components rounds) pinned in storage memory
+    * — across a 37-query session they crowd out execution memory and
+    * unrelated queries start spilling (measured: w2 at 7.6 s with leftover
+    * blocks vs ~2 s isolated).
+    */
+  private def dropAllBlocks(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,14 +58,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+    Tables.all(spark, sfDir).foreach { case (_, df) =>
+      try df.count() catch { case _: Throwable => () }
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+    // The host shows intermittent multi-minute throttle windows (measured:
+    // the same query at 0.4 s and 29.6 s across runs, slow queries always
+    // CONTIGUOUS in time). Antidote: run the whole suite `reps` times and
+    // report each query's MINIMUM — a stall window poisons different
+    // queries in different passes. Pass 1 doubles as the JIT warmup, so the
+    // separate warmup pass defaults off when reps > 1.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val warmupDefault = if (reps > 1) "0" else "1"
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", warmupDefault) != "0") {
       // bounded so the warmup can never more than ~double the bench wall
       // time on a slow/contended host; most-expensive-first so the heavy
       // queries are the LAST to lose warmup when the budget binds
@@ -59,17 +80,33 @@ object Bench {
       val t0 = System.nanoTime()
       ordered.sortBy { case (n, _) => -costHint.getOrElse(n, 0.0) }
         .iterator.takeWhile(_ => System.nanoTime() - t0 < budgetNs)
-        .foreach { case (_, fn) =>
+        .foreach { case (name, fn) =>
+          val q0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          System.err.println(f"[bench] warmup $name ${(System.nanoTime() - q0) / 1e9}%.1f s")
+          dropAllBlocks(spark)
         }
-      spark.sharedState.cacheManager.clearCache() // warm code, cold data
     }
 
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable => Some(e.toString.take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    val passes = (1 to reps).map { rep =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable => Some(e.toString.take(200)) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pass $rep $name $sec%.1f s${err.fold("")(" ERR " + _)}")
+        // isolate queries: each pays for its own caches, none inherits
+        // another's leftover storage blocks
+        dropAllBlocks(spark)
+        (name, sec, err)
+      }
+    }
+    // per-query min over passes; a query errors only if EVERY pass errored
+    val results = ordered.map { case (name, _) =>
+      val runs = passes.map(_.find(_._1 == name).get)
+      val ok = runs.filter(_._3.isEmpty)
+      if (ok.nonEmpty) (name, ok.map(_._2).min, Option.empty[String])
+      else runs.head
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

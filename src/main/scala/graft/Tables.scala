@@ -47,4 +47,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Every synthetic table through its TYPED accessor (events needs the
+    * nanos conf — a raw `load` of it throws PARQUET_TYPE_ILLEGAL). Used by
+    * warmup paths that want the OS page cache primed.
+    */
+  def all(s: SparkSession, d: String): Seq[(String, DataFrame)] = Seq(
+    "region" -> region(s, d), "nation" -> nation(s, d),
+    "customer" -> customer(s, d), "supplier" -> supplier(s, d),
+    "part" -> part(s, d), "orders" -> orders(s, d),
+    "lineitem" -> lineitem(s, d), "events" -> events(s, d),
+    "documents" -> documents(s, d), "embeddings" -> embeddings(s, d))
 }

@@ -65,7 +65,10 @@ object ConsumeSqlPipeline {
         "base1_view" -> s"graft_base1_${it.name}",
         "activity_from" -> params.activityFrom,
         "activity_to" -> params.activityTo))
-      spark.sql(q2).createOrReplaceTempView(s"graft_base2_${it.name}")
+      // cached: stage 3 reads base2 four times (two history branches, each
+      // with the invalid-id subquery) — uncached, the whole stage-2 join
+      // tree would recompute per reference
+      spark.sql(q2).cache().createOrReplaceTempView(s"graft_base2_${it.name}")
 
       val q3 = Sources.readAndFormatSqlResource("graft/queries/3-basedata_final.sql", Map(
         "base2_view" -> s"graft_base2_${it.name}",
