@@ -77,6 +77,44 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS docs_part")
   }
 
+  test("fuzzy-dedup verification runs the merge-scan intersect inside codegen") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, sf)
+      val df = dedup.MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
+        threshold = 0.95)
+      val p = plan(df)
+      assert(p.contains("sorted_intersect_size"),
+        s"expected SortedIntersectSize in the verification projection:\n$p")
+      assert(!p.contains("array_intersect"),
+        "verification must not fall back to array_intersect")
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      // the generated merge loop compares elements with getLong
+      assert(codegen.contains("WholeStageCodegen"), s"no codegen stages:\n$codegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("oversized-bucket guard plans a broadcast anti join (banded rows never reshuffle)") {
+    val docs = Tables.documents(spark, sf)
+    val sigs = dedup.MinHashLSH.signatures(docs, col("doc_id"), col("text"), 72, 1, 42L)
+    val p = plan(dedup.MinHashLSH.candidatePairs(sigs, 6, 72))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast LeftAnti for the bucket cap in:\n$p")
+  }
+
+  test("simhash fingerprints stay a shuffle-free projection") {
+    val docs = Tables.documents(spark, sf)
+    val p = plan(dedup.SimHash.fingerprints(docs, col("doc_id"), col("text")))
+    // the only exchange allowed is the loader's round-robin parallelization
+    // guard — the operator itself must not introduce a hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fingerprints must not hash-shuffle:\n$p")
+    assert(p.contains("simhash_fingerprint"),
+      s"expected the codegen'd SimHashFingerprint expression in:\n$p")
+  }
+
   test("whole-stage codegen compiles the cosine scoring stage (no fallback)") {
     // AQE's pre-execution explain reports 0 codegen subtrees — disable it
     // for the inspection so the final physical plan is visible.
