@@ -122,6 +122,77 @@ object StreamOps {
       }
   }
 
+  /** Buffered event state for the event-time CDC repair: unprocessed events
+    * plus the latest finalized version.
+    */
+  final case class RepairBuffer(buffer: Seq[KeyedEvent], latest: Option[KeyedEvent])
+
+  /** Event-time-buffered CDC repair: batch-equivalent semantics under
+    * CROSS-TRIGGER disorder, bounded by the watermark.
+    *
+    * [[repairCdcStream]] processes each trigger's events immediately, so a
+    * version that arrives one trigger LATER than a tombstone it should have
+    * resurrected is missed. This variant holds every event in keyed state
+    * until the watermark passes its timestamp, then replays the finalized
+    * prefix in (ts, event_id) order through the same logic as the batch
+    * operator — including the duplicate-(key, ts)-tombstone collapse.
+    * Emission is append-mode correct: a row is emitted exactly once, when
+    * finalized.
+    *
+    * State per key is O(events inside the watermark horizon) — the same
+    * bound every watermarked stateful op has; the timeout timestamp is the
+    * earliest buffered event, so state drains as the watermark advances.
+    */
+  def repairCdcStreamEventTime(
+      ds: Dataset[KeyedEvent],
+      watermarkDelay: String,
+      deleteType: String = "error"): Dataset[KeyedEvent] = {
+    implicit val eventEnc = Encoders.product[KeyedEvent]
+    implicit val stateEnc = Encoders.product[RepairBuffer]
+    implicit val longEnc = Encoders.scalaLong
+
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, events: Iterator[KeyedEvent], state: GroupState[RepairBuffer]) =>
+          val prior = state.getOption.getOrElse(RepairBuffer(Nil, None))
+          // versions sort BEFORE tombstones at equal ts: the batch as-of is
+          // inclusive (v.ts <= d.ts), so a version at the tombstone's exact
+          // timestamp must be visible to it (AsOfJoin's __side ordering)
+          val all = (prior.buffer ++ events).sortBy(e =>
+            (e.ts.getTime, if (e.event_type == deleteType) 1 else 0, e.event_id))
+          val wm = state.getCurrentWatermarkMs()
+
+          // finalized prefix: watermark guarantees nothing earlier can arrive
+          val (ready, pending) = all.partition(_.ts.getTime <= wm)
+
+          var latest = prior.latest
+          val out = Seq.newBuilder[KeyedEvent]
+          var lastTombTs = Long.MinValue
+          ready.foreach { e =>
+            if (e.event_type == deleteType) {
+              // duplicate (key, ts) tombstones collapse — batch tie rule
+              if (e.ts.getTime != lastTombTs) {
+                latest.foreach(v =>
+                  out += KeyedEvent(e.user_id, e.ts, v.event_id, deleteType, v.value))
+                lastTombTs = e.ts.getTime
+              }
+            } else {
+              latest = Some(e)
+              out += e
+            }
+          }
+
+          if (pending.isEmpty && latest.isEmpty) state.remove()
+          else {
+            state.update(RepairBuffer(pending, latest))
+            // wake when the watermark can finalize the next buffered event
+            pending.headOption.foreach(e => state.setTimeoutTimestamp(e.ts.getTime))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Wire a streaming DataFrame through to an in-memory or file sink for
     * tests/jobs: update-mode for stateful latest-per-key, append for
     * watermarked aggregations.

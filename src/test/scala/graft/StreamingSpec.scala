@@ -84,6 +84,66 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 2L))
   }
 
+  test("repairCdcStreamEventTime repairs CROSS-TRIGGER disorder the eager variant misses") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val query = StreamOps.startMemorySink(
+      StreamOps.repairCdcStreamEventTime(input.toDS(), "10 minutes").toDF(),
+      "repair_et_q", OutputMode.Append())
+
+    // trigger 1: v1 and a tombstone, both inside the watermark horizon —
+    // nothing finalizes yet
+    input.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:00:00"), 1L, "upsert", 10.0),
+      KeyedEvent(1L, ts("2024-01-01 10:05:00"), 2L, "error", -1.0))
+    query.processAllAvailable()
+    // trigger 2: a LATE version that predates the tombstone (event-time
+    // 10:03 arriving after the tombstone's trigger) + a watermark-advancing
+    // event on another key
+    input.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:03:00"), 3L, "upsert", 30.0),
+      KeyedEvent(2L, ts("2024-01-01 11:00:00"), 4L, "upsert", 1.0))
+    query.processAllAvailable()
+    // trigger 3: nudge so the event-time timeout fires after the watermark
+    // advanced past 10:05
+    input.addData(KeyedEvent(2L, ts("2024-01-01 11:30:00"), 5L, "upsert", 2.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val k1 = spark.table("repair_et_q").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(3), r.getTimestamp(1), r.getDouble(4))).toSet
+    // the tombstone resurrects the LATE 10:03 version (value 30), exactly
+    // like the batch operator replaying the landed table would
+    assert(k1.contains(("error", ts("2024-01-01 10:05:00"), 30.0)), s"got $k1")
+    assert(k1.contains(("upsert", ts("2024-01-01 10:00:00"), 10.0)))
+    assert(k1.contains(("upsert", ts("2024-01-01 10:03:00"), 30.0)))
+  }
+
+  test("repairCdcStreamEventTime collapses duplicate (key, ts) tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val query = StreamOps.startMemorySink(
+      StreamOps.repairCdcStreamEventTime(input.toDS(), "5 minutes").toDF(),
+      "repair_et_dup_q", OutputMode.Append())
+
+    input.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:00:00"), 1L, "upsert", 10.0),
+      KeyedEvent(1L, ts("2024-01-01 10:05:00"), 2L, "error", -1.0),
+      KeyedEvent(1L, ts("2024-01-01 10:05:00"), 3L, "error", -1.0))
+    query.processAllAvailable()
+    input.addData(KeyedEvent(2L, ts("2024-01-01 12:00:00"), 9L, "upsert", 0.0))
+    query.processAllAvailable()
+    input.addData(KeyedEvent(2L, ts("2024-01-01 12:30:00"), 10L, "upsert", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val k1 = spark.table("repair_et_dup_q").collect().filter(_.getLong(0) == 1L)
+    // one version + ONE resurrected row (batch tie rule), not two
+    assert(k1.count(_.getString(3) == "error") == 1)
+    assert(k1.count(_.getString(3) == "upsert") == 1)
+  }
+
   test("dedupWithinWatermark suppresses duplicate ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedEvent]
