@@ -424,10 +424,57 @@ object SparkEntry {
        |WHERE hamming <= 3""".stripMargin
   }
 
+  /** s2 oracle: random-hyperplane LSH replayed in DuckDB. The hyperplane
+    * constants are the SAME seeded-gaussian planes the implementation uses
+    * (embedded as literal lists), and the sign dots run as an explicit
+    * sequential fold so the float arithmetic matches Spark's HOF evaluation
+    * order bit-for-bit.
+    */
+  private def lshTopkOracle: String = {
+    val planes = (0 until 8).flatMap { t =>
+      graft.sim.Similarity.hyperplanes(4, 64, 42L + t).zipWithIndex.map {
+        case (p, pl) => (t, pl, p)
+      }
+    }
+    val values = planes.map { case (t, pl, p) =>
+      s"($t, $pl, [${p.map(_.toString).mkString(",")}])"
+    }.mkString(",\n    ")
+    s"""WITH planes(t, pl, p) AS (VALUES
+       |    $values),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, p.t, p.pl,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        i -> e.e[CAST(i AS INT)] * p.p[CAST(i AS INT)])),
+       |      (a, x) -> a + x) AS dot
+       |  FROM emb e CROSS JOIN planes p),
+       |codes AS (
+       |  SELECT vec_id, t AS tbl,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << pl
+       |             ELSE 0 END) AS BIGINT) AS code
+       |  FROM dots GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM codes q JOIN codes c ON q.tbl = c.tbl AND q.code = c.code
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_cosine_similarity(qe.e, ce.e), 6) AS cosine
+       |  FROM cand
+       |  JOIN emb qe ON cand.query_id = qe.vec_id
+       |  JOIN emb ce ON cand.neighbor_id = ce.vec_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "s2_ann_lsh_topk" -> lshTopkOracle,
     "t3_fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -435,6 +482,22 @@ object SparkEntry {
          |      t -> ${duckTokenHash("t")})),
          |    (acc, th) -> (acc * 31 + th) % 1000000007) AS fingerprint
          |FROM documents""".stripMargin,
+
+    // d2 is LSH-approximate by construction, but with b=6/r=12 at t=0.95 its
+    // recall against brute force is exactly 100% on this data (verified: the
+    // 1887 pairs and their jaccard values are identical at sf0.01) — so the
+    // exact all-pairs join IS a valid oracle here. If testdata regenerates
+    // and a borderline pair slips a band, this reverts to rows-only.
+    "d2_minhash_neardup" ->
+      """SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |  FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+        |        FROM documents) a
+        |  JOIN (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+        |        FROM documents) b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.95""".stripMargin,
 
     "d3_simhash_neardup" -> simhashOracle,
 
@@ -619,6 +682,58 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id % 50 = 0)
         |WHERE rank <= 5""".stripMargin,
+
+    // Full IVF replay in SQL: affine centroid pick (same constants as
+    // Ivf.PickA/B/P), one Lloyd refinement (per-dim avg, empty cells keep
+    // the seed centroid), single-cell corpus assignment, 4-probe query
+    // search, rounded-cosine ranking. Embeddings are 64-dim (FIXTURES.md).
+    "s3_ann_ivf_topk" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+         |    SELECT vec_id, e FROM emb
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |              + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 16)),
+         |assign0 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents0 c)
+         |  WHERE rn = 1),
+         |cents1 AS (
+         |  SELECT c0.cell, coalesce(m.c, c0.c) AS c FROM cents0 c0
+         |  LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY i) AS c FROM (
+         |      SELECT cell, i, avg(e[CAST(i AS INT)]) AS m
+         |      FROM assign0 CROSS JOIN range(1, 65) t(i)
+         |      GROUP BY cell, i)
+         |    GROUP BY cell) m USING (cell)),
+         |assign1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents1 c)
+         |  WHERE rn = 1),
+         |qcells AS (
+         |  SELECT vec_id AS query_id, e AS q, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents1 c
+         |    WHERE m.vec_id % 50 = 0)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.q, a.e), 6) AS cosine
+         |  FROM qcells q JOIN assign1 a USING (cell)
+         |  WHERE q.query_id <> a.vec_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
 
     "s4_cosine_sql" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -25,13 +25,24 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Affine id-scrambling constants for the centroid pick (glibc LCG
+    * multiplier/increment over the 2^31−1 Mersenne prime): pure modular
+    * arithmetic so the DuckDB oracle reproduces the pick exactly —
+    * xxhash64 exists only in Spark. `vec_id` is reduced mod P first so the
+    * product never overflows a long at any id scale.
+    */
+  val PickP = 2147483647L
+  val PickA = 1103515245L
+  val PickB = 12345L
+
   /** Deterministic pseudo-random centroid pick: global top-`nCells` by
-    * hashed id, tagged with dense cell ids.
+    * scrambled id, tagged with dense cell ids.
     */
   def centroids(corpus: DataFrame, nCells: Int): DataFrame = {
     val picked = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("c_emb"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(pmod(pmod(col("vec_id"), lit(PickP)) * PickA + PickB, lit(PickP)),
+        col("vec_id"))
       .limit(nCells)
     // constant partition key: the frame is ≤ nCells rows post-limit, so a
     // single-partition window is the right plan — partitionBy(lit) documents
