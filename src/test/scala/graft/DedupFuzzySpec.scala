@@ -111,4 +111,24 @@ class DedupFuzzySpec extends SparkSpec {
     // intersection 11, union 13 -> 11/13
     assert(math.abs(pairs((1L, 2L)) - 11.0 / 13.0) < 1e-5)
   }
+
+  test("word n-gram shingles (n=3): order-sensitive similarity") {
+    // docs 1,2 differ only in the last token: 12 trigrams each, the last
+    // one differs on each side -> intersection 11, union 13
+    val sets = Jaccard.shingleSets(corpus, col("doc_id"), col("text"), 3)
+    val pairs = Jaccard.similarPairs(sets, sets, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((3L, 4L)) == 1.0) // exact dup: all trigrams shared
+    assert(math.abs(pairs((1L, 2L)) - 11.0 / 13.0) < 1e-5)
+    // token-REORDERED docs share unigrams but not trigrams: build a pair
+    // with identical vocabulary, different order
+    val reordered = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (8L, "zeta epsilon delta gamma beta alpha")).toDF("doc_id", "text")
+    val s1g = Jaccard.shingleSets(reordered, col("doc_id"), col("text"), 1)
+    val s3g = Jaccard.shingleSets(reordered, col("doc_id"), col("text"), 3)
+    assert(Jaccard.similarPairs(s1g, s1g, 0.99).count() == 1) // unigram: identical
+    assert(Jaccard.similarPairs(s3g, s3g, 0.01).count() == 0) // trigram: disjoint
+  }
 }
