@@ -29,9 +29,13 @@ object Clusters {
     // composed plan string alone OOMs the driver. Checkpointing truncates
     // lineage to the materialized result. (On a production cluster prefer
     // `checkpoint` to reliable storage for executor-loss tolerance.)
+    // cache, not localCheckpoint: edges' lineage is one fixed-depth plan
+    // (the pair computation) — the lineage-growth hazard is only the
+    // ITERATED labels frame below. cache() is lazy, so the first consumer
+    // (the seed aggregation) materializes it without an extra barrier.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .cache()
     // seed with round 1 computed directly: component = min(id, neighbors)
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("component"))

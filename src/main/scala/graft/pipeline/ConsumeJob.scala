@@ -35,7 +35,8 @@ object ConsumeJob {
       val b1 = ConsumePipeline.baseFirst(repaired, customer)
         .filter(it.filter)
         .cache()
-      val b2 = ConsumePipeline.enrich(b1, side)
+      // stage 3 + both exports read base2 repeatedly — cache like build()
+      val b2 = ConsumePipeline.enrich(b1, side).cache()
       val b3 = ConsumePipeline.baseFinal(b2, params.monthStart, params.monthEnd)
       val out = ConsumePipeline.modify(b3, nation)
         .withColumn("iteration", lit(it.name))
@@ -51,14 +52,14 @@ object ConsumeJob {
       // then recomputes stage-1 lineage at the final write
       // (`script/main.py:370`, SURVEY §3.3) — an accepted cost there, but
       // pure waste, so we keep b1 cached until after the final action.
-      (out, b1)
+      (out, Seq(b1, b2))
     }
 
     val union = perIteration.map(_._1).reduce(_ unionByName _)
     // K3: delete-insert of the month partitions present in the result.
     Sinks.overwritePartitions(union, s"$outDir/table", "partition_month")
 
-    perIteration.foreach(_._2.unpersist())
+    perIteration.foreach(_._2.foreach(_.unpersist()))
     side.unpersist()
     repaired.unpersist()
     events.unpersist()

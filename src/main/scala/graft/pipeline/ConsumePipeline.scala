@@ -215,7 +215,11 @@ object ConsumePipeline {
       val b1 = baseFirst(repaired, customer)
         .filter(it.filter)
         .cache()
-      val b2 = enrich(b1, side)
+      // cached: stage 3 reads base2 four times (invalid-id aggregation,
+      // anti join, and both price-history branches) — uncached, the stage-2
+      // join tree re-runs per consumer (measured: the SQL-template variant
+      // with this cache beat the uncached DataFrame path)
+      val b2 = enrich(b1, side).cache()
       val b3 = baseFinal(b2, params.monthStart, params.monthEnd)
       modify(b3, nation)
         .withColumn("iteration", lit(it.name))
