@@ -15,6 +15,10 @@ run / fork := true
 // sbt's default logger prefixes every line with [info]/[error], which breaks
 // machine parsing of Bench's JSON result line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and no "[success] Total time" banner AFTER it, so the JSON line stays
+// the LAST line on stdout (bench_out.json is the file-based fallback).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
