@@ -49,7 +49,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to every host core: the driver contract is local[32] and the
+    // driver does NOT export SPARK_GRAFT_CPUS — a fixed small default made
+    // the round-2 driver bench run local[4] (≈5× the wall time).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,7 +66,10 @@ object Bench {
       try df.count() catch { case _: Throwable => () }
     }
 
+    // SPARK_GRAFT_ONLY=d6_neardup_dedup,a1_argmax — profile a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // The host shows intermittent multi-minute throttle windows (measured:
     // the same query at 0.4 s and 29.6 s across runs, slow queries always
     // CONTIGUOUS in time). Antidote: run the whole suite `reps` times and
