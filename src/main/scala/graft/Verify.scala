@@ -8,8 +8,7 @@ object Verify {
     val sfDir = args(0); val outDir = args(1)
     // optional extra args: restrict to the named queries (dev-side use)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
+    val cpus = Env.cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

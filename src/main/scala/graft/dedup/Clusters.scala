@@ -33,8 +33,17 @@ object Clusters {
     // (the pair computation) — the lineage-growth hazard is only the
     // ITERATED labels frame below. cache() is lazy, so the first consumer
     // (the seed aggregation) materializes it without an extra barrier.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    //
+    // Both orientations come from ONE explode pass over `pairs` — a
+    // two-branch `union(select(a,b), select(b,a))` executes the upstream
+    // pair computation TWICE on first materialization, and `pairs` is
+    // typically the expensive frame here (e.g. the full LSH candidate +
+    // verification join in near-dup dedup — measured ~2× the whole d6
+    // detection cost before this).
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     // seed with round 1 computed directly: component = min(id, neighbors)
     var labels = edges.groupBy(col("src"))

@@ -23,6 +23,20 @@ object Sources {
     (if (recursive) r.option("recursiveFileLookup", "true") else r).parquet(path)
   }
 
+  /** S2/S3 (`script/main.py:263-298`): catalog-table scan with an optional
+    * partition predicate — the Glue `create_dynamic_frame.from_catalog(...,
+    * push_down_predicate=...)` analog. With a predicate on the table's
+    * partition columns, Catalyst's `PruneFileSourcePartitions` turns it into
+    * metadata-only pruning (`PartitionFilters` on the scan — asserted by
+    * PlanAuditSpec), so unmatched partitions are never listed, let alone
+    * read; predicates on data columns push down into the scan instead.
+    */
+  def table(spark: SparkSession, name: String,
+            predicate: Option[String] = None): DataFrame = {
+    val t = spark.read.table(name)
+    predicate.fold(t)(t.where)
+  }
+
   /** S4 (`script/main.py:129-134`): CSV lookup load, header + inferSchema —
     * used for the small geo lookup tables that feed broadcast joins (J8).
     */

@@ -68,6 +68,29 @@ object Reshape {
     df.select(df.schema.fields.toSeq.flatMap(f => expand(f.name, col(f.name), f.dataType)): _*)
   }
 
+  /** P4 nested form (`script/main.py:123`, `script/helper.py:157-163`): drop
+    * columns OR nested struct fields by dotted path (`a.b.c`), the
+    * DynamicFrame `drop_fields(paths=[...])` semantics. Top-level names drop
+    * the column; deeper paths rewrite just the enclosing top-level column
+    * with `Column.dropFields` (one projection, executor-side no-op for
+    * untouched columns). Unknown paths are ignored, matching the reference.
+    */
+  def dropPaths(df: DataFrame, paths: Seq[String]): DataFrame = {
+    val (flat, nested) = paths.partition(!_.contains("."))
+    // nested paths whose top-level column is absent are silently ignored
+    // (groupBy keys never match a df column)
+    val nestedByTop = nested.groupBy(_.takeWhile(_ != '.'))
+    val kept = df.columns.filterNot(flat.contains).map { c =>
+      nestedByTop.get(c) match {
+        case Some(ps) =>
+          val subs = ps.map(_.dropWhile(_ != '.').drop(1))
+          col(c).dropFields(subs: _*).alias(c)
+        case None => col(c)
+      }
+    }
+    df.select(kept.toSeq: _*)
+  }
+
   /** P5 (`script/main.py:174-178`, `script/helper.py:150-155`): strip a
     * prefix from every matching column name (optionally restricted to a
     * configured list), as ONE select — not a fold of `withColumnRenamed`,
@@ -86,6 +109,16 @@ object Reshape {
     */
   def selectByPrefixes(df: DataFrame, prefixes: Seq[String]): DataFrame =
     df.select(df.columns.filter(c => prefixes.exists(c.startsWith)).map(col).toSeq: _*)
+
+  /** JSON-export column policy (`script/helper.py:157-163`): drop every
+    * column carrying one of the configured prefixes unless whitelisted in
+    * `keep` — the reference's `classified_*` / `userDefined_*` rule with
+    * `colsToKeep` as the whitelist.
+    */
+  def dropPrefixedExcept(df: DataFrame, prefixes: Seq[String],
+                         keep: Set[String]): DataFrame =
+    df.drop(df.columns.filter(c =>
+      prefixes.exists(c.startsWith) && !keep.contains(c)).toSeq: _*)
 
   /** F6 (`script/helper.py:74-96`): dynamic CASE chain built from a mapping:
     * `CASE WHEN key = k1 THEN v1 ... ELSE default END` where each value is a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.io.Sinks
+import graft.io.{JobConfig, Sinks}
 import graft.ops.Reshape
 
 /** Job orchestration (SURVEY §3.3; reference `script/main.py:221-418`):
@@ -19,9 +19,26 @@ import graft.ops.Reshape
   */
 object ConsumeJob {
 
-  /** @return the accumulated union that was written to `outDir/table`. */
+  /** The reference's JSON-branch prefix-drop rule (`script/helper.py:
+    * 157-163`): these prefix families are stripped from the JSON export
+    * unless whitelisted by `colsToKeep`.
+    */
+  private val jsonDropPrefixes = Seq("classified_", "userDefined_")
+
+  /** @return the accumulated union that was written to `outDir/table`.
+    *
+    * `cfg` wires the reference's config-driven export shapes
+    * (`script/main.py:349-351,372`, `script/config.json:5-26`):
+    *  - `colsToDropBaseData` drops (dotted paths allowed) from the stage-3
+    *    result BEFORE `modify` — shapes the table write AND both exports;
+    *  - `colsToDropJson` drops after `modify` — shapes the file exports
+    *    only, the accumulated table keeps the columns;
+    *  - `colsToKeep` whitelists prefix-family columns in the JSON branch.
+    * Without a config the exports keep their fixed demonstration shapes.
+    */
   def run(spark: SparkSession, dir: String, outDir: String,
-          params: ConsumeParams = ConsumeParams()): DataFrame = {
+          params: ConsumeParams = ConsumeParams(),
+          cfg: Option[JobConfig] = None): DataFrame = {
     val events = Tables.events(spark, dir).cache()
     val customer = Tables.customer(spark, dir)
     val orders = Tables.orders(spark, dir)
@@ -37,16 +54,32 @@ object ConsumeJob {
         .cache()
       // stage 3 + both exports read base2 repeatedly — cache like build()
       val b2 = ConsumePipeline.enrich(b1, side).cache()
-      val b3 = ConsumePipeline.baseFinal(b2, params.monthStart, params.monthEnd)
+      val b3raw = ConsumePipeline.baseFinal(b2, params.monthStart, params.monthEnd)
+      // config-driven base-data drop (`script/main.py:349-351`) — BEFORE
+      // modify, so the accumulated table loses the columns too
+      val b3 = cfg.filter(_.colsToDropBaseData.nonEmpty)
+        .fold(b3raw)(c => Reshape.dropPaths(b3raw, c.colsToDropBaseData))
       val out = ConsumePipeline.modify(b3, nation)
         .withColumn("iteration", lit(it.name))
 
-      // K1: nested gzip JSON export (flat names re-nested on '_', F8).
-      val json = Reshape.nestSchema(out.select("user_id", "event_type",
-        "price_src", "partition_month", "n_name", "n_clicks", "n_views"))
-      Sinks.gzipJson(json, s"$outDir/json/${it.name}")
-      // K2: flat gzip CSV export.
-      Sinks.gzipCsv(out.drop("props"), s"$outDir/csv/${it.name}")
+      cfg match {
+        case Some(c) =>
+          // config-driven export shapes (`script/main.py:372-393`): one
+          // common drop list for both file exports; the JSON branch
+          // additionally applies the prefix-family whitelist and re-nests
+          val exportBase = Reshape.dropPaths(out, c.colsToDropJson)
+          val json = Reshape.nestSchema(Reshape.dropPrefixedExcept(
+            exportBase, jsonDropPrefixes, c.colsToKeep.toSet))
+          Sinks.gzipJson(json, s"$outDir/json/${it.name}")
+          Sinks.gzipCsv(exportBase, s"$outDir/csv/${it.name}")
+        case None =>
+          // K1: nested gzip JSON export (flat names re-nested on '_', F8).
+          val json = Reshape.nestSchema(out.select("user_id", "event_type",
+            "price_src", "partition_month", "n_name", "n_clicks", "n_views"))
+          Sinks.gzipJson(json, s"$outDir/json/${it.name}")
+          // K2: flat gzip CSV export.
+          Sinks.gzipCsv(out.drop("props"), s"$outDir/csv/${it.name}")
+      }
 
       // The reference unpersists BaseDataFirst here; the accumulated union
       // then recomputes stage-1 lineage at the final write

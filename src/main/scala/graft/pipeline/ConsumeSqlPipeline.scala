@@ -45,6 +45,28 @@ object ConsumeSqlPipeline {
     // CDC table the same way (script/main.py:125)
     spark.sql(q0).cache().createOrReplaceTempView("graft_repaired")
 
+    // Loop-invariant stage-2 side inputs (templates 2a–2d): the activity id
+    // set and the three per-user statistic families depend only on the
+    // sources and the date window, never on the iteration — materialize each
+    // ONCE as a cached view instead of re-aggregating the event stream per
+    // iteration (the SQL twin of ConsumePipeline.SideInputs; r3 measured the
+    // per-iteration re-aggregation at 2.5× the DataFrame path).
+    val sideViews = Seq(
+      ("graft_side_activity", "graft/queries/2a-side_activity.sql", Map(
+        "orders_view" -> "graft_orders",
+        "activity_from" -> params.activityFrom,
+        "activity_to" -> params.activityTo)),
+      ("graft_side_control", "graft/queries/2b-side_control.sql",
+        Map("cdc_view" -> "graft_cdc")),
+      ("graft_side_clicks", "graft/queries/2c-side_clicks.sql",
+        Map("cdc_view" -> "graft_cdc")),
+      ("graft_side_views", "graft/queries/2d-side_views.sql",
+        Map("cdc_view" -> "graft_cdc")))
+    sideViews.foreach { case (view, resource, vars) =>
+      spark.sql(Sources.readAndFormatSqlResource(resource, vars))
+        .cache().createOrReplaceTempView(view)
+    }
+
     params.iterations.map { it =>
       val q1 = Sources.readAndFormatSqlResource("graft/queries/1-basedata_first.sql", Map(
         "repaired_view" -> "graft_repaired",
@@ -60,11 +82,11 @@ object ConsumeSqlPipeline {
       spark.sql(q1).cache().createOrReplaceTempView(s"graft_base1_${it.name}")
 
       val q2 = Sources.readAndFormatSqlResource("graft/queries/2-basedata_df.sql", Map(
-        "orders_view" -> "graft_orders",
-        "cdc_view" -> "graft_cdc",
         "base1_view" -> s"graft_base1_${it.name}",
-        "activity_from" -> params.activityFrom,
-        "activity_to" -> params.activityTo))
+        "activity_view" -> "graft_side_activity",
+        "control_view" -> "graft_side_control",
+        "clicks_view" -> "graft_side_clicks",
+        "views_view" -> "graft_side_views"))
       // cached: stage 3 reads base2 four times (two history branches, each
       // with the invalid-id subquery) — uncached, the whole stage-2 join
       // tree would recompute per reference

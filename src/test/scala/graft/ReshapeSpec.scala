@@ -43,6 +43,33 @@ class ReshapeSpec extends SparkSpec {
       .columns.toSeq == Seq("classified_a", "cleaned_b", "cleanupdataproblems"))
   }
 
+  test("dropPaths drops flat columns and nested struct fields by dotted path") {
+    val df = Seq((1, "x", 2.0, true))
+      .toDF("a_b_c", "a_b_d", "a_e", "f")
+    val nested = Reshape.nestSchema(df) // a: {b: {c, d}, e}, f
+    val out = Reshape.dropPaths(nested, Seq("f", "a.b.d"))
+    assert(out.columns.toSeq == Seq("a"))
+    val a = out.schema("a").dataType.asInstanceOf[StructType]
+    assert(a("b").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("c"))
+    assert(a.fieldNames.toSeq == Seq("b", "e"))
+    // values survive the rewrite
+    assert(out.select($"a.b.c").as[Int].head() == 1)
+  }
+
+  test("dropPaths ignores unknown paths (reference drop_fields semantics)") {
+    val df = Seq((1, 2)).toDF("x", "y")
+    val out = Reshape.dropPaths(df, Seq("nope", "missing.deep", "y"))
+    assert(out.columns.toSeq == Seq("x"))
+  }
+
+  test("dropPrefixedExcept drops prefix families unless whitelisted") {
+    val df = Seq((1, 2, 3, 4))
+      .toDF("classified_a", "userDefined_keep", "userDefined_drop", "plain")
+    val out = Reshape.dropPrefixedExcept(df,
+      Seq("classified_", "userDefined_"), Set("userDefined_keep"))
+    assert(out.columns.toSeq == Seq("userDefined_keep", "plain"))
+  }
+
   test("whenChain picks mapped column else default") {
     val df = Seq(("HOUSE", "h", "a"), ("APARTMENT", "h", "a"), ("PLOT", "h", "a"))
       .toDF("t", "houseCol", "aptCol")
