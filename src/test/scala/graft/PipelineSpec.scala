@@ -51,6 +51,42 @@ class PipelineSpec extends SparkSpec {
     assert(table2.count() == again.count(), "re-run must not duplicate partitions")
   }
 
+  test("config drop/keep lists reshape the exports (script/main.py:349-372)") {
+    val outDir = Files.createTempDirectory("graft-job-cfg").toString
+    val cfg = graft.io.JobConfig.parse(
+      """{"colsToDropBaseData": ["props"],
+        |  "colsToDropJson": ["n_views", "ts"],
+        |  "colsToKeep": []}""".stripMargin)
+    val result = ConsumeJob.run(spark, sf, outDir, ConsumeParams(), Some(cfg))
+    // colsToDropBaseData shapes the accumulated table too
+    assert(!result.columns.contains("props"))
+    val table = spark.read.parquet(s"$outDir/table")
+    assert(!table.columns.contains("props"))
+    // colsToDropJson shapes the file exports only
+    val csv = spark.read.option("header", "true").csv(s"$outDir/csv/it1")
+    assert(!csv.columns.contains("n_views") && !csv.columns.contains("props"))
+    assert(csv.columns.contains("n_clicks"))
+    assert(table.columns.contains("n_views"), "table keeps colsToDropJson columns")
+    // JSON re-nests what survives the drops: n_views gone, n_clicks nested
+    val json = spark.read.json(s"$outDir/json/it1")
+    val n = json.schema("n").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(n.fieldNames.contains("clicks") && !n.fieldNames.contains("views"))
+  }
+
+  test("CSV lookup feeds the broadcast geo join end-to-end (script/main.py:128-154)") {
+    // write a nation-shaped CSV, load via Sources.csvLookup, feed modify()
+    val csvDir = Files.createTempDirectory("graft-geo-csv").toString
+    Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+    val lookup = graft.io.Sources.csvLookup(spark, csvDir)
+    val base = ConsumePipeline.build(spark, sf).drop("geoid", "n_name", "partition_month")
+    val out = ConsumePipeline.modify(base, lookup)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the CSV lookup to broadcast:\n$p")
+    assert(out.filter(col("n_name").isNotNull).count() > 0)
+  }
+
   test("custom iteration matrix is honored") {
     val params = ConsumeParams(iterations =
       Seq(IterationSpec.bySegments("only", Seq("BUILDING", "AUTOMOBILE",

@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkSpec {
     docs.write.mode("overwrite").partitionBy("pm")
       .format("parquet").saveAsTable("docs_part")
     try {
-      val pruned = spark.read.table("docs_part").where(col("pm") === "2024-01")
+      // through the library's catalog read path (S2/S3), not raw spark.read
+      val pruned = io.Sources.table(spark, "docs_part", Some("pm = '2024-01'"))
       val p = plan(pruned)
       assert(p.contains("PartitionFilters: [") && p.contains("(pm"),
         s"expected partition filter in:\n$p")
@@ -75,6 +76,30 @@ class PlanAuditSpec extends SparkSpec {
         "partition predicate must prune, not scan-filter")
       assert(pruned.count() > 0)
     } finally spark.sql("DROP TABLE IF EXISTS docs_part")
+  }
+
+  test("price-change branches reuse the upstream key partitioning (no new exchange)") {
+    // Both W3 (key, price) and W4 (key) windows are satisfied by data
+    // already hash-partitioned on the key — hashpartitioning(k) clusters any
+    // superset key set — so over a cached stage-2 frame the whole operator
+    // must add ZERO exchanges: local sorts only. This is the 100 TB-critical
+    // property: the month-history pass costs no extra shuffle of the corpus.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val base = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"),
+          col("l_shipdate").cast("timestamp").as("ts"), col("l_linenumber").as("tb"))
+        .repartition(col("k")) // stands in for stage 2's join partitioning
+      val hist = ops.PriceChange.history(base, col("k"), col("price"), col("ts"),
+        Seq(col("tb").desc), monthStart = "1996-01-01", monthEnd = "1996-02-01")
+      val p = plan(hist)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      // exactly the two upstream repartitions (one per union branch reading
+      // the same frame, uncached here) — the windows themselves add none; a
+      // (k, price) re-exchange in the W3 branch would make this 3
+      assert(exchanges == 2, s"windows added exchanges beyond the input's:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("fuzzy-dedup verification runs the merge-scan intersect inside codegen") {
