@@ -23,17 +23,18 @@ object Bench {
     * runs out. Unlisted queries default to 0 and run last.
     */
   private val costHint: Map[String, Double] = Map(
-    "d6_neardup_dedup" -> 33.0, "pipe_consume_sql" -> 30.0,
-    "pipe_consume_e2e" -> 16.0, "d2_minhash_neardup" -> 9.0,
-    "w2_latest_per_key_day" -> 7.6, "d4_jaccard_pairs" -> 6.1,
-    "s3_ann_ivf_topk" -> 5.4, "d3_simhash_neardup" -> 4.5,
-    "s2_ann_lsh_topk" -> 4.0, "a1_argmax" -> 3.7,
-    "a2_sum_coalesce" -> 3.5, "w3_price_change_history" -> 3.5,
-    "d1_dedup_exact" -> 2.7, "s1_ann_bruteforce_topk" -> 1.9,
-    "j1_cdc_resurrect" -> 1.5, "j6_newer_exists" -> 1.4,
-    "a4_max_per_key" -> 1.4, "d5_embedding_neardup" -> 1.3,
-    "t3_fingerprint" -> 1.3, "j1_asof_join" -> 1.1,
-    "u3_union_distinct" -> 1.1)
+    // round-4 2-pass minimums (sf0.1, post d6/pipe fixes)
+    "pipe_consume_e2e" -> 8.5, "pipe_consume_sql" -> 8.4,
+    "d6_neardup_dedup" -> 7.3, "d2_minhash_neardup" -> 3.3,
+    "s3_ann_ivf_topk" -> 3.2, "d4_jaccard_pairs" -> 2.4,
+    "d3_simhash_neardup" -> 1.8, "w3_price_change_history" -> 1.8,
+    "w2_latest_per_key_day" -> 1.7, "s2_ann_lsh_topk" -> 1.6,
+    "j1_cdc_resurrect" -> 1.5, "a1_argmax" -> 1.3,
+    "j1_asof_join" -> 1.2, "j6_newer_exists" -> 1.2,
+    "a2_sum_coalesce" -> 1.2, "s1_ann_bruteforce_topk" -> 1.1,
+    "d1_dedup_exact" -> 0.9, "u3_union_distinct" -> 0.9,
+    "a4_max_per_key" -> 0.8, "j7_not_in_anti" -> 0.7,
+    "d5_embedding_neardup" -> 0.7)
 
   /** Drop every cached DataFrame AND every persisted/localCheckpoint RDD
     * block. `cacheManager.clearCache()` alone leaves localCheckpoint blocks

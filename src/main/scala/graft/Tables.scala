@@ -23,10 +23,19 @@ object Tables {
     * up front; with production inputs (many files / row groups) this is a
     * no-op. Filters still reach the parquet scan — Catalyst pushes
     * predicates and pruning through round-robin repartition.
+    *
+    * TESTDATA-ONLY workaround, gated by `spark.graft.parallelizeInputs`
+    * (default true): the round-robin redistribute DESTROYS any deliberate
+    * layout — a pre-bucketed or pre-partitioned production table must be
+    * read with the conf set to `false` (or through its catalog table, which
+    * does not pass here) or its zero-exchange join layout is lost.
     */
   private def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    if (spark.conf.get("spark.graft.parallelizeInputs", "true") != "true") df
+    else {
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus per-partition feature extraction.
   *
   * The Spark-side contract is real and tested — schema, partitioning, batch
-  * shape. The actual media DECODING is stubbed (this container ships no
-  * image/audio codecs): `decodeStub` is a deterministic fake standing in for
-  * a JNI/library call. Swap `decodeStub` for a real decoder and nothing else
+  * shape. Header-level image decoding ([[sniffImage]]/[[imageMeta]]: PNG /
+  * GIF / BMP / JPEG dimensions) is REAL pure-byte parsing with no codec
+  * dependency — the per-blob triage step a large ingest runs on everything.
+  * Full PIXEL decoding is stubbed (this container ships no image/audio
+  * codecs): `decodeStub` is a deterministic fake standing in for a
+  * JNI/library call. Swap `decodeStub` for a real decoder and nothing else
   * changes.
   *
   * Scale notes: feature extraction is `mapPartitions` (the Scala analogue of
@@ -22,6 +25,7 @@ object Multimodal {
 
   case class MediaRecord(doc_id: Long, mime: String, n_bytes: Int, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int, features: Array[Float])
+  case class ImageMeta(doc_id: Long, format: String, width: Int, height: Int)
 
   /** Pack a text table into the multimodal layout: payload as binary +
     * metadata struct. In production the payload is the raw image/audio blob
@@ -40,6 +44,53 @@ object Multimodal {
     * downstream shape logic is exercised honestly.
     */
   private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+
+  /** REAL (not stubbed) image metadata decode: container-format dimension
+    * sniffing for PNG / GIF / BMP / JPEG from the raw header bytes — pure
+    * byte parsing, no codec library, so it runs anywhere. This is the
+    * decode step a 100 TB ingest actually runs on EVERY blob (to filter
+    * corrupt/oversized/wrong-aspect images) before any pixel decode of the
+    * survivors; unknown/truncated payloads yield ("unknown", -1, -1) rather
+    * than failing the partition.
+    */
+  private[multimodal] def sniffImage(p: Array[Byte]): (String, Int, Int) = {
+    @inline def u8(i: Int) = p(i) & 0xff
+    @inline def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    @inline def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    val unknown = ("unknown", -1, -1)
+    if (p.length >= 24 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      ("png", be32(16), be32(20)) // IHDR is always the first chunk
+    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+      ("gif", le16(6), le16(8)) // logical screen descriptor
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+      ("bmp", le32(18), math.abs(le32(22))) // BITMAPINFOHEADER (height may be negative = top-down)
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn frame header
+      var i = 2
+      while (i + 9 < p.length) {
+        if (u8(i) != 0xff) return unknown
+        val m = u8(i + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone markers
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return ("jpeg", be16(i + 7), be16(i + 5)) // SOFn: height then width
+        else i += 2 + be16(i + 2) // skip segment payload
+      }
+      unknown
+    } else unknown
+  }
+
+  /** Image metadata extraction over the media table — the real decode step,
+    * batched per partition like [[extractFeatures]].
+    */
+  def imageMeta(media: Dataset[MediaRecord]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (fmt, w, h) = sniffImage(r.payload)
+      ImageMeta(r.doc_id, fmt, w, h)
+    })
+  }
 
   /** Feature extraction: decode (stubbed) then reduce to a fixed-size
     * float vector — here a `dim`-bucket byte histogram, normalized. Runs as

@@ -82,6 +82,36 @@ object StreamOps {
       }
   }
 
+  /** [[latestPerKey]] with idle-key state GC: a key whose last event is
+    * older than `idleTtl` of PROCESSING time has its state dropped on the
+    * next trigger (a later event for the key simply re-seeds it — the
+    * "latest" answer can regress across a drop, which is the standard
+    * trade-off of TTL'd dedup state). Without a TTL, one state row per
+    * ever-seen key lives forever — unbounded on an open key domain like
+    * cookie/session ids; with it, state is bounded by keys active inside
+    * the TTL window.
+    *
+    * Processing-time (not event-time) timeout on purpose: the state must
+    * drain even when the source goes quiet, and an event-time watermark
+    * cannot advance without new data.
+    */
+  def latestPerKeyWithTtl(ds: Dataset[KeyedEvent], idleTtl: String): Dataset[KeyedEvent] = {
+    implicit val eventEnc = Encoders.product[KeyedEvent]
+    implicit val longEnc = Encoders.scalaLong
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: Long, events: Iterator[KeyedEvent], state: GroupState[KeyedEvent]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val latest = (events ++ state.getOption.iterator)
+              .maxBy(e => (e.ts.getTime, e.event_id))
+            state.update(latest)
+            state.setTimeoutDuration(idleTtl)
+            Iterator.single(latest)
+          }
+      }
+  }
+
   /** Streaming CDC repair — the live-stream analog of
     * [[graft.ops.AsOfJoin.resurrectDeletes]] (reference
     * `0-merge_delete_query.sql`): each key's latest version is managed

@@ -24,6 +24,46 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(f => f.doc_id -> f.n_bytes).toMap == Map(1L -> 11, 2L -> 3))
   }
 
+  test("imageMeta decodes real PNG/GIF/BMP/JPEG headers (no codec library)") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(-h) // negative height = top-down rows
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(30)
+      b.put(0xff.toByte).put(0xd8.toByte)                    // SOI
+      b.put(0xff.toByte).put(0xe0.toByte).putShort(5).put(Array[Byte](1, 2, 3)) // APP0 skip
+      b.put(0xff.toByte).put(0xc0.toByte).putShort(8)        // SOF0
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.array()
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", 24, png(640, 480)),
+      Multimodal.MediaRecord(2L, "image/gif", 10, gif(320, 200)),
+      Multimodal.MediaRecord(3L, "image/bmp", 26, bmp(800, 600)),
+      Multimodal.MediaRecord(4L, "image/jpeg", 30, jpeg(1024, 768)),
+      Multimodal.MediaRecord(5L, "application/octet-stream", 3, Array[Byte](1, 2, 3)))
+      .toDS()
+    val meta = Multimodal.imageMeta(media).collect()
+      .map(m => m.doc_id -> ((m.format, m.width, m.height))).toMap
+    assert(meta(1L) == (("png", 640, 480)))
+    assert(meta(2L) == (("gif", 320, 200)))
+    assert(meta(3L) == (("bmp", 800, 600))) // top-down height normalized
+    assert(meta(4L) == (("jpeg", 1024, 768)))
+    assert(meta(5L) == (("unknown", -1, -1))) // garbage degrades, not throws
+  }
+
   test("resizeStub truncates/pads payloads to the target size") {
     val out = Multimodal.resizeStub(
       Multimodal.asMediaDataset(Multimodal.packDocuments(docs)), 2, 3).collect()

@@ -35,6 +35,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == 102L)
   }
 
+  test("latestPerKeyWithTtl answers like latestPerKey and GCs idle state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    // Generous TTL so nothing times out mid-test. With a processing-time
+    // timeout registered the engine schedules timeout-check batches FOREVER
+    // — the stream never idles, so processAllAvailable blocks and even an
+    // AvailableNow query does not self-terminate (both measured). The only
+    // stable pattern is: add data, poll the sink for the expected answer,
+    // stop. Cross-trigger late-arrival ordering is covered by the
+    // latestPerKey test — this pins the TTL variant's semantics and
+    // exercises its setTimeoutDuration path.
+    input.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+      KeyedEvent(1L, ts("2024-01-01 11:00:00"), 101L, "view", 2.0),
+      KeyedEvent(1L, ts("2024-01-01 10:30:00"), 103L, "click", 9.0),
+      KeyedEvent(2L, ts("2024-01-01 09:00:00"), 102L, "click", 3.0))
+    val query = StreamOps.startMemorySink(
+      StreamOps.latestPerKeyWithTtl(input.toDS(), "1 hour").toDF(),
+      "latest_ttl_q", OutputMode.Update())
+    try {
+      def latest() = spark.table("latest_ttl_q")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // user -> event
+      val deadline = System.currentTimeMillis + 120000
+      while (System.currentTimeMillis < deadline &&
+        (latest().get(1L) != Some(101L) || !latest().contains(2L)))
+        Thread.sleep(200)
+      assert(latest() == Map(1L -> 101L, 2L -> 102L)) // 11:00 beats late 10:30
+    } finally query.stop()
+  }
+
   test("windowedCounters emits per-window counts and sums after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedEvent]
