@@ -78,6 +78,27 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS docs_part")
   }
 
+  test("run-date look-back predicate prunes catalog partitions (S2 + date windows)") {
+    // the reference's push_down_predicate on partitioncreateddate built
+    // from (partition_date, days_ago) — script/main.py:196-208,263-284
+    val docs = Tables.documents(spark, sf)
+      .withColumn("pcd", to_date(concat(lit("2024-05-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))))
+    docs.write.mode("overwrite").partitionBy("pcd")
+      .format("parquet").saveAsTable("docs_by_date")
+    try {
+      val dw = pipeline.DateWindows.resolve("2024-05-15", "10")
+      val pruned = io.Sources.table(spark, "docs_by_date",
+        Some(dw.lookbackPredicate("pcd")))
+      val p = plan(pruned)
+      assert(p.contains("PartitionFilters: [") && p.contains("(pcd"),
+        s"expected partition pruning from the look-back predicate in:\n$p")
+      // May 1 - 10 days = Apr 21 .. May 15 closed: partitions 1..15 of the
+      // 28 qualify
+      assert(pruned.select(countDistinct(col("pcd"))).first().getLong(0) == 15)
+    } finally spark.sql("DROP TABLE IF EXISTS docs_by_date")
+  }
+
   test("price-change branches reuse the upstream key partitioning (no new exchange)") {
     // Both W3 (key, price) and W4 (key) windows are satisfied by data
     // already hash-partitioned on the key — hashpartitioning(k) clusters any
