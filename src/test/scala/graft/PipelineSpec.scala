@@ -56,10 +56,12 @@ class PipelineSpec extends SparkSpec {
     val cfg = graft.io.JobConfig.parse(
       """{"colsToDropBaseData": ["props"],
         |  "colsToDropJson": ["n_views", "ts"],
+        |  "geoDropColumns": ["geoid"],
         |  "colsToKeep": []}""".stripMargin)
     val result = ConsumeJob.run(spark, sf, outDir, ConsumeParams(), Some(cfg))
-    // colsToDropBaseData shapes the accumulated table too
+    // colsToDropBaseData and geoDropColumns shape the accumulated table too
     assert(!result.columns.contains("props"))
+    assert(!result.columns.contains("geoid"))
     val table = spark.read.parquet(s"$outDir/table")
     assert(!table.columns.contains("props"))
     // colsToDropJson shapes the file exports only
