@@ -53,7 +53,7 @@ object Multimodal {
     * survivors; unknown/truncated payloads yield ("unknown", -1, -1) rather
     * than failing the partition.
     */
-  private[multimodal] def sniffImage(p: Array[Byte]): (String, Int, Int) = {
+  private[graft] def sniffImage(p: Array[Byte]): (String, Int, Int) = {
     @inline def u8(i: Int) = p(i) & 0xff
     @inline def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     @inline def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)

@@ -78,14 +78,24 @@ object Reshape {
   def dropPaths(df: DataFrame, paths: Seq[String]): DataFrame = {
     val (flat, nested) = paths.partition(!_.contains("."))
     // nested paths whose top-level column is absent are silently ignored
-    // (groupBy keys never match a df column)
+    // (groupBy keys never match a df column), and so are paths into a
+    // non-struct column — dropFields would throw there, the reference's
+    // drop_fields treats both as no-ops
     val nestedByTop = nested.groupBy(_.takeWhile(_ != '.'))
-    val kept = df.columns.filterNot(flat.contains).map { c =>
-      nestedByTop.get(c) match {
-        case Some(ps) =>
+    val structFields = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        f.name -> f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSet
+    }.toMap
+    val kept = df.columns.filterNot(flat.contains).flatMap { c =>
+      (nestedByTop.get(c), structFields.get(c)) match {
+        case (Some(ps), Some(fields)) =>
           val subs = ps.map(_.dropWhile(_ != '.').drop(1))
-          col(c).dropFields(subs: _*).alias(c)
-        case None => col(c)
+          // dropping EVERY field empties the struct, which dropFields
+          // rejects — dropping the column is what that spelling means
+          if (fields.forall(subs.contains)) None
+          else Some(col(c).dropFields(subs: _*).alias(c))
+        case _ => Some(col(c))
       }
     }
     df.select(kept.toSeq: _*)

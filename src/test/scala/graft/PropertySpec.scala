@@ -122,6 +122,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // --- sniffImage total on arbitrary bytes ----------------------------------
+
+  test("property: sniffImage never throws — garbage, truncations, forged magics") {
+    val magics = Seq[Array[Byte]](
+      Array(0x89.toByte, 'P', 'N', 'G'), "GIF8".getBytes, "BM".getBytes,
+      Array(0xff.toByte, 0xd8.toByte), Array.empty)
+    val payload: Gen[Array[Byte]] = for {
+      magic <- Gen.oneOf(magics)
+      n <- Gen.choose(0, 64)
+      rest <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield magic ++ rest
+    samples(payload, 200).foreach { bytes =>
+      // must classify or degrade, never throw — this parser runs on every
+      // blob of an untrusted 100 TB corpus
+      val (fmt, w, h) = graft.multimodal.Multimodal.sniffImage(bytes)
+      assert(fmt == "unknown" || (w >= Int.MinValue && h >= Int.MinValue))
+    }
+  }
+
+  // --- dropPaths total on arbitrary dotted paths ----------------------------
+
+  test("property: dropPaths tolerates unknown/non-struct paths and only removes") {
+    val name: Gen[String] = Gen.oneOf("a", "b", "s", "s.x", "s.y", "s.zz",
+      "nope", "nope.deep", "a.b.c", "b.x")
+    val paths: Gen[List[String]] = Gen.listOf(name)
+    val df = Seq((1, 2, (3, 4))).toDF("a", "b", "s")
+      .select(col("a"), col("b"), col("s").cast("struct<x:int,y:int>"))
+    samples(paths, 60).foreach { ps =>
+      val out = Reshape.dropPaths(df, ps) // paths into int columns are no-ops
+      assert(out.columns.toSet.subsetOf(df.columns.toSet))
+      out.collect() // analysis + execution must both survive
+    }
+  }
+
   // --- whenChain matches a plain Scala fold --------------------------------
 
   test("property: whenChain equals reference map lookup with default") {
