@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime for (a*h+b) mod p
+  val P = 2147483647L // 2^31 - 1, Mersenne prime for (a*h+b) mod p
 
   /** Deterministic per-engine hash family: (a, b) pairs with 1 <= a < p. */
   def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
