@@ -48,10 +48,12 @@ object ConsumeJob {
     val side = ConsumePipeline.SideInputs(orders, events,
       params.activityFrom, params.activityTo).cache()
 
+    // stage 1 hoisted out of the loop — iteration filters are per-user
+    // predicates over the user-keyed window, see ConsumePipeline.build
+    val base1All = ConsumePipeline.baseFirst(repaired, customer).cache()
+
     val perIteration = params.iterations.map { it =>
-      val b1 = ConsumePipeline.baseFirst(repaired, customer)
-        .filter(it.filter)
-        .cache()
+      val b1 = base1All.filter(it.filter)
       // stage 3 + both exports read base2 repeatedly — cache like build()
       val b2 = ConsumePipeline.enrich(b1, side).cache()
       val b3raw = ConsumePipeline.baseFinal(b2, params.monthStart, params.monthEnd)
@@ -89,15 +91,17 @@ object ConsumeJob {
       // The reference unpersists BaseDataFirst here; the accumulated union
       // then recomputes stage-1 lineage at the final write
       // (`script/main.py:370`, SURVEY §3.3) — an accepted cost there, but
-      // pure waste, so we keep b1 cached until after the final action.
-      (out, Seq(b1, b2))
+      // pure waste, so the hoisted stage-1 cache lives until after the
+      // final action.
+      (out, b2)
     }
 
     val union = perIteration.map(_._1).reduce(_ unionByName _)
     // K3: delete-insert of the month partitions present in the result.
     Sinks.overwritePartitions(union, s"$outDir/table", "partition_month")
 
-    perIteration.foreach(_._2.foreach(_.unpersist()))
+    perIteration.foreach(_._2.unpersist())
+    base1All.unpersist()
     side.unpersist()
     repaired.unpersist()
     events.unpersist()

@@ -67,19 +67,27 @@ object ConsumeSqlPipeline {
         .cache().createOrReplaceTempView(view)
     }
 
+    // Stage 1 hoisted out of the loop, same argument as the DataFrame path
+    // (ConsumePipeline.build): the day-dedup window is user-keyed and every
+    // iteration filter is a per-user predicate, so the window + enrichment
+    // run ONCE with the filter placeholder bound to TRUE, and each
+    // iteration is a plain WHERE over the cached result. The template is
+    // UNCHANGED — `{iteration_filter}` simply receives `true` for the
+    // hoisted run (the reference re-runs query 1 per loop pass).
+    val q1 = Sources.readAndFormatSqlResource("graft/queries/1-basedata_first.sql", Map(
+      "repaired_view" -> "graft_repaired",
+      "customer_view" -> "graft_customer",
+      "extra_columns_wo_prefix" -> extraCols.mkString(", "),
+      "extra_columns_l_prefix" -> extraCols.map("l." + _).mkString(", "),
+      "iteration_filter" -> "true"))
+    spark.sql(q1).cache().createOrReplaceTempView("graft_base1_all")
+
     params.iterations.map { it =>
-      val q1 = Sources.readAndFormatSqlResource("graft/queries/1-basedata_first.sql", Map(
-        "repaired_view" -> "graft_repaired",
-        "customer_view" -> "graft_customer",
-        "extra_columns_wo_prefix" -> extraCols.mkString(", "),
-        "extra_columns_l_prefix" -> extraCols.map("l." + _).mkString(", "),
-        // Column → SQL text: the loop filter lives inside query 1, exactly
-        // like the reference's {geoid}/{distribution_type} placeholders
-        "iteration_filter" ->
-          org.apache.spark.sql.graftfn.asSqlText(it.filter)))
-      // cached per iteration like the reference's BaseDataFirst
-      // (script/main.py:324,370) — stage 2+3 read it several times
-      spark.sql(q1).cache().createOrReplaceTempView(s"graft_base1_${it.name}")
+      // Column → SQL text, exactly like the reference's
+      // {geoid}/{distribution_type} placeholders
+      spark.sql(s"select * from graft_base1_all where " +
+          org.apache.spark.sql.graftfn.asSqlText(it.filter))
+        .createOrReplaceTempView(s"graft_base1_${it.name}")
 
       val q2 = Sources.readAndFormatSqlResource("graft/queries/2-basedata_df.sql", Map(
         "base1_view" -> s"graft_base1_${it.name}",
