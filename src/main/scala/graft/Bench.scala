@@ -85,8 +85,9 @@ object Bench {
     // filter out everything and emit a plausible {"value":0} line.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     only.foreach { names =>
+      // an empty value splits to Set("") and lands here too
       val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty || names.forall(unknown)) {
+      if (unknown.nonEmpty) {
         System.err.println(s"[bench] SPARK_GRAFT_ONLY has unknown queries: " +
           unknown.toSeq.sorted.mkString(", "))
         sys.exit(2)

@@ -64,15 +64,28 @@ object Multimodal {
       ("png", be32(16), be32(20)) // IHDR is always the first chunk
     else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
       ("gif", le16(6), le16(8)) // logical screen descriptor
-    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
-      ("bmp", le32(18), math.abs(le32(22))) // BITMAPINFOHEADER (height may be negative = top-down)
-    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M') {
+      // dispatch on the DIB header size: 40+ = BITMAPINFOHEADER family
+      // (signed 32-bit dims, negative height = top-down), 12 = the OS/2
+      // BITMAPCOREHEADER (unsigned 16-bit dims); anything else is not a
+      // layout this sniffer knows — degrade rather than misparse
+      val dib = le32(14)
+      if (dib >= 40) {
+        val h = le32(22)
+        // |Int.MinValue| is not an Int — an untrusted blob carrying it
+        // must degrade, not report a negative "normalized" height
+        if (h == Int.MinValue) unknown else ("bmp", le32(18), math.abs(h))
+      }
+      else if (dib == 12) ("bmp", le16(18), le16(20))
+      else unknown
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG: walk marker segments to the first SOFn frame header
       var i = 2
       while (i + 9 < p.length) {
         if (u8(i) != 0xff) return unknown
         val m = u8(i + 1)
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone markers
+        if (m == 0xff) i += 1 // legal fill/padding byte before a marker
+        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone markers
         else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
           return ("jpeg", be16(i + 7), be16(i + 5)) // SOFn: height then width
         else i += 2 + be16(i + 2) // skip segment payload

@@ -76,24 +76,40 @@ object Reshape {
     * untouched columns). Unknown paths are ignored, matching the reference.
     */
   def dropPaths(df: DataFrame, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
     val (flat, nested) = paths.partition(!_.contains("."))
-    // nested paths whose top-level column is absent are silently ignored
-    // (groupBy keys never match a df column), and so are paths into a
-    // non-struct column — dropFields would throw there, the reference's
-    // drop_fields treats both as no-ops
+    // A nested path only applies when every segment up to the LAST resolves
+    // through struct fields (case-insensitively, matching dropFields'
+    // default resolver); anything else — absent top-level column, missing
+    // or non-struct intermediate — is silently ignored, the reference's
+    // drop_fields no-op semantics. (dropFields itself already no-ops on a
+    // missing FINAL field but throws on bad intermediates.)
+    def resolves(dt: DataType, segs: List[String]): Boolean = dt match {
+      case st: StructType => segs match {
+        case _ :: Nil  => true // final segment: dropFields handles missing
+        case s :: rest => st.fields.find(_.name.equalsIgnoreCase(s))
+          .exists(f => resolves(f.dataType, rest))
+        case Nil => false
+      }
+      case _ => false // path descends through a non-struct — ignore
+    }
     val nestedByTop = nested.groupBy(_.takeWhile(_ != '.'))
-    val structFields = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
-        f.name -> f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-          .fieldNames.toSet
+    val structTypes = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[StructType] =>
+        f.name -> f.dataType.asInstanceOf[StructType]
     }.toMap
     val kept = df.columns.filterNot(flat.contains).flatMap { c =>
-      (nestedByTop.get(c), structFields.get(c)) match {
-        case (Some(ps), Some(fields)) =>
+      (nestedByTop.get(c), structTypes.get(c)) match {
+        case (Some(ps), Some(st)) =>
           val subs = ps.map(_.dropWhile(_ != '.').drop(1))
+            .filter(sub => resolves(st, sub.split('.').toList))
           // dropping EVERY field empties the struct, which dropFields
           // rejects — dropping the column is what that spelling means
-          if (fields.forall(subs.contains)) None
+          // (matched case-insensitively like dropFields resolves)
+          val covered = st.fieldNames.forall(f =>
+            subs.exists(_.equalsIgnoreCase(f)))
+          if (subs.isEmpty) Some(col(c))
+          else if (covered) None
           else Some(col(c).dropFields(subs: _*).alias(c))
         case _ => Some(col(c))
       }

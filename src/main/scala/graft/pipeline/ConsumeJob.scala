@@ -61,12 +61,11 @@ object ConsumeJob {
       // modify, so the accumulated table loses the columns too
       val b3 = cfg.filter(_.colsToDropBaseData.nonEmpty)
         .fold(b3raw)(c => Reshape.dropPaths(b3raw, c.colsToDropBaseData))
-      val modified = ConsumePipeline.modify(b3, nation)
-      // geoDropColumns drops INSIDE modify_data (`script/main.py:186`) —
-      // after the geo join, before the partition columns — so it shapes the
-      // accumulated table and every export
-      val out = cfg.filter(_.geoDropColumns.nonEmpty)
-        .fold(modified)(c => modified.drop(c.geoDropColumns: _*))
+      // geoDropColumns drops INSIDE modify (`script/main.py:186`) — after
+      // the geo join, BEFORE the partition column — shaping the accumulated
+      // table and every export without ever touching partition_month
+      val out = ConsumePipeline.modify(b3, nation,
+          cfg.map(_.geoDropColumns).getOrElse(Nil))
         .withColumn("iteration", lit(it.name))
 
       cfg match {

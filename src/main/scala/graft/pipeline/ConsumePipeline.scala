@@ -177,15 +177,20 @@ object ConsumePipeline {
   }
 
   /** `modify_data` (`script/main.py:157-193`): derived geo key + broadcast
-    * lookup join (J8) + partition column (P8).
+    * lookup join (J8) + config-driven geo drop + partition column (P8).
+    * `geoDrop` runs BETWEEN the join and the partition column, matching
+    * the reference order (`script/main.py:186-190`) — so a reference
+    * config listing partition-column names stays harmless.
     */
-  def modify(df: DataFrame, nations: DataFrame): DataFrame = {
+  def modify(df: DataFrame, nations: DataFrame,
+             geoDrop: Seq[String] = Nil): DataFrame = {
     val withGeo = df.withColumn("geoid",
       concat(lpad((col("user_id") % 25).cast("string"), 2, "0"),
         lpad((col("user_id") % 100).cast("string"), 2, "0")))
     Joins.broadcastPrefixJoin(withGeo,
         nations.select(col("n_nationkey"), col("n_name")),
         col("geoid"), prefixLen = 2, lookupKey = "n_nationkey")
+      .drop(geoDrop: _*)
       .withColumn("partition_month", date_format(col("ts"), "yyyy-MM"))
   }
 

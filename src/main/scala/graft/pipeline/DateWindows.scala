@@ -45,11 +45,14 @@ object DateWindows {
 
   /** @param partitionDate ISO date or `"yesterday"`.
     * @param daysAgo       integer day count or `"full_refresh"`.
-    * @param today         injectable clock for `"yesterday"` (tests pin it;
-    *                      production uses the default).
+    * @param today         injectable clock for `"yesterday"` (tests pin it).
+    *                      The default reads UTC — every session in this
+    *                      library pins `spark.sql.session.timeZone=UTC`, and
+    *                      a host-zone `now()` would resolve to the wrong day
+    *                      near midnight on non-UTC hosts.
     */
   def resolve(partitionDate: String, daysAgo: String,
-              today: LocalDate = LocalDate.now()): DateWindows = {
+              today: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): DateWindows = {
     val pd =
       if (partitionDate == "yesterday") today.minusDays(1)
       else LocalDate.parse(partitionDate)

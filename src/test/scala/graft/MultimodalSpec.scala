@@ -48,12 +48,34 @@ class MultimodalSpec extends SparkSpec {
       b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
       b.array()
     }
+    // JPEG with legal 0xFF fill bytes between segments (padding before SOF)
+    def jpegPadded(w: Int, h: Int): Array[Byte] = {
+      val base = jpeg(w, h)
+      base.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ base.drop(2)
+    }
+    // OS/2 BITMAPCOREHEADER: 12-byte DIB header, unsigned 16-bit dims
+    def bmpCore(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+      b.putInt(12).putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    // adversarial BMP carrying Int.MinValue as height — must degrade
+    def bmpEvil(): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(54)
+      b.putInt(40).putInt(10).putInt(Int.MinValue)
+      b.array()
+    }
     val media = Seq(
       Multimodal.MediaRecord(1L, "image/png", 24, png(640, 480)),
       Multimodal.MediaRecord(2L, "image/gif", 10, gif(320, 200)),
       Multimodal.MediaRecord(3L, "image/bmp", 26, bmp(800, 600)),
       Multimodal.MediaRecord(4L, "image/jpeg", 30, jpeg(1024, 768)),
-      Multimodal.MediaRecord(5L, "application/octet-stream", 3, Array[Byte](1, 2, 3)))
+      Multimodal.MediaRecord(5L, "application/octet-stream", 3, Array[Byte](1, 2, 3)),
+      Multimodal.MediaRecord(6L, "image/jpeg", 32, jpegPadded(640, 400)),
+      Multimodal.MediaRecord(7L, "image/bmp", 26, bmpCore(100, 50)),
+      Multimodal.MediaRecord(8L, "image/bmp", 26, bmpEvil()))
       .toDS()
     val meta = Multimodal.imageMeta(media).collect()
       .map(m => m.doc_id -> ((m.format, m.width, m.height))).toMap
@@ -62,6 +84,9 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(3L) == (("bmp", 800, 600))) // top-down height normalized
     assert(meta(4L) == (("jpeg", 1024, 768)))
     assert(meta(5L) == (("unknown", -1, -1))) // garbage degrades, not throws
+    assert(meta(6L) == (("jpeg", 640, 400))) // fill bytes skipped, not misparsed
+    assert(meta(7L) == (("bmp", 100, 50)))   // OS/2 core header dims
+    assert(meta(8L) == (("unknown", -1, -1))) // |Int.MinValue| is not a height
   }
 
   test("resizeStub truncates/pads payloads to the target size") {

@@ -62,6 +62,20 @@ class ReshapeSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("x"))
   }
 
+  test("dropPaths ignores bad intermediates and handles case/whole-struct edges") {
+    val df = Seq((1, (2, 3))).toDF("a", "s")
+      .select(col("a"), col("s").cast("struct<x:int,y:int>"))
+    // deep path through a non-struct field (s.x is int) and through a
+    // missing field (s.nope.deep): both must no-op, not throw
+    val out1 = Reshape.dropPaths(df, Seq("s.x.deep", "s.nope.deep"))
+    assert(out1.columns.toSeq == Seq("a", "s"))
+    assert(out1.select($"s.x").as[Int].head() == 2)
+    // dropping every field — even via different CASING (dropFields
+    // resolves case-insensitively) — drops the whole column
+    val out2 = Reshape.dropPaths(df, Seq("s.X", "s.y"))
+    assert(out2.columns.toSeq == Seq("a"))
+  }
+
   test("dropPrefixedExcept drops prefix families unless whitelisted") {
     val df = Seq((1, 2, 3, 4))
       .toDF("classified_a", "userDefined_keep", "userDefined_drop", "plain")
