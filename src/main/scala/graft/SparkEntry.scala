@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.ops._
 import graft.dedup.{Clusters, Jaccard, MinHashLSH, SimHash}
-import graft.sim.{Ivf, Similarity}
-import graft.text.TextAnalysis
+import graft.sim.{Ivf, Quantize, Similarity}
+import graft.text.{QualityFilters, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.pipeline.ConsumePipeline
 
@@ -149,6 +149,63 @@ object SparkEntry {
           concat_ws(",", transform(col("features"),
             x => round(x.cast("double") * greatest(col("n_bytes"), lit(1)))
               .cast("long").cast("string"))).as("byte_hist"))
+    },
+
+    // C4-style rule filter: every doc with its metrics and the first failing
+    // rule as drop_reason (NULL = survives). Pure projection.
+    "t4_quality_filter" -> { (s, dir) =>
+      QualityFilters.qualityFilter(Tables.documents(s, dir), col("doc_id"),
+        col("text"), stopwords)
+    },
+
+    // Gopher-style repetition metrics: dup-token / top-token / top-bigram
+    // fractions. Pure projection (row-local counting, no explode shuffle).
+    "t5_repetition" -> { (s, dir) =>
+      QualityFilters.repetitionMetrics(Tables.documents(s, dir), col("doc_id"),
+        col("text"))
+    },
+
+    // Deterministic stratified sampling: engine-neutral Rabin–Karp hash of
+    // the key mod 1000 vs per-language permille rates — stable under any
+    // partitioning (what reservoir sampling can't give on a cluster).
+    "t6_hash_sample" -> { (s, dir) =>
+      QualityFilters.stratifiedHashSample(Tables.documents(s, dir),
+          col("doc_id"), col("lang"),
+          permille = Map("en" -> 500, "es" -> 400, "de" -> 300,
+            "fr" -> 200, "zh" -> 100))
+        .select("doc_id", "lang", "source", "sample_bucket")
+    },
+
+    // PII redaction: the corpus is clean synthetic text, so deterministic
+    // synthetic PII (email/IPv4/phone derived from doc_id) is injected
+    // first and the oracle replays the same injection + RE2-safe regexes —
+    // the redaction itself is what's being verified.
+    "t7_pii_redact" -> { (s, dir) =>
+      val dirty = concat_ws(" ", col("text"), lit("reach"),
+        concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+        lit("or"),
+        concat(lit("10.0."), (col("doc_id") % 256).cast("string"), lit(".7")),
+        lit("tel"),
+        concat(lit("+1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), QualityFilters.redactPii(dirty).as("clean"))
+        .withColumn("n_redacted",
+          regexp_count(col("clean"), lit("<EMAIL>|<IP>|<PHONE>")))
+    },
+
+    // Symmetric per-vector int8 quantization + reconstruction error.
+    "s5_quantize_int8" -> { (s, dir) =>
+      Quantize.int8(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+    },
+
+    // The composed training-data prep job: quality filter → content-
+    // fingerprint dedup → stratified sample, as one plan with a single
+    // shuffle (the fingerprint exchange).
+    "pipe_dataprep_e2e" -> { (s, dir) =>
+      graft.pipeline.DataPrep.prepare(Tables.documents(s, dir), stopwords,
+        permille = Map("en" -> 500, "es" -> 400, "de" -> 300,
+          "fr" -> 200, "zh" -> 100))
     }
   )
 
@@ -475,6 +532,112 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "s2_ann_lsh_topk" -> lshTopkOracle,
+
+    "t4_quality_filter" ->
+      """SELECT doc_id, n_tokens, uniq_ratio, stopword_ratio, punct_ratio,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN n_tokens > 90 THEN 'too_long'
+        |       WHEN uniq_ratio < 0.4 THEN 'low_diversity'
+        |       WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+        |       WHEN punct_ratio > 0.05 THEN 'high_punct' END AS drop_reason
+        |FROM (SELECT doc_id,
+        |    len(string_split(lower(text), ' ')) AS n_tokens,
+        |    round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE /
+        |      len(string_split(lower(text), ' ')), 6) AS uniq_ratio,
+        |    round(len(list_filter(string_split(lower(text), ' '),
+        |        t -> list_contains(['the','a','of','and','is','in','to','it'], t)))::DOUBLE /
+        |      len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+        |    round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE /
+        |      greatest(length(text), 1), 6) AS punct_ratio
+        |  FROM documents)""".stripMargin,
+
+    "t5_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+        |      z -> struct_extract(z, 1) || ' ' || struct_extract(z, 2)) AS bg
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+        |SELECT doc_id, n AS n_tokens,
+        |  round(1.0 - len(list_distinct(toks))::DOUBLE / n, 6) AS dup_token_frac,
+        |  round(list_max(list_transform(list_distinct(toks),
+        |    d -> len(list_filter(toks, t -> t = d))))::DOUBLE / n, 6) AS top_token_frac,
+        |  CASE WHEN n < 2 THEN 0.0 ELSE
+        |    round(list_max(list_transform(list_distinct(bg),
+        |      d -> len(list_filter(bg, x -> x = d))))::DOUBLE / (n - 1), 6)
+        |  END AS top_bigram_frac
+        |FROM b""".stripMargin,
+
+    "t6_hash_sample" ->
+      s"""SELECT doc_id, lang, source, sample_bucket FROM (
+         |  SELECT doc_id, lang, source,
+         |    ${duckTokenHash("CAST(doc_id AS VARCHAR)")} % 1000 AS sample_bucket
+         |  FROM documents)
+         |WHERE sample_bucket < CASE lang
+         |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
+         |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "t7_pii_redact" ->
+      """SELECT doc_id, clean,
+        |  len(regexp_extract_all(clean, '<EMAIL>|<IP>|<PHONE>')) AS n_redacted
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      concat_ws(' ', text, 'reach',
+        |        'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+        |        'or', '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+        |        'tel', '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+\d[\d-]{6,}\d', '<PHONE>', 'g') AS clean
+        |  FROM documents)""".stripMargin,
+
+    "pipe_dataprep_e2e" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split(lower(text), ' ')) AS n_tokens,
+         |    round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE /
+         |      len(string_split(lower(text), ' ')), 6) AS uniq_ratio,
+         |    round(len(list_filter(string_split(lower(text), ' '),
+         |        t -> list_contains(['the','a','of','and','is','in','to','it'], t)))::DOUBLE /
+         |      len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+         |    round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE /
+         |      greatest(length(text), 1), 6) AS punct_ratio,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(lower(text), ' '),
+         |        t -> ${duckTokenHash("t")})),
+         |      (acc, th) -> (acc * 31 + th) % 1000000007) AS fingerprint
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored
+         |  WHERE n_tokens >= 20 AND n_tokens <= 90 AND uniq_ratio >= 0.4
+         |    AND stopword_ratio >= 0.02 AND punct_ratio <= 0.05),
+         |dedup AS (
+         |  SELECT doc_id, lang, n_tokens, fingerprint FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1)
+         |SELECT * FROM (
+         |  SELECT doc_id, lang, n_tokens, fingerprint,
+         |    ${duckTokenHash("CAST(doc_id AS VARCHAR)")} % 1000 AS sample_bucket
+         |  FROM dedup)
+         |WHERE sample_bucket < CASE lang
+         |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
+         |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "s5_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, e,
+        |    127.0 / greatest(list_max(list_transform(e, v -> abs(v))), 1e-12) AS sc
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+        |q AS (
+        |  SELECT vec_id, e, sc,
+        |    list_transform(e, v -> CAST(floor(v * sc + 0.5) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  array_to_string(list_transform(qv, v -> CAST(v AS VARCHAR)), ',') AS q_int8,
+        |  round(list_max(list_transform(list_zip(e, qv),
+        |    z -> abs(struct_extract(z, 1) - struct_extract(z, 2)::DOUBLE / sc))), 6)
+        |    AS max_abs_err
+        |FROM q""".stripMargin,
     "t3_fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators a large-scale training-data pipeline runs ahead
+  * of tokenization: repetition metrics (Gopher-style), rule-based document
+  * filtering with drop reasons (C4-style), deterministic hash sampling (the
+  * scale-safe substitute for reservoir sampling), and PII redaction.
+  *
+  * All per-document operators are pure projections built from codegen'd
+  * built-ins + array higher-order functions — zero UDFs, zero shuffles; the
+  * scan's partitioning is the parallelism, so they run unchanged on 100 TB.
+  * Thresholds and hash constants are plain literals so the DuckDB oracle can
+  * replay them exactly (see SparkEntry.oracleSql).
+  */
+object QualityFilters {
+
+  import TextAnalysis.tokens
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1, reduced to the
+    * whitespace-token level this corpus supports):
+    *
+    *  - `dup_token_frac`: fraction of tokens that are repeats of an earlier
+    *    token (1 - distinct/total);
+    *  - `top_token_frac`: share of the single most frequent token;
+    *  - `top_bigram_frac`: share of the most frequent adjacent bigram
+    *    (0.0 for documents of fewer than two tokens).
+    *
+    * The per-distinct-token count is computed row-locally with
+    * `transform(distinct, d -> count in tokens)` — O(n·u) per row with no
+    * shuffle, the right trade for documents (n ≲ 10⁴ tokens); an
+    * explode+groupBy would pay a corpus-wide shuffle for the same answer.
+    */
+  def repetitionMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val counts = transform(array_distinct(toks), d => size(filter(toks, t => t === d)))
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bigramCounts =
+      transform(array_distinct(bigrams), d => size(filter(bigrams, b => b === d)))
+    df.select(
+      id,
+      n.as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 6)
+        .as("dup_token_frac"),
+      round(array_max(counts).cast("double") / n, 6).as("top_token_frac"),
+      when(n < 2, lit(0.0))
+        .otherwise(round(array_max(bigramCounts).cast("double") / (n - 1), 6))
+        .as("top_bigram_frac"))
+  }
+
+  /** C4-style rule filter (Raffel et al. 2020 §2.2 adapted to this corpus):
+    * every document comes back with its metrics and a `drop_reason` — NULL
+    * means the document survives. Reasons are checked in a fixed order so
+    * the first failing rule wins deterministically.
+    *
+    * Pure projection; a pipeline keeps `drop_reason IS NULL` rows and ships
+    * the reason histogram as the audit artifact.
+    */
+  def qualityFilter(df: DataFrame, id: Column, text: Column,
+                    stopwords: Seq[String],
+                    minTokens: Int = 20, maxTokens: Int = 90,
+                    minUniqRatio: Double = 0.4,
+                    minStopwordRatio: Double = 0.02,
+                    maxPunctRatio: Double = 0.05,
+                    extra: Seq[Column] = Nil): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val uniqRatio = size(array_distinct(toks)).cast("double") / n
+    val sw = typedLit(stopwords)
+    val stopRatio = size(filter(toks, t => array_contains(sw, t))).cast("double") / n
+    val punctRatio =
+      regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") / greatest(length(text), lit(1))
+    df.select(
+        (id +: n.as("n_tokens") +:
+          round(uniqRatio, 6).as("uniq_ratio") +:
+          round(stopRatio, 6).as("stopword_ratio") +:
+          round(punctRatio, 6).as("punct_ratio") +: extra): _*)
+      .withColumn("drop_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("uniq_ratio") < minUniqRatio, "low_diversity")
+          .when(col("stopword_ratio") < minStopwordRatio, "low_stopword")
+          .when(col("punct_ratio") > maxPunctRatio, "high_punct"))
+  }
+
+  /** Deterministic keyed sampling: a document is kept iff
+    * `rabinKarpHash(key) mod 1000 < rate(stratum) * 1000`. Engine-neutral
+    * (the hash is [[TextAnalysis.tokenHash]] over the key rendered as a
+    * string), seed-free, and stable under reshuffling/re-partitioning —
+    * the property reservoir sampling loses the moment data is distributed.
+    * Stratified: per-stratum permille rates with a default for unlisted
+    * strata.
+    */
+  def hashSampleBucket(key: Column): Column =
+    pmod(TextAnalysis.tokenHash(key.cast("string")), lit(1000L))
+
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           permille: Map[String, Int],
+                           defaultPermille: Int = 0): DataFrame = {
+    val rateMap = typedLit(permille)
+    val rate = coalesce(element_at(rateMap, stratum), lit(defaultPermille))
+    df.withColumn("sample_bucket", hashSampleBucket(key))
+      .filter(col("sample_bucket") < rate)
+  }
+
+  /** PII redaction: emails, IPv4 addresses, then phone-shaped digit runs —
+    * in that order, so an address already rewritten to `<IP>` can't also
+    * match the phone pattern. Patterns are RE2-compatible (no lookarounds)
+    * so the exact same regexes run in DuckDB for the oracle.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d-]{6,}\\d"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.DataPrep
+
+class DataPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val sw = Seq("the", "a", "of", "and", "is", "in", "to", "it")
+  private val rates = Map("en" -> 500, "es" -> 400, "de" -> 300,
+    "fr" -> 200, "zh" -> 100)
+
+  test("prepare: survivors pass every rule, fingerprints unique, partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val out = DataPrep.prepare(docs, sw, rates).cache()
+    try {
+      val n = out.count()
+      assert(n > 0 && n < docs.count())
+      // quality rules hold on survivors
+      assert(out.filter(col("n_tokens") < 20 || col("n_tokens") > 90).count() == 0)
+      // dedup: one row per fingerprint
+      assert(out.select("fingerprint").distinct().count() == n)
+      // sampling respected the per-stratum permille cut
+      assert(out.filter(col("sample_bucket") >= 500).count() == 0)
+      // identical output when the input arrives partitioned differently
+      val again = DataPrep.prepare(docs.repartition(17), sw, rates)
+      assert(again.orderBy("doc_id").collect().toSeq ==
+        out.orderBy("doc_id").collect().toSeq)
+    } finally out.unpersist()
+  }
+
+  test("prepare plans exactly one shuffle (the fingerprint exchange)") {
+    spark.conf.set("spark.graft.parallelizeInputs", "false")
+    try {
+      val p = DataPrep.prepare(Tables.documents(spark, sf), sw, rates)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+    } finally spark.conf.set("spark.graft.parallelizeInputs", "true")
+  }
+}

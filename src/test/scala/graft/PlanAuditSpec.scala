@@ -177,4 +177,33 @@ class PlanAuditSpec extends SparkSpec {
       assert(codegen.contains("Math.sqrt"), "ArrayCosine did not reach generated code")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  /** Runs `body` with the testdata-only input repartition disabled, so the
+    * audited plan is the production one (bucketed production inputs are
+    * never round-robined — Tables.scala:27-34).
+    */
+  private def withProductionInputs[A](body: => A): A = {
+    spark.conf.set("spark.graft.parallelizeInputs", "false")
+    try body finally spark.conf.set("spark.graft.parallelizeInputs", "true")
+  }
+
+  test("quality/repetition/redaction/quantization stay shuffle-free projections") {
+    // The corpus-quality operators are per-row: any Exchange in their plans
+    // would be a 100 TB scale bug (a full-corpus shuffle for a map-only job).
+    withProductionInputs {
+      for (q <- Seq("t4_quality_filter", "t5_repetition", "t7_pii_redact",
+          "s5_quantize_int8")) {
+        val p = plan(SparkEntry.queries(q)(spark, sf))
+        assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
+      }
+    }
+  }
+
+  test("stratified hash sample is a pushable-scan filter, no shuffle") {
+    withProductionInputs {
+      val p = plan(SparkEntry.queries("t6_hash_sample")(spark, sf))
+      assert(!p.contains("Exchange"), s"sampling shuffled:\n$p")
+      assert(p.contains("Filter"), s"expected a filter in:\n$p")
+    }
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.QualityFilters
+
+class QualityFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Int, String)*) = texts.toSeq.toDF("doc_id", "text")
+
+  test("repetitionMetrics: hand-computed fractions on crafted docs") {
+    val df = QualityFilters.repetitionMetrics(
+      docs(
+        1 -> "a b a b a",   // 5 toks, 2 distinct; top tok a=3; bigrams: ab,ba,ab,ba → top 2/4
+        2 -> "x y z w",     // all unique
+        3 -> "q"),          // single token → bigram frac 0
+      col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val r1 = df(0)
+    assert(r1.getAs[Int]("n_tokens") == 5)
+    assert(r1.getAs[Double]("dup_token_frac") == 0.6)
+    assert(r1.getAs[Double]("top_token_frac") == 0.6)
+    assert(r1.getAs[Double]("top_bigram_frac") == 0.5)
+    val r2 = df(1)
+    assert(r2.getAs[Double]("dup_token_frac") == 0.0)
+    assert(r2.getAs[Double]("top_token_frac") == 0.25)
+    val r3 = df(2)
+    assert(r3.getAs[Double]("top_bigram_frac") == 0.0)
+  }
+
+  test("qualityFilter: first failing rule wins, NULL reason survives") {
+    val sw = Seq("the", "a")
+    val long = ("w " * 95).trim                       // 95 tokens -> too_long
+    val dup = ("the x " * 15).trim                    // 30 toks, 2 uniq -> low_diversity
+    val noStop = (1 to 30).map(i => s"t$i").mkString(" ") // no stopwords
+    val good = ("the quick brown fox jumps over lazy dogs " * 3).trim + " a b c"
+    val out = QualityFilters.qualityFilter(
+        docs(1 -> "tiny doc", 2 -> long, 3 -> dup, 4 -> noStop, 5 -> good),
+        col("doc_id"), col("text"), sw)
+      .orderBy("doc_id").select("drop_reason").as[Option[String]].collect()
+    assert(out.toSeq == Seq(Some("too_short"), Some("too_long"),
+      Some("low_diversity"), Some("low_stopword"), None))
+  }
+
+  test("stratifiedHashSample: deterministic, respects per-stratum rates") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 500, "zh" -> 100)
+    val kept = QualityFilters.stratifiedHashSample(df, col("doc_id"), col("lang"), rates)
+    val again = QualityFilters.stratifiedHashSample(
+      df.repartition(13), col("doc_id"), col("lang"), rates)
+    // identical selection regardless of partitioning
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 1000 docs per stratum; rate 0.5 / 0.1 with hash noise
+    assert(byLang("en") > 400 && byLang("en") < 600)
+    assert(byLang("zh") > 50 && byLang("zh") < 170)
+    // unlisted strata default to dropped
+    val dropped = QualityFilters.stratifiedHashSample(
+      Seq((1L, "fr")).toDF("doc_id", "lang"), col("doc_id"), col("lang"), rates)
+    assert(dropped.count() == 0)
+  }
+
+  test("redactPii: emails, IPv4s, phones; ordering prevents double-match") {
+    val cases = Seq(
+      "mail bob.smith+tag@sub.example.org now" -> "mail <EMAIL> now",
+      "host 192.168.001.12 up" -> "host <IP> up",
+      "call +1-555-867-5309 ok" -> "call <PHONE> ok",
+      "a@b.co 10.0.0.1 +49-30-1234567" -> "<EMAIL> <IP> <PHONE>",
+      "no pii here 12.5 degrees" -> "no pii here 12.5 degrees")
+    val out = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+      .select(col("i"), QualityFilters.redactPii(col("t")).as("r"))
+      .orderBy("i").select("r").as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+}
