@@ -206,6 +206,20 @@ object SparkEntry {
       graft.pipeline.DataPrep.prepare(Tables.documents(s, dir), stopwords,
         permille = Map("en" -> 500, "es" -> 400, "de" -> 300,
           "fr" -> 200, "zh" -> 100))
+    },
+
+    // Sliding-window token chunking (map-only Generate, no shuffle).
+    "t8_chunk" -> { (s, dir) =>
+      graft.text.Chunking.chunk(Tables.documents(s, dir), col("doc_id"),
+        col("text"), chunkSize = 32, stride = 24)
+    },
+
+    // Greedy per-shard sequence packing into 256-token bins; the window is
+    // partitioned by source so the sort never goes global.
+    "t9_seq_pack" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.text.Chunking.packBins(docs, col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))), capacity = 256)
     }
   )
 
@@ -622,6 +636,23 @@ object SparkEntry {
          |WHERE sample_bucket < CASE lang
          |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
          |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "t8_chunk" ->
+      """SELECT doc_id, (start - 1) // 24 AS chunk_id,
+        |  array_to_string(toks[start:start+31], ' ') AS chunk_text,
+        |  len(toks[start:start+31]) AS n_chunk_tokens
+        |FROM (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS start
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents))""".stripMargin,
+
+    "t9_seq_pack" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |    - n_tokens) / 256.0) AS BIGINT) AS bin_id
+        |FROM (SELECT doc_id, source,
+        |        len(string_split(lower(text), ' ')) AS n_tokens
+        |      FROM documents)""".stripMargin,
 
     "s5_quantize_int8" ->
       """WITH s AS (

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Chunking
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: windows overlap by chunkSize - stride, tail kept, every token covered") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = Chunking.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), chunkSize = 4, stride = 3)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, String, Int)].collect()
+    // starts 1,4,7,10 -> 4 chunks, last is the 1-token tail
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out(0)._2 == "w1 w2 w3 w4")
+    assert(out(1)._2 == "w4 w5 w6 w7")   // 1-token overlap
+    assert(out(3)._2 == "w10" && out(3)._3 == 1)
+    // coverage: every token appears in at least one chunk
+    val covered = out.flatMap(_._2.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
+  test("chunk: stride == chunkSize reconstructs the document exactly") {
+    val text = (1 to 9).map(i => s"t$i").mkString(" ")
+    val parts = Chunking.chunk(Seq((7L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), chunkSize = 4, stride = 4)
+      .orderBy("chunk_id").select("chunk_text").as[String].collect()
+    assert(parts.mkString(" ") == text)
+  }
+
+  test("packBins: bins respect capacity for unit docs, big doc gets its own bin") {
+    val docs = Seq(
+      (1L, "s1", 100), (2L, "s1", 100), (3L, "s1", 100), (4L, "s1", 100),
+      (5L, "s1", 999),                      // oversized: own bin
+      (6L, "s2", 50)                        // other shard starts at bin 0
+    ).toDF("doc_id", "source", "nt")
+    val out = Chunking.packBins(docs, col("doc_id"), col("source"), col("nt"),
+        capacity = 256)
+      .orderBy("doc_id").select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    // cumulative-before: 0,100,200,300,400 -> bins 0,0,0,1,1... doc5 before=400 -> bin 1
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0)
+    assert(out(4L) == 1 && out(5L) == 1)
+    assert(out(6L) == 0)
+    // per-bin totals of docs excluding the oversized one stay <= capacity + one doc slop
+    val fill = Chunking.packBins(docs.filter(col("nt") < 256), col("doc_id"),
+        col("source"), col("nt"), capacity = 256)
+      .groupBy("source", "bin_id").agg(sum("n_tokens").as("fill"))
+      .filter(col("fill") > 256 + 100)
+    assert(fill.count() == 0)
+  }
+
+  test("chunk plans no shuffle (Generate over the scan)") {
+    spark.conf.set("spark.graft.parallelizeInputs", "false")
+    try {
+      val p = SparkEntry.queries("t8_chunk")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
+      assert(p.contains("Generate"), s"expected explode Generate in:\n$p")
+    } finally spark.conf.set("spark.graft.parallelizeInputs", "true")
+  }
+}
