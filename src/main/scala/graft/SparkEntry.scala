@@ -220,6 +220,19 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       graft.text.Chunking.packBins(docs, col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))), capacity = 256)
+    },
+
+    // Document-frequency + IDF vocabulary (partial-agg explode, broadcast
+    // 1-row corpus count).
+    "t10_vocab_idf" -> { (s, dir) =>
+      graft.text.Vocab.idf(Tables.documents(s, dir), col("text"))
+    },
+
+    // Top-100 bigrams by count (TakeOrderedAndProject — per-partition
+    // heaps, no global sort), fully ordered for a deterministic boundary.
+    "t11_topk_ngrams" -> { (s, dir) =>
+      graft.text.Vocab.topNgrams(Tables.documents(s, dir), col("text"),
+        n = 2, k = 100)
     }
   )
 
@@ -636,6 +649,26 @@ object SparkEntry {
          |WHERE sample_bucket < CASE lang
          |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
          |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "t10_vocab_idf" ->
+      """WITH c AS (
+        |  SELECT token, count(*) AS df_count FROM (
+        |    SELECT unnest(list_distinct(string_split(lower(text), ' '))) AS token
+        |    FROM documents) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, df_count,
+        |  round(ln(n_docs::DOUBLE / df_count), 6) AS idf
+        |FROM c, n""".stripMargin,
+
+    "t11_topk_ngrams" ->
+      """SELECT ngram, cnt FROM (
+        |  SELECT ngram, count(*) AS cnt FROM (
+        |    SELECT unnest(list_transform(
+        |      list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+        |      z -> struct_extract(z, 1) || ' ' || struct_extract(z, 2))) AS ngram
+        |    FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents))
+        |  GROUP BY 1)
+        |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin,
 
     "t8_chunk" ->
       """SELECT doc_id, (start - 1) // 24 AS chunk_id,

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Vocab
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("idf: ubiquitous token scores 0, rare token scores ln(N/df)") {
+    val df = Seq((1L, "cat dog cat"), (2L, "cat bird"), (3L, "cat fish"))
+      .toDF("doc_id", "text")
+    val out = Vocab.idf(df, col("text"))
+      .orderBy("token").as[(String, Long, Double)].collect().toList
+    val m = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("cat") == ((3L, 0.0)))                               // in all 3 docs
+    assert(m("dog")._1 == 1L)                                     // per-doc dedup: df=1
+    assert(m("dog")._2 == BigDecimal(math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.map(_._1).toSet == Set("cat", "dog", "bird", "fish"))
+  }
+
+  test("topNgrams: counts rank correctly; ties break by ngram; short docs yield none") {
+    val df = Seq(
+      (1L, "a b a b c"),    // bigrams: "a b"×2, "b a", "b c"
+      (2L, "a b z"),        // "a b", "b z"
+      (3L, "q"))            // shorter than n — contributes nothing
+      .toDF("doc_id", "text")
+    val top = Vocab.topNgrams(df, col("text"), n = 2, k = 3)
+      .as[(String, Long)].collect().toList
+    assert(top.head == (("a b", 3L)))
+    assert(top.tail.map(_._2).forall(_ == 1L))
+    assert(top.tail.map(_._1) == top.tail.map(_._1).sorted)       // tie order
+  }
+
+  test("topNgrams: n=3 composes interior tokens, n=1 counts tokens") {
+    val df = Seq((1L, "x y z x y z")).toDF("doc_id", "text")
+    val tri = Vocab.topNgrams(df, col("text"), n = 3, k = 2)
+      .as[(String, Long)].collect().toList
+    assert(tri.head == (("x y z", 2L)))
+    val uni = Vocab.topNgrams(df, col("text"), n = 1, k = 1)
+      .as[(String, Long)].collect().toList
+    assert(uni.head._2 == 2L)
+  }
+
+  test("topNgrams plans TakeOrderedAndProject, never a global Sort") {
+    val p = Vocab.topNgrams(Tables.documents(spark, "/root/testdata/sf0.001"),
+      col("text")).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+}
