@@ -233,6 +233,19 @@ object SparkEntry {
     "t11_topk_ngrams" -> { (s, dir) =>
       graft.text.Vocab.topNgrams(Tables.documents(s, dir), col("text"),
         n = 2, k = 100)
+    },
+
+    // Per-language corpus stats with EXACT percentiles (bounded-domain
+    // metric, so partial-agg state stays tiny — see TextAnalysis scaladoc).
+    "t12_corpus_stats" -> { (s, dir) =>
+      TextAnalysis.corpusStats(Tables.documents(s, dir), col("lang"), col("text"))
+    },
+
+    // Johnson–Lindenstrauss random projection 64 → 8 dims (seeded plane
+    // matrix replayed literally in the oracle SQL).
+    "s6_random_projection" -> { (s, dir) =>
+      graft.sim.Project.randomProject(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), dim = 64, outDim = 8)
     }
   )
 
@@ -514,6 +527,32 @@ object SparkEntry {
     * sequential fold so the float arithmetic matches Spark's HOF evaluation
     * order bit-for-bit.
     */
+  /** s6 oracle: the seeded 8×64 projection matrix emitted as literals; each
+    * output dim is a sequential index-order fold, matching the Spark side's
+    * `aggregate(zip_with(...))` float summation order exactly.
+    */
+  private def randomProjectOracle: String = {
+    val planes = graft.sim.Similarity.hyperplanes(8, 64, 7L)
+    val values = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.map(_.toString).mkString(",")}])"
+    }.mkString(",\n    ")
+    val pivots = (0 until 8).map(j =>
+      s"max(CASE WHEN j = $j THEN y END) AS y$j").mkString(",\n  ")
+    s"""WITH planes(j, p) AS (VALUES
+       |    $values),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, pl.j,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        i -> e.e[CAST(i AS INT)] * pl.p[CAST(i AS INT)])),
+       |      (a, x) -> a + x), 6) AS y
+       |  FROM emb e CROSS JOIN planes pl)
+       |SELECT vec_id,
+       |  $pivots
+       |FROM dots GROUP BY vec_id""".stripMargin
+  }
+
   private def lshTopkOracle: String = {
     val planes = (0 until 8).flatMap { t =>
       graft.sim.Similarity.hyperplanes(4, 64, 42L + t).zipWithIndex.map {
@@ -649,6 +688,18 @@ object SparkEntry {
          |WHERE sample_bucket < CASE lang
          |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
          |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "t12_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  round(avg(n), 6) AS avg_tokens,
+        |  round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(n, 0.9), 6) AS p90_tokens
+        |FROM (SELECT lang, len(string_split(lower(text), ' ')) AS n
+        |      FROM documents)
+        |GROUP BY lang""".stripMargin,
+
+    "s6_random_projection" -> randomProjectOracle,
 
     "t10_vocab_idf" ->
       """WITH c AS (

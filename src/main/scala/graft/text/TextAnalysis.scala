@@ -72,6 +72,24 @@ object TextAnalysis {
         all.map { case (l, s) => round(s, 6).as(s"score_$l") }): _*)
   }
 
+  /** Per-group corpus statistics with EXACT percentiles (type-7 linear
+    * interpolation — identical to DuckDB's `quantile_cont`). Exact (not
+    * `approx_percentile`) is deliberate and still scale-safe here: Spark's
+    * `Percentile` aggregates a value→count map, and the token-count domain
+    * is small (bounded by max document length), so partial-aggregate state
+    * stays tiny no matter how many rows flow through. For unbounded-domain
+    * metrics at 100 TB, swap in `approx_percentile`.
+    */
+  def corpusStats(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val n = size(tokens(text))
+    df.groupBy(group).agg(
+      count(lit(1)).as("n_docs"),
+      sum(n).as("total_tokens"),
+      round(avg(n), 6).as("avg_tokens"),
+      round(percentile(n, lit(0.5)), 6).as("p50_tokens"),
+      round(percentile(n, lit(0.9)), 6).as("p90_tokens"))
+  }
+
   /** Modulus for the polynomial hashes: large prime, small enough that the
     * Horner step `acc * 131 + cp` never overflows a signed 64-bit long
     * (Spark 4 runs ANSI mode, where silent wraparound is an error).

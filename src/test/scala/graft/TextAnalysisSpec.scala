@@ -44,4 +44,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
     assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
   }
+
+  test("corpusStats: exact type-7 percentiles per group") {
+    // group g: token counts 1,2,3,4,10 -> p50 = 3.0, p90 = 7.6 (type 7)
+    val texts = Seq(1, 2, 3, 4, 10).zipWithIndex.map { case (n, i) =>
+      (i.toLong, "g", (1 to n).map(k => s"w$k").mkString(" "))
+    } :+ ((9L, "h", "solo"))
+    val out = TextAnalysis.corpusStats(texts.toDF("id", "grp", "text"),
+        col("grp"), col("text"))
+      .orderBy("grp").collect()
+    val g = out(0)
+    assert(g.getAs[Long]("n_docs") == 5)
+    assert(g.getAs[Long]("total_tokens") == 20)
+    assert(g.getAs[Double]("avg_tokens") == 4.0)
+    assert(g.getAs[Double]("p50_tokens") == 3.0)
+    assert(g.getAs[Double]("p90_tokens") == 7.6)
+    assert(out(1).getAs[Double]("p90_tokens") == 1.0)
+  }
 }
