@@ -88,6 +88,15 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     },
 
+    // SemDeDup: embedding-cosine clusters (connected components over
+    // pairs ≥ threshold), keep the smallest vec_id per cluster. Exact pair
+    // stage here (broadcast corpus); Similarity.lshCandidatePairs is the
+    // drop-in generator past a few million vectors.
+    "d7_semantic_dedup" -> { (s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.4)
+        .select("vec_id", "label")
+    },
+
     // ANN: exact brute-force cosine top-k (the correctness baseline).
     "s1_ann_bruteforce_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -688,6 +697,26 @@ object SparkEntry {
          |WHERE sample_bucket < CASE lang
          |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
          |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "d7_semantic_dedup" ->
+      """WITH RECURSIVE emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sim AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.e, b.e), 6) AS c
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM sim WHERE c >= 0.4
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM sim WHERE c >= 0.4),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |labels AS (
+        |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> comp)""".stripMargin,
 
     "t12_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -143,4 +143,50 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic dedup: cluster the corpus by embedding-cosine ≥
+    * `threshold` (transitively, via connected components) and keep the
+    * smallest id per cluster. The default pair stage is the EXACT
+    * broadcast-corpus join — right up to a few million vectors (the
+    * broadcast is ids + unit vectors only). Past that, swap `pairs` for an
+    * LSH candidate generator ([[lshCandidatePairs]]): same downstream
+    * clustering, recall traded per the band math.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(nearDupPairs(corpus, corpus, threshold))
+      .select("id_a", "id_b")
+    graft.dedup.Clusters.dropNearDuplicates(corpus, col("vec_id"), p)
+  }
+
+  /** LSH-bucketed candidate pair generator for [[semanticDedup]] at corpus
+    * sizes where the exact all-pairs stage is no longer affordable: only
+    * pairs sharing a bucket in ≥1 of `tables` codes are scored, and the
+    * multi-table explode carries (id, table, code) triples only — embeddings
+    * rejoin after the candidate ids are deduped. Few planes + many tables
+    * because dedup thresholds in the 0.4–0.6 range sit far from the sign-bit
+    * decision boundary (see [[lshTopK]]'s band-math note).
+    */
+  def lshCandidatePairs(corpus: DataFrame, threshold: Double,
+                        nPlanes: Int = 2, tables: Int = 24, dim: Int = 64,
+                        seed: Long = 42L): DataFrame = {
+    val codes = (0 until tables).map(t => (t, hyperplanes(nPlanes, dim, seed + t)))
+    def bucketIndex(idName: String): DataFrame = {
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      val codeStructs = array(codes.map { case (t, planes) =>
+        struct(lit(t).as("tbl"), lshCode(emb, planes).as("code"))
+      }: _*)
+      corpus.select(col("vec_id").as(idName), explode(codeStructs).as("bc"))
+        .select(col(idName), col("bc.tbl").as("tbl"), col("bc.code").as("code"))
+    }
+    val u = corpus.select(col("vec_id"), asDouble(col("embedding")).as("u"))
+    bucketIndex("id_a").join(bucketIndex("id_b"), Seq("tbl", "code"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(u.select(col("vec_id").as("id_a"), col("u").as("u_a")), Seq("id_a"))
+      .join(u.select(col("vec_id").as("id_b"), col("u").as("u_b")), Seq("id_b"))
+      .withColumn("cosine", round(cosine(col("u_a"), col("u_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

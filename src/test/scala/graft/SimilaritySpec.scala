@@ -47,4 +47,33 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
+
+  test("semanticDedup keeps exactly one representative (the min id) per cosine cluster") {
+    // two tight clusters + one singleton
+    val base = Seq.fill(8)(0.0)
+    def v(hot: Int, eps: Double) =
+      base.zipWithIndex.map { case (_, i) => if (i == hot) 1.0f else eps.toFloat }
+    val df = Seq(
+      (10L, v(0, 0.00), 1), (11L, v(0, 0.01), 1), (12L, v(0, 0.02), 1),
+      (20L, v(3, 0.00), 2), (21L, v(3, 0.01), 2),
+      (30L, v(6, 0.00), 3))
+      .toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(df, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 30L))
+  }
+
+  test("lshCandidatePairs: high recall vs exact pairs at the dedup threshold, exact precision") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.nearDupPairs(emb, emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshCandidatePairs(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is exact by construction (candidates are cosine-verified)
+    assert(lsh.subsetOf(exact))
+    // 2 planes × 24 tables: per-pair candidate prob ≥ 1-(1-p²)²⁴ ≈ 0.9999
+    // at cosine 0.4; with ~59 true pairs expect all found, assert ≥ 90%
+    val recall = (exact intersect lsh).size.toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.9, s"candidate recall too low: $recall")
+  }
 }
