@@ -25,7 +25,8 @@ object Bench {
   private val costHint: Map[String, Double] = Map(
     // round-4 2-pass minimums (sf0.1, post d6/pipe fixes)
     "pipe_consume_e2e" -> 8.5, "pipe_consume_sql" -> 8.4,
-    "d6_neardup_dedup" -> 7.3, "d2_minhash_neardup" -> 3.3,
+    "d6_neardup_dedup" -> 7.3, "d7_semantic_dedup" -> 3.6,
+    "d2_minhash_neardup" -> 3.3,
     "s3_ann_ivf_topk" -> 3.2, "d4_jaccard_pairs" -> 2.4,
     "d3_simhash_neardup" -> 1.8, "w3_price_change_history" -> 1.8,
     "w2_latest_per_key_day" -> 1.7, "s2_ann_lsh_topk" -> 1.6,

@@ -190,4 +190,36 @@ class StreamingSpec extends SparkSpec {
 
     assert(spark.table("dedup_q").count() == 2)
   }
+
+  test("corpus quality filter + fingerprint dedup run unchanged on a stream") {
+    // The corpus-prep operators are projections, so the same Columns drive
+    // batch and streaming: filter by quality rules, fingerprint, then
+    // watermark-bounded content dedup — an incremental DataPrep.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val good = ("the data " * 15).trim             // 30 tokens, passes rules
+    val prepared = graft.text.QualityFilters.qualityFilter(
+        docs, col("doc_id"), col("text"),
+        stopwords = Seq("the", "a"), minUniqRatio = 0.05,
+        extra = Seq(col("ts"),
+          graft.text.TextAnalysis.fingerprint(col("text")).as("fingerprint")))
+      .filter(col("drop_reason").isNull)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fingerprint")
+    val query = StreamOps.startMemorySink(prepared, "prep_q", OutputMode.Append())
+
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), good),
+      (2L, ts("2024-01-01 10:01:00"), good),        // same content → deduped
+      (3L, ts("2024-01-01 10:02:00"), "tiny doc"))  // fails too_short
+    query.processAllAvailable()
+    input.addData((4L, ts("2024-01-01 10:05:00"), good + " extra")) // new content
+    query.processAllAvailable()
+    query.stop()
+
+    val kept = spark.table("prep_q").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
 }
