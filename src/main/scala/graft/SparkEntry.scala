@@ -255,6 +255,17 @@ object SparkEntry {
     "s6_random_projection" -> { (s, dir) =>
       graft.sim.Project.randomProject(Tables.embeddings(s, dir), col("vec_id"),
         col("embedding"), dim = 64, outDim = 8)
+    },
+
+    // Benchmark decontamination: docs sharing any trigram with the "eval"
+    // slice (doc_id % 100 = 0) and how many they share. Eval grams
+    // broadcast; training grams never shuffle pre-join.
+    "t13_contamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.text.Vocab.contamination(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        col("doc_id"), col("text"), n = 3)
     }
   )
 
@@ -729,6 +740,20 @@ object SparkEntry {
         |GROUP BY lang""".stripMargin,
 
     "s6_random_projection" -> randomProjectOracle,
+
+    "t13_contamination" ->
+      """WITH ng AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 3)),
+        |ev AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 100 = 0)
+        |SELECT ng.doc_id, count(*) AS n_shared_grams
+        |FROM ng JOIN ev USING (gram)
+        |WHERE ng.doc_id % 100 <> 0
+        |GROUP BY ng.doc_id""".stripMargin,
 
     "t10_vocab_idf" ->
       """WITH c AS (

@@ -34,17 +34,44 @@ object Vocab {
     * Spark executes the order+limit as TakeOrderedAndProject — per-partition
     * heaps of size k, never a global sort.
     */
+  /** Space-joined adjacent n-grams of the token array — empty for documents
+    * shorter than `n`. Start positions run 1 .. (tokens - n + 1); the guard
+    * exists because Spark's `sequence(1, 0)` counts DOWN ([1, 0]) instead
+    * of returning empty.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        s => concat_ws(" ", slice(toks, s, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def topNgrams(df: DataFrame, text: Column, n: Int = 2, k: Int = 100): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be >= 1")
-    // start positions 1 .. (tokens - n + 1); guarded because Spark's
-    // sequence(1, 0) counts DOWN ([1, 0]) instead of returning empty
-    val base = df.select(TextAnalysis.tokens(text).as("__toks"))
-      .select(explode(when(size(col("__toks")) >= n,
-        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-          s => concat_ws(" ", slice(col("__toks"), s, lit(n)))))
-        .otherwise(array().cast("array<string>"))).as("ngram"))
-    base.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    df.select(explode(ngrams(text, n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
+  }
+
+  /** Benchmark decontamination: per training document, the number of
+    * distinct `n`-grams it shares with an eval corpus. The eval side is a
+    * benchmark — small by definition — so its distinct grams BROADCAST and
+    * the training corpus never shuffles: explode → broadcast semi-ish join
+    * → per-doc count, all map-side except the final per-doc aggregate
+    * (which is partial+final on doc_id). At web scale swap the gram strings
+    * for their Rabin–Karp hashes so the exploded column is 8 bytes.
+    */
+  def contamination(train: DataFrame, evalCorpus: DataFrame,
+                    id: Column, text: Column, n: Int = 3): DataFrame = {
+    // per-doc gram dedup happens ROW-LOCALLY (array_distinct before the
+    // explode) — a post-explode `.distinct()` would shuffle every training
+    // gram just to dedupe within documents
+    val tg = train.select(id.as("doc_id"),
+      explode(array_distinct(ngrams(text, n))).as("gram"))
+    val eg = evalCorpus.select(explode(ngrams(text, n)).as("gram")).distinct()
+    tg.join(broadcast(eg), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 }

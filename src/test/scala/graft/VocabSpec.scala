@@ -42,6 +42,29 @@ class VocabSpec extends SparkSpec {
     assert(uni.head._2 == 2L)
   }
 
+  test("contamination: distinct shared n-grams per train doc, short docs immune") {
+    val eval_ = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma y beta gamma delta z"), // shares 2 distinct trigrams
+      (2L, "alpha beta gamma alpha beta gamma"),       // repeated gram counts ONCE
+      (3L, "nothing in common here at all"),
+      (4L, "beta gamma"))                              // shorter than n
+      .toDF("doc_id", "text")
+    val out = Vocab.contamination(train, eval_, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("contamination broadcasts the eval grams (train side never pre-shuffles)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = Vocab.contamination(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
   test("topNgrams plans TakeOrderedAndProject, never a global Sort") {
     val p = Vocab.topNgrams(Tables.documents(spark, "/root/testdata/sf0.001"),
       col("text")).queryExecution.executedPlan.toString
