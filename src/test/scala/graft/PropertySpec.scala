@@ -171,4 +171,52 @@ class PropertySpec extends SparkSpec {
       assert(out == expected)
     }
   }
+
+  // --- corpus-quality operators on hostile text -----------------------------
+
+  /** Strings that stress the tokenizers: empty, whitespace runs, unicode,
+    * PII-shaped fragments, punctuation soup.
+    */
+  private val hostileText: Gen[String] = Gen.oneOf(
+    Gen.const(""),
+    Gen.const("   "),
+    Gen.const("éü中文 😀 mixed"),
+    Gen.listOfN(30, Gen.oneOf(Gen.alphaNumStr.map(_.take(5)),
+      Gen.oneOf("a@b.co", "1.2.3.4", "+1-555-1234", "...", "@@", " ")))
+      .map(_.mkString(" ")),
+    Gen.asciiPrintableStr.map(_.take(80)))
+
+  test("property: quality/repetition/chunk/redact never throw and hold invariants") {
+    val texts = samples(hostileText, 40).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val q = graft.text.QualityFilters.qualityFilter(df, col("doc_id"),
+      col("text"), Seq("the", "a")).collect()
+    assert(q.length == texts.length)
+    val rep = graft.text.QualityFilters.repetitionMetrics(df, col("doc_id"),
+      col("text")).collect()
+    rep.foreach { r =>
+      for (c <- Seq("dup_token_frac", "top_token_frac", "top_bigram_frac")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+    }
+    // chunk with stride == chunkSize partitions the token sequence exactly
+    val rebuilt = graft.text.Chunking.chunk(df, col("doc_id"), col("text"),
+        chunkSize = 7, stride = 7)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("r"))
+      .as[(Long, String)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rebuilt(i.toLong) == t.toLowerCase.split(" ", -1).mkString(" "))
+    }
+    // redaction is idempotent
+    val once = df.select(col("doc_id"),
+      graft.text.QualityFilters.redactPii(col("text")).as("r"))
+    val twice = once.select(col("doc_id"),
+      graft.text.QualityFilters.redactPii(col("r")).as("r"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
 }
