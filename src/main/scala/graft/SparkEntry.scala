@@ -266,6 +266,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 100 =!= 0),
         docs.filter(col("doc_id") % 100 === 0),
         col("doc_id"), col("text"), n = 3)
+    },
+
+    // Per-doc top-3 TF-IDF terms: row-local term counts, broadcast IDF
+    // join, one per-doc window shuffle.
+    "t14_tfidf_topk" -> { (s, dir) =>
+      graft.text.Vocab.tfidfTopK(Tables.documents(s, dir), col("doc_id"),
+        col("text"), k = 3)
     }
   )
 
@@ -740,6 +747,30 @@ object SparkEntry {
         |GROUP BY lang""".stripMargin,
 
     "s6_random_projection" -> randomProjectOracle,
+
+    "t14_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |terms AS (
+        |  SELECT doc_id, token, t, len(t) AS n FROM (
+        |    SELECT doc_id, unnest(list_distinct(t)) AS token, t FROM toks)),
+        |tf AS (
+        |  SELECT doc_id, token, len(list_filter(t, y -> y = token)) AS cnt, n
+        |  FROM terms),
+        |idf AS (
+        |  SELECT token, round(ln(n_docs::DOUBLE / df_count), 6) AS idf FROM (
+        |    SELECT token, count(*) AS df_count FROM (
+        |      SELECT unnest(list_distinct(t)) AS token FROM toks) GROUP BY 1),
+        |    (SELECT count(*) AS n_docs FROM documents)),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.cnt::DOUBLE / tf.n * idf.idf, 6) AS tfidf
+        |  FROM tf JOIN idf USING (token))
+        |SELECT doc_id, token, tfidf, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin,
 
     "t13_contamination" ->
       """WITH ng AS (

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level vocabulary statistics — the aggregate-shaped text jobs
@@ -53,6 +54,32 @@ object Vocab {
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
+  }
+
+  /** Per-document top-k TF-IDF terms (the classic keyword extractor /
+    * sparse-retrieval feature). Term frequencies are computed ROW-LOCALLY
+    * (distinct-token explode with an in-array count — no (doc, token)
+    * shuffle); the IDF table joins by broadcast (valid while the vocabulary
+    * is broadcastable — for open web vocabularies switch to a shuffle join
+    * on token); the only repartitioning is the per-doc top-k window. Scores
+    * round at 6dp before ranking so the order is engine-reproducible.
+    */
+  def tfidfTopK(df: DataFrame, id: Column, text: Column, k: Int = 3): DataFrame = {
+    val idfTab = idf(df, text)
+    val terms = df
+      .select(id.as("doc_id"), TextAnalysis.tokens(text).as("__t"))
+      .select(col("doc_id"), size(col("__t")).as("n"), col("__t"),
+        explode(array_distinct(col("__t"))).as("token"))
+      .withColumn("cnt", size(filter(col("__t"), y => y === col("token"))))
+      .drop("__t")
+    val scored = terms.join(broadcast(idfTab.select("token", "idf")), "token")
+      .withColumn("tfidf",
+        round(col("cnt").cast("double") / col("n") * col("idf"), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tfidf", "rank")
   }
 
   /** Benchmark decontamination: per training document, the number of

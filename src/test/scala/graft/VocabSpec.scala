@@ -65,6 +65,23 @@ class VocabSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
   }
 
+  test("tfidfTopK: rare distinguishing terms outrank ubiquitous ones") {
+    val df = Seq(
+      (1L, "common common rare1"),
+      (2L, "common other words"),
+      (3L, "common more stuff"))
+      .toDF("doc_id", "text")
+    val top = Vocab.tfidfTopK(df, col("doc_id"), col("text"), k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("token", "tfidf", "rank").as[(String, Double, Int)].collect()
+    // 'common' appears in all docs → idf 0 → tfidf 0; 'rare1' wins
+    assert(top(0)._1 == "rare1")
+    assert(top(0)._2 > 0.0)
+    val common = Vocab.tfidfTopK(df, col("doc_id"), col("text"), k = 3)
+      .filter(col("token") === "common").select("tfidf").as[Double].collect()
+    assert(common.forall(_ == 0.0))
+  }
+
   test("topNgrams plans TakeOrderedAndProject, never a global Sort") {
     val p = Vocab.topNgrams(Tables.documents(spark, "/root/testdata/sf0.001"),
       col("text")).queryExecution.executedPlan.toString
