@@ -60,4 +60,10 @@ object Sinks {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** ORC export — for consumers standardized on the ORC toolchain; same
+    * writer semantics as the parquet paths (snappy via Spark defaults).
+    */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -43,6 +43,23 @@ object Sources {
   def csvLookup(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** JSON-lines scan (plain or gzip — Spark decompresses by extension),
+    * reading back what [[Sinks.gzipJson]] writes. Supply the schema in
+    * production: inference costs a full extra pass over the data and infers
+    * from whatever subset of fields happens to be present.
+    */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** ORC scan — same columnar pushdown/pruning properties as parquet
+    * (PlanAudit-equivalent: filters and column pruning reach the scan).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S6 (`script/helper.py:64-72`): SQL template load + `{placeholder}`
     * substitution (Python `str.format` semantics: every `{key}` replaced,
     * unknown keys are an error, `{{`/`}}` escape literal braces).

@@ -92,4 +92,28 @@ class IoSpec extends SparkSpec {
     assert(cfg.countryValues.head == CountryRowRef)
   }
   private val CountryRowRef = graft.io.CountryRow(108, "GERMANY", "BUY", "SELL")
+
+  test("gzip JSON sink round-trips through the JSON-lines source (schema supplied)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/out"
+    val df = Seq((1L, "a", 1.5), (2L, "b", -0.25)).toDF("id", "name", "score")
+    Sinks.gzipJson(df, dir)
+    val back = Sources.jsonLines(spark, dir, Some(df.schema))
+      .orderBy("id").collect().toSeq
+    assert(back == df.orderBy("id").collect().toSeq)
+  }
+
+  test("ORC sink/source round-trip preserves rows and types") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/out"
+    val df = Seq((1L, "a", java.sql.Date.valueOf("2024-01-02"), true),
+        (2L, "b", java.sql.Date.valueOf("2024-02-03"), false))
+      .toDF("id", "name", "d", "flag")
+    Sinks.orc(df, dir)
+    val back = Sources.orc(spark, dir)
+    // file sources read everything back nullable — compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
 }
