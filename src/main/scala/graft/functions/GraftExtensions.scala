@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   ...
   *   spark.sql("SELECT cosine_sim(a.embedding, b.embedding) FROM ...")
   *   spark.sql("SELECT sorted_intersect_size(sa, sb) FROM pairs")
+  *   spark.sql("SELECT rabin_fingerprint(text) FROM docs")
   *   spark.sql("SELECT minhash_signature(hashes, 72, 42) FROM docs")
   *   spark.sql("SELECT simhash_fingerprint(hashes, 64, 7) FROM docs")
   * }}}
@@ -64,6 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val params = graft.dedup.MinHashLSH.hashParams(n, seed)
         MinHashSignature(children.head,
           params.map(_._1).toArray, params.map(_._2).toArray, graft.dedup.MinHashLSH.P)
+      }))
+
+    extensions.injectFunction((
+      new FunctionIdentifier("rabin_fingerprint"),
+      new ExpressionInfo(classOf[RabinFingerprint].getName, "rabin_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "rabin_fingerprint takes exactly 1 argument")
+        RabinFingerprint(children.head)
       }))
 
     extensions.injectFunction((

@@ -108,9 +108,20 @@ object TextAnalysis {
   /** Document fingerprint: order-sensitive polynomial rolling hash over
     * token hashes (base-31 Horner over [[tokenHash]], mod [[HashP]]). Equal
     * token sequences get equal fingerprints on any cluster layout. Pure
-    * projection — no shuffle.
+    * projection — no shuffle. Runs as the codegen'd
+    * [[graft.functions.RabinFingerprint]] expression (one pass, no
+    * per-character array allocation); [[fingerprintHof]] is the built-ins
+    * formulation it is property-spec'd equal to.
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    asColumn(graft.functions.RabinFingerprint(asExpression(text)))
+  }
+
+  /** The HOF/built-ins formulation of [[fingerprint]] — kept as the
+    * executable specification (and for engines without the extension).
+    */
+  def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 + tokenHash(t), lit(HashP)))
 }

@@ -43,7 +43,7 @@ class ArrayCosineSpec extends SparkSpec {
     assert(math.abs(r(0).getDouble(0) - 1.0) < eps)
   }
 
-  test("all four native expressions register for SQL, bit-identical to the API") {
+  test("all five native expressions register for SQL, bit-identical to the API") {
     import graft.dedup.{MinHashLSH, SimHash}
     org.apache.spark.sql.graftfn.registerGraftFunctions(spark)
 
@@ -83,5 +83,13 @@ class ArrayCosineSpec extends SparkSpec {
       "SELECT doc_id, simhash_fingerprint(hashes, 64, 7) AS fp FROM fp_docs")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sqlFp2 == apiFp)
+
+    val apiRabin = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sqlRabin = spark.sql(
+      "SELECT doc_id, rabin_fingerprint(text) AS fp FROM sig_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlRabin == apiRabin)
   }
 }

@@ -219,4 +219,19 @@ class PropertySpec extends SparkSpec {
       graft.text.QualityFilters.redactPii(col("r")).as("r"))
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
+
+  test("property: native RabinFingerprint equals the HOF formulation on hostile text") {
+    val texts = (samples(hostileText, 60) ++ Seq("", " ", "  a  b ", "é 中文 😀"))
+      .distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = df.select(col("text"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("native"),
+        graft.text.TextAnalysis.fingerprintHof(col("text")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"fingerprint mismatch on ${r.getString(0)}: ${r.getLong(1)} vs ${r.getLong(2)}")
+    }
+  }
 }
