@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * shape. Header-level image decoding ([[sniffImage]]/[[imageMeta]]: PNG /
   * GIF / BMP / JPEG dimensions) is REAL pure-byte parsing with no codec
   * dependency — the per-blob triage step a large ingest runs on everything.
-  * Full PIXEL decoding is stubbed (this container ships no image/audio
-  * codecs): `decodeStub` is a deterministic fake standing in for a
-  * JNI/library call. Swap `decodeStub` for a real decoder and nothing else
-  * changes.
+  * PIXEL decoding is real for uncompressed 24-bit BMP ([[decodeBmp24]] /
+  * [[bmpStats]] — byte arithmetic, padding + bottom-up handling, no
+  * library); compressed formats (PNG/JPEG/audio/video) remain stubbed
+  * (this container ships no codecs): `decodeStub` is a deterministic fake
+  * standing in for a JNI/library call. Swap `decodeStub` for a real
+  * decoder and nothing else changes.
   *
   * Scale notes: feature extraction is `mapPartitions` (the Scala analogue of
   * `mapInPandas`) so a real decoder amortizes its init cost per PARTITION,
@@ -92,6 +94,64 @@ object Multimodal {
       }
       unknown
     } else unknown
+  }
+
+  case class BmpStats(doc_id: Long, width: Int, height: Int,
+                      mean_r: Float, mean_g: Float, mean_b: Float)
+
+  /** REAL pixel decode for uncompressed 24-bit BI_RGB BMPs — the one
+    * mainstream image layout that needs no codec, just byte arithmetic:
+    * BITMAPINFOHEADER, rows padded to 4 bytes, bottom-up (positive height)
+    * or top-down (negative), pixels stored BGR. Returns row-major top-down
+    * BGR triplets, or None for anything that isn't exactly this layout
+    * (compressed formats stay behind [[decodeStub]] — honestly).
+    */
+  private[graft] def decodeBmp24(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    @inline def u8(i: Int) = p(i) & 0xff
+    @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val offset = le32(10)
+    val dib = le32(14)
+    val width = le32(18)
+    val heightRaw = le32(22)
+    if (dib < 40 || le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return None
+    if (width <= 0 || heightRaw == 0 || heightRaw == Int.MinValue) return None
+    val height = math.abs(heightRaw)
+    val rowSize = ((24L * width + 31) / 32 * 4).toInt
+    // reject dimension combos whose buffer can't exist before allocating
+    if (rowSize <= 0 || height.toLong * rowSize > Int.MaxValue) return None
+    if (offset < 0 || offset.toLong + height.toLong * rowSize > p.length) return None
+    val out = new Array[Byte](width * height * 3)
+    var row = 0
+    while (row < height) {
+      // bottom-up files store the LAST image row first
+      val srcRow = if (heightRaw > 0) height - 1 - row else row
+      val src = offset + srcRow * rowSize
+      System.arraycopy(p, src, out, row * width * 3, width * 3)
+      row += 1
+    }
+    Some((width, height, out))
+  }
+
+  /** Per-image mean RGB over decoded BMP pixels — real pixel math, batched
+    * per partition; non-BMP / corrupt payloads are dropped (the triage
+    * contract: never fail the partition on one bad blob).
+    */
+  def bmpStats(media: Dataset[MediaRecord]): Dataset[BmpStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeBmp24(r.payload).map { case (w, h, bgr) =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < bgr.length) {
+          sb += bgr(i) & 0xff; sg += bgr(i + 1) & 0xff; sr += bgr(i + 2) & 0xff
+          i += 3
+        }
+        val n = (w.toLong * h).toFloat
+        BmpStats(r.doc_id, w, h, sr / n, sg / n, sb / n)
+      }
+    })
   }
 
   /** Image metadata extraction over the media table — the real decode step,

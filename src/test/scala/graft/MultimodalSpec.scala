@@ -105,4 +105,69 @@ class MultimodalSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq
     assert(d1 == Seq(0, 2))
   }
+
+  /** Build a valid uncompressed 24-bit BMP: rows of (r,g,b) pixels given
+    * TOP-DOWN; `bottomUp` stores them in the file bottom-up with positive
+    * height (the common layout), else top-down with negative height.
+    */
+  private def bmp(rows: Seq[Seq[(Int, Int, Int)]], bottomUp: Boolean): Array[Byte] = {
+    val h = rows.length; val w = rows.head.length
+    val rowSize = ((24 * w + 31) / 32) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+      .putInt(0).putInt(54)                                  // pixel offset
+    buf.putInt(40).putInt(w).putInt(if (bottomUp) h else -h) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val fileRows = if (bottomUp) rows.reverse else rows
+    fileRows.foreach { row =>
+      row.foreach { case (r, g, b) =>
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)        // BGR on disk
+      }
+      (0 until rowSize - 3 * w).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  test("decodeBmp24: real pixel decode — padding, bottom-up AND top-down orders") {
+    // 3x2 image (odd width forces 3 pad bytes per row)
+    val topDownRows = Seq(
+      Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Seq((10, 20, 30), (40, 50, 60), (70, 80, 90)))
+    for (bottomUp <- Seq(true, false)) {
+      val Some((w, h, bgr)) = Multimodal.decodeBmp24(bmp(topDownRows, bottomUp))
+      assert(w == 3 && h == 2)
+      // first decoded pixel is always the image's TOP-LEFT, regardless of layout
+      assert((bgr(2) & 0xff, bgr(1) & 0xff, bgr(0) & 0xff) == ((255, 0, 0)))
+      assert((bgr(15 + 2) & 0xff, bgr(15 + 1) & 0xff, bgr(15) & 0xff) == ((70, 80, 90)))
+    }
+  }
+
+  test("bmpStats computes exact channel means; non-BMP payloads are dropped") {
+    val img = bmp(Seq(Seq((100, 0, 0), (200, 0, 0))), bottomUp = true)
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "image/bmp", img.length, img),
+        Multimodal.MediaRecord(2L, "text/plain", 5, "hello".getBytes),
+        Multimodal.MediaRecord(3L, "image/bmp", 10, Array.fill(10)(0x42.toByte)))
+      .toDS()
+    val out = Multimodal.bmpStats(media).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+    assert(out.head.mean_r == 150f && out.head.mean_g == 0f && out.head.mean_b == 0f)
+  }
+
+  test("decodeBmp24 rejects truncation, wrong bit depth, compression, hostile dims") {
+    val good = bmp(Seq(Seq((1, 2, 3))), bottomUp = true)
+    assert(Multimodal.decodeBmp24(good).isDefined)
+    assert(Multimodal.decodeBmp24(good.take(40)).isEmpty)      // truncated header
+    assert(Multimodal.decodeBmp24(good.dropRight(1)).isEmpty)  // truncated pixels
+    val wrongDepth = good.clone(); wrongDepth(28) = 8          // 8-bit palette
+    assert(Multimodal.decodeBmp24(wrongDepth).isEmpty)
+    val compressed = good.clone(); compressed(30) = 1          // BI_RLE8
+    assert(Multimodal.decodeBmp24(compressed).isEmpty)
+    val hugeDims = good.clone()
+    // width = 0x40000000: rowSize overflows any plausible buffer — reject
+    hugeDims(18) = 0; hugeDims(19) = 0; hugeDims(20) = 0; hugeDims(21) = 0x40
+    assert(Multimodal.decodeBmp24(hugeDims).isEmpty)
+  }
 }
