@@ -273,6 +273,33 @@ object SparkEntry {
     "t14_tfidf_topk" -> { (s, dir) =>
       graft.text.Vocab.tfidfTopK(Tables.documents(s, dir), col("doc_id"),
         col("text"), k = 3)
+    },
+
+    // REAL binary decode through the contract: build a valid 2×1 24-bit
+    // BMP per doc (pixels derived from doc_id), decode it byte-by-byte
+    // with bmpStats, and let the oracle replay the pixel arithmetic — the
+    // hash only matches if the actual BMP parsing (header, BGR order,
+    // row padding) is correct.
+    "m2_bmp_decode" -> { (s, dir) =>
+      // 54-byte header for a 62-byte, 2×1, 24bpp, BI_RGB, bottom-up file
+      val hdrHex = "424D3E0000000000000036000000" +
+        "28000000" + "02000000" + "01000000" + "0100" + "1800" +
+        "00000000" + "08000000" + "00000000" + "00000000" +
+        "00000000" + "00000000"
+      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      val id = col("doc_id")
+      val payload = unhex(concat(lit(hdrHex),
+        bh(id * 13), bh(id * 7), bh(id),          // pixel 1: BGR on disk
+        bh(id * 17), bh(id * 11), bh(id * 3),     // pixel 2
+        lit("0000")))                             // row pad to 8 bytes
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        lit("image/bmp").as("mime"), lit(62).as("n_bytes"),
+        payload.as("payload"))
+      Multimodal.bmpStats(Multimodal.asMediaDataset(media)).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r").cast("double"), 6).as("mean_r"),
+          round(col("mean_g").cast("double"), 6).as("mean_g"),
+          round(col("mean_b").cast("double"), 6).as("mean_b"))
     }
   )
 
@@ -747,6 +774,13 @@ object SparkEntry {
         |GROUP BY lang""".stripMargin,
 
     "s6_random_projection" -> randomProjectOracle,
+
+    "m2_bmp_decode" ->
+      """SELECT doc_id, 2 AS width, 1 AS height,
+        |  round((doc_id % 256 + (doc_id * 3) % 256) / 2.0, 6) AS mean_r,
+        |  round(((doc_id * 7) % 256 + (doc_id * 11) % 256) / 2.0, 6) AS mean_g,
+        |  round(((doc_id * 13) % 256 + (doc_id * 17) % 256) / 2.0, 6) AS mean_b
+        |FROM documents""".stripMargin,
 
     "t14_tfidf_topk" ->
       """WITH toks AS (
