@@ -300,6 +300,31 @@ object SparkEntry {
           round(col("mean_r").cast("double"), 6).as("mean_r"),
           round(col("mean_g").cast("double"), 6).as("mean_g"),
           round(col("mean_b").cast("double"), 6).as("mean_b"))
+    },
+
+    // Same pattern for audio: a valid 44-byte PCM WAV header per doc,
+    // parsed by the real RIFF chunk walker; oracle replays the arithmetic.
+    "m3_wav_decode" -> { (s, dir) =>
+      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      def wle16(c: Column): Column = concat(bh(c), bh(shiftright(c, 8)))
+      def wle32(c: Column): Column =
+        concat(bh(c), bh(shiftright(c, 8)), bh(shiftright(c, 16)), bh(shiftright(c, 24)))
+      val id = col("doc_id")
+      val channels = lit(1) + id % 2
+      val rate = lit(8000) + (id % 4) * 4000
+      val blockAlign = channels * 2           // 16-bit mono/stereo
+      val nSamples = lit(100) + id % 50
+      val dataSize = nSamples * blockAlign
+      val payload = unhex(concat(
+        lit("52494646"), wle32(dataSize + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"),
+        wle16(channels), wle32(rate), wle32(rate * blockAlign),
+        wle16(blockAlign), lit("1000"),
+        lit("64617461"), wle32(dataSize)))
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        lit("audio/wav").as("mime"), lit(44).as("n_bytes"),
+        payload.as("payload"))
+      Multimodal.audioMeta(Multimodal.asMediaDataset(media)).toDF()
     }
   )
 
@@ -774,6 +799,15 @@ object SparkEntry {
         |GROUP BY lang""".stripMargin,
 
     "s6_random_projection" -> randomProjectOracle,
+
+    "m3_wav_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |  16 AS bits,
+        |  CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+        |  (100 + doc_id % 50) * 1000 // (8000 + (doc_id % 4) * 4000) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "m2_bmp_decode" ->
       """SELECT doc_id, 2 AS width, 1 AS height,

@@ -154,6 +154,56 @@ object Multimodal {
     })
   }
 
+  case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
+                       bits: Int, n_samples: Long, duration_ms: Long)
+
+  /** REAL WAV (RIFF) metadata parse — chunk walk to `fmt ` and `data`,
+    * pure byte arithmetic, no codec: the audio analog of [[sniffImage]].
+    * Handles non-canonical chunk orders (LIST/INFO before data) and
+    * word-aligned chunk sizes; returns None rather than throwing on
+    * truncated or hostile input. PCM sample decoding itself stays behind
+    * [[decodeStub]] like every compressed codec.
+    */
+  private[graft] def sniffWav(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    @inline def u8(i: Int) = p(i) & 0xff
+    @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def tag(i: Int, s: String) =
+      p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    while (i + 8 <= p.length) {
+      val size = le32(i + 4)
+      if (size < 0) return None
+      if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= p.length) {
+        if (le16(i + 8) != 1) return None // PCM only — compressed is stubbed
+        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+      } else if (tag(i, "data")) {
+        // metadata decode needs only the declared size, not the samples
+        return fmt.collect { case (c, r, b) if c > 0 && r > 0 && b > 0 =>
+          (c, r, b, size.toLong)
+        }
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Audio metadata extraction: channels / rate / depth / sample count /
+    * duration per blob, batched per partition; undecodable blobs drop.
+    */
+  def audioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      sniffWav(r.payload).map { case (c, rate, bits, dataBytes) =>
+        val nSamples = dataBytes / (c.toLong * bits / 8)
+        AudioMeta(r.doc_id, c, rate, bits, nSamples, nSamples * 1000L / rate)
+      }
+    })
+  }
+
   /** Image metadata extraction over the media table — the real decode step,
     * batched per partition like [[extractFeatures]].
     */

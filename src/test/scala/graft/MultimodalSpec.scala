@@ -156,6 +156,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.mean_r == 150f && out.head.mean_g == 0f && out.head.mean_b == 0f)
   }
 
+  /** Canonical PCM WAV header bytes, optionally with a LIST chunk wedged
+    * between fmt and data (common in tagged files — exercises chunk walk).
+    */
+  private def wav(channels: Int, rate: Int, bits: Int, nSamples: Int,
+                  listChunk: Boolean = false): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val listBytes = if (listChunk) 12 else 0
+    val buf = java.nio.ByteBuffer.allocate(44 + listBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + listBytes + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1)
+      .putShort(channels.toShort).putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    if (listChunk) buf.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    buf.put("data".getBytes).putInt(dataSize)
+    buf.array()
+  }
+
+  test("sniffWav parses canonical and LIST-bearing headers; rejects hostile input") {
+    assert(Multimodal.sniffWav(wav(2, 44100, 16, 1000)) == Some((2, 44100, 16, 4000L)))
+    assert(Multimodal.sniffWav(wav(1, 8000, 16, 50, listChunk = true)) ==
+      Some((1, 8000, 16, 100L)))
+    assert(Multimodal.sniffWav(wav(2, 44100, 16, 10).take(30)).isEmpty) // truncated
+    val nonPcm = wav(1, 8000, 16, 10); nonPcm(20) = 3                   // IEEE float fmt
+    assert(Multimodal.sniffWav(nonPcm).isEmpty)
+    assert(Multimodal.sniffWav("RIFFxxxxJUNK".getBytes ++ Array.fill(40)(0.toByte)).isEmpty)
+    assert(Multimodal.sniffWav(Array.empty[Byte]).isEmpty)
+  }
+
+  test("audioMeta derives samples and duration, drops undecodable blobs") {
+    val good = wav(2, 16000, 16, 8000) // 8000 samples @16k = 500 ms
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "audio/wav", good.length, good),
+        Multimodal.MediaRecord(2L, "text/plain", 3, "nah".getBytes))
+      .toDS()
+    val out = Multimodal.audioMeta(media).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+    assert(out.head == Multimodal.AudioMeta(1L, 2, 16000, 16, 8000L, 500L))
+  }
+
   test("decodeBmp24 rejects truncation, wrong bit depth, compression, hostile dims") {
     val good = bmp(Seq(Seq((1, 2, 3))), bottomUp = true)
     assert(Multimodal.decodeBmp24(good).isDefined)
