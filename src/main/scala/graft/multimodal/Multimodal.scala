@@ -81,16 +81,19 @@ object Multimodal {
       else if (dib == 12) ("bmp", le16(18), le16(20))
       else unknown
     } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
-      // JPEG: walk marker segments to the first SOFn frame header
-      var i = 2
-      while (i + 9 < p.length) {
+      // JPEG: walk marker segments to the first SOFn frame header. Long
+      // cursor: on a ~2 GB blob the int increment could wrap negative and
+      // index out of bounds — degrade, never throw.
+      var cursor = 2L
+      while (cursor + 9 < p.length) {
+        val i = cursor.toInt
         if (u8(i) != 0xff) return unknown
         val m = u8(i + 1)
-        if (m == 0xff) i += 1 // legal fill/padding byte before a marker
-        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone markers
+        if (m == 0xff) cursor += 1 // legal fill/padding byte before a marker
+        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) cursor += 2 // standalone markers
         else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
           return ("jpeg", be16(i + 7), be16(i + 5)) // SOFn: height then width
-        else i += 2 + be16(i + 2) // skip segment payload
+        else cursor += 2L + be16(i + 2) // skip segment payload
       }
       unknown
     } else unknown
@@ -172,9 +175,12 @@ object Multimodal {
       p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
         p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
     if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i = 12
+    // LONG cursor: a hostile chunk size near Int.MaxValue would overflow an
+    // int cursor to negative and index out of bounds — degrade, never throw
+    var cursor = 12L
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
-    while (i + 8 <= p.length) {
+    while (cursor + 8 <= p.length) {
+      val i = cursor.toInt
       val size = le32(i + 4)
       if (size < 0) return None
       if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= p.length) {
@@ -186,7 +192,7 @@ object Multimodal {
           (c, r, b, size.toLong)
         }
       }
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      cursor += 8L + size + (size & 1) // chunks are word-aligned
     }
     None
   }

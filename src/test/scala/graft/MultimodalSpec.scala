@@ -184,6 +184,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniffWav(nonPcm).isEmpty)
     assert(Multimodal.sniffWav("RIFFxxxxJUNK".getBytes ++ Array.fill(40)(0.toByte)).isEmpty)
     assert(Multimodal.sniffWav(Array.empty[Byte]).isEmpty)
+    // hostile chunk size near Int.MaxValue must not overflow the cursor
+    val overflow = wav(1, 8000, 16, 10)
+    overflow(16) = 0xf0.toByte; overflow(17) = 0xff.toByte
+    overflow(18) = 0xff.toByte; overflow(19) = 0x7f.toByte // fmt size = 0x7ffffff0
+    assert(Multimodal.sniffWav(overflow).isEmpty)
   }
 
   test("audioMeta derives samples and duration, drops undecodable blobs") {
