@@ -88,6 +88,20 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     },
 
+    // Incremental ingest dedup: the %10==0 slice plays yesterday's corpus;
+    // today's batch drops already-seen fingerprints (anti join on the
+    // 8-byte key) then dedupes within itself.
+    "d8_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def fp(df: DataFrame) =
+        df.withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      Dedup.dropAlreadySeen(
+          fp(docs.filter(col("doc_id") % 10 =!= 0)),
+          fp(docs.filter(col("doc_id") % 10 === 0)),
+          col("fingerprint"), col("doc_id"))
+        .select("doc_id", "lang", "source", "fingerprint")
+    },
+
     // SemDeDup: embedding-cosine clusters (connected components over
     // pairs ≥ threshold), keep the smallest vec_id per cluster. Exact pair
     // stage here (broadcast corpus); Similarity.lshCandidatePairs is the
@@ -767,6 +781,22 @@ object SparkEntry {
          |WHERE sample_bucket < CASE lang
          |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
          |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "d8_incremental_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, source,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(lower(text), ' '),
+         |        t -> ${duckTokenHash("t")})),
+         |      (acc, th) -> (acc * 31 + th) % 1000000007) AS fingerprint
+         |  FROM documents),
+         |batch AS (
+         |  SELECT * FROM f WHERE doc_id % 10 <> 0 AND fingerprint NOT IN (
+         |    SELECT fingerprint FROM f WHERE doc_id % 10 = 0))
+         |SELECT doc_id, lang, source, fingerprint FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |  FROM batch) WHERE rn = 1""".stripMargin,
 
     "d7_semantic_dedup" ->
       """WITH RECURSIVE emb AS (

@@ -51,4 +51,19 @@ object Dedup {
     */
   def dropExactDuplicates(df: DataFrame, dupKeys: Seq[Column], keep: Column): DataFrame =
     topOnePerKey(df, dupKeys, Seq(keep.asc))
+
+  /** Incremental ingest dedup — the daily-pipeline counterpart of the
+    * full-corpus dedups: drop batch rows whose dedup key already exists in
+    * the historical corpus (anti join), then keep one row per key WITHIN
+    * the batch (smallest `keep` wins). The history side projects the key
+    * ONLY before the join, so at 100 TB the anti join shuffles 8-byte
+    * fingerprints, never documents; with history stored bucketed by the
+    * key, its side of the shuffle disappears entirely.
+    */
+  def dropAlreadySeen(batch: DataFrame, history: DataFrame,
+                      key: Column, keep: Column): DataFrame = {
+    val seen = history.select(key.as("__seen")).distinct()
+    topOnePerKey(batch.join(seen, key === col("__seen"), "left_anti"),
+      Seq(key), Seq(keep.asc))
+  }
 }

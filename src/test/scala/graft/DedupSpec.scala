@@ -29,4 +29,16 @@ class DedupSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(out == Set(("a", 1L), ("b", 2L)))
   }
+
+  test("dropAlreadySeen: history suppresses, batch self-dedupes, min keep wins") {
+    val history = Seq((100L, "aaa"), (101L, "bbb")).toDF("id", "k")
+    val batch = Seq(
+        (1L, "aaa"),              // already in history -> dropped
+        (2L, "ccc"), (3L, "ccc"), // in-batch dup -> keep id 2
+        (4L, "ddd"))
+      .toDF("id", "k")
+    val out = Dedup.dropAlreadySeen(batch, history, col("k"), col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(2L, 4L))
+  }
 }
