@@ -258,6 +258,18 @@ object SparkEntry {
         n = 2, k = 100)
     },
 
+    // Unicode NFC normalization: decomposed accents (e + combining mark)
+    // are injected, the native expression canonicalizes, and the oracle
+    // runs DuckDB's nfc_normalize over the same construction — both
+    // implement the same Unicode standard, verified bit-identical.
+    "t15_nfc_normalize" -> { (s, dir) =>
+      val dirty = concat(col("text"), lit(" café naïve"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        length(dirty).as("len_before"),
+        TextAnalysis.nfc(dirty).as("norm_text"),
+        length(TextAnalysis.nfc(dirty)).as("len_after"))
+    },
+
     // Per-language corpus stats with EXACT percentiles (bounded-domain
     // metric, so partial-agg state stays tiny — see TextAnalysis scaladoc).
     "t12_corpus_stats" -> { (s, dir) =>
@@ -817,6 +829,16 @@ object SparkEntry {
         |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> comp)""".stripMargin,
+
+    "t15_nfc_normalize" ->
+      """SELECT doc_id,
+        |  length(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've')
+        |    AS len_before,
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've')
+        |    AS norm_text,
+        |  length(nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'))
+        |    AS len_after
+        |FROM documents""".stripMargin,
 
     "t12_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,

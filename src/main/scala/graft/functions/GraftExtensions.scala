@@ -68,6 +68,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     extensions.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
+
+    extensions.injectFunction((
       new FunctionIdentifier("rabin_fingerprint"),
       new ExpressionInfo(classOf[RabinFingerprint].getName, "rabin_fingerprint"),
       (children: Seq[Expression]) => {

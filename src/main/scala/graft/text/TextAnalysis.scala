@@ -124,4 +124,13 @@ object TextAnalysis {
   def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 + tokenHash(t), lit(HashP)))
+
+  /** Unicode NFC canonicalization (native codegen'd expression) — run it
+    * BEFORE [[fingerprint]]/shingling so composed and decomposed forms of
+    * the same text dedup together.
+    */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    asColumn(graft.functions.NfcNormalize(asExpression(text)))
+  }
 }

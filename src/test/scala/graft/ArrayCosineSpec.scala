@@ -43,7 +43,7 @@ class ArrayCosineSpec extends SparkSpec {
     assert(math.abs(r(0).getDouble(0) - 1.0) < eps)
   }
 
-  test("all five native expressions register for SQL, bit-identical to the API") {
+  test("all six native expressions register for SQL, bit-identical to the API") {
     import graft.dedup.{MinHashLSH, SimHash}
     org.apache.spark.sql.graftfn.registerGraftFunctions(spark)
 
@@ -91,5 +91,10 @@ class ArrayCosineSpec extends SparkSpec {
       "SELECT doc_id, rabin_fingerprint(text) AS fp FROM sig_docs")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sqlRabin == apiRabin)
+
+    // nfc_normalize: decomposed é (e + U+0301) composes to one codepoint
+    val nfc = spark.sql("SELECT length(nfc_normalize('café')) AS n")
+      .collect()(0).getInt(0)
+    assert(nfc == 4)
   }
 }

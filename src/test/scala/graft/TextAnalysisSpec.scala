@@ -45,6 +45,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
   }
 
+  test("nfc: decomposed and composed forms converge, fingerprints then agree") {
+    val composed = "café naïve"          // é, ï precomposed
+    val decomposed = "café naïve"      // e+U+0301, i+U+0308
+    val df = Seq((1L, composed), (2L, decomposed)).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextAnalysis.nfc(col("t")).as("n"),
+        TextAnalysis.fingerprint(TextAnalysis.nfc(col("t"))).as("fp"),
+        length(col("t")).as("lb"), length(TextAnalysis.nfc(col("t"))).as("la"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("n") == out(1).getAs[String]("n"))
+    assert(out(0).getAs[Long]("fp") == out(1).getAs[Long]("fp"))
+    assert(out(0).getAs[Int]("lb") == 10 && out(1).getAs[Int]("lb") == 12)
+    assert(out.forall(_.getAs[Int]("la") == 10))
+    // WITHOUT normalization the fingerprints split — the bug nfc prevents
+    val raw = df.select(TextAnalysis.fingerprint(col("t"))).as[Long].collect()
+    assert(raw(0) != raw(1))
+  }
+
   test("corpusStats: exact type-7 percentiles per group") {
     // group g: token counts 1,2,3,4,10 -> p50 = 3.0, p90 = 7.6 (type 7)
     val texts = Seq(1, 2, 3, 4, 10).zipWithIndex.map { case (n, i) =>
