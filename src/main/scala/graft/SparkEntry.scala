@@ -351,8 +351,81 @@ object SparkEntry {
         lit("audio/wav").as("mime"), lit(44).as("n_bytes"),
         payload.as("payload"))
       Multimodal.audioMeta(Multimodal.asMediaDataset(media)).toDF()
+    },
+
+    // REAL compressed-image decode through the JDK's ImageIO PNG codec:
+    // a 2x2 PNG per doc (pixels derived from doc_id), lossless-encoded,
+    // then decoded back to pixels by imageStats — the hash only matches if
+    // the real zlib/filter/codec round trip reproduces every pixel. The
+    // oracle replays the pixel arithmetic.
+    "m4_png_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rgb = pixelMultipliers.map(m => ((id * m) % 256).toByte)
+          val png = Multimodal.encodePng(2, 2, rgb)
+          Multimodal.MediaRecord(id, "image/png", png.length, png)
+        })
+      Multimodal.imageStats(media).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(col("mean_r").cast("double"), 6).as("mean_r"),
+          round(col("mean_g").cast("double"), 6).as("mean_g"),
+          round(col("mean_b").cast("double"), 6).as("mean_b"))
+    },
+
+    // REAL PCM sample decode through javax.sound: a mono 16-bit WAV per
+    // doc with 64 + id%32 samples v_i = (id*31 + i*17) % 2003 - 1001,
+    // built byte-by-byte IN THE PLAN (unhex of expression-generated hex),
+    // decoded by AudioSystem, reduced to exact integer sums.
+    "m5_wav_pcm" -> { (s, dir) =>
+      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      def wle16(c: Column): Column = concat(bh(c), bh(shiftright(c, 8)))
+      def wle32(c: Column): Column =
+        concat(bh(c), bh(shiftright(c, 8)), bh(shiftright(c, 16)), bh(shiftright(c, 24)))
+      val id = col("doc_id")
+      val n = lit(64L) + id % 32
+      val dataSize = n * 2
+      val sampleHex = array_join(
+        transform(sequence(lit(0L), n - 1), i => {
+          val v = (id * 31 + i * 17) % 2003 - 1001
+          wle16(pmod(v, lit(65536)))   // two's-complement 16-bit LE
+        }), "")
+      val payload = unhex(concat(
+        lit("52494646"), wle32(dataSize + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+        wle32(lit(8000)), wle32(lit(16000)), lit("0200"), lit("1000"),
+        lit("64617461"), wle32(dataSize), sampleHex))
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        lit("audio/wav").as("mime"), (dataSize + 44).cast("int").as("n_bytes"),
+        payload.as("payload"))
+      Multimodal.audioStats(Multimodal.asMediaDataset(media)).toDF()
+    },
+
+    // REAL decode -> nearest-neighbor resize -> PNG re-encode -> decode
+    // again: a 4x1 PNG per doc resized to 2x1 keeps source pixels 1 and 3
+    // (pixel-center mapping, exact integer arithmetic the oracle replays).
+    "m6_resize" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rgb = pixelMultipliers.map(m => ((id * m) % 256).toByte)
+          val png = Multimodal.encodePng(4, 1, rgb)
+          Multimodal.MediaRecord(id, "image/png", png.length, png)
+        })
+      Multimodal.imageStats(Multimodal.resize(media, 2, 1)).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(col("mean_r").cast("double"), 6).as("mean_r"),
+          round(col("mean_g").cast("double"), 6).as("mean_g"),
+          round(col("mean_b").cast("double"), 6).as("mean_b"))
     }
   )
+
+  /** 12 deterministic per-pixel multipliers for the m4/m6 synthetic image
+    * payloads: pixel k's (r, g, b) = (id * m[3k..3k+2]) % 256, replayed
+    * literally in the oracle SQL.
+    */
+  private val pixelMultipliers: Array[Long] =
+    Array(1L, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
 
   // ---------------------------------------------------------------- §2 ops
 
@@ -866,6 +939,34 @@ object SparkEntry {
         |  round((doc_id % 256 + (doc_id * 3) % 256) / 2.0, 6) AS mean_r,
         |  round(((doc_id * 7) % 256 + (doc_id * 11) % 256) / 2.0, 6) AS mean_g,
         |  round(((doc_id * 13) % 256 + (doc_id * 17) % 256) / 2.0, 6) AS mean_b
+        |FROM documents""".stripMargin,
+
+    "m4_png_decode" ->
+      """SELECT doc_id, 'png' AS format, 2 AS width, 2 AS height,
+        |  round((doc_id % 256 + (doc_id*7) % 256 + (doc_id*17) % 256
+        |    + (doc_id*29) % 256) / 4.0, 6) AS mean_r,
+        |  round(((doc_id*3) % 256 + (doc_id*11) % 256 + (doc_id*19) % 256
+        |    + (doc_id*31) % 256) / 4.0, 6) AS mean_g,
+        |  round(((doc_id*5) % 256 + (doc_id*13) % 256 + (doc_id*23) % 256
+        |    + (doc_id*37) % 256) / 4.0, 6) AS mean_b
+        |FROM documents""".stripMargin,
+
+    "m5_wav_pcm" ->
+      """SELECT doc_id, 1 AS channels, 8000 AS sample_rate, 16 AS bits,
+        |  CAST(64 + doc_id % 32 AS BIGINT) AS n_frames,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM (
+        |  SELECT doc_id, (doc_id*31 + i*17) % 2003 - 1001 AS v
+        |  FROM (SELECT doc_id, unnest(range(64 + doc_id % 32)) AS i
+        |        FROM documents))
+        |GROUP BY doc_id""".stripMargin,
+
+    "m6_resize" ->
+      """SELECT doc_id, 'png' AS format, 2 AS width, 1 AS height,
+        |  round(((doc_id*7) % 256 + (doc_id*29) % 256) / 2.0, 6) AS mean_r,
+        |  round(((doc_id*11) % 256 + (doc_id*31) % 256) / 2.0, 6) AS mean_g,
+        |  round(((doc_id*13) % 256 + (doc_id*37) % 256) / 2.0, 6) AS mean_b
         |FROM documents""".stripMargin,
 
     "t14_tfidf_topk" ->

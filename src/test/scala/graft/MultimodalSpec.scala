@@ -89,11 +89,61 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(8L) == (("unknown", -1, -1))) // |Int.MinValue| is not a height
   }
 
-  test("resizeStub truncates/pads payloads to the target size") {
-    val out = Multimodal.resizeStub(
-      Multimodal.asMediaDataset(Multimodal.packDocuments(docs)), 2, 3).collect()
-    assert(out.forall(_.payload.length == 6))
-    assert(out.forall(_.n_bytes == 6))
+  test("resize: real decode -> nearest-neighbor -> PNG re-encode round trip") {
+    // 4x1 image with distinct pixels; resize to 2x1 picks source pixels
+    // floor((x+0.5)*4/2) = 1 and 3 (pixel-center mapping)
+    val rgb = Array[Int](
+      10, 11, 12, /**/ 20, 21, 22, /**/ 30, 31, 32, /**/ 40, 41, 42
+    ).map(_.toByte)
+    val src = Multimodal.encodePng(4, 1, rgb)
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "image/png", src.length, src),
+        Multimodal.MediaRecord(2L, "text/plain", 3, "nah".getBytes))
+      .toDS()
+    val out = Multimodal.resize(media, 2, 1).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L)) // undecodable drops
+    val Some((w, h, px)) = Multimodal.decodeImage(out.head.payload)
+    assert(w == 2 && h == 1)
+    assert(px.map(_ & 0xff).toSeq == Seq(20, 21, 22, 40, 41, 42))
+  }
+
+  test("decodeImage: real PNG/JPEG/GIF decode via ImageIO, BMP via bytes") {
+    val rgb = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9).map(_.toByte)
+    // PNG is lossless: pixels round-trip exactly through the real codec
+    val Some((pw, ph, p)) = Multimodal.decodeImage(Multimodal.encodePng(2, 2, rgb))
+    assert(pw == 2 && ph == 2 && p.toSeq == rgb.toSeq)
+    // JPEG through the real ImageIO codec: lossy, so verify a solid-gray
+    // image decodes to dimensions + near-the-input pixel values
+    val gray = Array.fill(8 * 8 * 3)(128.toByte)
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val Some((jw, jh, jp)) = Multimodal.decodeImage(baos.toByteArray)
+    assert(jw == 8 && jh == 8)
+    jp.zip(gray).foreach { case (a, b) => assert(math.abs((a & 0xff) - (b & 0xff)) <= 4) }
+    // BMP routes through decodeBmp24 and arrives as RGB (swizzled from BGR)
+    val bmpBytes = bmp(Seq(Seq((255, 0, 0), (0, 255, 0))), bottomUp = true)
+    val Some((bw, bh, bp)) = Multimodal.decodeImage(bmpBytes)
+    assert(bw == 2 && bh == 1)
+    assert(bp.map(_ & 0xff).toSeq == Seq(255, 0, 0, 0, 255, 0))
+    // garbage degrades
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("imageStats: exact means over real decoded pixels, mixed formats") {
+    val png = Multimodal.encodePng(2, 1, Array[Int](100, 0, 0, 200, 0, 0).map(_.toByte))
+    val bmpB = bmp(Seq(Seq((0, 50, 0), (0, 150, 0))), bottomUp = false)
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "image/png", png.length, png),
+        Multimodal.MediaRecord(2L, "image/bmp", bmpB.length, bmpB),
+        Multimodal.MediaRecord(3L, "text/plain", 3, "bad".getBytes))
+      .toDS()
+    val out = Multimodal.imageStats(media).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).format == "png" && out(1L).mean_r == 150f && out(1L).mean_g == 0f)
+    assert(out(2L).format == "bmp" && out(2L).mean_g == 100f && out(2L).mean_r == 0f)
   }
 
   test("frameSampleStub explodes payloads into strided frames") {
@@ -200,6 +250,63 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.audioMeta(media).collect()
     assert(out.map(_.doc_id).toSeq == Seq(1L))
     assert(out.head == Multimodal.AudioMeta(1L, 2, 16000, 16, 8000L, 500L))
+  }
+
+  test("sniffWav: hostile bit depths degrade; data-before-fmt order parses") {
+    // bits = 4 (mono): bytes-per-frame would be zero -> audioMeta would
+    // divide by zero; the sniffer must reject at parse time
+    for (bits <- Seq(0, 4, 12)) {
+      val bad = wav(1, 8000, 16, 10)
+      bad(34) = bits.toByte; bad(35) = 0 // fmt bits field
+      assert(Multimodal.sniffWav(bad).isEmpty, s"bits=$bits must degrade")
+    }
+    // legal-but-unusual chunk order: data chunk (empty) precedes fmt
+    val buf = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+    buf.put("data".getBytes).putInt(0)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1)
+      .putShort(2).putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    assert(Multimodal.sniffWav(buf.array()) == Some((2, 44100, 16, 0L)))
+    // hostile: channels * bits overflow-adjacent values still reject cleanly
+    val mono4 = wav(1, 8000, 16, 10); mono4(22) = 0 // channels = 0
+    assert(Multimodal.sniffWav(mono4).isEmpty)
+  }
+
+  /** Full PCM WAV with real sample data: 16-bit signed little-endian. */
+  private def wavPcm(channels: Int, rate: Int, samples: Seq[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val blockAlign = channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1)
+      .putShort(channels.toShort).putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  test("decodeWavPcm: real sample decode via javax.sound, signed round trip") {
+    val samples = Seq(0, 1, -1, 32767, -32768, 12345, -12345)
+    val Some((c, r, bits, out)) = Multimodal.decodeWavPcm(wavPcm(1, 8000, samples))
+    assert(c == 1 && r == 8000 && bits == 16)
+    assert(out.toSeq == samples)
+    assert(Multimodal.decodeWavPcm("not audio".getBytes).isEmpty)
+  }
+
+  test("audioStats: exact integer sums over real decoded PCM") {
+    val good = wavPcm(2, 16000, Seq(10, -20, 30, -40)) // 2 frames stereo
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "audio/wav", good.length, good),
+        Multimodal.MediaRecord(2L, "text/plain", 3, "nah".getBytes))
+      .toDS()
+    val out = Multimodal.audioStats(media).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+    val s = out.head
+    assert(s.channels == 2 && s.sample_rate == 16000 && s.n_frames == 2L)
+    assert(s.sum_amp == (10 - 20 + 30 - 40).toLong)
+    assert(s.sum_sq == (100 + 400 + 900 + 1600).toLong)
   }
 
   test("decodeBmp24 rejects truncation, wrong bit depth, compression, hostile dims") {
