@@ -111,6 +111,18 @@ object SparkEntry {
         .select("vec_id", "label")
     },
 
+    // SemDeDup via the LSH SCALE path: the candidate generator a 100 TB
+    // corpus actually runs (2 planes x 24 tables, id-only explode) feeding
+    // the same clustering. The oracle replays the hyperplane constants and
+    // band join literally — so the hash verifies the whole bucketed
+    // pipeline, not just the exact fallback d7 checks.
+    "d9_semantic_dedup_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, threshold = 0.4,
+          pairs = Some(Similarity.lshCandidatePairs(emb, threshold = 0.4)))
+        .select("vec_id", "label")
+    },
+
     // ANN: exact brute-force cosine top-k (the correctness baseline).
     "s1_ann_bruteforce_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -771,6 +783,60 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** d9 oracle: the LSH-bucketed SemDeDup pipeline replayed end-to-end in
+    * DuckDB — the 2×24 seeded hyperplanes as literals, sign-bit codes via
+    * the same sequential fold as Spark's HOF evaluation, the band join,
+    * cosine verification at the same rounding, then the identical
+    * recursive-CTE connected components as the d7 exact oracle.
+    */
+  private def semanticDedupLshOracle: String = {
+    val planes = (0 until 24).flatMap { t =>
+      graft.sim.Similarity.hyperplanes(2, 64, 42L + t).zipWithIndex.map {
+        case (p, pl) => (t, pl, p)
+      }
+    }
+    val values = planes.map { case (t, pl, p) =>
+      s"($t, $pl, [${p.map(_.toString).mkString(",")}])"
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE planes(t, pl, p) AS (VALUES
+       |    $values),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, p.t, p.pl,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        i -> e.e[CAST(i AS INT)] * p.p[CAST(i AS INT)])),
+       |      (a, x) -> a + x) AS dot
+       |  FROM emb e CROSS JOIN planes p),
+       |codes AS (
+       |  SELECT vec_id, t AS tbl,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << pl
+       |             ELSE 0 END) AS BIGINT) AS code
+       |  FROM dots GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM codes a JOIN codes b ON a.tbl = b.tbl AND a.code = b.code
+       |  WHERE a.vec_id < b.vec_id),
+       |sim AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_cosine_similarity(ae.e, be.e), 6) AS cos
+       |  FROM cand c
+       |  JOIN emb ae ON c.id_a = ae.vec_id
+       |  JOIN emb be ON c.id_b = be.vec_id),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM sim WHERE cos >= 0.4
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM sim WHERE cos >= 0.4),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |labels AS (
+       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> comp)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -882,6 +948,8 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY fingerprint ORDER BY doc_id) AS rn
          |  FROM batch) WHERE rn = 1""".stripMargin,
+
+    "d9_semantic_dedup_lsh" -> semanticDedupLshOracle,
 
     "d7_semantic_dedup" ->
       """WITH RECURSIVE emb AS (

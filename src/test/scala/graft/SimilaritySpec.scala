@@ -76,4 +76,20 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect lsh).size.toDouble / math.max(exact.size, 1)
     assert(recall >= 0.9, s"candidate recall too low: $recall")
   }
+
+  test("semanticDedup via LSH pairs (d9 path): survivors vs the exact path") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.semanticDedup(emb, 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.semanticDedup(emb, 0.4,
+        Some(Similarity.lshCandidatePairs(emb, 0.4)))
+      .select("vec_id").as[Long].collect().toSet
+    // LSH pairs ⊆ exact pairs, so clusters can only SPLIT, never merge:
+    // every exact survivor (cluster min) stays a survivor under LSH, and a
+    // missed edge shows up as extra survivors. Recall of the dedup decision
+    // = |exact| / |lsh| — assert near-complete agreement at this sf.
+    assert(exact.subsetOf(lsh), "an exact survivor vanished under LSH — impossible unless pair precision broke")
+    val agreement = exact.size.toDouble / lsh.size
+    assert(agreement >= 0.95, s"dedup agreement too low: $agreement")
+  }
 }
