@@ -228,8 +228,15 @@ object ConsumePipeline {
       // cached: stage 3 reads base2 four times (invalid-id aggregation,
       // anti join, and both price-history branches) — uncached, the stage-2
       // join tree re-runs per consumer (measured: the SQL-template variant
-      // with this cache beat the uncached DataFrame path)
-      val b2 = enrich(b1, side).cache()
+      // with this cache beat the uncached DataFrame path).
+      // Repartitioned on user_id BEFORE caching: stage 1's window leaves a
+      // (user_id, day) layout whose day key is pruned away, so every
+      // stage-3 consumer (the invalid-id aggregation and both price-history
+      // windows) would otherwise re-shuffle the iteration slice on user_id
+      // — three exchanges. Aligning the cache costs ONE exchange at
+      // materialization and stage 3 then runs entirely shuffle-free on the
+      // cached layout (PlanAuditSpec pins this).
+      val b2 = enrich(b1, side).repartition(col("user_id")).cache()
       val b3 = baseFinal(b2, params.monthStart, params.monthEnd)
       modify(b3, nation)
         .withColumn("iteration", lit(it.name))
