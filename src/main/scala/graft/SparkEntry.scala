@@ -249,11 +249,20 @@ object SparkEntry {
         col("text"), chunkSize = 32, stride = 24)
     },
 
-    // Greedy per-shard sequence packing into 256-token bins; the window is
-    // partitioned by source so the sort never goes global.
+    // Prefix-partitioned per-shard sequence packing into 256-token bins; the
+    // window is partitioned by source so the sort never goes global.
     "t9_seq_pack" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       graft.text.Chunking.packBins(docs, col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))), capacity = 256)
+    },
+
+    // TRUE greedy packing: capacity-bounded bins via a per-shard sequential
+    // fold (aggregate HOF over a sorted collect_list — a chain recurrence no
+    // window can express). One shuffle on the shard key.
+    "t16_greedy_pack" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.text.Chunking.packBinsGreedy(docs, col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))), capacity = 256)
     },
 
@@ -1111,6 +1120,28 @@ object SparkEntry {
         |FROM (SELECT doc_id, source,
         |        len(string_split(lower(text), ' ')) AS n_tokens
         |      FROM documents)""".stripMargin,
+
+    // The greedy chain recurrence replayed as a DuckDB recursive CTE: each
+    // recursion step advances every shard by one row_number, carrying
+    // (bin_id, fill) exactly like the Spark-side fold.
+    "t16_greedy_pack" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, source,
+        |         len(string_split(lower(text), ' ')) AS n_tokens,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT source, rn, doc_id, n_tokens,
+        |         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+        |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256
+        |              THEN p.bin_id + 1 ELSE p.bin_id END,
+        |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256
+        |              THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        |  FROM docs d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT doc_id, source, n_tokens, bin_id FROM pack""".stripMargin,
 
     "s5_quantize_int8" ->
       """WITH s AS (

@@ -39,11 +39,18 @@ object Chunking {
           .as("n_chunk_tokens"))
   }
 
-  /** Greedy in-order sequence packing: within each shard, documents are
-    * assigned (by ascending `id`) to the bin their cumulative-token prefix
-    * falls in — `bin = floor(tokens_before_this_doc / capacity)`. A document
-    * larger than `capacity` gets a bin of its own and overflows it (the
-    * standard tokenizer-side behavior: truncate there, not here).
+  /** Prefix-partitioned in-order sequence packing: within each shard,
+    * documents are assigned (by ascending `id`) to the bin their
+    * cumulative-token prefix falls in —
+    * `bin = floor(tokens_before_this_doc / capacity)`.
+    *
+    * Bins are NOT capacity-bounded: a document that straddles a bin
+    * boundary stays in the earlier bin, so any bin can overflow by up to
+    * one partial document (at most `doc_tokens - 1` tokens); the overflow
+    * is resolved tokenizer-side by splitting the straddler across the two
+    * sequences. The payoff is scale: one window sum, spillable sort, no
+    * per-shard materialization. For hard capacity bounds at the cost of a
+    * per-shard fold, use [[packBinsGreedy]].
     */
   def packBins(df: DataFrame, id: Column, shard: Column, nTokens: Column,
                capacity: Int): DataFrame = {
@@ -53,5 +60,48 @@ object Chunking {
       .withColumn("bin_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
           lit(capacity.toDouble)).cast("long"))
+  }
+
+  /** TRUE greedy in-order packing: within each shard, walk documents by
+    * ascending `id` keeping a running fill; a document that would overflow
+    * the current non-empty bin OPENS A NEW BIN instead. Every bin is
+    * capacity-bounded — the only overflow is a single document larger than
+    * `capacity`, which gets a bin of its own (truncate tokenizer-side).
+    *
+    * The assignment is a chain recurrence (each bin depends on every prior
+    * decision), which no window function can express — so each shard folds
+    * sequentially: groupBy(shard) → sorted collect_list → one `aggregate`
+    * HOF pass → explode. One shuffle (on the shard key), whole fold inside
+    * codegen, no UDF. The cost is per-shard materialization: a shard's
+    * (id, n) pairs must fit in one row (~16 B/doc — 1 M docs/shard ≈ 16 MB),
+    * so shard granularity (source file, date bucket) is the scale knob;
+    * [[packBins]] is the unbounded-shard alternative.
+    */
+  def packBinsGreedy(df: DataFrame, id: Column, shard: Column, nTokens: Column,
+                     capacity: Int): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    val idName = df.select(id).columns.head
+    val shardName = df.select(shard).columns.head
+    val folded = df
+      .select(shard.as(shardName),
+        struct(id.cast("long").as("id"), nTokens.cast("long").as("n")).as("d"))
+      .groupBy(col(shardName))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .select(col(shardName), explode(expr(
+        s"""aggregate(
+           |  ds,
+           |  named_struct(
+           |    'bin', 0L, 'fill', 0L,
+           |    'out', cast(array() as array<struct<id: bigint, n: bigint, bin_id: bigint>>)),
+           |  (acc, x) -> if(acc.fill > 0 and acc.fill + x.n > ${capacity}L,
+           |    named_struct('bin', acc.bin + 1L, 'fill', x.n,
+           |      'out', array_append(acc.out,
+           |        named_struct('id', x.id, 'n', x.n, 'bin_id', acc.bin + 1L))),
+           |    named_struct('bin', acc.bin, 'fill', acc.fill + x.n,
+           |      'out', array_append(acc.out,
+           |        named_struct('id', x.id, 'n', x.n, 'bin_id', acc.bin)))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+    folded.select(col(s"r.id").as(idName), col(shardName),
+      col("r.n").as("n_tokens"), col("r.bin_id").as("bin_id"))
   }
 }

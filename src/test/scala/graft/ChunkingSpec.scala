@@ -52,6 +52,34 @@ class ChunkingSpec extends SparkSpec {
     assert(fill.count() == 0)
   }
 
+  test("packBinsGreedy: bins are hard capacity-bounded and greedy-maximal") {
+    val docs = Seq(
+      (1L, "s1", 100), (2L, "s1", 100), (3L, "s1", 100), (4L, "s1", 100),
+      (5L, "s1", 999),                      // oversized: own bin, sole overflow
+      (6L, "s1", 10),                       // fits after the oversized doc's bin
+      (7L, "s2", 50)                        // other shard starts at bin 0
+    ).toDF("doc_id", "source", "nt")
+    val out = Chunking.packBinsGreedy(docs, col("doc_id"), col("source"),
+        col("nt"), capacity = 256)
+      .orderBy("doc_id").select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    // greedy walk in s1: 100+100=200 fits bin 0; +100 would hit 300 -> bin 1
+    // holds 100+100=200; 999 overflows -> own bin 2; 10 -> bin 3 (999 filled
+    // its bin past capacity, so the next doc opens a fresh one)
+    assert(out(1L) == 0 && out(2L) == 0)
+    assert(out(3L) == 1 && out(4L) == 1)
+    assert(out(5L) == 2)
+    assert(out(6L) == 3)
+    assert(out(7L) == 0)
+    // the hard bound: every bin with >1 doc sums <= capacity (the ONLY
+    // overflow a greedy pack permits is a single oversized document)
+    val overflow = Chunking.packBinsGreedy(docs, col("doc_id"), col("source"),
+        col("nt"), capacity = 256)
+      .groupBy("source", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("fill") > 256)
+    assert(overflow.count() == 0)
+  }
+
   test("chunk plans no shuffle (Generate over the scan)") {
     spark.conf.set("spark.graft.parallelizeInputs", "false")
     try {
