@@ -25,9 +25,18 @@ final case class JobConfig(
     colsToKeep: Seq[String],
     attributesAll: Seq[String],
     geoDropColumns: Seq[String],
-    countryValues: Seq[CountryRow])
+    countryValues: Seq[CountryRow],
+    /** JSON-branch prefix families stripped unless whitelisted by
+      * `colsToKeep` (`script/helper.py:157-163`). The reference hard-codes
+      * the two families in its helper; here they ride in the config so a
+      * deployment with different naming needs no code change. Absent field
+      * = the reference's families.
+      */
+    jsonDropPrefixes: Seq[String] = JobConfig.defaultJsonDropPrefixes)
 
 object JobConfig {
+  val defaultJsonDropPrefixes: Seq[String] = Seq("classified_", "userDefined_")
+
   private val mapper = new ObjectMapper()
 
   private def strings(node: JsonNode, field: String): Seq[String] =
@@ -50,7 +59,10 @@ object JobConfig {
           countryName = n.get("country_name").asText,
           distributionType = n.get("distribution_type").asText,
           dataSource = n.get("data_source").asText)
-      }.toSeq).getOrElse(Seq.empty))
+      }.toSeq).getOrElse(Seq.empty),
+      jsonDropPrefixes = Option(root.get("jsonDropPrefixes"))
+        .map(_ => strings(root, "jsonDropPrefixes"))
+        .getOrElse(defaultJsonDropPrefixes))
   }
 
   def load(path: String): JobConfig =

@@ -19,12 +19,6 @@ import graft.ops.Reshape
   */
 object ConsumeJob {
 
-  /** The reference's JSON-branch prefix-drop rule (`script/helper.py:
-    * 157-163`): these prefix families are stripped from the JSON export
-    * unless whitelisted by `colsToKeep`.
-    */
-  private val jsonDropPrefixes = Seq("classified_", "userDefined_")
-
   /** @return the accumulated union that was written to `outDir/table`.
     *
     * `cfg` wires the reference's config-driven export shapes
@@ -33,12 +27,21 @@ object ConsumeJob {
     *    result BEFORE `modify` — shapes the table write AND both exports;
     *  - `colsToDropJson` drops after `modify` — shapes the file exports
     *    only, the accumulated table keeps the columns;
-    *  - `colsToKeep` whitelists prefix-family columns in the JSON branch.
+    *  - `colsToKeep` whitelists prefix-family columns in the JSON branch
+    *    (the families themselves come from `cfg.jsonDropPrefixes`,
+    *    `script/helper.py:157-163`).
     * Without a config the exports keep their fixed demonstration shapes.
+    *
+    * `dateSegment` keys every file export by run date exactly like the
+    * reference's S3 layout (`script/main.py:377-393`:
+    * `.../{json|csv}/partitioncreateddate={date|full_refresh}`), so
+    * downstream consumers can partition-discover exports by run. None keeps
+    * the undated demonstration layout.
     */
   def run(spark: SparkSession, dir: String, outDir: String,
           params: ConsumeParams = ConsumeParams(),
-          cfg: Option[JobConfig] = None): DataFrame = {
+          cfg: Option[JobConfig] = None,
+          dateSegment: Option[String] = None): DataFrame = {
     val events = Tables.events(spark, dir).cache()
     val customer = Tables.customer(spark, dir)
     val orders = Tables.orders(spark, dir)
@@ -69,6 +72,8 @@ object ConsumeJob {
           cfg.map(_.geoDropColumns).getOrElse(Nil))
         .withColumn("iteration", lit(it.name))
 
+      // date-keyed export layout (`script/main.py:377-393`)
+      val dateKey = dateSegment.fold("")(d => s"/partitioncreateddate=$d")
       cfg match {
         case Some(c) =>
           // config-driven export shapes (`script/main.py:372-393`): one
@@ -76,16 +81,16 @@ object ConsumeJob {
           // additionally applies the prefix-family whitelist and re-nests
           val exportBase = Reshape.dropPaths(out, c.colsToDropJson)
           val json = Reshape.nestSchema(Reshape.dropPrefixedExcept(
-            exportBase, jsonDropPrefixes, c.colsToKeep.toSet))
-          Sinks.gzipJson(json, s"$outDir/json/${it.name}")
-          Sinks.gzipCsv(exportBase, s"$outDir/csv/${it.name}")
+            exportBase, c.jsonDropPrefixes, c.colsToKeep.toSet))
+          Sinks.gzipJson(json, s"$outDir/json/${it.name}$dateKey")
+          Sinks.gzipCsv(exportBase, s"$outDir/csv/${it.name}$dateKey")
         case None =>
           // K1: nested gzip JSON export (flat names re-nested on '_', F8).
           val json = Reshape.nestSchema(out.select("user_id", "event_type",
             "price_src", "partition_month", "n_name", "n_clicks", "n_views"))
-          Sinks.gzipJson(json, s"$outDir/json/${it.name}")
+          Sinks.gzipJson(json, s"$outDir/json/${it.name}$dateKey")
           // K2: flat gzip CSV export.
-          Sinks.gzipCsv(out.drop("props"), s"$outDir/csv/${it.name}")
+          Sinks.gzipCsv(out.drop("props"), s"$outDir/csv/${it.name}$dateKey")
       }
 
       // The reference unpersists BaseDataFirst here; the accumulated union

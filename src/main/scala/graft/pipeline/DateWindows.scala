@@ -67,6 +67,16 @@ object DateWindows {
       partitionMonth = pd.format(DateTimeFormatter.ofPattern("yyyy-MM")))
   }
 
+  /** Export-path date key (`script/main.py:240,377-393`): the literal
+    * `full_refresh` when `days_ago` says so, else the resolved partition
+    * date — the reference keys every per-iteration file export by this
+    * segment (`partitioncreateddate=…`).
+    */
+  def exportSegment(partitionDate: String, daysAgo: String,
+                    today: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): String =
+    if (daysAgo == "full_refresh") "full_refresh"
+    else resolve(partitionDate, daysAgo, today).partitionDate
+
   /** Map the run anchors onto [[ConsumeParams]]' windows: the price-history
     * month is [first of month, day after partition date) and the activity
     * window is the look-back interval (half-open on the same day-after end,

@@ -53,26 +53,43 @@ class PipelineSpec extends SparkSpec {
 
   test("config drop/keep lists reshape the exports (script/main.py:349-372)") {
     val outDir = Files.createTempDirectory("graft-job-cfg").toString
+    // prefix families AND the keep whitelist both ride in the config
+    // (script/helper.py:157-163); the n_ family exists in the synthetic
+    // output, so the drop is observable: n_clicks survives by whitelist,
+    // n_views / n_name fall with the family (JSON branch only)
     val cfg = graft.io.JobConfig.parse(
       """{"colsToDropBaseData": ["props"],
-        |  "colsToDropJson": ["n_views", "ts"],
+        |  "colsToDropJson": ["ts"],
         |  "geoDropColumns": ["geoid"],
-        |  "colsToKeep": []}""".stripMargin)
-    val result = ConsumeJob.run(spark, sf, outDir, ConsumeParams(), Some(cfg))
+        |  "jsonDropPrefixes": ["n_"],
+        |  "colsToKeep": ["n_clicks"]}""".stripMargin)
+    // date-keyed export layout (script/main.py:377-393): full_refresh runs
+    // key by the literal, dated runs by the resolved partition date
+    val seg = graft.pipeline.DateWindows.exportSegment("2024-05-21", "full_refresh")
+    assert(seg == "full_refresh")
+    assert(graft.pipeline.DateWindows.exportSegment("2024-05-21", "10") == "2024-05-21")
+    val result = ConsumeJob.run(spark, sf, outDir, ConsumeParams(), Some(cfg),
+      dateSegment = Some(seg))
     // colsToDropBaseData and geoDropColumns shape the accumulated table too
     assert(!result.columns.contains("props"))
     assert(!result.columns.contains("geoid"))
     val table = spark.read.parquet(s"$outDir/table")
     assert(!table.columns.contains("props"))
+    // exports land under the date segment
+    val csvDir = s"$outDir/csv/it1/partitioncreateddate=$seg"
+    assert(new java.io.File(csvDir).listFiles.exists(_.getName.endsWith(".csv.gz")),
+      "csv export missing its partitioncreateddate segment")
     // colsToDropJson shapes the file exports only
-    val csv = spark.read.option("header", "true").csv(s"$outDir/csv/it1")
-    assert(!csv.columns.contains("n_views") && !csv.columns.contains("props"))
-    assert(csv.columns.contains("n_clicks"))
-    assert(table.columns.contains("n_views"), "table keeps colsToDropJson columns")
-    // JSON re-nests what survives the drops: n_views gone, n_clicks nested
-    val json = spark.read.json(s"$outDir/json/it1")
+    val csv = spark.read.option("header", "true").csv(csvDir)
+    assert(!csv.columns.contains("ts") && !csv.columns.contains("props"))
+    // the prefix family drop is JSON-branch-only: CSV keeps all n_* columns
+    assert(csv.columns.contains("n_clicks") && csv.columns.contains("n_views"))
+    assert(table.columns.contains("ts"), "table keeps colsToDropJson columns")
+    // JSON: family dropped except the whitelist, survivors re-nested
+    val json = spark.read.json(s"$outDir/json/it1/partitioncreateddate=$seg")
     val n = json.schema("n").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(n.fieldNames.contains("clicks") && !n.fieldNames.contains("views"))
+    assert(!n.fieldNames.contains("name"), "family member without whitelist must drop")
   }
 
   test("CSV lookup feeds the broadcast geo join end-to-end (script/main.py:128-154)") {
