@@ -123,6 +123,15 @@ object SparkEntry {
         .select("vec_id", "label")
     },
 
+    // C4-style corpus-wide duplicate-span removal: every 8-token block keeps
+    // only its first corpus occurrence; documents stitch back from the
+    // survivors. Generate -> one window shuffle on the span -> one stitch
+    // shuffle on the doc id.
+    "d10_span_dedup" -> { (s, dir) =>
+      graft.dedup.SpanDedup.dedupSpans(Tables.documents(s, dir),
+        col("doc_id"), col("text"), spanTokens = 8)
+    },
+
     // ANN: exact brute-force cosine top-k (the correctness baseline).
     "s1_ann_bruteforce_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -209,6 +218,15 @@ object SparkEntry {
           permille = Map("en" -> 500, "es" -> 400, "de" -> 300,
             "fr" -> 200, "zh" -> 100))
         .select("doc_id", "lang", "source", "sample_bucket")
+    },
+
+    // Exact-budget variant: the 25 hash-smallest doc_ids per language — a
+    // fixed eval-set carve-out; WindowGroupLimit caps the shuffle at
+    // O(strata x n) rows.
+    "t17_stratified_topn" -> { (s, dir) =>
+      QualityFilters.stratifiedTopN(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        col("doc_id"), col("lang"), n = 25)
     },
 
     // PII redaction: the corpus is clean synthetic text, so deterministic
@@ -895,6 +913,15 @@ object SparkEntry {
          |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
          |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
 
+    "t17_stratified_topn" ->
+      s"""SELECT doc_id, lang, source, sample_rank FROM (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${duckTokenHash("CAST(doc_id AS VARCHAR)")}, doc_id
+         |    ) AS sample_rank
+         |  FROM documents)
+         |WHERE sample_rank <= 25""".stripMargin,
+
     "t7_pii_redact" ->
       """SELECT doc_id, clean,
         |  len(regexp_extract_all(clean, '<EMAIL>|<IP>|<PHONE>')) AS n_redacted
@@ -959,6 +986,30 @@ object SparkEntry {
          |  FROM batch) WHERE rn = 1""".stripMargin,
 
     "d9_semantic_dedup_lsh" -> semanticDedupLshOracle,
+
+    // The span cut replayed exactly: disjoint 8-token blocks, global
+    // first-occurrence winner by (doc_id, pos), per-doc ordered stitch.
+    "d10_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) > 0),
+        |spans AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos,
+        |         t
+        |  FROM toks),
+        |cut AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(t[(1 + pos*8):(8 + pos*8)], ' ') AS span
+        |  FROM spans),
+        |first_occ AS (
+        |  SELECT doc_id, pos, span,
+        |         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM cut)
+        |SELECT doc_id,
+        |       string_agg(span, ' ' ORDER BY pos) AS text,
+        |       count(*) AS n_spans
+        |FROM first_occ WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     "d7_semantic_dedup" ->
       """WITH RECURSIVE emb AS (

@@ -106,6 +106,26 @@ object QualityFilters {
       .filter(col("sample_bucket") < rate)
   }
 
+  /** Exact-budget deterministic sample: the `n` hash-smallest keys per
+    * stratum. [[stratifiedHashSample]] gives a RATE (permille) — right when
+    * the budget scales with the corpus; this gives a COUNT (a fixed
+    * eval-set or human-review carve-out), still seed-free and
+    * partition-invariant: (tokenHash(key), key) is a total order no
+    * reshuffle can change, so the same corpus always yields the same rows.
+    * `row_number <= n` plans a WindowGroupLimit — each map partition
+    * forwards at most n rows per stratum before the shuffle, so the
+    * exchange carries O(strata × n), not the corpus. Needs one window
+    * shuffle on the stratum key; rank ties are impossible (key is unique).
+    */
+  def stratifiedTopN(df: DataFrame, key: Column, stratum: Column,
+                     n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+      .orderBy(TextAnalysis.tokenHash(key.cast("string")), key)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** PII redaction: emails, IPv4 addresses, then phone-shaped digit runs —
     * in that order, so an address already rewritten to `<IP>` can't also
     * match the phone pattern. Patterns are RE2-compatible (no lookarounds)

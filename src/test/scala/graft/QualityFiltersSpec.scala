@@ -62,6 +62,29 @@ class QualityFiltersSpec extends SparkSpec {
     assert(dropped.count() == 0)
   }
 
+  test("stratifiedTopN: exact per-stratum budget, partition-invariant, WindowGroupLimit plan") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val top = QualityFilters.stratifiedTopN(df, col("doc_id"), col("lang"), n = 40)
+    // exactly n rows per stratum (budget is exact, unlike the permille rate)
+    val byLang = top.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 40L, "zh" -> 40L))
+    // a stratum smaller than n yields all of it
+    val tiny = QualityFilters.stratifiedTopN(
+      Seq((1L, "fr"), (2L, "fr")).toDF("doc_id", "lang"),
+      col("doc_id"), col("lang"), n = 40)
+    assert(tiny.count() == 2)
+    // identical selection regardless of partitioning
+    val again = QualityFilters.stratifiedTopN(df.repartition(13),
+      col("doc_id"), col("lang"), n = 40)
+    assert(top.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    // the rank<=n filter must plan the group-limit pushdown: the shuffle
+    // then carries at most n rows per stratum per map partition
+    assert(top.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "expected WindowGroupLimit below the rank filter")
+  }
+
   test("redactPii: emails, IPv4s, phones; ordering prevents double-match") {
     val cases = Seq(
       "mail bob.smith+tag@sub.example.org now" -> "mail <EMAIL> now",
