@@ -123,6 +123,19 @@ object SparkEntry {
         .select("vec_id", "label")
     },
 
+    // SemDeDup via the paper's own candidate scheme: k-means the embedding
+    // space (IVF pick + one Lloyd step, broadcast centroids) and score pairs
+    // only within shared cells (top-3 probes: 91% pair recall at this loose
+    // threshold) — vs the LSH path's weakly-selective banding. The oracle
+    // replays centroid pick, Lloyd step, assignment, and clustering
+    // end-to-end.
+    "d11_semantic_dedup_kmeans" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, threshold = 0.4,
+          pairs = Some(Similarity.kmeansCandidatePairs(emb, threshold = 0.4)))
+        .select("vec_id", "label")
+    },
+
     // C4-style corpus-wide duplicate-span removal: every 8-token block keeps
     // only its first corpus occurrence; documents stitch back from the
     // survivors. Generate -> one window shuffle on the span -> one stitch
@@ -986,6 +999,57 @@ object SparkEntry {
          |  FROM batch) WHERE rn = 1""".stripMargin,
 
     "d9_semantic_dedup_lsh" -> semanticDedupLshOracle,
+
+    // The k-means SemDeDup pipeline replayed end-to-end: the s3 oracle's
+    // centroid pick + Lloyd step + assignment CTEs, within-cell pairs, then
+    // the identical recursive-CTE connected components as d7/d9.
+    "d11_semantic_dedup_kmeans" ->
+      s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+         |    SELECT vec_id, e FROM emb
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |              + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 16)),
+         |assign0 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents0 c)
+         |  WHERE rn = 1),
+         |cents1 AS (
+         |  SELECT c0.cell, coalesce(m.c, c0.c) AS c FROM cents0 c0
+         |  LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY i) AS c FROM (
+         |      SELECT cell, i, avg(e[CAST(i AS INT)]) AS m
+         |      FROM assign0 CROSS JOIN range(1, 65) t(i)
+         |      GROUP BY cell, i)
+         |    GROUP BY cell) m USING (cell)),
+         |assign1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents1 c)
+         |  WHERE rn <= 3),
+         |sim AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_cosine_similarity(a.e, b.e), 6) AS cos
+         |  FROM assign1 a JOIN assign1 b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM sim WHERE cos >= 0.4
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM sim WHERE cos >= 0.4),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |labels AS (
+         |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> comp)""".stripMargin,
 
     // The span cut replayed exactly: disjoint 8-token blocks, global
     // first-occurrence winner by (doc_id, pos), per-doc ordered stitch.

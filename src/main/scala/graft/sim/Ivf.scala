@@ -73,6 +73,15 @@ object Ivf {
              embName: String = "c_u"): DataFrame =
     assignCells(corpus, cents, idName, embName, keep = 1)
 
+  /** Multi-cell assignment: each vector lands in its `nProbe` best cells —
+    * the index-side analog of query-side probing, used by candidate
+    * generators whose pair threshold is loose enough that matching pairs
+    * straddle single-cell boundaries ([[Similarity.kmeansCandidatePairs]]).
+    */
+  def assignProbes(corpus: DataFrame, cents: DataFrame, idName: String,
+                   embName: String, nProbe: Int): DataFrame =
+    assignCells(corpus, cents, idName, embName, keep = nProbe)
+
   /** Lloyd refinement: `iters` k-means steps — assign, then recentre each
     * cell on the mean of its members (renormalized). Each step is one
     * broadcast assignment + one aggregation; empty cells keep their old

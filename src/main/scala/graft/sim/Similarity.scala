@@ -167,6 +167,43 @@ object Similarity {
     * because dedup thresholds in the 0.4–0.6 range sit far from the sign-bit
     * decision boundary (see [[lshTopK]]'s band-math note).
     */
+  /** SemDeDup-faithful candidate generator (Abbas et al. 2023, §2: the
+    * paper clusters the embedding space with k-means and compares pairs
+    * only WITHIN each cluster): reuse the IVF coarse quantizer —
+    * deterministic centroid pick + `lloydIters` refinement steps
+    * ([[Ivf.centroids]]/[[Ivf.refine]]) — assign every vector to its best
+    * cell (broadcast centroids, corpus never moves), then score pairs
+    * inside each cell.
+    *
+    * Candidate volume is ≈ nProbe²·N²/(2·nCells) for balanced cells, and
+    * nCells scales with the corpus (the paper runs 50k clusters on 5 B
+    * embeddings). `nProbe`: the paper dedups at tight thresholds (ε≈0.05)
+    * where duplicates co-cluster and one cell suffices; at looser
+    * thresholds matching pairs straddle cell boundaries, so each vector
+    * indexes into its `nProbe` best cells (measured on the synthetic
+    * corpus at 0.4: pair recall 24% @1 probe → 68% @2 → 91% @3). Contrast
+    * [[lshCandidatePairs]]: sign-bit LSH near θ≈66° is weakly selective,
+    * so at moderate density its candidate set approaches all-pairs — the
+    * k-means route is BOTH the paper's semantics and the cheaper plan;
+    * LSH remains for corpora where training a quantizer is not an option.
+    */
+  def kmeansCandidatePairs(corpus: DataFrame, threshold: Double,
+                           nCells: Int = 16, lloydIters: Int = 1,
+                           nProbe: Int = 3, dim: Int = 64): DataFrame = {
+    val cents = Ivf.refine(corpus, Ivf.centroids(corpus, nCells), lloydIters, dim)
+    val assigned = Ivf.assignProbes(corpus, cents, "__kid", "__ku", nProbe)
+    val a = assigned.select(col("cell"), col("__kid").as("id_a"), col("__ku").as("u_a"))
+    val b = assigned.select(col("cell"), col("__kid").as("id_b"), col("__ku").as("u_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("u_a"), col("u_b")), 6))
+      .filter(col("cosine") >= threshold)
+      // a pair sharing several probed cells appears once per shared cell;
+      // every copy carries the same cosine, so the dedup is value-stable
+      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b", "cosine")
+  }
+
   def lshCandidatePairs(corpus: DataFrame, threshold: Double,
                         nPlanes: Int = 2, tables: Int = 24, dim: Int = 64,
                         seed: Long = 42L): DataFrame = {
