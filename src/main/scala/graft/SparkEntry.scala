@@ -112,7 +112,7 @@ object SparkEntry {
     },
 
     // SemDeDup via the LSH SCALE path: the candidate generator a 100 TB
-    // corpus actually runs (2 planes x 24 tables, id-only explode) feeding
+    // corpus actually runs (2 planes x 12 tables, id-only explode) feeding
     // the same clustering. The oracle replays the hyperplane constants and
     // band join literally — so the hash verifies the whole bucketed
     // pipeline, not just the exact fallback d7 checks.
@@ -824,13 +824,13 @@ object SparkEntry {
   }
 
   /** d9 oracle: the LSH-bucketed SemDeDup pipeline replayed end-to-end in
-    * DuckDB — the 2×24 seeded hyperplanes as literals, sign-bit codes via
+    * DuckDB — the 2×12 seeded hyperplanes as literals, sign-bit codes via
     * the same sequential fold as Spark's HOF evaluation, the band join,
     * cosine verification at the same rounding, then the identical
     * recursive-CTE connected components as the d7 exact oracle.
     */
   private def semanticDedupLshOracle: String = {
-    val planes = (0 until 24).flatMap { t =>
+    val planes = (0 until 12).flatMap { t =>
       graft.sim.Similarity.hyperplanes(2, 64, 42L + t).zipWithIndex.map {
         case (p, pl) => (t, pl, p)
       }

@@ -33,4 +33,58 @@ object ScaleJoins {
     val b = build.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     p.join(b, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Triangle-salted within-bucket pair generation — all unordered pairs
+    * `{x, y}` of rows sharing a bucket, each pair exactly once, normalized
+    * to `id_a < id_b`.
+    *
+    * The naive plan (self-join on the bucket key, `id_a < id_b`) has as
+    * many join keys as BUCKETS: a candidate stage with 16 cells or 48 LSH
+    * band codes runs ≤16/48-way parallel no matter how many cores the
+    * cluster has, and one hot bucket's |B|² pair blow-up lands on a single
+    * task. Salting each row into `salt` groups by id hash and joining group
+    * ga to groups gb ≥ ga (the "triangle" of the salt × salt grid) raises
+    * the key count to buckets × salt(salt+1)/2 and caps any task at
+    * ~|B|²/salt² pairs, for a one-sided replication cost of (salt+1)/2×
+    * — the standard trade for quadratic-bucket stages. Pairs across groups
+    * (ga < gb) are emitted unconditionally and id-normalized after; pairs
+    * inside one group (ga = gb) use the id order directly. Result-identical
+    * to the naive plan for any salt; `salt = 1` IS the naive plan.
+    *
+    * @param payload columns carried through to both sides of each pair,
+    *                suffixed `_a` / `_b` (swapped alongside the ids during
+    *                normalization)
+    */
+  def bucketedSelfPairs(df: DataFrame, bucket: Seq[String], id: String,
+                        payload: Seq[String], salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    def side(s: String) = df.select(
+      bucket.map(col) ++
+        Seq(pmod(hash(col(id)), lit(salt)).as(s"__g$s"), col(id).as(s"id$s")) ++
+        payload.map(c => col(c).as(s"$c$s")): _*)
+    val a = side("_a")
+      .withColumn("__gb", explode(sequence(col("__g_a"), lit(salt - 1))))
+    val b = side("_b").withColumnRenamed("__g_b", "__gb")
+    // pin the pair stage's partition count: AQE sizes reduce partitions by
+    // shuffle INPUT bytes, and a quadratic stage's input is tiny relative
+    // to its output — left to itself AQE coalesces the join to a couple of
+    // partitions and the whole |B|² scoring runs near-serial. An EXPLICIT
+    // partition count is exempt from AQE coalescing, so the scoring keeps
+    // the cluster's parallelism.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val keys = (bucket :+ "__gb").map(col)
+    val joined = a.repartition(parallelism, keys: _*)
+      .join(b.repartition(parallelism, keys: _*), bucket :+ "__gb")
+      // same group: id order picks the one emission; different groups: the
+      // (ga, gb) orientation already makes the pair unique
+      .filter(col("__g_a") < col("__gb") || col("id_a") < col("id_b"))
+    val swap = col("id_a") > col("id_b")
+    val normalized = Seq(
+      when(swap, col("id_b")).otherwise(col("id_a")).as("id_a"),
+      when(swap, col("id_a")).otherwise(col("id_b")).as("id_b")) ++
+      payload.flatMap(c => Seq(
+        when(swap, col(s"${c}_b")).otherwise(col(s"${c}_a")).as(s"${c}_a"),
+        when(swap, col(s"${c}_a")).otherwise(col(s"${c}_b")).as(s"${c}_b")))
+    joined.select(bucket.map(col) ++ normalized: _*)
+  }
 }

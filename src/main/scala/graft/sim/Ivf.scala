@@ -53,19 +53,33 @@ object Ivf {
       col("c_emb"))
   }
 
-  /** Rank all (vector, centroid) pairs by cosine and keep each vector's
-    * `keep` best cells. Centroids are broadcast — the corpus never moves.
+  /** Rank the centroids per vector by cosine and keep each vector's `keep`
+    * best cells — as a pure PROJECTION: all centroids pack into ONE
+    * broadcast row, and each corpus row scores/sorts/slices them inside a
+    * higher-order expression. The corpus is never shuffled and no window
+    * runs (the previous plan exploded to (vector × centroid) rows and moved
+    * them all through a row_number exchange — at 100 TB that shuffle IS the
+    * assignment cost; here it is zero). Tie-break matches the oracle's
+    * `ORDER BY sim DESC, cell ASC` exactly.
     */
   private def assignCells(vectors: DataFrame, cents: DataFrame, idName: String,
                           embName: String, keep: Int): DataFrame = {
-    val scored = vectors
+    val packed = broadcast(
+      cents.agg(collect_list(struct(col("cell"), col("c_emb"))).as("__cents")))
+    vectors
       .select(col("vec_id").as(idName), col("embedding").cast("array<double>").as(embName))
-      .crossJoin(broadcast(cents))
-      .withColumn("__sim", Similarity.cosine(col(embName), col("c_emb")))
-    val w = Window.partitionBy(col(idName)).orderBy(col("__sim").desc, col("cell").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= keep)
-      .select(col(idName), col(embName), col("cell"))
+      .crossJoin(packed)
+      .select(col(idName), col(embName),
+        explode(slice(array_sort(
+          transform(col("__cents"), c =>
+            struct(Similarity.cosine(col(embName), c.getField("c_emb")).as("sim"),
+              c.getField("cell").as("cell"))),
+          (l, r) =>
+            when(l.getField("sim") > r.getField("sim"), -1)
+              .when(l.getField("sim") < r.getField("sim"), 1)
+              .otherwise(l.getField("cell") - r.getField("cell"))),
+          1, keep)).as("__rc"))
+      .select(col(idName), col(embName), col("__rc.cell").as("cell"))
   }
 
   /** Single-cell corpus assignment (the IVF index). */

@@ -189,13 +189,16 @@ object Similarity {
     */
   def kmeansCandidatePairs(corpus: DataFrame, threshold: Double,
                            nCells: Int = 16, lloydIters: Int = 1,
-                           nProbe: Int = 3, dim: Int = 64): DataFrame = {
+                           nProbe: Int = 3, dim: Int = 64,
+                           salt: Int = 8): DataFrame = {
     val cents = Ivf.refine(corpus, Ivf.centroids(corpus, nCells), lloydIters, dim)
     val assigned = Ivf.assignProbes(corpus, cents, "__kid", "__ku", nProbe)
-    val a = assigned.select(col("cell"), col("__kid").as("id_a"), col("__ku").as("u_a"))
-    val b = assigned.select(col("cell"), col("__kid").as("id_b"), col("__ku").as("u_b"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    // triangle-salted within-cell pairing: a plain cell self-join would run
+    // nCells-way parallel at best and put a whole cell's quadratic pair
+    // stage on one task (ScaleJoins.bucketedSelfPairs)
+    graft.ops.ScaleJoins.bucketedSelfPairs(
+        assigned.select(col("cell"), col("__kid").as("vid"), col("__ku").as("u")),
+        bucket = Seq("cell"), id = "vid", payload = Seq("u"), salt = salt)
       .withColumn("cosine", round(cosine(col("u_a"), col("u_b")), 6))
       .filter(col("cosine") >= threshold)
       // a pair sharing several probed cells appears once per shared cell;
@@ -205,7 +208,7 @@ object Similarity {
   }
 
   def lshCandidatePairs(corpus: DataFrame, threshold: Double,
-                        nPlanes: Int = 2, tables: Int = 24, dim: Int = 64,
+                        nPlanes: Int = 2, tables: Int = 12, dim: Int = 64,
                         seed: Long = 42L): DataFrame = {
     val codes = (0 until tables).map(t => (t, hyperplanes(nPlanes, dim, seed + t)))
     def bucketIndex(idName: String): DataFrame = {
@@ -217,8 +220,12 @@ object Similarity {
         .select(col(idName), col("bc.tbl").as("tbl"), col("bc.code").as("code"))
     }
     val u = corpus.select(col("vec_id"), asDouble(col("embedding")).as("u"))
-    bucketIndex("id_a").join(bucketIndex("id_b"), Seq("tbl", "code"))
-      .filter(col("id_a") < col("id_b"))
+    // triangle-salted band join: tables × 2^nPlanes codes is a small key
+    // space (48 here), so the plain band self-join would cap parallelism at
+    // the bucket count and hand each degenerate bucket's quadratic pair
+    // stage to a single task (ScaleJoins.bucketedSelfPairs)
+    graft.ops.ScaleJoins.bucketedSelfPairs(bucketIndex("vid"),
+        bucket = Seq("tbl", "code"), id = "vid", payload = Nil, salt = 8)
       .select("id_a", "id_b").distinct()
       .join(u.select(col("vec_id").as("id_a"), col("u").as("u_a")), Seq("id_a"))
       .join(u.select(col("vec_id").as("id_b"), col("u").as("u_b")), Seq("id_b"))

@@ -26,6 +26,24 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(buckets.map(_.getLong(1)).max < 1000, "no bucket holds the whole key")
   }
 
+  test("bucketedSelfPairs: result-identical to the naive bucket self-join, any salt") {
+    val rows = (1 to 200).map(i => (i % 5, i.toLong, s"p$i")).toDF("b", "id", "pay")
+    val naive = rows.as("x").join(rows.as("y"),
+        col("x.b") === col("y.b") && col("x.id") < col("y.id"))
+      .select(col("x.b").as("b"), col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.pay").as("pay_a"), col("y.pay").as("pay_b"))
+      .as[(Int, Long, Long, String, String)].collect().toSet
+    for (salt <- Seq(1, 3, 8)) {
+      val salted = ScaleJoins.bucketedSelfPairs(rows, Seq("b"), "id",
+          Seq("pay"), salt)
+        .as[(Int, Long, Long, String, String)].collect().toSet
+      assert(salted == naive, s"salt=$salt diverged from the naive pair set")
+    }
+    // normalization: every emitted pair is id_a < id_b
+    val pairs = ScaleJoins.bucketedSelfPairs(rows, Seq("b"), "id", Nil, 4)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val l = Tables.lineitem(spark, "/root/testdata/sf0.001")

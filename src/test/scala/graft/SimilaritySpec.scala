@@ -71,8 +71,10 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // precision is exact by construction (candidates are cosine-verified)
     assert(lsh.subsetOf(exact))
-    // 2 planes × 24 tables: per-pair candidate prob ≥ 1-(1-p²)²⁴ ≈ 0.9999
-    // at cosine 0.4; with ~59 true pairs expect all found, assert ≥ 90%
+    // 2 planes × 12 tables: per-pair candidate prob ≥ 1-(1-p²)¹² ≈ 0.998
+    // at cosine 0.4 (p = 0.631 at the boundary; 12 tables halve the r4
+    // 24-table candidate volume for a 0.13-expected-miss cost on ~59
+    // pairs); with ~59 true pairs expect ~all found, assert ≥ 90%
     val recall = (exact intersect lsh).size.toDouble / math.max(exact.size, 1)
     assert(recall >= 0.9, s"candidate recall too low: $recall")
   }
