@@ -97,8 +97,11 @@ object ConsumeSqlPipeline {
         "views_view" -> "graft_side_views"))
       // cached: stage 3 reads base2 four times (two history branches, each
       // with the invalid-id subquery) — uncached, the whole stage-2 join
-      // tree would recompute per reference
-      spark.sql(q2).cache().createOrReplaceTempView(s"graft_base2_${it.name}")
+      // tree would recompute per reference. Aligned on user_id before
+      // caching exactly like the DataFrame pipeline (ConsumePipeline.build):
+      // one exchange at materialization, stage 3 shuffle-free after.
+      spark.sql(q2).repartition(col("user_id")).cache()
+        .createOrReplaceTempView(s"graft_base2_${it.name}")
 
       val q3 = Sources.readAndFormatSqlResource("graft/queries/3-basedata_final.sql", Map(
         "base2_view" -> s"graft_base2_${it.name}",
