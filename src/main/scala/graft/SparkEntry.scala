@@ -242,6 +242,16 @@ object SparkEntry {
         col("doc_id"), col("lang"), n = 25)
     },
 
+    // Static mixing weights: per-source downsampling rates realizing a
+    // target mixture without upsampling (one agg shuffle + two broadcast
+    // 1-row frames).
+    "t18_mix_weights" -> { (s, dir) =>
+      graft.text.Mixing.mixWeights(Tables.documents(s, dir), col("source"),
+        size(TextAnalysis.tokens(col("text"))),
+        targetPermille = Map("src0" -> 300, "src1" -> 200, "src2" -> 150,
+          "src3" -> 100), defaultPermille = 25)
+    },
+
     // PII redaction: the corpus is clean synthetic text, so deterministic
     // synthetic PII (email/IPv4/phone derived from doc_id) is injected
     // first and the oracle replays the same injection + RE2-safe regexes —
@@ -925,6 +935,25 @@ object SparkEntry {
          |WHERE sample_bucket < CASE lang
          |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
          |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "t18_mix_weights" ->
+      """WITH agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(len(string_split(lower(text), ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sh AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM agg) AS actual,
+        |    (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
+        |                 WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
+        |                 ELSE 25 END) / 1000.0 AS target
+        |  FROM agg)
+        |SELECT source, n_docs, n_tokens,
+        |  round(actual, 6) AS actual_share,
+        |  round(target, 6) AS target_share,
+        |  round((target / actual) /
+        |    (SELECT max(target / actual) FROM sh), 6) AS sample_rate
+        |FROM sh""".stripMargin,
 
     "t17_stratified_topn" ->
       s"""SELECT doc_id, lang, source, sample_rank FROM (

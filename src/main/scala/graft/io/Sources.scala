@@ -23,6 +23,20 @@ object Sources {
     (if (recursive) r.option("recursiveFileLookup", "true") else r).parquet(path)
   }
 
+  /** Schema-drift-tolerant parquet scan — the reading half of the
+    * reference's schema evolution story: Glue `DynamicFrame`s carry
+    * per-record self-describing schemas and the output table auto-widens
+    * (`enableUpdateCatalog`/`UPDATE_IN_DATABASE`, `script/main.py:410-413`),
+    * so a consumer must cope with partitions written under different
+    * schema versions. A plain `read.parquet` takes ONE footer's schema and
+    * silently drops columns the sampled file lacks; `mergeSchema` unions
+    * the footers instead, so columns added by newer runs surface corpus-
+    * wide with nulls for the older partitions. Costs one footer read per
+    * file at planning — enable it on evolving tables, not everywhere.
+    */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S2/S3 (`script/main.py:263-298`): catalog-table scan with an optional
     * partition predicate — the Glue `create_dynamic_frame.from_catalog(...,
     * push_down_predicate=...)` analog. With a predicate on the table's

@@ -36,7 +36,11 @@ object ScaleJoins {
 
   /** Triangle-salted within-bucket pair generation — all unordered pairs
     * `{x, y}` of rows sharing a bucket, each pair exactly once, normalized
-    * to `id_a < id_b`.
+    * to `id_a < id_b`. The salt-grid decomposition is the self-join case of
+    * 1-Bucket-Theta (Okcan & Riedewald, SIGMOD'11 "Processing theta-joins
+    * using MapReduce"): cover the output matrix's upper triangle with
+    * g(g+1)/2 blocks so every reducer gets a bounded block of the
+    * quadratic output.
     *
     * The naive plan (self-join on the bucket key, `id_a < id_b`) has as
     * many join keys as BUCKETS: a candidate stage with 16 cells or 48 LSH

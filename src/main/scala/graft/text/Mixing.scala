@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Static corpus mixing — the data-mixture step ahead of training: given
+  * RELATIVE target weights per source, compute the per-source downsampling
+  * rate realizing the closest achievable mixture without upsampling.
+  * (Learned mixtures — DoReMi, Xie et al. 2023 — start from exactly this
+  * static reweighting.)
+  *
+  * `rate_s = (target_s / actual_s) / max_u(target_u / actual_u)` — the
+  * source with the highest target-to-actual ratio keeps everything, every
+  * other source downsamples proportionally; a source with target 0 drops
+  * outright. Targets are relative weights (they need not sum to 1: the
+  * rate formula is scale-invariant).
+  *
+  * Scale shape: one aggregation shuffle keyed on source (partial map-side
+  * combine), then two broadcast 1-row frames (corpus total, max ratio) —
+  * no collect, no second pass over the corpus. The emitted rates feed
+  * [[QualityFilters.hashSampleBucket]]-style deterministic sampling:
+  * `keep ⟺ bucket < rate · 1000`.
+  */
+object Mixing {
+
+  def mixWeights(df: DataFrame, source: Column, nTokens: Column,
+                 targetPermille: Map[String, Int],
+                 defaultPermille: Int = 0): DataFrame = {
+    val tgt = typedLit(targetPermille)
+    val agg = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens.cast("long")).as("n_tokens"))
+    val total = agg.agg(sum("n_tokens").as("__tot"))
+    val shares = agg.crossJoin(broadcast(total))
+      .withColumn("__actual", col("n_tokens").cast("double") / col("__tot"))
+      .withColumn("__target",
+        coalesce(element_at(tgt, col("source")), lit(defaultPermille))
+          .cast("double") / 1000.0)
+      .withColumn("__ratio", col("__target") / col("__actual"))
+    val maxRatio = shares.agg(max("__ratio").as("__maxr"))
+    shares.crossJoin(broadcast(maxRatio))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("__actual"), 6).as("actual_share"),
+        round(col("__target"), 6).as("target_share"),
+        round(col("__ratio") / col("__maxr"), 6).as("sample_rate"))
+  }
+}

@@ -103,6 +103,26 @@ class IoSpec extends SparkSpec {
     assert(back == df.orderBy("id").collect().toSeq)
   }
 
+  test("parquetMerged: partitions written under evolved schemas read as one table") {
+    // the reference's UPDATE_IN_DATABASE auto-widening (script/main.py:
+    // 410-413): a later run adds a column; older partitions must read back
+    // with nulls, not vanish depending on which footer Spark sampled
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    val v1 = Seq((1L, "a", "2024-01")).toDF("id", "name", "partition_month")
+    val v2 = Seq((2L, "b", 9.5, "2024-02")).toDF("id", "name", "score", "partition_month")
+    Sinks.overwritePartitions(v1, dir, "partition_month")
+    Sinks.overwritePartitions(v2, dir, "partition_month")
+    val merged = Sources.parquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "partition_month"))
+    val rows = merged.orderBy("id")
+      .select("id", "name", "score").as[(Long, String, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+    // re-running the v2 write must not disturb the v1 partition (K3 + drift)
+    Sinks.overwritePartitions(v2, dir, "partition_month")
+    assert(Sources.parquetMerged(spark, dir).count() == 2)
+  }
+
   test("ORC sink/source round-trip preserves rows and types") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/out"

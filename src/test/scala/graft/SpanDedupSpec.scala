@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.SpanDedup
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupSpans: identity on a duplicate-free corpus") {
+    // every span distinct -> every doc reconstructs exactly
+    val docs = Seq(
+      (1L, (1 to 16).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 11).map(i => s"b$i").mkString(" "))) // partial tail block
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(docs, col("doc_id"), col("text"), spanTokens = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out(0) == ((1L, (1 to 16).map(i => s"a$i").mkString(" "), 2L)))
+    assert(out(1) == ((2L, (1 to 11).map(i => s"b$i").mkString(" "), 2L)))
+  }
+
+  test("dedupSpans: later occurrences cut, first kept; emptied docs vanish; idempotent") {
+    val block = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, block + " " + (1 to 8).map(i => s"x$i").mkString(" ")), // owns both spans
+      (2L, block),                                   // exact duplicate block -> emptied
+      (3L, (1 to 8).map(i => s"y$i").mkString(" ") + " " + block)) // second span dup
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(docs, col("doc_id"), col("text"), spanTokens = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 3L), "doc 2 must vanish entirely")
+    assert(out(0)._2.startsWith(block))
+    assert(out(1)._2 == (1 to 8).map(i => s"y$i").mkString(" "), "doc 3 keeps only its own span")
+    // idempotence: a deduped corpus has no duplicate spans left
+    val again = SpanDedup.dedupSpans(
+      out.toSeq.map(r => (r._1, r._2)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), spanTokens = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(again.map(r => (r._1, r._2)).toSeq == out.map(r => (r._1, r._2)).toSeq)
+  }
+
+  test("dedupSpans: within-document repeats collapse to the first position") {
+    val block = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, block + " " + block)).toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(docs, col("doc_id"), col("text"), spanTokens = 8)
+      .as[(Long, String, Long)].collect()
+    assert(out.head._2 == block && out.head._3 == 1L)
+  }
+}
