@@ -123,6 +123,18 @@ object SparkEntry {
         .select("vec_id", "label")
     },
 
+    // Incremental FUZZY ingest dedup: batch docs near-duplicating history
+    // (LSH band join batch x history only, exact Jaccard verify) drop; the
+    // oracle is the exact anti-join — hash-match certifies 100% LSH recall.
+    "d12_incremental_neardup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      MinHashLSH.dropNearSeen(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), threshold = 0.95)
+        .select("doc_id", "lang", "source")
+    },
+
     // SemDeDup via the paper's own candidate scheme: k-means the embedding
     // space (IVF pick + one Lloyd step, broadcast centroids) and score pairs
     // only within shared cells (top-3 probes: 91% pair recall at this loose
@@ -1327,6 +1339,21 @@ object SparkEntry {
         |WHERE jaccard >= 0.95""".stripMargin,
 
     "d3_simhash_neardup" -> simhashOracle,
+
+    // Exact anti-join ground truth for the LSH incremental path: a batch
+    // doc survives iff NO history doc reaches the rounded Jaccard bar.
+    "d12_incremental_neardup" ->
+      """WITH sets AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split(lower(text), ' ')) AS s
+        |  FROM documents)
+        |SELECT b.doc_id, b.lang, b.source
+        |FROM sets b
+        |WHERE b.doc_id % 10 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM sets h
+        |  WHERE h.doc_id % 10 = 0
+        |    AND round(len(list_intersect(b.s, h.s))::DOUBLE /
+        |      (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))), 6) >= 0.95)""".stripMargin,
 
     "d6_neardup_dedup" ->
       """WITH RECURSIVE toks AS (

@@ -71,19 +71,26 @@ object MinHashLSH {
   def candidatePairs(sigs: DataFrame, bands: Int): DataFrame =
     candidatePairs(sigs, bands, sigs.select(size(col("sig"))).first().getInt(0))
 
-  def candidatePairs(sigs: DataFrame, bands: Int, numHashes: Int,
-                     maxBucket: Int = 5000): DataFrame = {
+  /** (__id, band, bh) band-bucket keys for a signature frame — the shared
+    * front half of the self-join ([[candidatePairs]]) and the cross-frame
+    * incremental join ([[dropNearSeen]]).
+    */
+  private def bandKeys(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val r = numHashes / bands
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64(concat_ws("#", (0 until r).map(i => col("sig")(j * r + i)): _*)).as("bh"))
     }: _*)
+    sigs.select(col("__id"), explode(bandStructs).as("b"))
+      .select(col("__id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  def candidatePairs(sigs: DataFrame, bands: Int, numHashes: Int,
+                     maxBucket: Int = 5000): DataFrame = {
     // Cached: the bucket self-join reads `banded` on BOTH sides — without
     // this the whole signature computation runs twice.
-    val banded = sigs.select(col("__id"), explode(bandStructs).as("b"))
-      .select(col("__id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .cache()
+    val banded = bandKeys(sigs, bands, numHashes).cache()
     // Degenerate-bucket guard: a bucket of m docs contributes m(m−1)/2 pairs
     // to the self-join — ONE boilerplate shingle cluster goes quadratic at
     // corpus scale. Buckets above maxBucket are dropped (standard web-dedup
@@ -149,5 +156,57 @@ object MinHashLSH {
           (size(col("set_a")) + size(col("set_b")) - col("__shared")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental fuzzy ingest dedup — the near-dup companion of
+    * [[graft.ops.Dedup.dropAlreadySeen]]'s exact-fingerprint check: drop
+    * new-batch documents that near-duplicate the already-ingested HISTORY
+    * (Jaccard ≥ threshold), keep everything else. Candidates come from a
+    * batch × history band join only — never batch × batch (intra-batch
+    * near-dups are [[nearDuplicates]]/Clusters' job) and never
+    * history × history (it was deduped when ingested).
+    *
+    * Scale shape: the history side recomputes signatures here for the
+    * self-contained oracle, but at 100 TB its (band, bh) keys are computed
+    * once at ingest and stored bucketed by (band, bh) — then each daily
+    * batch bands itself (a projection over the small side) and the join
+    * probes history's buckets with zero history shuffle, exactly like d8's
+    * bucketed fingerprint history. The oversized-bucket cap applies to
+    * HISTORY buckets (the side that accretes boilerplate clusters);
+    * verification ships hashed shingle sets, codegen merge-scan intersect.
+    */
+  def dropNearSeen(batch: DataFrame, history: DataFrame, id: Column,
+                   text: Column, threshold: Double, numHashes: Int = 72,
+                   bands: Int = 6, shingleN: Int = 1, seed: Long = 42L,
+                   maxBucket: Int = 5000): DataFrame = {
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    def sets(df: DataFrame) = df.select(id.as("__id"),
+      sort_array(array_distinct(transform(wordShingles(text, shingleN), s => xxhash64(s))))
+        .as("__set"))
+    val bBand = bandKeys(signatures(batch, id, text, numHashes, shingleN, seed),
+      bands, numHashes).select(col("__id").as("batch_id"), col("band"), col("bh"))
+    val hBand = bandKeys(signatures(history, id, text, numHashes, shingleN, seed),
+      bands, numHashes).select(col("__id").as("hist_id"), col("band"), col("bh"))
+      .cache() // read twice: bucket census + the candidate join
+    val oversized = hBand.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select(col("band"), col("bh"))
+    val cand = bBand.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+      .join(hBand, Seq("band", "bh"))
+      .select(col("batch_id"), col("hist_id")).distinct()
+    val confirmed = cand
+      .join(sets(batch).select(col("__id").as("batch_id"), col("__set").as("set_a")),
+        Seq("batch_id"))
+      .join(sets(history).select(col("__id").as("hist_id"), col("__set").as("set_b")),
+        Seq("hist_id"))
+      .withColumn("__shared", asColumn(graft.functions.SortedIntersectSize(
+        asExpression(col("set_a")), asExpression(col("set_b")))))
+      // rounded before comparing, exactly like the oracle — a pair at
+      // threshold−ε must fall the same way in both engines
+      .filter(round(col("__shared").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("__shared")), 6) >= threshold)
+      .select(col("batch_id")).distinct()
+    val idName = batch.select(id).columns.head
+    batch.join(confirmed, col(idName) === col("batch_id"), "left_anti")
   }
 }

@@ -27,6 +27,22 @@ class DedupFuzzySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("dropNearSeen: history near-dups drop, batch-internal dups survive") {
+    // history owns docs 1 and 3; the batch carries a near-dup of 1 (doc 2),
+    // an exact dup of 3 (doc 4), an unrelated doc (5), and an exact
+    // batch-INTERNAL pair (7, 8) that must BOTH survive — intra-batch
+    // dedup is nearDuplicates'/Clusters' job, not the ingest gate's
+    val history = corpus.filter(col("doc_id").isin(1L, 3L))
+    val batch = corpus.filter(!col("doc_id").isin(1L, 3L, 6L)).unionByName(
+      Seq((7L, "same exact boilerplate sentence repeated across the batch today ok"),
+          (8L, "same exact boilerplate sentence repeated across the batch today ok"))
+        .toDF("doc_id", "text"))
+    val kept = MinHashLSH.dropNearSeen(batch, history, col("doc_id"), col("text"),
+        threshold = 0.8, numHashes = 64, bands = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 7L, 8L), s"got $kept")
+  }
+
   test("MinHash signature is similarity-preserving: identical docs share all minhashes") {
     val sigs = MinHashLSH.signatures(corpus, col("doc_id"), col("text"),
         numHashes = 32, shingleN = 1, seed = 42L)
