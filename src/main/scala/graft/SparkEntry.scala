@@ -296,6 +296,14 @@ object SparkEntry {
           "fr" -> 200, "zh" -> 100))
     },
 
+    // Full curation pass: quality filter -> corpus-wide span dedup ->
+    // target-mixture downsampling, one lazy plan (DataPrep.curate).
+    "pipe_curate_e2e" -> { (s, dir) =>
+      graft.pipeline.DataPrep.curate(Tables.documents(s, dir), stopwords,
+        targetPermille = Map("src0" -> 300, "src1" -> 200, "src2" -> 150,
+          "src3" -> 100), defaultPermille = 25)
+    },
+
     // Sliding-window token chunking (map-only Generate, no shuffle).
     "t8_chunk" -> { (s, dir) =>
       graft.text.Chunking.chunk(Tables.documents(s, dir), col("doc_id"),
@@ -947,6 +955,65 @@ object SparkEntry {
          |WHERE sample_bucket < CASE lang
          |  WHEN 'en' THEN 500 WHEN 'es' THEN 400 WHEN 'de' THEN 300
          |  WHEN 'fr' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    // The whole curation pass composed from the t4 + d10 + t18 oracle
+    // pieces: rule filter, span cut + first-occurrence winner + stitch,
+    // deduped-token-mass mixing rates, hash-bucket downsampling.
+    "pipe_curate_e2e" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source, text,
+         |    len(string_split(lower(text), ' ')) AS n_tokens,
+         |    round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE /
+         |      len(string_split(lower(text), ' ')), 6) AS uniq_ratio,
+         |    round(len(list_filter(string_split(lower(text), ' '),
+         |        t -> list_contains(['the','a','of','and','is','in','to','it'], t)))::DOUBLE /
+         |      len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+         |    round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE /
+         |      greatest(length(text), 1), 6) AS punct_ratio
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, lang, source, text FROM q
+         |  WHERE NOT (n_tokens < 20 OR n_tokens > 90 OR uniq_ratio < 0.4
+         |         OR stopword_ratio < 0.02 OR punct_ratio > 0.05)),
+         |toks AS (
+         |  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t
+         |  FROM kept WHERE len(string_split(lower(text), ' ')) > 0),
+         |spans AS (
+         |  SELECT doc_id, lang, source,
+         |         unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos, t
+         |  FROM toks),
+         |cut AS (
+         |  SELECT doc_id, lang, source, pos,
+         |         array_to_string(t[(1 + pos*8):(8 + pos*8)], ' ') AS span
+         |  FROM spans),
+         |first_occ AS (
+         |  SELECT doc_id, lang, source, pos, span,
+         |         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+         |  FROM cut),
+         |sd AS (
+         |  SELECT doc_id, lang, source, string_agg(span, ' ' ORDER BY pos) AS text
+         |  FROM first_occ WHERE rn = 1 GROUP BY doc_id, lang, source),
+         |ntok AS (
+         |  SELECT doc_id, lang, source,
+         |         len(string_split(text, ' ')) AS n_tokens FROM sd),
+         |agg AS (SELECT source, sum(n_tokens) AS s_tokens FROM ntok GROUP BY source),
+         |sh AS (
+         |  SELECT source,
+         |    s_tokens::DOUBLE / (SELECT sum(s_tokens) FROM agg) AS actual,
+         |    (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
+         |                 WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
+         |                 ELSE 25 END) / 1000.0 AS target
+         |  FROM agg),
+         |rates AS (
+         |  SELECT source,
+         |    round((target / actual) /
+         |      (SELECT max(target / actual) FROM sh), 6) AS sample_rate
+         |  FROM sh)
+         |SELECT d.doc_id, d.lang, d.source, d.n_tokens,
+         |  ${duckTokenHash("CAST(d.doc_id AS VARCHAR)")} % 1000 AS sample_bucket,
+         |  r.sample_rate
+         |FROM ntok d JOIN rates r USING (source)
+         |WHERE ${duckTokenHash("CAST(d.doc_id AS VARCHAR)")} % 1000 < r.sample_rate * 1000""".stripMargin,
 
     "t18_mix_weights" ->
       """WITH agg AS (

@@ -31,29 +31,35 @@ import graft.text.TextAnalysis
   */
 object SpanDedup {
 
-  /** @return one row per surviving document: (id, text, n_spans) — the
-    *         stitched-back deduped text and how many blocks survived.
+  /** @param carry per-document columns (functionally dependent on `id`,
+    *               e.g. lang/source) carried through the cut and stitch —
+    *               they ride the span rows and rejoin the grouping keys, so
+    *               no extra join is needed downstream
+    * @return one row per surviving document: (id, carry..., text, n_spans)
+    *         — the stitched-back deduped text and how many blocks survived.
     */
   def dedupSpans(df: DataFrame, id: Column, text: Column,
-                 spanTokens: Int = 8): DataFrame = {
+                 spanTokens: Int = 8, carry: Seq[String] = Nil): DataFrame = {
     require(spanTokens >= 1, "spanTokens must be >= 1")
     val idName = df.select(id).columns.head
+    val carryCols = carry.map(col)
     // sequence(1, 0) counts DOWN — empty documents must not reach it
     val spans = df
-      .select(id, TextAnalysis.tokens(text).as("__toks"))
+      .select(id +: carryCols :+ TextAnalysis.tokens(text).as("__toks"): _*)
       .filter(size(col("__toks")) > 0)
-      .select(col(idName), col("__toks"),
+      .select(col(idName) +: carryCols :+ col("__toks") :+
         posexplode(sequence(lit(1), size(col("__toks")), lit(spanTokens)))
-          .as(Seq("__pos", "__start")))
-      .select(col(idName), col("__pos").cast("long").as("__pos"),
+          .as(Seq("__pos", "__start")): _*)
+      .select(col(idName) +: carryCols :+
+        col("__pos").cast("long").as("__pos") :+
         concat_ws(" ", slice(col("__toks"), col("__start"), lit(spanTokens)))
-          .as("__span"))
+          .as("__span"): _*)
     val firstOccurrence = Window.partitionBy(col("__span"))
       .orderBy(col(idName), col("__pos"))
     spans
       .withColumn("__rn", row_number().over(firstOccurrence))
       .filter(col("__rn") === 1)
-      .groupBy(col(idName))
+      .groupBy(col(idName) +: carryCols: _*)
       .agg(
         array_join(
           transform(array_sort(collect_list(struct(col("__pos"), col("__span")))),

@@ -35,4 +35,40 @@ object DataPrep {
         permille, defaultPermille)
       .select("doc_id", "lang", "n_tokens", "fingerprint", "sample_bucket")
   }
+
+  /** The deeper curation pass — [[prepare]]'s exact-dedup step upgraded to
+    * corpus-wide SPAN dedup, and the fixed per-language sampling rates
+    * replaced by rates DERIVED from a target source mixture, still as ONE
+    * lazy plan:
+    *
+    *   1. quality filter (projection + filter, no shuffle);
+    *   2. C4-style span dedup — the survivors' shuffles (span winner window
+    *      + per-doc stitch) dominate the job;
+    *   3. static mixing: per-source token totals (one aggregation of the
+    *      20-row-per-source kind) → downsampling rates → broadcast back
+    *      onto the corpus → deterministic hash-bucket filter.
+    *
+    * Same ordering argument as [[prepare]]: dedup before sampling so rates
+    * are computed over the DEDUPED token mass — mixing on raw counts would
+    * overweight sources whose volume is duplication, the exact bias this
+    * pipeline exists to remove.
+    */
+  def curate(docs: DataFrame, stopwords: Seq[String],
+             targetPermille: Map[String, Int], defaultPermille: Int = 0,
+             spanTokens: Int = 8): DataFrame = {
+    val scored = QualityFilters.qualityFilter(docs, col("doc_id"), col("text"),
+      stopwords, extra = Seq(col("lang"), col("source"), col("text")))
+    val kept = scored.filter(col("drop_reason").isNull)
+    val deduped = graft.dedup.SpanDedup.dedupSpans(kept, col("doc_id"),
+      col("text"), spanTokens, carry = Seq("lang", "source"))
+    val withTok = deduped
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+    val rates = graft.text.Mixing.mixWeights(withTok, col("source"),
+        col("n_tokens"), targetPermille, defaultPermille)
+      .select(col("source"), col("sample_rate"))
+    withTok.join(broadcast(rates), Seq("source"))
+      .withColumn("sample_bucket", QualityFilters.hashSampleBucket(col("doc_id")))
+      .filter(col("sample_bucket") < col("sample_rate") * 1000)
+      .select("doc_id", "lang", "source", "n_tokens", "sample_bucket", "sample_rate")
+  }
 }

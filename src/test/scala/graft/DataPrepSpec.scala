@@ -30,6 +30,30 @@ class DataPrepSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("curate: span-deduped corpus, mixture-derived rates, partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val targets = Map("src0" -> 300, "src1" -> 200, "src2" -> 150, "src3" -> 100)
+    val out = DataPrep.curate(docs, sw, targets, defaultPermille = 25).cache()
+    try {
+      val n = out.count()
+      assert(n > 0 && n < docs.count())
+      // every survivor's bucket clears its source's derived rate
+      assert(out.filter(col("sample_bucket") >= col("sample_rate") * 1000).count() == 0)
+      // rates: at least one source keeps everything (the normalization
+      // anchor) and targeted sources out-rank the default-weight tail
+      val rates = out.select("source", "sample_rate").distinct()
+        .as[(String, Double)].collect().toMap
+      assert(rates.valuesIterator.max == 1.0)
+      val tail = rates.view.filterKeys(s => !targets.contains(s)).values
+      assert(tail.forall(r => r <= rates.getOrElse("src0", 1.0)))
+      // identical output under a different input partitioning
+      val again = DataPrep.curate(docs.repartition(17), sw, targets,
+        defaultPermille = 25)
+      assert(again.orderBy("doc_id").collect().toSeq ==
+        out.orderBy("doc_id").collect().toSeq)
+    } finally out.unpersist()
+  }
+
   test("prepare plans exactly one shuffle (the fingerprint exchange)") {
     spark.conf.set("spark.graft.parallelizeInputs", "false")
     try {
