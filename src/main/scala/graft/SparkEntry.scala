@@ -310,6 +310,13 @@ object SparkEntry {
         col("text"), chunkSize = 32, stride = 24)
     },
 
+    // Gap-based sessionization of the CDC stream: one shuffle (the window's
+    // key partitioning also satisfies the per-session rollup).
+    "w5_sessionize" -> { (s, dir) =>
+      graft.ops.Sessionize.sessions(Tables.events(s, dir), col("user_id"),
+        col("ts"), gapSeconds = 30L * 86400)
+    },
+
     // Prefix-partitioned per-shard sequence packing into 256-token bins; the
     // window is partitioned by source so the sort never goes global.
     "t9_seq_pack" -> { (s, dir) =>
@@ -1335,6 +1342,26 @@ object SparkEntry {
         |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS start
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
         |        FROM documents))""".stripMargin,
+
+    // Session gaps compare in integer microseconds (epoch_us == Spark's
+    // unix_micros); RANGE framing makes tied timestamps share one
+    // session_seq in both engines regardless of intra-tie scan order.
+    "w5_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 2592000000000 THEN 1 ELSE 0 END AS op
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(op) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+        |      AS session_seq
+        |  FROM o)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
     "t9_seq_pack" ->
       """SELECT doc_id, source, n_tokens,

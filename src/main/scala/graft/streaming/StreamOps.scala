@@ -53,6 +53,24 @@ object StreamOps {
       .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
         col(keyCol), col("n_events"), col("value_sum"))
 
+  /** Streaming gap-based sessionization via Spark's NATIVE `session_window`:
+    * per (key, session) event counts, emitted once the watermark passes the
+    * session's close (gap with no events). The batch analog over landed
+    * history is [[graft.ops.Sessionize.sessions]] — same gap semantics,
+    * window-sum formulation, because a watermark has no meaning there.
+    */
+  def sessionCounters(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col(keyCol), col("n_events"))
+
   /** Streaming exact-dedup: suppress repeated ids arriving within the
     * watermark horizon (at-least-once source → effectively-once sink).
     */

@@ -88,6 +88,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((2L, 1L, 4.0)))
   }
 
+  test("sessionCounters: native session_window closes sessions at the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val query = StreamOps.startMemorySink(
+      StreamOps.sessionCounters(input.toDS().toDF(), "ts", "user_id",
+        gap = "30 minutes", watermarkDelay = "0 seconds"),
+      "session_q", OutputMode.Append())
+
+    input.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      KeyedEvent(1L, ts("2024-01-01 10:20:00"), 2L, "view", 1.0),  // merges
+      KeyedEvent(1L, ts("2024-01-01 12:00:00"), 3L, "click", 1.0)) // new session
+    query.processAllAvailable()
+    // advance the watermark far enough to close and emit both sessions
+    input.addData(KeyedEvent(9L, ts("2024-01-02 00:00:00"), 9L, "click", 1.0))
+    query.processAllAvailable()
+    val rows = spark.table("session_q")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+      .select("n_events").as[Long].collect().sorted.toSeq
+    query.stop()
+    assert(rows == Seq(1L, 2L), s"expected sessions of 2 and 1 events, got $rows")
+  }
+
   test("repairCdcStream resurrects tombstones from managed state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedEvent]
