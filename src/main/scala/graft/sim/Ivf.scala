@@ -44,13 +44,15 @@ object Ivf {
       .orderBy(pmod(pmod(col("vec_id"), lit(PickP)) * PickA + PickB, lit(PickP)),
         col("vec_id"))
       .limit(nCells)
-    // constant partition key: the frame is ≤ nCells rows post-limit, so a
-    // single-partition window is the right plan — partitionBy(lit) documents
-    // that and silences the (here misleading) global-window warning
-    picked.select(
-      (row_number().over(Window.partitionBy(lit(0)).orderBy(col("vec_id"))) - 1)
-        .as("cell"),
-      col("c_emb"))
+    // dense cell ids by ascending vec_id WITHOUT a global window (the frame
+    // is ≤ nCells rows post-limit, but a row_number over it still plans the
+    // all-rows-to-one-partition WindowExec and logs the global-window
+    // warning): pack the picked rows into one sorted array and posexplode —
+    // pos IS the 0-based rank by vec_id, struct sort order being field 1.
+    picked
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("c_emb")))).as("__cs"))
+      .select(posexplode(col("__cs")).as(Seq("cell", "__c")))
+      .select(col("cell"), col("__c.c_emb").as("c_emb"))
   }
 
   /** Rank the centroids per vector by cosine and keep each vector's `keep`

@@ -241,6 +241,35 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose timestamp lies in
+    * `[left.ts - lookback, left.ts + lookahead]`. Both sides carry
+    * watermarks, and the time-range predicate bounds HOW LONG each side's
+    * rows must be buffered — without it a stream-stream join keeps
+    * unbounded state, which is the failure mode this helper exists to make
+    * unrepresentable (the interval is a required argument, not an optional
+    * hint). Columns from the right side are suffixed `_r`.
+    *
+    * The batch analog needs no helper: it is a plain range-predicate join,
+    * and the as-of join covers the latest-match-only variant.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      lookback: String,
+      lookahead: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay)
+    val r0 = right.withWatermark(tsCol, watermarkDelay)
+    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"${c}_r"))
+    l.join(r,
+      col(keyCol) === col(s"${keyCol}_r") &&
+        col(s"${tsCol}_r") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(s"${tsCol}_r") <= col(tsCol) + expr(s"INTERVAL $lookahead"))
+  }
+
   /** Wire a streaming DataFrame through to an in-memory or file sink for
     * tests/jobs: update-mode for stateful latest-per-key, append for
     * watermarked aggregations.

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Mixing
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixWeights: hand-computed rates; anchor source keeps everything") {
+    // token mass: a=6000, b=3000, c=1000 (actual shares 0.6/0.3/0.1);
+    // targets 1:1:2 → ratios 1/6, 1/3, 2 → anchor c (rate 1), a = (1/6)/2,
+    // b = (1/3)/2
+    val docs = Seq(
+      ("a", 4000L), ("a", 2000L), ("b", 3000L), ("c", 1000L))
+      .toDF("source", "nt")
+    val out = Mixing.mixWeights(docs, col("source"), col("nt"),
+        targetPermille = Map("a" -> 250, "b" -> 250, "c" -> 500))
+      .orderBy("source")
+      .select("source", "n_docs", "n_tokens", "actual_share", "target_share",
+        "sample_rate")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(out(0) == (("a", 2L, 6000L, 0.6, 0.25, 0.083333)))
+    assert(out(1) == (("b", 1L, 3000L, 0.3, 0.25, 0.166667)))
+    assert(out(2) == (("c", 1L, 1000L, 0.1, 0.5, 1.0)))
+  }
+
+  test("mixWeights: unlisted sources take the default; target 0 drops outright") {
+    val docs = Seq(("x", 100L), ("y", 100L)).toDF("source", "nt")
+    val out = Mixing.mixWeights(docs, col("source"), col("nt"),
+        targetPermille = Map("x" -> 500), defaultPermille = 0)
+      .select("source", "sample_rate").as[(String, Double)].collect().toMap
+    assert(out("x") == 1.0 && out("y") == 0.0)
+  }
+}

@@ -111,6 +111,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(1L, 2L), s"expected sessions of 2 and 1 events, got $rows")
   }
 
+  test("intervalJoin pairs events within the time bound, across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[KeyedEvent]
+    val views = MemoryStream[KeyedEvent]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDS().toDF(), views.toDS().toDF(),
+      keyCol = "user_id", tsCol = "ts",
+      lookback = "10 minutes", lookahead = "10 minutes",
+      watermarkDelay = "0 seconds")
+    val query = StreamOps.startMemorySink(joined, "ij_q", OutputMode.Append())
+
+    clicks.addData(KeyedEvent(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0))
+    query.processAllAvailable()
+    // right event arrives a TRIGGER later but within the interval — the
+    // buffered left row must still pair with it
+    views.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:05:00"), 2L, "view", 1.0),  // in range
+      KeyedEvent(1L, ts("2024-01-01 10:30:00"), 3L, "view", 1.0),  // out of range
+      KeyedEvent(2L, ts("2024-01-01 10:05:00"), 4L, "view", 1.0))  // wrong key
+    query.processAllAvailable()
+    val pairs = spark.table("ij_q").select("event_id", "event_id_r")
+      .as[(Long, Long)].collect().toSet
+    query.stop()
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("repairCdcStream resurrects tombstones from managed state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedEvent]
