@@ -245,6 +245,17 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "sample_bucket")
     },
 
+    // Per-source duplication report: docs, distinct fingerprints, dup rate.
+    "t19_dedup_stats" -> { (s, dir) =>
+      TextAnalysis.dedupStats(Tables.documents(s, dir), col("source"), col("text"))
+    },
+
+    // Per-language token-length histogram (width-10 buckets).
+    "t20_token_histogram" -> { (s, dir) =>
+      TextAnalysis.tokenHistogram(Tables.documents(s, dir), col("lang"),
+        col("text"), bucketWidth = 10)
+    },
+
     // Exact-budget variant: the 25 hash-smallest doc_ids per language — a
     // fixed eval-set carve-out; WindowGroupLimit caps the shuffle at
     // O(strata x n) rows.
@@ -1021,6 +1032,25 @@ object SparkEntry {
          |  r.sample_rate
          |FROM ntok d JOIN rates r USING (source)
          |WHERE ${duckTokenHash("CAST(d.doc_id AS VARCHAR)")} % 1000 < r.sample_rate * 1000""".stripMargin,
+
+    "t19_dedup_stats" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(lower(text), ' '),
+         |        t -> ${duckTokenHash("t")})),
+         |      (acc, th) -> (acc * 31 + th) % 1000000007) AS fp
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT fp) AS n_unique,
+         |  round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate
+         |FROM f GROUP BY source""".stripMargin,
+
+    "t20_token_histogram" ->
+      """SELECT lang,
+        |  len(string_split(lower(text), ' ')) // 10 AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang, bucket""".stripMargin,
 
     "t18_mix_weights" ->
       """WITH agg AS (

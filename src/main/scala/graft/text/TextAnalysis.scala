@@ -90,6 +90,37 @@ object TextAnalysis {
       round(percentile(n, lit(0.9)), 6).as("p90_tokens"))
   }
 
+  /** Per-group duplication report — the number every dedup run is judged
+    * by: docs, distinct content fingerprints, and the duplicate fraction
+    * `1 − distinct/docs`, grouped e.g. per source. Two-level aggregation
+    * (fingerprint projection → count-distinct), partial-combined on both
+    * levels; the fingerprint is the engine-neutral rolling hash so the
+    * oracle replays it.
+    */
+  def dedupStats(df: DataFrame, group: Column, text: Column): DataFrame =
+    df.select(group, fingerprint(text).as("__fp"))
+      .groupBy(df.select(group).columns.head)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_unique"),
+        round(lit(1.0) - countDistinct(col("__fp")).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"))
+
+  /** Fixed-width token-count histogram per group: bucket `b` counts docs
+    * with `n_tokens ∈ [b·width, (b+1)·width)`. Pure projection + one
+    * aggregation on (group, bucket) — the shape a 100 TB length-profile
+    * job needs (never a collect of raw lengths to the driver).
+    */
+  def tokenHistogram(df: DataFrame, group: Column, text: Column,
+                     bucketWidth: Int): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val groupName = df.select(group).columns.head
+    df.select(group, (size(tokens(text)).cast("long") / bucketWidth)
+        .cast("long").as("bucket"))
+      .groupBy(col(groupName), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Modulus for the polynomial hashes: large prime, small enough that the
     * Horner step `acc * 131 + cp` never overflows a signed 64-bit long
     * (Spark 4 runs ANSI mode, where silent wraparound is an error).
