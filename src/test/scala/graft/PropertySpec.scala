@@ -220,6 +220,69 @@ class PropertySpec extends SparkSpec {
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
 
+  // --- triangle-salted self-pairs == naive, any salt, random data ----------
+
+  private val bucketedRows: Gen[(List[(Int, Long, Int)], Int)] = for {
+    n <- Gen.choose(0, 60)
+    rows <- Gen.listOfN(n, for {
+      b <- Gen.choose(0, 3)            // few buckets → quadratic hot spots
+      id <- Gen.choose(0L, 40L)        // collisions exercised by dedup below
+      p <- Gen.choose(0, 999)
+    } yield (b, id, p))
+    salt <- Gen.choose(1, 9)
+  } yield (rows.groupBy(_._2).values.map(_.head).toList, salt) // unique ids
+
+  test("property: bucketedSelfPairs equals the naive bucket self-join for any salt") {
+    samples(bucketedRows, 25).foreach { case (rows, salt) =>
+      val df = rows.toDF("b", "id", "p")
+      val naive = (for {
+        x <- rows; y <- rows
+        if x._1 == y._1 && x._2 < y._2
+      } yield (x._1, x._2, y._2, x._3, y._3)).toSet
+      val got = graft.ops.ScaleJoins.bucketedSelfPairs(df, Seq("b"), "id",
+          Seq("p"), salt)
+        .as[(Int, Long, Long, Int, Int)].collect().toSet
+      assert(got == naive, s"salt=$salt rows=${rows.size}: salted pair set diverged")
+    }
+  }
+
+  // --- greedy packing invariants on random size sequences ------------------
+
+  private val packCase: Gen[(List[(Long, Int)], Int)] = for {
+    n <- Gen.choose(1, 40)
+    sizes <- Gen.listOfN(n, Gen.choose(1, 300))
+    cap <- Gen.choose(16, 256)
+  } yield (sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }, cap)
+
+  test("property: packBinsGreedy — hard bound, every doc once, bins contiguous & maximal") {
+    samples(packCase, 25).foreach { case (docs, cap) =>
+      val df = docs.map { case (id, s) => (id, "shard", s) }.toDF("id", "sh", "nt")
+      val out = graft.text.Chunking.packBinsGreedy(df, col("id"), col("sh"),
+          col("nt"), cap)
+        .select("id", "n_tokens", "bin_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // every doc exactly once, size preserved
+      assert(out.map(_._1).toSeq == docs.map(_._1))
+      assert(out.map(_._2).toSeq == docs.map(_._2.toLong))
+      val byBin = out.groupBy(_._3).toSeq.sortBy(_._1)
+      // bin ids are contiguous from 0
+      assert(byBin.map(_._1) == (0L until byBin.size))
+      byBin.foreach { case (bin, members) =>
+        val fill = members.map(_._2).sum
+        // hard capacity bound: only a lone oversized doc may exceed
+        assert(fill <= cap || members.size == 1,
+          s"cap=$cap bin=$bin overfilled to $fill with ${members.size} docs")
+        // greedy-maximal: the next bin's FIRST doc would have overflowed
+        val next = byBin.find(_._1 == bin + 1)
+        next.foreach { case (_, nm) =>
+          val firstNext = nm.minBy(_._1)._2
+          assert(fill + firstNext > cap,
+            s"cap=$cap bin=$bin closed at $fill though next doc ($firstNext) fits")
+        }
+      }
+    }
+  }
+
   test("property: native RabinFingerprint equals the HOF formulation on hostile text") {
     val texts = (samples(hostileText, 60) ++ Seq("", " ", "  a  b ", "é 中文 😀"))
       .distinct
