@@ -57,9 +57,9 @@ object ConsumeJob {
 
     val perIteration = params.iterations.map { it =>
       val b1 = base1All.filter(it.filter)
-      // stage 3 + both exports read base2 repeatedly — cache like build(),
-      // aligned on user_id so stage 3 adds no exchange (see build())
-      val b2 = ConsumePipeline.enrich(b1, side).repartition(col("user_id")).cache()
+      // stage 3 + both exports read base2 repeatedly — the shared cache
+      // alignment (see ConsumePipeline.enrichAligned)
+      val b2 = ConsumePipeline.enrichAligned(b1, side)
       val b3raw = ConsumePipeline.baseFinal(b2, params.monthStart, params.monthEnd)
       // config-driven base-data drop (`script/main.py:349-351`) — BEFORE
       // modify, so the accumulated table loses the columns too

@@ -143,6 +143,20 @@ object ConsumePipeline {
     }
   }
 
+  /** Stage 2 + the cache alignment every orchestrator needs: the enriched
+    * frame repartitioned on user_id BEFORE caching. Stage 1's window leaves
+    * a (user_id, day) layout whose day key is pruned away, so every stage-3
+    * consumer of cached base2 (the invalid-id aggregation, the anti join,
+    * both price-history windows) would otherwise re-shuffle the iteration
+    * slice on user_id — three exchanges. Aligning the cache costs ONE
+    * exchange at materialization and stage 3 then runs entirely
+    * shuffle-free on the cached layout (PlanAuditSpec pins this; the
+    * SQL-template mode applies the same alignment to its base2 view).
+    * Callers own the unpersist.
+    */
+  def enrichAligned(base: DataFrame, side: SideInputs): DataFrame =
+    enrich(base, side).repartition(col("user_id")).cache()
+
   /** Stage 2 body given precomputed side inputs. */
   def enrich(base: DataFrame, side: SideInputs): DataFrame = {
     val filtered = Joins.innerActivityFilter(base, side.active, Seq("user_id"))
@@ -225,18 +239,11 @@ object ConsumePipeline {
     val base1All = baseFirst(repaired, customer).cache()
     params.iterations.map { it =>
       val b1 = base1All.filter(it.filter)
-      // cached: stage 3 reads base2 four times (invalid-id aggregation,
-      // anti join, and both price-history branches) — uncached, the stage-2
-      // join tree re-runs per consumer (measured: the SQL-template variant
-      // with this cache beat the uncached DataFrame path).
-      // Repartitioned on user_id BEFORE caching: stage 1's window leaves a
-      // (user_id, day) layout whose day key is pruned away, so every
-      // stage-3 consumer (the invalid-id aggregation and both price-history
-      // windows) would otherwise re-shuffle the iteration slice on user_id
-      // — three exchanges. Aligning the cache costs ONE exchange at
-      // materialization and stage 3 then runs entirely shuffle-free on the
-      // cached layout (PlanAuditSpec pins this).
-      val b2 = enrich(b1, side).repartition(col("user_id")).cache()
+      // cached + user_id-aligned: stage 3 reads base2 four times and then
+      // runs shuffle-free on the cached layout (see enrichAligned; measured:
+      // the SQL-template variant with this cache beat the uncached
+      // DataFrame path)
+      val b2 = enrichAligned(b1, side)
       val b3 = baseFinal(b2, params.monthStart, params.monthEnd)
       modify(b3, nation)
         .withColumn("iteration", lit(it.name))

@@ -40,6 +40,9 @@ object Ivf {
     */
   def centroids(corpus: DataFrame, nCells: Int): DataFrame = {
     val picked = corpus
+      // a null embedding must never become a centroid: its cosine is null
+      // against every vector, which would leave that cell unassignable
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("c_emb"))
       .orderBy(pmod(pmod(col("vec_id"), lit(PickP)) * PickA + PickB, lit(PickP)),
         col("vec_id"))
@@ -74,7 +77,13 @@ object Ivf {
       .select(col(idName), col(embName),
         explode(slice(array_sort(
           transform(col("__cents"), c =>
-            struct(Similarity.cosine(col(embName), c.getField("c_emb")).as("sim"),
+            // null-safe: a null cosine (degenerate vector) sorts LAST as
+            // -Inf — a raw null would make both comparator branches false
+            // and the fallthrough cell-difference intransitive (TimSort
+            // contract violation)
+            struct(coalesce(
+              Similarity.cosine(col(embName), c.getField("c_emb")),
+              lit(Double.NegativeInfinity)).as("sim"),
               c.getField("cell").as("cell"))),
           (l, r) =>
             when(l.getField("sim") > r.getField("sim"), -1)

@@ -72,10 +72,16 @@ object Chunking {
     * decision), which no window function can express — so each shard folds
     * sequentially: groupBy(shard) → sorted collect_list → one `aggregate`
     * HOF pass → explode. One shuffle (on the shard key), whole fold inside
-    * codegen, no UDF. The cost is per-shard materialization: a shard's
-    * (id, n) pairs must fit in one row (~16 B/doc — 1 M docs/shard ≈ 16 MB),
-    * so shard granularity (source file, date bucket) is the scale knob;
-    * [[packBins]] is the unbounded-shard alternative.
+    * codegen, no UDF.
+    *
+    * Cost model — the fold REBUILDS its output array every step
+    * (Catalyst's array_append is copy-on-append), so a shard of n docs
+    * costs O(n²) struct copies in one task: fine to ~10 k docs/shard
+    * (≈5·10⁷ copies, sub-second), prohibitive at 10⁶. Keep shards at the
+    * work-unit grain (source file, date bucket); for unbounded shards use
+    * [[packBins]] and accept its boundary overflow. The id must be
+    * NUMERIC (it is compared inside the fold's struct and cast to long) —
+    * unlike [[packBins]], which preserves any orderable id type.
     */
   def packBinsGreedy(df: DataFrame, id: Column, shard: Column, nTokens: Column,
                      capacity: Int): DataFrame = {

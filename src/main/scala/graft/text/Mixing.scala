@@ -31,11 +31,17 @@ object Mixing {
       .agg(count(lit(1)).as("n_docs"), sum(nTokens.cast("long")).as("n_tokens"))
     val total = agg.agg(sum("n_tokens").as("__tot"))
     val shares = agg.crossJoin(broadcast(total))
-      .withColumn("__actual", col("n_tokens").cast("double") / col("__tot"))
+      .withColumn("__actual",
+        coalesce(col("n_tokens"), lit(0L)).cast("double") / col("__tot"))
       .withColumn("__target",
         coalesce(element_at(tgt, col("source")), lit(defaultPermille))
           .cast("double") / 1000.0)
-      .withColumn("__ratio", col("__target") / col("__actual"))
+      // a source with zero token mass has nothing to sample — its ratio is
+      // 0, NOT target/0 = Infinity, which would poison the max-ratio
+      // normalizer and silently zero every other source's rate
+      .withColumn("__ratio",
+        when(col("__actual") > 0, col("__target") / col("__actual"))
+          .otherwise(lit(0.0)))
     val maxRatio = shares.agg(max("__ratio").as("__maxr"))
     shares.crossJoin(broadcast(maxRatio))
       .select(col("source"), col("n_docs"), col("n_tokens"),

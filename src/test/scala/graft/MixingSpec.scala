@@ -24,6 +24,17 @@ class MixingSpec extends SparkSpec {
     assert(out(2) == (("c", 1L, 1000L, 0.1, 0.5, 1.0)))
   }
 
+  test("mixWeights: a zero-token source with a positive target cannot poison the normalizer") {
+    // target/0 would be Infinity -> max ratio Infinity -> every OTHER
+    // source silently zeroed; the zero-mass source must get rate 0 instead
+    val docs = Seq(("a", 0L), ("b", 100L)).toDF("source", "nt")
+    val out = Mixing.mixWeights(docs, col("source"), col("nt"),
+        targetPermille = Map("a" -> 500, "b" -> 500))
+      .select("source", "sample_rate").as[(String, Double)].collect().toMap
+    assert(out("a") == 0.0, "zero-mass source must not sample")
+    assert(out("b") == 1.0, "the only massive source must keep everything")
+  }
+
   test("mixWeights: unlisted sources take the default; target 0 drops outright") {
     val docs = Seq(("x", 100L), ("y", 100L)).toDF("source", "nt")
     val out = Mixing.mixWeights(docs, col("source"), col("nt"),
