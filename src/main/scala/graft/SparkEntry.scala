@@ -501,6 +501,41 @@ object SparkEntry {
       Multimodal.audioStats(Multimodal.asMediaDataset(media)).toDF()
     },
 
+    // REAL video demux + frame sampling: a RIFF/AVI per doc with 3 + id%3
+    // uncompressed 2x1 24-bit '00db' frames, built byte-by-byte IN THE
+    // PLAN, demuxed by the real chunk walker, every 2nd frame reduced to
+    // exact per-channel means the oracle replays.
+    "m7_avi_frames" -> { (s, dir) =>
+      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      def wle32(c: Column): Column =
+        concat(bh(c), bh(shiftright(c, 8)), bh(shiftright(c, 16)), bh(shiftright(c, 24)))
+      val id = col("doc_id")
+      val n = lit(3L) + id % 3
+      val framesHex = array_join(transform(sequence(lit(0L), n - 1), f =>
+        concat(lit("30306462"), lit("08000000"),          // '00db', size 8
+          bh(id * 13 + f * 19), bh(id * 7 + f * 23), bh(id + f * 29),
+          bh(id * 17 + f * 19), bh(id * 11 + f * 23), bh(id * 3 + f * 29),
+          lit("0000"))), "")                              // row pad to 8
+      val payload = unhex(concat(
+        lit("52494646"), wle32(lit(92L) + n * 16), lit("41564920"),
+        lit("4C495354"), lit("44000000"), lit("6864726C"),   // LIST 68 hdrl
+        lit("61766968"), lit("38000000"),                    // avih 56
+        lit("409C0000"), lit("000000000000000000000000"),    // usec/frame, 3 zeros
+        wle32(n), lit("00000000"), lit("01000000"), lit("00000000"),
+        lit("02000000"), lit("01000000"),                    // w=2, h=1
+        lit("00000000000000000000000000000000"),             // 4 reserved
+        lit("4C495354"), wle32(lit(4L) + n * 16), lit("6D6F7669"), // LIST movi
+        framesHex))
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        lit("video/avi").as("mime"), (lit(100L) + n * 16).cast("int").as("n_bytes"),
+        payload.as("payload"))
+      Multimodal.frameSample(Multimodal.asMediaDataset(media), stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          round(col("mean_r").cast("double"), 6).as("mean_r"),
+          round(col("mean_g").cast("double"), 6).as("mean_g"),
+          round(col("mean_b").cast("double"), 6).as("mean_b"))
+    },
+
     // REAL decode -> nearest-neighbor resize -> PNG re-encode -> decode
     // again: a 4x1 PNG per doc resized to 2x1 keeps source pixels 1 and 3
     // (pixel-center mapping, exact integer arithmetic the oracle replays).
@@ -1298,6 +1333,14 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(range(64 + doc_id % 32)) AS i
         |        FROM documents))
         |GROUP BY doc_id""".stripMargin,
+
+    "m7_avi_frames" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx, 2 AS width, 1 AS height,
+        |  round(((doc_id + f*29) % 256 + (doc_id*3 + f*29) % 256) / 2.0, 6) AS mean_r,
+        |  round(((doc_id*7 + f*23) % 256 + (doc_id*11 + f*23) % 256) / 2.0, 6) AS mean_g,
+        |  round(((doc_id*13 + f*19) % 256 + (doc_id*17 + f*19) % 256) / 2.0, 6) AS mean_b
+        |FROM (SELECT doc_id, unnest(range(3 + doc_id % 3)) AS f FROM documents)
+        |WHERE f % 2 = 0""".stripMargin,
 
     "m6_resize" ->
       """SELECT doc_id, 'png' AS format, 2 AS width, 1 AS height,

@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   *    `javax.sound.sampled.AudioSystem`, also JDK-built-in;
   *  - [[resize]] is a real decode → nearest-neighbor resample → lossless
   *    PNG re-encode round trip.
-  * The ONE remaining fake is [[frameSampleStub]]: the JDK ships no video
-  * demuxer or codec (ImageIO and javax.sound are stills/audio only), so
-  * frame extraction deterministically slices the payload while keeping the
-  * real 1→N exploding shape a demuxer has.
+  *  - video frame sampling ([[frameSample]]/[[demuxAvi]]) demuxes RIFF/AVI
+  *    containers with uncompressed 24-bit `00db` DIB frames by pure byte
+  *    arithmetic — the same chunk walk as WAV and the same raster layout
+  *    as BMP, so no codec is involved. NOTHING in this module is stubbed:
+  *    compressed video (`00dc`) is rejected honestly (a real decode needs
+  *    an external codec the JDK does not ship), not faked.
   *
   * Scale notes: decode and feature extraction are `mapPartitions` (the
   * Scala analogue of `mapInPandas`) so decoder init amortizes per
@@ -118,7 +120,7 @@ object Multimodal {
     * BITMAPINFOHEADER, rows padded to 4 bytes, bottom-up (positive height)
     * or top-down (negative), pixels stored BGR. Returns row-major top-down
     * BGR triplets, or None for anything that isn't exactly this layout
-    * (compressed formats stay behind [[decodeStub]] — honestly).
+    * (compressed containers route through [[decodeViaImageIO]] instead).
     */
   private[graft] def decodeBmp24(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     @inline def u8(i: Int) = p(i) & 0xff
@@ -462,21 +464,102 @@ object Multimodal {
     })
   }
 
-  /** STUB: video frame sampling — the ONE remaining fake, because the JDK
-    * ships no video demuxer or codec (ImageIO is stills-only, javax.sound
-    * is audio-only), so a real implementation needs an external library
-    * (e.g. an ffmpeg JNI binding). The fake slices the payload at a fixed
-    * stride, one output record per "frame", preserving the 1→N exploding
-    * shape a real frame sampler has.
+  /** REAL RIFF/AVI demux for uncompressed 24-bit BI_RGB video — the video
+    * analog of [[sniffWav]] + [[decodeBmp24]], and the reason no stub
+    * remains in this module: AVI is a RIFF container (the chunk walker is
+    * byte arithmetic, already proven on WAV) and `00db` frames are raw
+    * DIB rasters (row-padded BGR — the BMP pixel layout, no codec).
+    * Compressed video (`00dc`) would need an external codec and is
+    * deliberately rejected, not faked. Returns (width, height, frames),
+    * or None for anything that is not exactly this layout — truncated,
+    * hostile, or compressed payloads degrade, never throw.
     */
-  def frameSampleStub(media: Dataset[MediaRecord], stride: Int, frameBytes: Int): DataFrame = {
+  private[graft] def demuxAvi(p: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+    @inline def u8(i: Int) = p(i) & 0xff
+    @inline def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def tag(i: Int, s: String) =
+      p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    // LONG cursors throughout: hostile chunk sizes near Int.MaxValue must
+    // degrade, never wrap negative and index out of bounds (same hardening
+    // as the WAV walker)
+    var cursor = 12L
+    var dims: Option[(Int, Int)] = None
+    var frames = Vector.empty[Array[Byte]]
+    while (cursor + 8 <= p.length) {
+      val i = cursor.toInt
+      val size = le32(i + 4)
+      if (size < 0) return None
+      if (tag(i, "LIST") && size >= 4 && i + 12 <= p.length) {
+        if (tag(i + 8, "hdrl")) {
+          // avih leads the header list; dwWidth/dwHeight at +32/+36
+          val a = i + 12
+          if (a + 64 > p.length || !tag(a, "avih") || le32(a + 4) < 56) return None
+          val w = le32(a + 40)
+          val h = le32(a + 44)
+          if (w <= 0 || h <= 0) return None
+          dims = Some((w, h))
+        } else if (tag(i + 8, "movi")) {
+          var c = i + 12L
+          val end = math.min(p.length.toLong, i + 8L + size)
+          while (c + 8 <= end) {
+            val j = c.toInt
+            val fsz = le32(j + 4)
+            if (fsz < 0 || j + 8L + fsz > end) return None
+            if (tag(j, "00db"))
+              frames = frames :+ java.util.Arrays.copyOfRange(p, j + 8, j + 8 + fsz)
+            c += 8L + fsz + (fsz & 1)
+          }
+        }
+      }
+      cursor += 8L + size + (size & 1)
+    }
+    dims match {
+      case Some((w, h)) if frames.nonEmpty =>
+        // every frame must hold a full row-padded 24bpp raster
+        val rowSize = ((24L * w + 31) / 32 * 4).toInt
+        if (rowSize <= 0 || h.toLong * rowSize > Int.MaxValue) None
+        else if (frames.exists(_.length < h.toLong * rowSize)) None
+        else Some((w, h, frames))
+      case _ => None
+    }
+  }
+
+  case class FrameStats(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                        mean_r: Float, mean_g: Float, mean_b: Float)
+
+  /** REAL video frame sampling: demux ([[demuxAvi]]), keep every
+    * `stride`-th frame, reduce each to per-channel means over the raw
+    * raster (row padding excluded; row order is irrelevant to a mean).
+    * Batched per partition; non-AVI / compressed / corrupt payloads drop —
+    * the never-fail-the-partition contract.
+    */
+  def frameSample(media: Dataset[MediaRecord], stride: Int): Dataset[FrameStats] = {
+    require(stride >= 1, "stride must be >= 1")
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val decoded = decodePayload(r.payload)
-      val frames = decoded.grouped(frameBytes).zipWithIndex
-        .filter { case (_, i) => i % stride == 0 }
-      frames.map { case (bytes, i) => (r.doc_id, i, bytes) }.toSeq
-    }.toDF("doc_id", "frame_idx", "frame_payload")
+    media.mapPartitions(_.flatMap { r =>
+      demuxAvi(r.payload).toSeq.flatMap { case (w, h, frames) =>
+        val rowSize = ((24L * w + 31) / 32 * 4).toInt
+        frames.iterator.zipWithIndex
+          .filter { case (_, idx) => idx % stride == 0 }
+          .map { case (f, idx) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var row = 0
+            while (row < h) {
+              var x = 0
+              while (x < w) {
+                val o = row * rowSize + x * 3
+                sb += f(o) & 0xff; sg += f(o + 1) & 0xff; sr += f(o + 2) & 0xff
+                x += 1
+              }
+              row += 1
+            }
+            val n = (w.toLong * h).toFloat
+            FrameStats(r.doc_id, idx, w, h, sr / n, sg / n, sb / n)
+          }.toSeq
+      }
+    })
   }
 
   /** Typed view of [[packDocuments]] output. */

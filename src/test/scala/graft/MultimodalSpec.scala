@@ -146,14 +146,65 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).format == "bmp" && out(2L).mean_g == 100f && out(2L).mean_r == 0f)
   }
 
-  test("frameSampleStub explodes payloads into strided frames") {
-    val frames = Multimodal.frameSampleStub(
-      Multimodal.asMediaDataset(Multimodal.packDocuments(docs)),
-      stride = 2, frameBytes = 4)
-    // doc 1: 11 bytes -> frames 0,1,2 -> stride 2 keeps 0,2
-    val d1 = frames.filter($"doc_id" === 1L).select("frame_idx")
-      .as[Int].collect().sorted.toSeq
-    assert(d1 == Seq(0, 2))
+  /** Build a minimal RIFF/AVI: LIST hdrl{avih(w,h)} + LIST movi with one
+    * `00db` chunk per frame raster (caller supplies row-padded BGR bytes).
+    */
+  private def avi(w: Int, h: Int, frames: Seq[Array[Byte]],
+                  frameTag: String = "00db"): Array[Byte] = {
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 + 68 + 8 + moviSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(4 + 76 + 8 + moviSize).put("AVI ".getBytes)
+    buf.put("LIST".getBytes).putInt(68).put("hdrl".getBytes)
+    buf.put("avih".getBytes).putInt(56)
+      .putInt(40000).putInt(0).putInt(0).putInt(0)   // usec/frame, maxbps, pad, flags
+      .putInt(frames.size).putInt(0).putInt(1).putInt(0) // totalframes, initial, streams, bufsize
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put("LIST".getBytes).putInt(moviSize).put("movi".getBytes)
+    frames.foreach { f =>
+      buf.put(frameTag.getBytes).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  test("frameSample: REAL AVI demux — strided frames, exact per-frame means") {
+    // 2x1 frames: rowSize = 8 (6 pixel bytes + 2 pad); disk order is BGR
+    def frame(b0: Int, g0: Int, r0: Int, b1: Int, g1: Int, r1: Int) =
+      Array(b0, g0, r0, b1, g1, r1, 0, 0).map(_.toByte)
+    val payload = avi(2, 1, Seq(
+      frame(10, 20, 30, 50, 60, 70),    // frame 0: means b=30 g=40 r=50
+      frame(0, 0, 0, 0, 0, 0),          // frame 1: skipped by stride 2
+      frame(100, 110, 120, 140, 150, 160))) // frame 2: b=120 g=130 r=140
+    val media = Seq(Multimodal.MediaRecord(7L, "video/avi", payload.length, payload))
+      .toDS()
+    val out = Multimodal.frameSample(media, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(out(0).width == 2 && out(0).height == 1)
+    assert(out(0).mean_r == 50f && out(0).mean_g == 40f && out(0).mean_b == 30f)
+    assert(out(1).mean_r == 140f && out(1).mean_g == 130f && out(1).mean_b == 120f)
+  }
+
+  test("demuxAvi rejects compressed, truncated, and hostile payloads cleanly") {
+    val raster = Array.fill(8)(1.toByte)
+    // compressed frames (00dc) are rejected, not faked
+    assert(Multimodal.demuxAvi(avi(2, 1, Seq(raster), frameTag = "00dc")).isEmpty)
+    // a frame smaller than the raster drops the whole payload
+    assert(Multimodal.demuxAvi(avi(2, 1, Seq(Array[Byte](1, 2, 3)))).isEmpty)
+    // truncation anywhere degrades to None, never throws
+    val good = avi(2, 1, Seq(raster))
+    (1 until good.length by 7).foreach { cut =>
+      assert(Multimodal.demuxAvi(good.take(cut)).isEmpty, s"cut=$cut must degrade")
+    }
+    // non-AVI RIFF and garbage
+    assert(Multimodal.demuxAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.demuxAvi(Array.fill(64)(0x41.toByte)).isEmpty)
+    // hostile chunk size near Int.MaxValue must not wrap the cursor
+    val hostile = good.clone()
+    hostile(16) = 0xff.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0x7f.toByte
+    assert(Multimodal.demuxAvi(hostile).isEmpty)
   }
 
   /** Build a valid uncompressed 24-bit BMP: rows of (r,g,b) pixels given
