@@ -280,4 +280,26 @@ object StreamOps {
       .queryName(queryName)
       .outputMode(outputMode)
       .start()
+
+  /** Streaming → K3: land each micro-batch with delete-insert partition
+    * semantics ([[graft.io.Sinks.overwritePartitions]]) via `foreachBatch`.
+    * Partitions present in a batch are replaced wholesale, untouched ones
+    * survive — so a REPLAYED batch (post-failure re-processing, the
+    * at-least-once reality of checkpoint recovery) overwrites its own
+    * partitions instead of appending duplicates: idempotent landing
+    * without a transactional table format. The trade-off is the grain —
+    * exactly-once holds per PARTITION per batch, so the partition column
+    * must be stable across replays (event-time-derived like
+    * `partition_month`, never processing time).
+    */
+  def startPartitionOverwriteSink(df: DataFrame, path: String,
+                                  partitionCol: String,
+                                  checkpointDir: String) =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.io.Sinks.overwritePartitions(batch.toDF(), path, partitionCol)
+      }
+      .start()
 }

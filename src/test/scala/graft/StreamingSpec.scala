@@ -111,6 +111,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(1L, 2L), s"expected sessions of 2 and 1 events, got $rows")
   }
 
+  test("partition-overwrite sink lands micro-batches idempotently (streaming K3)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, date_format}
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-k3").toString
+    def start(input: MemoryStream[KeyedEvent], cp: String) =
+      StreamOps.startPartitionOverwriteSink(
+        input.toDS().toDF().withColumn("pm", date_format(col("ts"), "yyyy-MM")),
+        s"$outDir/table", "pm", s"$outDir/$cp")
+
+    val first = MemoryStream[KeyedEvent]
+    val q1 = start(first, "cp1")
+    first.addData(
+      KeyedEvent(1L, ts("2024-01-05 10:00:00"), 1L, "click", 1.0),
+      KeyedEvent(2L, ts("2024-02-05 10:00:00"), 2L, "view", 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(s"$outDir/table").count() == 2)
+
+    // the post-failure at-least-once case: a new query incarnation
+    // re-processes the SAME January/February data (plus a new month) into
+    // the same table — its partitions must overwrite, not append
+    val replay = MemoryStream[KeyedEvent]
+    val q2 = start(replay, "cp2")
+    replay.addData(
+      KeyedEvent(1L, ts("2024-01-05 10:00:00"), 1L, "click", 1.0),
+      KeyedEvent(2L, ts("2024-02-05 10:00:00"), 2L, "view", 2.0),
+      KeyedEvent(3L, ts("2024-03-05 10:00:00"), 3L, "click", 3.0)) // new month
+    q2.processAllAvailable()
+    q2.stop()
+    val back = spark.read.parquet(s"$outDir/table")
+    assert(back.count() == 3, "replayed partitions must overwrite, not append")
+    assert(back.select("pm").distinct().count() == 3)
+  }
+
   test("intervalJoin pairs events within the time bound, across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[KeyedEvent]
