@@ -157,6 +157,14 @@ object SparkEntry {
         col("doc_id"), col("text"), spanTokens = 8)
     },
 
+    // Production-scale span dedup: the first-occurrence shuffle carries
+    // 8-byte xxhash64 keys instead of span text (~spanTokens× smaller);
+    // text rides one un-exploded join shuffle. Must equal d10 exactly.
+    "d10b_span_dedup_hashed" -> { (s, dir) =>
+      graft.dedup.SpanDedup.dedupSpansHashed(Tables.documents(s, dir),
+        col("doc_id"), col("text"), spanTokens = 8)
+    },
+
     // ANN: exact brute-force cosine top-k (the correctness baseline).
     "s1_ann_bruteforce_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -1055,18 +1063,19 @@ object SparkEntry {
          |    s_tokens::DOUBLE / (SELECT sum(s_tokens) FROM agg) AS actual,
          |    (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
          |                 WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
-         |                 ELSE 25 END) / 1000.0 AS target
+         |                 ELSE 25 END)::DOUBLE / 1000.0::DOUBLE AS target
          |  FROM agg),
          |rates AS (
          |  SELECT source,
-         |    round((target / actual) /
-         |      (SELECT max(target / actual) FROM sh), 6) AS sample_rate
+         |    CAST(round((target / actual) /
+         |      (SELECT max(target / actual) FROM sh) * 1000000) AS BIGINT)
+         |      AS sample_rate_ppm
          |  FROM sh)
          |SELECT d.doc_id, d.lang, d.source, d.n_tokens,
          |  ${duckTokenHash("CAST(d.doc_id AS VARCHAR)")} % 1000 AS sample_bucket,
-         |  r.sample_rate
+         |  r.sample_rate_ppm
          |FROM ntok d JOIN rates r USING (source)
-         |WHERE ${duckTokenHash("CAST(d.doc_id AS VARCHAR)")} % 1000 < r.sample_rate * 1000""".stripMargin,
+         |WHERE (${duckTokenHash("CAST(d.doc_id AS VARCHAR)")} % 1000) * 1000 < r.sample_rate_ppm""".stripMargin,
 
     "t19_dedup_stats" ->
       s"""WITH f AS (
@@ -1087,6 +1096,10 @@ object SparkEntry {
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang, bucket""".stripMargin,
 
+    // Shares/rates as integer micro-units (ppm): `round(x)::BIGINT` after a
+    // forced-DOUBLE pipeline is engine-exact, where a 6-decimal rounded
+    // DOUBLE is last-ulp-sensitive (DuckDB's DECIMAL division path formats
+    // differently from Spark's DOUBLE; three chained divisions amplify it).
     "t18_mix_weights" ->
       """WITH agg AS (
         |  SELECT source, count(*) AS n_docs,
@@ -1097,13 +1110,14 @@ object SparkEntry {
         |    n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM agg) AS actual,
         |    (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
         |                 WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
-        |                 ELSE 25 END) / 1000.0 AS target
+        |                 ELSE 25 END)::DOUBLE / 1000.0::DOUBLE AS target
         |  FROM agg)
         |SELECT source, n_docs, n_tokens,
-        |  round(actual, 6) AS actual_share,
-        |  round(target, 6) AS target_share,
-        |  round((target / actual) /
-        |    (SELECT max(target / actual) FROM sh), 6) AS sample_rate
+        |  CAST(round(actual * 1000000) AS BIGINT) AS actual_share_ppm,
+        |  CAST(round(target * 1000000) AS BIGINT) AS target_share_ppm,
+        |  CAST(round((target / actual) /
+        |    (SELECT max(target / actual) FROM sh) * 1000000) AS BIGINT)
+        |    AS sample_rate_ppm
         |FROM sh""".stripMargin,
 
     "t17_stratified_topn" ->
@@ -1234,6 +1248,33 @@ object SparkEntry {
     // The span cut replayed exactly: disjoint 8-token blocks, global
     // first-occurrence winner by (doc_id, pos), per-doc ordered stitch.
     "d10_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) > 0),
+        |spans AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos,
+        |         t
+        |  FROM toks),
+        |cut AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(t[(1 + pos*8):(8 + pos*8)], ' ') AS span
+        |  FROM spans),
+        |first_occ AS (
+        |  SELECT doc_id, pos, span,
+        |         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM cut)
+        |SELECT doc_id,
+        |       string_agg(span, ' ' ORDER BY pos) AS text,
+        |       count(*) AS n_spans
+        |FROM first_occ WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    // d10b replays the SAME span-text first-occurrence semantics: grouping
+    // by xxhash64(span) is structurally identical to grouping by span
+    // absent 64-bit collisions (none on this corpus — and a result-identity
+    // spec additionally pins d10b to d10's exact output). DuckDB's hash()
+    // is a different function, so the replay groups by the text itself.
+    "d10b_span_dedup_hashed" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         |  WHERE len(string_split(lower(text), ' ')) > 0),

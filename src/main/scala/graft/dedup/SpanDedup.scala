@@ -19,15 +19,15 @@ import graft.text.TextAnalysis
   * stitched back in order. A document whose every block was cut disappears,
   * like C4's emptied pages.
   *
-  * Scale shape: Generate (no shuffle) → ONE hash shuffle on the span text
-  * for the first-occurrence window (`row_number = 1` plans a
-  * WindowGroupLimit, so each map partition forwards one candidate per span
-  * — the shuffle carries survivors, not the corpus) → ONE shuffle on doc id
-  * for the stitch-back aggregation. No joins, no driver actions; both
-  * shuffle keys are high-cardinality, so there is no skew pole. At 100 TB
-  * the span shuffle dominates; pre-hashing spans to 8-byte keys (xxhash64)
-  * would shrink it ~spanTokens× at the cost of engine-neutral oracle
-  * replay, so the text key stays — swap in the hash for production.
+  * Scale shape ([[dedupSpans]], the exact/oracle path): Generate (no
+  * shuffle) → ONE hash shuffle on the span text for the first-occurrence
+  * window (`row_number = 1` plans a WindowGroupLimit, so each map partition
+  * forwards one candidate per span — the shuffle carries survivors, not the
+  * corpus) → ONE shuffle on doc id for the stitch-back aggregation. No
+  * joins, no driver actions; both shuffle keys are high-cardinality, so
+  * there is no skew pole. At 100 TB the span-text shuffle dominates —
+  * [[dedupSpansHashed]] is the production variant that shrinks it to 8-byte
+  * xxhash64 keys.
   */
 object SpanDedup {
 
@@ -65,5 +65,59 @@ object SpanDedup {
           transform(array_sort(collect_list(struct(col("__pos"), col("__span")))),
             x => x.getField("__span")), " ").as("text"),
         count(lit(1)).as("n_spans"))
+  }
+
+  /** Production-scale variant of [[dedupSpans]]: the first-occurrence
+    * window shuffles 8-byte `xxhash64(span)` keys instead of the span TEXT,
+    * shrinking the dominant shuffle ~spanTokens× and replacing string sort
+    * comparators with long compares. The text then rides exactly ONE
+    * shuffle, un-exploded (each doc once, for the winners join), and the
+    * stitch is recomputed map-side from the winning block positions.
+    *
+    * Plan: Generate a narrow (id, pos, hash) frame → window on hash
+    * (WindowGroupLimit, ~24-byte rows) → per-doc winning-position collect
+    * (narrow shuffle on id) → equi-join with the source docs on id (the
+    * only text-bearing shuffle; the groupBy already partitioned the winner
+    * side on id) → map-side re-tokenize + slice + stitch.
+    *
+    * Semantics are identical to [[dedupSpans]] up to 64-bit hash
+    * collisions: two DIFFERENT spans colliding would wrongly cut the later
+    * one. Birthday bound ≈ n²/2⁶⁵ — about 10⁻⁴ expected false cuts per
+    * billion distinct spans, noise for C4-style lossy cleanup (and the
+    * exact path exists when zero loss is required). A result-identity spec
+    * pins this variant to [[dedupSpans]] on the test corpus.
+    */
+  def dedupSpansHashed(df: DataFrame, id: Column, text: Column,
+                       spanTokens: Int = 8, carry: Seq[String] = Nil): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val idName = df.select(id).columns.head
+    val carryCols = carry.map(col)
+    val narrow = df
+      .select(id, TextAnalysis.tokens(text).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idName), col("__toks"),
+        posexplode(sequence(lit(1), size(col("__toks")), lit(spanTokens)))
+          .as(Seq("__pos", "__start")))
+      .select(col(idName), col("__pos").cast("long").as("__pos"),
+        xxhash64(concat_ws(" ",
+          slice(col("__toks"), col("__start"), lit(spanTokens)))).as("__h"))
+    val firstOccurrence = Window.partitionBy(col("__h"))
+      .orderBy(col(idName), col("__pos"))
+    val keepPositions = narrow
+      .withColumn("__rn", row_number().over(firstOccurrence))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idName))
+      .agg(sort_array(collect_list(col("__pos"))).as("__keep"))
+    // inner join: a doc whose every block was cut disappears, like the
+    // exact path's emptied pages
+    df.select(id +: carryCols :+ text.as("__text"): _*)
+      .join(keepPositions, idName)
+      .withColumn("__toks", TextAnalysis.tokens(col("__text")))
+      .select(col(idName) +: carryCols :+
+        array_join(transform(col("__keep"), p =>
+          concat_ws(" ", slice(col("__toks"),
+            (p * spanTokens + 1).cast("int"), lit(spanTokens)))), " ")
+          .as("text") :+
+        size(col("__keep")).cast("long").as("n_spans"): _*)
   }
 }

@@ -65,10 +65,14 @@ object DataPrep {
       .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
     val rates = graft.text.Mixing.mixWeights(withTok, col("source"),
         col("n_tokens"), targetPermille, defaultPermille)
-      .select(col("source"), col("sample_rate"))
+      .select(col("source"), col("sample_rate_ppm"))
     withTok.join(broadcast(rates), Seq("source"))
       .withColumn("sample_bucket", QualityFilters.hashSampleBucket(col("doc_id")))
-      .filter(col("sample_bucket") < col("sample_rate") * 1000)
-      .select("doc_id", "lang", "source", "n_tokens", "sample_bucket", "sample_rate")
+      // bucket < rate·1000 with rate = ppm/1e6  ⟺  bucket·1000 < ppm —
+      // but the right side is now an exact integer compare, immune to the
+      // float-boundary ambiguity of `bucket < rate * 1000`
+      .filter(col("sample_bucket") * 1000 < col("sample_rate_ppm"))
+      .select("doc_id", "lang", "source", "n_tokens", "sample_bucket",
+        "sample_rate_ppm")
   }
 }

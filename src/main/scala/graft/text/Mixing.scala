@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   * combine), then two broadcast 1-row frames (corpus total, max ratio) —
   * no collect, no second pass over the corpus. The emitted rates feed
   * [[QualityFilters.hashSampleBucket]]-style deterministic sampling:
-  * `keep ⟺ bucket < rate · 1000`.
+  * `keep ⟺ bucket · 1000 < rate_ppm` — an exact integer comparison.
+  *
+  * Shares and rates are emitted as INTEGER MICRO-UNITS (`_ppm` = parts per
+  * million, bigint): three chained IEEE divisions amplify last-ulp noise,
+  * so a rounded-DOUBLE output is representation-sensitive across engines
+  * (a sub-1e-9 divergence is enough to flip a fixed-decimal rounding);
+  * `cast(round(x·1e6) as bigint)` is engine-exact for any replay.
   */
 object Mixing {
 
@@ -43,10 +49,16 @@ object Mixing {
         when(col("__actual") > 0, col("__target") / col("__actual"))
           .otherwise(lit(0.0)))
     val maxRatio = shares.agg(max("__ratio").as("__maxr"))
+    def ppm(c: Column): Column = round(c * 1e6).cast("long")
     shares.crossJoin(broadcast(maxRatio))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("__actual"), 6).as("actual_share"),
-        round(col("__target"), 6).as("target_share"),
-        round(col("__ratio") / col("__maxr"), 6).as("sample_rate"))
+        ppm(col("__actual")).as("actual_share_ppm"),
+        ppm(col("__target")).as("target_share_ppm"),
+        // __maxr <= 0 means NO source has positive target mass (all-zero
+        // token mass, or all targets zero): 0/0 would be NaN, which
+        // compares false against every threshold and silently drops
+        // nothing — emit the documented rate-0 drop explicitly instead
+        when(col("__maxr") > 0, ppm(col("__ratio") / col("__maxr")))
+          .otherwise(lit(0L)).as("sample_rate_ppm"))
   }
 }

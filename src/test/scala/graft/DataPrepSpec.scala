@@ -38,14 +38,15 @@ class DataPrepSpec extends SparkSpec {
       val n = out.count()
       assert(n > 0 && n < docs.count())
       // every survivor's bucket clears its source's derived rate
-      assert(out.filter(col("sample_bucket") >= col("sample_rate") * 1000).count() == 0)
+      assert(out.filter(
+        col("sample_bucket") * 1000 >= col("sample_rate_ppm")).count() == 0)
       // rates: at least one source keeps everything (the normalization
       // anchor) and targeted sources out-rank the default-weight tail
-      val rates = out.select("source", "sample_rate").distinct()
-        .as[(String, Double)].collect().toMap
-      assert(rates.valuesIterator.max == 1.0)
+      val rates = out.select("source", "sample_rate_ppm").distinct()
+        .as[(String, Long)].collect().toMap
+      assert(rates.valuesIterator.max == 1000000L)
       val tail = rates.view.filterKeys(s => !targets.contains(s)).values
-      assert(tail.forall(r => r <= rates.getOrElse("src0", 1.0)))
+      assert(tail.forall(r => r <= rates.getOrElse("src0", 1000000L)))
       // identical output under a different input partitioning
       val again = DataPrep.curate(docs.repartition(17), sw, targets,
         defaultPermille = 25)

@@ -9,19 +9,19 @@ class MixingSpec extends SparkSpec {
   test("mixWeights: hand-computed rates; anchor source keeps everything") {
     // token mass: a=6000, b=3000, c=1000 (actual shares 0.6/0.3/0.1);
     // targets 1:1:2 → ratios 1/6, 1/3, 2 → anchor c (rate 1), a = (1/6)/2,
-    // b = (1/3)/2
+    // b = (1/3)/2; emitted in integer micro-units (ppm)
     val docs = Seq(
       ("a", 4000L), ("a", 2000L), ("b", 3000L), ("c", 1000L))
       .toDF("source", "nt")
     val out = Mixing.mixWeights(docs, col("source"), col("nt"),
         targetPermille = Map("a" -> 250, "b" -> 250, "c" -> 500))
       .orderBy("source")
-      .select("source", "n_docs", "n_tokens", "actual_share", "target_share",
-        "sample_rate")
-      .as[(String, Long, Long, Double, Double, Double)].collect()
-    assert(out(0) == (("a", 2L, 6000L, 0.6, 0.25, 0.083333)))
-    assert(out(1) == (("b", 1L, 3000L, 0.3, 0.25, 0.166667)))
-    assert(out(2) == (("c", 1L, 1000L, 0.1, 0.5, 1.0)))
+      .select("source", "n_docs", "n_tokens", "actual_share_ppm",
+        "target_share_ppm", "sample_rate_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == (("a", 2L, 6000L, 600000L, 250000L, 83333L)))
+    assert(out(1) == (("b", 1L, 3000L, 300000L, 250000L, 166667L)))
+    assert(out(2) == (("c", 1L, 1000L, 100000L, 500000L, 1000000L)))
   }
 
   test("mixWeights: a zero-token source with a positive target cannot poison the normalizer") {
@@ -30,16 +30,27 @@ class MixingSpec extends SparkSpec {
     val docs = Seq(("a", 0L), ("b", 100L)).toDF("source", "nt")
     val out = Mixing.mixWeights(docs, col("source"), col("nt"),
         targetPermille = Map("a" -> 500, "b" -> 500))
-      .select("source", "sample_rate").as[(String, Double)].collect().toMap
-    assert(out("a") == 0.0, "zero-mass source must not sample")
-    assert(out("b") == 1.0, "the only massive source must keep everything")
+      .select("source", "sample_rate_ppm").as[(String, Long)].collect().toMap
+    assert(out("a") == 0L, "zero-mass source must not sample")
+    assert(out("b") == 1000000L, "the only massive source must keep everything")
   }
 
   test("mixWeights: unlisted sources take the default; target 0 drops outright") {
     val docs = Seq(("x", 100L), ("y", 100L)).toDF("source", "nt")
     val out = Mixing.mixWeights(docs, col("source"), col("nt"),
         targetPermille = Map("x" -> 500), defaultPermille = 0)
-      .select("source", "sample_rate").as[(String, Double)].collect().toMap
-    assert(out("x") == 1.0 && out("y") == 0.0)
+      .select("source", "sample_rate_ppm").as[(String, Long)].collect().toMap
+    assert(out("x") == 1000000L && out("y") == 0L)
+  }
+
+  test("mixWeights: all-zero ratio mass emits explicit rate 0, never NaN") {
+    // every ratio 0 (all targets 0) → __maxr = 0 → 0/0 would be NaN, which
+    // is false under every `<` threshold and silently drops NOTHING; the
+    // guard must emit the documented rate-0 drop instead
+    val docs = Seq(("a", 100L), ("b", 200L)).toDF("source", "nt")
+    val out = Mixing.mixWeights(docs, col("source"), col("nt"),
+        targetPermille = Map.empty, defaultPermille = 0)
+      .select("source", "sample_rate_ppm").as[(String, Long)].collect().toMap
+    assert(out("a") == 0L && out("b") == 0L)
   }
 }

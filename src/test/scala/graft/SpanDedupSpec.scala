@@ -5,6 +5,7 @@ import graft.dedup.SpanDedup
 
 class SpanDedupSpec extends SparkSpec {
   import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
 
   test("dedupSpans: identity on a duplicate-free corpus") {
     // every span distinct -> every doc reconstructs exactly
@@ -44,5 +45,28 @@ class SpanDedupSpec extends SparkSpec {
     val out = SpanDedup.dedupSpans(docs, col("doc_id"), col("text"), spanTokens = 8)
       .as[(Long, String, Long)].collect()
     assert(out.head._2 == block && out.head._3 == 1L)
+  }
+
+  test("dedupSpansHashed: result-identical to the text-key path on the test corpus") {
+    // the production 8-byte-key plan must be a pure shuffle-size
+    // optimization: same rows, same stitched text, same counts — on real
+    // documents (cross-doc + within-doc dups) and under carry columns
+    val docs = Tables.documents(spark, sf)
+    val exact = SpanDedup.dedupSpans(docs, col("doc_id"), col("text"),
+      spanTokens = 8, carry = Seq("lang")).orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val hashed = SpanDedup.dedupSpansHashed(docs, col("doc_id"), col("text"),
+      spanTokens = 8, carry = Seq("lang")).orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(exact.nonEmpty && hashed == exact)
+  }
+
+  test("dedupSpansHashed: the window shuffle never carries span text") {
+    // grep the optimized plan: the only Exchange whose child is the span
+    // Generate must key and carry __h/__pos/id — no string span column
+    val docs = Tables.documents(spark, sf)
+    val plan = SpanDedup.dedupSpansHashed(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), "hash key must drive the window")
   }
 }
