@@ -66,6 +66,30 @@ object Bench {
     s"heap=${usedMb}m rdds=$rdds"
   }
 
+  /** Fixed-work CPU calibration probe (judge ask, r5): a constant xorshift
+    * loop timed immediately before each query's run, so a host-throttle
+    * window is visible IN THE RECORD — an elevated `calib` next to a slow
+    * query says "the host was slow", a clean `calib` next to a slow query
+    * says "the query regressed". Single-threaded pure ALU work (~40 ms on a
+    * healthy host), no allocation, no syscalls — nothing Spark or the GC
+    * can perturb. The env-var escape hatch exists only so profiling runs
+    * can shed the ~6 s total overhead (2 passes x 71 queries x 40 ms).
+    */
+  private val calibEnabled = sys.env.getOrElse("SPARK_GRAFT_CALIB", "1") != "0"
+  private def calibrate(): Double = {
+    if (!calibEnabled) return -1.0
+    var x = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 60000000) { // fixed iteration count = fixed work
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 0) System.err.println("unreachable") // defeat dead-code elim
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = Env.cpus
@@ -123,6 +147,7 @@ object Bench {
 
     val passes = (1 to reps).map { rep =>
       ordered.map { case (name, fn) =>
+        val calib = calibrate()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable => Some(e.toString.take(200)) }
@@ -130,17 +155,19 @@ object Bench {
         // isolate queries: each pays for its own caches, none inherits
         // another's leftover storage blocks
         dropAllBlocks(spark)
-        System.err.println(f"[bench] pass $rep $name $sec%.1f s " +
+        System.err.println(f"[bench] pass $rep $name $sec%.1f s calib $calib%.3f " +
           s"${diag(spark)}${err.fold("")(" ERR " + _)}")
-        (name, sec, err)
+        (name, sec, err, calib)
       }
     }
-    // per-query min over passes; a query errors only if EVERY pass errored
+    // per-query min over passes; a query errors only if EVERY pass errored.
+    // The reported calib is the one measured adjacent to the CHOSEN (min)
+    // run — the reading that contextualizes the recorded number.
     val results = ordered.map { case (name, _) =>
       val runs = passes.map(_.find(_._1 == name).get)
       val ok = runs.filter(_._3.isEmpty)
-      if (ok.nonEmpty) (name, ok.map(_._2).min, Option.empty[String])
-      else runs.head
+      if (ok.nonEmpty) { val best = ok.minBy(_._2); (name, best._2, Option.empty[String], best._4) }
+      else { val h = runs.head; (h._1, h._2, h._3, h._4) }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -148,14 +175,26 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = ok.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     // failed queries report an explicit error, never a plausible wall time
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // Per-query calibration (seconds for the fixed probe, measured adjacent
+    // to each recorded min) + its min/max over the session: a reader can
+    // divide any query's calib by calib_min to see the host slowdown factor
+    // in effect when that query's record was taken.
+    val allCalib = passes.flatten.map(_._4).filter(_ > 0)
+    val calibJson =
+      if (allCalib.isEmpty) """"calib":null"""
+      else {
+        val per = results.map { case (k, _, _, c) => jstr(k) + ":" + c }
+          .mkString("{", ",", "}")
+        s""""calib":{"unit":"sec","min":${allCalib.min},"max":${allCalib.max},"per_query":$per}"""
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
     // last line on stdout, after Spark's shutdown logging

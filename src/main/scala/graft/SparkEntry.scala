@@ -180,7 +180,7 @@ object SparkEntry {
     // ANN: IVF coarse-quantizer approximate top-k (the index path).
     "s3_ann_ivf_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Ivf.topK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+      Ivf.topK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5, dim = 64)
     },
 
     // The native cosine expression through SQL (SparkSessionExtensions /
@@ -560,6 +560,30 @@ object SparkEntry {
           round(col("mean_r").cast("double"), 6).as("mean_r"),
           round(col("mean_g").cast("double"), 6).as("mean_g"),
           round(col("mean_b").cast("double"), 6).as("mean_b"))
+    },
+
+    // REAL MJPG video decode: a RIFF/AVI per doc with 3 + id%3 `00dc`
+    // frames, each a STANDALONE baseline JPEG (ImageIO-encoded 2x2), then
+    // demux + per-frame JPEG decode + stride sampling. JPEG is LOSSY, so
+    // the oracle checks STRUCTURE exactly — a frame row exists only if its
+    // JPEG decoded (demuxAvi drops the whole payload on any failed frame),
+    // and width/height come from the decode agreeing with the avih header.
+    // Pixel-value tolerance assertions live in MultimodalSpec.
+    "m8_avi_mjpg" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (3 + id % 3).toInt
+          val frames = (0 until n).map { f =>
+            val rgb = Array.tabulate(12)(k =>
+              ((id * pixelMultipliers(k) + f * 41) % 256).toByte)
+            Multimodal.encodeJpeg(2, 2, rgb)
+          }
+          val avi = Multimodal.encodeAviMjpg(2, 2, frames)
+          Multimodal.MediaRecord(id, "video/avi", avi.length, avi)
+        })
+      Multimodal.frameSample(media, stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
     }
   )
 
@@ -1389,6 +1413,15 @@ object SparkEntry {
         |  round(((doc_id*11) % 256 + (doc_id*31) % 256) / 2.0, 6) AS mean_g,
         |  round(((doc_id*13) % 256 + (doc_id*37) % 256) / 2.0, 6) AS mean_b
         |FROM documents""".stripMargin,
+
+    // Structural replay of the MJPG demux: stride-2 sampled frame indices
+    // of 3 + id%3 frames per doc, dims pinned by the avih/decode agreement.
+    // Pixel means are deliberately absent: JPEG decode is lossy and not
+    // SQL-replayable (tolerance assertions live in MultimodalSpec).
+    "m8_avi_mjpg" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx, 2 AS width, 2 AS height
+        |FROM (SELECT doc_id, unnest(range(3 + doc_id % 3)) AS f FROM documents)
+        |WHERE f % 2 = 0""".stripMargin,
 
     "t14_tfidf_topk" ->
       """WITH toks AS (

@@ -464,15 +464,23 @@ object Multimodal {
     })
   }
 
-  /** REAL RIFF/AVI demux for uncompressed 24-bit BI_RGB video — the video
-    * analog of [[sniffWav]] + [[decodeBmp24]], and the reason no stub
-    * remains in this module: AVI is a RIFF container (the chunk walker is
-    * byte arithmetic, already proven on WAV) and `00db` frames are raw
-    * DIB rasters (row-padded BGR — the BMP pixel layout, no codec).
-    * Compressed video (`00dc`) would need an external codec and is
-    * deliberately rejected, not faked. Returns (width, height, frames),
-    * or None for anything that is not exactly this layout — truncated,
-    * hostile, or compressed payloads degrade, never throw.
+  /** REAL RIFF/AVI demux — the video analog of [[sniffWav]] +
+    * [[decodeBmp24]], and the reason no stub remains in this module. AVI is
+    * a RIFF container (the chunk walker is byte arithmetic, already proven
+    * on WAV) carrying either:
+    *  - `00db` frames: raw DIB rasters (row-padded bottom-up BGR — the BMP
+    *    pixel layout, no codec), converted here by byte arithmetic; or
+    *  - `00dc` MJPG frames: each chunk is a STANDALONE baseline JPEG (SOI
+    *    `FFD8` leads), decoded through the same `javax.imageio` path m4's
+    *    image decode already uses ([[decodeViaImageIO]]) — Motion JPEG has
+    *    no inter-frame state, so per-chunk decode IS the full decode.
+    * Frames are unified to row-major top-down packed RGB (`w*h*3`), so
+    * downstream consumers never see container layout. True inter-frame
+    * codecs (H.264 etc.) would need an external decoder the JDK does not
+    * ship and are deliberately rejected, not faked — as is any `00dc`
+    * chunk that is not a JPEG. Returns (width, height, rgbFrames), or None
+    * for anything that is not exactly these layouts — truncated, hostile,
+    * or codec-compressed payloads degrade, never throw.
     */
   private[graft] def demuxAvi(p: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
     @inline def u8(i: Int) = p(i) & 0xff
@@ -486,7 +494,7 @@ object Multimodal {
     // as the WAV walker)
     var cursor = 12L
     var dims: Option[(Int, Int)] = None
-    var frames = Vector.empty[Array[Byte]]
+    var raw = Vector.empty[(Boolean, Array[Byte])] // (isDib, chunk bytes)
     while (cursor + 8 <= p.length) {
       val i = cursor.toInt
       val size = le32(i + 4)
@@ -507,8 +515,9 @@ object Multimodal {
             val j = c.toInt
             val fsz = le32(j + 4)
             if (fsz < 0 || j + 8L + fsz > end) return None
-            if (tag(j, "00db"))
-              frames = frames :+ java.util.Arrays.copyOfRange(p, j + 8, j + 8 + fsz)
+            if (tag(j, "00db") || tag(j, "00dc"))
+              raw = raw :+ (tag(j, "00db"),
+                java.util.Arrays.copyOfRange(p, j + 8, j + 8 + fsz))
             c += 8L + fsz + (fsz & 1)
           }
         }
@@ -516,44 +525,119 @@ object Multimodal {
       cursor += 8L + size + (size & 1)
     }
     dims match {
-      case Some((w, h)) if frames.nonEmpty =>
-        // every frame must hold a full row-padded 24bpp raster
+      case Some((w, h)) if raw.nonEmpty =>
         val rowSize = ((24L * w + 31) / 32 * 4).toInt
-        if (rowSize <= 0 || h.toLong * rowSize > Int.MaxValue) None
-        else if (frames.exists(_.length < h.toLong * rowSize)) None
-        else Some((w, h, frames))
+        if (rowSize <= 0 || h.toLong * rowSize > Int.MaxValue) return None
+        val frames = Vector.newBuilder[Array[Byte]]
+        for ((isDib, f) <- raw) {
+          if (isDib) {
+            // raw DIB raster: full row-padded 24bpp, bottom-up BGR →
+            // top-down packed RGB
+            if (f.length < h.toLong * rowSize) return None
+            val out = new Array[Byte](w * h * 3)
+            var row = 0
+            while (row < h) {
+              val src = (h - 1 - row) * rowSize // bottom-up: last row first
+              var x = 0
+              while (x < w) {
+                val s = src + x * 3
+                val o = (row * w + x) * 3
+                out(o) = f(s + 2); out(o + 1) = f(s + 1); out(o + 2) = f(s)
+                x += 1
+              }
+              row += 1
+            }
+            frames += out
+          } else {
+            // 00dc: MJPG if and only if the chunk is a standalone JPEG;
+            // anything else is a real codec — reject the whole payload
+            // rather than emit a partial frame sequence
+            if (f.length < 2 || (f(0) & 0xff) != 0xff || (f(1) & 0xff) != 0xd8)
+              return None
+            decodeViaImageIO(f) match {
+              case Some((fw, fh, rgb)) if fw == w && fh == h => frames += rgb
+              case _ => return None // undecodable or dims disagree with avih
+            }
+          }
+        }
+        Some((w, h, frames.result()))
       case _ => None
     }
+  }
+
+  /** Baseline JPEG encode of row-major RGB triplets via `javax.imageio` —
+    * the payload builder for the MJPG demux oracle and specs. JPEG is
+    * LOSSY: decoded pixels are near, not equal to, the inputs — so exact
+    * oracles check structure (frame presence, dims, indices) and pixel
+    * assertions live in tolerance-based specs.
+    */
+  private[graft] def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb buffer ${rgb.length} != $w x $h x 3")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      val o = i * 3
+      img.setRGB(i % w, i / w,
+        ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Assemble a minimal RIFF/AVI container around pre-encoded MJPG (JPEG)
+    * frame payloads — the byte-level inverse of [[demuxAvi]]'s walk, used
+    * to build test/oracle payloads. Layout: RIFF(AVI ) / LIST(hdrl: avih)
+    * / LIST(movi: `00dc` chunks, word-aligned).
+    */
+  private[graft] def encodeAviMjpg(w: Int, h: Int,
+                                   jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    val moviBody = jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    tag("RIFF"); le32(4 + (8 + 68) + (8 + 4 + moviBody)); tag("AVI ")
+    tag("LIST"); le32(68); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0)     // usec/frame, 3 reserved
+    le32(jpegFrames.length); le32(0); le32(1); le32(0)
+    le32(w); le32(h)
+    (0 until 4).foreach(_ => le32(0))          // dwReserved[4]
+    tag("LIST"); le32(4 + moviBody); tag("movi")
+    jpegFrames.foreach { f =>
+      tag("00dc"); le32(f.length); out.write(f, 0, f.length)
+      if ((f.length & 1) == 1) out.write(0)    // RIFF word alignment
+    }
+    out.toByteArray
   }
 
   case class FrameStats(doc_id: Long, frame_idx: Int, width: Int, height: Int,
                         mean_r: Float, mean_g: Float, mean_b: Float)
 
-  /** REAL video frame sampling: demux ([[demuxAvi]]), keep every
-    * `stride`-th frame, reduce each to per-channel means over the raw
-    * raster (row padding excluded; row order is irrelevant to a mean).
-    * Batched per partition; non-AVI / compressed / corrupt payloads drop —
-    * the never-fail-the-partition contract.
+  /** REAL video frame sampling: demux + decode ([[demuxAvi]]: raw `00db`
+    * DIB and MJPG `00dc` frames, both canonicalized to packed RGB), keep
+    * every `stride`-th frame, reduce each to per-channel means. Batched per
+    * partition; non-AVI / codec-compressed / corrupt payloads drop — the
+    * never-fail-the-partition contract.
     */
   def frameSample(media: Dataset[MediaRecord], stride: Int): Dataset[FrameStats] = {
     require(stride >= 1, "stride must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       demuxAvi(r.payload).toSeq.flatMap { case (w, h, frames) =>
-        val rowSize = ((24L * w + 31) / 32 * 4).toInt
         frames.iterator.zipWithIndex
           .filter { case (_, idx) => idx % stride == 0 }
           .map { case (f, idx) =>
             var (sr, sg, sb) = (0L, 0L, 0L)
-            var row = 0
-            while (row < h) {
-              var x = 0
-              while (x < w) {
-                val o = row * rowSize + x * 3
-                sb += f(o) & 0xff; sg += f(o + 1) & 0xff; sr += f(o + 2) & 0xff
-                x += 1
-              }
-              row += 1
+            var i = 0
+            while (i < f.length) {
+              sr += f(i) & 0xff; sg += f(i + 1) & 0xff; sb += f(i + 2) & 0xff
+              i += 3
             }
             val n = (w.toLong * h).toFloat
             FrameStats(r.doc_id, idx, w, h, sr / n, sg / n, sb / n)

@@ -116,6 +116,10 @@ object Ivf {
     * @param dim embedding dimensionality; pass <= 0 (the default) to derive
     *            it from the first corpus vector — `element_at` past the
     *            array end would otherwise silently null the new centroids.
+    *            The derivation runs a `first()` JOB over the corpus — fine
+    *            on testdata, but a 100 TB caller should always pass the
+    *            dim its schema already knows (every production call site in
+    *            [[graft.SparkEntry]] does).
     */
   def refine(corpus: DataFrame, cents: DataFrame, iters: Int,
              dim: Int = -1): DataFrame = {
@@ -141,10 +145,12 @@ object Ivf {
 
   /** Approximate top-k: search only each query's `nProbe` best cells.
     * `lloydIters` k-means refinement steps tighten the cells first.
+    * `dim` as in [[refine]]: pass it explicitly at scale.
     */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int,
-           nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    val cents = refine(corpus, centroids(corpus, nCells), lloydIters)
+           nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1,
+           dim: Int = -1): DataFrame = {
+    val cents = refine(corpus, centroids(corpus, nCells), lloydIters, dim)
     val corpusCells = assign(corpus, cents)
     val queryCells = assignCells(queries, cents, "query_id", "q_u", keep = nProbe)
     val scored = queryCells.join(corpusCells, Seq("cell"))

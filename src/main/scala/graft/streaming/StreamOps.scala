@@ -250,6 +250,14 @@ object StreamOps {
     * unrepresentable (the interval is a required argument, not an optional
     * hint). Columns from the right side are suffixed `_r`.
     *
+    * `joinType` accepts `inner` (default) or `left_outer` — the outer
+    * variant emits unmatched left rows with null right columns once the
+    * watermark proves no in-interval match can still arrive (Spark's
+    * stream-stream outer join needs exactly the watermark + event-time
+    * range bound this helper already mandates, so the outer mode is free
+    * surface). Rows-without-a-partner materialize LATE by construction —
+    * only at watermark passage, not at arrival.
+    *
     * The batch analog needs no helper: it is a plain range-predicate join,
     * and the as-of join covers the latest-match-only variant.
     */
@@ -260,14 +268,18 @@ object StreamOps {
       tsCol: String,
       lookback: String,
       lookahead: String,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"intervalJoin supports inner | left_outer, got $joinType")
     val l = left.withWatermark(tsCol, watermarkDelay)
     val r0 = right.withWatermark(tsCol, watermarkDelay)
     val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"${c}_r"))
     l.join(r,
       col(keyCol) === col(s"${keyCol}_r") &&
         col(s"${tsCol}_r") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
-        col(s"${tsCol}_r") <= col(tsCol) + expr(s"INTERVAL $lookahead"))
+        col(s"${tsCol}_r") <= col(tsCol) + expr(s"INTERVAL $lookahead"),
+      joinType)
   }
 
   /** Wire a streaming DataFrame through to an in-memory or file sink for
@@ -287,16 +299,30 @@ object StreamOps {
     * survive — so a REPLAYED batch (post-failure re-processing, the
     * at-least-once reality of checkpoint recovery) overwrites its own
     * partitions instead of appending duplicates: idempotent landing
-    * without a transactional table format. The trade-off is the grain —
-    * exactly-once holds per PARTITION per batch, so the partition column
-    * must be stable across replays (event-time-derived like
-    * `partition_month`, never processing time).
+    * without a transactional table format.
+    *
+    * CONTRACT — one micro-batch per partition value: because the grain of
+    * the delete-insert is the whole partition, a partition value that
+    * spans several micro-batches would have each later batch REPLACE the
+    * earlier batches' rows. Callers must therefore derive `partitionCol`
+    * from a CLOSED event-time window under `OutputMode.Append` (the
+    * default here): the watermark guarantees each window — hence each
+    * partition value — is emitted exactly once, complete, in one batch.
+    * Replays re-emit the same closed windows, which is exactly the
+    * idempotent case above. `partitionCol` must also be stable across
+    * replays (event-time-derived like `partition_month`, never processing
+    * time). Update mode composes ONLY for stateless pass-through streams
+    * whose batches happen to align with partitions; for aggregations it
+    * is actively wrong (only changed rows reach `foreachBatch`, so a
+    * rewrite drops the partition's unchanged keys) — which is why the
+    * mode is a caller decision, not hardcoded.
     */
   def startPartitionOverwriteSink(df: DataFrame, path: String,
                                   partitionCol: String,
-                                  checkpointDir: String) =
+                                  checkpointDir: String,
+                                  outputMode: OutputMode = OutputMode.Append) =
     df.writeStream
-      .outputMode(OutputMode.Update)
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.io.Sinks.overwritePartitions(batch.toDF(), path, partitionCol)

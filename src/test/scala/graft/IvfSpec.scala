@@ -35,6 +35,11 @@ class IvfSpec extends SparkSpec {
       val v = r.getSeq[Double](1)
       assert(v.length == 8 && v.forall(x => !x.isNaN))
     }
+    // the scale path: an explicit dim produces the identical centroids
+    // without the first() derivation job
+    val explicit = Ivf.refine(emb, Ivf.centroids(emb, 4), iters = 2, dim = 8)
+    assert(explicit.collect().map(_.toString).sorted.toSeq ==
+      rows.map(_.toString).sorted.toSeq)
   }
 
   test("IVF top-k recall against exact brute force is reasonable") {

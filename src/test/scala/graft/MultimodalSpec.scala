@@ -186,9 +186,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).mean_r == 140f && out(1).mean_g == 130f && out(1).mean_b == 120f)
   }
 
+  test("frameSample: MJPG 00dc frames decode via ImageIO, near source colors") {
+    // three 2x2 solid-color frames with distinct dominant channels; JPEG is
+    // lossy, so structure is exact and pixel means are tolerance-checked
+    def solid(r: Int, g: Int, b: Int) =
+      Array.tabulate(12)(k => Seq(r, g, b)(k % 3).toByte)
+    val colors = Seq((200, 30, 30), (30, 200, 30), (30, 30, 200))
+    val payload = Multimodal.encodeAviMjpg(2, 2,
+      colors.map { case (r, g, b) => Multimodal.encodeJpeg(2, 2, solid(r, g, b)) })
+    val media = Seq(Multimodal.MediaRecord(9L, "video/avi", payload.length, payload))
+      .toDS()
+    val out = Multimodal.frameSample(media, stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(out.forall(f => f.width == 2 && f.height == 2))
+    out.zip(colors).foreach { case (f, (r, g, b)) =>
+      assert(math.abs(f.mean_r - r) <= 8, s"frame ${f.frame_idx} mean_r ${f.mean_r} vs $r")
+      assert(math.abs(f.mean_g - g) <= 8, s"frame ${f.frame_idx} mean_g ${f.mean_g} vs $g")
+      assert(math.abs(f.mean_b - b) <= 8, s"frame ${f.frame_idx} mean_b ${f.mean_b} vs $b")
+    }
+  }
+
+  test("demuxAvi MJPG: non-JPEG 00dc and dim-mismatched JPEG reject the payload") {
+    val jpeg2x2 = Multimodal.encodeJpeg(2, 2, Array.fill(12)(100.toByte))
+    // a valid JPEG frame mixed with a non-JPEG 00dc chunk: whole payload out
+    assert(Multimodal.demuxAvi(avi(2, 2, Seq(jpeg2x2, Array.fill(8)(1.toByte)),
+      frameTag = "00dc")).isEmpty)
+    // JPEG decodes but its dims disagree with the avih header: reject
+    assert(Multimodal.demuxAvi(avi(4, 4, Seq(jpeg2x2), frameTag = "00dc")).isEmpty)
+    // the happy path for the same builder: dims agree -> one decoded frame
+    val ok = Multimodal.demuxAvi(avi(2, 2, Seq(jpeg2x2), frameTag = "00dc"))
+    assert(ok.nonEmpty && ok.get._3.length == 1 && ok.get._3.head.length == 12)
+  }
+
   test("demuxAvi rejects compressed, truncated, and hostile payloads cleanly") {
     val raster = Array.fill(8)(1.toByte)
-    // compressed frames (00dc) are rejected, not faked
+    // non-JPEG compressed frames (00dc with a real codec) are rejected, not faked
     assert(Multimodal.demuxAvi(avi(2, 1, Seq(raster), frameTag = "00dc")).isEmpty)
     // a frame smaller than the raster drops the whole payload
     assert(Multimodal.demuxAvi(avi(2, 1, Seq(Array[Byte](1, 2, 3)))).isEmpty)

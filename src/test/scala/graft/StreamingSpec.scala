@@ -145,6 +145,42 @@ class StreamingSpec extends SparkSpec {
     assert(back.select("pm").distinct().count() == 3)
   }
 
+  test("partition-overwrite sink: closed-window append survives a partition " +
+       "value spanning input triggers") {
+    // The sink's contract: one micro-batch per partition value. The safe
+    // pattern is a window-derived partition in Append mode — events for the
+    // same window arrive across SEVERAL triggers, but the watermark emits
+    // the window ONCE, complete, after it closes. (Under the old hardcoded
+    // Update mode each trigger would re-land only its changed keys and the
+    // last rewrite dropped every key not updated in that trigger.)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, date_format}
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-k3w").toString
+    val input = MemoryStream[KeyedEvent]
+    val counters = StreamOps.windowedCounters(
+      input.toDS().toDF(), "ts", "user_id", "value",
+      windowDuration = "1 hour", watermarkDelay = "0 seconds")
+      .withColumn("pd", date_format(col("window_start"), "yyyy-MM-dd"))
+    val q = StreamOps.startPartitionOverwriteSink(
+      counters, s"$outDir/table", "pd", s"$outDir/cp")
+
+    // two triggers feed the SAME 10:00 window with different keys
+    input.addData(KeyedEvent(1L, ts("2024-01-05 10:05:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(KeyedEvent(2L, ts("2024-01-05 10:15:00"), 2L, "view", 2.0))
+    q.processAllAvailable()
+    // nothing lands until the watermark closes the window
+    // a third trigger advances the watermark past 11:00, closing it
+    input.addData(KeyedEvent(3L, ts("2024-01-05 12:00:00"), 3L, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$outDir/table")
+      .filter(col("window_start") === ts("2024-01-05 10:00:00"))
+    // BOTH keys survive: the window landed once, complete
+    assert(back.count() == 2,
+      s"closed window must land complete, got ${back.collect().mkString(";")}")
+  }
+
   test("intervalJoin pairs events within the time bound, across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[KeyedEvent]
@@ -169,6 +205,41 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     query.stop()
     assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("intervalJoin left_outer emits unmatched left rows once the watermark " +
+       "proves no partner can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[KeyedEvent]
+    val views = MemoryStream[KeyedEvent]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDS().toDF(), views.toDS().toDF(),
+      keyCol = "user_id", tsCol = "ts",
+      lookback = "10 minutes", lookahead = "10 minutes",
+      watermarkDelay = "0 seconds", joinType = "left_outer")
+    val query = StreamOps.startMemorySink(joined, "ij_lo_q", OutputMode.Append())
+
+    clicks.addData(
+      KeyedEvent(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),  // will match
+      KeyedEvent(2L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0))  // never matches
+    views.addData(KeyedEvent(1L, ts("2024-01-01 10:05:00"), 3L, "view", 1.0))
+    query.processAllAvailable()
+    // advance BOTH watermarks past 10:10 so user 2's click provably has no
+    // in-interval partner — only then may the null-padded row emit
+    clicks.addData(KeyedEvent(9L, ts("2024-01-01 12:00:00"), 8L, "click", 1.0))
+    views.addData(KeyedEvent(9L, ts("2024-01-01 12:00:00"), 9L, "view", 1.0))
+    query.processAllAvailable()
+    val got = spark.table("ij_lo_q")
+      .select("event_id", "event_id_r").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    query.stop()
+    assert(got.contains((1L, 3L)), s"matched pair missing: $got")
+    assert(got.contains((2L, -1L)), s"null-padded unmatched left row missing: $got")
+    // the inner-mode guard: an unsupported join type fails fast
+    intercept[IllegalArgumentException] {
+      StreamOps.intervalJoin(clicks.toDS().toDF(), views.toDS().toDF(),
+        "user_id", "ts", "10 minutes", "10 minutes", "0 seconds", "full_outer")
+    }
   }
 
   test("repairCdcStream resurrects tombstones from managed state across triggers") {
