@@ -264,6 +264,23 @@ object SparkEntry {
         col("text"), bucketWidth = 10)
     },
 
+    // CCNet-style unigram LM quality proxy: per-doc mean token log-prob
+    // under the corpus's OWN unigram distribution. Two shuffles (vocab
+    // aggregate with map-side combine, per-doc reduce); the vocab joins
+    // back as a broadcast.
+    "t21_unigram_logprob" -> { (s, dir) =>
+      graft.text.Vocab.unigramLogProb(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+    },
+
+    // Contamination-safe split assignment: content-fingerprint buckets
+    // co-assign duplicate texts to one split — a doc_id-keyed split (t6)
+    // would strand dup twins on both sides of train/test. Pure projection.
+    "t22_leak_safe_split" -> { (s, dir) =>
+      QualityFilters.leakSafeSplit(Tables.documents(s, dir), col("text"))
+        .select("doc_id", "split_bucket", "split")
+    },
+
     // Exact-budget variant: the 25 hash-smallest doc_ids per language — a
     // fixed eval-set carve-out; WindowGroupLimit caps the shuffle at
     // O(strata x n) rows.
@@ -1119,6 +1136,34 @@ object SparkEntry {
         |  len(string_split(lower(text), ' ')) // 10 AS bucket,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang, bucket""".stripMargin,
+
+    // Per-token logp rounds at 6dp before the mean on BOTH sides so the
+    // engines average identical summands (remaining noise is summation
+    // order at ~1e-16 — below the hash's 12-significant-digit resolution).
+    "t21_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token, round(ln(count(*)::DOUBLE /
+        |    (SELECT count(*)::DOUBLE FROM toks)), 6) AS logp
+        |  FROM toks GROUP BY token)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logprob
+        |FROM toks JOIN vocab USING (token)
+        |GROUP BY doc_id""".stripMargin,
+
+    // The same Rabin–Karp fingerprint t3 replays, bucketed mod 1000 and
+    // thresholded into train/valid/test.
+    "t22_leak_safe_split" ->
+      s"""SELECT doc_id, fp % 1000 AS split_bucket,
+         |  CASE WHEN fp % 1000 < 900 THEN 'train'
+         |       WHEN fp % 1000 < 950 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(lower(text), ' '),
+         |      t -> ${duckTokenHash("t")})),
+         |    (acc, th) -> (acc * 31 + th) % 1000000007) AS fp
+         |  FROM documents)""".stripMargin,
 
     // Shares/rates as integer micro-units (ppm): `round(x)::BIGINT` after a
     // forced-DOUBLE pipeline is engine-exact, where a 6-decimal rounded

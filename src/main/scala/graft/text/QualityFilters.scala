@@ -126,6 +126,32 @@ object QualityFilters {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Contamination-safe train/valid/test split: the split key is a CONTENT
+    * fingerprint ([[TextAnalysis.fingerprint]] — order-sensitive rolling
+    * hash over the token sequence), NOT the document id — so byte-identical
+    * duplicates ALWAYS co-assign to the same split. Splitting on doc_id
+    * (what [[stratifiedHashSample]] does, correctly, for sampling) leaks
+    * when the corpus still contains duplicates: one copy lands in train
+    * and its twin in test, and the benchmark measures memorization.
+    * Thresholds are permille of the 1000-bucket hash space:
+    * `[0, train) = train, [train, train+valid) = valid, rest = test`.
+    * Pure projection — no shuffle, stable under any partitioning, and
+    * composable BEFORE dedup (that is the point: it is safe even when
+    * dedup hasn't run or fuzzy dups survived exact dedup).
+    */
+  def leakSafeSplit(df: DataFrame, text: Column,
+                    trainPermille: Int = 900,
+                    validPermille: Int = 50): DataFrame = {
+    require(trainPermille >= 0 && validPermille >= 0 &&
+      trainPermille + validPermille <= 1000, "permilles must fit in 1000")
+    val bucket = pmod(TextAnalysis.fingerprint(text), lit(1000L))
+    df.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(col("split_bucket") < trainPermille, "train")
+          .when(col("split_bucket") < trainPermille + validPermille, "valid")
+          .otherwise("test"))
+  }
+
   /** PII redaction: emails, IPv4 addresses, then phone-shaped digit runs —
     * in that order, so an address already rewritten to `<IP>` can't also
     * match the phone pattern. Patterns are RE2-compatible (no lookarounds)

@@ -30,6 +30,46 @@ object Vocab {
         round(log(col("n_docs").cast("double") / col("df_count")), 6).as("idf"))
   }
 
+  /** CCNet-style unigram language-model quality score: each document's
+    * mean log-probability of its tokens under the corpus's own unigram
+    * distribution (`logp(t) = ln(count(t) / total_tokens)`). Low scorers
+    * are gibberish / rare-token soup; high scorers are made of the
+    * corpus's common vocabulary — the classic cheap LM-quality proxy
+    * (CCNet uses a 5-gram KenLM; the unigram case is what's expressible
+    * engine-neutrally, and is the standard first cut).
+    *
+    * Plan shape: the corpus is scanned twice — once exploded into the
+    * vocabulary aggregate (partial map-side combine: the shuffle carries
+    * distinct tokens per partition, not occurrences), once exploded into
+    * the scoring join. The corpus token TOTAL is the sum of the vocab
+    * counts (an aggregate over the small counts table, its exchange
+    * reused — NOT a third corpus pass; counts are integers, so the
+    * double sum is exact and order-independent below 2^53).
+    * `broadcastVocab` joins the (token, logp) table as a broadcast —
+    * right while vocabularies fit on an executor (even web-scale token
+    * vocabs are ~100 M rows ≈ a few GB; beyond that pass false for a
+    * shuffle join on token). The per-doc reduce is the only other
+    * shuffle.
+    *
+    * Per-token logp rounds at 6dp BEFORE the mean so both engines average
+    * identical summands (the mean itself then rounds at 6dp too).
+    */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column,
+                     broadcastVocab: Boolean = true): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      explode(TextAnalysis.tokens(text)).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("n_total"))
+    val vocab = counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("n_total")), 6).as("logp"))
+    val v = if (broadcastVocab) broadcast(vocab) else vocab
+    toks.join(v, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 6).as("avg_logprob"))
+  }
+
   /** Top-k adjacent n-grams by occurrence count, fully ordered
     * (count desc, then n-gram asc) so the k-th boundary is deterministic.
     * Spark executes the order+limit as TakeOrderedAndProject — per-partition

@@ -98,4 +98,26 @@ class QualityFiltersSpec extends SparkSpec {
       .orderBy("i").select("r").as[String].collect()
     assert(out.toSeq == cases.map(_._2))
   }
+
+  test("leakSafeSplit: duplicate texts co-assign; buckets respect thresholds") {
+    // docs 1 and 3 are byte-identical — a doc_id-keyed split could strand
+    // them on opposite sides of train/test; the content key cannot
+    val df = QualityFilters.leakSafeSplit(
+      docs(1 -> "the cat sat", 2 -> "dogs bark loud", 3 -> "the cat sat"),
+      col("text"))
+    val rows = df.orderBy("doc_id")
+      .select("doc_id", "split_bucket", "split")
+      .as[(Int, Long, String)].collect().toList
+    assert(rows(0)._2 == rows(2)._2 && rows(0)._3 == rows(2)._3,
+      s"identical texts must co-assign: $rows")
+    rows.foreach { case (_, b, s) =>
+      assert(b >= 0 && b < 1000)
+      val expect = if (b < 900) "train" else if (b < 950) "valid" else "test"
+      assert(s == expect, s"bucket $b labeled $s")
+    }
+    intercept[IllegalArgumentException] {
+      QualityFilters.leakSafeSplit(docs(1 -> "x"), col("text"),
+        trainPermille = 980, validPermille = 50)
+    }
+  }
 }

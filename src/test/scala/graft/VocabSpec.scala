@@ -82,6 +82,23 @@ class VocabSpec extends SparkSpec {
     assert(common.forall(_ == 0.0))
   }
 
+  test("unigramLogProb: hand-computed corpus-LM means; broadcast off agrees") {
+    // corpus tokens: a×2, b×2, c×1 (total 5) → logp a = b = ln(0.4),
+    // c = ln(0.2); each rounds at 6dp before the mean
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Vocab.unigramLogProb(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toList
+    assert(out.map(t => (t._1, t._2)) == List((1L, 3L), (2L, 2L)))
+    assert(out(0)._3 == r6(r6(math.log(0.4))))                      // 3 equal terms
+    assert(out(1)._3 == r6((r6(math.log(0.4)) + r6(math.log(0.2))) / 2))
+    val shuffled = Vocab.unigramLogProb(df, col("doc_id"), col("text"),
+      broadcastVocab = false).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toList
+    assert(shuffled == out) // join strategy must not change values
+  }
+
   test("topNgrams plans TakeOrderedAndProject, never a global Sort") {
     val p = Vocab.topNgrams(Tables.documents(spark, "/root/testdata/sf0.001"),
       col("text")).queryExecution.executedPlan.toString
