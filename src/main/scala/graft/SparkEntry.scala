@@ -281,6 +281,33 @@ object SparkEntry {
         .select("doc_id", "split_bucket", "split")
     },
 
+    // Data-constrained selection: greedily keep the highest-quality docs
+    // (uniq_ratio, doc_id tiebreak) until an 8000-token budget fills —
+    // computed bucket-parallel, no global sort; the oracle replays the
+    // equivalent global cumulative window.
+    "t23_token_budget" -> { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      QualityFilters.tokenBudgetSelect(Tables.documents(s, dir),
+        col("doc_id"), col("text"),
+        quality = round(size(array_distinct(toks)).cast("double") / size(toks), 6),
+        budget = 8000L)
+    },
+
+    // Budgeted mixture realization: t18's target permilles applied to a
+    // 20000-token global budget, each source filled by its own
+    // highest-quality prefix — per-source budgets bind differently
+    // (src0-3 get 30/20/15/10%, the long tail 2.5% each).
+    "t24_budget_mixture" -> { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      QualityFilters.tokenBudgetMixture(Tables.documents(s, dir),
+        col("doc_id"), col("text"),
+        quality = round(size(array_distinct(toks)).cast("double") / size(toks), 6),
+        source = col("source"),
+        budgetPermille = Map("src0" -> 300, "src1" -> 200, "src2" -> 150,
+          "src3" -> 100),
+        totalBudget = 20000L, defaultPermille = 25)
+    },
+
     // Exact-budget variant: the 25 hash-smallest doc_ids per language — a
     // fixed eval-set carve-out; WindowGroupLimit caps the shuffle at
     // O(strata x n) rows.
@@ -1151,6 +1178,39 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logprob
         |FROM toks JOIN vocab USING (token)
         |GROUP BY doc_id""".stripMargin,
+
+    // The bucket-parallel greedy selection equals the global
+    // (quality desc, doc_id) prefix, so the oracle IS the global window.
+    "t23_token_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
+        |    round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE /
+        |      len(string_split(lower(text), ' ')), 6) AS q
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, q, cum_tokens FROM (
+        |  SELECT doc_id, n_tokens, q,
+        |    CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |WHERE cum_tokens <= 8000""".stripMargin,
+
+    // Per-source budgets = floor(total * permille / 1000); the selection
+    // replays as a per-source global cumulative window.
+    "t24_budget_mixture" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n_tokens,
+        |    round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE /
+        |      len(string_split(lower(text), ' ')), 6) AS q
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens, q,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, source, n_tokens, q, cum_tokens FROM c
+        |WHERE cum_tokens <= (20000 * (CASE source
+        |  WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
+        |  WHEN 'src2' THEN 150 WHEN 'src3' THEN 100 ELSE 25 END)) // 1000""".stripMargin,
 
     // The same Rabin–Karp fingerprint t3 replays, bucketed mod 1000 and
     // thresholded into train/valid/test.

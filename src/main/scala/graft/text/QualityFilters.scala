@@ -126,6 +126,95 @@ object QualityFilters {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Data-constrained training selection: keep the highest-quality
+    * documents until a global TOKEN budget fills — the greedy prefix of
+    * the (quality desc, doc_id asc) order whose running token total stays
+    * ≤ `budget`. ("Given B tokens of compute, which documents train the
+    * model" — the corpus-level selection step after filtering/dedup.)
+    *
+    * The naive formulation is a cumulative sum over a GLOBAL sort — one
+    * partition swallows the corpus, the plan this operator exists to
+    * refuse. Instead, exactly the same prefix via quality buckets:
+    *  1. bucket docs by `floor(quality * granularity)` and aggregate
+    *     token mass per bucket (one small shuffle, map-side combined);
+    *  2. running total over the ≤ granularity+1 histogram rows,
+    *     descending (a single-partition window over a broadcast-size
+    *     frame — the ONLY serial step, and it is O(granularity));
+    *  3. docs join the histogram by broadcast; buckets whose
+    *     strictly-higher-bucket mass already exceeds the budget drop
+    *     wholesale; surviving buckets rank WITHIN the bucket
+    *     (quality desc, doc_id) in PARALLEL per-bucket windows, each
+    *     offset by its bucket's higher-mass prefix.
+    * Bucket order refines quality order, so concatenating buckets desc
+    * with the within-bucket order IS the global order, and the kept set
+    * equals the global-window answer for ANY granularity (bucketing only
+    * changes parallelism: the widest per-bucket window partition shrinks
+    * as granularity grows). Emits per-doc `cum_tokens` (global running
+    * total) so callers can audit the boundary.
+    */
+  def tokenBudgetSelect(df: DataFrame, id: Column, text: Column,
+                        quality: Column, budget: Long,
+                        granularity: Int = 1000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    tokenBudgetMixture(df, id, text, quality, source = lit("__all"),
+      budgetPermille = Map("__all" -> 1000), totalBudget = budget,
+      defaultPermille = 0, granularity = granularity)
+      .drop("source")
+  }
+
+  /** Budgeted MIXTURE realization — the per-source generalization of
+    * [[tokenBudgetSelect]], and the natural consumer of
+    * [[graft.text.Mixing.mixWeights]]'s targets: each source gets
+    * `totalBudget * permille / 1000` tokens (integer floor; unlisted
+    * sources get `defaultPermille`), filled by that source's own
+    * highest-quality greedy prefix. "Realize THIS mixture with THE BEST
+    * documents, under B tokens of training compute."
+    *
+    * Same bucket-parallel shape as the single-budget case, one level
+    * deeper: the histogram aggregates per (source, bucket); its running
+    * total windows per SOURCE (each partition ≤ granularity+1 rows, all
+    * sources concurrent — nothing is single-partition here, unlike the
+    * global variant's one tiny histogram window); docs rank in
+    * per-(source, bucket) windows with broadcast offsets. Kept set per
+    * source provably equals that source's global (quality desc, id)
+    * prefix, any granularity.
+    */
+  def tokenBudgetMixture(df: DataFrame, id: Column, text: Column,
+                         quality: Column, source: Column,
+                         budgetPermille: Map[String, Int], totalBudget: Long,
+                         defaultPermille: Int = 0,
+                         granularity: Int = 1000): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    require(granularity >= 1, "granularity must be >= 1")
+    require((budgetPermille.values ++ Seq(defaultPermille)).forall(p => p >= 0 && p <= 1000),
+      "permilles must be in [0, 1000]")
+    val rateMap = typedLit(budgetPermille)
+    val srcBudget = ((lit(totalBudget) *
+      coalesce(element_at(rateMap, col("source")), lit(defaultPermille))) / 1000)
+      .cast("long")
+    val scored = df.select(source.as("source"), id.as("doc_id"),
+      size(TextAnalysis.tokens(text)).cast("long").as("n_tokens"),
+      quality.as("q"))
+      .withColumn("__bucket", floor(col("q") * granularity).cast("long"))
+    val hist = scored.groupBy("source", "__bucket").agg(sum("n_tokens").as("__btoks"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("__bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val eligible = hist
+      .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
+      .filter(col("__cum_before") < srcBudget)
+      .select("source", "__bucket", "__cum_before")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "__bucket").orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.join(broadcast(eligible), Seq("source", "__bucket"))
+      .withColumn("cum_tokens", col("__cum_before") + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= srcBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("q"),
+        col("cum_tokens"))
+  }
+
   /** Contamination-safe train/valid/test split: the split key is a CONTENT
     * fingerprint ([[TextAnalysis.fingerprint]] — order-sensitive rolling
     * hash over the token sequence), NOT the document id — so byte-identical

@@ -99,6 +99,76 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out.toSeq == cases.map(_._2))
   }
 
+  test("tokenBudgetSelect: exact greedy prefix, any granularity") {
+    import graft.text.TextAnalysis
+    // quality = uniq_ratio: d1 "a b c d" 1.0x4tok, d2 "a a b b" 0.5x4,
+    // d3 "x y z" 1.0x3, d4 "p p p" ~0.333x3. Order (q desc, id):
+    // d1(4) d3(3) d2(4) d4(3); cums 4 7 11 14 -> budget 8 keeps d1, d3
+    val df = Seq((1L, "a b c d"), (2L, "a a b b"), (3L, "x y z"), (4L, "p p p"))
+      .toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val q = round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+    def run(g: Int) = QualityFilters.tokenBudgetSelect(
+      df, col("doc_id"), col("text"), q, budget = 8L, granularity = g)
+      .orderBy("doc_id").select("doc_id", "cum_tokens")
+      .as[(Long, Long)].collect().toList
+    assert(run(1000) == List((1L, 4L), (3L, 7L)))
+    // bucketing is parallelization only — the kept set is granularity-free
+    // (g=1 puts EVERY doc in one or two buckets, the degenerate case)
+    assert(run(1) == run(1000) && run(7) == run(1000))
+    // budget smaller than the first doc keeps nothing; cum is exact
+    assert(QualityFilters.tokenBudgetSelect(df, col("doc_id"), col("text"),
+      q, budget = 3L).count() == 0)
+    intercept[IllegalArgumentException] {
+      QualityFilters.tokenBudgetSelect(df, col("doc_id"), col("text"), q, budget = 0L)
+    }
+  }
+
+  test("tokenBudgetMixture: per-source budgets bind independently") {
+    import graft.text.TextAnalysis
+    // sources A (4+4 tokens) and B (3+3); total 10 ppm-split 600/400 ->
+    // budgets 6 and 4: A keeps only its best doc (4 <= 6, 8 > 6), B keeps
+    // its best (3 <= 4, 6 > 4); source C unlisted with default 0 -> dropped
+    val df = Seq(
+      (1L, "a b c d", "A"), (2L, "a a b b", "A"),
+      (3L, "x y z", "B"), (4L, "p p q", "B"),
+      (5L, "m n", "C"))
+      .toDF("doc_id", "text", "source")
+    val toks = TextAnalysis.tokens(col("text"))
+    val q = round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+    val out = QualityFilters.tokenBudgetMixture(df, col("doc_id"), col("text"),
+      q, col("source"), budgetPermille = Map("A" -> 600, "B" -> 400),
+      totalBudget = 10L)
+      .orderBy("doc_id").select("doc_id", "source", "cum_tokens")
+      .as[(Long, String, Long)].collect().toList
+    assert(out == List((1L, "A", 4L), (3L, "B", 3L)), s"got $out")
+    intercept[IllegalArgumentException] {
+      QualityFilters.tokenBudgetMixture(df, col("doc_id"), col("text"), q,
+        col("source"), Map("A" -> 1200), 10L)
+    }
+  }
+
+  test("tokenBudgetSelect agrees with the global-window formulation on testdata") {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = TextAnalysis.tokens(col("text"))
+    val q = round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+    val fast = QualityFilters.tokenBudgetSelect(docs, col("doc_id"), col("text"),
+      q, budget = 800L).orderBy("doc_id").collect().toSeq
+    // the formulation the operator refuses at scale — fine on 50 rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val slow = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"), q.as("q"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 800L)
+      .select("doc_id", "n_tokens", "q", "cum_tokens")
+      .orderBy("doc_id").collect().toSeq
+    assert(fast == slow, s"bucketed ${fast.size} rows vs global ${slow.size}")
+  }
+
   test("leakSafeSplit: duplicate texts co-assign; buckets respect thresholds") {
     // docs 1 and 3 are byte-identical — a doc_id-keyed split could strand
     // them on opposite sides of train/test; the content key cannot
