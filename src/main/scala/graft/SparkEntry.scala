@@ -350,6 +350,14 @@ object SparkEntry {
       Quantize.int8(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
     },
 
+    // Product quantization: 4 subspaces × 4-entry codebooks (the IVF-PQ
+    // storage format minus the IVF level); codes + reconstruction error
+    // as one broadcast + per-row HOF arithmetic, corpus never shuffles.
+    "s7_product_quantize" -> { (s, dir) =>
+      Quantize.productQuantize(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), m = 4, k = 4, dim = 64)
+    },
+
     // The composed training-data prep job: quality filter → content-
     // fingerprint dedup → stratified sample, as one plan with a single
     // shuffle (the fingerprint exchange).
@@ -1660,6 +1668,47 @@ object SparkEntry {
         |    z -> abs(struct_extract(z, 1) - struct_extract(z, 2)::DOUBLE / sc))), 6)
         |    AS max_abs_err
         |FROM q""".stripMargin,
+
+    // Full PQ replay: same affine codebook pick as s3's centroids, per-
+    // subspace argmin with a SEQUENTIAL left-fold L2 (list_reduce with a
+    // prepended 0 accumulator = Spark's aggregate() fold order, so the
+    // doubles are bit-identical), tie on lower code id, reconstruction
+    // error over the flattened selected slices in subspace order.
+    "s7_product_quantize" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+         |    SELECT vec_id, e FROM emb
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |              + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 4)),
+         |sel AS (
+         |  SELECT vec_id, j, cell, cvec FROM (
+         |    SELECT m.vec_id, t.j, c.cell,
+         |      c.c[(t.j*16+1):(t.j*16+16)] AS cvec,
+         |      row_number() OVER (PARTITION BY m.vec_id, t.j ORDER BY
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(list_zip(m.e[(t.j*16+1):(t.j*16+16)],
+         |                                  c.c[(t.j*16+1):(t.j*16+16)]),
+         |            z -> (struct_extract(z,1) - struct_extract(z,2))
+         |               * (struct_extract(z,1) - struct_extract(z,2)))),
+         |          (acc, v) -> acc + v) ASC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN range(0, 4) t(j) CROSS JOIN cb c)
+         |  WHERE rn = 1),
+         |rec AS (
+         |  SELECT vec_id, list(cell ORDER BY j) AS cells,
+         |         flatten(list(cvec ORDER BY j)) AS r
+         |  FROM sel GROUP BY vec_id)
+         |SELECT m.vec_id,
+         |  array_to_string(list_transform(r.cells, v -> CAST(v AS VARCHAR)), ',') AS codes,
+         |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(list_zip(m.e, r.r),
+         |      z -> (struct_extract(z,1) - struct_extract(z,2))
+         |         * (struct_extract(z,1) - struct_extract(z,2)))),
+         |    (acc, v) -> acc + v)), 6) AS recon_err
+         |FROM emb m JOIN rec r USING (vec_id)""".stripMargin,
     "t3_fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),

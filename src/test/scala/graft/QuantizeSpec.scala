@@ -21,6 +21,32 @@ class QuantizeSpec extends SparkSpec {
     assert(out(2).getAs[String]("q_int8") == "127")
   }
 
+  test("pq: codebook vectors reconstruct exactly; codes stay in range") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val out = Quantize.productQuantize(df, col("vec_id"), col("embedding"),
+      m = 2, k = 3, dim = 8)
+    assert(out.count() == 60)
+    // every code string is m entries, each in [0, k)
+    val badCodes = out.filter(
+      size(split(col("codes"), ",")) =!= 2 ||
+        exists(split(col("codes"), ","),
+          c => c.cast("int") < 0 || c.cast("int") >= 3))
+    assert(badCodes.count() == 0)
+    // a vector that IS a codebook entry encodes each subspace at distance 0
+    val picked = graft.sim.Ivf.centroids(df, 3)
+      .select(col("c_emb")).collect().map(_.getSeq[Double](0)).toSet
+    val pickedIds = df.collect()
+      .filter(r => picked.contains(r.getSeq[Double](1)))
+      .map(_.getLong(0)).toSet
+    assert(pickedIds.size == 3)
+    val exact = out.filter(col("vec_id").isin(pickedIds.toSeq: _*))
+      .select(max(col("recon_err"))).collect()(0).getDouble(0)
+    assert(exact == 0.0)
+  }
+
   test("int8: reconstruction error bounded by half a quantization step") {
     val rnd = new scala.util.Random(42)
     val df = (0 until 200).map { i =>
