@@ -358,6 +358,15 @@ object SparkEntry {
         col("embedding"), m = 4, k = 4, dim = 64)
     },
 
+    // ADC top-k over the PQ codes: per-query m×k lookup tables broadcast
+    // against the compressed corpus (m ints/vector) — per-pair cost is m
+    // lookups, not dim float ops; only shuffle is the top-k window.
+    "s8_pq_adc_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Quantize.adcTopK(emb.filter(col("vec_id") % 50 === 0), emb, topK = 5,
+        m = 4, k = 4, dim = 64)
+    },
+
     // The composed training-data prep job: quality filter → content-
     // fingerprint dedup → stratified sample, as one plan with a single
     // shuffle (the fingerprint exchange).
@@ -1709,6 +1718,52 @@ object SparkEntry {
          |         * (struct_extract(z,1) - struct_extract(z,2)))),
          |    (acc, v) -> acc + v)), 6) AS recon_err
          |FROM emb m JOIN rec r USING (vec_id)""".stripMargin,
+
+    // ADC replay: corpus codes from the same per-subspace argmin as s7,
+    // query-vs-reconstruction partial distances per subspace, summed in
+    // subspace order with the same sequential fold, top-5 per query with
+    // ties on neighbor id (equal codes ⇒ exactly equal distances).
+    "s8_pq_adc_topk" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+         |    SELECT vec_id, e FROM emb
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |              + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 4)),
+         |sel AS (
+         |  SELECT vec_id, j, cvec FROM (
+         |    SELECT m.vec_id, t.j, c.c[(t.j*16+1):(t.j*16+16)] AS cvec,
+         |      row_number() OVER (PARTITION BY m.vec_id, t.j ORDER BY
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(list_zip(m.e[(t.j*16+1):(t.j*16+16)],
+         |                                  c.c[(t.j*16+1):(t.j*16+16)]),
+         |            z -> (struct_extract(z,1) - struct_extract(z,2))
+         |               * (struct_extract(z,1) - struct_extract(z,2)))),
+         |          (acc, v) -> acc + v) ASC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN range(0, 4) t(j) CROSS JOIN cb c)
+         |  WHERE rn = 1),
+         |qd AS (
+         |  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id, s.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(q.e[(s.j*16+1):(s.j*16+16)], s.cvec),
+         |        z -> (struct_extract(z,1) - struct_extract(z,2))
+         |           * (struct_extract(z,1) - struct_extract(z,2)))),
+         |      (acc, v) -> acc + v) AS d2
+         |  FROM emb q JOIN sel s ON q.vec_id <> s.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY j)),
+         |      (acc, v) -> acc + v) AS a
+         |  FROM qd GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, round(sqrt(a), 6) AS adc_dist,
+         |       CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY a ASC, neighbor_id ASC) AS rank FROM adc)
+         |WHERE rank <= 5""".stripMargin,
     "t3_fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -1,6 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar int8 quantization for embedding columns — the standard storage /
@@ -64,33 +65,11 @@ object Quantize {
     */
   def productQuantize(df: DataFrame, id: Column, embedding: Column,
                       m: Int = 4, k: Int = 4, dim: Int = 64): DataFrame = {
-    require(m >= 1 && k >= 2, s"need m >= 1 subspaces and k >= 2 codes, got m=$m k=$k")
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-    val cb = Ivf.centroids(
-      df.select(id.as("vec_id"), embedding.as("embedding"))
-        .filter(embedding.isNotNull), k)
-    val packed = broadcast(
-      cb.agg(collect_list(struct(col("cell"), col("c_emb"))).as("__cb")))
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    val sub = subDim(m, k, dim)
     df.filter(embedding.isNotNull)
       .select(id.as("vec_id"), embedding.cast("array<double>").as("__x"))
-      .crossJoin(packed)
-      .withColumn("__sel", transform(sequence(lit(0), lit(m - 1)), j => {
-        val start = j * sub + 1
-        def part(a: Column): Column = slice(a, start, lit(sub))
-        val scored = transform(col("__cb"), c =>
-          struct(
-            l2sq(part(col("__x")), part(c.getField("c_emb"))).as("d2"),
-            c.getField("cell").as("cell"),
-            part(c.getField("c_emb")).as("cvec")))
-        element_at(array_sort(scored, (l, r) =>
-          when(l.getField("d2") < r.getField("d2"), -1)
-            .when(l.getField("d2") > r.getField("d2"), 1)
-            .otherwise(l.getField("cell") - r.getField("cell"))), 1)
-      }))
+      .crossJoin(packedCodebook(df, id, embedding, k))
+      .withColumn("__sel", selectSubspaces(col("__x"), col("__cb"), m, sub))
       .select(col("vec_id"),
         concat_ws(",", transform(col("__sel"),
           s => s.getField("cell").cast("string"))).as("codes"),
@@ -98,4 +77,101 @@ object Quantize {
           flatten(transform(col("__sel"), _.getField("cvec"))))), 6)
           .as("recon_err"))
   }
+
+  /** ADC (asymmetric-distance) top-k over PQ codes — the query path the
+    * codes exist for: each query precomputes an m×k table of subspace
+    * distances against the codebook ONCE, and every compressed corpus
+    * vector then scores with m table lookups instead of `dim` float ops.
+    * At 100 TB the corpus side stores only the m small ints per vector
+    * (16× smaller than the floats at m=4/dim=64), streams map-side against
+    * the broadcast query tables, and the only shuffle is the per-query
+    * top-k window over |Q|·|corpus| scored pairs — the same shape as
+    * [[Similarity.bruteForceTopK]], composable with [[Ivf]] cells to cut
+    * the scored set (IVF-PQ).
+    *
+    * Distances are true asymmetric PQ distances: exact query subvector vs
+    * the neighbor's RECONSTRUCTION (its selected codebook slices), so two
+    * corpus vectors sharing all m codes tie exactly — ties break on
+    * neighbor id, and every fold is sequential for cross-engine bit
+    * reproducibility.
+    */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+              m: Int = 4, k: Int = 4, dim: Int = 64): DataFrame = {
+    val sub = subDim(m, k, dim)
+    val coded = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__x"))
+      .crossJoin(packedCodebook(corpus, col("vec_id"), col("embedding"), k))
+      .select(col("neighbor_id"),
+        transform(selectSubspaces(col("__x"), col("__cb"), m, sub),
+          _.getField("cell")).as("__codes"))
+    // per-query distance tables: __tbl[j][c] = ||q_j - codebook[c]_j||²,
+    // codebook entries in cell order (the packed row is cell-sorted)
+    val qTbl = broadcast(
+      queries.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("__q"))
+        .crossJoin(packedCodebook(corpus, col("vec_id"), col("embedding"), k))
+        .select(col("query_id"),
+          transform(sequence(lit(0), lit(m - 1)), j => {
+            val start = j * sub + 1
+            transform(col("__cb"), c =>
+              l2sq(slice(col("__q"), start, lit(sub)),
+                slice(c.getField("c_emb"), start, lit(sub))))
+          }).as("__tbl")))
+    val scored = coded.join(qTbl, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc + element_at(element_at(col("__tbl"), j + 1),
+          element_at(col("__codes"), j + 1) + 1)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(sqrt(col("__adc")), 6).as("adc_dist"), col("__rn").as("rank"))
+  }
+
+  private def subDim(m: Int, k: Int, dim: Int): Int = {
+    require(m >= 1 && k >= 2, s"need m >= 1 subspaces and k >= 2 codes, got m=$m k=$k")
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    dim / m
+  }
+
+  /** Sequential-left-fold squared L2 — bit-reproducible across engines
+    * (matches DuckDB's `list_reduce` with a prepended 0 accumulator).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The k codebook vectors packed into ONE broadcast row, cell-sorted
+    * (struct sort: cell is field 1) so positional lookups index by cell id.
+    */
+  private def packedCodebook(df: DataFrame, id: Column, embedding: Column,
+                             k: Int): DataFrame = {
+    val cb = Ivf.centroids(
+      df.select(id.as("vec_id"), embedding.as("embedding"))
+        .filter(embedding.isNotNull), k)
+    broadcast(cb.agg(
+      array_sort(collect_list(struct(col("cell"), col("c_emb")))).as("__cb")))
+  }
+
+  /** Per-subspace nearest-codebook-entry selection: array over the m
+    * subspaces of struct(d2, cell, cvec), argmin by sequential-fold L2
+    * with ties to the lower code id.
+    */
+  private def selectSubspaces(x: Column, cb: Column, m: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val start = j * sub + 1
+      def part(a: Column): Column = slice(a, start, lit(sub))
+      val scored = transform(cb, c =>
+        struct(
+          l2sq(part(x), part(c.getField("c_emb"))).as("d2"),
+          c.getField("cell").as("cell"),
+          part(c.getField("c_emb")).as("cvec")))
+      element_at(array_sort(scored, (l, r) =>
+        when(l.getField("d2") < r.getField("d2"), -1)
+          .when(l.getField("d2") > r.getField("d2"), 1)
+          .otherwise(l.getField("cell") - r.getField("cell"))), 1)
+    })
 }

@@ -47,6 +47,36 @@ class QuantizeSpec extends SparkSpec {
     assert(exact == 0.0)
   }
 
+  test("pq adc: distance to a codebook vector equals exact L2; ranks dense") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val df = data.toDF("vec_id", "embedding")
+    val out = Quantize.adcTopK(df.filter(col("vec_id") % 20 === 0), df,
+      topK = 60, m = 2, k = 3, dim = 8).collect()
+    // full ranking: every query sees all 59 non-self neighbors, ranks dense
+    val perQuery = out.groupBy(_.getLong(0))
+    assert(perQuery.keySet == Set(0L, 20L, 40L))
+    perQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to 59))
+    }
+    // a neighbor that IS a codebook entry reconstructs exactly, so its ADC
+    // distance must equal the true L2 distance (up to the 6-dp rounding
+    // and per-subspace vs whole-vector summation order)
+    val picked = graft.sim.Ivf.centroids(df, 3)
+      .select(col("c_emb")).collect().map(_.getSeq[Double](0)).toSet
+    val pickedIds = data.filter(d => picked.contains(d._2)).map(_._1).toSet
+    assert(pickedIds.size == 3)
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vec = data.toMap
+    for (q <- Seq(0L, 20L, 40L); n <- pickedIds if n != q) {
+      val exact = math.sqrt(
+        vec(q).zip(vec(n)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(math.abs(byPair((q, n)) - exact) < 2e-6,
+        s"adc($q,$n)=${byPair((q, n))} exact=$exact")
+    }
+  }
+
   test("int8: reconstruction error bounded by half a quantization step") {
     val rnd = new scala.util.Random(42)
     val df = (0 until 200).map { i =>
