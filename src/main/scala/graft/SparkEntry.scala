@@ -367,6 +367,15 @@ object SparkEntry {
         m = 4, k = 4, dim = 64)
     },
 
+    // IVF-PQ: the composed 100 TB ANN index — IVF cells cut candidates to
+    // the probed buckets, ADC scores them from stored codes; embeddings
+    // are never read at query time.
+    "s9_ivf_pq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Quantize.ivfPqTopK(emb.filter(col("vec_id") % 50 === 0), emb, topK = 5,
+        nCells = 16, nProbe = 4, m = 4, k = 4, dim = 64)
+    },
+
     // The composed training-data prep job: quality filter → content-
     // fingerprint dedup → stratified sample, as one plan with a single
     // shuffle (the fingerprint exchange).
@@ -1754,6 +1763,79 @@ object SparkEntry {
          |      (acc, v) -> acc + v) AS d2
          |  FROM emb q JOIN sel s ON q.vec_id <> s.vec_id
          |  WHERE q.vec_id % 50 = 0),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY j)),
+         |      (acc, v) -> acc + v) AS a
+         |  FROM qd GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, round(sqrt(a), 6) AS adc_dist,
+         |       CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY a ASC, neighbor_id ASC) AS rank FROM adc)
+         |WHERE rank <= 5""".stripMargin,
+
+    // IVF-PQ replay: s3's unrefined centroid pick + cosine cell
+    // assignment/probing composed with s8's PQ code selection and
+    // sequential-fold ADC distances; candidates are only the probed
+    // cells' members (single-cell corpus assignment, so each (query,
+    // neighbor) pair appears at most once).
+    "s9_ivf_pq_topk" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+         |    SELECT vec_id, e FROM emb
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |              + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 16)),
+         |cassign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT m.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT m.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents c
+         |    WHERE m.vec_id % 50 = 0)
+         |  WHERE rn <= 4),
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+         |    SELECT vec_id, e FROM emb
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |              + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 4)),
+         |sel AS (
+         |  SELECT vec_id, j, cvec FROM (
+         |    SELECT m.vec_id, t.j, c.c[(t.j*16+1):(t.j*16+16)] AS cvec,
+         |      row_number() OVER (PARTITION BY m.vec_id, t.j ORDER BY
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(list_zip(m.e[(t.j*16+1):(t.j*16+16)],
+         |                                  c.c[(t.j*16+1):(t.j*16+16)]),
+         |            z -> (struct_extract(z,1) - struct_extract(z,2))
+         |               * (struct_extract(z,1) - struct_extract(z,2)))),
+         |          (acc, v) -> acc + v) ASC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN range(0, 4) t(j) CROSS JOIN cb c)
+         |  WHERE rn = 1),
+         |cand AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN cassign a USING (cell)
+         |  WHERE q.query_id <> a.vec_id),
+         |qd AS (
+         |  SELECT n.query_id, n.neighbor_id, s.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(q.e[(s.j*16+1):(s.j*16+16)], s.cvec),
+         |        z -> (struct_extract(z,1) - struct_extract(z,2))
+         |           * (struct_extract(z,1) - struct_extract(z,2)))),
+         |      (acc, v) -> acc + v) AS d2
+         |  FROM cand n
+         |  JOIN emb q ON q.vec_id = n.query_id
+         |  JOIN sel s ON s.vec_id = n.neighbor_id),
          |adc AS (
          |  SELECT query_id, neighbor_id,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY j)),

@@ -131,6 +131,61 @@ object Quantize {
         round(sqrt(col("__adc")), 6).as("adc_dist"), col("__rn").as("rank"))
   }
 
+  /** IVF-PQ: the composed big-corpus ANN shape — [[Ivf]] cells cut the
+    * candidate set (only `nProbe` of `nCells` cells are scored per query)
+    * and ADC scores the survivors from their PQ codes. At 100 TB the
+    * stored index is (cell, codes) per vector — m small ints plus a cell
+    * id, NOT the embedding — written bucketed by cell; a query batch
+    * probes its cells, joins only those buckets, and scores each candidate
+    * with m table lookups. The one shuffle is the cell join + top-k
+    * window; embeddings are read once to build the index, never again at
+    * query time.
+    *
+    * Centroids are the raw affine pick (no Lloyd refinement) so the whole
+    * index — cells AND codebooks — stays an engine-replayable projection;
+    * [[Ivf.topK]] is the refined-cells variant when recall matters more
+    * than replay.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 4, k: Int = 4, dim: Int = 64): DataFrame = {
+    val sub = subDim(m, k, dim)
+    val cPrep = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.centroids(cPrep, nCells)
+    // the stored index side: cell + PQ codes per corpus vector
+    val coded = Ivf.assign(cPrep, cents, "neighbor_id", "__x")
+      .crossJoin(packedCodebook(corpus, col("vec_id"), col("embedding"), k))
+      .select(col("cell"), col("neighbor_id"),
+        transform(selectSubspaces(col("__x"), col("__cb"), m, sub),
+          _.getField("cell")).as("__codes"))
+    // query side: probe cells + ADC tables, broadcast (small per batch)
+    val qTbl = broadcast(
+      Ivf.assignProbes(
+        queries.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding")),
+        cents, "query_id", "__q", nProbe)
+        .crossJoin(packedCodebook(corpus, col("vec_id"), col("embedding"), k))
+        .select(col("cell"), col("query_id"),
+          transform(sequence(lit(0), lit(m - 1)), j => {
+            val start = j * sub + 1
+            transform(col("__cb"), c =>
+              l2sq(slice(col("__q"), start, lit(sub)),
+                slice(c.getField("c_emb"), start, lit(sub))))
+          }).as("__tbl")))
+    val scored = coded.join(qTbl, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc + element_at(element_at(col("__tbl"), j + 1),
+          element_at(col("__codes"), j + 1) + 1)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(sqrt(col("__adc")), 6).as("adc_dist"), col("__rn").as("rank"))
+  }
+
   private def subDim(m: Int, k: Int, dim: Int): Int = {
     require(m >= 1 && k >= 2, s"need m >= 1 subspaces and k >= 2 codes, got m=$m k=$k")
     require(dim % m == 0, s"m=$m must divide dim=$dim")

@@ -77,6 +77,27 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq: probing all cells reproduces plain ADC top-k exactly") {
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") % 25 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val full = rows(Quantize.adcTopK(q, df, topK = 5, m = 2, k = 3, dim = 8))
+    val ivf = rows(Quantize.ivfPqTopK(q, df, topK = 5, nCells = 4, nProbe = 4,
+      m = 2, k = 3, dim = 8))
+    assert(ivf == full)
+    // restricted probing still ranks densely with non-decreasing distance
+    val probed = Quantize.ivfPqTopK(q, df, topK = 5, nCells = 4, nProbe = 2,
+      m = 2, k = 3, dim = 8).collect()
+    probed.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to rs.length))
+      assert(byRank.map(_.getDouble(2)).toSeq == byRank.map(_.getDouble(2)).sorted.toSeq)
+    }
+  }
+
   test("int8: reconstruction error bounded by half a quantization step") {
     val rnd = new scala.util.Random(42)
     val df = (0 until 200).map { i =>
