@@ -393,6 +393,13 @@ object SparkEntry {
           "src3" -> 100), defaultPermille = 25)
     },
 
+    // Deterministic epoch shuffle + dataloader shard assignment: affine
+    // permutation keyed by epoch, per-shard rank windows — no global sort.
+    "t25_epoch_shard" -> { (s, dir) =>
+      graft.text.Chunking.epochShards(Tables.documents(s, dir), col("doc_id"),
+        epoch = 3, nShards = 8)
+    },
+
     // Sliding-window token chunking (map-only Generate, no shuffle).
     "t8_chunk" -> { (s, dir) =>
       graft.text.Chunking.chunk(Tables.documents(s, dir), col("doc_id"),
@@ -1611,6 +1618,20 @@ object SparkEntry {
         |    FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents))
         |  GROUP BY 1)
         |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin,
+
+    // Affine epoch permutation replayed literally; all terms non-negative
+    // so DuckDB's % equals Spark's pmod. position is Spark row_number-1
+    // (IntegerType) — cast the BIGINT window result to match.
+    "t25_epoch_shard" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    ((doc_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |     + ${graft.sim.Ivf.PickB} + 3 * 2654435761) % ${graft.sim.Ivf.PickP} AS k
+         |  FROM documents)
+         |SELECT doc_id, k % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1
+         |       AS INT) AS position
+         |FROM keyed""".stripMargin,
 
     "t8_chunk" ->
       """SELECT doc_id, (start - 1) // 24 AS chunk_id,

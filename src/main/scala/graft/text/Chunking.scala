@@ -110,4 +110,35 @@ object Chunking {
     folded.select(col(s"r.id").as(idName), col(shardName),
       col("r.n").as("n_tokens"), col("r.bin_id").as("bin_id"))
   }
+
+  /** Deterministic epoch shuffle + shard assignment — the dataloader-export
+    * step (WebDataset-style shard files, tf.data-style reshuffle per
+    * epoch): every document gets a pseudo-random but REPRODUCIBLE position
+    * for the given epoch, so a restarted job resumes the same order and two
+    * trainers see the same stream. The permutation is the affine id
+    * scramble with the epoch folded in ([[graft.sim.Ivf.PickA]] family —
+    * pure modular arithmetic, so any engine replays it; a seeded RAND
+    * would be engine- and partitioning-dependent).
+    *
+    * Scale shape: shard = scrambled key mod `nShards` (balanced in
+    * expectation), position = rank WITHIN the shard — one hash-partitioned
+    * window per shard, never a global sort (a global epoch ORDER BY would
+    * serialize the corpus through one partition; trainers only need
+    * within-shard order + a shard-level shuffle, which is exactly what
+    * this emits).
+    */
+  def epochShards(df: DataFrame, id: Column, epoch: Int,
+                  nShards: Int): DataFrame = {
+    require(epoch >= 0 && nShards >= 1, s"need epoch >= 0, nShards >= 1")
+    import graft.sim.Ivf.{PickA, PickB, PickP}
+    val idName = df.select(id).columns.head
+    // fold the epoch into the affine increment: distinct epochs give
+    // distinct (still bijective mod P) permutations of the id space
+    val key = pmod(pmod(id, lit(PickP)) * PickA + PickB + lit(epoch) * 2654435761L,
+      lit(PickP))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__key"), col(idName))
+    df.select(id, key.as("__key"), pmod(key, lit(nShards.toLong)).as("__shard"))
+      .withColumn("position", row_number().over(w) - 1)
+      .select(col(idName), col("__shard").as("shard"), col("position"))
+  }
 }

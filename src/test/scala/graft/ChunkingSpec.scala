@@ -80,6 +80,23 @@ class ChunkingSpec extends SparkSpec {
     assert(overflow.count() == 0)
   }
 
+  test("epochShards: reproducible per epoch, distinct across epochs, dense positions") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 200L).toDF("doc_id")
+    def run(epoch: Int) = Chunking.epochShards(df, col("doc_id"), epoch, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val e3a = run(3); val e3b = run(3); val e4 = run(4)
+    assert(e3a.toSeq == e3b.toSeq)                      // deterministic
+    assert(e3a.toSeq != e4.toSeq)                       // epoch changes the order
+    assert(e3a.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // positions are a dense 0..n-1 range within every shard
+    e3a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length))
+    }
+    // every doc appears exactly once
+    assert(e3a.map(_._1).toSeq == (0L until 200L))
+  }
+
   test("chunk plans no shuffle (Generate over the scan)") {
     spark.conf.set("spark.graft.parallelizeInputs", "false")
     try {
