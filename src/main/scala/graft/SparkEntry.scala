@@ -327,6 +327,16 @@ object SparkEntry {
           "src3" -> 100), defaultPermille = 25)
     },
 
+    // Mixture realization with upsampling: unnormalized target/actual
+    // rates; floor(rate) copies per doc + one more iff the affine hash
+    // bucket clears the fractional part (integer comparisons only).
+    "t26_mix_upsample" -> { (s, dir) =>
+      graft.text.Mixing.realizeMixture(Tables.documents(s, dir),
+        col("doc_id"), col("source"), size(TextAnalysis.tokens(col("text"))),
+        targetPermille = Map("src0" -> 300, "src1" -> 200, "src2" -> 150,
+          "src3" -> 100), defaultPermille = 25)
+    },
+
     // PII redaction: the corpus is clean synthetic text, so deterministic
     // synthetic PII (email/IPv4/phone derived from doc_id) is injected
     // first and the oracle replays the same injection + RE2-safe regexes —
@@ -1281,6 +1291,34 @@ object SparkEntry {
         |    (SELECT max(target / actual) FROM sh) * 1000000) AS BIGINT)
         |    AS sample_rate_ppm
         |FROM sh""".stripMargin,
+
+    // Upsampling realization replay: t18's forced-DOUBLE share pipeline
+    // (minus the max normalizer), integer div/mod for the floor/frac
+    // split, affine ppm bucket for the fractional copy, range() for the
+    // copy explosion.
+    "t26_mix_upsample" ->
+      s"""WITH agg AS (
+         |  SELECT source, sum(len(string_split(lower(text), ' '))) AS n
+         |  FROM documents GROUP BY source),
+         |rates AS (
+         |  SELECT source,
+         |    CASE WHEN n > 0 THEN CAST(round(
+         |      ((CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
+         |                    WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
+         |                    ELSE 25 END)::DOUBLE / 1000.0::DOUBLE)
+         |      / (n::DOUBLE / (SELECT sum(n) FROM agg)) * 1000000) AS BIGINT)
+         |    ELSE 0 END AS rate_ppm
+         |  FROM agg),
+         |docs AS (
+         |  SELECT d.doc_id, d.source, r.rate_ppm,
+         |    r.rate_ppm // 1000000 +
+         |      CASE WHEN ((d.doc_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |                 + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP} % 1000000
+         |                < r.rate_ppm % 1000000
+         |           THEN 1 ELSE 0 END AS copies
+         |  FROM documents d JOIN rates r USING (source))
+         |SELECT doc_id, source, rate_ppm, unnest(range(copies)) AS copy_id
+         |FROM docs WHERE copies > 0""".stripMargin,
 
     "t17_stratified_topn" ->
       s"""SELECT doc_id, lang, source, sample_rank FROM (

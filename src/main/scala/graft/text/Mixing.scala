@@ -61,4 +61,54 @@ object Mixing {
         when(col("__maxr") > 0, ppm(col("__ratio") / col("__maxr")))
           .otherwise(lit(0L)).as("sample_rate_ppm"))
   }
+
+  /** Exact-mixture realization WITH upsampling — the materialization step
+    * when the mixture calls for repeating under-represented sources
+    * (epoch-level upweighting à la DoReMi/Gopher data schedules) instead
+    * of [[mixWeights]]'s keep-the-max downsampling: each document emits
+    * `rate` copies, where `rate_s = target_s / actual_s` UNNORMALIZED —
+    * sources above their target share thin out (rate < 1), sources below
+    * it repeat (rate > 1), and the expected token mass realizes the target
+    * mixture at the original corpus total.
+    *
+    * Fractional rates realize deterministically: every doc gets
+    * `floor(rate)` copies plus one more iff its affine hash bucket (ppm)
+    * falls below the fractional part — integer comparisons only, so the
+    * copy set is reproducible and engine-replayable (same idiom as the
+    * [[QualityFilters]] hash samplers). Rates ride as integer ppm; the
+    * floor/frac split is integer `div`/`%`, never a float boundary.
+    *
+    * Scale shape: one agg shuffle keyed on source + a broadcast rate join
+    * + a map-side `explode(sequence)` — output size is the realized corpus
+    * (unavoidable), but nothing else grows.
+    */
+  def realizeMixture(df: DataFrame, id: Column, source: Column,
+                     nTokens: Column, targetPermille: Map[String, Int],
+                     defaultPermille: Int = 0): DataFrame = {
+    import graft.sim.Ivf.{PickA, PickB, PickP}
+    val tgt = typedLit(targetPermille)
+    val agg = df.groupBy(source.as("source"))
+      .agg(sum(nTokens.cast("long")).as("__n"))
+    val total = agg.agg(sum("__n").as("__tot"))
+    val rates = agg.crossJoin(broadcast(total))
+      .withColumn("__actual",
+        coalesce(col("__n"), lit(0L)).cast("double") / col("__tot"))
+      .withColumn("__target",
+        coalesce(element_at(tgt, col("source")), lit(defaultPermille))
+          .cast("double") / 1000.0)
+      .select(col("source"),
+        when(col("__actual") > 0,
+          round(col("__target") / col("__actual") * 1e6).cast("long"))
+          .otherwise(lit(0L)).as("rate_ppm"))
+    val idName = df.select(id).columns.head
+    val bucket =
+      pmod(pmod(id, lit(PickP)) * PickA + PickB, lit(PickP)) % 1000000L
+    df.select(id, source.as("source"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("__copies", expr("rate_ppm div 1000000") +
+        when(bucket < col("rate_ppm") % 1000000L, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .select(col(idName), col("source"), col("rate_ppm"),
+        explode(sequence(lit(0L), col("__copies") - 1)).as("copy_id"))
+  }
 }

@@ -24,6 +24,32 @@ class MixingSpec extends SparkSpec {
     assert(out(2) == (("c", 1L, 1000L, 100000L, 500000L, 1000000L)))
   }
 
+  test("realizeMixture: integer rates copy exactly; fractional rates follow the hash gate") {
+    import graft.sim.Ivf.{PickA, PickB, PickP}
+    // token mass: a=100 (share 0.25), b=300 (share 0.75); targets 750/250
+    // → rate_a = 0.75/0.25 = 3.0 (3 copies each), rate_b = 1/3 → 333333 ppm
+    val docs = ((0L until 10L).map(i => (i, "a", 10L)) ++
+      (10L until 40L).map(i => (i, "b", 10L))).toDF("doc_id", "source", "nt")
+    val out = Mixing.realizeMixture(docs, col("doc_id"), col("source"),
+        col("nt"), targetPermille = Map("a" -> 750, "b" -> 250))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val a = out.filter(_._2 == "a")
+    assert(a.forall(_._3 == 3000000L))
+    (0L until 10L).foreach { id =>
+      assert(a.filter(_._1 == id).map(_._4).sorted.toSeq == Seq(0L, 1L, 2L)) }
+    // b docs: one copy iff the affine ppm bucket clears the 333333 frac
+    val b = out.filter(_._2 == "b")
+    assert(b.forall(r => r._3 == 333333L && r._4 == 0L))
+    val expected = (10L until 40L).filter { id =>
+      ((id % PickP) * PickA + PickB) % PickP % 1000000L < 333333L }.toSet
+    assert(b.map(_._1).toSet == expected && expected.nonEmpty)
+    // deterministic end to end
+    val again = Mixing.realizeMixture(docs, col("doc_id"), col("source"),
+        col("nt"), targetPermille = Map("a" -> 750, "b" -> 250))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("mixWeights: a zero-token source with a positive target cannot poison the normalizer") {
     // target/0 would be Infinity -> max ratio Infinity -> every OTHER
     // source silently zeroed; the zero-mass source must get rate 0 instead
