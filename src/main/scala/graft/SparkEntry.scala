@@ -403,6 +403,14 @@ object SparkEntry {
           "src3" -> 100), defaultPermille = 25)
     },
 
+    // KMV distinct-count sketch (native TypedImperativeAggregate, O(k)
+    // state per group) vs the exact count — both emitted, oracle certifies
+    // the sketch AND the estimator.
+    "t27_kmv_distinct" -> { (s, dir) =>
+      TextAnalysis.kmvDistinctTokens(Tables.documents(s, dir), col("source"),
+        col("text"), k = 64)
+    },
+
     // Deterministic epoch shuffle + dataloader shard assignment: affine
     // permutation keyed by epoch, per-shard rank windows — no global sort.
     "t25_epoch_shard" -> { (s, dir) =>
@@ -1656,6 +1664,29 @@ object SparkEntry {
         |    FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents))
         |  GROUP BY 1)
         |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin,
+
+    // Full KMV replay: distinct token hashes per source, k-th smallest by
+    // rank window, the same (k-1)·M/h_k estimator (identical doubles both
+    // engines — one multiply, one divide, round half-up on positives).
+    "t27_kmv_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT DISTINCT source, ${duckTokenHash("tok")} AS h FROM toks),
+         |ranked AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM hashed),
+         |stats AS (
+         |  SELECT source, count(*) AS n_exact,
+         |    max(CASE WHEN rn = 64 THEN h END) AS h64
+         |  FROM ranked GROUP BY source)
+         |SELECT source, n_exact,
+         |  CASE WHEN n_exact < 64 THEN n_exact
+         |       ELSE CAST(round(63.0 * 1000000007.0 / h64) AS BIGINT)
+         |  END AS n_est
+         |FROM stats""".stripMargin,
 
     // Affine epoch permutation replayed literally; all terms non-negative
     // so DuckDB's % equals Spark's pmod. position is Spark row_number-1

@@ -164,4 +164,32 @@ object TextAnalysis {
     import org.apache.spark.sql.graftfn.{asColumn, asExpression}
     asColumn(graft.functions.NfcNormalize(asExpression(text)))
   }
+
+  /** Per-group distinct-token count, exact AND via the bounded-state
+    * [[graft.functions.KMinValues]] sketch (k longs of aggregation state
+    * per group vs `countDistinct`'s full distinct set riding every partial
+    * buffer — at 100 TB the sketch is the only one of the two whose
+    * map-side combine has bounded memory; the exact count is emitted here
+    * for the oracle to certify the estimator against). The estimator is
+    * the classic KMV read-off: exact (= sketch size) below k distinct
+    * values, `(k-1)·M / h_(k)` at or above, with M = [[HashP]], the
+    * engine-neutral [[tokenHash]] domain — so the WHOLE sketch replays in
+    * SQL, not just its answer.
+    */
+  def kmvDistinctTokens(df: DataFrame, group: Column, text: Column,
+                        k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    val groupName = df.select(group).columns.head
+    df.select(group, explode(tokens(text)).as("__tok"))
+      .select(col(groupName), tokenHash(col("__tok")).as("__h"))
+      .groupBy(col(groupName))
+      .agg(
+        countDistinct(col("__h")).as("n_exact"),
+        asColumn(graft.functions.KMinValues(asExpression(col("__h")), k)
+          .toAggregateExpression()).as("__kmv"))
+      .select(col(groupName), col("n_exact"),
+        when(size(col("__kmv")) < k, size(col("__kmv")).cast("long"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(HashP.toDouble) /
+            element_at(col("__kmv"), k)).cast("long")).as("n_est"))
+  }
 }
