@@ -461,6 +461,13 @@ object SparkEntry {
         n = 2, k = 100)
     },
 
+    // Top-100 bigram collocations by PMI (phrase mining / merge-candidate
+    // scoring); min-count floor, 6dp-rounded log before ranking.
+    "t28_pmi_bigrams" -> { (s, dir) =>
+      graft.text.Vocab.pmiBigrams(Tables.documents(s, dir), col("text"),
+        minCount = 5, k = 100)
+    },
+
     // Unicode NFC normalization: decomposed accents (e + combining mark)
     // are injected, the native expression canonicalizes, and the oracle
     // runs DuckDB's nfc_normalize over the same construction — both
@@ -1654,6 +1661,31 @@ object SparkEntry {
         |SELECT token, df_count,
         |  round(ln(n_docs::DOUBLE / df_count), 6) AS idf
         |FROM c, n""".stripMargin,
+
+    // PMI replay: same probability quotient with the identical operand
+    // order, ln rounded 6dp before the (pmi DESC, bigram ASC) ranking.
+    "t28_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |uni AS (SELECT token, count(*) AS ucnt FROM toks GROUP BY 1),
+        |un AS (SELECT sum(ucnt)::DOUBLE AS n FROM uni),
+        |bis AS (
+        |  SELECT unnest(list_transform(
+        |    list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
+        |    z -> struct_extract(z, 1) || ' ' || struct_extract(z, 2))) AS bigram
+        |  FROM (SELECT string_split(lower(text), ' ') AS ts FROM documents)),
+        |btot AS (SELECT count(*)::DOUBLE AS n FROM bis),
+        |bi AS (
+        |  SELECT bigram, count(*) AS n_pairs FROM bis
+        |  GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT b.bigram, b.n_pairs,
+        |  round(ln((b.n_pairs / (SELECT n FROM btot)) /
+        |    ((u1.ucnt / (SELECT n FROM un)) * (u2.ucnt / (SELECT n FROM un)))), 6)
+        |    AS pmi
+        |FROM bi b
+        |JOIN uni u1 ON u1.token = string_split(b.bigram, ' ')[1]
+        |JOIN uni u2 ON u2.token = string_split(b.bigram, ' ')[2]
+        |ORDER BY pmi DESC, b.bigram ASC LIMIT 100""".stripMargin,
 
     "t11_topk_ngrams" ->
       """SELECT ngram, cnt FROM (

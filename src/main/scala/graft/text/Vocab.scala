@@ -70,10 +70,46 @@ object Vocab {
         round(avg(col("logp")), 6).as("avg_logprob"))
   }
 
+  /** Top-k bigram collocations by pointwise mutual information —
+    * `PMI(a,b) = log(P(ab) / (P(a)·P(b)))` — the standard phrase-mining /
+    * tokenizer-merge-candidate signal (word2vec's phrase pass, BPE merge
+    * scoring both rank on variants of this). `minCount` floors the bigram
+    * count first: a hapax pair maxes PMI by construction and buries real
+    * collocations.
+    *
+    * Shape: one unigram agg + one bigram agg over the same corpus, two
+    * broadcast joins of the (vocab-sized) unigram table onto the surviving
+    * bigrams, TakeOrderedAndProject for the top-k — per-partition heaps,
+    * no global sort. log rounds 6dp before ranking (the [[unigramLogProb]]
+    * cross-engine idiom).
+    */
+  def pmiBigrams(df: DataFrame, text: Column, minCount: Long = 5,
+                 k: Int = 100): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val uni = df.select(explode(TextAnalysis.tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("ucnt"))
+    val uTot = uni.agg(sum(col("ucnt")).cast("double").as("un"))
+    val bis = df.select(explode(ngrams(text, 2)).as("bigram"))
+    val bTot = bis.agg(count(lit(1)).cast("double").as("bn"))
+    val bi = bis.groupBy("bigram").agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+    bi.crossJoin(broadcast(bTot)).crossJoin(broadcast(uTot))
+      .join(broadcast(uni.select(col("token").as("__w1"), col("ucnt").as("__c1"))),
+        split(col("bigram"), " ").getItem(0) === col("__w1"))
+      .join(broadcast(uni.select(col("token").as("__w2"), col("ucnt").as("__c2"))),
+        split(col("bigram"), " ").getItem(1) === col("__w2"))
+      .select(col("bigram"), col("n_pairs"),
+        round(log((col("n_pairs").cast("double") / col("bn")) /
+          ((col("__c1").cast("double") / col("un")) *
+           (col("__c2").cast("double") / col("un")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Top-k adjacent n-grams by occurrence count, fully ordered
     * (count desc, then n-gram asc) so the k-th boundary is deterministic.
     * Spark executes the order+limit as TakeOrderedAndProject — per-partition
-    * heaps of size k, never a global sort.
+    * heaps, never a global sort.
     */
   /** Space-joined adjacent n-grams of the token array — empty for documents
     * shorter than `n`. Start positions run 1 .. (tokens - n + 1); the guard

@@ -99,6 +99,26 @@ class VocabSpec extends SparkSpec {
     assert(shuffled == out) // join strategy must not change values
   }
 
+  test("pmiBigrams: a perfect collocation outranks an incidental pair") {
+    // "ice cream" always co-occur (P(ab)=P(a)=P(b) → PMI = -log P(a) > 0);
+    // "the dog" pairs incidentally among many "the X" contexts
+    val docs = (
+      Seq.fill(6)("ice cream is nice and the dog saw the cat by the door") ++
+      Seq.fill(6)("the dog and the cat and the bird like the yard")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.text.Vocab.pmiBigrams(docs, col("text"), minCount = 5, k = 50)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.contains("ice cream") && out.contains("the dog"))
+    assert(out("ice cream")._2 > out("the dog")._2)
+    assert(out("ice cream")._1 == 6L)
+    // PMI of the always-together pair is -ln(P("ice")) exactly
+    val nTokens = docs.select(explode(split(lower(col("text")), " "))).count()
+    val nBigrams = out.values.map(_._1).sum // not all bigrams — compute directly
+    val bn = docs.select(explode(graft.text.Vocab.ngrams(col("text"), 2))).count()
+    val expected = math.log((6.0 / bn) / ((6.0 / nTokens) * (6.0 / nTokens)))
+    assert(math.abs(out("ice cream")._2 - expected) < 1e-5)
+  }
+
   test("topNgrams plans TakeOrderedAndProject, never a global Sort") {
     val p = Vocab.topNgrams(Tables.documents(spark, "/root/testdata/sf0.001"),
       col("text")).queryExecution.executedPlan.toString
