@@ -395,6 +395,16 @@ object SparkEntry {
           "fr" -> 200, "zh" -> 100))
     },
 
+    // The tokenizer-facing endgame in one lazy plan: quality filter →
+    // exact dedup → leak-safe train split → per-source token-budget
+    // mixture → epoch shards (DataPrep.pretrain).
+    "pipe_pretrain_e2e" -> { (s, dir) =>
+      graft.pipeline.DataPrep.pretrain(Tables.documents(s, dir), stopwords,
+        budgetPermille = Map("src0" -> 300, "src1" -> 200, "src2" -> 150,
+          "src3" -> 100), totalBudget = 20000L, defaultPermille = 25,
+        epoch = 1, nShards = 8)
+    },
+
     // Full curation pass: quality filter -> corpus-wide span dedup ->
     // target-mixture downsampling, one lazy plan (DataPrep.curate).
     "pipe_curate_e2e" -> { (s, dir) =>
@@ -1358,6 +1368,56 @@ object SparkEntry {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |      '\+\d[\d-]{6,}\d', '<PHONE>', 'g') AS clean
         |  FROM documents)""".stripMargin,
+
+    // End-to-end pretrain-prep replay: the dataprep quality/fingerprint
+    // fragment + first-per-fingerprint dedup + fingerprint-keyed train
+    // split + t24's per-source cumulative budget window (quality =
+    // uniq_ratio) + t25's epoch-1 affine shard/position assignment.
+    "pipe_pretrain_e2e" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(lower(text), ' ')) AS n_tokens,
+         |    round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE /
+         |      len(string_split(lower(text), ' ')), 6) AS uniq_ratio,
+         |    round(len(list_filter(string_split(lower(text), ' '),
+         |        t -> list_contains(['the','a','of','and','is','in','to','it'], t)))::DOUBLE /
+         |      len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+         |    round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE /
+         |      greatest(length(text), 1), 6) AS punct_ratio,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(lower(text), ' '),
+         |        t -> ${duckTokenHash("t")})),
+         |      (acc, th) -> (acc * 31 + th) % 1000000007) AS fingerprint
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored
+         |  WHERE n_tokens >= 20 AND n_tokens <= 90 AND uniq_ratio >= 0.4
+         |    AND stopword_ratio >= 0.02 AND punct_ratio <= 0.05),
+         |dedup AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1),
+         |train AS (SELECT * FROM dedup WHERE fingerprint % 1000 < 900),
+         |sel AS (
+         |  SELECT doc_id, source, n_tokens, uniq_ratio AS q,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY uniq_ratio DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM train),
+         |pick AS (
+         |  SELECT doc_id, source, n_tokens, q FROM sel
+         |  WHERE cum <= (20000 * (CASE source
+         |    WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
+         |    WHEN 'src2' THEN 150 WHEN 'src3' THEN 100 ELSE 25 END)) // 1000),
+         |keyed AS (
+         |  SELECT *,
+         |    ((doc_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |     + ${graft.sim.Ivf.PickB} + 1 * 2654435761) % ${graft.sim.Ivf.PickP} AS k
+         |  FROM pick)
+         |SELECT doc_id, source, n_tokens, q, k % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1
+         |       AS INT) AS position
+         |FROM keyed""".stripMargin,
 
     "pipe_dataprep_e2e" ->
       s"""WITH scored AS (

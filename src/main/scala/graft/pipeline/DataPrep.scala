@@ -75,4 +75,46 @@ object DataPrep {
       .select("doc_id", "lang", "source", "n_tokens", "sample_bucket",
         "sample_rate_ppm")
   }
+
+  /** The tokenizer-facing endgame: everything between a raw corpus and the
+    * dataloader, as ONE lazy plan —
+    *
+    *   1. quality filter (projection + filter);
+    *   2. exact-content dedup on the rolling-hash fingerprint (the first
+    *      shuffle);
+    *   3. contamination-safe split on the SAME fingerprint (projection —
+    *      computed once, reused; duplicate texts co-assign), train side
+    *      proceeds;
+    *   4. budgeted mixture: each source fills its `totalBudget · permille`
+    *      token budget with its own highest-quality prefix
+    *      ([[QualityFilters.tokenBudgetMixture]] — bucket-parallel, no
+    *      global sort);
+    *   5. deterministic epoch shuffle + shard assignment
+    *      ([[graft.text.Chunking.epochShards]]) over the survivors.
+    *
+    * Ordering: dedup before the split costs nothing (the split is
+    * content-keyed, so it is leak-safe either way) but makes the budget
+    * arithmetic honest — duplicated token mass would otherwise fill
+    * budgets with copies. The output is (doc, shard, position): what a
+    * shard-writing export job partitions by and a trainer consumes.
+    */
+  def pretrain(docs: DataFrame, stopwords: Seq[String],
+               budgetPermille: Map[String, Int], totalBudget: Long,
+               defaultPermille: Int = 0, epoch: Int = 1, nShards: Int = 8,
+               trainPermille: Int = 900): DataFrame = {
+    val scored = QualityFilters.qualityFilter(docs, col("doc_id"), col("text"),
+      stopwords, extra = Seq(col("source"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint")))
+    val kept = scored.filter(col("drop_reason").isNull)
+    val deduped = Dedup.dropExactDuplicates(kept, Seq(col("fingerprint")),
+      col("doc_id"))
+    val train = deduped.filter(
+      pmod(col("fingerprint"), lit(1000L)) < trainPermille)
+    val selected = QualityFilters.tokenBudgetMixture(train, col("doc_id"),
+      col("text"), quality = col("uniq_ratio"), source = col("source"),
+      budgetPermille = budgetPermille, totalBudget = totalBudget,
+      defaultPermille = defaultPermille)
+    graft.text.Chunking.epochShards(selected, col("doc_id"), epoch, nShards,
+      carry = Seq(col("source"), col("n_tokens"), col("q")))
+  }
 }

@@ -128,7 +128,7 @@ object Chunking {
     * this emits).
     */
   def epochShards(df: DataFrame, id: Column, epoch: Int,
-                  nShards: Int): DataFrame = {
+                  nShards: Int, carry: Seq[Column] = Nil): DataFrame = {
     require(epoch >= 0 && nShards >= 1, s"need epoch >= 0, nShards >= 1")
     import graft.sim.Ivf.{PickA, PickB, PickP}
     val idName = df.select(id).columns.head
@@ -137,8 +137,10 @@ object Chunking {
     val key = pmod(pmod(id, lit(PickP)) * PickA + PickB + lit(epoch) * 2654435761L,
       lit(PickP))
     val w = Window.partitionBy(col("__shard")).orderBy(col("__key"), col(idName))
-    df.select(id, key.as("__key"), pmod(key, lit(nShards.toLong)).as("__shard"))
+    df.select((id +: carry) :+ key.as("__key"): _*)
+      .withColumn("__shard", pmod(col("__key"), lit(nShards.toLong)))
       .withColumn("position", row_number().over(w) - 1)
-      .select(col(idName), col("__shard").as("shard"), col("position"))
+      .drop("__key")
+      .withColumnRenamed("__shard", "shard")
   }
 }

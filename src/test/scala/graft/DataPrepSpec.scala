@@ -55,6 +55,27 @@ class DataPrepSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("pretrain: budgets bind per source, docs unique, shard positions dense") {
+    val docs = Tables.documents(spark, sf)
+    val budgets = Map("src0" -> 300, "src1" -> 200, "src2" -> 150, "src3" -> 100)
+    val out = DataPrep.pretrain(docs, sw, budgets, totalBudget = 20000L,
+      defaultPermille = 25, epoch = 1, nShards = 8).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+      // every source's selected token mass fits its floor(total·permille/1000)
+      rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+        val budget = 20000L * budgets.getOrElse(src, 25) / 1000
+        assert(rs.map(_.getLong(2)).sum <= budget, s"$src over budget")
+      }
+      // positions are dense 0..n-1 within every shard
+      rows.groupBy(_.getLong(4)).values.foreach { rs =>
+        assert(rs.map(_.getInt(5)).sorted.toSeq == (0 until rs.length))
+      }
+    } finally out.unpersist()
+  }
+
   test("prepare plans exactly one shuffle (the fingerprint exchange)") {
     spark.conf.set("spark.graft.parallelizeInputs", "false")
     try {
