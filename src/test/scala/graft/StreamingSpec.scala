@@ -376,4 +376,34 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.table("prep_q").select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L))
   }
+
+  test("KMV sketch aggregates incrementally in a streaming group-by") {
+    // TypedImperativeAggregate's update/merge contract IS the streaming
+    // state contract: per-window distinct estimates with O(k) state per
+    // group, where streaming countDistinct is unsupported outright and
+    // collect_set state grows with the distinct count.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val sketched = input.toDF().toDF("user_id", "ts", "item_hash")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(asColumn(graft.functions.KMinValues(
+        asExpression(col("item_hash")), 4).toAggregateExpression()).as("kmv"))
+    val query = StreamOps.startMemorySink(sketched, "kmv_q", OutputMode.Update())
+
+    input.addData((1L, ts("2024-01-01 10:00:00"), 9L),
+      (1L, ts("2024-01-01 10:10:00"), 3L), (1L, ts("2024-01-01 10:20:00"), 7L))
+    query.processAllAvailable()
+    // a later trigger MERGES into existing window state: 5 enters, 9 falls out
+    input.addData((1L, ts("2024-01-01 10:30:00"), 5L),
+      (1L, ts("2024-01-01 10:40:00"), 1L), (1L, ts("2024-01-01 10:50:00"), 3L))
+    query.processAllAvailable()
+    query.stop()
+
+    val last = spark.table("kmv_q").orderBy(col("window.start"))
+      .select("kmv").collect().last.getSeq[Long](0)
+    assert(last == Seq(1L, 3L, 5L, 7L))
+  }
 }
