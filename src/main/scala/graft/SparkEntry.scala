@@ -264,6 +264,44 @@ object SparkEntry {
         col("text"), bucketWidth = 10)
     },
 
+    // Multi-level ROLLUP corpus report: (source, lang) detail, per-source
+    // subtotals, grand total — one grouping-sets aggregation pass,
+    // grouping_id() disambiguating subtotal rows from NULL values.
+    "t29_rollup_report" -> { (s, dir) =>
+      TextAnalysis.rollupStats(Tables.documents(s, dir), col("source"),
+        col("lang"), col("text"))
+    },
+
+    // Cross-source duplicate-overlap matrix on the order-invariant bag
+    // fingerprint (the synthetic corpus's cross-source dups are word-order
+    // shuffles, not byte-exact), via per-key source-set expansion — never
+    // a fingerprint self-join (see TextAnalysis.sourceOverlap).
+    "t30_source_overlap" -> { (s, dir) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, dir), col("source"),
+        TextAnalysis.bagFingerprint(col("text")))
+    },
+
+    // Point-in-interval RANGE join via the binning decomposition: events
+    // against 2-day "campaign windows" (order-keyed arithmetic placement
+    // inside the events month — the orders table's own dates predate the
+    // event stream). One equi shuffle on the bin id instead of the
+    // broadcast nested-loop Spark plans for a non-equi join, so BOTH
+    // sides scale out.
+    "j9_range_join" -> { (s, dir) =>
+      val day = 86400000000L
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("p"))
+      val iv = Tables.orders(s, dir).filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey"),
+          (lit(1704067200000000L) + (col("o_orderkey") % 28) * day).as("lo"))
+        .withColumn("hi", col("lo") + lit(2 * day))
+      ScaleJoins.rangeJoinBinned(ev, col("p"), iv, col("lo"), col("hi"),
+          binWidth = 2 * day)
+        .select(col("event_id"), col("o_orderkey"),
+          floor((col("p") - col("lo")) / lit(day)).cast("long")
+            .as("day_offset"))
+    },
+
     // CCNet-style unigram LM quality proxy: per-doc mean token log-prob
     // under the corpus's OWN unigram distribution. Two shuffles (vocab
     // aggregate with map-side combine, per-doc reduce); the vocab joins
@@ -1231,6 +1269,47 @@ object SparkEntry {
         |  len(string_split(lower(text), ' ')) // 10 AS bucket,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang, bucket""".stripMargin,
+
+    // GROUPING() carries the same bit encoding as Spark's grouping_id()
+    // (leftmost dim = most significant bit); both engines emit the
+    // subtotal rows with NULL dims, disambiguated by gid.
+    "t29_rollup_report" ->
+      """SELECT source, lang, GROUPING(source, lang) AS gid,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n) AS BIGINT)::DOUBLE / count(*), 6) AS avg_tokens
+        |FROM (SELECT source, lang, len(string_split(lower(text), ' ')) AS n
+        |      FROM documents)
+        |GROUP BY ROLLUP(source, lang)""".stripMargin,
+
+    // The oracle replays the overlap matrix as the straightforward
+    // bag-fingerprint self-join; the engine's source-set expansion is
+    // result-identical (pairs of distinct sources sharing a key).
+    "t30_source_overlap" ->
+      s"""WITH fs AS (
+         |  SELECT DISTINCT source,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_sort(list_distinct(string_split(lower(text), ' '))),
+         |        t -> ${duckTokenHash("t")})),
+         |      (acc, th) -> (acc * 31 + th) % 1000000007) AS fp
+         |  FROM documents)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared
+         |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+
+    // Plain inequality join — DuckDB's IEJoin replays the binned
+    // decomposition's semantics directly.
+    "j9_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    1704067200000000 + (o_orderkey % 28) * 86400000000 AS lo
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT e.event_id, iv.o_orderkey,
+        |  (epoch_us(e.ts) - iv.lo) // 86400000000 AS day_offset
+        |FROM events e JOIN iv
+        |  ON epoch_us(e.ts) >= iv.lo
+        | AND epoch_us(e.ts) < iv.lo + 172800000000""".stripMargin,
 
     // Per-token logp rounds at 6dp before the mean on BOTH sides so the
     // engines average identical summands (remaining noise is summation

@@ -34,6 +34,48 @@ object ScaleJoins {
     p.join(b, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Bin-bucketed point-in-interval range join — the scale path for a
+    * non-equi `lo <= point < hi` join that Spark would otherwise plan as a
+    * broadcast nested-loop (fine for a handful of intervals, quadratic
+    * death once the interval table itself is large).
+    *
+    * Standard binning decomposition: pick a bin width `w`, replicate each
+    * interval into every bin it overlaps (`⌊lo/w⌋ .. ⌊(hi−1)/w⌋` —
+    * `ceil(len/w)+1` bins at most, 2 when `w ≥` the interval length), map
+    * each point to its single bin, equi-join on the bin id, and re-check
+    * the exact containment predicate. A (point, interval) match shares
+    * exactly one bin — the point's — so no dedup pass is needed. The
+    * non-equi join becomes one hash-partitioned equi shuffle: both sides
+    * scale out, AQE can handle a skewed bin, and the replication factor is
+    * bounded by interval_length/w + 1 (pick `w` near the typical interval
+    * length; the d9/d11 precedent of choosing constants for the data's
+    * shape applies).
+    *
+    * Intervals are half-open `[lo, hi)`, all three columns int64 in one
+    * unit (epoch-µs in the j9 query). Column names must not collide
+    * across the two inputs (same contract as Spark's own join on
+    * pre-projected frames).
+    */
+  def rangeJoinBinned(points: DataFrame, point: Column,
+                      intervals: DataFrame, lo: Column, hi: Column,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val w = lit(binWidth)
+    // exact floor division on longs: subtracting pmod first keeps the ÷ an
+    // integer-valued double op (a raw long/long double divide can round
+    // across a bin boundary for epoch-µs magnitudes)
+    def bin(c: Column): Column = {
+      val l = c.cast("long")
+      ((l - pmod(l, w)) / w).cast("long")
+    }
+    val p = points.withColumn("__bin", bin(point))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(bin(lo), bin(hi.cast("long") - 1))))
+    p.join(iv, Seq("__bin"))
+      .filter(point >= lo && point < hi)
+      .drop("__bin")
+  }
+
   /** Triangle-salted within-bucket pair generation — all unordered pairs
     * `{x, y}` of rows sharing a bucket, each pair exactly once, normalized
     * to `id_a < id_b`. The salt-grid decomposition is the self-join case of

@@ -106,6 +106,59 @@ object TextAnalysis {
         round(lit(1.0) - countDistinct(col("__fp")).cast("double") / count(lit(1)), 6)
           .as("dup_rate"))
 
+  /** Multi-level corpus report via ROLLUP(dim1, dim2): per-(dim1, dim2)
+    * detail, per-dim1 subtotals, and the grand total in ONE aggregation
+    * pass — Spark expands the grouping sets map-side, so the corpus is
+    * still read once and partial-aggregated before the single shuffle
+    * (vs three separate groupBy jobs). `grouping_id()` disambiguates a
+    * genuine NULL dimension value from a subtotal row. The mean is a
+    * quotient of the two exact integer aggregates, so the rounded value
+    * is engine-exact.
+    */
+  def rollupStats(df: DataFrame, dim1: Column, dim2: Column,
+                  text: Column): DataFrame = {
+    val n = size(tokens(text)).cast("long")
+    val d1 = df.select(dim1).columns.head
+    val d2 = df.select(dim2).columns.head
+    df.select(dim1, dim2, n.as("__n"))
+      .rollup(col(d1), col(d2))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        round(sum(col("__n")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"))
+  }
+
+  /** Cross-source duplicate-overlap matrix: for every unordered source
+    * pair, how many distinct content keys occur in BOTH — the report that
+    * tells a corpus curator which feeds re-crawl each other (and how much
+    * cross-source dedup will shrink the union). Pass [[fingerprint]] for
+    * byte-exact overlap or [[bagFingerprint]] for word-order-robust
+    * overlap.
+    *
+    * Scale shape: NOT a fingerprint self-join (quadratic in the dup
+    * count of a hot fingerprint and skew-prone); instead group by
+    * fingerprint, collect the tiny sorted distinct-source set (bounded
+    * by the source-catalog size, not the corpus), expand its ordered
+    * pairs with an array HOF, and count per pair. Two bounded shuffles:
+    * one on the fingerprint, one on the (source_a, source_b) key whose
+    * cardinality is at most |sources|².
+    */
+  def sourceOverlap(df: DataFrame, source: Column, key: Column): DataFrame = {
+    val fs = df.select(source.as("source"), key.as("__fp")).distinct()
+    val ss = sort_array(collect_set(col("source")))
+    val pairs = flatten(transform(col("__ss"), (x, i) =>
+      transform(slice(col("__ss"), i + 2, size(col("__ss"))), y =>
+        struct(x.as("source_a"), y.as("source_b")))))
+    fs.groupBy("__fp").agg(ss.as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.source_a").as("source_a"), col("__p.source_b").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Fixed-width token-count histogram per group: bucket `b` counts docs
     * with `n_tokens ∈ [b·width, (b+1)·width)`. Pure projection + one
     * aggregation on (group, bucket) — the shape a 100 TB length-profile
@@ -154,6 +207,16 @@ object TextAnalysis {
     */
   def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + tokenHash(t), lit(HashP)))
+
+  /** Order-invariant content key: [[fingerprint]]'s Horner fold over the
+    * SORTED DISTINCT token array instead of the raw sequence — equal
+    * bags-of-words (word-order shuffles, repetition changes) collide,
+    * any vocabulary difference separates. The robust-dedup companion to
+    * the exact fingerprint; pure projection, no shuffle.
+    */
+  def bagFingerprint(text: Column): Column =
+    aggregate(sort_array(array_distinct(tokens(text))), lit(0L),
       (acc, t) => pmod(acc * 31 + tokenHash(t), lit(HashP)))
 
   /** Unicode NFC canonicalization (native codegen'd expression) — run it

@@ -44,6 +44,34 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("rangeJoinBinned: identical to the naive non-equi join for any bin width") {
+    val points = (0L to 500L).map(p => (p, p * 7 % 400)).toDF("pid", "p")
+    val intervals = (0L to 30L).map { i =>
+      val lo = i * 13 % 350; (i, lo, lo + 1 + i % 40)
+    }.toDF("iid", "lo", "hi")
+    val naive = points.join(intervals,
+        col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "fixture must produce matches")
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val binned = ScaleJoins.rangeJoinBinned(points, col("p"), intervals,
+          col("lo"), col("hi"), w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"binWidth=$w diverged from the naive join")
+    }
+  }
+
+  test("rangeJoinBinned plans an equi shuffle join, not a nested loop") {
+    val points = (0L to 500L).map(p => (p, p)).toDF("pid", "p")
+    val intervals = (0L to 30L).map(i => (i, i * 15, i * 15 + 20))
+      .toDF("iid", "lo", "hi")
+    val plan = ScaleJoins.rangeJoinBinned(points, col("p"),
+      intervals, col("lo"), col("hi"), 16L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"binned range join must be an equi join:\n$plan")
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val l = Tables.lineitem(spark, "/root/testdata/sf0.001")

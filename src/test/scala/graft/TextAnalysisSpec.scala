@@ -63,6 +63,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(raw(0) != raw(1))
   }
 
+  test("rollupStats: detail + subtotal + grand-total rows, gid disambiguates") {
+    val df = Seq(
+      (1L, "s1", "en", "a b c"), (2L, "s1", "de", "a b"),
+      (3L, "s2", "en", "a b c d")).toDF("id", "src", "lang", "text")
+    val out = TextAnalysis.rollupStats(df, col("src"), col("lang"), col("text"))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("lang"),
+        r.getAs[Long]("gid"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toSet
+    assert(out == Set(
+      ("s1", "en", 0L, 1L, 3L), ("s1", "de", 0L, 1L, 2L),
+      ("s2", "en", 0L, 1L, 4L),
+      ("s1", null, 1L, 2L, 5L), ("s2", null, 1L, 1L, 4L),
+      (null, null, 3L, 3L, 9L)))
+  }
+
+  test("bagFingerprint: word-order invariant, vocabulary sensitive") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "fox brown the quick quick"),
+      (3L, "the quick brown wolf")).toDF("id", "t")
+    val fp = df.select(col("id"), TextAnalysis.bagFingerprint(col("t")).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L), "same bag of words must collide")
+    assert(fp(1L) != fp(3L), "different vocabulary must separate")
+  }
+
+  test("sourceOverlap: counts distinct shared keys per unordered source pair") {
+    val df = Seq(
+      ("sA", "x y"), ("sB", "y x"),          // shared bag 1 (A,B)
+      ("sA", "p q"), ("sB", "q p"), ("sC", "p q"), // shared bag 2 (A,B,C)
+      ("sC", "only here")).toDF("src", "text")
+    val out = TextAnalysis.sourceOverlap(df, col("src"),
+        TextAnalysis.bagFingerprint(col("text")))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("sA", "sB", 2L), ("sA", "sC", 1L), ("sB", "sC", 1L)))
+  }
+
   test("corpusStats: exact type-7 percentiles per group") {
     // group g: token counts 1,2,3,4,10 -> p50 = 3.0, p90 = 7.6 (type 7)
     val texts = Seq(1, 2, 3, 4, 10).zipWithIndex.map { case (n, i) =>
