@@ -281,6 +281,30 @@ object SparkEntry {
         TextAnalysis.bagFingerprint(col("text")))
     },
 
+    // Count-Min heavy hitters: exact top-20 tokens with their sketch
+    // estimates alongside — certifies the constant-state frequency grid
+    // (4×256 cells) AND its ≥-exact error envelope.
+    "t31_countmin_topk" -> { (s, dir) =>
+      graft.text.CountMin.heavyHitters(Tables.documents(s, dir), col("text"),
+        topK = 20)
+    },
+
+    // Winnowing (MOSS) fingerprints: per-window rightmost-min k-gram
+    // hashes — the local copy-detection selection with the shared-run
+    // guarantee, ~2/(w+1) the volume of full shingling.
+    "t32_winnow_fingerprint" -> { (s, dir) =>
+      graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 4, w = 5)
+    },
+
+    // DSIR importance weights toward the English slice: hashed-unigram
+    // target/raw log-ratio per doc, integer micro-unit sums.
+    "t33_dsir_weights" -> { (s, dir) =>
+      graft.text.Importance.dsirWeights(Tables.documents(s, dir),
+        col("doc_id"), col("text"), isTarget = col("lang") === "en",
+        buckets = 1024)
+    },
+
     // Point-in-interval RANGE join via the binning decomposition: events
     // against 2-day "campaign windows" (order-keyed arithmetic placement
     // inside the events month — the orders table's own dates predate the
@@ -1297,6 +1321,89 @@ object SparkEntry {
          |  count(*) AS n_shared
          |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+
+    // Full grid replay: the same affine row hashes over the engine-neutral
+    // token hash rebuild every cell; estimates are min over the probed
+    // cells. Cell counts sum occurrence counts (equivalent to counting the
+    // token stream directly).
+    "t31_countmin_topk" -> {
+      val aList = graft.text.CountMin.Params.map(_._1).mkString("[", ",", "]")
+      val bList = graft.text.CountMin.Params.map(_._2).mkString("[", ",", "]")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS token
+         |  FROM documents),
+         |cnt AS (SELECT token, count(*) AS n_exact FROM toks GROUP BY 1),
+         |h AS (SELECT token, n_exact, ${duckTokenHash("token")} AS hh FROM cnt),
+         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         |  SELECT r,
+         |    ((hh * ($aList)[r + 1] + ($bList)[r + 1]) % 2147483647) % 256 AS cell,
+         |    CAST(sum(n_exact) AS BIGINT) AS n
+         |  FROM h CROSS JOIN rows_ GROUP BY 1, 2),
+         |top AS (SELECT token, n_exact, hh FROM h
+         |        ORDER BY n_exact DESC, token LIMIT 20),
+         |probe AS (
+         |  SELECT token, n_exact, r,
+         |    ((hh * ($aList)[r + 1] + ($bList)[r + 1]) % 2147483647) % 256 AS cell
+         |  FROM top CROSS JOIN rows_)
+         |SELECT token, n_exact, min(n) AS n_est
+         |FROM probe JOIN cells USING (r, cell)
+         |GROUP BY token, n_exact""".stripMargin
+    },
+
+    // Winnowing replay: identical gram Horner hashes, the same packed
+    // (hash asc, pos desc) key, a min over the same w-row frame (QUALIFY
+    // filters window STARTS after the frame computes over all grams).
+    "t32_winnow_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= 8),
+         |g AS (
+         |  SELECT doc_id, len(toks) - 3 AS ng,
+         |    unnest(list_transform(range(0, len(toks) - 3), i -> struct_pack(
+         |      pos := i,
+         |      gh := list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(toks[i+1:i+4], t -> ${duckTokenHash("t")})),
+         |            (acc, th) -> (acc * 31 + th) % 1000000007)))) AS s
+         |  FROM t),
+         |sel AS (
+         |  SELECT DISTINCT doc_id,
+         |    min(s.gh * 2097152 + (2097151 - s.pos))
+         |      OVER (PARTITION BY doc_id ORDER BY s.pos
+         |            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS skey
+         |  FROM g
+         |  QUALIFY s.pos <= ng - 5)
+         |SELECT doc_id, skey // 2097152 AS gram_hash,
+         |  2097151 - (skey % 2097152) AS pos
+         |FROM sel""".stripMargin,
+
+    // Bucket models and totals replayed exactly; per-token log-ratios
+    // round to integer micro-units on both sides so the per-doc sum is
+    // an order-independent integer add.
+    "t33_dsir_weights" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang = 'en' AS t,
+         |    ${duckTokenHash("tok")} % 1024 AS b
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split(lower(text), ' ')) AS tok
+         |        FROM documents)),
+         |counts AS (
+         |  SELECT b, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    count(*) AS cr
+         |  FROM base GROUP BY b),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |               CAST(sum(cr) AS BIGINT) AS nr FROM counts),
+         |lr AS (
+         |  SELECT b,
+         |    CAST(round((ln((ct + 1)::DOUBLE / (nt + 1024)) -
+         |                ln((cr + 1)::DOUBLE / (nr + 1024))) * 1e6) AS BIGINT)
+         |      AS lr_micro
+         |  FROM counts, tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(lr_micro) AS BIGINT) AS logweight_micro
+         |FROM base JOIN lr USING (b)
+         |GROUP BY doc_id""".stripMargin,
 
     // Plain inequality join — DuckDB's IEJoin replays the binned
     // decomposition's semantics directly.

@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03 — the MOSS scheme): hash every k-token gram, slide a
+  * w-gram window, and select each window's MINIMUM hash with the
+  * RIGHTMOST-minimum tie-break; the distinct selected (hash, position)
+  * set is the document's fingerprint.
+  *
+  * The guarantee exact fingerprints (t3) can't give: any shared token
+  * run of length ≥ w+k−1 between two documents yields at least one
+  * SHARED selected fingerprint, while the selected density stays ~2/(w+1)
+  * of all grams — local plagiarism/copy detection at a fraction of the
+  * full shingle volume.
+  *
+  * Scale shape: gram hashing is a per-row array HOF (no shuffle); the
+  * only exchange is the per-document window — the winnowing unit is the
+  * document, so partition width is bounded by document length, never by
+  * corpus size.
+  */
+object Winnowing {
+
+  /** Bits reserved for the position in the packed selection key — docs up
+    * to 2^21 grams (≈2 M tokens). The packed encoding lets ONE `min` per
+    * window implement "smallest hash, rightmost position wins ties":
+    * high bits ascending hash, low bits DESCENDING position.
+    */
+  val PosBits = 21
+
+  /** Selected fingerprints: (id, gram_hash, pos), distinct. Documents
+    * shorter than w+k−1 tokens (no complete window) are dropped —
+    * callers wanting whole-short-doc coverage can union t3-style full
+    * fingerprints for those.
+    */
+  def fingerprints(df: DataFrame, id: Column, text: Column,
+                   k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val idName = df.select(id).columns.head
+    val toks = TextAnalysis.tokens(text)
+    val hp = lit(TextAnalysis.HashP)
+    val ghs = transform(sequence(lit(0), size(col("__toks")) - k), i =>
+      aggregate(slice(col("__toks"), i + 1, lit(k)), lit(0L),
+        (acc, t) => pmod(acc * 31 + TextAnalysis.tokenHash(t), hp)))
+    val packed = lit(1L << PosBits)
+    val keyed = df
+      .filter(size(toks) >= k + w - 1)
+      .select(id, toks.as("__toks"))
+      .select(col(idName), (size(col("__toks")) - k + 1).as("__ng"),
+        posexplode(ghs).as(Seq("pos", "__gh")))
+      .withColumn("__key",
+        col("__gh") * packed + (packed - 1 - col("pos")))
+    val win = Window.partitionBy(idName).orderBy("pos").rowsBetween(0, w - 1)
+    keyed
+      .withColumn("__sel", min("__key").over(win))
+      // a window starts at every pos with w grams to its right; later
+      // rows still served as frame members for earlier starts
+      .filter(col("pos") <= col("__ng") - w)
+      .select(col(idName), col("__sel")).distinct()
+      .select(col(idName),
+        shiftright(col("__sel"), PosBits).as("gram_hash"),
+        (packed - 1 - (col("__sel").bitwiseAND(packed - 1))).as("pos"))
+  }
+}

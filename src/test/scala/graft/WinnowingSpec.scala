@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Winnowing
+
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(s: String) = s.trim.split("\\s+").toSeq
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens yields a shared fingerprint") {
+    // k=4, w=5: any shared 8-token run must produce >= 1 common (hash) pick
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"p q r s t u $shared v w")).toDF("id", "text")
+    val fp = Winnowing.fingerprints(df, col("id"), col("text"), k = 4, w = 5)
+    val h1 = fp.filter(col("id") === 1).select("gram_hash").as[Long].collect().toSet
+    val h2 = fp.filter(col("id") === 2).select("gram_hash").as[Long].collect().toSet
+    assert((h1 & h2).nonEmpty, "shared run must yield a shared selected hash")
+  }
+
+  test("selection is sparse but covers every window") {
+    val text = (1 to 60).map(i => s"tok${i % 23}").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val sel = Winnowing.fingerprints(df, col("id"), col("text"), k = 4, w = 5)
+      .select("pos").as[Long].collect().sorted
+    val nGrams = 60 - 4 + 1
+    assert(sel.length < nGrams, "winnowing must select fewer than all grams")
+    // every w-window [j, j+4] contains a selected position
+    (0 to nGrams - 5).foreach { j =>
+      assert(sel.exists(p => p >= j && p <= j + 4), s"window at $j uncovered")
+    }
+  }
+
+  test("tie-break picks the rightmost minimum") {
+    // all tokens equal -> every gram hash identical -> each window's pick
+    // is its RIGHTMOST position: selected = {w-1, w, ..., nGrams-1}
+    val df = Seq((1L, Seq.fill(12)("same").mkString(" "))).toDF("id", "text")
+    val sel = Winnowing.fingerprints(df, col("id"), col("text"), k = 4, w = 5)
+      .select("pos").as[Long].collect().toSet
+    val nGrams = 12 - 4 + 1 // 9
+    assert(sel == (4L until nGrams.toLong).toSet)
+  }
+
+  test("docs without a complete window are dropped") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g h"))
+      .toDF("id", "text") // 7 tokens < k+w-1=8; 8 tokens = exactly one window
+    val out = Winnowing.fingerprints(df, col("id"), col("text"), k = 4, w = 5)
+    assert(out.select("id").distinct().as[Long].collect().toSeq == Seq(2L))
+    assert(out.count() == 1, "one window -> exactly one selected fingerprint")
+  }
+}
