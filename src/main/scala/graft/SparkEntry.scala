@@ -297,6 +297,23 @@ object SparkEntry {
         col("doc_id"), col("text"), k = 4, w = 5)
     },
 
+    // Winnowing near-dup candidates: docs sharing >= 2 selected gram
+    // hashes — the MOSS match step, local-copy detection complementary to
+    // d2's global-Jaccard LSH. Triangle-salted pair stage + boilerplate
+    // hash cap.
+    "d13_winnow_neardup" -> { (s, dir) =>
+      graft.dedup.Winnowing.nearDupCandidates(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 4, w = 5, minShared = 2,
+        maxBucket = 500, salt = 4)
+    },
+
+    // Vocabulary coverage curve: vocab prefix size reaching each coverage
+    // target — integer threshold test, vocabulary-bounded window.
+    "t34_vocab_coverage" -> { (s, dir) =>
+      graft.text.Vocab.vocabCoverage(Tables.documents(s, dir), col("text"),
+        targetsPermille = Seq(250, 500, 750, 900, 990, 1000))
+    },
+
     // DSIR importance weights toward the English slice: hashed-unigram
     // target/raw log-ratio per doc, integer micro-unit sums.
     "t33_dsir_weights" -> { (s, dir) =>
@@ -1377,6 +1394,59 @@ object SparkEntry {
          |SELECT doc_id, skey // 2097152 AS gram_hash,
          |  2097151 - (skey % 2097152) AS pos
          |FROM sel""".stripMargin,
+
+    // The winnow selection replay (t32) feeding the distinct-key
+    // self-join + boilerplate census + shared-count threshold.
+    "d13_winnow_neardup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= 8),
+         |g AS (
+         |  SELECT doc_id, len(toks) - 3 AS ng,
+         |    unnest(list_transform(range(0, len(toks) - 3), i -> struct_pack(
+         |      pos := i,
+         |      gh := list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(toks[i+1:i+4], t -> ${duckTokenHash("t")})),
+         |            (acc, th) -> (acc * 31 + th) % 1000000007)))) AS s
+         |  FROM t),
+         |sel AS (
+         |  SELECT DISTINCT doc_id,
+         |    min(s.gh * 2097152 + (2097151 - s.pos))
+         |      OVER (PARTITION BY doc_id ORDER BY s.pos
+         |            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS skey
+         |  FROM g
+         |  QUALIFY s.pos <= ng - 5),
+         |fp AS (SELECT DISTINCT doc_id, skey // 2097152 AS gram_hash FROM sel),
+         |census AS (
+         |  SELECT gram_hash FROM fp GROUP BY 1 HAVING count(*) <= 500),
+         |k AS (SELECT fp.doc_id, fp.gram_hash
+         |      FROM fp JOIN census USING (gram_hash))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM k a JOIN k b
+         |  ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // Rank/cum windows replayed with the identical unique ordering; the
+    // coverage threshold is an integer comparison on both sides.
+    "t34_vocab_coverage" ->
+      """WITH cnt AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnt),
+        |ranked AS (
+        |  SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM cnt)
+        |SELECT t AS target_permille, min(rank) AS vocab_size,
+        |  arg_min(cum, rank) AS cum_tokens
+        |FROM ranked, tot,
+        |  (SELECT unnest([250, 500, 750, 900, 990, 1000]) AS t)
+        |WHERE cum * 1000 >= t * tot
+        |GROUP BY 1""".stripMargin,
 
     // Bucket models and totals replayed exactly; per-token log-ratios
     // round to integer micro-units on both sides so the per-doc sum is

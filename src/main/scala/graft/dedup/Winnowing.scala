@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.ScaleJoins
 import graft.text.TextAnalysis
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
@@ -64,5 +65,37 @@ object Winnowing {
       .select(col(idName),
         shiftright(col("__sel"), PosBits).as("gram_hash"),
         (packed - 1 - (col("__sel").bitwiseAND(packed - 1))).as("pos"))
+  }
+
+  /** Near-duplicate candidate pairs from winnowing fingerprints: docs
+    * sharing ≥ `minShared` selected gram hashes — the MOSS match step as
+    * a corpus-scale join. Because winnowing guarantees a pick inside any
+    * shared w+k−1-token run, local copies surface even when whole-doc
+    * similarity (MinHash territory) is low: the complementary detector
+    * to d2's global-Jaccard LSH.
+    *
+    * Scale shape: distinct (doc, hash) keys; hashes shared by more than
+    * `maxBucket` docs are dropped via a broadcast anti join (boilerplate
+    * guard — the [[graft.dedup.MinHashLSH.candidatePairs]] precedent);
+    * the per-hash pair stage runs through
+    * [[graft.ops.ScaleJoins.bucketedSelfPairs]] so one hot hash never
+    * lands on one task; the final count-per-pair aggregation is the only
+    * unbounded shuffle and its key set is the candidate pairs themselves.
+    */
+  def nearDupCandidates(df: DataFrame, id: Column, text: Column,
+                        k: Int = 4, w: Int = 5, minShared: Int = 2,
+                        maxBucket: Int = 500, salt: Int = 4): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val idName = df.select(id).columns.head
+    val docHash = fingerprints(df, id, text, k, w)
+      .select(col(idName), col("gram_hash")).distinct()
+    val oversized = docHash.groupBy("gram_hash")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("gram_hash")
+    val kept = docHash.join(broadcast(oversized), Seq("gram_hash"), "left_anti")
+    ScaleJoins.bucketedSelfPairs(kept, Seq("gram_hash"), idName, Nil, salt)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

@@ -30,6 +30,43 @@ object Vocab {
         round(log(col("n_docs").cast("double") / col("df_count")), 6).as("idf"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing question "how many
+    * vocabulary entries cover X‰ of all token occurrences?": for each
+    * target, the rank of the first (count desc, token) vocabulary prefix
+    * whose cumulative occurrence mass reaches it, plus that prefix's
+    * exact mass. The threshold test is integer (`cum·1000 ≥ target·total`)
+    * so no float boundary exists.
+    *
+    * The ranking window is global but VOCABULARY-bounded (distinct terms,
+    * not occurrences — the corpus is already reduced by the count
+    * aggregate before the sort). For web-scale vocabularies, partition
+    * the window by a count-histogram bucket first (the
+    * [[QualityFilters.tokenBudgetSelect]] construction); at any corpus
+    * where the vocab fits a task, this direct form is the right plan.
+    */
+  def vocabCoverage(df: DataFrame, text: Column,
+                    targetsPermille: Seq[Int]): DataFrame = {
+    require(targetsPermille.nonEmpty &&
+      targetsPermille.forall(t => t >= 1 && t <= 1000),
+      "targets must be permille values in [1, 1000]")
+    val cnt = df.select(explode(TextAnalysis.tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum("cnt").as("__tot"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cnt.select(
+      row_number().over(Window.orderBy(col("cnt").desc, col("token")))
+        .cast("long").as("rank"),
+      sum("cnt").over(w).as("cum"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("rank"), col("cum"),
+        explode(typedLit(targetsPermille)).as("target_permille"), col("__tot"))
+      .filter(col("cum") * 1000 >= col("target_permille") * col("__tot"))
+      .groupBy("target_permille")
+      .agg(min("rank").as("vocab_size"),
+        min_by(col("cum"), col("rank")).as("cum_tokens"))
+  }
+
   /** CCNet-style unigram language-model quality score: each document's
     * mean log-probability of its tokens under the corpus's own unigram
     * distribution (`logp(t) = ln(count(t) / total_tokens)`). Low scorers

@@ -124,4 +124,15 @@ class VocabSpec extends SparkSpec {
       col("text")).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
   }
+
+  test("vocabCoverage: hand-computed prefix sizes at each target") {
+    // counts: a=6, b=3, c=1 (total 10)
+    val docs = Seq((1L, "a a a b"), (2L, "a a a b b c")).toDF("id", "text")
+    val out = Vocab.vocabCoverage(docs, col("text"), Seq(500, 900, 1000))
+      .as[(Int, Long, Long)].collect()
+      .map { case (t, v, c) => t -> ((v, c)) }.toMap
+    assert(out(500) == ((1L, 6L)), "a alone covers 60% >= 50%")
+    assert(out(900) == ((2L, 9L)), "a+b cover 90% >= 90%")
+    assert(out(1000) == ((3L, 10L)))
+  }
 }

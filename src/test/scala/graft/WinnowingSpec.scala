@@ -43,6 +43,38 @@ class WinnowingSpec extends SparkSpec {
     assert(sel == (4L until nGrams.toLong).toSet)
   }
 
+  test("nearDupCandidates: shared passages pair up, unrelated docs don't") {
+    val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, s"intro one two three $passage outro alpha beta"),
+      (2L, s"different lead-in tokens here $passage and a tail"),
+      (3L, (1 to 30).map(i => s"noise${i * 7}").mkString(" "))).toDF("id", "text")
+    val pairs = graft.dedup.Winnowing.nearDupCandidates(df, col("id"),
+        col("text"), minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("nearDupCandidates: result-identical across salts; boilerplate cap drops hot hashes") {
+    val passage = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val df = (1L to 5L).map(i => (i, s"doc$i unique${i * 3} $passage tail$i"))
+      .toDF("id", "text")
+    val base = graft.dedup.Winnowing.nearDupCandidates(df, col("id"),
+        col("text"), minShared = 1, salt = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    for (s <- Seq(2, 5)) {
+      val v = graft.dedup.Winnowing.nearDupCandidates(df, col("id"),
+          col("text"), minShared = 1, salt = s)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(v == base, s"salt=$s diverged")
+    }
+    // hashes shared by all 5 docs exceed maxBucket=4 -> dropped, and the
+    // only shared content IS the boilerplate passage -> no pairs survive
+    val capped = graft.dedup.Winnowing.nearDupCandidates(df, col("id"),
+      col("text"), minShared = 1, maxBucket = 4)
+    assert(capped.count() == 0)
+  }
+
   test("docs without a complete window are dropped") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g h"))
       .toDF("id", "text") // 7 tokens < k+w-1=8; 8 tokens = exactly one window
