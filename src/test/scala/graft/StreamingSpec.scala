@@ -406,4 +406,34 @@ class StreamingSpec extends SparkSpec {
       .select("kmv").collect().last.getSeq[Long](0)
     assert(last == Seq(1L, 3L, 5L, 7L))
   }
+
+  test("Count-Min grid accumulates across triggers and matches the batch sketch") {
+    // The CM grid is a plain (row, cell) streaming group-by: constant
+    // Depth×Width state regardless of vocabulary, updatable per trigger —
+    // frequency telemetry over an unbounded token stream where an exact
+    // per-token count would grow state with the vocabulary.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val toksOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(explode(split(lower(col("text")), " ")).as("token"))
+    val sketched = graft.text.CountMin.sketch(
+      toksOf(input.toDF().toDF("id", "ts", "text")), col("token"))
+    val query = StreamOps.startMemorySink(sketched, "cm_q", OutputMode.Complete())
+
+    input.addData((1L, ts("2024-01-01 10:00:00"), "a a b c"))
+    query.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 10:10:00"), "a c d d d"))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("cm_q")
+      .select("row", "cell", "n").as[(Int, Long, Long)].collect().toSet
+    val batch = graft.text.CountMin.sketch(
+        toksOf(Seq((1L, "a a b c"), (2L, "a c d d d")).toDF("id", "text")),
+        col("token"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch, "streaming grid must equal the batch grid")
+    assert(streamed.size <= graft.text.CountMin.Depth * graft.text.CountMin.Width)
+  }
 }
