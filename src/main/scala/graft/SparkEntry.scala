@@ -297,6 +297,42 @@ object SparkEntry {
         col("doc_id"), col("text"), k = 4, w = 5)
     },
 
+    // Intra-document repetition removal: row-local span dedup (drop
+    // within-doc block repeats, stitch back) — a pure projection, the
+    // local sibling of d10's corpus-wide pass.
+    // (2-token blocks: the synthetic corpus repeats at pair granularity —
+    // 181 docs / 250 blocks drop at sf0.01; 4-token blocks never repeat
+    // within a doc.)
+    "t35_selfrep_dedup" -> { (s, dir) =>
+      graft.dedup.SpanDedup.dedupSpansLocal(Tables.documents(s, dir),
+        col("doc_id"), col("text"), spanTokens = 2)
+    },
+
+    // Per-doc unigram entropy (micro-nats): the diversity score ratio
+    // metrics can't express; integer-fold engine-exact.
+    "t36_token_entropy" -> { (s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir), col("doc_id"),
+        col("text"))
+    },
+
+    // Interpolated bigram LM quality score (λ=0.7 bigram MLE + 0.3
+    // unigram floor), per-doc mean over bigram positions in micro-units.
+    "t37_bigram_logprob" -> { (s, dir) =>
+      graft.text.Vocab.bigramLogProb(Tables.documents(s, dir), col("doc_id"),
+        col("text"), lambdaPermille = 700)
+    },
+
+    // End-to-end LOCAL-COPY dedup: winnow candidate pairs feeding the
+    // same connected-components representative selection as d6 — the
+    // shipping form of the MOSS detector.
+    "d14_winnow_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.dedup.Winnowing.nearDupCandidates(docs,
+        col("doc_id"), col("text"), minShared = 2).select("id_a", "id_b")
+      Clusters.dropNearDuplicates(docs, col("doc_id"), pairs)
+        .select("doc_id", "lang", "source", "n_chars")
+    },
+
     // Winnowing near-dup candidates: docs sharing >= 2 selected gram
     // hashes — the MOSS match step, local-copy detection complementary to
     // d2's global-Jaccard LSH. Triangle-salted pair stage + boilerplate
@@ -1022,6 +1058,36 @@ object SparkEntry {
     "pipe_consume_sql" -> { (s, dir) => graft.pipeline.ConsumeSqlPipeline.build(s, dir) }
   )
 
+  /** Shared winnow-fingerprint CTE chain (t32's selection through the
+    * boilerplate census) — the front half of d13 AND d14's oracles:
+    * yields relation `k(doc_id, gram_hash)`.
+    */
+  private def winnowKeptCte: String =
+    s"""t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM documents
+       |  WHERE len(string_split(lower(text), ' ')) >= 8),
+       |g AS (
+       |  SELECT doc_id, len(toks) - 3 AS ng,
+       |    unnest(list_transform(range(0, len(toks) - 3), i -> struct_pack(
+       |      pos := i,
+       |      gh := list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(toks[i+1:i+4], t -> ${duckTokenHash("t")})),
+       |            (acc, th) -> (acc * 31 + th) % 1000000007)))) AS s
+       |  FROM t),
+       |sel AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(s.gh * 2097152 + (2097151 - s.pos))
+       |      OVER (PARTITION BY doc_id ORDER BY s.pos
+       |            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS skey
+       |  FROM g
+       |  QUALIFY s.pos <= ng - 5),
+       |fp AS (SELECT DISTINCT doc_id, skey // 2097152 AS gram_hash FROM sel),
+       |census AS (
+       |  SELECT gram_hash FROM fp GROUP BY 1 HAVING count(*) <= 500),
+       |k AS (SELECT fp.doc_id, fp.gram_hash
+       |      FROM fp JOIN census USING (gram_hash))""".stripMargin
+
   /** The engine-neutral token hash as DuckDB SQL: base-131 Horner over
     * `ord(char)` mod 1e9+7, seed 7 — mirrors [[TextAnalysis.tokenHash]].
     */
@@ -1398,34 +1464,97 @@ object SparkEntry {
     // The winnow selection replay (t32) feeding the distinct-key
     // self-join + boilerplate census + shared-count threshold.
     "d13_winnow_neardup" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
-         |  FROM documents
-         |  WHERE len(string_split(lower(text), ' ')) >= 8),
-         |g AS (
-         |  SELECT doc_id, len(toks) - 3 AS ng,
-         |    unnest(list_transform(range(0, len(toks) - 3), i -> struct_pack(
-         |      pos := i,
-         |      gh := list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |              list_transform(toks[i+1:i+4], t -> ${duckTokenHash("t")})),
-         |            (acc, th) -> (acc * 31 + th) % 1000000007)))) AS s
-         |  FROM t),
-         |sel AS (
-         |  SELECT DISTINCT doc_id,
-         |    min(s.gh * 2097152 + (2097151 - s.pos))
-         |      OVER (PARTITION BY doc_id ORDER BY s.pos
-         |            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS skey
-         |  FROM g
-         |  QUALIFY s.pos <= ng - 5),
-         |fp AS (SELECT DISTINCT doc_id, skey // 2097152 AS gram_hash FROM sel),
-         |census AS (
-         |  SELECT gram_hash FROM fp GROUP BY 1 HAVING count(*) <= 500),
-         |k AS (SELECT fp.doc_id, fp.gram_hash
-         |      FROM fp JOIN census USING (gram_hash))
+      s"""WITH $winnowKeptCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          |FROM k a JOIN k b
          |  ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // d13's pair stage feeding the d6-style recursive connected
+    // components — keep the smallest doc per local-copy cluster.
+    "d14_winnow_dedup" ->
+      s"""WITH RECURSIVE $winnowKeptCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM k a JOIN k b
+         |    ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |labels AS (
+         |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)""".stripMargin,
+
+    // Same block split, seen-before list scan, and stitch as the engine's
+    // HOFs — all list ops, bit-identical strings.
+    "t35_selfrep_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS INT)),
+        |      i -> array_to_string(toks[i*2+1 : i*2+2], ' ')) AS blocks
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents)),
+        |k AS (
+        |  SELECT doc_id, blocks,
+        |    list_filter(range(0, len(blocks)),
+        |      i -> NOT list_contains(blocks[1:i], blocks[i+1])) AS keep
+        |  FROM b)
+        |SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_spans,
+        |  CAST(len(keep) AS BIGINT) AS n_kept,
+        |  array_to_string(list_transform(keep, i -> blocks[i+1]), ' ') AS text
+        |FROM k""".stripMargin,
+
+    // Entropy terms: identical (-p)·ln(p)·1e6 operand order, rounded to
+    // integer micro-nats before the fold — order-independent adds.
+    "t36_token_entropy" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_distinct(toks), t ->
+        |      CAST(round(-(len(list_filter(toks, x -> x = t))::DOUBLE
+        |                   / len(toks))
+        |        * ln(len(list_filter(toks, x -> x = t))::DOUBLE / len(toks))
+        |        * 1e6) AS BIGINT))),
+        |    (a, x) -> a + x) AS entropy_micro
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |      FROM documents)""".stripMargin,
+
+    // The model replay: bigram/unigram MLE counts, the same
+    // ((λ·c12)/c1 + (λ')·c2/N) operand order with ::DOUBLE literals (the
+    // DuckDB DECIMAL path never enters), micro-unit sums, quotient mean.
+    "t37_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bis AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
+        |    z -> struct_extract(z, 1) || ' ' || struct_extract(z, 2))) AS bigram
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |        FROM documents)),
+        |bi AS (SELECT bigram, count(*) AS c12 FROM bis GROUP BY 1),
+        |model AS (
+        |  SELECT b.bigram,
+        |    CAST(round(ln(0.7::DOUBLE * b.c12 / u1.c
+        |                  + 0.3::DOUBLE * u2.c / (SELECT n FROM n)) * 1e6)
+        |      AS BIGINT) AS lp
+        |  FROM bi b
+        |  JOIN uni u1 ON u1.w = string_split(b.bigram, ' ')[1]
+        |  JOIN uni u2 ON u2.w = string_split(b.bigram, ' ')[2])
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+        |  round(CAST(sum(lp) AS BIGINT)::DOUBLE / count(*) / 1e6, 6)
+        |    AS avg_logprob
+        |FROM bis JOIN model USING (bigram)
+        |GROUP BY doc_id""".stripMargin,
 
     // Rank/cum windows replayed with the identical unique ordering; the
     // coverage threshold is an integer comparison on both sides.

@@ -120,4 +120,44 @@ object SpanDedup {
           .as("text") :+
         size(col("__keep")).cast("long").as("n_spans"): _*)
   }
+
+  /** INTRA-document repetition removal — the row-local sibling of
+    * [[dedupSpans]]: drop every repeat of a block WITHIN its own document
+    * (keep the first occurrence), stitch the survivors back in order.
+    * Catches the looping-generator / boilerplate-self-repetition pathology
+    * ([[graft.text.QualityFilters.repetitionMetrics]] measures it; this
+    * removes it) without touching legitimate cross-document duplication.
+    *
+    * Scale shape: a PURE PROJECTION — block split, seen-before test, and
+    * stitch are array HOFs per row; NO shuffle, NO state, parallelism =
+    * the scan's. The seen-before test is O(blocks²) per document on block
+    * strings (blocks = tokens/spanTokens; bounded by document length —
+    * cap upstream like every per-doc pass).
+    *
+    * @return (id, n_spans, n_kept, text) — block counts before/after and
+    *         the stitched text; zero-token docs pass through with empty
+    *         text and 0 counts.
+    */
+  def dedupSpansLocal(df: DataFrame, id: Column, text: Column,
+                      spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val idName = df.select(id).columns.head
+    val toks = TextAnalysis.tokens(text)
+    val nb = ceil(size(toks).cast("double") / spanTokens).cast("int")
+    val blocks = transform(sequence(lit(0), nb - 1), i =>
+      concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens))))
+    df.select(col(idName), when(nb > 0, blocks).otherwise(array()).as("__b"))
+      // keep index i iff its block text does not appear among blocks 0..i-1
+      // (slice with length i is empty at i=0 — no degenerate sequence)
+      .withColumn("__keep", when(size(col("__b")) > 0,
+        filter(sequence(lit(0), size(col("__b")) - 1),
+          i => !exists(slice(col("__b"), lit(1), i),
+            b => b === element_at(col("__b"), i + 1))))
+        .otherwise(array()))
+      .select(col(idName),
+        size(col("__b")).cast("long").as("n_spans"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        array_join(transform(col("__keep"),
+          i => element_at(col("__b"), i + 1)), " ").as("text"))
+  }
 }

@@ -106,6 +106,35 @@ object TextAnalysis {
         round(lit(1.0) - countDistinct(col("__fp")).cast("double") / count(lit(1)), 6)
           .as("dup_rate"))
 
+  /** Per-document unigram ENTROPY — the information-theoretic diversity
+    * score (`H = −Σ_types (c/n)·ln(c/n)`, in nats): gibberish repetition
+    * scores near 0, rich vocabulary scores near ln(n). Complements the
+    * ratio-based [[qualityMetrics]] (uniq_ratio can't tell "one token
+    * repeated 99× plus one other" from "two tokens 50/50"; entropy can).
+    *
+    * Pure projection: per-type counts and the entropy fold are array HOFs
+    * over the row — no explode, no shuffle (the per-row cost is
+    * O(types·tokens) string equality on the distinct-type scan — bounded
+    * by document length). Each type's term is rounded to integer
+    * MICRO-nats before the fold, so the sum is an integer add — engine-
+    * exact in any order.
+    *
+    * @return (id, n_tokens, n_types, entropy_micro) — entropy in integer
+    *         micro-nats.
+    */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val terms = transform(array_distinct(toks), t => {
+      val p = size(filter(toks, x => x === t)).cast("double") / n
+      round(-p * log(p) * 1e6).cast("long")
+    })
+    df.select(id,
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      aggregate(terms, lit(0L), (acc, x) => acc + x).as("entropy_micro"))
+  }
+
   /** Multi-level corpus report via ROLLUP(dim1, dim2): per-(dim1, dim2)
     * detail, per-dim1 subtotals, and the grand total in ONE aggregation
     * pass — Spark expands the grouping sets map-side, so the corpus is

@@ -30,6 +30,60 @@ object Vocab {
         round(log(col("n_docs").cast("double") / col("df_count")), 6).as("idf"))
   }
 
+  /** Interpolated BIGRAM language-model quality score — one modeling
+    * rung above [[unigramLogProb]] (CCNet's actual filter is a 5-gram
+    * KenLM; the Jelinek–Mercer–interpolated bigram is the standard next
+    * cut that stays engine-neutral): per bigram position,
+    * `logp = ln(λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N)`, per document the mean
+    * over its bigram positions. The interpolation floor means unseen-in-
+    * model bigrams score by their unigram mass instead of −∞.
+    *
+    * Engine-exactness: per-position logp rides as integer MICRO-units
+    * (sum is an order-independent integer add); the mean is a quotient of
+    * two exact integers, rounded.
+    *
+    * Scale shape: the model is two aggregation passes (bigram counts,
+    * unigram counts) joined model-side; scoring joins the exploded corpus
+    * to the model on the bigram key — ONE equi shuffle each side (the
+    * model broadcasts instead when it fits, like [[unigramLogProb]]'s
+    * escape hatch) — then reduces per document. Docs with fewer than 2
+    * tokens have no bigram positions and drop (same contract as the
+    * oracle).
+    */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column,
+                    lambdaPermille: Int = 700): DataFrame = {
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      "lambdaPermille must be in [0, 1000]")
+    val idName = df.select(id).columns.head
+    // both mixture constants as EXACT decimal-parse literals (computing
+    // 1.0−λ in IEEE gives 0.30000000000000004 for λ=0.7 — a different
+    // double than the oracle's parsed 0.3; the t18 class of bug)
+    val lam = lambdaPermille / 1000.0
+    val lamInv = (1000 - lambdaPermille) / 1000.0
+    val uni = df.select(explode(TextAnalysis.tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("__n"))
+    val bi = df.select(explode(ngrams(text, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val model = bi
+      .withColumn("__w1", split(col("bigram"), " ")(0))
+      .withColumn("__w2", split(col("bigram"), " ")(1))
+      .join(uni.select(col("w").as("__w1"), col("c").as("c1")), Seq("__w1"))
+      .join(uni.select(col("w").as("__w2"), col("c").as("c2")), Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"),
+        round(log(lit(lam) * col("c12") / col("c1") +
+          lit(lamInv) * col("c2") / col("__n")) * 1e6)
+          .cast("long").as("lp_micro"))
+    df.select(id, explode(ngrams(text, 2)).as("bigram"))
+      .join(model, Seq("bigram"))
+      .groupBy(idName)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("lp_micro").as("sum_lp_micro"))
+      .withColumn("avg_logprob",
+        round(col("sum_lp_micro").cast("double") / col("n_bigrams") / 1e6, 6))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing question "how many
     * vocabulary entries cover X‰ of all token occurrences?": for each
     * target, the rank of the first (count desc, token) vocabulary prefix

@@ -61,6 +61,24 @@ class SpanDedupSpec extends SparkSpec {
     assert(exact.nonEmpty && hashed == exact)
   }
 
+  test("dedupSpansLocal: within-doc repeats drop, first occurrence and order survive") {
+    val df = Seq(
+      (1L, "a b c d a b e f a b"),  // blocks(2): "a b","c d","a b","e f","a b"
+      (2L, "p q r s t u")           // no repeats
+    ).toDF("id", "text")
+    val out = SpanDedup.dedupSpansLocal(df, col("id"), col("text"), spanTokens = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 5L, 3L, "a b c d e f")))
+    assert(out(1) == ((2L, 3L, 3L, "p q r s t u")))
+  }
+
+  test("dedupSpansLocal plans a pure projection — zero exchanges") {
+    val df = (1L to 50L).map(i => (i, s"w$i x$i w$i x$i")).toDF("id", "text")
+    val plan = SpanDedup.dedupSpansLocal(df, col("id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"row-local pass must not shuffle:\n$plan")
+  }
+
   test("dedupSpansHashed: the window shuffle never carries span text") {
     // grep the optimized plan: the only Exchange whose child is the span
     // Generate must key and carry __h/__pos/id — no string span column

@@ -98,6 +98,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Set(("sA", "sB", 2L), ("sA", "sC", 1L), ("sB", "sC", 1L)))
   }
 
+  test("tokenEntropy: hand-computed micro-nat values") {
+    val df = Seq((1L, "a a b b"), (2L, "a b c d"), (3L, "a a a"))
+      .toDF("id", "text")
+    val out = TextAnalysis.tokenEntropy(df, col("id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val h2 = 2 * math.round(0.5 * math.log(2.0) * 1e6) // two p=1/2 types
+    val h4 = 4 * math.round(0.25 * math.log(4.0) * 1e6)
+    assert(out(1L) == ((4L, 2L, h2)))
+    assert(out(2L) == ((4L, 4L, h4)))
+    assert(out(3L) == ((3L, 1L, 0L)), "single-type doc has zero entropy")
+    assert(out(2L)._3 > out(1L)._3, "uniform 4 types beats 2 types")
+  }
+
   test("corpusStats: exact type-7 percentiles per group") {
     // group g: token counts 1,2,3,4,10 -> p50 = 3.0, p90 = 7.6 (type 7)
     val texts = Seq(1, 2, 3, 4, 10).zipWithIndex.map { case (n, i) =>

@@ -125,6 +125,22 @@ class VocabSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
   }
 
+  test("bigramLogProb: hand-computed interpolated model values") {
+    // corpus: "a b" and "a c" -> uni a=2,b=1,c=1 N=4; each bigram count 1
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("id", "text")
+    val out = Vocab.bigramLogProb(df, col("id"), col("text"), 700)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val lp = math.round(math.log(0.7 * 1 / 2.0 + 0.3 * 1 / 4.0) * 1e6)
+    assert(out(1L)._1 == 1L && out(1L)._2 == lp)
+    assert(math.abs(out(1L)._3 - lp / 1e6) < 1e-9)
+    assert(out(1L) == out(2L), "symmetric corpus, symmetric scores")
+    // a doc with a single token has no bigram positions -> absent
+    val short = Vocab.bigramLogProb(
+      Seq((1L, "a b"), (9L, "solo")).toDF("id", "text"), col("id"), col("text"))
+    assert(!short.select("id").as[Long].collect().contains(9L))
+  }
+
   test("vocabCoverage: hand-computed prefix sizes at each target") {
     // counts: a=6, b=3, c=1 (total 10)
     val docs = Seq((1L, "a a a b"), (2L, "a a a b b c")).toDF("id", "text")
