@@ -297,6 +297,48 @@ object SparkEntry {
         col("doc_id"), col("text"), k = 4, w = 5)
     },
 
+    // NEAREST-event join (merge_asof nearest): each purchase to its
+    // closest click within ±3 days, either direction — candidates via the
+    // binned range join, min-|delta| window per purchase.
+    "j10_nearest_event" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("p"))
+      AsOfJoin.nearestWithin(purchases, col("purchase_id"), col("t"),
+          clicks, col("click_id"), col("p"), toleranceUs = 3L * 86400000000L)
+        .withColumnRenamed("delta", "delta_us")
+    },
+
+    // Mono mixdown over REAL stereo PCM decode: 2-channel 16-bit WAVs
+    // built in-plan from doc_id, decoded by javax.sound, mixed by
+    // floor-mean — exact integer aggregates the oracle replays.
+    "m9_wav_mono" -> { (s, dir) =>
+      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      def wle16(c: Column): Column = concat(bh(c), bh(shiftright(c, 8)))
+      def wle32(c: Column): Column =
+        concat(bh(c), bh(shiftright(c, 8)), bh(shiftright(c, 16)), bh(shiftright(c, 24)))
+      val id = col("doc_id")
+      val nFrames = lit(48L) + id % 16
+      val nSamples = nFrames * 2               // stereo: L R interleaved
+      val dataSize = nSamples * 2
+      val sampleHex = array_join(
+        transform(sequence(lit(0L), nSamples - 1), i => {
+          val v = (id * 31 + i * 17) % 2003 - 1001
+          wle16(pmod(v, lit(65536)))
+        }), "")
+      val payload = unhex(concat(
+        lit("52494646"), wle32(dataSize + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), lit("0200"), // stereo
+        wle32(lit(8000)), wle32(lit(32000)), lit("0400"), lit("1000"),
+        lit("64617461"), wle32(dataSize), sampleHex))
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        lit("audio/wav").as("mime"), (dataSize + 44).cast("int").as("n_bytes"),
+        payload.as("payload"))
+      Multimodal.audioMono(Multimodal.asMediaDataset(media)).toDF()
+    },
+
     // Intra-document repetition removal: row-local span dedup (drop
     // within-doc block repeats, stitch back) — a pure projection, the
     // local sibling of d10's corpus-wide pass.
@@ -1491,6 +1533,36 @@ object SparkEntry {
          |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)""".stripMargin,
+
+    // Inequality-join candidates + the same (|delta|, click_id) pick.
+    "j10_nearest_event" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, epoch_us(ts) AS p FROM events
+        |  WHERE event_type = 'click')
+        |SELECT purchase_id, click_id, delta_us FROM (
+        |  SELECT p.purchase_id, c.click_id, c.p - p.t AS delta_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY abs(c.p - p.t), c.click_id) AS rn
+        |  FROM p JOIN c ON c.p >= p.t - 259200000000
+        |              AND c.p <= p.t + 259200000000)
+        |WHERE rn = 1""".stripMargin,
+
+    // Sample formula + interleave + floor-mean replayed in integers
+    // (DuckDB // is floor division = the engine's floorDiv).
+    "m9_wav_mono" ->
+      """SELECT doc_id, CAST(2 AS INT) AS channels,
+        |  CAST(48 + doc_id % 16 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(monos) AS BIGINT) AS mono_sum,
+        |  CAST(list_min(monos) AS INT) AS mono_min,
+        |  CAST(list_max(monos) AS INT) AS mono_max
+        |FROM (
+        |  SELECT doc_id, list_transform(range(0, 48 + doc_id % 16), f ->
+        |    (((doc_id * 31 + (2 * f) * 17) % 2003 - 1001) +
+        |     ((doc_id * 31 + (2 * f + 1) * 17) % 2003 - 1001)) // 2) AS monos
+        |  FROM documents)""".stripMargin,
 
     // Same block split, seen-before list scan, and stitch as the engine's
     // HOFs — all list ops, bit-identical strings.

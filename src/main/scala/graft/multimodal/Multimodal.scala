@@ -395,6 +395,41 @@ object Multimodal {
     })
   }
 
+  case class MonoStats(doc_id: Long, channels: Int, n_frames: Long,
+                       mono_sum: Long, mono_min: Int, mono_max: Int)
+
+  /** Mono mixdown over REAL decoded PCM (javax.sound): per frame, the
+    * TRUNCATED mean of the channel samples (integer division toward
+    * zero — both Java `/` and SQL `//` truncate, so an oracle replays it
+    * in integers; floorDiv does NOT match DuckDB on negative samples).
+    * The standard first DSP step of an audio-training pipeline
+    * (Whisper-style front ends consume mono); emitted as exact integer
+    * aggregates of the mixed signal. Mono inputs pass through unchanged;
+    * undecodable blobs drop.
+    */
+  def audioMono(media: Dataset[MediaRecord]): Dataset[MonoStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWavPcm(r.payload).map { case (c, _, _, samples) =>
+        val nFrames = samples.length / c
+        var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0L
+          var ch = 0
+          while (ch < c) { acc += samples(f * c + ch); ch += 1 }
+          val v = (acc / c).toInt
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          f += 1
+        }
+        if (nFrames == 0) MonoStats(r.doc_id, c, 0L, 0L, 0, 0)
+        else MonoStats(r.doc_id, c, nFrames.toLong, sum, mn, mx)
+      }
+    })
+  }
+
   /** Image metadata extraction over the media table — the real decode step,
     * batched per partition like [[extractFeatures]].
     */

@@ -113,4 +113,41 @@ object AsOfJoin {
 
     resurrected.unionByName(survivors)
   }
+
+  /** NEAREST-event join (pandas `merge_asof(direction='nearest')`
+    * semantics, keyless): for each left row, the single right row with
+    * the smallest |time delta| within ± `toleranceUs`, ties broken on
+    * the right id. Unlike [[asOf]] the match can be on either side of
+    * the left timestamp, so the running-window trick doesn't apply;
+    * instead candidates come from [[ScaleJoins.rangeJoinBinned]] (left
+    * rows become ±tolerance intervals, right rows are the points — one
+    * equi shuffle on the bin id, never a nested loop) and a per-left-row
+    * window picks the minimum. The window partition is bounded by the
+    * candidate count per left row (≤ right-rows within tolerance).
+    *
+    * Timestamps are int64 in one unit (µs in j10). Left rows with no
+    * right row within tolerance drop (inner semantics — the oracle
+    * contract).
+    *
+    * @return (leftId, rightId, delta) — delta = rightTs − leftTs, signed.
+    */
+  def nearestWithin(left: DataFrame, leftId: Column, leftTs: Column,
+                    right: DataFrame, rightId: Column, rightTs: Column,
+                    toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, "tolerance must be >= 0")
+    val lIdName = left.select(leftId).columns.head
+    val rIdName = right.select(rightId).columns.head
+    val iv = left.select(leftId, leftTs.cast("long").as("__t"))
+      .withColumn("__lo", col("__t") - toleranceUs)
+      .withColumn("__hi", col("__t") + toleranceUs + 1) // inclusive both ends
+    val pts = right.select(rightId, rightTs.cast("long").as("__p"))
+    val w = Window.partitionBy(lIdName)
+      .orderBy(abs(col("__p") - col("__t")), col(rIdName))
+    ScaleJoins.rangeJoinBinned(pts, col("__p"), iv, col("__lo"), col("__hi"),
+        binWidth = 2 * toleranceUs + 1)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(lIdName), col(rIdName),
+        (col("__p") - col("__t")).as("delta"))
+  }
 }

@@ -82,4 +82,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of must not plan a pair join:\n$plan")
     assert(plan.contains("Window"), s"expected running-window plan:\n$plan")
   }
+
+  test("nearestWithin: min |delta| either direction, id tiebreak, tolerance drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((100L, 1000L), (200L, 5000L), (300L, 9000L))
+      .toDF("lid", "lts") // 300's nearest candidate is 4002 us away
+    val right = Seq((1L, 990L), (2L, 1008L), (3L, 1012L), (4L, 4998L),
+      (5L, 5002L), (6L, 4002L)).toDF("rid", "rts")
+    val out = AsOfJoin.nearestWithin(left, col("lid"), col("lts"),
+        right, col("rid"), col("rts"), toleranceUs = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    // 100: |990-1000|=10 beats |1008-1000|=8? no — 8 wins -> rid 2, delta +8
+    // 200: 4998 and 5002 tie at |2| -> smaller rid 4 wins, delta -2
+    // 300: nothing within 100us -> dropped
+    assert(out == Set((100L, 2L, 8L), (200L, 4L, -2L)))
+  }
+
+  test("nearestWithin: matches at exactly +/- tolerance are kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 1000L)).toDF("lid", "lts")
+    val right = Seq((7L, 900L), (8L, 1100L)).toDF("rid", "rts")
+    val out = AsOfJoin.nearestWithin(left, col("lid"), col("lts"),
+        right, col("rid"), col("rts"), toleranceUs = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 7L, -100L))) // tie at |100|, smaller rid wins
+  }
 }

@@ -379,6 +379,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavPcm("not audio".getBytes).isEmpty)
   }
 
+  test("audioMono: truncated channel mean, mono pass-through, garbage drops") {
+    val stereo = wavPcm(2, 8000, Seq(10, 20, -7, -8, 5, -4)) // 3 frames
+    val mono = wavPcm(1, 8000, Seq(3, -9, 12))
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "audio/wav", stereo.length, stereo),
+        Multimodal.MediaRecord(2L, "audio/wav", mono.length, mono),
+        Multimodal.MediaRecord(3L, "text/plain", 3, "nah".getBytes))
+      .toDS()
+    val out = Multimodal.audioMono(media).collect().map(s => s.doc_id -> s).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // frames: (10+20)/2=15, (-7-8)/2=-7 (truncation, not floor), (5-4)/2=0
+    val s = out(1L)
+    assert(s.channels == 2 && s.n_frames == 3L)
+    assert(s.mono_sum == 15L - 7L + 0L && s.mono_min == -7 && s.mono_max == 15)
+    val m = out(2L)
+    assert(m.channels == 1 && m.mono_sum == 6L && m.mono_min == -9 && m.mono_max == 12)
+  }
+
   test("audioStats: exact integer sums over real decoded PCM") {
     val good = wavPcm(2, 16000, Seq(10, -20, 30, -40)) // 2 frames stereo
     val media = Seq(
