@@ -400,6 +400,16 @@ object SparkEntry {
         buckets = 1024)
     },
 
+    // Importance RESAMPLING realized: Gumbel-top-k over the t33 weights —
+    // exact p∝w sampling without replacement, deterministic integer keys.
+    "t38_gumbel_sample" -> { (s, dir) =>
+      val w = graft.text.Importance.dsirWeights(Tables.documents(s, dir),
+        col("doc_id"), col("text"), isTarget = col("lang") === "en",
+        buckets = 1024)
+      graft.text.Importance.gumbelTopK(w, col("doc_id"),
+        col("logweight_micro"), k = 100)
+    },
+
     // Point-in-interval RANGE join via the binning decomposition: events
     // against 2-day "campaign windows" (order-keyed arithmetic placement
     // inside the events month — the orders table's own dates predate the
@@ -1648,6 +1658,42 @@ object SparkEntry {
         |  (SELECT unnest([250, 500, 750, 900, 990, 1000]) AS t)
         |WHERE cum * 1000 >= t * tot
         |GROUP BY 1""".stripMargin,
+
+    // t33's weight replay + the same integer Gumbel key and
+    // (key desc, doc_id) boundary.
+    "t38_gumbel_sample" -> {
+      import graft.sim.Ivf.{PickA, PickB, PickP}
+      s"""WITH base AS (
+         |  SELECT doc_id, lang = 'en' AS t,
+         |    ${duckTokenHash("tok")} % 1024 AS b
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split(lower(text), ' ')) AS tok
+         |        FROM documents)),
+         |counts AS (
+         |  SELECT b, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    count(*) AS cr
+         |  FROM base GROUP BY b),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |               CAST(sum(cr) AS BIGINT) AS nr FROM counts),
+         |lr AS (
+         |  SELECT b,
+         |    CAST(round((ln((ct + 1)::DOUBLE / (nt + 1024)) -
+         |                ln((cr + 1)::DOUBLE / (nr + 1024))) * 1e6) AS BIGINT)
+         |      AS lr_micro
+         |  FROM counts, tot),
+         |w AS (
+         |  SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS logweight_micro
+         |  FROM base JOIN lr USING (b)
+         |  GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT doc_id, logweight_micro,
+         |    logweight_micro + CAST(round(-ln(-ln(
+         |      ((((doc_id % $PickP) * $PickA + $PickB) % $PickP % 1000000)::DOUBLE
+         |        + 0.5) / 1e6)) * 1e6) AS BIGINT) AS gumbel_key
+         |  FROM w)
+         |SELECT doc_id, logweight_micro, gumbel_key FROM keyed
+         |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin
+    },
 
     // Bucket models and totals replayed exactly; per-token log-ratios
     // round to integer micro-units on both sides so the per-doc sum is

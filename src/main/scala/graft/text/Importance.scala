@@ -51,4 +51,34 @@ object Importance {
       .agg(count(lit(1)).as("n_tokens"),
         sum("lr_micro").as("logweight_micro"))
   }
+
+  /** Weighted sampling WITHOUT replacement via the Gumbel-max trick —
+    * the statistically correct realization of importance RESAMPLING
+    * (take the k rows with the largest `log w + Gumbel noise`; the
+    * selection distribution is exactly p_i ∝ w_i without replacement).
+    * The "noise" is deterministic: each id's affine hash bucket maps to
+    * `u ∈ (0,1)`, `g = −ln(−ln(u))`, rounded to integer micro-units and
+    * ADDED to the integer micro log-weight — so the ranking key is an
+    * integer, reproducible run-to-run and replayable by a SQL oracle
+    * (no float comparison decides a rank).
+    *
+    * Scale shape: pure projection + global top-k — Spark plans
+    * `orderBy(...).limit(k)` as TakeOrderedAndProject (per-partition
+    * heaps + driver merge of k rows), never a global sort.
+    */
+  def gumbelTopK(df: DataFrame, id: Column, logWeightMicro: Column,
+                 k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import graft.sim.Ivf.{PickA, PickB, PickP}
+    val idName = df.select(id).columns.head
+    // bucket ∈ [0, 1e6); u = (bucket + 0.5)/1e6 keeps u strictly inside
+    // (0,1) so both ln calls are finite
+    val bucket = pmod(pmod(id, lit(PickP)) * PickA + PickB, lit(PickP)) % 1000000L
+    val u = (bucket.cast("double") + 0.5) / 1e6
+    val gumbelMicro = round(-log(-log(u)) * 1e6).cast("long")
+    df.select(id, logWeightMicro.as("logweight_micro"))
+      .withColumn("gumbel_key", col("logweight_micro") + gumbelMicro)
+      .orderBy(col("gumbel_key").desc, col(idName))
+      .limit(k)
+  }
 }

@@ -20,6 +20,25 @@ class ImportanceSpec extends SparkSpec {
     assert(w.size == 5 && w(1L) == w(3L), "same text, same weight")
   }
 
+  test("gumbelTopK: deterministic, honors k, and dominant weights win") {
+    val df = (1L to 200L).map(i => (i, if (i <= 5) 10000000L else -10000000L))
+      .toDF("id", "w")
+    val pick = Importance.gumbelTopK(df, col("id"), col("w"), k = 5)
+      .select("id").as[Long].collect().toSet
+    // 20M micro-units of log-weight dwarf the Gumbel noise (~±3M micro):
+    // the 5 heavy rows must win
+    assert(pick == (1L to 5L).toSet)
+    val again = Importance.gumbelTopK(df, col("id"), col("w"), k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(again == pick, "selection must be reproducible")
+    // equal weights: the Gumbel keys decide, and they are NOT the id order
+    val flat = (1L to 200L).map((_, 0L)).toDF("id", "w")
+    val flatPick = Importance.gumbelTopK(flat, col("id"), col("w"), k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(flatPick != (1L to 5L).toSet, "noise, not id order, must rank ties")
+    assert(flatPick.size == 5)
+  }
+
   test("dsirWeights: n_tokens counts every token and weights are finite sums") {
     val df = Seq((1L, true, "a b c"), (2L, false, "a b c d"))
       .toDF("id", "t", "text")
