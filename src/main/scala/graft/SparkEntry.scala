@@ -298,8 +298,12 @@ object SparkEntry {
     },
 
     // NEAREST-event join (merge_asof nearest): each purchase to its
-    // closest click within ±3 days, either direction — candidates via the
-    // binned range join, min-|delta| window per purchase.
+    // closest click within ±1 hour, either direction — candidates via the
+    // binned range join, min-|delta| window per purchase. The tolerance
+    // IS the candidate-count dial: every right row inside ±tol of a left
+    // row becomes a candidate, so tol must reflect the real association
+    // window (a ±3-day tol over this one-month stream made ~20% of all
+    // clicks a candidate of every purchase — measured 8.7 s vs 0.9 s).
     "j10_nearest_event" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -307,7 +311,7 @@ object SparkEntry {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("p"))
       AsOfJoin.nearestWithin(purchases, col("purchase_id"), col("t"),
-          clicks, col("click_id"), col("p"), toleranceUs = 3L * 86400000000L)
+          clicks, col("click_id"), col("p"), toleranceUs = 3600000000L)
         .withColumnRenamed("delta", "delta_us")
     },
 
@@ -1556,8 +1560,8 @@ object SparkEntry {
         |  SELECT p.purchase_id, c.click_id, c.p - p.t AS delta_us,
         |    row_number() OVER (PARTITION BY p.purchase_id
         |      ORDER BY abs(c.p - p.t), c.click_id) AS rn
-        |  FROM p JOIN c ON c.p >= p.t - 259200000000
-        |              AND c.p <= p.t + 259200000000)
+        |  FROM p JOIN c ON c.p >= p.t - 3600000000
+        |              AND c.p <= p.t + 3600000000)
         |WHERE rn = 1""".stripMargin,
 
     // Sample formula + interleave + floor-mean replayed in integers
