@@ -72,6 +72,19 @@ object SparkEntry {
         threshold = 0.9)
     },
 
+    // ASYMMETRIC containment pairs: probe docs CONTAINED in a corpus doc
+    // (|A∩B|/|A| >= 0.5) — the quote-farm/wrapper dup mode no symmetric
+    // Jaccard threshold catches. Probe-side prefix filter, corpus-side
+    // full inverted index, merge-scan verify.
+    "d15_containment_pairs" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Jaccard.containmentPairs(
+        Jaccard.shingleSets(docs.filter(col("doc_id") % 50 === 0),
+          col("doc_id"), col("text"), 1),
+        Jaccard.shingleSets(docs, col("doc_id"), col("text"), 1),
+        threshold = 0.5)
+    },
+
     // Embedding-cosine near-dup, probe sample vs corpus.
     "d5_embedding_neardup" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -2739,6 +2752,20 @@ object SparkEntry {
         |      (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
         |  FROM probes JOIN corpus ON id_a < id_b)
         |WHERE jaccard >= 0.9""".stripMargin,
+
+    "d15_containment_pairs" ->
+      """WITH probes AS (
+        |  SELECT doc_id AS id_a, list_distinct(string_split(lower(text), ' ')) AS sa
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS id_b, list_distinct(string_split(lower(text), ' ')) AS sb
+        |  FROM documents)
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT id_a, id_b,
+        |    round(len(list_intersect(sa, sb))::DOUBLE / len(sa), 6)
+        |      AS containment
+        |  FROM probes JOIN corpus ON id_a <> id_b)
+        |WHERE containment >= 0.5""".stripMargin,
 
     "d5_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

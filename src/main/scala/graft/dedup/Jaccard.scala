@@ -84,4 +84,54 @@ object Jaccard {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** ASYMMETRIC containment pairs: `C(A,B) = |A∩B| / |A| ≥ threshold` —
+    * probe docs CONTAINED in a corpus doc. The dup mode Jaccard
+    * structurally misses: a paragraph fully embedded in a much larger
+    * page has C ≈ 1 but J ≈ |A|/|B| ≈ 0, so no symmetric threshold
+    * catches it (quote farms, scraped aggregators, boilerplate wrappers).
+    *
+    * Same exact prefix-filter machinery as [[similarPairs]], adapted to
+    * the asymmetry: the probe side keeps only its |A| − ⌈t·|A|⌉ + 1
+    * rarest tokens (if ALL of them miss B, fewer than t·|A| tokens can
+    * match — exact, no recall loss), the corpus side is a full inverted
+    * index (the search-index shape — each corpus token indexed once),
+    * and the only size filter is the one containment admits:
+    * |B| ≥ t·|A|. Candidates verify with the merge-scan intersect.
+    */
+  def containmentPairs(probes: DataFrame, corpus: DataFrame,
+                       threshold: Double): DataFrame = {
+    val pa = probes.select(col("__id").as("id_a"), col("__set").as("set_a")).cache()
+    val pb = corpus.select(col("__id").as("id_b"), col("__set").as("set_b")).cache()
+    val tokenDf = pb.select(explode(col("set_b")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+    val w = Window.partitionBy(col("id_a")).orderBy(col("df"), col("tok"))
+    val ia = pa.select(col("id_a"), size(col("set_a")).as("n_a"),
+        explode(col("set_a")).as("tok"))
+      .join(tokenDf, Seq("tok"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("n_a") - ceil(col("n_a") * threshold - lit(1e-9)) + 1)
+      .select(col("id_a"), col("n_a"), col("tok"))
+    val ib = pb.select(col("id_b"), size(col("set_b")).as("n_b"),
+      explode(col("set_b")).as("tok"))
+
+    val candidates = ia.join(ib,
+        ia("tok") === ib("tok") && col("id_a") =!= col("id_b") &&
+          col("n_b") >= col("n_a") * threshold - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    candidates
+      .join(pa, Seq("id_a"))
+      .join(pb, Seq("id_b"))
+      .withColumn("shared", asColumn(graft.functions.SortedIntersectSize(
+        asExpression(col("set_a")), asExpression(col("set_b")))))
+      .withColumn("containment",
+        round(col("shared").cast("double") / size(col("set_a")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
 }

@@ -128,6 +128,26 @@ class DedupFuzzySpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - 11.0 / 13.0) < 1e-5)
   }
 
+  test("containmentPairs catches subset dups Jaccard structurally misses") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                                  // embedded quote
+      (2L, "alpha beta gamma " + (1 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, (30 to 45).map(i => s"z$i").mkString(" "))).toDF("id", "text")
+    val sets = Jaccard.shingleSets(docs, col("id"), col("text"), 1)
+    val contained = Jaccard.containmentPairs(sets, sets, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(contained.contains((1L, 2L)) && contained((1L, 2L)) == 1.0,
+      "doc 1 fully contained in doc 2")
+    assert(!contained.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!contained.contains((1L, 1L)), "no self pairs")
+    // the symmetric Jaccard of the same pair is 3/23 — invisible at 0.9
+    val j = Jaccard.similarPairs(sets, sets, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(!j.exists(r => r._1 == 1L && r._2 == 2L))
+  }
+
   test("word n-gram shingles (n=3): order-sensitive similarity") {
     // docs 1,2 differ only in the last token: 12 trigrams each, the last
     // one differs on each side -> intersection 11, union 13
