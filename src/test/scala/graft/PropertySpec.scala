@@ -283,6 +283,100 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: winnowing equals a reference implementation on random texts") {
+    // small token alphabet -> plenty of equal gram hashes, so the
+    // rightmost-min tie-break is actually exercised
+    val wordText: Gen[String] = for {
+      n <- Gen.choose(0, 60)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield ws.mkString(" ")
+    val (k, w) = (4, 5)
+    val P = graft.text.TextAnalysis.HashP
+    def tokHash(t: String): Long =
+      t.foldLeft(7L)((a, c) => (a * 131 + c.toInt) % P)
+    def reference(text: String): Set[(Long, Long)] = {
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      if (toks.length < k + w - 1) Set.empty
+      else {
+        val ghs = (0 to toks.length - k).map(i =>
+          toks.slice(i, i + k).foldLeft(0L)((a, t) => (a * 31 + tokHash(t)) % P))
+        (0 to ghs.length - w).flatMap { j =>
+          val win = ghs.slice(j, j + w)
+          val m = win.min
+          val pos = j + win.lastIndexOf(m) // rightmost minimum
+          Some((ghs(pos), pos.toLong))
+        }.toSet
+      }
+    }
+    val texts = samples(wordText, 40).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Winnowing.fingerprints(df, col("doc_id"), col("text"),
+        k, w)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = reference(t)
+      assert(got.getOrElse(i.toLong, Set.empty) == want,
+        s"winnow mismatch on '$t'")
+    }
+  }
+
+  test("property: Count-Min never undercounts any token on random corpora") {
+    val texts = samples(hostileText, 30).filter(_.trim.nonEmpty).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = graft.text.CountMin.heavyHitters(df, col("text"), topK = 10000)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"undercount for token '$t': $est < $exact")
+    }
+  }
+
+  test("property: tokenEntropy equals the closed form on random texts") {
+    val texts = samples(hostileText, 40).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.tokenEntropy(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.toLowerCase.split(" ", -1).toSeq
+      val n = toks.length.toDouble
+      val want = toks.distinct.map { tok =>
+        val p = toks.count(_ == tok) / n
+        math.round(-p * math.log(p) * 1e6)
+      }.sum
+      val (_, nTok, nTyp, h) = got(i.toLong)
+      assert(nTok == toks.length && nTyp == toks.distinct.length)
+      assert(h == want, s"entropy mismatch on '$t': $h vs $want")
+    }
+  }
+
+  test("property: containmentPairs equals the brute force on random corpora") {
+    val wordText: Gen[String] = for {
+      n <- Gen.choose(1, 15)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+    } yield ws.mkString(" ")
+    val texts = samples(wordText, 25).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val sets = graft.dedup.Jaccard.shingleSets(df, col("doc_id"), col("text"), 1)
+    val got = graft.dedup.Jaccard.containmentPairs(sets, sets, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val bags = texts.zipWithIndex
+      .map { case (t, i) => i.toLong -> t.toLowerCase.split(" ", -1).toSet }
+    val want = (for {
+      (ia, sa) <- bags; (ib, sb) <- bags if ia != ib
+      c = (sa & sb).size.toDouble / sa.size
+      if BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.8
+    } yield (ia, ib)).toSet
+    assert(got.keySet == want,
+      s"containment pairs differ: got ${got.keySet}, want $want")
+  }
+
   test("property: native RabinFingerprint equals the HOF formulation on hostile text") {
     val texts = (samples(hostileText, 60) ++ Seq("", " ", "  a  b ", "é 中文 😀"))
       .distinct
