@@ -184,6 +184,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
     },
 
+    // MMR diverse top-10 from a 40-candidate window: one broadcast-query
+    // corpus scan, O(40²) pair grid collapsed to one row, greedy loop as
+    // a single integer-decided aggregate fold — no driver loop.
+    "s10_mmr_diverse" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrSelect(emb, emb.filter(col("vec_id") === 0),
+        k = 10, candidates = 40, lambdaPermille = 700)
+    },
+
     // ANN: LSH-bucketed approximate top-k (the scale path).
     "s2_ann_lsh_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -703,6 +712,15 @@ object SparkEntry {
     "t14_tfidf_topk" -> { (s, dir) =>
       graft.text.Vocab.tfidfTopK(Tables.documents(s, dir), col("doc_id"),
         col("text"), k = 3)
+    },
+
+    // Okapi BM25 top-20 retrieval for a fixed 3-term query: row-local tf
+    // (explode over the QUERY terms, never the corpus token stream),
+    // broadcast idf/avgdl model, integer micro-unit scores so the k-th
+    // boundary is integer-decided.
+    "t39_bm25_topk" -> { (s, dir) =>
+      graft.text.Vocab.bm25TopK(Tables.documents(s, dir), col("doc_id"),
+        col("text"), queryTerms = Seq("spark", "vector", "join"), k = 20)
     },
 
     // REAL binary decode through the contract: build a valid 2×1 24-bit
@@ -2232,6 +2250,43 @@ object SparkEntry {
         |WHERE ng.doc_id % 100 <> 0
         |GROUP BY ng.doc_id""".stripMargin,
 
+    // BM25 replay: identical operand order in the score chain, idf
+    // rounded 6dp first, per-term scores as BIGINT micro-units (integer
+    // sum + integer ranking key). Non-dyadic constants (1.2, 2.2) forced
+    // ::DOUBLE so DuckDB's DECIMAL path never enters; 0.25/0.75 are
+    // dyadic (exact in both engines).
+    "t39_bm25_topk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t,
+        |         len(string_split(lower(text), ' ')) AS len FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(len)::DOUBLE / count(*) AS avgdl
+        |  FROM docs),
+        |dfc AS (
+        |  SELECT token, count(*) AS df FROM (
+        |    SELECT unnest(list_distinct(t)) AS token FROM docs)
+        |  WHERE token IN ('spark', 'vector', 'join') GROUP BY 1),
+        |idf AS (
+        |  SELECT token, round(ln(1.0::DOUBLE + (n - df + 0.5) / (df + 0.5)), 6)
+        |    AS idf
+        |  FROM dfc, stats),
+        |scored AS (
+        |  SELECT x.doc_id,
+        |    CAST(round(idf.idf * (x.tf * 2.2::DOUBLE /
+        |      (x.tf + 1.2::DOUBLE * (0.25 + 0.75 * x.len / stats.avgdl)))
+        |      * 1e6) AS BIGINT) AS s
+        |  FROM (
+        |    SELECT d.doc_id, d.len, q.token,
+        |      len(list_filter(d.t, y -> y = q.token))::DOUBLE AS tf
+        |    FROM docs d,
+        |      (SELECT unnest(['spark', 'vector', 'join']) AS token) q) x
+        |  JOIN idf USING (token), stats
+        |  WHERE x.tf > 0)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_terms_matched,
+        |  CAST(sum(s) AS BIGINT) AS score_micro
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
     "t10_vocab_idf" ->
       """WITH c AS (
         |  SELECT token, count(*) AS df_count FROM (
@@ -2773,6 +2828,46 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id % 10 = 0
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+
+    // MMR replay: same 6dp-rounded cosine micro-units, then the greedy
+    // recurrence as a recursive CTE whose step is a correlated integer
+    // argmax (λp·rel − (1000−λp)·maxsim, ties to smaller id) — every
+    // comparison that decides the output is integer-decided, so the only
+    // cross-engine float surface is the round(cos, 6) both sides already
+    // share with s1.
+    "s10_mmr_diverse" ->
+      """WITH RECURSIVE
+        |qv AS (SELECT embedding::DOUBLE[] AS q, vec_id AS qid
+        |       FROM embeddings WHERE vec_id = 0),
+        |cands AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS u,
+        |    CAST(round(round(list_cosine_similarity(e.embedding::DOUBLE[], qv.q), 6)
+        |      * 1e6) AS BIGINT) AS rel
+        |  FROM embeddings e, qv WHERE e.vec_id <> qv.qid
+        |  ORDER BY rel DESC, e.vec_id LIMIT 40),
+        |sims AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(round(round(list_cosine_similarity(a.u, b.u), 6) * 1e6) AS BIGINT)
+        |      AS sim
+        |  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+        |sel AS (
+        |  SELECT 1 AS step,
+        |    [(SELECT vec_id FROM cands ORDER BY rel DESC, vec_id LIMIT 1)] AS ids
+        |  UNION ALL
+        |  SELECT s.step + 1, list_append(s.ids, (
+        |    SELECT c.vec_id FROM cands c
+        |    WHERE NOT list_contains(s.ids, c.vec_id)
+        |    ORDER BY 700 * c.rel - 300 * (
+        |        SELECT max(x.sim) FROM sims x
+        |        WHERE x.ia = c.vec_id AND list_contains(s.ids, x.ib)) DESC,
+        |      c.vec_id
+        |    LIMIT 1))
+        |  FROM sel s WHERE s.step < 10)
+        |SELECT CAST(t.pos AS INT) AS sel_rank, t.id AS vec_id, c.rel AS rel_micro
+        |FROM (
+        |  SELECT unnest(ids) AS id, unnest(range(1, len(ids) + 1)) AS pos
+        |  FROM (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)) t
+        |JOIN cands c ON c.vec_id = t.id""".stripMargin,
 
     "s1_ann_bruteforce_topk" ->
       """SELECT query_id, neighbor_id, cosine, rank FROM (

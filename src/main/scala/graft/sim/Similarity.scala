@@ -233,4 +233,84 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Maximal-marginal-relevance diverse top-k: greedily select `k` of the
+    * `candidates` most query-relevant documents, each step taking the
+    * candidate maximizing `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` —
+    * the classic redundancy-penalized re-ranker (Carbonell & Goldstein
+    * 1998), and in a curation pipeline the "diverse exemplar selection"
+    * primitive (few-shot pools, eval-set seeding) that plain top-k
+    * (always k near-identical matches) cannot express.
+    *
+    * Engine-exactness: relevance and pairwise similarity ride as
+    * 6dp-rounded cosine MICRO-units, and each greedy step compares
+    * `λp·rel_micro − (1000−λp)·maxsim_micro` — pure integers, ties to the
+    * smaller id, so the whole recurrence is integer-decided (the t38/t16
+    * discipline applied to a greedy loop).
+    *
+    * Scale shape: the corpus is touched ONCE — a broadcast-query cosine
+    * scan feeding a TakeOrderedAndProject top-`candidates` cut. Everything
+    * after is O(candidates²) on a deliberately small set (the re-rank
+    * window): the pair grid builds from two broadcast copies of the
+    * candidate slice, collapses into ONE row (a relevance array + a
+    * similarity map), and the greedy loop runs as a single `aggregate`
+    * HOF fold over that row — no per-step shuffle, no driver loop, no
+    * .collect(). The selection plan is as distributed as its data: k
+    * steps over ≤`candidates` rows is driver-free plan-side logic.
+    */
+  def mmrSelect(corpus: DataFrame, query: DataFrame, k: Int = 10,
+                candidates: Int = 40, lambdaPermille: Int = 700): DataFrame = {
+    require(k >= 1 && candidates >= k, "need candidates >= k >= 1")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      "lambdaPermille in [0, 1000]")
+    val lp = lambdaPermille.toLong
+    val lpInv = (1000 - lambdaPermille).toLong
+    def micro(c: Column): Column = round(round(c, 6) * 1e6).cast("long")
+    val q = broadcast(query.select(asDouble(col("embedding")).as("__q"),
+      col("vec_id").as("__qid")))
+    // one corpus scan: relevance + candidate cut
+    val cands = corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("__qid"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("__u"),
+        micro(cosine(asDouble(col("embedding")), col("__q"))).as("rel_micro"))
+      .orderBy(col("rel_micro").desc, col("vec_id").asc)
+      .limit(candidates)
+    // O(candidates²) pair grid — broadcast × broadcast, never the corpus
+    val a = cands.select(col("vec_id").as("__ia"), col("__u").as("__ua"))
+    val bSide = cands.select(col("vec_id").as("__ib"), col("__u").as("__ub"))
+    val sims = a.join(broadcast(bSide), col("__ia") =!= col("__ib"))
+      .select(concat_ws("_", col("__ia"), col("__ib")).as("__key"),
+        micro(cosine(col("__ua"), col("__ub"))).as("__sim"))
+    val candRow = cands.agg(collect_list(
+      struct(col("vec_id").as("i"), col("rel_micro").as("r"))).as("__cs"))
+    val simRow = sims.agg(map_from_entries(
+      collect_list(struct(col("__key"), col("__sim")))).as("__sm"))
+    // greedy fold: argmax via array_max over struct(score, -id) — integer
+    // lexicographic compare gives max score then min id
+    val one = candRow.crossJoin(broadcast(simRow))
+    val seedSel = array(
+      -array_max(transform(col("__cs"), c =>
+        struct(c.getField("r").as("s"), (-c.getField("i")).as("n"))))
+        .getField("n"))
+    // sequence(2, k) counts DOWN for k=1 (the Vocab.ngrams guard) — the
+    // seed IS the full selection there
+    val selected = if (k == 1) seedSel else aggregate(
+      sequence(lit(2), lit(k)), seedSel,
+      (acc, _) => {
+        val best = array_max(transform(
+          filter(col("__cs"), c => !array_contains(acc, c.getField("i"))),
+          c => {
+            val maxSim = aggregate(acc, lit(Long.MinValue),
+              (m, sid) => greatest(m, coalesce(element_at(col("__sm"),
+                concat_ws("_", c.getField("i"), sid)), lit(Long.MinValue))))
+            struct((lit(lp) * c.getField("r") - lit(lpInv) * maxSim).as("s"),
+              (-c.getField("i")).as("n"))
+          }))
+        concat(acc, array(-best.getField("n")))
+      })
+    one.select(posexplode(selected).as(Seq("__pos", "vec_id")))
+      .select((col("__pos") + 1).cast("int").as("sel_rank"), col("vec_id"))
+      .join(cands.select("vec_id", "rel_micro"), Seq("vec_id"))
+      .select("sel_rank", "vec_id", "rel_micro")
+  }
 }

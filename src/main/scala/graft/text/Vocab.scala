@@ -197,6 +197,75 @@ object Vocab {
       .limit(k)
   }
 
+  /** Okapi BM25 top-k retrieval: score every document against a fixed
+    * query-term list and keep the `k` best — the classic sparse-retrieval
+    * ranker (and, in a curation pipeline, the "find documents about X"
+    * targeted-selection primitive that TF-IDF keyword extraction
+    * ([[tfidfTopK]]) is the per-document dual of).
+    *
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))`
+    * with the Lucene-style non-negative idf `ln(1 + (N − df + ½)/(df + ½))`.
+    *
+    * Engine-exactness: idf rounds 6dp first; each per-term score rides as
+    * integer MICRO-units so the per-doc sum is an order-independent
+    * integer add; ranking orders on `(score_micro DESC, doc_id)` — an
+    * integer key, so no float comparison decides the k-th boundary. All
+    * four BM25 constants enter as decimal-parse literals on BOTH engines
+    * (computing `1 − b` in IEEE yields a different double than parsing
+    * `0.25` — the t18/t37 class of bug).
+    *
+    * Scale shape: query terms are a literal in-plan array (a handful of
+    * strings), so per-(doc, term) tf is ROW-LOCAL — explode over the
+    * QUERY, not the corpus token stream; the corpus never shuffles by
+    * token. The df/avgdl model side is two tiny aggregates (df filtered
+    * to query terms pre-shuffle; avgdl a 1-row broadcast). The only
+    * corpus-keyed exchange is the per-doc score reduce, and the top-k is
+    * TakeOrderedAndProject — per-partition heaps, never a global sort.
+    */
+  def bm25TopK(df: DataFrame, id: Column, text: Column,
+               queryTerms: Seq[String], k: Int = 20,
+               k1Tenths: Int = 12, bHundredths: Int = 75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1 && k1Tenths >= 0 && bHundredths >= 0 && bHundredths <= 100,
+      "k >= 1, k1 >= 0, b in [0, 1]")
+    val idName = df.select(id).columns.head
+    // decimal-parse doubles (never IEEE-derived): k1, k1+1, b, 1-b
+    val k1 = s"${k1Tenths / 10}.${k1Tenths % 10}".toDouble
+    val k1p1 = s"${(k1Tenths + 10) / 10}.${(k1Tenths + 10) % 10}".toDouble
+    val b = s"0.${f"$bHundredths%02d"}".toDouble
+    val bInv = s"0.${f"${100 - bHundredths}%02d"}".toDouble
+    val docs = df.select(id, TextAnalysis.tokens(text).as("__t"))
+      .select(col(idName), col("__t"), size(col("__t")).as("__len"))
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      (sum("__len").cast("double") / count(lit(1))).as("__avgdl"))
+    val dfTab = docs
+      .select(explode(array_distinct(col("__t"))).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy("token").agg(count(lit(1)).as("__df"))
+    val idfTab = dfTab.crossJoin(broadcast(stats))
+      .select(col("token"),
+        round(log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))), 6).as("__idf"))
+    docs
+      .select(col(idName), col("__len"),
+        explode(typedLit(queryTerms)).as("token"), col("__t"))
+      .withColumn("__tf",
+        size(filter(col("__t"), y => y === col("token"))).cast("double"))
+      .filter(col("__tf") > 0)
+      .join(broadcast(idfTab), Seq("token"))
+      .crossJoin(broadcast(stats.select("__avgdl")))
+      .select(col(idName),
+        round(col("__idf") * (col("__tf") * lit(k1p1) /
+          (col("__tf") + lit(k1) * (lit(bInv) +
+            lit(b) * col("__len") / col("__avgdl")))) * 1e6)
+          .cast("long").as("__s_micro"))
+      .groupBy(idName)
+      .agg(count(lit(1)).cast("int").as("n_terms_matched"),
+        sum("__s_micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idName).asc)
+      .limit(k)
+  }
+
   /** Top-k adjacent n-grams by occurrence count, fully ordered
     * (count desc, then n-gram asc) so the k-th boundary is deterministic.
     * Spark executes the order+limit as TakeOrderedAndProject — per-partition

@@ -26,6 +26,32 @@ class SimilaritySpec extends SparkSpec {
     assert(sims((0L, 1L)) > 0.99 && sims((0L, 1L)) < 1.0)
   }
 
+  test("mmrSelect penalizes redundancy: diverse candidate beats the twin; λ=1000 is plain top-k") {
+    // 1 and 2 are identical twins near the query; 3 is diverse at ~45°.
+    // At λ=300 the twin's sim=1.0 penalty outweighs its relevance edge:
+    //   twin:    300·rel(0.99) − 700·1e6        (sim to selected twin = 1)
+    //   diverse: 300·rel(0.71) − 700·sim(0.80)
+    val df = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.98995f, 0.1414f)),
+      (2L, Array(0.98995f, 0.1414f)),
+      (3L, Array(0.7071f, 0.7071f)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0)
+    val mmr = Similarity.mmrSelect(df, q, k = 2, candidates = 3,
+      lambdaPermille = 300)
+      .orderBy("sel_rank").as[(Int, Long, Long)].collect().toList
+    assert(mmr.map(r => (r._1, r._2)) == List((1, 1L), (2, 3L)))
+    val pure = Similarity.mmrSelect(df, q, k = 2, candidates = 3,
+      lambdaPermille = 1000)
+      .orderBy("sel_rank").as[(Int, Long, Long)].collect().toList
+    assert(pure.map(r => (r._1, r._2)) == List((1, 1L), (2, 2L)))
+    val k1 = Similarity.mmrSelect(df, q, k = 1, candidates = 3,
+      lambdaPermille = 300)
+      .as[(Int, Long, Long)].collect().toList
+    assert(k1.map(r => (r._1, r._2)) == List((1, 1L)))
+  }
+
   test("bruteForceTopK ranks by cosine desc, excludes self, breaks ties by id") {
     val top = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 3)
       .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq

@@ -19,6 +19,36 @@ class VocabSpec extends SparkSpec {
     assert(out.map(_._1).toSet == Set("cat", "dog", "bird", "fish"))
   }
 
+  test("bm25TopK: matches the closed form; non-matching docs absent; k truncates") {
+    val df = Seq(
+      (1L, "spark spark join x y"),      // both terms
+      (2L, "spark a b c d e"),           // one term
+      (3L, "nothing here at all"),       // no query terms — must be absent
+      (4L, "join join join join"))       // saturating tf
+      .toDF("doc_id", "text")
+    // N=4, df(spark)=df(join)=2 → idf = round(ln(1 + 2.5/2.5), 6)
+    val idf6 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val avgdl = (5 + 6 + 4 + 4) / 4.0
+    def term(tf: Double, len: Long): Long =
+      math.round(idf6 * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))) * 1e6)
+    val out = Vocab.bm25TopK(df, col("doc_id"), col("text"),
+      queryTerms = Seq("spark", "join"), k = 10)
+      .as[(Long, Int, Long)].collect().toList
+    val expected = List(
+      1L -> (2, term(2, 5) + term(1, 5)),
+      4L -> (1, term(4, 4)),
+      2L -> (1, term(1, 6)))
+      .sortBy { case (id, (_, s)) => (-s, id) }
+      .map { case (id, (n, s)) => (id, n, s) }
+    assert(out == expected)
+    assert(!out.exists(_._1 == 3L))
+    val top1 = Vocab.bm25TopK(df, col("doc_id"), col("text"),
+      queryTerms = Seq("spark", "join"), k = 1)
+      .as[(Long, Int, Long)].collect().toList
+    assert(top1 == expected.take(1))
+  }
+
   test("topNgrams: counts rank correctly; ties break by ngram; short docs yield none") {
     val df = Seq(
       (1L, "a b a b c"),    // bigrams: "a b"×2, "b a", "b c"
