@@ -193,6 +193,25 @@ object SparkEntry {
         k = 10, candidates = 40, lambdaPermille = 700)
     },
 
+    // Hybrid retrieval: RRF fusion of the BM25 top-50 (sparse) with the
+    // dense cosine top-50 for the same query intent — documents and
+    // embeddings share the id domain (FIXTURES.md). Rank-only fusion, so
+    // no score calibration crosses the lists; contributions are integer.
+    "s11_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val sparse = graft.text.Vocab.bm25TopK(docs, col("doc_id"), col("text"),
+          queryTerms = Seq("spark", "vector", "join"), k = 50)
+        .select(col("doc_id").as("id"),
+          row_number().over(Window.orderBy(col("score_micro").desc,
+            col("doc_id").asc)).as("rank"))
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0),
+          emb, k = 50)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(sparse, dense), k = 20)
+    },
+
     // ANN: LSH-bucketed approximate top-k (the scale path).
     "s2_ann_lsh_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -2868,6 +2887,58 @@ object SparkEntry {
         |  SELECT unnest(ids) AS id, unnest(range(1, len(ids) + 1)) AS pos
         |  FROM (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)) t
         |JOIN cands c ON c.vec_id = t.id""".stripMargin,
+
+    // RRF replay: the t39 BM25 pipeline cut at 50 with the same
+    // (score_micro DESC, doc_id) rank order, the s1 dense ranking for
+    // query 0 cut at 50, integer contributions round(1e6/(60+rank)).
+    "s11_hybrid_rrf" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t,
+        |         len(string_split(lower(text), ' ')) AS len FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(len)::DOUBLE / count(*) AS avgdl
+        |  FROM docs),
+        |dfc AS (
+        |  SELECT token, count(*) AS df FROM (
+        |    SELECT unnest(list_distinct(t)) AS token FROM docs)
+        |  WHERE token IN ('spark', 'vector', 'join') GROUP BY 1),
+        |idf AS (
+        |  SELECT token, round(ln(1.0::DOUBLE + (n - df + 0.5) / (df + 0.5)), 6)
+        |    AS idf
+        |  FROM dfc, stats),
+        |scored AS (
+        |  SELECT x.doc_id,
+        |    CAST(round(idf.idf * (x.tf * 2.2::DOUBLE /
+        |      (x.tf + 1.2::DOUBLE * (0.25 + 0.75 * x.len / stats.avgdl)))
+        |      * 1e6) AS BIGINT) AS s
+        |  FROM (
+        |    SELECT d.doc_id, d.len, q.token,
+        |      len(list_filter(d.t, y -> y = q.token))::DOUBLE AS tf
+        |    FROM docs d,
+        |      (SELECT unnest(['spark', 'vector', 'join']) AS token) q) x
+        |  JOIN idf USING (token), stats
+        |  WHERE x.tf > 0),
+        |sparse AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM (
+        |    SELECT doc_id, sum(s) AS score_micro FROM scored GROUP BY doc_id
+        |    ORDER BY score_micro DESC, doc_id LIMIT 50)),
+        |dense AS (
+        |  SELECT id, rank FROM (
+        |    SELECT c.vec_id AS id,
+        |      row_number() OVER (ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                     c.embedding::DOUBLE[]), 6) DESC,
+        |        c.vec_id ASC) AS rank
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id = 0)
+        |  WHERE rank <= 50)
+        |SELECT id, CAST(count(*) AS INT) AS n_lists,
+        |  CAST(sum(CAST(round(1e6 / (60 + rank)) AS BIGINT)) AS BIGINT)
+        |    AS rrf_micro
+        |FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+        |GROUP BY id ORDER BY rrf_micro DESC, id LIMIT 20""".stripMargin,
 
     "s1_ann_bruteforce_topk" ->
       """SELECT query_id, neighbor_id, cosine, rank FROM (

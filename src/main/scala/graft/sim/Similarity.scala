@@ -234,6 +234,35 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse any
+    * number of rankings of the same id space by
+    * `score(id) = Σ_lists 1/(rrfK + rank_list(id))` — the standard
+    * score-free hybrid-retrieval combiner (sparse BM25 + dense ANN being
+    * the canonical pair: RRF needs no score calibration between lists,
+    * only ranks). Ids absent from a list simply contribute nothing.
+    *
+    * Engine-exactness: each contribution rides as
+    * `round(1e6/(rrfK+rank))` — an integer from an integer rank, so the
+    * fused sum and the final ordering are integer-decided.
+    *
+    * Scale shape: inputs are top-N ranking slices (small by
+    * construction); the fuse is one union + one hash aggregate on id +
+    * TakeOrderedAndProject. Each input must carry (`id`, `rank`).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 20,
+              rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && rrfK >= 0,
+      "need rankings, k >= 1, rrfK >= 0")
+    rankings.map(_.select(col("id"),
+        round(lit(1e6) / (lit(rrfK) + col("rank"))).cast("long").as("__c")))
+      .reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        sum("__c").as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Maximal-marginal-relevance diverse top-k: greedily select `k` of the
     * `candidates` most query-relevant documents, each step taking the
     * candidate maximizing `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` —

@@ -377,6 +377,96 @@ class PropertySpec extends SparkSpec {
       s"containment pairs differ: got ${got.keySet}, want $want")
   }
 
+  // --- retrieval stack vs plain Scala references ---------------------------
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("property: bm25TopK equals the brute-force reference on random corpora") {
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    val corpus: Gen[List[String]] = for {
+      n <- Gen.choose(1, 20)
+      ds <- Gen.listOfN(n, for {
+        m <- Gen.choose(0, 12)
+        ws <- Gen.listOfN(m, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield ds
+    // "zz" never occurs: df=0 terms must drop, not crash or score
+    val terms = Seq("aa", "cc", "zz")
+    samples(corpus, 20).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+      val n = docs.size
+      val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+      val dfm = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+      val idf = terms.filter(dfm(_) > 0).map(t =>
+        t -> r6(math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)))).toMap
+      val expected = toks.flatMap { case (id, ts) =>
+        val len = ts.length
+        val parts = terms.filter(idf.contains).flatMap { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf > 0)
+            Some(math.round(idf(t) * (tf * 2.2 /
+              (tf + 1.2 * (0.25 + 0.75 * len / avgdl))) * 1e6))
+          else None
+        }
+        if (parts.isEmpty) None else Some((id, parts.size, parts.sum))
+      }.sortBy { case (id, _, s) => (-s, id) }.take(5).toList
+      val got = graft.text.Vocab.bm25TopK(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), terms, k = 5)
+        .as[(Long, Int, Long)].collect().toList
+      assert(got == expected, s"bm25 diverged on $texts")
+    }
+  }
+
+  test("property: mmrSelect equals the brute-force greedy reference on random vectors") {
+    // integer components, first one nonzero — exact norms, never NaN
+    val vecGen: Gen[Array[Float]] = for {
+      h <- Gen.choose(1, 3)
+      rest <- Gen.listOfN(3, Gen.choose(-3, 3))
+    } yield (h :: rest).map(_.toFloat).toArray
+    val caseGen: Gen[(List[Array[Float]], Int)] = for {
+      n <- Gen.choose(2, 12)
+      vs <- Gen.listOfN(n, vecGen)
+      lp <- Gen.oneOf(0, 300, 700, 1000)
+    } yield (vs, lp)
+    // exact ArrayCosine replica: sequential fold, dot/(sqrt(na)*sqrt(nb))
+    def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(r6(dot / (math.sqrt(na) * math.sqrt(nb))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    samples(caseGen, 15).foreach { case (vs, lp) =>
+      val q = vs.head
+      val cands = vs.tail.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      val k = math.min(4, cands.size)
+      val rel = cands.map { case (id, v) => id -> cosMicro(v, q) }.toMap
+      val byRel = cands.map(_._1).sortBy(id => (-rel(id), id))
+      val expected = scala.collection.mutable.ListBuffer(byRel.head)
+      while (expected.size < k) {
+        val best = cands.map(_._1).filterNot(expected.contains).maxBy { id =>
+          val maxSim = expected.map(s =>
+            cosMicro(cands.find(_._1 == id).get._2,
+              cands.find(_._1 == s).get._2)).max
+          (lp * rel(id) - (1000L - lp) * maxSim, -id)
+        }
+        expected += best
+      }
+      val df = ((0L, q) :: cands.toList).toDF("vec_id", "embedding")
+      val got = graft.sim.Similarity.mmrSelect(df,
+          df.filter(col("vec_id") === 0), k = k, candidates = cands.size,
+          lambdaPermille = lp)
+        .orderBy("sel_rank").as[(Int, Long, Long)].collect().toList
+      assert(got.map(_._2) == expected.toList,
+        s"mmr diverged: got ${got.map(_._2)}, want $expected (lp=$lp)")
+      got.foreach { case (_, id, r) => assert(r == rel(id)) }
+    }
+  }
+
   test("property: native RabinFingerprint equals the HOF formulation on hostile text") {
     val texts = (samples(hostileText, 60) ++ Seq("", " ", "  a  b ", "é 中文 😀"))
       .distinct

@@ -26,6 +26,22 @@ class SimilaritySpec extends SparkSpec {
     assert(sims((0L, 1L)) > 0.99 && sims((0L, 1L)) < 1.0)
   }
 
+  test("rrfFuse: overlap sums, single-list ids survive, ordering integer-decided") {
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val l2 = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    def c(r: Int): Long = math.round(1e6 / (60 + r))
+    val out = Similarity.rrfFuse(Seq(l1, l2), k = 10)
+      .as[(Long, Int, Long)].collect().toList
+    val expected = List(
+      (20L, 2, c(2) + c(1)),  // both lists — top fused
+      (10L, 1, c(1)),
+      (40L, 1, c(2)),
+      (30L, 1, c(3)))
+    assert(out == expected)
+    assert(Similarity.rrfFuse(Seq(l1, l2), k = 2)
+      .as[(Long, Int, Long)].collect().toList == expected.take(2))
+  }
+
   test("mmrSelect penalizes redundancy: diverse candidate beats the twin; λ=1000 is plain top-k") {
     // 1 and 2 are identical twins near the query; 3 is diverse at ~45°.
     // At λ=300 the twin's sim=1.0 penalty outweighs its relevance edge:
