@@ -539,6 +539,14 @@ object SparkEntry {
           "src3" -> 100), defaultPermille = 25)
     },
 
+    // Temperature-flattened (T=2, i.e. sqrt) sampling weights — the
+    // mC4/XLM-R multilingual scheme; integer normalizer so the float sum
+    // never crosses engines, sqrt because IEEE sqrt is correctly rounded.
+    "t40_temperature_mix" -> { (s, dir) =>
+      graft.text.Mixing.temperatureWeights(Tables.documents(s, dir),
+        col("source"), size(TextAnalysis.tokens(col("text"))))
+    },
+
     // Mixture realization with upsampling: unnormalized target/actual
     // rates; floor(rate) copies per doc + one more iff the affine hash
     // bucket clears the fractional part (integer comparisons only).
@@ -1873,6 +1881,34 @@ object SparkEntry {
         |    (SELECT max(target / actual) FROM sh) * 1000000) AS BIGINT)
         |    AS sample_rate_ppm
         |FROM sh""".stripMargin,
+
+    // Temperature replay: same share division, IEEE sqrt (correctly
+    // rounded in both engines — the reason the exponent is 1/2), integer
+    // normalizer z = Σ w_micro so no float sum crosses engines, each
+    // output a single division of exact integer operands.
+    "t40_temperature_mix" ->
+      """WITH agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(len(string_split(lower(text), ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(round(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM agg)
+        |      * 1000000) AS BIGINT) AS actual_share_ppm,
+        |    CAST(round(sqrt(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM agg))
+        |      * 1000000) AS BIGINT) AS w_micro
+        |  FROM agg)
+        |SELECT source, n_docs, n_tokens, actual_share_ppm,
+        |  CASE WHEN (SELECT sum(w_micro) FROM w) > 0 THEN
+        |    CAST(round(w_micro::DOUBLE * 1000000 /
+        |      (SELECT sum(w_micro) FROM w)) AS BIGINT)
+        |  ELSE 0 END AS temp_share_ppm,
+        |  CASE WHEN (SELECT sum(w_micro) FROM w) > 0 AND n_tokens > 0 THEN
+        |    CAST(round(w_micro::DOUBLE * (SELECT sum(n_tokens) FROM agg) /
+        |      ((SELECT sum(w_micro) FROM w)::DOUBLE * n_tokens) * 1000000)
+        |      AS BIGINT)
+        |  ELSE 0 END AS boost_ppm
+        |FROM w""".stripMargin,
 
     // Upsampling realization replay: t18's forced-DOUBLE share pipeline
     // (minus the max normalizer), integer div/mod for the floor/frac

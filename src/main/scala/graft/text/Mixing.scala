@@ -62,6 +62,54 @@ object Mixing {
           .otherwise(lit(0L)).as("sample_rate_ppm"))
   }
 
+  /** Temperature-flattened sampling weights — the mC4/XLM-R multilingual
+    * scheme: `w_s ∝ p_s^(1/T)`, flattening the natural source distribution
+    * so low-resource sources are seen more than their raw share (and
+    * high-resource ones less) without hand-written targets; [[mixWeights]]
+    * is the hand-targeted sibling. The exponent is fixed at 1/2 (T = 2):
+    * IEEE-754 `sqrt` is CORRECTLY ROUNDED in every engine, so the replay
+    * is bit-exact where a general `pow` (allowed >0.5 ulp error, libm-
+    * dependent) would be the t18 class of bug by construction.
+    *
+    * Engine-exactness: the normalizer `z = Σ_s round(√p_s · 1e6)` sums
+    * INTEGERS (a float Σ√p would be partial-order-dependent across
+    * engines and partitions); every emitted ratio is then a single IEEE
+    * division of exact integer operands. `boost_ppm` = temp share over
+    * actual share — the per-source up/down-sampling factor a realization
+    * step ([[realizeMixture]]) would consume.
+    *
+    * Scale shape: one aggregation shuffle keyed on source, then two
+    * broadcast 1-row frames (token total, integer normalizer) — the
+    * [[mixWeights]] plan with sqrt in the middle.
+    */
+  def temperatureWeights(df: DataFrame, source: Column,
+                         nTokens: Column): DataFrame = {
+    val agg = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(nTokens.cast("long")), lit(0L)).as("n_tokens"))
+    val total = agg.agg(sum("n_tokens").as("__tot"))
+    val w = agg.crossJoin(broadcast(total))
+      .withColumn("actual_share_ppm",
+        round(col("n_tokens").cast("double") / col("__tot") * 1e6)
+          .cast("long"))
+      .withColumn("__w",
+        round(sqrt(col("n_tokens").cast("double") / col("__tot")) * 1e6)
+          .cast("long"))
+    val z = w.agg(sum("__w").as("__z"))
+    w.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("actual_share_ppm"),
+        when(col("__z") > 0,
+          round(col("__w").cast("double") * 1e6 / col("__z")).cast("long"))
+          .otherwise(lit(0L)).as("temp_share_ppm"),
+        // guard the zero-mass source (boost would divide by 0) and the
+        // all-zero corpus (z = 0) — explicit 0, never NaN/Infinity
+        when(col("__z") > 0 && col("n_tokens") > 0,
+          round(col("__w").cast("double") * col("__tot") /
+            (col("__z").cast("double") * col("n_tokens")) * 1e6).cast("long"))
+          .otherwise(lit(0L)).as("boost_ppm"))
+  }
+
   /** Exact-mixture realization WITH upsampling — the materialization step
     * when the mixture calls for repeating under-represented sources
     * (epoch-level upweighting à la DoReMi/Gopher data schedules) instead

@@ -24,6 +24,29 @@ class MixingSpec extends SparkSpec {
     assert(out(2) == (("c", 1L, 1000L, 100000L, 500000L, 1000000L)))
   }
 
+  test("temperatureWeights: closed form at T=2; flattening direction; zero-mass source") {
+    // token mass: a=900, b=100, z=0 → p = 0.9/0.1/0; √p̄ flattens 9:1 to 3:1
+    val docs = Seq(("a", 900L), ("b", 100L), ("z", 0L)).toDF("source", "nt")
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val wa = r0(math.sqrt(900.0 / 1000) * 1e6)
+    val wb = r0(math.sqrt(100.0 / 1000) * 1e6)
+    val zn = wa + wb
+    val out = Mixing.temperatureWeights(docs, col("source"), col("nt"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == (("a", 1L, 900L, 900000L,
+      r0(wa.toDouble * 1e6 / zn), r0(wa.toDouble * 1000 / (zn.toDouble * 900) * 1e6))))
+    assert(out(1) == (("b", 1L, 100L, 100000L,
+      r0(wb.toDouble * 1e6 / zn), r0(wb.toDouble * 1000 / (zn.toDouble * 100) * 1e6))))
+    // zero-mass source: all derived columns explicit 0, never NaN
+    assert(out(2) == (("z", 1L, 0L, 0L, 0L, 0L)))
+    // flattening: minority boosted above 1, majority damped below 1
+    assert(out(1)._6 > 1000000L && out(0)._6 < 1000000L)
+    // temperature shares are 3:1 (±1 ppm rounding), vs natural 9:1
+    assert(math.abs(out(0)._5 - 3 * out(1)._5) <= 3)
+  }
+
   test("realizeMixture: integer rates copy exactly; fractional rates follow the hash gate") {
     import graft.sim.Ivf.{PickA, PickB, PickP}
     // token mass: a=100 (share 0.25), b=300 (share 0.75); targets 750/250
