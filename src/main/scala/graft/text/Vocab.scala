@@ -242,10 +242,14 @@ object Vocab {
       .select(explode(array_distinct(col("__t"))).as("token"))
       .filter(col("token").isin(queryTerms: _*))
       .groupBy("token").agg(count(lit(1)).as("__df"))
+    // __avgdl rides inside the broadcast idf table (same value every row)
+    // so the 1-row stats aggregate is referenced ONCE — a second
+    // crossJoin(stats) would re-execute its corpus-count subtree
     val idfTab = dfTab.crossJoin(broadcast(stats))
       .select(col("token"),
         round(log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
-          (col("__df") + lit(0.5))), 6).as("__idf"))
+          (col("__df") + lit(0.5))), 6).as("__idf"),
+        col("__avgdl"))
     docs
       .select(col(idName), col("__len"),
         explode(typedLit(queryTerms)).as("token"), col("__t"))
@@ -253,7 +257,6 @@ object Vocab {
         size(filter(col("__t"), y => y === col("token"))).cast("double"))
       .filter(col("__tf") > 0)
       .join(broadcast(idfTab), Seq("token"))
-      .crossJoin(broadcast(stats.select("__avgdl")))
       .select(col(idName),
         round(col("__idf") * (col("__tf") * lit(k1p1) /
           (col("__tf") + lit(k1) * (lit(bInv) +
