@@ -539,6 +539,22 @@ object SparkEntry {
           "src3" -> 100), defaultPermille = 25)
     },
 
+    // Per-source z-score normalization: integer moments (Σv, Σv² exact),
+    // pinned IEEE chains for mean/var, sqrt correctly rounded, z as ppm.
+    "t42_zscore" -> { (s, dir) =>
+      graft.text.QualityFilters.zscoreNormalize(Tables.documents(s, dir),
+        col("doc_id"), col("source"), size(TextAnalysis.tokens(col("text"))))
+    },
+
+    // Per-source winsorization of token counts at exact p05/p95: Spark's
+    // exact interpolated percentile aggregate (bounded-domain state, the
+    // t12 argument), bounds broadcast back, row-local clip.
+    "t41_winsorize" -> { (s, dir) =>
+      graft.text.QualityFilters.winsorize(Tables.documents(s, dir),
+        col("doc_id"), col("source"), size(TextAnalysis.tokens(col("text"))),
+        loPermille = 50, hiPermille = 950)
+    },
+
     // Temperature-flattened (T=2, i.e. sqrt) sampling weights — the
     // mC4/XLM-R multilingual scheme; integer normalizer so the float sum
     // never crosses engines, sqrt because IEEE sqrt is correctly rounded.
@@ -1881,6 +1897,48 @@ object SparkEntry {
         |    (SELECT max(target / actual) FROM sh) * 1000000) AS BIGINT)
         |    AS sample_rate_ppm
         |FROM sh""".stripMargin,
+
+    // Z-score replay: identical moment chains (s2/c − (s/c)·(s/c), the
+    // operand order pinned), correctly-rounded sqrt, ppm cast; the guard
+    // mirrors Spark's when(std > 0).
+    "t42_zscore" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, count(*) AS c, sum(n) AS s, sum(n*n) AS s2
+        |  FROM d GROUP BY source)
+        |SELECT d.doc_id, d.source, CAST(d.n AS BIGINT) AS n_raw,
+        |  round(s::DOUBLE / c, 6) AS mean_tokens,
+        |  round(sqrt(s2::DOUBLE / c - (s::DOUBLE / c) * (s::DOUBLE / c)), 6)
+        |    AS std_tokens,
+        |  CASE WHEN sqrt(s2::DOUBLE / c - (s::DOUBLE / c) * (s::DOUBLE / c))
+        |            > 0 THEN
+        |    CAST(round((d.n::DOUBLE - s::DOUBLE / c) /
+        |      sqrt(s2::DOUBLE / c - (s::DOUBLE / c) * (s::DOUBLE / c)) * 1e6)
+        |      AS BIGINT)
+        |  ELSE 0 END AS z_ppm
+        |FROM d JOIN m USING (source)""".stripMargin,
+
+    // Winsorize replay: quantile_cont IS Spark's interpolated percentile
+    // (the t12 precedent); clip with the identical greatest(least())
+    // shape; 6dp rounding on every emitted double. A clip DECISION can
+    // only flip cross-engine if an integer count sits within an ulp of
+    // an interpolated bound — interpolation between distinct integers
+    // never produces that.
+    "t41_winsorize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, quantile_cont(n, 0.05) AS plo,
+        |         quantile_cont(n, 0.95) AS phi
+        |  FROM d GROUP BY source)
+        |SELECT d.doc_id, d.source, CAST(d.n AS BIGINT) AS n_raw,
+        |  round(b.plo, 6) AS lo_bound, round(b.phi, 6) AS hi_bound,
+        |  round(greatest(b.plo, least(b.phi, d.n::DOUBLE)), 6)
+        |    AS n_winsorized
+        |FROM d JOIN b USING (source)""".stripMargin,
 
     // Temperature replay: same share division, IEEE sqrt (correctly
     // rounded in both engines — the reason the exponent is 1/2), integer

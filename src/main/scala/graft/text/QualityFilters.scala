@@ -256,4 +256,79 @@ object QualityFilters {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** Per-group winsorization: clip a numeric feature at its group's exact
+    * [lo, hi] percentiles — the robust-scaling step ahead of any
+    * mean/variance statistic an outlier would poison (per-source length
+    * normalization being the curation instance: one 10 M-token document
+    * must not define a source's length profile).
+    *
+    * Percentiles are Spark's EXACT linear-interpolated `percentile`
+    * aggregate (partial-agg state is bounded by the value DOMAIN, not row
+    * count — the [[graft.text.TextAnalysis.corpusStats]] argument; token
+    * counts and quality scores are bounded domains). Bounds broadcast back
+    * as a per-group 2-double frame; the clip is `greatest(lo, least(hi,
+    * v))` row-locally. Emitted doubles round 6dp (the t12 idiom: a clip
+    * DECISION can only flip cross-engine if an integer value sits within
+    * an ulp of an interpolated bound, which interpolation between distinct
+    * integers never produces).
+    */
+  /** Per-group z-score normalization of an integer feature — the
+    * cross-source comparability step ([[winsorize]] clips outliers, this
+    * rescales what remains; a 300-token doc is long for tweets, short for
+    * papers — downstream thresholds want source-relative units).
+    *
+    * Engine-exactness: the group moments ride as INTEGER sums (Σv, Σv²
+    * — value is integer, so both are exact and order-independent;
+    * a float Welford/naive Σ would be partial-order-dependent). Mean and
+    * variance are then fixed chains of IEEE ops on exact integer
+    * operands (`s2/n − (s/n)·(s/n)`, operand order pinned in the oracle),
+    * std is one correctly-rounded sqrt, and z emits as integer ppm.
+    * Degenerate groups (std 0) emit z = 0 explicitly, never NaN.
+    *
+    * Integer-sum domain: Σv² must stay below 2^63 — at 9.2e18 that holds
+    * for any corpus with v ≤ 10⁴ and ≲ 10¹¹ rows per group; beyond that
+    * switch the moment columns to decimal(38,0).
+    *
+    * Scale shape: one aggregation shuffle on the group key (partial
+    * map-side combine), broadcast moments back, row-local z.
+    */
+  def zscoreNormalize(df: DataFrame, id: Column, group: Column,
+                      value: Column): DataFrame = {
+    val idName = df.select(id).columns.head
+    val v = value.cast("long")
+    val m = df.groupBy(group.as("__g")).agg(
+      count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__s2"))
+    val mean = col("__s").cast("double") / col("__n")
+    val variance = col("__s2").cast("double") / col("__n") -
+      (col("__s").cast("double") / col("__n")) *
+      (col("__s").cast("double") / col("__n"))
+    df.select(id, group.as("source"), v.as("n_raw"))
+      .join(broadcast(m), col("source") === col("__g"))
+      .select(col(idName), col("source"), col("n_raw"),
+        round(mean, 6).as("mean_tokens"),
+        round(sqrt(variance), 6).as("std_tokens"),
+        when(sqrt(variance) > 0,
+          round((col("n_raw").cast("double") - mean) / sqrt(variance) * 1e6)
+            .cast("long"))
+          .otherwise(lit(0L)).as("z_ppm"))
+  }
+
+  def winsorize(df: DataFrame, id: Column, group: Column, value: Column,
+                loPermille: Int = 50, hiPermille: Int = 950): DataFrame = {
+    require(loPermille >= 0 && hiPermille <= 1000 && loPermille <= hiPermille,
+      "need 0 <= lo <= hi <= 1000")
+    val idName = df.select(id).columns.head
+    val bounds = df.groupBy(group.as("__grp")).agg(
+      percentile(value, lit(loPermille / 1000.0)).as("__plo"),
+      percentile(value, lit(hiPermille / 1000.0)).as("__phi"))
+    df.select(id, group.as("source"), value.cast("double").as("__v"))
+      .join(broadcast(bounds), col("source") === col("__grp"))
+      .select(col(idName), col("source"),
+        col("__v").cast("long").as("n_raw"),
+        round(col("__plo"), 6).as("lo_bound"),
+        round(col("__phi"), 6).as("hi_bound"),
+        round(greatest(col("__plo"), least(col("__phi"), col("__v"))), 6)
+          .as("n_winsorized"))
+  }
 }

@@ -190,4 +190,49 @@ class QualityFiltersSpec extends SparkSpec {
         trainPermille = 980, validPermille = 50)
     }
   }
+
+  test("zscoreNormalize: closed form from integer moments; constant group emits z=0") {
+    // group a: 2, 4, 6 → mean 4, var (4+16+36)/3 − 16 = 56/3 − 16 = 8/3
+    val df = (Seq((1L, "a", 2), (2L, "a", 4), (3L, "a", 6)) ++
+      Seq((10L, "b", 7), (11L, "b", 7))).toDF("id", "src", "v")
+    val out = QualityFilters.zscoreNormalize(df, col("id"), col("src"), col("v"))
+      .orderBy("id")
+      .as[(Long, String, Long, Double, Double, Long)].collect().toList
+    // exact engine replica: s2/n − (s/n)·(s/n) with s=12, s2=56, n=3
+    val std = math.sqrt(56.0 / 3 - (12.0 / 3) * (12.0 / 3))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ppm(x: Double) =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val a = out.filter(_._2 == "a")
+    assert(a.forall(r => r._4 == 4.0 && r._5 == r6(std)))
+    assert(a.map(_._6) == List(ppm((2 - 4.0) / std * 1e6), 0L,
+      ppm((6 - 4.0) / std * 1e6)))
+    // symmetric inputs give symmetric z
+    assert(a(0)._6 == -a(2)._6)
+    // constant group: std 0 → explicit z = 0, never NaN
+    val b = out.filter(_._2 == "b")
+    assert(b.forall(r => r._5 == 0.0 && r._6 == 0L))
+  }
+
+  test("winsorize: clips at interpolated group percentiles, interior values untouched") {
+    // group a: values 0..10 → p25 = 2.5 (interpolated), p75 = 7.5;
+    // group b: constant 5 → both bounds 5, everything clips to 5
+    val df = ((0 to 10).map(v => (v.toLong, "a", v)) ++
+      Seq((100L, "b", 5), (101L, "b", 5))).toDF("id", "src", "v")
+    val out = QualityFilters.winsorize(df, col("id"), col("src"), col("v"),
+        loPermille = 250, hiPermille = 750)
+      .orderBy("id")
+      .as[(Long, String, Long, Double, Double, Double)].collect().toList
+    val a = out.filter(_._2 == "a")
+    assert(a.forall(r => r._4 == 2.5 && r._5 == 7.5))
+    assert(a.map(_._6) ==
+      List(2.5, 2.5, 2.5, 3.0, 4.0, 5.0, 6.0, 7.0, 7.5, 7.5, 7.5))
+    val b = out.filter(_._2 == "b")
+    assert(b.forall(r => r._4 == 5.0 && r._5 == 5.0 && r._6 == 5.0))
+    intercept[IllegalArgumentException] {
+      QualityFilters.winsorize(df, col("id"), col("src"), col("v"),
+        loPermille = 800, hiPermille = 200)
+    }
+  }
 }
