@@ -563,6 +563,14 @@ object SparkEntry {
         col("source"), size(TextAnalysis.tokens(col("text"))))
     },
 
+    // Key-skew audit over the events stream's user_id — the measurement
+    // that sizes a salt; integer DIV shares, exact percentiles of the
+    // per-key count distribution.
+    "t43_key_skew" -> { (s, dir) =>
+      graft.ops.ScaleJoins.keySkewAudit(Tables.events(s, dir),
+        col("user_id"), topK = 20)
+    },
+
     // Mixture realization with upsampling: unnormalized target/actual
     // rates; floor(rate) copies per doc + one more iff the affine hash
     // bucket clears the fractional part (integer comparisons only).
@@ -1901,6 +1909,31 @@ object SparkEntry {
     // Z-score replay: identical moment chains (s2/c − (s/c)·(s/c), the
     // operand order pinned), correctly-rounded sqrt, ppm cast; the guard
     // mirrors Spark's when(std > 0).
+    // Skew-audit replay: same per-key counts, integer floor-division
+    // shares (// in DuckDB ≡ DIV in Spark for non-negative longs),
+    // quantile_cont over the count distribution, rank by (cnt desc, key).
+    "t43_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id::VARCHAR AS key, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS distinct_keys, sum(cnt) AS total_rows,
+        |         max(cnt) AS max_cnt,
+        |         round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+        |         round(quantile_cont(cnt, 0.99), 6) AS p99_cnt
+        |  FROM c),
+        |top AS (
+        |  SELECT key, cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        |  FROM c ORDER BY cnt DESC, key LIMIT 20)
+        |SELECT top.key, top.cnt, CAST(top.rank AS BIGINT) AS rank,
+        |  CAST(top.cnt * 1000000 // st.total_rows AS BIGINT) AS share_ppm,
+        |  st.distinct_keys, CAST(st.total_rows AS BIGINT) AS total_rows,
+        |  CAST(st.max_cnt * st.distinct_keys * 1000000 // st.total_rows
+        |    AS BIGINT) AS skew_ratio_ppm,
+        |  st.p50_cnt, st.p99_cnt
+        |FROM top, st""".stripMargin,
+
     "t42_zscore" ->
       """WITH d AS (
         |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n

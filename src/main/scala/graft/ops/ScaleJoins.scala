@@ -133,4 +133,46 @@ object ScaleJoins {
         when(swap, col(s"${c}_a")).otherwise(col(s"${c}_b")).as(s"${c}_b")))
     joined.select(bucket.map(col) ++ normalized: _*)
   }
+
+  /** Key-skew audit: the measurement that DECIDES whether [[saltedEquiJoin]]
+    * (or AQE skew handling) is needed at all, and with what salt. One row
+    * per top-`topK` heaviest key — count, integer-ppm share, rank — with
+    * corpus-level skew statistics broadcast onto every row: distinct key
+    * count, total rows, `skew_ratio_ppm` = max/mean in ppm (the "how many
+    * × the average does the hottest key weigh" number that sizes the salt),
+    * and exact p50/p99 of the per-key count distribution.
+    *
+    * Scale shape: one hash-aggregation shuffle on the key (map-side
+    * combine makes the shuffle O(distinct keys), not O(rows)); the stats
+    * pass and the top-k (`TakeOrderedAndProject` — never a global sort)
+    * both run over the already-aggregated per-key counts; stats ride back
+    * as a broadcast 1-row frame. Integer shares use floor division
+    * (`DIV`), exact in any engine; percentiles over per-key counts are
+    * the bounded-domain exact-percentile case (the t12 argument).
+    *
+    * Ties at the top-k boundary break by key order, so the emitted set is
+    * deterministic for any input partitioning.
+    */
+  def keySkewAudit(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("distinct_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"),
+      round(percentile(col("cnt"), lit(0.5)), 6).as("p50_cnt"),
+      round(percentile(col("cnt"), lit(0.99)), 6).as("p99_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key").asc)))
+    top.crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"), col("rank").cast("long").as("rank"),
+        expr("cnt * 1000000 DIV total_rows").as("share_ppm"),
+        col("distinct_keys"), col("total_rows"),
+        expr("max_cnt * distinct_keys * 1000000 DIV total_rows")
+          .as("skew_ratio_ppm"),
+        col("p50_cnt"), col("p99_cnt"))
+  }
 }

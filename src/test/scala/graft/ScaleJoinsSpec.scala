@@ -72,6 +72,32 @@ class ScaleJoinsSpec extends SparkSpec {
       s"binned range join must be an equi join:\n$plan")
   }
 
+  test("keySkewAudit: hand-computed counts, shares, and skew ratio") {
+    // keys: a×6, b×3, c×1 → total 10, distinct 3, mean 10/3, max 6
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val out = ScaleJoins.keySkewAudit(df, col("k"), topK = 2)
+      .orderBy("rank")
+      .select("key", "cnt", "rank", "share_ppm", "distinct_keys",
+        "total_rows", "skew_ratio_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    // topK=2 truncates c; shares are floor(cnt*1e6/10)
+    assert(out == List(
+      ("a", 6L, 1L, 600000L, 3L, 10L, 1800000L),
+      ("b", 3L, 2L, 300000L, 3L, 10L, 1800000L)))
+    // uniform keys → skew ratio exactly 1e6 (max == mean)
+    val uniform = (0 until 8).map(i => (i.toLong, s"k${i % 4}")).toDF("id", "k")
+    val u = ScaleJoins.keySkewAudit(uniform, col("k"), topK = 4)
+      .select("skew_ratio_ppm").distinct().as[Long].collect().toList
+    assert(u == List(1000000L))
+    // tie at the boundary breaks by key order: both b-count keys tie at 3
+    val tied = (Seq.fill(3)("x") ++ Seq.fill(3)("y") ++ Seq.fill(1)("z"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val t = ScaleJoins.keySkewAudit(tied, col("k"), topK = 1)
+      .select("key").as[String].collect().toList
+    assert(t == List("x"))
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val l = Tables.lineitem(spark, "/root/testdata/sf0.001")
