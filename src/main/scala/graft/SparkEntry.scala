@@ -170,6 +170,14 @@ object SparkEntry {
         col("doc_id"), col("text"), spanTokens = 8)
     },
 
+    // Frequency-threshold boilerplate removal: spans in >= 3 distinct
+    // docs are cut EVERYWHERE (first occurrence included) — the corpus's
+    // span rows never shuffle; the tiny boilerplate set broadcasts back.
+    "d16_boilerplate" -> { (s, dir) =>
+      graft.dedup.SpanDedup.removeBoilerplateSpans(Tables.documents(s, dir),
+        col("doc_id"), col("text"), spanTokens = 8, minDocs = 3)
+    },
+
     // Production-scale span dedup: the first-occurrence shuffle carries
     // 8-byte xxhash64 keys instead of span text (~spanTokens× smaller);
     // text rides one un-exploded join shuffle. Must equal d10 exactly.
@@ -2206,6 +2214,32 @@ object SparkEntry {
 
     // The span cut replayed exactly: disjoint 8-token blocks, global
     // first-occurrence winner by (doc_id, pos), per-doc ordered stitch.
+    // Boilerplate replay: same block cut as d10; document frequency via
+    // count(DISTINCT doc_id); NOT IN the heavy set (no NULL hazard — a
+    // span is never NULL); stitch in pos order.
+    "d16_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) > 0),
+        |spans AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos,
+        |         t
+        |  FROM toks),
+        |cut AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(t[(1 + pos*8):(8 + pos*8)], ' ') AS span
+        |  FROM spans),
+        |heavy AS (
+        |  SELECT span FROM (
+        |    SELECT span, count(DISTINCT doc_id) AS df FROM cut GROUP BY 1)
+        |  WHERE df >= 3)
+        |SELECT doc_id,
+        |       string_agg(span, ' ' ORDER BY pos) AS text,
+        |       count(*) AS n_spans
+        |FROM cut WHERE span NOT IN (SELECT span FROM heavy)
+        |GROUP BY doc_id""".stripMargin,
+
     "d10_span_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

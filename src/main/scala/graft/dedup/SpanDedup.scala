@@ -121,6 +121,59 @@ object SpanDedup {
         size(col("__keep")).cast("long").as("n_spans"): _*)
   }
 
+  /** Frequency-threshold boilerplate removal — the CCNet/RefinedWeb
+    * sibling of [[dedupSpans]]: a block occurring in `minDocs` or more
+    * DISTINCT documents is boilerplate (headers, navigation, license
+    * blurbs) and is cut EVERYWHERE — including its first occurrence,
+    * which is exactly where the semantics diverge from C4 keep-first
+    * dedup: no document deserves to keep a cookie banner just for
+    * crawling first. Survivors stitch back in order; a document that was
+    * all boilerplate disappears.
+    *
+    * Scale shape — deliberately NOT the d10 window plan: the corpus's
+    * span rows never shuffle at all. Distinct (span, doc) pairs aggregate
+    * to per-span document frequencies (TWO-level groupBy, each with
+    * map-side partial combine, so the shuffles carry distinct pairs /
+    * distinct spans, not the corpus), the tiny `df >= minDocs` survivor
+    * set broadcasts back, and the span rows take a broadcast LEFT ANTI
+    * hash join (no shuffle, no sort) straight into the per-doc stitch
+    * shuffle. The boilerplate set is small by construction — it is the
+    * stuff that repeats corpus-wide; if a pathological corpus makes it
+    * exceed the broadcast threshold, drop the hint and Spark falls back
+    * to a shuffled anti join with the same semantics.
+    */
+  def removeBoilerplateSpans(df: DataFrame, id: Column, text: Column,
+                             spanTokens: Int = 8, minDocs: Int = 3,
+                             carry: Seq[String] = Nil): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    require(minDocs >= 2, "minDocs < 2 would cut every span")
+    val idName = df.select(id).columns.head
+    val carryCols = carry.map(col)
+    val spans = df
+      .select(id +: carryCols :+ TextAnalysis.tokens(text).as("__toks"): _*)
+      .filter(size(col("__toks")) > 0)
+      .select(col(idName) +: carryCols :+ col("__toks") :+
+        posexplode(sequence(lit(1), size(col("__toks")), lit(spanTokens)))
+          .as(Seq("__pos", "__start")): _*)
+      .select(col(idName) +: carryCols :+
+        col("__pos").cast("long").as("__pos") :+
+        concat_ws(" ", slice(col("__toks"), col("__start"), lit(spanTokens)))
+          .as("__span"): _*)
+    val boilerplate = spans
+      .groupBy(col("__span"), col(idName)).agg(count(lit(1)).as("__dummy"))
+      .groupBy(col("__span")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__span"))
+    spans
+      .join(broadcast(boilerplate), Seq("__span"), "left_anti")
+      .groupBy(col(idName) +: carryCols: _*)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__span")))),
+            x => x.getField("__span")), " ").as("text"),
+        count(lit(1)).as("n_spans"))
+  }
+
   /** INTRA-document repetition removal — the row-local sibling of
     * [[dedupSpans]]: drop every repeat of a block WITHIN its own document
     * (keep the first occurrence), stitch the survivors back in order.

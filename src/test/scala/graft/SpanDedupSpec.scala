@@ -79,6 +79,45 @@ class SpanDedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"row-local pass must not shuffle:\n$plan")
   }
 
+  test("removeBoilerplateSpans: heavy spans cut everywhere, rare spans survive") {
+    val banner = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, banner + " " + (1 to 8).map(i => s"a$i").mkString(" ")),
+      (2L, banner + " " + (1 to 8).map(i => s"b$i").mkString(" ")),
+      (3L, banner),                          // all boilerplate -> vanishes
+      // a block duplicated TWICE in one doc counts once toward df
+      (4L, (1 to 8).map(i => s"d$i").mkString(" ") + " " +
+           (1 to 8).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.removeBoilerplateSpans(docs, col("doc_id"),
+        col("text"), spanTokens = 8, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    // banner hit df=3 -> cut from docs 1,2 and doc 3 vanished; doc 4's
+    // intra-doc repeat has df=1 and keeps BOTH copies (not this op's job)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(out(0)._2 == (1 to 8).map(i => s"a$i").mkString(" "))
+    assert(out(1)._2 == (1 to 8).map(i => s"b$i").mkString(" "))
+    assert(out(2)._3 == 2L)
+    // below threshold (df=2 < 3): nothing is cut
+    val kept = SpanDedup.removeBoilerplateSpans(
+        docs.filter(col("doc_id") =!= 3L), col("doc_id"), col("text"),
+        spanTokens = 8, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(kept(0)._2.startsWith(banner) && kept(1)._2.startsWith(banner))
+    intercept[IllegalArgumentException] {
+      SpanDedup.removeBoilerplateSpans(docs, col("doc_id"), col("text"),
+        minDocs = 1)
+    }
+  }
+
+  test("removeBoilerplateSpans: span rows take a broadcast anti join — no span-key shuffle on the corpus side") {
+    val docs = Tables.documents(spark, sf)
+    val plan = SpanDedup.removeBoilerplateSpans(docs, col("doc_id"),
+      col("text")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"boilerplate set must broadcast into a left anti hash join:\n$plan")
+  }
+
   test("dedupSpansHashed: the window shuffle never carries span text") {
     // grep the optimized plan: the only Exchange whose child is the span
     // Generate must key and carry __h/__pos/id — no string span column
