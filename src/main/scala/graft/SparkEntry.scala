@@ -957,8 +957,64 @@ object SparkEntry {
         })
       Multimodal.frameSample(media, stride = 2).toDF()
         .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
+    },
+
+    // dHash perceptual fingerprint over REAL decoded pixels (lossless PNG
+    // payloads on the canonical 9×8 grid); the oracle replays the pixel
+    // formulas, gray sums, and 64 comparisons bit for bit.
+    "m10_image_dhash" -> { (s, dir) =>
+      Multimodal.imageDHash(imageHashMedia(s, dir)).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("dhash_hi"), col("dhash_lo"))
+    },
+
+    // Image near-dup pairs: the dHash feeds the SAME pigeonhole chunk join
+    // the text SimHash path uses (5 chunks cover hamming <= 4 by the
+    // pigeonhole theorem — structural, not probabilistic). Perturbed
+    // variants of a base image land <= 4 bits apart BY CONSTRUCTION
+    // (dHash locality: k changed pixels flip <= 2k adjacent comparisons);
+    // unrelated bases sit >= 15 apart on this corpus.
+    "d17_image_neardup" -> { (s, dir) =>
+      val fps = Multimodal.imageDHash(imageHashMedia(s, dir)).toDF()
+        .select(col("doc_id").as("__id"),
+          shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo"))
+            .as("simhash"))
+      graft.dedup.SimHash.nearDuplicatePairs(fps, maxHamming = 4)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
     }
   )
+
+  /** Synthetic 9×8 lossless-PNG payloads for the dHash queries: 10-doc
+    * near-dup families by construction — base image `doc_id % 50`, one
+    * perturbed pixel (XOR 128 per channel) at position `(doc_id / 50) %
+    * 72`. The quadratic `i*i*(c + base*k)` channel terms decorrelate the
+    * adjacent-pixel comparisons ACROSS bases (a purely linear formula
+    * makes every base's comparison pattern a phase shift of the same
+    * sawtooth and collapses far-pair distances to 0); measured on this
+    * corpus: same-family pairs ≤ 4 bits apart, cross-family ≥ 15.
+    */
+  private def imageHashMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id % 50
+        val j = (id / 50) % 72
+        val rgb = new Array[Byte](216)
+        var i = 0
+        while (i < 72) {
+          var pb = (base * 7 + i * 13 + i * i * (5 + base * 3)) % 256
+          var pg = (base * 11 + i * 17 + i * i * (3 + base * 5)) % 256
+          var pr = (base * 13 + i * 19 + i * i * (7 + base * 9)) % 256
+          if (i == j) { pb ^= 128; pg ^= 128; pr ^= 128 }
+          rgb(3 * i) = pr.toByte; rgb(3 * i + 1) = pg.toByte
+          rgb(3 * i + 2) = pb.toByte
+          i += 1
+        }
+        val png = Multimodal.encodePng(9, 8, rgb)
+        Multimodal.MediaRecord(id, "image/png", png.length, png)
+      })
+  }
 
   /** 12 deterministic per-pixel multipliers for the m4/m6 synthetic image
     * payloads: pixel k's (r, g, b) = (id * m[3k..3k+2]) % 256, replayed
@@ -2391,6 +2447,85 @@ object SparkEntry {
       """SELECT doc_id, CAST(f AS INT) AS frame_idx, 2 AS width, 2 AS height
         |FROM (SELECT doc_id, unnest(range(3 + doc_id % 3)) AS f FROM documents)
         |WHERE f % 2 = 0""".stripMargin,
+
+    // Bit-exact replay of the dHash pipeline over the synthetic 9×8 PNGs:
+    // the pixel formulas (imageHashMedia), the XOR-128 perturbation at
+    // position j, the integer gray sums, and all 64 adjacent comparisons
+    // — every decision is an integer comparison, so the replay is
+    // engine-exact by construction (no float surface at all). The two
+    // unsigned 32-bit halves are summed as power-of-two BIGINTs with
+    // shifts capped at 31, so neither side ever touches sign bit 63.
+    "m10_image_dhash" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 50 AS b, (doc_id // 50) % 72 AS j,
+        |    unnest(range(72)) AS i
+        |  FROM documents),
+        |chan AS (
+        |  SELECT doc_id, j, i,
+        |    (b*7 + i*13 + i*i*(5 + b*3)) % 256 AS pb,
+        |    (b*11 + i*17 + i*i*(3 + b*5)) % 256 AS pg,
+        |    (b*13 + i*19 + i*i*(7 + b*9)) % 256 AS pr
+        |  FROM base),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i = j THEN xor(pb, 128) + xor(pg, 128) + xor(pr, 128)
+        |         ELSE pb + pg + pr END AS gray
+        |  FROM chan),
+        |bits AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i // 9 >= 4 AND i % 9 < 8 AND nxt > gray
+        |      THEN 1::BIGINT << ((i // 9 - 4) * 8 + i % 9) ELSE 0 END)
+        |      AS BIGINT) AS dhash_hi,
+        |    CAST(sum(CASE WHEN i // 9 < 4 AND i % 9 < 8 AND nxt > gray
+        |      THEN 1::BIGINT << ((i // 9) * 8 + i % 9) ELSE 0 END)
+        |      AS BIGINT) AS dhash_lo
+        |  FROM (SELECT doc_id, i, gray,
+        |          lead(gray) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        |        FROM g)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, 9 AS width, 8 AS height, dhash_hi, dhash_lo
+        |FROM bits""".stripMargin,
+
+    // EXACT pair oracle for the pigeonhole chunk join: with 5 chunks over
+    // 64 bits, any pair within hamming 4 has ≥1 identical chunk (≤4 diffs
+    // into 5 buckets leaves one clean; bits 60-63 fall outside every
+    // 12-bit chunk, so diffs there can only ADD matches) — the candidate
+    // scheme is structurally complete, not probabilistic, and the oracle
+    // may therefore enumerate all qualifying pairs directly.
+    "d17_image_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 50 AS b, (doc_id // 50) % 72 AS j,
+        |    unnest(range(72)) AS i
+        |  FROM documents),
+        |chan AS (
+        |  SELECT doc_id, j, i,
+        |    (b*7 + i*13 + i*i*(5 + b*3)) % 256 AS pb,
+        |    (b*11 + i*17 + i*i*(3 + b*5)) % 256 AS pg,
+        |    (b*13 + i*19 + i*i*(7 + b*9)) % 256 AS pr
+        |  FROM base),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i = j THEN xor(pb, 128) + xor(pg, 128) + xor(pr, 128)
+        |         ELSE pb + pg + pr END AS gray
+        |  FROM chan),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i // 9 >= 4 AND i % 9 < 8 AND nxt > gray
+        |      THEN 1::BIGINT << ((i // 9 - 4) * 8 + i % 9) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN i // 9 < 4 AND i % 9 < 8 AND nxt > gray
+        |      THEN 1::BIGINT << ((i // 9) * 8 + i % 9) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM (SELECT doc_id, i, gray,
+        |          lead(gray) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        |        FROM g)
+        |  GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4"""
+        .stripMargin,
 
     "t14_tfidf_topk" ->
       """WITH toks AS (

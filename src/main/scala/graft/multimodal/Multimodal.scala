@@ -281,6 +281,57 @@ object Multimodal {
     })
   }
 
+  case class ImageHash(doc_id: Long, width: Int, height: Int,
+                       dhash_hi: Long, dhash_lo: Long)
+
+  /** Difference-hash (dHash) perceptual fingerprint over REAL decoded
+    * pixels — the image analog of [[graft.dedup.SimHash]]'s text
+    * fingerprint, and the standard near-dup key for image corpora
+    * (LAION-style curation dedups billions of images on exactly this
+    * family). The image is resampled to the canonical 9×8 dHash grid
+    * (nearest-neighbor — [[resizeRgb]], identity when already 9×8),
+    * grayscaled as the INTEGER channel sum r+g+b (monotone equivalent of
+    * the mean — no division, no rounding), and each of the 64 bits is one
+    * horizontal comparison `gray(x+1,y) > gray(x,y)`, bit `y*8+x`.
+    *
+    * dHash over aHash is deliberate: aHash compares every pixel against
+    * the GLOBAL mean, so one changed pixel shifts the threshold under all
+    * 64 bits; dHash's comparisons are adjacent-local — a k-pixel edit
+    * flips at most 2k bits, which is what makes hamming distance a real
+    * edit metric and the pigeonhole chunk join
+    * ([[graft.dedup.SimHash.nearDuplicatePairs]]) complete over it.
+    *
+    * The 64-bit hash is emitted as two unsigned 32-bit halves so every
+    * engine (and the DuckDB oracle) can replay it without signed-overflow
+    * gymnastics. Batched per partition; undecodable payloads drop.
+    */
+  def imageDHash(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeImage(r.payload).map { case (w, h, rgb) =>
+        val g9 = if (w == 9 && h == 8) rgb else resizeRgb(w, h, rgb, 9, 8)
+        val gs = new Array[Int](72)
+        var i = 0
+        while (i < 72) {
+          gs(i) = (g9(3 * i) & 0xff) + (g9(3 * i + 1) & 0xff) +
+            (g9(3 * i + 2) & 0xff)
+          i += 1
+        }
+        var bits = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gs(y * 9 + x + 1) > gs(y * 9 + x)) bits |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(r.doc_id, w, h, bits >>> 32, bits & 0xffffffffL)
+      }
+    })
+  }
+
   case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
                        bits: Int, n_samples: Long, duration_ms: Long)
 

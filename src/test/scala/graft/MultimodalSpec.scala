@@ -107,6 +107,43 @@ class MultimodalSpec extends SparkSpec {
     assert(px.map(_ & 0xff).toSeq == Seq(20, 21, 22, 40, 41, 42))
   }
 
+  test("imageDHash: hand-computed bits, dHash locality, resize path") {
+    // 9x8 gradient brightening left-to-right: every adjacent comparison is
+    // gray(x+1) > gray(x), so all 64 bits set -> hi = lo = 0xffffffff
+    val grad = Array.tabulate(72 * 3)(k => ((k / 3) % 9 * 20).toByte)
+    val png = Multimodal.encodePng(9, 8, grad)
+    val media = Seq(Multimodal.MediaRecord(1L, "image/png", png.length, png)).toDS()
+    val h = Multimodal.imageDHash(media).collect().head
+    assert(h.width == 9 && h.height == 8)
+    assert(h.dhash_hi == 0xffffffffL && h.dhash_lo == 0xffffffffL)
+
+    // dHash locality: flipping ONE pixel changes at most the 2 comparisons
+    // it participates in (this is the property that makes hamming an edit
+    // metric and the chunk join complete over near-dups)
+    val pert = grad.clone(); pert(3 * 40) = (pert(3 * 40) ^ 0x80).toByte
+    val png2 = Multimodal.encodePng(9, 8, pert)
+    val media2 = Seq(
+      Multimodal.MediaRecord(1L, "image/png", png.length, png),
+      Multimodal.MediaRecord(2L, "image/png", png2.length, png2)).toDS()
+    val hs = Multimodal.imageDHash(media2).collect().sortBy(_.doc_id)
+    val ham = java.lang.Long.bitCount(hs(0).dhash_hi ^ hs(1).dhash_hi) +
+      java.lang.Long.bitCount(hs(0).dhash_lo ^ hs(1).dhash_lo)
+    assert(ham >= 1 && ham <= 2)
+
+    // non-canonical dims route through resizeRgb to the 9x8 grid: an 18x8
+    // horizontal gradient downsamples to a strictly increasing 9-wide row,
+    // reproducing the all-ones hash; undecodable payloads drop
+    val big = Array.tabulate(18 * 8 * 3)(k => ((k / 3) % 18 * 10).toByte)
+    val png3 = Multimodal.encodePng(18, 8, big)
+    val media3 = Seq(
+      Multimodal.MediaRecord(3L, "image/png", png3.length, png3),
+      Multimodal.MediaRecord(4L, "text/plain", 3, "nah".getBytes)).toDS()
+    val h3 = Multimodal.imageDHash(media3).collect()
+    assert(h3.map(_.doc_id).toSeq == Seq(3L))
+    assert(h3.head.width == 18 && h3.head.height == 8)
+    assert(h3.head.dhash_hi == 0xffffffffL && h3.head.dhash_lo == 0xffffffffL)
+  }
+
   test("decodeImage: real PNG/JPEG/GIF decode via ImageIO, BMP via bytes") {
     val rgb = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9).map(_.toByte)
     // PNG is lossless: pixels round-trip exactly through the real codec
