@@ -579,6 +579,36 @@ object SparkEntry {
         col("user_id"), topK = 20)
     },
 
+    // C4 bad-words rule over a neutral synthetic blocklist: 'dup' is rare
+    // (26 occurrences), 'slow' common, 'stale' absent from the corpus —
+    // exercising rare-hit, dominant-hit, and dead-list-entry paths.
+    "t44_blocklist" -> { (s, dir) =>
+      QualityFilters.blocklistFilter(Tables.documents(s, dir),
+        col("doc_id"), col("text"), blocklist = Seq("dup", "slow", "stale"))
+    },
+
+    // URL canonicalization + eTLD+1: URLs synthesized from doc_id (the
+    // documents table carries no url column — same doc_id-derived-payload
+    // convention as the multimodal queries), covering scheme variance,
+    // WWW. case/prefix stripping, a cdn subdomain the normalizer must
+    // KEEP, tracking-param removal with genuine params retained in
+    // original order, and the two-level public-suffix branch (co.uk).
+    "t45_url_domain" -> { (s, dir) =>
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("https")).otherwise(lit("http")), lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        when(id % 5 === 0, lit("cdn.")).otherwise(lit("")),
+        lit("Site"), (id % 37).cast("string"), lit("."),
+        element_at(typedLit(Seq("com", "org", "net", "co.uk")),
+          (id % 4 + 1).cast("int")),
+        lit("/p/"), id.cast("string"),
+        lit("?utm_source=feed&id="), (id % 7).cast("string"), lit("&ref=x"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.web.UrlOps.normalizeUrl(url).as("url_norm"),
+        graft.web.UrlOps.registrableDomain(url).as("domain"))
+    },
+
     // Mixture realization with upsampling: unnormalized target/actual
     // rates; floor(rate) copies per doc + one more iff the affine hash
     // bucket clears the fractional part (integer comparisons only).
@@ -887,34 +917,23 @@ object SparkEntry {
     // PLAN, demuxed by the real chunk walker, every 2nd frame reduced to
     // exact per-channel means the oracle replays.
     "m7_avi_frames" -> { (s, dir) =>
-      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
-      def wle32(c: Column): Column =
-        concat(bh(c), bh(shiftright(c, 8)), bh(shiftright(c, 16)), bh(shiftright(c, 24)))
-      val id = col("doc_id")
-      val n = lit(3L) + id % 3
-      val framesHex = array_join(transform(sequence(lit(0L), n - 1), f =>
-        concat(lit("30306462"), lit("08000000"),          // '00db', size 8
-          bh(id * 13 + f * 19), bh(id * 7 + f * 23), bh(id + f * 29),
-          bh(id * 17 + f * 19), bh(id * 11 + f * 23), bh(id * 3 + f * 29),
-          lit("0000"))), "")                              // row pad to 8
-      val payload = unhex(concat(
-        lit("52494646"), wle32(lit(92L) + n * 16), lit("41564920"),
-        lit("4C495354"), lit("44000000"), lit("6864726C"),   // LIST 68 hdrl
-        lit("61766968"), lit("38000000"),                    // avih 56
-        lit("409C0000"), lit("000000000000000000000000"),    // usec/frame, 3 zeros
-        wle32(n), lit("00000000"), lit("01000000"), lit("00000000"),
-        lit("02000000"), lit("01000000"),                    // w=2, h=1
-        lit("00000000000000000000000000000000"),             // 4 reserved
-        lit("4C495354"), wle32(lit(4L) + n * 16), lit("6D6F7669"), // LIST movi
-        framesHex))
-      val media = Tables.documents(s, dir).select(col("doc_id"),
-        lit("video/avi").as("mime"), (lit(100L) + n * 16).cast("int").as("n_bytes"),
-        payload.as("payload"))
-      Multimodal.frameSample(Multimodal.asMediaDataset(media), stride = 2).toDF()
+      Multimodal.frameSample(aviDibMedia(s, dir), stride = 2).toDF()
         .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
           round(col("mean_r").cast("double"), 6).as("mean_r"),
           round(col("mean_g").cast("double"), 6).as("mean_g"),
           round(col("mean_b").cast("double"), 6).as("mean_b"))
+    },
+
+    // Shot-boundary detection over the same REAL-demuxed uncompressed AVI
+    // clips as m7: per-frame SAD to the predecessor, cut flag at >= 400.
+    // The channel formulas step by +19/+23/+29 per frame, so each of the 6
+    // per-channel deltas is either the step or its 256-wraparound
+    // complement — the threshold separates "<= 1 wraparound" from ">= 2",
+    // populating both classes; every quantity is an integer.
+    "m11_frame_delta" -> { (s, dir) =>
+      Multimodal.frameDelta(aviDibMedia(s, dir), cutThreshold = 400L).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("sad"), col("is_cut"))
     },
 
     // REAL decode -> nearest-neighbor resize -> PNG re-encode -> decode
@@ -984,6 +1003,38 @@ object SparkEntry {
           col("hamming").cast("long").as("hamming"))
     }
   )
+
+  /** Synthetic RIFF/AVI payloads for m7/m11: 3 + id%3 uncompressed `00db`
+    * DIB frames of a 2×1 clip, every byte derived from (doc_id, frame) by
+    * the affine formulas the oracles replay; assembled as hex column
+    * expressions (unhex at the end) so the builder itself is a pure
+    * codegen'd projection.
+    */
+  private def aviDibMedia(s: SparkSession, dir: String) = {
+    def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+    def wle32(c: Column): Column =
+      concat(bh(c), bh(shiftright(c, 8)), bh(shiftright(c, 16)), bh(shiftright(c, 24)))
+    val id = col("doc_id")
+    val n = lit(3L) + id % 3
+    val framesHex = array_join(transform(sequence(lit(0L), n - 1), f =>
+      concat(lit("30306462"), lit("08000000"),          // '00db', size 8
+        bh(id * 13 + f * 19), bh(id * 7 + f * 23), bh(id + f * 29),
+        bh(id * 17 + f * 19), bh(id * 11 + f * 23), bh(id * 3 + f * 29),
+        lit("0000"))), "")                              // row pad to 8
+    val payload = unhex(concat(
+      lit("52494646"), wle32(lit(92L) + n * 16), lit("41564920"),
+      lit("4C495354"), lit("44000000"), lit("6864726C"),   // LIST 68 hdrl
+      lit("61766968"), lit("38000000"),                    // avih 56
+      lit("409C0000"), lit("000000000000000000000000"),    // usec/frame, 3 zeros
+      wle32(n), lit("00000000"), lit("01000000"), lit("00000000"),
+      lit("02000000"), lit("01000000"),                    // w=2, h=1
+      lit("00000000000000000000000000000000"),             // 4 reserved
+      lit("4C495354"), wle32(lit(4L) + n * 16), lit("6D6F7669"), // LIST movi
+      framesHex))
+    Multimodal.asMediaDataset(Tables.documents(s, dir).select(col("doc_id"),
+      lit("video/avi").as("mime"), (lit(100L) + n * 16).cast("int").as("n_bytes"),
+      payload.as("payload")))
+  }
 
   /** Synthetic 9×8 lossless-PNG payloads for the dHash queries: 10-doc
     * near-dup families by construction — base image `doc_id % 50`, one
@@ -1998,6 +2049,58 @@ object SparkEntry {
         |  st.p50_cnt, st.p99_cnt
         |FROM top, st""".stripMargin,
 
+    "t44_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['dup', 'slow', 'stale'], t))) AS BIGINT)
+        |    AS n_hits,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['dup', 'slow', 'stale'], t))) = 0 AS keep
+        |FROM documents""".stripMargin,
+
+    // Replays BOTH the doc_id-derived URL synthesis and the normalization:
+    // scheme strip, host lowercase + www strip, tracking-param filter with
+    // original order retained, eTLD+1 with the two-level-suffix branch.
+    // Pure string/regex surface — RE2 patterns identical on both engines.
+    "t45_url_domain" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) ||
+        |    '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END) ||
+        |    'Site' || (doc_id % 37) || '.' ||
+        |    (['com','org','net','co.uk'])[CAST(doc_id % 4 + 1 AS INT)] ||
+        |    '/p/' || doc_id || '?utm_source=feed&id=' || (doc_id % 7) ||
+        |    '&ref=x' AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(
+        |      regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+        |      '^([^/?#]+)', 1)), '^www\.', '') AS host,
+        |    regexp_replace(regexp_replace(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/?#]+', '') AS rest
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, host,
+        |    regexp_extract(rest, '^([^?#]*)', 1) AS path,
+        |    list_filter(string_split(regexp_extract(rest, '\?([^#]*)', 1),
+        |        '&'),
+        |      p -> len(p) > 0 AND
+        |        NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))
+        |      AS kept,
+        |    string_split(host, '.') AS l
+        |  FROM h)
+        |SELECT doc_id,
+        |  host || path || (CASE WHEN len(kept) > 0
+        |    THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url_norm,
+        |  CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1])
+        |      IN ('co.uk', 'co.jp', 'com.au', 'co.nz')
+        |    THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+        |    ELSE l[-2] || '.' || l[-1] END AS domain
+        |FROM q""".stripMargin,
+
     "t42_zscore" ->
       """WITH d AS (
         |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n
@@ -2447,6 +2550,29 @@ object SparkEntry {
       """SELECT doc_id, CAST(f AS INT) AS frame_idx, 2 AS width, 2 AS height
         |FROM (SELECT doc_id, unnest(range(3 + doc_id % 3)) AS f FROM documents)
         |WHERE f % 2 = 0""".stripMargin,
+
+    // Integer replay of the shot detector: the six per-channel affine
+    // formulas, lag per (doc, frame), |delta| sums, threshold at 400.
+    // Channel ORDER differs from the decoded RGB frame (file order is
+    // BGR) but SAD sums all six — order-invariant by construction.
+    "m11_frame_delta" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(3 + doc_id % 3)) AS f FROM documents),
+        |ch AS (
+        |  SELECT doc_id, f,
+        |    (doc_id*13 + f*19) % 256 AS c1, (doc_id*7 + f*23) % 256 AS c2,
+        |    (doc_id + f*29) % 256 AS c3, (doc_id*17 + f*19) % 256 AS c4,
+        |    (doc_id*11 + f*23) % 256 AS c5, (doc_id*3 + f*29) % 256 AS c6
+        |  FROM fr),
+        |d AS (
+        |  SELECT doc_id, f,
+        |    abs(c1 - lag(c1) OVER w) + abs(c2 - lag(c2) OVER w) +
+        |    abs(c3 - lag(c3) OVER w) + abs(c4 - lag(c4) OVER w) +
+        |    abs(c5 - lag(c5) OVER w) + abs(c6 - lag(c6) OVER w) AS sad
+        |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY f))
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, 2 AS width,
+        |  1 AS height, CAST(sad AS BIGINT) AS sad, sad >= 400 AS is_cut
+        |FROM d WHERE sad IS NOT NULL""".stripMargin,
 
     // Bit-exact replay of the dHash pipeline over the synthetic 9×8 PNGs:
     // the pixel formulas (imageHashMedia), the XOR-128 perturbation at

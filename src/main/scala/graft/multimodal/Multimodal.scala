@@ -732,6 +732,40 @@ object Multimodal {
     })
   }
 
+  case class FrameDelta(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                        sad: Long, is_cut: Boolean)
+
+  /** Shot-boundary detection — the standard video-curation cut detector:
+    * per consecutive decoded frame pair, the SAD (sum of absolute channel
+    * differences over every pixel — integer, exactly replayable), flagged
+    * `is_cut` when it clears `cutThreshold`. Frame `frame_idx` carries the
+    * delta to its PREDECESSOR, so frame 0 never appears and a k-frame clip
+    * emits k-1 rows.
+    *
+    * Scale shape: one document's frames live inside one task (the demuxed
+    * payload is already partition-local), so the pairwise pass is a
+    * row-local loop — no shuffle, no state across documents; the scan's
+    * partitioning is the parallelism, same contract as [[frameSample]].
+    * Non-AVI / codec-compressed / corrupt payloads drop wholesale.
+    */
+  def frameDelta(media: Dataset[MediaRecord],
+                 cutThreshold: Long): Dataset[FrameDelta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      demuxAvi(r.payload).toSeq.flatMap { case (w, h, frames) =>
+        (1 until frames.length).map { idx =>
+          val a = frames(idx - 1); val b = frames(idx)
+          var sad = 0L
+          var k = 0
+          while (k < a.length) {
+            sad += math.abs((b(k) & 0xff) - (a(k) & 0xff)); k += 1
+          }
+          FrameDelta(r.doc_id, idx, w, h, sad, sad >= cutThreshold)
+        }
+      }
+    })
+  }
+
   /** Typed view of [[packDocuments]] output. */
   def asMediaDataset(df: DataFrame): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._

@@ -86,6 +86,25 @@ object QualityFilters {
           .when(col("punct_ratio") > maxPunctRatio, "high_punct"))
   }
 
+  /** C4-style blocklist filter (Raffel et al. 2020 §2.2's bad-words rule,
+    * list-agnostic): a document is DROPPED when any token appears in the
+    * blocklist. Emits the evidence (`n_hits` counts token OCCURRENCES, not
+    * distinct terms) alongside the verdict so downstream audits can rank
+    * borderline documents without a re-scan.
+    *
+    * The list rides as a literal array into one codegen'd `filter` HOF —
+    * no join, no shuffle, O(n·|B|) per row. At realistic list sizes
+    * (≲ 10³ terms) that beats broadcasting a table and exploding tokens,
+    * which pays a Generate + hash probe per token; past ~10⁴ terms switch
+    * to a broadcast semi join on exploded tokens instead.
+    */
+  def blocklistFilter(df: DataFrame, id: Column, text: Column,
+                      blocklist: Seq[String]): DataFrame = {
+    val bl = typedLit(blocklist.map(_.toLowerCase))
+    val hits = size(filter(tokens(text), t => array_contains(bl, t)))
+    df.select(id, hits.cast("long").as("n_hits"), (hits === 0).as("keep"))
+  }
+
   /** Deterministic keyed sampling: a document is kept iff
     * `rabinKarpHash(key) mod 1000 < rate(stratum) * 1000`. Engine-neutral
     * (the hash is [[TextAnalysis.tokenHash]] over the key rendered as a

@@ -1,0 +1,73 @@
+package graft.web
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registrable-domain extraction — the web-corpus
+  * curation front end (CCNet, C4, RefinedWeb all key dedup and per-site
+  * quality decisions on a normalized URL / eTLD+1, not the raw string).
+  *
+  * Everything here is a pure column projection over codegen'd built-ins
+  * (regexp_extract/replace + array HOFs) — zero UDFs, zero shuffles; the
+  * scan's partitioning is the parallelism. Patterns are kept to the regex
+  * subset Java (Spark) and RE2 (DuckDB/oracle) implement identically:
+  * character classes, anchors, alternation — no backreferences, no
+  * lookaround.
+  *
+  * Normalization steps (each one a documented curation convention):
+  *  - scheme stripped (http/https dedup to the same page);
+  *  - host lowercased (DNS is case-insensitive), leading `www.` dropped;
+  *  - tracking parameters removed (`utm_*`, `ref`, `fbclid`, `gclid` —
+  *    the standard click-tracking noise that makes one page look like
+  *    thousands); remaining parameters keep their ORIGINAL order — no
+  *    re-sort, so two URLs differing in genuine param order stay distinct;
+  *  - path and fragment-free query reassembled verbatim.
+  *
+  * Registrable domain ([[registrableDomain]]) is the eTLD+1: the public
+  * suffix plus one label. The real public-suffix list is thousands of
+  * entries maintained by Mozilla; the MECHANISM — longest-matching suffix
+  * against a set, then one more label — is what matters here, so the
+  * suffix set is a caller-supplied parameter defaulting to the common
+  * two-level suffixes. Swap in the full PSL as `twoLevelSuffixes` for
+  * production; the plan shape does not change (the set is a literal array
+  * probed per row).
+  */
+object UrlOps {
+
+  /** Tracking parameters dropped by [[normalizeUrl]]. */
+  val TrackingParamPattern = "^(utm_[^=]*|ref|fbclid|gclid)="
+
+  private def hostOf(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    regexp_replace(lower(regexp_extract(noScheme, "^([^/?#]+)", 1)), "^www\\.", "")
+  }
+
+  /** Canonical form: lowercased www-less host + path + tracking-stripped
+    * query (original param order), scheme and fragment dropped.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val rest = regexp_replace(noScheme, "^[^/?#]+", "")
+    val path = regexp_extract(rest, "^([^?#]*)", 1)
+    val qs = regexp_extract(rest, "\\?([^#]*)", 1)
+    val kept = filter(split(qs, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamPattern))
+    val qnorm = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    concat(hostOf(url), path, qnorm)
+  }
+
+  /** eTLD+1: last two host labels, or last three when the last two form a
+    * listed two-level public suffix (`co.uk` and friends).
+    */
+  def registrableDomain(url: Column,
+                        twoLevelSuffixes: Seq[String] =
+                          Seq("co.uk", "co.jp", "com.au", "co.nz")): Column = {
+    val labels = split(hostOf(url), "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(n >= 3 && lastTwo.isin(twoLevelSuffixes: _*),
+        concat_ws(".", element_at(labels, -3), lastTwo))
+      .otherwise(lastTwo)
+  }
+}

@@ -223,6 +223,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).mean_r == 140f && out(1).mean_g == 130f && out(1).mean_b == 120f)
   }
 
+  test("frameDelta: hand-computed SAD, threshold edge, one row per pair") {
+    def frame(b0: Int, g0: Int, r0: Int, b1: Int, g1: Int, r1: Int) =
+      Array(b0, g0, r0, b1, g1, r1, 0, 0).map(_.toByte)
+    val payload = avi(2, 1, Seq(
+      frame(10, 20, 30, 50, 60, 70),
+      frame(10, 20, 30, 50, 60, 70),      // identical -> sad 0
+      frame(20, 20, 30, 50, 60, 75),      // |10|+0+0+0+0+|5| = 15
+      frame(0, 255, 30, 50, 60, 75)))     // |20|+|235| = 255
+    val media = Seq(Multimodal.MediaRecord(7L, "video/avi", payload.length, payload))
+      .toDS()
+    val out = Multimodal.frameDelta(media, cutThreshold = 15L)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(1, 2, 3)) // k frames -> k-1 rows
+    assert(out.map(_.sad).toSeq == Seq(0L, 15L, 255L))
+    // threshold is >=: the sad-15 row IS a cut at threshold 15
+    assert(out.map(_.is_cut).toSeq == Seq(false, true, true))
+    // undecodable payloads drop wholesale
+    val junk = Seq(Multimodal.MediaRecord(8L, "video/avi", 4, "junk".getBytes)).toDS()
+    assert(Multimodal.frameDelta(junk, 1L).collect().isEmpty)
+  }
+
   test("frameSample: MJPG 00dc frames decode via ImageIO, near source colors") {
     // three 2x2 solid-color frames with distinct dominant channels; JPEG is
     // lossy, so structure is exact and pixel means are tolerance-checked

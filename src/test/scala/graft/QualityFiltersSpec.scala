@@ -42,6 +42,19 @@ class QualityFiltersSpec extends SparkSpec {
       Some("low_diversity"), Some("low_stopword"), None))
   }
 
+  test("blocklistFilter: occurrence counts, case folding, clean docs keep") {
+    val out = QualityFilters.blocklistFilter(
+      docs(
+        1 -> "BAD word bad again",  // 'bad' twice (case-folded)
+        2 -> "all clean here",
+        3 -> "bad",                 // single hit
+        4 -> "badge bads embad"),   // substrings do NOT match tokens
+      col("doc_id"), col("text"), blocklist = Seq("BAD", "worse"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("n_hits"), r.getAs[Boolean]("keep"))).toSeq ==
+      Seq((2L, false), (0L, true), (1L, false), (0L, true)))
+  }
+
   test("stratifiedHashSample: deterministic, respects per-stratum rates") {
     val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
