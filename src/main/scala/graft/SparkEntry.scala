@@ -609,6 +609,27 @@ object SparkEntry {
         graft.web.UrlOps.registrableDomain(url).as("domain"))
     },
 
+    // Snapshot diff between two ingest runs: the "new" run drops ids
+    // %17==0 (removed), rewrites text for %13==0 (changed), and lands
+    // fresh ids 100000+id for %29==0 (added); everything else matches on
+    // the md5 content fingerprint (engine-neutral: Spark and DuckDB both
+    // emit lowercase hex md5). id 0 exercises removed AND its 100000
+    // offspring added in one diff.
+    "d19_snapshot_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def fp(text: Column): Column = md5(text.cast("binary"))
+      val oldSnap = docs.select(col("doc_id"), fp(col("text")).as("fp"))
+      val newSnap = docs
+        .filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          fp(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+        .unionAll(docs.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            fp(concat(lit("new "), col("text"))).as("fp")))
+      Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+    },
+
     // Mixture realization with upsampling: unnormalized target/actual
     // rates; floor(rate) copies per doc + one more iff the affine hash
     // bucket clears the fractional part (integer comparisons only).
@@ -889,27 +910,17 @@ object SparkEntry {
     // built byte-by-byte IN THE PLAN (unhex of expression-generated hex),
     // decoded by AudioSystem, reduced to exact integer sums.
     "m5_wav_pcm" -> { (s, dir) =>
-      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
-      def wle16(c: Column): Column = concat(bh(c), bh(shiftright(c, 8)))
-      def wle32(c: Column): Column =
-        concat(bh(c), bh(shiftright(c, 8)), bh(shiftright(c, 16)), bh(shiftright(c, 24)))
-      val id = col("doc_id")
-      val n = lit(64L) + id % 32
-      val dataSize = n * 2
-      val sampleHex = array_join(
-        transform(sequence(lit(0L), n - 1), i => {
-          val v = (id * 31 + i * 17) % 2003 - 1001
-          wle16(pmod(v, lit(65536)))   // two's-complement 16-bit LE
-        }), "")
-      val payload = unhex(concat(
-        lit("52494646"), wle32(dataSize + 36), lit("57415645"),
-        lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
-        wle32(lit(8000)), wle32(lit(16000)), lit("0200"), lit("1000"),
-        lit("64617461"), wle32(dataSize), sampleHex))
-      val media = Tables.documents(s, dir).select(col("doc_id"),
-        lit("audio/wav").as("mime"), (dataSize + 44).cast("int").as("n_bytes"),
-        payload.as("payload"))
-      Multimodal.audioStats(Multimodal.asMediaDataset(media)).toDF()
+      Multimodal.audioStats(wavPcmMedia(s, dir)).toDF()
+    },
+
+    // Windowed loudness metering over the same REAL-decoded mono PCM as
+    // m5: 16-sample windows, exact integer |amplitude| sums, low-energy
+    // flag at < 8000 (the per-window expectation of the ~uniform[-1001,
+    // 1001] sample formula — splits near the median, and the final
+    // partial window, emitted with its true n_samples, lands low).
+    "m12_audio_energy" -> { (s, dir) =>
+      Multimodal.audioEnergyWindows(wavPcmMedia(s, dir),
+        windowSize = 16, lowThreshold = 8000L).toDF()
     },
 
     // REAL video demux + frame sampling: a RIFF/AVI per doc with 3 + id%3
@@ -1003,6 +1014,34 @@ object SparkEntry {
           col("hamming").cast("long").as("hamming"))
     }
   )
+
+  /** Synthetic RIFF/WAVE payloads for m5/m12: 64 + id%32 mono 16-bit
+    * 8 kHz PCM samples `(id·31 + i·17) % 2003 − 1001`, two's-complement
+    * little-endian, assembled as hex column expressions and replayed
+    * sample-for-sample by the oracles.
+    */
+  private def wavPcmMedia(s: SparkSession, dir: String) = {
+    def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+    def wle16(c: Column): Column = concat(bh(c), bh(shiftright(c, 8)))
+    def wle32(c: Column): Column =
+      concat(bh(c), bh(shiftright(c, 8)), bh(shiftright(c, 16)), bh(shiftright(c, 24)))
+    val id = col("doc_id")
+    val n = lit(64L) + id % 32
+    val dataSize = n * 2
+    val sampleHex = array_join(
+      transform(sequence(lit(0L), n - 1), i => {
+        val v = (id * 31 + i * 17) % 2003 - 1001
+        wle16(pmod(v, lit(65536)))   // two's-complement 16-bit LE
+      }), "")
+    val payload = unhex(concat(
+      lit("52494646"), wle32(dataSize + 36), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+      wle32(lit(8000)), wle32(lit(16000)), lit("0200"), lit("1000"),
+      lit("64617461"), wle32(dataSize), sampleHex))
+    Multimodal.asMediaDataset(Tables.documents(s, dir).select(col("doc_id"),
+      lit("audio/wav").as("mime"), (dataSize + 44).cast("int").as("n_bytes"),
+      payload.as("payload")))
+  }
 
   /** Synthetic RIFF/AVI payloads for m7/m11: 3 + id%3 uncompressed `00db`
     * DIB frames of a 2×1 clip, every byte derived from (doc_id, frame) by
@@ -2573,6 +2612,38 @@ object SparkEntry {
         |SELECT doc_id, CAST(f AS INT) AS frame_idx, 2 AS width,
         |  1 AS height, CAST(sad AS BIGINT) AS sad, sad >= 400 AS is_cut
         |FROM d WHERE sad IS NOT NULL""".stripMargin,
+
+    // Sample-for-sample replay of the loudness meter: |amplitude| sums per
+    // 16-sample window, the final partial window kept with its true size.
+    "m12_audio_energy" ->
+      """WITH s AS (
+        |  SELECT doc_id, i // 16 AS w,
+        |    abs((doc_id*31 + i*17) % 2003 - 1001) AS a
+        |  FROM (SELECT doc_id, unnest(range(64 + doc_id % 32)) AS i
+        |        FROM documents))
+        |SELECT doc_id, CAST(w AS INT) AS window_idx,
+        |  CAST(count(*) AS INT) AS n_samples,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, sum(a) < 8000 AS is_low
+        |FROM s GROUP BY doc_id, w""".stripMargin,
+
+    // Full-outer diff on the md5 content fingerprint; the new-snapshot
+    // synthesis (drops, rewrites, additions) replays on both sides.
+    "d19_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+        |        ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5('new ' || text)
+        |  FROM documents WHERE doc_id % 29 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // Bit-exact replay of the dHash pipeline over the synthetic 9×8 PNGs:
     // the pixel formulas (imageHashMedia), the XOR-128 perturbation at

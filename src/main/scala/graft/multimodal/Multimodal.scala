@@ -732,6 +732,42 @@ object Multimodal {
     })
   }
 
+  case class AudioWindow(doc_id: Long, window_idx: Int, n_samples: Int,
+                         sum_abs: Long, is_low: Boolean)
+
+  /** Windowed loudness metering over REAL decoded PCM — the front end of
+    * silence trimming and voice-activity gating in audio curation: the
+    * sample stream (all channels, interleaved — loudness is channel-
+    * agnostic) splits into fixed `windowSize`-sample windows; each emits
+    * its exact integer sum of absolute amplitudes and a low-energy flag
+    * (`sum_abs < lowThreshold`). The final PARTIAL window is emitted with
+    * its true `n_samples` — silence at the clip tail is exactly what the
+    * trimming use case must see, so dropping it would be wrong; callers
+    * comparing windows against a per-window threshold can scale by
+    * `n_samples`.
+    *
+    * Integer outputs only (same contract as [[audioStats]]); the pairwise
+    * pass is row-local per blob — zero shuffle, zero cross-doc state.
+    * Undecodable / non-PCM16 payloads drop wholesale.
+    */
+  def audioEnergyWindows(media: Dataset[MediaRecord], windowSize: Int,
+                         lowThreshold: Long): Dataset[AudioWindow] = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWavPcm(r.payload).toSeq.flatMap { case (_, _, _, samples) =>
+        (0 until samples.length by windowSize).map { start =>
+          val end = math.min(start + windowSize, samples.length)
+          var s = 0L
+          var i = start
+          while (i < end) { s += math.abs(samples(i).toLong); i += 1 }
+          AudioWindow(r.doc_id, start / windowSize, end - start, s,
+            s < lowThreshold)
+        }
+      }
+    })
+  }
+
   case class FrameDelta(doc_id: Long, frame_idx: Int, width: Int, height: Int,
                         sad: Long, is_cut: Boolean)
 

@@ -66,4 +66,26 @@ object Dedup {
     topOnePerKey(batch.join(seen, key === col("__seen"), "left_anti"),
       Seq(key), Seq(keep.asc))
   }
+
+  /** Corpus snapshot diff — the data-versioning audit between two runs of
+    * an ingest pipeline: classify every id as `added` (new only),
+    * `removed` (old only), `changed` (both, different content
+    * fingerprint), or `unchanged`. The input is (id, fingerprint)
+    * projections, never full documents — the caller supplies a content
+    * hash column (`md5(text)` is the engine-neutral default), so at
+    * 100 TB the full-outer join shuffles two slim (id, 16-byte) frames.
+    * With both snapshots stored bucketed by id (the [[dropAlreadySeen]]
+    * history convention) the join is zero-shuffle.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, fpCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_old"))
+    val n = newSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_new"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -30,6 +30,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(("a", 1L), ("b", 2L)))
   }
 
+  test("snapshotDiff: all four statuses; disjoint snapshots are pure add/remove") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
+    val newSnap = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "fp")
+    val out = Dedup.snapshotDiff(oldSnap, newSnap, "id", "fp")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // disjoint id spaces: every row classifies, nothing silently drops
+    val disjoint = Dedup.snapshotDiff(
+      Seq((1L, "x")).toDF("id", "fp"), Seq((9L, "y")).toDF("id", "fp"),
+      "id", "fp").collect().map(r => r.getString(1)).sorted.toSeq
+    assert(disjoint == Seq("added", "removed"))
+  }
+
   test("dropAlreadySeen: history suppresses, batch self-dedupes, min keep wins") {
     val history = Seq((100L, "aaa"), (101L, "bbb")).toDF("id", "k")
     val batch = Seq(

@@ -223,7 +223,7 @@ class PlanAuditSpec extends SparkSpec {
     // would be a 100 TB scale bug (a full-corpus shuffle for a map-only job).
     withProductionInputs {
       for (q <- Seq("t4_quality_filter", "t5_repetition", "t7_pii_redact",
-          "s5_quantize_int8")) {
+          "s5_quantize_int8", "t44_blocklist", "t45_url_domain")) {
         val p = plan(SparkEntry.queries(q)(spark, sf))
         assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
       }
