@@ -45,14 +45,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. The data is µs-aligned, so read nanos as a
-    * long (legacy conf) and convert losslessly to a µs timestamp.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (Spark's vectorized reader rejects it outright — read
+    * nanos as a long via the legacy conf, then convert losslessly: the
+    * data is µs-aligned) and as TIMESTAMP(MICROS) isAdjustedToUTC=false in
+    * others (reads as TIMESTAMP_NTZ). Normalize BOTH to a session-tz
+    * TimestampType so every downstream window/date function sees one type;
+    * the session tz is pinned UTC by all entry points, so the NTZ cast is
+    * value-preserving.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
