@@ -609,6 +609,69 @@ object SparkEntry {
         graft.web.UrlOps.registrableDomain(url).as("domain"))
     },
 
+    // SCD Type-2 history build over the CDC stream: versioned half-open
+    // validity intervals per user, event_id as the deterministic tie-break.
+    "w6_scd2_intervals" -> { (s, dir) =>
+      graft.ops.Scd2.intervals(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), col("value"))
+    },
+
+    // Ordered-funnel conversion (signup → view → click → purchase), greedy
+    // earliest-completion semantics, one event-scale shuffle (per-key fold).
+    // Later steps are event_id-mod sparsified so the funnel actually sheds
+    // keys (150 → 147 → 82 → 9 at sf0.01) — on the raw stream every user
+    // performs every step and the ordering logic goes untested.
+    "w7_funnel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(
+        col("event_type") === "signup" ||
+          (col("event_type") === "view" && col("event_id") % 3 === 0) ||
+          (col("event_type") === "click" && col("event_id") % 11 === 0) ||
+          (col("event_type") === "purchase" && col("event_id") % 41 === 0))
+      graft.ops.Funnel.conversion(ev, col("user_id"),
+        col("ts"), col("event_type"),
+        Seq("signup", "view", "click", "purchase"))
+    },
+
+    // Daily cohort retention: cohort = first-activity day — daily buckets
+    // split the corpus into real cohorts (weekly puts all 150 users in
+    // week 0); one key-shuffle (min + bounded distinct-day set, same pass).
+    "w8_cohort_retention" -> { (s, dir) =>
+      graft.ops.Cohort.retention(Tables.events(s, dir), col("user_id"),
+        col("ts"), originDate = "2024-01-01", bucketDays = 1)
+    },
+
+    // Integer-exact PageRank over a doc_id-synthesized domain link graph
+    // (two edge families per doc → uneven in/out-degrees; the %41%37 fold
+    // makes low dst ids systematically heavier). 5 iterations, micro-unit
+    // ranks — every step is 64-bit integer arithmetic, so the fixpoint is
+    // engine- and partitioning-exact.
+    "g1_pagerank" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 37).as("src"),
+          ((col("doc_id") * 7 + 3) % 37).as("dst"))
+        .unionAll(d.select((col("doc_id") % 37).as("src"),
+          (((col("doc_id") * 11 + 5) % 41) % 37).as("dst")))
+      graft.graph.PageRank.ranks(edges, iterations = 5)
+    },
+
+    // HLL cardinality telemetry: TWO sketches (event ids — raw-estimator
+    // regime, and user ids — linear-counting regime) ride one aggregation
+    // pass over the event stream; countDistinct alongside so the oracle
+    // certifies the estimators, not just the registers.
+    "t46_hll_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          TextAnalysis.tokenHash(
+            concat(lit("e"), col("event_id").cast("string"))).as("__he0"),
+          TextAnalysis.tokenHash(
+            concat(lit("u"), col("user_id").cast("string"))).as("__hu0"))
+        .select(col("event_type"),
+          TextAnalysis.mixHash(col("__he0")).as("__he"),
+          TextAnalysis.mixHash(col("__hu0")).as("__hu"))
+      TextAnalysis.hllCardinality(ev, col("event_type"),
+        Seq("ev" -> col("__he"), "u" -> col("__hu")), m = 64)
+    },
+
     // Snapshot diff between two ingest runs: the "new" run drops ids
     // %17==0 (removed), rewrites text for %13==0 (changed), and lands
     // fresh ids 100000+id for %29==0 (added); everything else matches on
@@ -2909,6 +2972,143 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    // Both window functions replay over one (key, ts, tie-break) window;
+    // half-open intervals chain exactly, so lead(ts) IS the close.
+    "w6_scd2_intervals" ->
+      """SELECT user_id, ts AS valid_from, event_id, event_type, value,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // The fold's greedy earliest-completion recurrence replayed as chained
+    // strictly-after min-aggregations: t_k = min ts of a step-k event with
+    // ts > t_{k-1}. Strict > on µs timestamps matches the fold's gate.
+    "w7_funnel" ->
+      """WITH ef AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type = 'signup'
+        |     OR (event_type = 'view' AND event_id % 3 = 0)
+        |     OR (event_type = 'click' AND event_id % 11 = 0)
+        |     OR (event_type = 'purchase' AND event_id % 41 = 0)),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM ef
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ef e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ef e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM ef e
+        |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS step_idx, 'signup' AS step_name,
+        |         (SELECT count(*) FROM s1) AS n_keys
+        |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+        |SELECT step_idx, step_name, n_keys,
+        |  CASE WHEN (SELECT count(*) FROM s1) > 0
+        |       THEN n_keys * 1000 // (SELECT count(*) FROM s1)
+        |       ELSE CAST(0 AS BIGINT) END AS conv_permille
+        |FROM c""".stripMargin,
+
+    // Distinct (user, week) first — the per-key week set — then cohort =
+    // min week; offset-0 cells double as the cohort sizes.
+    "w8_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE) // 1 AS p
+        |  FROM events),
+        |c AS (SELECT user_id, min(p) AS cohort_period FROM uw GROUP BY 1),
+        |a AS (SELECT c.cohort_period, uw.p - c.cohort_period AS period_offset,
+        |        count(*) AS n_active
+        |      FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_period, n_active AS sz FROM a
+        |      WHERE period_offset = 0)
+        |SELECT a.cohort_period, a.period_offset, a.n_active,
+        |  a.n_active * 1000 // s.sz AS retention_permille
+        |FROM a JOIN s USING (cohort_period)""".stripMargin,
+
+    // Full 5-iteration integer PageRank replay: same edge synthesis, same
+    // micro-unit damping arithmetic (150000 + 850·Σ(rank//outdeg) // 1000),
+    // chained CTEs instead of the engine's cached-edge loop.
+    "g1_pagerank" -> {
+      val iter = (k: Int) =>
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst, sum(r.pr // d.outdeg) AS s
+           |    FROM e JOIN d USING (src) JOIN r${k - 1} r ON r.node = e.src
+           |    GROUP BY e.dst) c ON c.dst = n.node)"""
+      s"""WITH raw AS (
+         |  SELECT doc_id % 37 AS src, (doc_id * 7 + 3) % 37 AS dst
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 37, ((doc_id * 11 + 5) % 41) % 37 FROM documents),
+         |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |n AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, pr AS rank_micro FROM r5""".stripMargin
+    },
+
+    // Whole-sketch replay: registers = per-(group, bucket) max rank over
+    // the square-mixed engine-neutral hash (rank = 24 − ⌊log2(h DIV 64)⌋,
+    // 25 when the quotient is 0 — exact: the gap log2(2^k+1)−k dwarfs a
+    // double ulp); empty buckets materialize via a range(64) frame. The
+    // harmonic sum is Σ 2^(25−reg) — INTEGER terms — and both estimator
+    // branches are the same integer/ln arithmetic as the engine.
+    "t46_hll_distinct" -> {
+      val mix = (h: String) => s"($h * $h + 13) % 1000000007"
+      val reg = (hcol: String) =>
+        s"""SELECT event_type, $hcol % 64 AS bucket,
+           |    max(CASE WHEN $hcol // 64 = 0 THEN 25
+           |        ELSE 24 - CAST(floor(log2($hcol // 64)) AS INT) END) AS rk
+           |  FROM h GROUP BY 1, 2"""
+      val est = (p: String) =>
+        s"""CASE WHEN (97444218011648000 // (${p}_s_scaled * 1000000)) <= 160
+           |       AND ${p}_zero_regs > 0
+           |  THEN CAST(round(64 * ln(64 / CAST(${p}_zero_regs AS DOUBLE)))
+           |            AS BIGINT)
+           |  ELSE CAST(97444218011648000 // (${p}_s_scaled * 1000000)
+           |            AS BIGINT) END AS ${p}_est"""
+      s"""WITH h AS (
+         |  SELECT event_type, ${mix("eh")} AS ev, ${mix("uh")} AS u
+         |  FROM (SELECT event_type,
+         |          ${duckTokenHash("'e' || CAST(event_id AS VARCHAR)")} AS eh,
+         |          ${duckTokenHash("'u' || CAST(user_id AS VARCHAR)")} AS uh
+         |        FROM events)),
+         |et AS (SELECT DISTINCT event_type FROM events),
+         |b AS (SELECT et.event_type, g.b AS bucket FROM et
+         |      CROSS JOIN (SELECT unnest(range(64)) AS b) g),
+         |evr AS (${reg("ev")}),
+         |ur AS (${reg("u")}),
+         |evx AS (SELECT event_type, count(DISTINCT ev) AS ev_exact FROM h GROUP BY 1),
+         |ux AS (SELECT event_type, count(DISTINCT u) AS u_exact FROM h GROUP BY 1),
+         |evs AS (SELECT b.event_type,
+         |    sum(CASE WHEN r.rk IS NULL THEN 1 ELSE 0 END)::BIGINT AS ev_zero_regs,
+         |    sum(CAST(1 AS BIGINT) << (25 - coalesce(r.rk, 0)))::BIGINT AS ev_s_scaled
+         |  FROM b LEFT JOIN evr r
+         |    ON r.event_type = b.event_type AND r.bucket = b.bucket GROUP BY 1),
+         |us AS (SELECT b.event_type,
+         |    sum(CASE WHEN r.rk IS NULL THEN 1 ELSE 0 END)::BIGINT AS u_zero_regs,
+         |    sum(CAST(1 AS BIGINT) << (25 - coalesce(r.rk, 0)))::BIGINT AS u_s_scaled
+         |  FROM b LEFT JOIN ur r
+         |    ON r.event_type = b.event_type AND r.bucket = b.bucket GROUP BY 1)
+         |SELECT evx.event_type, evx.ev_exact, evs.ev_zero_regs, evs.ev_s_scaled,
+         |  ${est("ev")},
+         |  ux.u_exact, us.u_zero_regs, us.u_s_scaled,
+         |  ${est("u")}
+         |FROM evx JOIN evs USING (event_type) JOIN ux USING (event_type)
+         |  JOIN us USING (event_type)""".stripMargin
+    },
 
     "t9_seq_pack" ->
       """SELECT doc_id, source, n_tokens,

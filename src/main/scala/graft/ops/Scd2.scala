@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type-2 interval construction: turn a change
+  * stream (one row per observed state of a key) into versioned validity
+  * intervals `[valid_from, valid_to)` with an `is_current` flag on each
+  * key's latest state — the standard warehouse "history table" build that
+  * the reference's daily CDC jobs feed (cf. `/root/reference` merge-delete
+  * semantics; this is the dimension-side complement of
+  * [[AsOfJoin.resurrectDeletes]]'s fact-side repair).
+  *
+  * Plan shape: ONE shuffle. Both window functions (`lead` for the interval
+  * close, `row_number` for the version) share a single
+  * `(key, order, tieBreak)` window, so Catalyst plans one Exchange + one
+  * Sort and evaluates both in the same Window operator. The per-key rollup
+  * never materializes history lists — state per row is O(1), so a key with
+  * a million versions costs the same per-row work as a key with two
+  * (skew-safe; a pathological hot key is a sort-spill concern, not an OOM).
+  *
+  * `tieBreak` makes equal-`orderBy` rows deterministic on any cluster
+  * layout (CDC streams routinely carry same-timestamp batches; without a
+  * total order, `lead` and `row_number` are scan-order lotteries). Pass the
+  * source's change-sequence / event id.
+  */
+object Scd2 {
+
+  /** One row per observed state: `version` (1-based in change order),
+    * `valid_from` (the state's own timestamp), `valid_to` (the NEXT state's
+    * timestamp, null while current — half-open intervals chain exactly),
+    * `is_current`.
+    *
+    * @param attrs the dimension attributes to carry into the history table
+    */
+  def intervals(changes: DataFrame, key: Column, ts: Column, tieBreak: Column,
+                attrs: Column*): DataFrame = {
+    val keyName = changes.select(key).columns.head
+    val w = Window.partitionBy(col(keyName)).orderBy(col("valid_from"), tieBreak)
+    changes
+      .select(key +: ts.as("valid_from") +: tieBreak +: attrs: _*)
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

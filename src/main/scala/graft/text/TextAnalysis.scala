@@ -284,4 +284,90 @@ object TextAnalysis {
           .otherwise(round(lit((k - 1).toDouble) * lit(HashP.toDouble) /
             element_at(col("__kmv"), k)).cast("long")).as("n_est"))
   }
+
+  /** Replayable scrambler for structured keys: `(h² + 13) mod HashP`.
+    * [[tokenHash]] is a Horner polynomial, so hashes of sequential keys
+    * ("e1", "e2", …) form near-arithmetic runs — fine for bucketing,
+    * fatal for a rank-of-leading-zeros sketch, whose geometric-tail
+    * assumption needs values spread across the whole domain. Squaring mod
+    * a prime tears runs apart (consecutive inputs land ~2h apart, wrapping
+    * the modulus), stays in exact 64-bit range (h < 1e9+7 ⇒ h² < 2⁶⁰), and
+    * replays verbatim in SQL — which xxhash64-class mixers cannot.
+    */
+  def mixHash(h: Column): Column = pmod(h * h + 13, lit(HashP))
+
+  /** Bit width of the HLL bucket-quotient domain `[0, ⌈HashP/m⌉)`. */
+  def hllQuotientBits(m: Int): Int = {
+    val maxW = (HashP - 1) / m
+    64 - java.lang.Long.numberOfLeadingZeros(maxW)
+  }
+
+  /** α·10⁶ for the standard HLL bias constants (Flajolet et al. 2007):
+    * table values at m = 16/32/64, the asymptotic formula above.
+    */
+  def hllAlphaPpm(m: Int): Long = m match {
+    case 16 => 673000L
+    case 32 => 697000L
+    case 64 => 709000L
+    case _ if m >= 128 => Math.round(721300.0 / (1.0 + 1.079 / m))
+    case _ => throw new IllegalArgumentException(
+      s"HLL bias constant defined for m >= 16, got $m")
+  }
+
+  /** Per-group cardinalities via [[graft.functions.HllRegisters]]: for each
+    * `(prefix, hashedColumn)` pair emits `<prefix>_exact` (countDistinct,
+    * here for the oracle to certify the estimator against),
+    * `<prefix>_zero_regs`, `<prefix>_s_scaled` (Σ 2^(W+1−reg) — the
+    * paper's harmonic sum scaled by 2^(W+1) so it is an exact INTEGER:
+    * every term is a nonneg power of two, so the sum is order-independent
+    * integer addition, where the float Σ2^(−reg) depends on partial
+    * ordering), and `<prefix>_est`: the raw estimator
+    * `α·m²·2^(W+1) DIV (S·10⁶)` as one integer floor-division of exact
+    * integer operands, switched to linear counting `round(m·ln(m/V))` below
+    * `2.5m` when zero registers exist. The ln is the single float op in the
+    * whole pipeline; it rounds to an INTEGER count, and HllSpec proves no
+    * representable V puts `m·ln(m/V)` within 1e-6 of a rounding boundary —
+    * so the branch replays engine-exactly (the t18 lesson, applied before
+    * shipping rather than after).
+    *
+    * Feed [[mixHash]]-scrambled hashes. Multiple sketches ride ONE
+    * aggregation pass (one shuffle total — the multi-sketch telemetry scan).
+    */
+  def hllCardinality(df: DataFrame, group: Column,
+                     hashed: Seq[(String, Column)], m: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    require(hashed.nonEmpty, "need at least one (prefix, hashedColumn)")
+    val groupName = df.select(group).columns.head
+    val w = hllQuotientBits(m)
+    val aggs = hashed.flatMap { case (p, _) =>
+      Seq(countDistinct(col(s"__$p")).as(s"${p}_exact"),
+        asColumn(graft.functions.HllRegisters(asExpression(col(s"__$p")), m)
+          .toAggregateExpression()).as(s"__${p}_regs"))
+    }
+    // 2^(W+1-reg) terms via a literal lookup (reg ∈ 0..W+1) — keeps the
+    // fold integer-only inside a lambda, where shiftleft isn't reachable
+    val pows = (0 to w + 1).map(i => 1L << (w + 1 - i))
+    val estNum = hllAlphaPpm(m) * m * m * (1L << (w + 1))
+    val withStats = hashed.foldLeft(
+      df.select(group +: hashed.map { case (p, c) => c.as(s"__$p") }: _*)
+        .groupBy(col(groupName))
+        .agg(aggs.head, aggs.tail: _*)) { case (acc, (p, _)) =>
+      acc
+        .withColumn(s"${p}_zero_regs",
+          size(filter(col(s"__${p}_regs"), r => r === 0)).cast("long"))
+        .withColumn(s"${p}_s_scaled",
+          aggregate(col(s"__${p}_regs"), lit(0L),
+            (a, r) => a + element_at(typedLit(pows), r + 1)))
+    }
+    val outCols = col(groupName) +: hashed.flatMap { case (p, _) =>
+      val raw = s"$estNum DIV (${p}_s_scaled * 1000000)"
+      Seq(col(s"${p}_exact"), col(s"${p}_zero_regs"), col(s"${p}_s_scaled"),
+        expr(
+          s"""CASE WHEN $raw <= ${5 * m / 2} AND ${p}_zero_regs > 0
+             |THEN CAST(round($m * ln(CAST($m AS DOUBLE) / ${p}_zero_regs))
+             |          AS BIGINT)
+             |ELSE $raw END""".stripMargin).as(s"${p}_est"))
+    }
+    withStats.select(outCols: _*)
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Funnel
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val steps = Seq("signup", "view", "purchase")
+
+  private def run(rows: Seq[(Long, Timestamp, String)]) =
+    Funnel.conversion(rows.toDF("user_id", "ts", "event_type"),
+        col("user_id"), col("ts"), col("event_type"), steps)
+      .orderBy("step_idx")
+      .select("step_idx", "step_name", "n_keys", "conv_permille")
+      .as[(Int, String, Long, Long)].collect().toSeq
+
+  test("conversion: order matters — a view before signup does not chain") {
+    val out = run(Seq(
+      // user 1 completes all three in order
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "view"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2's only view precedes its signup: stops at step 1
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "signup"),
+      // user 3 never signs up: contributes nothing anywhere
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "purchase")))
+    assert(out == Seq(
+      (1, "signup", 2L, 1000L), (2, "view", 1L, 500L),
+      (3, "purchase", 1L, 500L)))
+  }
+
+  test("conversion: strictly-after gate — same-microsecond steps do not chain") {
+    val t = ts("2024-01-01 10:00:00")
+    val out = run(Seq(
+      (1L, t, "signup"), (1L, t, "view"), // same µs: view rejected
+      (1L, ts("2024-01-01 10:00:01"), "view"),
+      (2L, t, "signup"))) // a later view exists for 1 only
+    assert(out.map(r => (r._1, r._3)) == Seq((1, 2L), (2, 1L), (3, 0L)))
+  }
+
+  test("conversion: earliest completion is greedy through repeated events") {
+    // signup at 10:00; views at 09:00 (too early) and 11:00; purchase at
+    // 10:30 — BEFORE the qualifying view, so the funnel stops at view
+    val out = run(Seq(
+      (1L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:30:00"), "purchase"),
+      (1L, ts("2024-01-01 11:00:00"), "view")))
+    assert(out.map(_._3) == Seq(1L, 1L, 0L))
+  }
+
+  test("conversion: empty input emits all-zero step rows, permille guard holds") {
+    val out = run(Seq.empty)
+    assert(out == Seq(
+      (1, "signup", 0L, 0L), (2, "view", 0L, 0L), (3, "purchase", 0L, 0L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Scd2
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("intervals: versions chain half-open, latest is current") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "a"),
+      (1L, ts("2024-01-02 00:00:00"), 11L, "b"),
+      (1L, ts("2024-01-05 00:00:00"), 12L, "c"),
+      (2L, ts("2024-01-03 00:00:00"), 13L, "x")
+    ).toDF("user_id", "ts", "event_id", "state")
+    val out = Scd2.intervals(changes, col("user_id"), col("ts"),
+        col("event_id"), col("state"))
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "state", "valid_from", "valid_to",
+        "is_current")
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 1, "a", ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00")), false),
+      (1L, 2, "b", ts("2024-01-02 00:00:00"), Some(ts("2024-01-05 00:00:00")), false),
+      (1L, 3, "c", ts("2024-01-05 00:00:00"), None, true),
+      (2L, 1, "x", ts("2024-01-03 00:00:00"), None, true)))
+  }
+
+  test("intervals: equal timestamps order by the tie-break, deterministically") {
+    val t = ts("2024-01-01 12:00:00")
+    val changes = Seq(
+      (1L, t, 20L, "second"), (1L, t, 19L, "first")
+    ).toDF("user_id", "ts", "event_id", "state")
+    val out = Scd2.intervals(changes, col("user_id"), col("ts"),
+        col("event_id"), col("state"))
+      .orderBy("version").select("version", "state", "is_current")
+      .as[(Int, String, Boolean)].collect().toSeq
+    assert(out == Seq((1, "first", false), (2, "second", true)))
+  }
+
+  test("intervals costs exactly one hash exchange (shared window)") {
+    spark.conf.set("spark.graft.parallelizeInputs", "false")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("w6_scd2_intervals")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.graft.parallelizeInputs", "true")
+    }
+  }
+}
