@@ -654,6 +654,52 @@ object SparkEntry {
       graft.graph.PageRank.ranks(edges, iterations = 5)
     },
 
+    // Interval×interval overlap join (user sessions × synthetic ops
+    // windows placed arithmetically from o_orderkey inside the events
+    // month, the j9 convention): binned decomposition, pairs deduped by
+    // first-shared-bin ownership, overlap duration in exact µs.
+    "j11_interval_join" -> { (s, dir) =>
+      val sess = graft.ops.Sessionize.sessions(Tables.events(s, dir),
+          col("user_id"), col("ts"), gapSeconds = 86400)
+        .select(col("user_id"), col("session_seq"),
+          unix_micros(col("session_start")).as("s_lo"),
+          (unix_micros(col("session_end")) + 1).as("s_hi"))
+      val win = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("window_id"),
+          (lit(1704067200000000L) +
+            (col("o_orderkey") % 29) * 86400000000L +
+            (col("o_orderkey") % 7) * 3600000000L).as("w_lo"),
+          (lit(1704067200000000L) +
+            (col("o_orderkey") % 29) * 86400000000L +
+            (col("o_orderkey") % 7) * 3600000000L +
+            ((col("o_orderkey") % 11) + 1) * 3600000000L).as("w_hi"))
+      graft.ops.ScaleJoins.intervalJoinBinned(sess,
+          col("s_lo"), col("s_hi"), win, col("w_lo"), col("w_hi"),
+          binWidth = 86400000000L)
+        .select(col("user_id"), col("session_seq"), col("window_id"),
+          (least(col("s_hi"), col("w_hi")) -
+            greatest(col("s_lo"), col("w_lo"))).as("overlap_us"))
+    },
+
+    // Trailing 7-day RANGE-window rollup per user: daily pre-aggregation
+    // then a value-distance frame over it (gaps age out — ROWS would not);
+    // events cross the wire once map-side combined, the window exchange
+    // moves only the daily frame; values in integer micro-units.
+    "w9_rolling_window" -> { (s, dir) =>
+      graft.ops.Rolling.trailing(Tables.events(s, dir), col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long"),
+        expr("CAST(round(value * 1000000) AS BIGINT)"), windowPeriods = 7)
+    },
+
+    // Per-source unigram-distribution drift vs the corpus (L1 in integer
+    // ppm) — the token-mix monitor; absent tokens still contribute their
+    // global mass via the vocab×groups grid.
+    "t47_dist_drift" -> { (s, dir) =>
+      graft.text.Vocab.distributionDrift(Tables.documents(s, dir),
+        col("source"), col("text"))
+    },
+
     // HLL cardinality telemetry: TWO sketches (event ids — raw-estimator
     // regime, and user ids — linear-counting regime) ride one aggregation
     // pass over the event stream; countDistinct alongside so the oracle
@@ -3032,6 +3078,75 @@ object SparkEntry {
         |SELECT a.cohort_period, a.period_offset, a.n_active,
         |  a.n_active * 1000 // s.sz AS retention_permille
         |FROM a JOIN s USING (cohort_period)""".stripMargin,
+
+    // Brute-force overlap join over the w5-style session replay — the
+    // binned first-shared-bin scheme must reproduce the naive inequality
+    // join exactly.
+    "j11_interval_join" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 86400000000 THEN 1 ELSE 0 END AS op
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(op) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+        |      AS session_seq
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, session_seq, epoch_us(min(ts)) AS s_lo,
+        |         epoch_us(max(ts)) + 1 AS s_hi
+        |  FROM s GROUP BY 1, 2),
+        |win AS (
+        |  SELECT o_orderkey AS window_id,
+        |    1704067200000000 + (o_orderkey % 29) * 86400000000
+        |      + (o_orderkey % 7) * 3600000000 AS w_lo,
+        |    1704067200000000 + (o_orderkey % 29) * 86400000000
+        |      + (o_orderkey % 7) * 3600000000
+        |      + ((o_orderkey % 11) + 1) * 3600000000 AS w_hi
+        |  FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT sess.user_id, sess.session_seq, win.window_id,
+        |  least(s_hi, w_hi) - greatest(s_lo, w_lo) AS overlap_us
+        |FROM sess JOIN win ON greatest(s_lo, w_lo) < least(s_hi, w_hi)""".stripMargin,
+
+    // Integer-µ-unit daily rollup + RANGE trailing frame; casts pin
+    // DuckDB's HUGEINT window sums back to BIGINT.
+    "w9_rolling_window" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE) AS period,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS value_micro
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, period, n_events, value_micro,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS n_trail,
+        |  CAST(sum(value_micro) OVER w AS BIGINT) AS value_micro_trail
+        |FROM d
+        |WINDOW w AS (PARTITION BY user_id ORDER BY period
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // ppm quantization BEFORE the |Δ| sum keeps the whole statistic
+    // integer; the grid row set (every vocab token × every source) is what
+    // makes absent-token terms appear.
+    "t47_dist_drift" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM sc GROUP BY 1),
+        |g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc FROM sc GROUP BY 1),
+        |gt AS (SELECT CAST(sum(gc) AS BIGINT) AS gt FROM g),
+        |j AS (
+        |  SELECT st.source, st.tot, g.gc, coalesce(sc.c, 0) AS c
+        |  FROM g CROSS JOIN st
+        |  LEFT JOIN sc ON sc.source = st.source AND sc.tok = g.tok)
+        |SELECT j.source, CAST(max(j.tot) AS BIGINT) AS n_tokens,
+        |  CAST(sum(abs(c * 1000000 // tot
+        |    - gc * 1000000 // (SELECT gt FROM gt))) AS BIGINT) AS l1_ppm
+        |FROM j GROUP BY 1""".stripMargin,
 
     // Full 5-iteration integer PageRank replay: same edge synthesis, same
     // micro-unit damping arithmetic (150000 + 850·Σ(rank//outdeg) // 1000),

@@ -76,6 +76,44 @@ object ScaleJoins {
       .drop("__bin")
   }
 
+  /** Interval×interval OVERLAP join via the same binning decomposition —
+    * the scale path for `max(lo₁, lo₂) < min(hi₁, hi₂)` (temporal overlap
+    * analytics: sessions × outage windows, ad flights × browse intervals).
+    * Spark plans the raw predicate as a broadcast nested-loop; here BOTH
+    * sides replicate into the bins they cover and meet in one equi
+    * shuffle.
+    *
+    * Unlike the point case, an overlapping pair shares EVERY bin their
+    * intersection covers, so the join would duplicate it — the classic fix
+    * emits a pair only from the FIRST shared bin, `⌊max(lo₁, lo₂)/w⌋`
+    * (both intervals provably cover it, and only one bin can be that
+    * maximum), an exact integer ownership test, no dedup shuffle.
+    *
+    * Half-open `[lo, hi)` int64 intervals in one unit; column names must
+    * not collide across inputs. Replication is `len/w + 1` bins per row —
+    * pick `w` near the typical SHORTER side's length; a degenerate
+    * months-long interval replicates wide, which is the documented cost of
+    * keeping the join an equi shuffle (AQE splits any hot bin).
+    */
+  def intervalJoinBinned(left: DataFrame, lLo: Column, lHi: Column,
+                         right: DataFrame, rLo: Column, rHi: Column,
+                         binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val w = lit(binWidth)
+    def bin(c: Column): Column = {
+      val l = c.cast("long")
+      ((l - pmod(l, w)) / w).cast("long")
+    }
+    val l = left.withColumn("__bin",
+      explode(sequence(bin(lLo), bin(lHi.cast("long") - 1))))
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(rLo), bin(rHi.cast("long") - 1))))
+    l.join(r, Seq("__bin"))
+      .filter(greatest(lLo, rLo) < least(lHi, rHi))
+      .filter(col("__bin") === bin(greatest(lLo, rLo)))
+      .drop("__bin")
+  }
+
   /** Triangle-salted within-bucket pair generation — all unordered pairs
     * `{x, y}` of rows sharing a bucket, each pair exactly once, normalized
     * to `id_a < id_b`. The salt-grid decomposition is the self-join case of

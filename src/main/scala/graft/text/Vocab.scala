@@ -340,4 +340,42 @@ object Vocab {
     tg.join(broadcast(eg), "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Per-group unigram-distribution drift vs the whole corpus, as the L1
+    * (total-variation×2) distance in integer ppm — the data-quality
+    * monitor that flags a source whose token mix walked away from the
+    * mixture (new crawl snapshot, broken extractor, language shift).
+    *
+    * Both distributions quantize to integer ppm (`cnt·10⁶ DIV total`, the
+    * t43 idiom) BEFORE the |Δ| sum, so the whole statistic is
+    * order-independent integer arithmetic — engine-exact, at the cost of
+    * ±1 ppm per token of quantization, irrelevant at drift-alert
+    * magnitudes (the statistic's scale is 10⁴–10⁶ ppm).
+    *
+    * Plan shape: the event-scale data is exploded and shuffled ONCE (the
+    * (group, token) rollup); every later frame is vocab- or group-scale.
+    * The absent-token terms — a token the source never emits still
+    * contributes its global mass to the distance — come from a
+    * vocab × groups grid built by broadcasting the GROUP list (vocab is
+    * the big side at scale; never enumerate it per group via shuffle).
+    */
+  def distributionDrift(df: DataFrame, group: Column,
+                        text: Column): DataFrame = {
+    val groupName = df.select(group).columns.head
+    val srcCnt = df
+      .select(group, explode(TextAnalysis.tokens(text)).as("__tok"))
+      .groupBy(col(groupName), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val srcTot = srcCnt.groupBy(col(groupName)).agg(sum("__c").as("__tot"))
+    val glob = srcCnt.groupBy(col("__tok")).agg(sum("__c").as("__g"))
+    val gTot = glob.agg(sum("__g").as("__gt"))
+    glob.crossJoin(broadcast(srcTot))
+      .join(srcCnt, Seq(groupName, "__tok"), "left")
+      .crossJoin(broadcast(gTot))
+      .select(col(groupName), col("__tot"),
+        expr("abs(coalesce(__c, 0L) * 1000000 DIV __tot" +
+          " - __g * 1000000 DIV __gt)").as("__d"))
+      .groupBy(col(groupName))
+      .agg(max(col("__tot")).as("n_tokens"), sum(col("__d")).as("l1_ppm"))
+  }
 }

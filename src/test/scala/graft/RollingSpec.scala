@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Rolling
+
+class RollingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trailing: RANGE frame ages gaps out — hand-computed 3-period window") {
+    // key 1 active on days 0, 1, 5: day 5's trailing-3 window is days 3..5,
+    // so ONLY day 5 contributes (a ROWS frame would wrongly reach day 1)
+    val events = Seq(
+      (1L, 0L, 10L), (1L, 0L, 20L), (1L, 1L, 5L), (1L, 5L, 7L),
+      (2L, 4L, 100L)
+    ).toDF("user_id", "day", "vm")
+    val out = Rolling.trailing(events, col("user_id"), col("day"),
+        col("vm"), windowPeriods = 3)
+      .orderBy("user_id", "period")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 2L, 30L, 2L, 30L),
+      (1L, 1L, 1L, 5L, 3L, 35L),   // days -1..1 → 0 and 1
+      (1L, 5L, 1L, 7L, 1L, 7L),    // days 3..5 → just itself
+      (2L, 4L, 1L, 100L, 1L, 100L)))
+  }
+
+  test("trailing: events shuffle once map-side combined; window exchange is daily-scale") {
+    spark.conf.set("spark.graft.parallelizeInputs", "false")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("w9_rolling_window")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      val p = plan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges in:\n$p")
+      // the event-scale exchange must sit ABOVE a partial aggregate (map-side
+      // combine), so raw events never cross the wire uncombined
+      assert(p.contains("HashAggregate"), s"expected partial aggregation in:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.graft.parallelizeInputs", "true")
+    }
+  }
+}

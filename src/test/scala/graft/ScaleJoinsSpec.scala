@@ -61,6 +61,37 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoinBinned: identical to the naive overlap join, no dup pairs") {
+    val left = (0L to 60L).map { i =>
+      val lo = i * 31 % 400; (i, lo, lo + 1 + i % 55)
+    }.toDF("lid", "a_lo", "a_hi")
+    val right = (0L to 40L).map { i =>
+      val lo = i * 17 % 380; (i, lo, lo + 1 + i % 30)
+    }.toDF("rid", "b_lo", "b_hi")
+    val naive = left.join(right,
+        greatest(col("a_lo"), col("b_lo")) < least(col("a_hi"), col("b_hi")))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(naive.nonEmpty && naive.length == naive.toSet.size)
+    for (w <- Seq(1L, 8L, 64L, 1000L)) {
+      val binned = ScaleJoins.intervalJoinBinned(left, col("a_lo"),
+          col("a_hi"), right, col("b_lo"), col("b_hi"), w)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(binned.length == binned.toSet.size,
+        s"binWidth=$w emitted duplicate pairs — first-bin ownership broken")
+      assert(binned.toSet == naive.toSet,
+        s"binWidth=$w diverged from the naive overlap join")
+    }
+  }
+
+  test("intervalJoinBinned: touching half-open intervals do not overlap") {
+    val left = Seq((1L, 0L, 10L)).toDF("lid", "a_lo", "a_hi")
+    val right = Seq((1L, 10L, 20L), (2L, 9L, 20L)).toDF("rid", "b_lo", "b_hi")
+    val out = ScaleJoins.intervalJoinBinned(left, col("a_lo"), col("a_hi"),
+        right, col("b_lo"), col("b_hi"), 5L)
+      .select("rid").as[Long].collect().toSeq
+    assert(out == Seq(2L), "[0,10) must meet [9,20) but not [10,20)")
+  }
+
   test("rangeJoinBinned plans an equi shuffle join, not a nested loop") {
     val points = (0L to 500L).map(p => (p, p)).toDF("pid", "p")
     val intervals = (0L to 30L).map(i => (i, i * 15, i * 15 + 20))

@@ -436,4 +436,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streaming grid must equal the batch grid")
     assert(streamed.size <= graft.text.CountMin.Depth * graft.text.CountMin.Width)
   }
+
+  test("HLL registers accumulate across triggers and match the batch sketch") {
+    // Elementwise-max merge makes the register array a CRDT: per-window
+    // cardinality telemetry in m BYTES of state per group, where
+    // countDistinct is unsupported in streaming and collect_set state
+    // grows with the distinct count.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    def mixed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("h", graft.text.TextAnalysis.mixHash(
+        pmod(col("item"), lit(graft.text.TextAnalysis.HashP))))
+    val sketched = mixed(input.toDF().toDF("user_id", "ts", "item"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(asColumn(graft.functions.HllRegisters(
+        asExpression(col("h")), 16).toAggregateExpression()).as("regs"))
+    val query = StreamOps.startMemorySink(sketched, "hll_q", OutputMode.Update())
+
+    input.addData((1L, ts("2024-01-01 10:00:00"), 900001L),
+      (1L, ts("2024-01-01 10:10:00"), 900002L))
+    query.processAllAvailable()
+    input.addData((1L, ts("2024-01-01 10:30:00"), 900003L),
+      (1L, ts("2024-01-01 10:40:00"), 900002L)) // dup: registers unchanged
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("hll_q").orderBy(col("window.start"))
+      .select("regs").collect().last.getSeq[Int](0)
+    val batch = mixed(Seq(900001L, 900002L, 900003L).toDF("item"))
+      .agg(asColumn(graft.functions.HllRegisters(
+        asExpression(col("h")), 16).toAggregateExpression()).as("regs"))
+      .select("regs").collect().head.getSeq[Int](0)
+    assert(streamed == batch, "streamed registers must equal the batch sketch")
+    assert(streamed.length == 16)
+  }
 }

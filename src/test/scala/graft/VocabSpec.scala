@@ -181,4 +181,28 @@ class VocabSpec extends SparkSpec {
     assert(out(900) == ((2L, 9L)), "a+b cover 90% >= 90%")
     assert(out(1000) == ((3L, 10L)))
   }
+
+  test("distributionDrift: identical sources drift 0, disjoint vocab drifts ~2e6") {
+    // s1/s2 share one distribution; s3's vocabulary is disjoint
+    val docs = Seq(
+      ("s1", "a a b"), ("s2", "a a b"), ("s3", "x y z")
+    ).toDF("source", "text")
+    val out = Vocab.distributionDrift(docs, col("source"), col("text"))
+      .as[(String, Long, Long)].collect()
+      .map { case (s, n, d) => s -> ((n, d)) }.toMap
+    assert(out("s1") == out("s2"))
+    // global: a=4/9, b=2/9, x=y=z=1/9 each. s1: a=2/3, b=1/3, xyz absent.
+    // |666666-444444| + |333333-222222| + 3·|0-111111| = 666666
+    assert(out("s1")._2 == 666666L)
+    // s3: xyz = 1/3 each, ab absent:
+    // 3·|333333-111111| + |0-444444| + |0-222222| = 1333332
+    assert(out("s3") == ((3L, 1333332L)))
+  }
+
+  test("distributionDrift: a uniform corpus has zero drift everywhere") {
+    val docs = Seq(("s1", "t u v"), ("s2", "t u v"), ("s3", "v u t"))
+      .toDF("source", "text")
+    val out = Vocab.distributionDrift(docs, col("source"), col("text"))
+    assert(out.filter(col("l1_ppm") =!= 0L).isEmpty)
+  }
 }
