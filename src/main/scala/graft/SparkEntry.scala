@@ -700,6 +700,28 @@ object SparkEntry {
         col("source"), col("text"))
     },
 
+    // Triangle census of the g1 domain graph by degree orientation —
+    // wedge fan-out capped at O(√m) per node, each triangle counted once;
+    // clustering coefficient in exact integer ppm.
+    "g2_triangle_count" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 37).as("src"),
+          ((col("doc_id") * 7 + 3) % 37).as("dst"))
+        .unionAll(d.select((col("doc_id") % 37).as("src"),
+          (((col("doc_id") * 11 + 5) % 41) % 37).as("dst")))
+      graft.graph.Triangles.stats(edges)
+    },
+
+    // Time-weighted average of each user's held `value` (SCD2 validity
+    // semantics, horizon = Feb 1): milli-unit values × µs durations, one
+    // key shuffle shared by the lead window and the rollup.
+    "w10_twap" -> { (s, dir) =>
+      graft.ops.Scd2.timeWeightedMean(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"),
+        horizonTs = "2024-02-01 00:00:00")
+    },
+
     // HLL cardinality telemetry: TWO sketches (event ids — raw-estimator
     // regime, and user ids — linear-counting regime) ride one aggregation
     // pass over the event stream; countDistinct alongside so the oracle
@@ -3147,6 +3169,52 @@ object SparkEntry {
         |  CAST(sum(abs(c * 1000000 // tot
         |    - gc * 1000000 // (SELECT gt FROM gt))) AS BIGINT) AS l1_ppm
         |FROM j GROUP BY 1""".stripMargin,
+
+    // Brute-force triangle enumeration over the canonical (u < v) edge
+    // set: a triangle x<y<z appears as exactly the join e1=(x,y), e2=(y,z),
+    // e3=(x,z) — method-independent count the oriented engine must match.
+    "g2_triangle_count" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 37 AS src, (doc_id * 7 + 3) % 37 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 37, ((doc_id * 11 + 5) % 41) % 37 FROM documents),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |        FROM raw WHERE src <> dst),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+        |tri AS (SELECT count(*) AS c FROM und e1
+        |        JOIN und e2 ON e2.u = e1.v
+        |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |agg AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |               (SELECT count(*) FROM und) AS n_edges,
+        |               CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+        |                 AS n_wedges,
+        |               (SELECT c FROM tri) AS n_triangles)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |       THEN 3 * n_triangles * 1000000 // n_wedges
+        |       ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+        |FROM agg""".stripMargin,
+
+    // Validity-interval weighting replayed with the same lead window;
+    // milli×µs products stay inside int64 (documented headroom).
+    "w10_twap" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, vm,
+        |    coalesce(lead(us) OVER (PARTITION BY user_id
+        |                            ORDER BY us, event_id),
+        |             epoch_us(TIMESTAMP '2024-02-01 00:00:00')) - us AS dur
+        |  FROM x)
+        |SELECT user_id, CAST(sum(dur) AS BIGINT) AS held_us,
+        |  CASE WHEN sum(dur) > 0
+        |       THEN CAST(sum(vm * dur) // sum(dur) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS twap_milli
+        |FROM iv GROUP BY 1""".stripMargin,
 
     // Full 5-iteration integer PageRank replay: same edge synthesis, same
     // micro-unit damping arithmetic (150000 + 850·Σ(rank//outdeg) // 1000),

@@ -44,4 +44,44 @@ object Scd2 {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Time-weighted mean of a held value (TWAP): each observation's value
+    * holds from its timestamp until the NEXT observation (the [[intervals]]
+    * validity semantics), the key's final value holding until `horizonTs`
+    * (ISO timestamp, e.g. the query date) — so a value held for a month
+    * weighs a month, where a plain `avg` weighs every tick equally and a
+    * burst of updates drowns the stable regime.
+    *
+    * Exactness: values enter as integer MILLI-units (caller converts once),
+    * durations in integer µs; `Σ(value_milli·duration_µs) DIV Σduration_µs`
+    * is all-integer (order-independent sums, one floor division). Overflow
+    * headroom: Σ v·dur per key ≤ max_value_milli · key_horizon_µs — 5·10⁵
+    * milli-units held over 30 days is ~1.3·10¹⁸, inside int64; re-unit the
+    * value (centi, deci) for wider horizons or larger magnitudes.
+    *
+    * Plan shape: one shuffle — the `lead` window partitions by the key and
+    * the per-key rollup reuses that clustering (the [[Sessionize]]
+    * precedent). Ties on `ts` order by `tieBreak` deterministically; a
+    * tied pair contributes zero duration to its first member, exactly like
+    * the oracle's window replay.
+    */
+  def timeWeightedMean(changes: DataFrame, key: Column, ts: Column,
+                       tieBreak: Column, valueMilli: Column,
+                       horizonTs: String): DataFrame = {
+    val keyName = changes.select(key).columns.head
+    val w = Window.partitionBy(col(keyName)).orderBy(col("__us"), tieBreak)
+    changes
+      .select(key, unix_micros(ts).as("__us"), tieBreak,
+        valueMilli.as("__vm"))
+      .withColumn("__end", coalesce(lead(col("__us"), 1).over(w),
+        unix_micros(to_timestamp(lit(horizonTs)))))
+      .withColumn("__dur", col("__end") - col("__us"))
+      .groupBy(col(keyName))
+      .agg(sum(col("__dur")).as("held_us"),
+        sum(col("__vm") * col("__dur")).as("__wsum"))
+      .select(col(keyName), col("held_us"),
+        // a key whose only observation sits AT the horizon held nothing
+        when(col("held_us") > 0, expr("__wsum DIV held_us"))
+          .otherwise(lit(0L)).as("twap_milli"))
+  }
 }

@@ -42,6 +42,33 @@ class Scd2Spec extends SparkSpec {
     assert(out == Seq((1, "first", false), (2, "second", true)))
   }
 
+  test("timeWeightedMean: held durations weight the value, horizon closes the last") {
+    // user 1: value 2000 milli held 00:00→06:00 (6h), 8000 held 06:00→24:00
+    // (18h) → (2000·6 + 8000·18)/24 = 6500
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 2000L),
+      (1L, ts("2024-01-01 06:00:00"), 2L, 8000L)
+    ).toDF("user_id", "ts", "event_id", "vm")
+    val out = graft.ops.Scd2.timeWeightedMean(changes, col("user_id"),
+        col("ts"), col("event_id"), col("vm"),
+        horizonTs = "2024-01-02 00:00:00")
+      .as[(Long, Long, Long)].head()
+    assert(out == ((1L, 86400000000L, 6500L)))
+  }
+
+  test("timeWeightedMean: a tied pair gives its first member zero weight") {
+    val t = ts("2024-01-01 00:00:00")
+    val changes = Seq(
+      (1L, t, 1L, 999999L), // zero-duration: overwritten in the same µs
+      (1L, t, 2L, 4000L)
+    ).toDF("user_id", "ts", "event_id", "vm")
+    val out = graft.ops.Scd2.timeWeightedMean(changes, col("user_id"),
+        col("ts"), col("event_id"), col("vm"),
+        horizonTs = "2024-01-01 01:00:00")
+      .as[(Long, Long, Long)].head()
+    assert(out == ((1L, 3600000000L, 4000L)))
+  }
+
   test("intervals costs exactly one hash exchange (shared window)") {
     spark.conf.set("spark.graft.parallelizeInputs", "false")
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
