@@ -700,6 +700,15 @@ object SparkEntry {
         col("source"), col("text"))
     },
 
+    // Corpus-scale BPE tokenizer application: an 11-rank constructively-
+    // ordered merge table (chars → sc/an → scan; jo/in → join; …) compiled
+    // into the expression tree — pure projection, zero shuffle. The chain
+    // merges exercise the rank-ascending sweep's constructive invariant.
+    "t48_bpe_encode" -> { (s, dir) =>
+      graft.text.Bpe.encode(Tables.documents(s, dir), col("doc_id"),
+        col("text"), bpeMerges)
+    },
+
     // Triangle census of the g1 domain graph by degree orientation —
     // wedge fan-out capped at O(√m) per node, each triangle counted once;
     // clustering coefficient in exact integer ppm.
@@ -1510,6 +1519,46 @@ object SparkEntry {
        |  SELECT gram_hash FROM fp GROUP BY 1 HAVING count(*) <= 500),
        |k AS (SELECT fp.doc_id, fp.gram_hash
        |      FROM fp JOIN census USING (gram_hash))""".stripMargin
+
+  /** The t48 merge table: rank-ordered, constructively built (every
+    * multi-char symbol is an earlier merge's output — [[graft.text.Bpe
+    * .validate]] enforces it). Chains like s+c, a+n, sc+an → "scan"
+    * exercise the invariant that makes the single ascending sweep exact.
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "s" -> "c", "a" -> "n", "sc" -> "an", "j" -> "o", "i" -> "n",
+    "jo" -> "in", "r" -> "o", "ro" -> "w", "h" -> "a", "l" -> "l",
+    "s" -> "h")
+
+  /** t48 oracle generated from [[bpeMerges]]: each rank replays as one
+    * string-state `list_reduce` pass (the accumulator string's LAST token
+    * is the fold's pending symbol; a merged symbol can never re-match its
+    * own rank, so the replace-last step is exactly the engine's fold).
+    */
+  private def bpeOracle: String = {
+    val init = "list_filter(string_split(w, ''), c -> len(c) > 0)"
+    val enc = bpeMerges.foldLeft(init) { case (arr, (a, b)) =>
+      val ab = a + b
+      val strip = a.length + 1
+      s"""string_split(list_reduce(list_prepend('', $arr), (s, t) ->
+         |  CASE WHEN s = '' THEN t
+         |    WHEN regexp_extract(s, '[^ ]+$$') = '$a' AND t = '$b' THEN
+         |      CASE WHEN s = '$a' THEN '$ab'
+         |           ELSE left(s, len(s) - $strip) || ' $ab' END
+         |    ELSE s || ' ' || t END), ' ')""".stripMargin
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS words
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, CAST(len(words) AS INT) AS n_tokens,
+       |    array_to_string(list_transform(words, w ->
+       |      array_to_string($enc, ' ')), ' ') AS bpe_text
+       |  FROM d)
+       |SELECT doc_id, n_tokens, bpe_text,
+       |  CAST(len(string_split(bpe_text, ' ')) AS INT) AS n_bpe_tokens
+       |FROM e""".stripMargin
+  }
 
   /** The engine-neutral token hash as DuckDB SQL: base-131 Horner over
     * `ord(char)` mod 1e9+7, seed 7 — mirrors [[TextAnalysis.tokenHash]].
@@ -3169,6 +3218,9 @@ object SparkEntry {
         |  CAST(sum(abs(c * 1000000 // tot
         |    - gc * 1000000 // (SELECT gt FROM gt))) AS BIGINT) AS l1_ppm
         |FROM j GROUP BY 1""".stripMargin,
+
+    // Generated from the same merge table as the engine (see bpeOracle).
+    "t48_bpe_encode" -> bpeOracle,
 
     // Brute-force triangle enumeration over the canonical (u < v) edge
     // set: a triangle x<y<z appears as exactly the join e1=(x,y), e2=(y,z),

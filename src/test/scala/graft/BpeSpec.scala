@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val merges = Seq("s" -> "c", "a" -> "n", "sc" -> "an", "j" -> "o",
+    "i" -> "n", "jo" -> "in", "r" -> "o", "ro" -> "w", "h" -> "a",
+    "l" -> "l", "s" -> "h")
+
+  private def enc(words: String*): Seq[String] = {
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    Bpe.encode(df, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id")
+      .select("bpe_text").as[String].collect().toSeq
+  }
+
+  test("encode: chained merges build scan/join; partial merges stay subwords") {
+    assert(enc("scan", "join", "hash", "window", "slow") ==
+      Seq("scan", "join", "ha sh", "w in d o w", "s l o w"))
+  }
+
+  test("encode: same-symbol runs merge greedy-leftmost non-overlapping") {
+    // l l l l l → ll ll l (never the overlapping l·ll·ll)
+    assert(enc("lllll") == Seq("ll ll l"))
+  }
+
+  test("validate: rejects a merge table that references unbuilt symbols") {
+    val err = intercept[IllegalArgumentException] {
+      Bpe.validate(Seq("c" -> "ab", "a" -> "b")) // ab referenced before built
+    }
+    assert(err.getMessage.contains("no earlier merge builds"))
+  }
+
+  /** True BPE: repeatedly merge the LOWEST-rank pair present (all its
+    * occurrences, leftmost non-overlapping) until none applies.
+    */
+  private def trueBpe(word: String,
+                      table: Seq[(String, String)]): Seq[String] = {
+    val rank = table.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length > 1) {
+      val present = syms.zip(syms.tail).flatMap(rank.get)
+      if (present.isEmpty) done = true
+      else {
+        val (a, b) = table(present.min)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  test("encode: rank-ascending sweep equals iterate-to-fixpoint BPE " +
+    "on random words over a chain-heavy constructive table") {
+    val table = Seq("a" -> "b", "b" -> "c", "ab" -> "c", "c" -> "a",
+      "ab" -> "ab", "abc" -> "bc")
+    Bpe.validate(table)
+    val rng = new scala.util.Random(7)
+    val alphabet = "abc"
+    val words = (0 until 80).map(_ =>
+      (1 to (1 + rng.nextInt(9))).map(_ =>
+        alphabet(rng.nextInt(3))).mkString)
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(df, col("doc_id"), col("text"), table)
+      .orderBy("doc_id").select("bpe_text").as[String].collect().toSeq
+    val expected = words.map(w => trueBpe(w, table).mkString(" "))
+    assert(got == expected)
+  }
+}
