@@ -700,6 +700,21 @@ object SparkEntry {
         col("source"), col("text"))
     },
 
+    // Integer-exact linear PCM resample (8 k → 3 k) over REAL decoded WAV
+    // audio: rational source positions, int64 interpolation, truncating
+    // division — the sample-rate normalization front end.
+    "m13_audio_resample" -> { (s, dir) =>
+      Multimodal.audioResample(wavPcmMedia(s, dir), dstRate = 3000).toDF()
+    },
+
+    // Rendezvous (HRW) shard assignment over 8 shards: pure projection,
+    // engine-neutral mixed hashes, argmax with smallest-id tie-break —
+    // the resharding-stable alternative to hash-mod-n.
+    "t49_rendezvous_shard" -> { (s, dir) =>
+      graft.ops.Sharding.rendezvous(Tables.documents(s, dir),
+        col("doc_id"), nShards = 8)
+    },
+
     // Corpus-scale BPE tokenizer application: an 11-rank constructively-
     // ordered merge table (chars → sc/an → scan; jo/in → join; …) compiled
     // into the expression tree — pure projection, zero shuffle. The chain
@@ -3221,6 +3236,44 @@ object SparkEntry {
 
     // Generated from the same merge table as the engine (see bpeOracle).
     "t48_bpe_encode" -> bpeOracle,
+
+    // The m5 PCM formula + the exact rational-interpolation arithmetic;
+    // the closed-form sample formula makes the idx+1 edge a non-issue.
+    "m13_audio_resample" ->
+      """WITH base AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        unnest(range((n - 1) * 3000 // 8000 + 1)) AS i FROM base),
+        |p AS (SELECT doc_id, n, i * 8000 // 3000 AS idx,
+        |        i * 8000 % 3000 AS rem FROM o),
+        |s AS (SELECT doc_id, n,
+        |  CASE WHEN rem = 0 THEN (doc_id*31 + idx*17) % 2003 - 1001
+        |       ELSE (((doc_id*31 + idx*17) % 2003 - 1001) * (3000 - rem)
+        |           + ((doc_id*31 + (idx+1)*17) % 2003 - 1001) * rem) // 3000
+        |  END AS v
+        |  FROM p)
+        |SELECT doc_id, 8000 AS src_rate, 3000 AS dst_rate,
+        |  CAST(max(n) AS BIGINT) AS n_in, count(*) AS n_out,
+        |  CAST(sum(v) AS BIGINT) AS sum_out,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq_out
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    // Full HRW replay: per-(key, shard) mixed hash, argmax via QUALIFY
+    // with the same (h DESC, s ASC) tie order.
+    "t49_rendezvous_shard" -> {
+      val th = duckTokenHash(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")
+      s"""WITH m1 AS (
+         |  SELECT doc_id, s, (th * th + 13) % 1000000007 AS h1
+         |  FROM (
+         |    SELECT doc_id, s, $th AS th
+         |    FROM documents
+         |    CROSS JOIN (SELECT unnest(range(8)) AS s) g)),
+         |c AS (SELECT doc_id, s, (h1 * h1 + 13) % 1000000007 AS h FROM m1)
+         |SELECT doc_id, CAST(s AS INT) AS shard, h AS shard_hash
+         |FROM c
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY h DESC, s) = 1""".stripMargin
+    },
 
     // Brute-force triangle enumeration over the canonical (u < v) edge
     // set: a triangle x<y<z appears as exactly the join e1=(x,y), e2=(y,z),

@@ -481,6 +481,53 @@ object Multimodal {
     })
   }
 
+  case class ResampleStats(doc_id: Long, src_rate: Int, dst_rate: Int,
+                           n_in: Long, n_out: Long, sum_out: Long,
+                           sum_sq_out: Long)
+
+  /** Integer-exact linear resampling of decoded mono PCM to `dstRate` —
+    * the sample-rate normalization every audio-training front end runs
+    * (16 k → 8 k, 44.1 k → 16 k) before featurization. Output position `i`
+    * reads source position `i·src/dst` as an exact rational: with
+    * `idx = (i·src) div dst` and `rem = (i·src) mod dst`, the sample is
+    * `(s[idx]·(dst−rem) + s[idx+1]·rem) div dst` — pure int64 arithmetic
+    * (|s| < 2¹⁵, weights ≤ dst, no float filter bank), truncating division
+    * toward zero on both Java `/` and SQL `//` (the [[audioMono]] lesson —
+    * floorDiv would diverge on negative samples). Output length is
+    * `(n−1)·dst div src + 1`: every output position interpolates inside
+    * the source span, no extrapolated tail. Honest limitation, documented:
+    * linear interpolation aliases when downsampling below half the source
+    * band — a production pipeline low-passes first; the INTERPOLATION
+    * arithmetic is what this operator pins down. Multi-channel inputs are
+    * rejected (resample after [[audioMono]]).
+    */
+  def audioResample(media: Dataset[MediaRecord],
+                    dstRate: Int): Dataset[ResampleStats] = {
+    require(dstRate >= 1, s"dstRate must be >= 1, got $dstRate")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWavPcm(r.payload).collect { case (1, srcRate, _, s)
+          if s.length >= 2 =>
+        val nOut = ((s.length - 1).toLong * dstRate / srcRate + 1).toInt
+        var (sum, sumSq) = (0L, 0L)
+        var i = 0
+        while (i < nOut) {
+          val num = i.toLong * srcRate
+          val idx = (num / dstRate).toInt
+          val rem = num % dstRate
+          val v =
+            if (rem == 0L) s(idx).toLong
+            else (s(idx).toLong * (dstRate - rem) +
+              s(idx + 1).toLong * rem) / dstRate
+          sum += v; sumSq += v * v
+          i += 1
+        }
+        ResampleStats(r.doc_id, srcRate, dstRate, s.length.toLong,
+          nOut.toLong, sum, sumSq)
+      }
+    })
+  }
+
   /** Image metadata extraction over the media table — the real decode step,
     * batched per partition like [[extractFeatures]].
     */

@@ -455,6 +455,37 @@ class MultimodalSpec extends SparkSpec {
     assert(m.channels == 1 && m.mono_sum == 6L && m.mono_min == -9 && m.mono_max == 12)
   }
 
+  test("audioResample: hand-computed rational interpolation, negatives truncate") {
+    // 1→... src 4, dst 3 over samples [0, 100, -100, 7]:
+    // n_out = 3*3/4+1 = 3; i=0: pos 0 → 0
+    // i=1: num=4, idx=1, rem=1 → (100*2 + (-100)*1)/3 = 100/3 = 33
+    // i=2: num=8, idx=2, rem=2 → ((-100)*1 + 7*2)/3 = -86/3 = -28 (truncates)
+    val w = wavPcm(1, 4, Seq(0, 100, -100, 7))
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "audio/wav", w.length, w),
+        Multimodal.MediaRecord(2L, "audio/wav",
+          wavPcm(2, 4, Seq(1, 2, 3, 4)).length, wavPcm(2, 4, Seq(1, 2, 3, 4))),
+        Multimodal.MediaRecord(3L, "text/plain", 3, "nah".getBytes))
+      .toDS()
+    val out = Multimodal.audioResample(media, dstRate = 3).collect()
+    // stereo (2) and garbage (3) drop
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+    val s = out.head
+    assert(s.n_in == 4L && s.n_out == 3L)
+    assert(s.sum_out == (0 + 33 - 28).toLong)
+    assert(s.sum_sq_out == (0L + 33L * 33 + 28L * 28))
+  }
+
+  test("audioResample: dst = src is an exact pass-through") {
+    val samples = Seq(5, -17, 300, -2, 9)
+    val w = wavPcm(1, 8000, samples)
+    val media = Seq(Multimodal.MediaRecord(1L, "audio/wav", w.length, w)).toDS()
+    val s = Multimodal.audioResample(media, dstRate = 8000).collect().head
+    assert(s.n_out == samples.length.toLong)
+    assert(s.sum_out == samples.map(_.toLong).sum)
+    assert(s.sum_sq_out == samples.map(v => v.toLong * v).sum)
+  }
+
   test("audioStats: exact integer sums over real decoded PCM") {
     val good = wavPcm(2, 16000, Seq(10, -20, 30, -40)) // 2 frames stereo
     val media = Seq(
