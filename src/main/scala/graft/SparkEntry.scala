@@ -700,6 +700,24 @@ object SparkEntry {
         col("source"), col("text"))
     },
 
+    // ViT patchify: the 9×8 perturbed-PNG corpus cut into a 3×2 grid of
+    // 3×4 patches, exact integer channel sums per patch — real pixel
+    // decode, zero shuffle.
+    "m14_image_patches" -> { (s, dir) =>
+      Multimodal.imagePatches(imageHashMedia(s, dir), patchW = 3,
+        patchH = 4).toDF()
+    },
+
+    // CCNet head/middle/tail quality bucketing over the t21 unigram-LM
+    // score: exact tercile thresholds as ONE distributed percentile
+    // aggregate broadcast back (never an ntile's global sort).
+    "t50_quality_buckets" -> { (s, dir) =>
+      val scored = graft.text.Vocab.unigramLogProb(
+        Tables.documents(s, dir), col("doc_id"), col("text"))
+      QualityFilters.qualityBuckets(scored, col("avg_logprob"),
+        Seq("tail", "middle", "head"))
+    },
+
     // Integer-exact linear PCM resample (8 k → 3 k) over REAL decoded WAV
     // audio: rational source positions, int64 interpolation, truncating
     // division — the sample-rate normalization front end.
@@ -3236,6 +3254,53 @@ object SparkEntry {
 
     // Generated from the same merge table as the engine (see bpeOracle).
     "t48_bpe_encode" -> bpeOracle,
+
+    // The m10 pixel-formula replay grouped into the 3×4 patch grid —
+    // exact integer sums, XOR perturbation included.
+    "m14_image_patches" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 50 AS b, (doc_id // 50) % 72 AS j,
+        |    unnest(range(72)) AS i
+        |  FROM documents),
+        |chan AS (
+        |  SELECT doc_id, i % 9 AS x, i // 9 AS y,
+        |    CASE WHEN i = j THEN xor((b*7 + i*13 + i*i*(5 + b*3)) % 256, 128)
+        |         ELSE (b*7 + i*13 + i*i*(5 + b*3)) % 256 END AS pb,
+        |    CASE WHEN i = j THEN xor((b*11 + i*17 + i*i*(3 + b*5)) % 256, 128)
+        |         ELSE (b*11 + i*17 + i*i*(3 + b*5)) % 256 END AS pg,
+        |    CASE WHEN i = j THEN xor((b*13 + i*19 + i*i*(7 + b*9)) % 256, 128)
+        |         ELSE (b*13 + i*19 + i*i*(7 + b*9)) % 256 END AS pr
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST((y // 4) * 3 + (x // 3) AS INT) AS patch_idx,
+        |  CAST(x // 3 AS INT) AS px, CAST(y // 4 AS INT) AS py,
+        |  12 AS n_px,
+        |  CAST(sum(pr) AS BIGINT) AS sum_r,
+        |  CAST(sum(pg) AS BIGINT) AS sum_g,
+        |  CAST(sum(pb) AS BIGINT) AS sum_b
+        |FROM chan GROUP BY doc_id, x // 3, y // 4""".stripMargin,
+
+    // t21's score replay + quantile_cont terciles (≡ Spark percentile) +
+    // the same ≤-boundary CASE.
+    "t50_quality_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token, round(ln(count(*)::DOUBLE /
+        |    (SELECT count(*)::DOUBLE FROM toks)), 6) AS logp
+        |  FROM toks GROUP BY token),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6)
+        |    AS avg_logprob
+        |  FROM toks JOIN vocab USING (token) GROUP BY doc_id),
+        |th AS (SELECT quantile_cont(avg_logprob, 1.0/3) AS t1,
+        |              quantile_cont(avg_logprob, 2.0/3) AS t2 FROM sc)
+        |SELECT sc.doc_id, sc.n_tokens, sc.avg_logprob,
+        |  CASE WHEN avg_logprob <= th.t1 THEN 'tail'
+        |       WHEN avg_logprob <= th.t2 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM sc, th""".stripMargin,
 
     // The m5 PCM formula + the exact rational-interpolation arithmetic;
     // the closed-form sample formula makes the idx+1 edge a non-issue.

@@ -481,6 +481,53 @@ object Multimodal {
     })
   }
 
+  case class ImagePatch(doc_id: Long, patch_idx: Int, px: Int, py: Int,
+                        n_px: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** ViT-style patchify over REAL decoded pixels: cut the image into a
+    * `patchW`×`patchH` grid and emit each patch's exact integer channel
+    * sums — the patch-embedding front end of vision training (the linear
+    * projection that follows consumes these patches; the sums are the
+    * verifiable part, and means are one division away). Incomplete edge
+    * patches are TRUNCATED (the common ViT resize-to-multiple convention
+    * handles remainders upstream; silently emitting short patches would
+    * corrupt a fixed-size embedding). Patch index is row-major, with the
+    * (px, py) grid position carried for positional embeddings. One row per
+    * patch from a partition-local pass — no shuffle, state is one patch's
+    * three sums.
+    */
+  def imagePatches(media: Dataset[MediaRecord], patchW: Int,
+                   patchH: Int): Dataset[ImagePatch] = {
+    require(patchW >= 1 && patchH >= 1, "patch dims must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeImage(r.payload).toSeq.flatMap { case (w, h, rgb) =>
+        val nx = w / patchW
+        val ny = h / patchH
+        for {
+          py <- 0 until ny
+          px <- 0 until nx
+        } yield {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var dy = 0
+          while (dy < patchH) {
+            var dx = 0
+            val rowBase = ((py * patchH + dy) * w + px * patchW) * 3
+            while (dx < patchW) {
+              sr += rgb(rowBase + dx * 3) & 0xFF
+              sg += rgb(rowBase + dx * 3 + 1) & 0xFF
+              sb += rgb(rowBase + dx * 3 + 2) & 0xFF
+              dx += 1
+            }
+            dy += 1
+          }
+          ImagePatch(r.doc_id, py * nx + px, px, py, patchW * patchH,
+            sr, sg, sb)
+        }
+      }
+    })
+  }
+
   case class ResampleStats(doc_id: Long, src_rate: Int, dst_rate: Int,
                            n_in: Long, n_out: Long, sum_out: Long,
                            sum_sq_out: Long)

@@ -350,4 +350,34 @@ object QualityFilters {
         round(greatest(col("__plo"), least(col("__phi"), col("__v"))), 6)
           .as("n_winsorized"))
   }
+
+  /** CCNet-style quantile bucketing (Wenzek et al. 2020 split corpora into
+    * perplexity head/middle/tail and train preferentially on the head):
+    * assign each scored row to one of k equal-mass buckets by EXACT
+    * interpolated quantile thresholds.
+    *
+    * Scale shape: the thresholds are one `percentile` AGGREGATE (proper
+    * distributed partial aggregation, ≡ DuckDB `quantile_cont` — the
+    * winsorize precedent) broadcast back as a 1-row frame; bucketing is
+    * then row-local. The rank-based alternative (`ntile` over a global
+    * order) needs a single-partition window — the one shape that cannot
+    * scale. Boundary rule: `score ≤ threshold` goes to the lower bucket;
+    * since both engines compute bit-identical scores and thresholds, the
+    * boundary is deterministic cross-engine.
+    */
+  def qualityBuckets(scored: DataFrame, score: Column,
+                     buckets: Seq[String]): DataFrame = {
+    require(buckets.size >= 2, "need at least 2 buckets")
+    val k = buckets.size
+    val ths = (1 until k).map(i =>
+      percentile(score, lit(i.toDouble / k)).as(s"__t$i"))
+    val bounds = scored.agg(ths.head, ths.tail: _*)
+    val assign = (1 until k).reverse.foldLeft(lit(buckets.last)) {
+      case (acc, i) => when(score <= col(s"__t$i"), lit(buckets(i - 1)))
+        .otherwise(acc)
+    }
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bucket", assign)
+      .drop((1 until k).map(i => s"__t$i"): _*)
+  }
 }

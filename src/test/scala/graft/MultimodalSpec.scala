@@ -455,6 +455,35 @@ class MultimodalSpec extends SparkSpec {
     assert(m.channels == 1 && m.mono_sum == 6L && m.mono_min == -9 && m.mono_max == 12)
   }
 
+  test("imagePatches: hand-computed sums on a 4x4, edge columns truncate on 5x4") {
+    // 4x4 image, pixel (x, y) = (r, g, b) = (x+4y, 2x, 3y)
+    def rgb(w: Int, h: Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        a((y * w + x) * 3) = (x + 4 * y).toByte
+        a((y * w + x) * 3 + 1) = (2 * x).toByte
+        a((y * w + x) * 3 + 2) = (3 * y).toByte
+      }
+      a
+    }
+    val png4 = Multimodal.encodePng(4, 4, rgb(4, 4))
+    val png5 = Multimodal.encodePng(5, 4, rgb(5, 4))
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "image/png", png4.length, png4),
+        Multimodal.MediaRecord(2L, "image/png", png5.length, png5))
+      .toDS()
+    val out = Multimodal.imagePatches(media, 2, 2).collect()
+      .groupBy(_.doc_id)
+    // doc 1: 2x2 grid of 2x2 patches; patch (0,0) covers (0,0),(1,0),(0,1),(1,1):
+    // sum_r = 0+1+4+5 = 10, sum_g = 0+2+0+2 = 4, sum_b = 0+0+3+3 = 6
+    val p00 = out(1L).find(_.patch_idx == 0).get
+    assert((p00.sum_r, p00.sum_g, p00.sum_b, p00.n_px) == ((10L, 4L, 6L, 4)))
+    assert(out(1L).length == 4)
+    // 5x4 with 2x2 patches: x = 4 column truncates → still a 2x2 grid
+    assert(out(2L).length == 4)
+    assert(out(2L).forall(p => p.px < 2 && p.py < 2))
+  }
+
   test("audioResample: hand-computed rational interpolation, negatives truncate") {
     // 1→... src 4, dst 3 over samples [0, 100, -100, 7]:
     // n_out = 3*3/4+1 = 3; i=0: pos 0 → 0

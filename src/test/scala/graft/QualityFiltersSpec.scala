@@ -248,4 +248,22 @@ class QualityFiltersSpec extends SparkSpec {
         loPermille = 800, hiPermille = 200)
     }
   }
+
+  test("qualityBuckets: equal-mass terciles with <= boundary; k=2 median split") {
+    import spark.implicits._
+    // scores 1..6: t1 = interp at (6-1)/3 ≈ 1.667 → 2.667; t2 → 4.333
+    val df = (1 to 6).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val out = QualityFilters.qualityBuckets(df, col("s"),
+        Seq("tail", "middle", "head"))
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "tail", 2L -> "tail", 3L -> "middle",
+      4L -> "middle", 5L -> "head", 6L -> "head"))
+    // k = 2: median of 1..5 is 3, and the boundary row goes LOW (<=)
+    val df5 = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val halves = QualityFilters.qualityBuckets(df5, col("s"),
+        Seq("low", "high"))
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(halves == Map(1L -> "low", 2L -> "low", 3L -> "low",
+      4L -> "high", 5L -> "high"))
+  }
 }
