@@ -700,6 +700,19 @@ object SparkEntry {
         col("source"), col("text"))
     },
 
+    // Market-basket co-purchase pairs over customer baskets (lineitem ⋈
+    // orders): triangle-salted pair stage, min-support 3, lift in integer
+    // ppm, top-50 by (co-count, pair).
+    "a5_copurchase_pairs" -> { (s, dir) =>
+      val baskets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      graft.ops.Associations.copurchasePairs(baskets, col("o_custkey"),
+        col("l_partkey"), minSupport = 3, topK = 50)
+    },
+
     // ViT patchify: the 9×8 perturbed-PNG corpus cut into a 3×2 grid of
     // 3×4 patches, exact integer channel sums per patch — real pixel
     // decode, zero shuffle.
@@ -3254,6 +3267,26 @@ object SparkEntry {
 
     // Generated from the same merge table as the engine (see bpeOracle).
     "t48_bpe_encode" -> bpeOracle,
+
+    // Brute-force basket self-join + the same integer lift arithmetic;
+    // the ORDER BY total order pins the top-50 boundary.
+    "a5_copurchase_pairs" ->
+      """WITH bk AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ic AS (SELECT part, count(*) AS cnt FROM bk GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT cust) AS n FROM bk),
+        |co AS (
+        |  SELECT a.part AS item_a, b.part AS item_b, count(*) AS co_count
+        |  FROM bk a JOIN bk b ON a.cust = b.cust AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, co_count,
+        |  CAST(ca.cnt AS BIGINT) AS cnt_a, CAST(cb.cnt AS BIGINT) AS cnt_b,
+        |  CAST(co_count * (SELECT n FROM nb) * 1000000
+        |       // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+        |FROM co JOIN ic ca ON ca.part = co.item_a
+        |        JOIN ic cb ON cb.part = co.item_b
+        |ORDER BY co_count DESC, item_a, item_b LIMIT 50""".stripMargin,
 
     // The m10 pixel-formula replay grouped into the 3×4 patch grid —
     // exact integer sums, XOR perturbation included.

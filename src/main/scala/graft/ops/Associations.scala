@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining: which item pairs share baskets more
+  * than their popularity predicts — co-purchase analytics, co-visitation
+  * graphs, tag co-occurrence. Emits co-count, marginals, and LIFT
+  * (`P(ab)/(P(a)·P(b))`) in integer ppm, top-k by (co-count, pair).
+  *
+  * Scale shape: the quadratic pair stage rides
+  * [[ScaleJoins.bucketedSelfPairs]] — triangle-salted within each basket,
+  * so a degenerate basket holding 10⁵ items caps any single task at
+  * ~|basket|²/salt² and the pinned partition count keeps AQE from
+  * serializing the blowup. Everything after the pair rollup is item-scale:
+  * marginals broadcast, lift is exact integer arithmetic
+  * (`co·N·10⁶ DIV (cnt_a·cnt_b)`), and the top-k is an orderBy+limit
+  * (TakeOrderedAndProject: per-partition heaps, no global sort). The
+  * `minSupport` floor is applied BEFORE the marginal joins — at corpus
+  * scale the co ≥ s filter is what shrinks the pair set from quadratic to
+  * reportable.
+  */
+object Associations {
+
+  /** Top-k co-occurring item pairs with lift.
+    *
+    * @param minSupport keep pairs sharing at least this many baskets
+    * @param salt       degenerate-basket spread for the pair stage
+    */
+  def copurchasePairs(baskets: DataFrame, basket: Column, item: Column,
+                      minSupport: Int, topK: Int,
+                      salt: Int = 8): DataFrame = {
+    require(minSupport >= 1 && topK >= 1, "minSupport and topK must be >= 1")
+    val b = baskets.select(basket.as("__basket"), item.as("__item")).distinct()
+    val itemCnt = b.groupBy("__item").agg(count(lit(1)).as("__cnt"))
+    val nBaskets = b.agg(countDistinct(col("__basket")).as("__n"))
+    val co = ScaleJoins.bucketedSelfPairs(b, Seq("__basket"), "__item",
+        Nil, salt)
+      .groupBy(col("id_a").as("item_a"), col("id_b").as("item_b"))
+      .agg(count(lit(1)).as("co_count"))
+      .filter(col("co_count") >= minSupport)
+    co
+      .join(broadcast(itemCnt.select(col("__item").as("item_a"),
+        col("__cnt").as("cnt_a"))), "item_a")
+      .join(broadcast(itemCnt.select(col("__item").as("item_b"),
+        col("__cnt").as("cnt_b"))), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("co_count"),
+        col("cnt_a"), col("cnt_b"),
+        expr("co_count * __n * 1000000 DIV (cnt_a * cnt_b)").as("lift_ppm"))
+      .orderBy(col("co_count").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+}
