@@ -53,6 +53,50 @@ object StreamOps {
       .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
         col(keyCol), col("n_events"), col("value_sum"))
 
+  /** Per-key funnel progress carried across triggers. `at_us` is the exact
+    * µs of the last completed step (`Long.MinValue` before step 1).
+    */
+  final case class FunnelProgress(user_id: Long, stage: Int, at_us: Long)
+
+  /** Streaming ordered-funnel tracker — [[graft.ops.Funnel]] semantics
+    * under `mapGroupsWithState`: per key, O(1) state (completed stage +
+    * its exact µs), each trigger folding its batch's step events in
+    * (ts, step) order into the carried state. Emits the key's current
+    * progress every trigger it appears in (Update mode). Equals the batch
+    * fold whenever keys see trigger-monotone event time (a later trigger
+    * carries no event older than one already folded for that key) —
+    * the same contract as [[latestPerKey]]; for genuinely disordered
+    * streams, buffer first (the [[repairCdcStreamEventTime]] pattern).
+    * Against an unbounded key domain, wrap with a TTL exactly as
+    * [[latestPerKeyWithTtl]] does.
+    */
+  def funnelStages(ds: Dataset[KeyedEvent],
+                   steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct, got $steps")
+    implicit val progEnc = Encoders.product[FunnelProgress]
+    implicit val longEnc = Encoders.scalaLong
+    val idx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, events: Iterator[KeyedEvent],
+         state: GroupState[FunnelProgress]) =>
+          var stage = state.getOption.map(_.stage).getOrElse(0)
+          var at = state.getOption.map(_.at_us).getOrElse(Long.MinValue)
+          val evs = events.flatMap { e =>
+            idx.get(e.event_type).map { i =>
+              (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, i)
+            }
+          }.toArray.sorted
+          evs.foreach { case (us, i) =>
+            if (i == stage + 1 && us > at) { stage = i; at = us }
+          }
+          val out = FunnelProgress(k, stage, at)
+          state.update(out)
+          out
+      }
+  }
+
   /** Streaming gap-based sessionization via Spark's NATIVE `session_window`:
     * per (key, session) event counts, emitted once the watermark passes the
     * session's close (gap with no events). The batch analog over landed

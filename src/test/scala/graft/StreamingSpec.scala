@@ -473,4 +473,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streamed registers must equal the batch sketch")
     assert(streamed.length == 16)
   }
+
+  test("funnelStages carries stage state across triggers and matches the batch fold") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val steps = Seq("signup", "view", "purchase")
+    val staged = StreamOps.funnelStages(input.toDS(), steps)
+    val query = StreamOps.startMemorySink(staged.toDF(), "funnel_q",
+      OutputMode.Update())
+
+    def ev(u: Long, t: String, id: Long, tp: String) =
+      KeyedEvent(u, ts(t), id, tp, 0.0)
+    // trigger 1: user 1's view PRECEDES signup (ignored), then signup;
+    // user 2 signs up
+    input.addData(ev(1L, "2024-01-01 09:00:00", 1, "view"),
+      ev(1L, "2024-01-01 10:00:00", 2, "signup"),
+      ev(2L, "2024-01-01 10:00:00", 3, "signup"))
+    query.processAllAvailable()
+    // trigger 2: user 1 advances through view AND purchase in one batch;
+    // user 2's purchase cannot skip the view stage
+    input.addData(ev(1L, "2024-01-01 11:00:00", 4, "view"),
+      ev(1L, "2024-01-01 11:30:00", 5, "purchase"),
+      ev(2L, "2024-01-01 11:00:00", 6, "purchase"))
+    query.processAllAvailable()
+    query.stop()
+
+    val last = spark.table("funnel_q")
+      .groupBy("user_id").agg(max(struct(col("at_us"), col("stage"))).as("s"))
+      .select(col("user_id"), col("s.stage")).as[(Long, Int)].collect().toMap
+    assert(last == Map(1L -> 3, 2L -> 1))
+
+    // the same events through the BATCH fold give the same reached stages
+    val batch = graft.ops.Funnel.conversion(
+      Seq((1L, ts("2024-01-01 09:00:00"), "view"),
+        (1L, ts("2024-01-01 10:00:00"), "signup"),
+        (2L, ts("2024-01-01 10:00:00"), "signup"),
+        (1L, ts("2024-01-01 11:00:00"), "view"),
+        (1L, ts("2024-01-01 11:30:00"), "purchase"),
+        (2L, ts("2024-01-01 11:00:00"), "purchase"))
+        .toDF("user_id", "ts", "event_type"),
+      col("user_id"), col("ts"), col("event_type"), steps)
+      .select("step_idx", "n_keys").as[(Int, Long)].collect().toMap
+    // stage >= k counts: step 1 → both users, steps 2 and 3 → user 1 only
+    assert(batch == Map(1 -> 2L, 2 -> 1L, 3 -> 1L))
+  }
 }
