@@ -700,6 +700,17 @@ object SparkEntry {
         col("source"), col("text"))
     },
 
+    // The user-360 mart: sessions + funnel stage + cohort + TWAP from ONE
+    // shuffle and one sorted fold per user (the standalone operators would
+    // scan the event log four times).
+    "pipe_user360_e2e" -> { (s, dir) =>
+      graft.pipeline.UserMart.user360(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)"),
+        Seq("signup", "view", "click", "purchase"), gapSeconds = 86400,
+        originDate = "2024-01-01", horizonTs = "2024-02-01 00:00:00")
+    },
+
     // Market-basket co-purchase pairs over customer baskets (lineitem ⋈
     // orders): triangle-salted pair stage, min-support 3, lift in integer
     // ppm, top-50 by (co-count, pair).
@@ -3267,6 +3278,63 @@ object SparkEntry {
 
     // Generated from the same merge table as the engine (see bpeOracle).
     "t48_bpe_encode" -> bpeOracle,
+
+    // Composition of the four PROVEN per-operator fragments (w5 session
+    // marks, w7 funnel chain, w8 cohort min, w10 TWAP window), joined per
+    // user — certifying the fused single-fold engine path against the
+    // operator-by-operator replay.
+    "pipe_user360_e2e" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 86400000000 THEN 1 ELSE 0 END AS op
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, CAST(sum(op) AS BIGINT) AS n_sessions
+        |         FROM o GROUP BY 1),
+        |coh AS (
+        |  SELECT user_id,
+        |    CAST(min(date_diff('day', DATE '2024-01-01', ts::DATE))
+        |         AS BIGINT) AS cohort_day,
+        |    epoch_us(TIMESTAMP '2024-02-01 00:00:00') - min(epoch_us(ts))
+        |      AS held_us
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |        CAST(round(value * 1000) AS BIGINT) AS vm FROM events),
+        |iv AS (
+        |  SELECT user_id, vm,
+        |    coalesce(lead(us) OVER (PARTITION BY user_id
+        |                            ORDER BY us, event_id),
+        |             epoch_us(TIMESTAMP '2024-02-01 00:00:00')) - us AS dur
+        |  FROM x),
+        |tw AS (SELECT user_id,
+        |         CASE WHEN sum(dur) > 0
+        |              THEN CAST(sum(vm * dur) // sum(dur) AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS twap_milli
+        |       FROM iv GROUP BY 1),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT coh.user_id, coh.cohort_day, sess.n_sessions,
+        |  CASE WHEN s4.user_id IS NOT NULL THEN 4
+        |       WHEN s3.user_id IS NOT NULL THEN 3
+        |       WHEN s2.user_id IS NOT NULL THEN 2
+        |       WHEN s1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS funnel_stage,
+        |  coh.held_us, tw.twap_milli
+        |FROM coh JOIN sess USING (user_id) JOIN tw USING (user_id)
+        |  LEFT JOIN s1 ON s1.user_id = coh.user_id
+        |  LEFT JOIN s2 ON s2.user_id = coh.user_id
+        |  LEFT JOIN s3 ON s3.user_id = coh.user_id
+        |  LEFT JOIN s4 ON s4.user_id = coh.user_id""".stripMargin,
 
     // Brute-force basket self-join + the same integer lift arithmetic;
     // the ORDER BY total order pins the top-50 boundary.
