@@ -59,4 +59,35 @@ class FunnelSpec extends SparkSpec {
     assert(out == Seq(
       (1, "signup", 0L, 0L), (2, "view", 0L, 0L), (3, "purchase", 0L, 0L)))
   }
+
+  test("conversion matches the chained-min recurrence on random event streams") {
+    // reference: t_k = min ts of a step-k event strictly after t_{k-1}
+    def reference(evs: Seq[(Long, Long, String)]): Map[Int, Long] = {
+      val byUser = evs.groupBy(_._1)
+      val stages = byUser.values.map { es =>
+        var (stage, at) = (0, Long.MinValue)
+        var advanced = true
+        while (advanced && stage < steps.length) {
+          val next = es.filter(e => e._3 == steps(stage) && e._2 > at)
+          if (next.isEmpty) advanced = false
+          else { at = next.map(_._2).min; stage += 1 }
+        }
+        stage
+      }.toSeq
+      steps.indices.map(i => (i + 1) -> stages.count(_ >= i + 1).toLong).toMap
+    }
+    val rng = new scala.util.Random(13)
+    val types = steps ++ Seq("noise")
+    val evs = (0 until 600).map { i =>
+      (rng.nextInt(25).toLong, rng.nextInt(40).toLong * 1000000L,
+        types(rng.nextInt(types.length)))
+    }
+    val df = evs.map { case (u, us, t) =>
+      (u, new Timestamp(us / 1000), t)
+    }.toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversion(df, col("user_id"), col("ts"),
+        col("event_type"), steps)
+      .select("step_idx", "n_keys").as[(Int, Long)].collect().toMap
+    assert(got == reference(evs), "fold diverged from the recurrence")
+  }
 }
