@@ -700,6 +700,19 @@ object SparkEntry {
         col("source"), col("text"))
     },
 
+    // Threshold-sensitivity audit for near-dup: score once at the 0.5
+    // floor, read off the cumulative pair counts at every stricter
+    // threshold — the "where do I set the dedup bar" report.
+    "t51_threshold_sweep" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Jaccard.similarPairs(
+        Jaccard.shingleSets(docs.filter(col("doc_id") % 25 === 0),
+          col("doc_id"), col("text"), 1),
+        Jaccard.shingleSets(docs, col("doc_id"), col("text"), 1),
+        threshold = 0.5)
+      Jaccard.thresholdSweep(pairs, "jaccard", 500 to 950 by 50)
+    },
+
     // The user-360 mart: sessions + funnel stage + cohort + TWAP from ONE
     // shuffle and one sorted fold per user (the standalone operators would
     // scan the event log four times).
@@ -3278,6 +3291,31 @@ object SparkEntry {
 
     // Generated from the same merge table as the engine (see bpeOracle).
     "t48_bpe_encode" -> bpeOracle,
+
+    // Brute-force scored pairs at the floor + the same integer bucket +
+    // descending cumulative window over the 10-row grid.
+    "t51_threshold_sweep" ->
+      """WITH probes AS (
+        |  SELECT doc_id AS id_a,
+        |    list_distinct(string_split(lower(text), ' ')) AS sa
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS id_b,
+        |    list_distinct(string_split(lower(text), ' ')) AS sb
+        |  FROM documents),
+        |p AS (
+        |  SELECT CAST(round(jaccard * 1000000) AS BIGINT) AS ppm FROM (
+        |    SELECT round(len(list_intersect(sa, sb))::DOUBLE /
+        |      (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+        |    FROM probes JOIN corpus ON id_a < id_b)
+        |  WHERE jaccard >= 0.5),
+        |b AS (SELECT least(9, (ppm - 500000) // 50000) AS bkt, count(*) AS n
+        |      FROM p WHERE ppm >= 500000 GROUP BY 1),
+        |g AS (SELECT unnest(range(10)) AS bkt)
+        |SELECT CAST(g.bkt * 50 + 500 AS INT) AS threshold_permille,
+        |  CAST(sum(coalesce(b.n, 0)) OVER (ORDER BY g.bkt DESC) AS BIGINT)
+        |    AS n_pairs
+        |FROM g LEFT JOIN b USING (bkt)""".stripMargin,
 
     // Composition of the four PROVEN per-operator fragments (w5 session
     // marks, w7 funnel chain, w8 cohort min, w10 TWAP window), joined per

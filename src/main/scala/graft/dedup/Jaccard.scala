@@ -134,4 +134,45 @@ object Jaccard {
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
   }
+
+  /** Threshold-sensitivity audit: cumulative pair counts at each candidate
+    * threshold from ONE scoring pass — the "where do I set the dedup bar"
+    * report (run [[similarPairs]] once at the lowest threshold under
+    * consideration, read off every stricter setting for free, instead of
+    * re-scoring the corpus per candidate value).
+    *
+    * Scale shape: scores quantize to integer ppm, bucket into the
+    * threshold grid (one pass over the PAIR table, no replication), and
+    * the descending cumulative sum runs over the |thresholds|-row rollup —
+    * the only window in the plan is grid-sized. `thresholds` must be an
+    * ascending uniform permille grid (start/step derived from it).
+    */
+  def thresholdSweep(scored: DataFrame, scoreCol: String,
+                     thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.size >= 2 && thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds, "need an ascending threshold grid")
+    val step = thresholds(1) - thresholds.head
+    require(thresholds.sliding(2).forall(p => p(1) - p(0) == step),
+      "threshold grid must be uniform")
+    val lo = thresholds.head * 1000L
+    val stepPpm = step * 1000L
+    val nB = thresholds.size
+    val bucketed = scored
+      .select(expr(s"CAST(round($scoreCol * 1000000) AS BIGINT)").as("__ppm"))
+      // filter BEFORE the div: truncating DIV sends (lo-1..lo-step] to
+      // bucket 0, not -1, so a below-grid score would miscount
+      .filter(col("__ppm") >= lo)
+      .select(least(lit(nB - 1),
+        expr(s"(__ppm - $lo) DIV $stepPpm")).cast("int").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__n"))
+    val grid = scored.sparkSession
+      .range(nB).select(col("id").cast("int").as("__b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(bucketed, Seq("__b"), "left")
+      .withColumn("__cum", sum(coalesce(col("__n"), lit(0L))).over(w))
+      .select((col("__b") * step + thresholds.head).as("threshold_permille"),
+        col("__cum").as("n_pairs"))
+  }
 }

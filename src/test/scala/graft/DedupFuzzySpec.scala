@@ -167,4 +167,17 @@ class DedupFuzzySpec extends SparkSpec {
     assert(Jaccard.similarPairs(s1g, s1g, 0.99).count() == 1) // unigram: identical
     assert(Jaccard.similarPairs(s3g, s3g, 0.01).count() == 0) // trigram: disjoint
   }
+
+  test("thresholdSweep: cumulative counts, below-grid exclusion, top clamp") {
+    // scores: 0.49 (below grid), 0.5, 0.52, 0.61, 0.95, 0.99 (clamps to top)
+    val scored = Seq(0.49, 0.5, 0.52, 0.61, 0.95, 0.99).map(Tuple1(_))
+      .toDF("jaccard")
+    val out = Jaccard.thresholdSweep(scored, "jaccard", 500 to 950 by 50)
+      .as[(Int, Long)].collect().toMap
+    assert(out(500) == 5L, "0.49 must not count anywhere")
+    assert(out(550) == 3L)
+    assert(out(600) == 3L)
+    assert(out(650) == 2L)
+    assert(out(950) == 2L, "0.95 and the clamped 0.99")
+  }
 }
