@@ -237,4 +237,21 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("Filter"), s"expected a filter in:\n$p")
     }
   }
+
+  test("market-basket pair mining: marginals broadcast, top-k is a bounded sort") {
+    val p = plan(SparkEntry.queries("a5_copurchase_pairs")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"item marginals must broadcast against the pair table:\n$p")
+  }
+
+  test("BPE encode and rendezvous sharding are shuffle-free projections") {
+    for (q <- Seq("t48_bpe_encode", "t49_rendezvous_shard")) {
+      withProductionInputs {
+        val p = plan(SparkEntry.queries(q)(spark, sf))
+        assert(!p.contains("Exchange"), s"$q shuffled:\n$p")
+      }
+    }
+  }
 }
