@@ -700,6 +700,17 @@ object SparkEntry {
         col("source"), col("text"))
     },
 
+    // First-touch attribution: every purchase gets its user's earliest
+    // view/click inside a strict 7-day lookback + the touch count —
+    // one RANGE-frame pass, no touches×conversions join.
+    "w11_first_touch" -> { (s, dir) =>
+      graft.ops.Attribution.firstTouch(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase",
+        lookbackSeconds = 7L * 86400)
+    },
+
     // Threshold-sensitivity audit for near-dup: score once at the 0.5
     // floor, read off the cumulative pair counts at every stricter
     // threshold — the "where do I set the dedup bar" report.
@@ -3291,6 +3302,26 @@ object SparkEntry {
 
     // Generated from the same merge table as the engine (see bpeOracle).
     "t48_bpe_encode" -> bpeOracle,
+
+    // The identical RANGE frame over integer µs — strict-before via the
+    // 1-PRECEDING bound, value-based lookback.
+    "w11_first_touch" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id AS conversion_id, event_type,
+        |    us AS conversion_us,
+        |    min(CASE WHEN event_type IN ('view', 'click') THEN us END)
+        |      OVER win AS first_touch_us,
+        |    count(CASE WHEN event_type IN ('view', 'click') THEN 1 END)
+        |      OVER win AS n_touches
+        |  FROM x
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, conversion_id, conversion_us, first_touch_us,
+        |  CAST(n_touches AS BIGINT) AS n_touches
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
 
     // Brute-force scored pairs at the floor + the same integer bucket +
     // descending cumulative window over the 10-row grid.

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** First-touch attribution: for every conversion event, the timestamp of
+  * the key's EARLIEST touch event inside a strict lookback window
+  * `[conversion − lookback, conversion)` plus the touch count — the
+  * marketing-attribution primitive (last-touch is the same frame with
+  * `max`).
+  *
+  * Plan shape: ONE shuffle. Both window functions ride a single per-key
+  * RANGE frame over exact integer µs — value-based framing, so the
+  * lookback is true TIME distance (a ROWS frame would count events, the
+  * classic attribution bug), and the `AND 1 PRECEDING` upper bound makes
+  * "before" STRICT: same-µs peers are excluded by RANGE semantics in any
+  * engine. Conditional aggregation inside the frame (min/count over the
+  * touch-typed events only) avoids a touches×conversions self-join
+  * entirely — the join formulation re-shuffles the event log and
+  * explodes on hot keys; this is one pass over each key's timeline.
+  */
+object Attribution {
+
+  /** One row per conversion: key, `conversion_id`, `conversion_us`,
+    * `first_touch_us` (null when no touch inside the window),
+    * `n_touches` in the window.
+    */
+  def firstTouch(events: DataFrame, key: Column, ts: Column, eventId: Column,
+                 isTouch: Column, isConversion: Column,
+                 lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds >= 1, "lookbackSeconds must be >= 1")
+    val keyName = events.select(key).columns.head
+    val w = Window.partitionBy(col(keyName)).orderBy(col("__us"))
+      .rangeBetween(-lookbackSeconds * 1000000L, -1L)
+    events
+      .select(key, unix_micros(ts).as("__us"),
+        eventId.as("conversion_id"), isTouch.as("__touch"),
+        isConversion.as("__conv"))
+      .withColumn("first_touch_us",
+        min(when(col("__touch"), col("__us"))).over(w))
+      .withColumn("n_touches",
+        count(when(col("__touch"), lit(1))).over(w))
+      .filter(col("__conv"))
+      .select(col(keyName), col("conversion_id"),
+        col("__us").as("conversion_us"), col("first_touch_us"),
+        col("n_touches"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Attribution
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("firstTouch: lookback bound, strict-before, no-touch null, counts") {
+    val events = Seq(
+      // user 1: touch 8 days before conversion — OUTSIDE the 7d window
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (1L, ts("2024-01-09 00:00:00"), 2L, "purchase"),
+      // user 2: two touches in window; earliest wins, both counted; a
+      // same-µs touch at conversion time must NOT count (strict before)
+      (2L, ts("2024-01-05 00:00:00"), 3L, "view"),
+      (2L, ts("2024-01-06 00:00:00"), 4L, "click"),
+      (2L, ts("2024-01-07 12:00:00"), 5L, "view"),
+      (2L, ts("2024-01-07 12:00:00"), 6L, "purchase"),
+      // user 3: conversion with no touches ever
+      (3L, ts("2024-01-10 00:00:00"), 7L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Attribution.firstTouch(events, col("user_id"), col("ts"),
+        col("event_id"),
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase",
+        lookbackSeconds = 7L * 86400)
+      .orderBy("user_id")
+      .select("user_id", "conversion_id", "first_touch_us", "n_touches")
+      .as[(Long, Long, Option[Long], Long)].collect().toSeq
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(out == Seq(
+      (1L, 2L, None, 0L),
+      (2L, 6L, Some(us("2024-01-05 00:00:00")), 2L),
+      (3L, 7L, None, 0L)))
+  }
+
+  test("firstTouch: the window boundary is inclusive at exactly lookback") {
+    // touch exactly 7 days before: -lookback*1e6 PRECEDING is inclusive
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (1L, ts("2024-01-08 00:00:00"), 2L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Attribution.firstTouch(events, col("user_id"), col("ts"),
+        col("event_id"), col("event_type") === "view",
+        col("event_type") === "purchase", lookbackSeconds = 7L * 86400)
+      .select("n_touches").as[Long].head()
+    assert(out == 1L)
+  }
+}
