@@ -1891,20 +1891,26 @@ object SparkEntry {
          |ntok AS (
          |  SELECT doc_id, lang, source,
          |         len(string_split(text, ' ')) AS n_tokens FROM sd),
-         |agg AS (SELECT source, sum(n_tokens) AS s_tokens FROM ntok GROUP BY source),
-         |sh AS (
-         |  SELECT source,
-         |    s_tokens::DOUBLE / (SELECT sum(s_tokens) FROM agg) AS actual,
+         |agg AS (
+         |  SELECT source, sum(n_tokens) AS s_tokens,
          |    (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
          |                 WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
-         |                 ELSE 25 END)::DOUBLE / 1000.0::DOUBLE AS target
-         |  FROM agg),
+         |                 ELSE 25 END)::BIGINT AS tgt
+         |  FROM ntok GROUP BY source),
+         |best AS (
+         |  SELECT a.tgt AS m_t, a.s_tokens AS m_n FROM agg a
+         |  WHERE a.s_tokens > 0 AND a.tgt > 0 AND NOT EXISTS (
+         |    SELECT 1 FROM agg b WHERE b.s_tokens > 0 AND b.tgt > 0 AND (
+         |      b.tgt::HUGEINT * a.s_tokens > a.tgt::HUGEINT * b.s_tokens
+         |      OR (b.tgt::HUGEINT * a.s_tokens = a.tgt::HUGEINT * b.s_tokens
+         |          AND b.source < a.source)))),
          |rates AS (
-         |  SELECT source,
-         |    CAST(round((target / actual) /
-         |      (SELECT max(target / actual) FROM sh) * 1000000) AS BIGINT)
-         |      AS sample_rate_ppm
-         |  FROM sh)
+         |  SELECT t.source,
+         |    CAST(CASE WHEN t.s_tokens > 0 AND t.tgt > 0 AND m.m_t IS NOT NULL
+         |      THEN (t.tgt::HUGEINT * m.m_n * 1000000) //
+         |           (m.m_t::HUGEINT * t.s_tokens)
+         |      ELSE 0 END AS BIGINT) AS sample_rate_ppm
+         |  FROM agg t LEFT JOIN best m ON true)
          |SELECT d.doc_id, d.lang, d.source, d.n_tokens,
          |  ${duckTokenHash("CAST(d.doc_id AS VARCHAR)")} % 1000 AS sample_bucket,
          |  r.sample_rate_ppm
@@ -2297,29 +2303,41 @@ object SparkEntry {
          |    (acc, th) -> (acc * 31 + th) % 1000000007) AS fp
          |  FROM documents)""".stripMargin,
 
-    // Shares/rates as integer micro-units (ppm): `round(x)::BIGINT` after a
-    // forced-DOUBLE pipeline is engine-exact, where a 6-decimal rounded
-    // DOUBLE is last-ulp-sensitive (DuckDB's DECIMAL division path formats
-    // differently from Spark's DOUBLE; three chained divisions amplify it).
+    // Shares/rates as integer micro-units (ppm), PURE-INTEGER emission —
+    // no double reaches an output column (a round(double·1e6) replay is
+    // engine-unsafe: Spark rounds the double's shortest-decimal rendering,
+    // DuckDB rounds the binary value). The max-ratio normalizer cancels
+    // algebraically: rate_s = t_s·n_m·10⁶ // (t_m·n_s) where m is the
+    // argmax of t_u/n_u, selected by EXACT cross-product comparison
+    // (NOT EXISTS a strictly larger rational; ties by source name — the
+    // tie choice cannot change any floor of an exact rational). HUGEINT
+    // products mirror Spark's DECIMAL(38,0).
     "t18_mix_weights" ->
       """WITH agg AS (
         |  SELECT source, count(*) AS n_docs,
-        |         sum(len(string_split(lower(text), ' '))) AS n_tokens
+        |         sum(len(string_split(lower(text), ' '))) AS n_tokens,
+        |         (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
+        |                      WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
+        |                      ELSE 25 END)::BIGINT AS tgt
         |  FROM documents GROUP BY source),
-        |sh AS (
-        |  SELECT source, n_docs, n_tokens,
-        |    n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM agg) AS actual,
-        |    (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
-        |                 WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
-        |                 ELSE 25 END)::DOUBLE / 1000.0::DOUBLE AS target
-        |  FROM agg)
-        |SELECT source, n_docs, n_tokens,
-        |  CAST(round(actual * 1000000) AS BIGINT) AS actual_share_ppm,
-        |  CAST(round(target * 1000000) AS BIGINT) AS target_share_ppm,
-        |  CAST(round((target / actual) /
-        |    (SELECT max(target / actual) FROM sh) * 1000000) AS BIGINT)
-        |    AS sample_rate_ppm
-        |FROM sh""".stripMargin,
+        |best AS (
+        |  SELECT a.tgt AS m_t, a.n_tokens AS m_n FROM agg a
+        |  WHERE a.n_tokens > 0 AND a.tgt > 0 AND NOT EXISTS (
+        |    SELECT 1 FROM agg b WHERE b.n_tokens > 0 AND b.tgt > 0 AND (
+        |      b.tgt::HUGEINT * a.n_tokens > a.tgt::HUGEINT * b.n_tokens
+        |      OR (b.tgt::HUGEINT * a.n_tokens = a.tgt::HUGEINT * b.n_tokens
+        |          AND b.source < a.source)))),
+        |tot AS (SELECT sum(n_tokens) AS tot FROM agg)
+        |SELECT t.source, t.n_docs, t.n_tokens,
+        |  CAST(CASE WHEN tot.tot > 0
+        |    THEN (t.n_tokens::HUGEINT * 1000000) // tot.tot
+        |    ELSE 0 END AS BIGINT) AS actual_share_ppm,
+        |  t.tgt * 1000 AS target_share_ppm,
+        |  CAST(CASE WHEN t.n_tokens > 0 AND t.tgt > 0 AND m.m_t IS NOT NULL
+        |    THEN (t.tgt::HUGEINT * m.m_n * 1000000) //
+        |         (m.m_t::HUGEINT * t.n_tokens)
+        |    ELSE 0 END AS BIGINT) AS sample_rate_ppm
+        |FROM agg t CROSS JOIN tot LEFT JOIN best m ON true""".stripMargin,
 
     // Z-score replay: identical moment chains (s2/c − (s/c)·(s/c), the
     // operand order pinned), correctly-rounded sqrt, ppm cast; the guard
@@ -2440,10 +2458,13 @@ object SparkEntry {
         |    AS n_winsorized
         |FROM d JOIN b USING (source)""".stripMargin,
 
-    // Temperature replay: same share division, IEEE sqrt (correctly
-    // rounded in both engines — the reason the exponent is 1/2), integer
-    // normalizer z = Σ w_micro so no float sum crosses engines, each
-    // output a single division of exact integer operands.
+    // Temperature replay: w_micro = FLOOR(√(n/Σn)·10⁶) — divide, sqrt,
+    // multiply are each single correctly-rounded IEEE ops and floor acts
+    // on the BINARY double (round would not replay: Spark rounds the
+    // shortest-decimal rendering). z = Σ w_micro sums integers; every
+    // emitted ratio is integer floor division (// ≡ Spark div on
+    // non-negative operands), HUGEINT ≡ DECIMAL(38,0) for the boost
+    // numerator w·Σn·10⁶.
     "t40_temperature_mix" ->
       """WITH agg AS (
         |  SELECT source, count(*) AS n_docs,
@@ -2451,38 +2472,42 @@ object SparkEntry {
         |  FROM documents GROUP BY source),
         |w AS (
         |  SELECT source, n_docs, n_tokens,
-        |    CAST(round(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM agg)
-        |      * 1000000) AS BIGINT) AS actual_share_ppm,
-        |    CAST(round(sqrt(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM agg))
-        |      * 1000000) AS BIGINT) AS w_micro
+        |    CAST(CASE WHEN (SELECT sum(n_tokens) FROM agg) > 0
+        |      THEN (n_tokens::HUGEINT * 1000000) //
+        |           (SELECT sum(n_tokens) FROM agg)
+        |      ELSE 0 END AS BIGINT) AS actual_share_ppm,
+        |    CAST(CASE WHEN (SELECT sum(n_tokens) FROM agg) > 0
+        |      THEN floor(sqrt(n_tokens::DOUBLE /
+        |             (SELECT sum(n_tokens) FROM agg)) * 1000000)
+        |      ELSE 0 END AS BIGINT) AS w_micro
         |  FROM agg)
         |SELECT source, n_docs, n_tokens, actual_share_ppm,
         |  CASE WHEN (SELECT sum(w_micro) FROM w) > 0 THEN
-        |    CAST(round(w_micro::DOUBLE * 1000000 /
-        |      (SELECT sum(w_micro) FROM w)) AS BIGINT)
+        |    CAST((w_micro * 1000000) // (SELECT sum(w_micro) FROM w)
+        |      AS BIGINT)
         |  ELSE 0 END AS temp_share_ppm,
         |  CASE WHEN (SELECT sum(w_micro) FROM w) > 0 AND n_tokens > 0 THEN
-        |    CAST(round(w_micro::DOUBLE * (SELECT sum(n_tokens) FROM agg) /
-        |      ((SELECT sum(w_micro) FROM w)::DOUBLE * n_tokens) * 1000000)
-        |      AS BIGINT)
+        |    CAST((w_micro::HUGEINT * (SELECT sum(n_tokens) FROM agg) * 1000000)
+        |      // ((SELECT sum(w_micro) FROM w)::HUGEINT * n_tokens) AS BIGINT)
         |  ELSE 0 END AS boost_ppm
         |FROM w""".stripMargin,
 
-    // Upsampling realization replay: t18's forced-DOUBLE share pipeline
-    // (minus the max normalizer), integer div/mod for the floor/frac
-    // split, affine ppm bucket for the fractional copy, range() for the
-    // copy explosion.
+    // Upsampling realization replay: pure-integer rate
+    // rate_ppm = tgt·Σn·1000 // n (the permille denominator folded in,
+    // HUGEINT ≡ Spark's DECIMAL(38,0)), integer div/mod for the
+    // floor/frac split, affine ppm bucket for the fractional copy,
+    // range() for the copy explosion.
     "t26_mix_upsample" ->
       s"""WITH agg AS (
          |  SELECT source, sum(len(string_split(lower(text), ' '))) AS n
          |  FROM documents GROUP BY source),
          |rates AS (
          |  SELECT source,
-         |    CASE WHEN n > 0 THEN CAST(round(
+         |    CASE WHEN n > 0 THEN CAST(
          |      ((CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
          |                    WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
-         |                    ELSE 25 END)::DOUBLE / 1000.0::DOUBLE)
-         |      / (n::DOUBLE / (SELECT sum(n) FROM agg)) * 1000000) AS BIGINT)
+         |                    ELSE 25 END)::HUGEINT
+         |       * (SELECT sum(n) FROM agg) * 1000) // n AS BIGINT)
          |    ELSE 0 END AS rate_ppm
          |  FROM agg),
          |docs AS (

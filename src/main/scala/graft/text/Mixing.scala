@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Static corpus mixing — the data-mixture step ahead of training: given
   * RELATIVE target weights per source, compute the per-source downsampling
@@ -16,49 +17,86 @@ import org.apache.spark.sql.functions._
   * rate formula is scale-invariant).
   *
   * Scale shape: one aggregation shuffle keyed on source (partial map-side
-  * combine), then two broadcast 1-row frames (corpus total, max ratio) —
-  * no collect, no second pass over the corpus. The emitted rates feed
+  * combine), then broadcast 1-row frames (corpus total, argmax source) —
+  * no collect, no second pass over the corpus (the per-source agg exchange
+  * is reused across its consumers). The emitted rates feed
   * [[QualityFilters.hashSampleBucket]]-style deterministic sampling:
   * `keep ⟺ bucket · 1000 < rate_ppm` — an exact integer comparison.
   *
-  * Shares and rates are emitted as INTEGER MICRO-UNITS (`_ppm` = parts per
-  * million, bigint): three chained IEEE divisions amplify last-ulp noise,
-  * so a rounded-DOUBLE output is representation-sensitive across engines
-  * (a sub-1e-9 divergence is enough to flip a fixed-decimal rounding);
-  * `cast(round(x·1e6) as bigint)` is engine-exact for any replay.
+  * EMISSION IS PURE-INTEGER (`_ppm` = parts per million, bigint): no
+  * double ever reaches an output column. A `round(double · 1e6)` emission
+  * is engine-replay-unsafe even when every operand chain is IEEE — Spark's
+  * `round` converts the double through its SHORTEST DECIMAL string
+  * (`BigDecimal.valueOf`) before rounding, while other engines round the
+  * binary value, so a result within one ulp of a .5 boundary flips between
+  * engines. Instead:
+  *   - `actual_share_ppm = n_s · 10⁶ DIV Σn`   (integer floor division);
+  *   - `target_share_ppm = permille_s · 1000`  (exact);
+  *   - `rate_s / rate_m = (t_s/n_s) / (t_m/n_m)` — the corpus total
+  *     cancels algebraically, so
+  *     `sample_rate_ppm = t_s · n_m · 10⁶ DIV (t_m · n_s)` where `m` is
+  *     the argmax source, itself selected by EXACT rational comparison
+  *     (cross-product anti-join over the tiny per-source frame; ties by
+  *     source name — tie choice cannot change the output, since the floor
+  *     of an exact rational is representation-independent).
+  *
+  * Int64 headroom: products ride as DECIMAL(38,0) (DuckDB replay:
+  * HUGEINT), so `t_s · n_m · 10⁶` is exact to ~10³⁸ — with permille
+  * targets ≤ 1000 that is ~10²⁹ tokens per source, far past any corpus
+  * (int64 alone would cap `n_m` at ~9.2·10⁹ tokens). The argmax
+  * cross-products `t_u · n_v` are exact to ~10³⁵ tokens likewise.
   */
 object Mixing {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  /** Integral floor division (`a div b` — Catalyst `IntegralDivide`,
+    * result bigint): the only division that ever reaches an emitted
+    * column. Operands here are non-negative, so floor ≡ truncate and the
+    * DuckDB replay's `//` agrees exactly.
+    */
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   def mixWeights(df: DataFrame, source: Column, nTokens: Column,
                  targetPermille: Map[String, Int],
                  defaultPermille: Int = 0): DataFrame = {
     val tgt = typedLit(targetPermille)
     val agg = df.groupBy(source.as("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(nTokens.cast("long")).as("n_tokens"))
-    val total = agg.agg(sum("n_tokens").as("__tot"))
-    val shares = agg.crossJoin(broadcast(total))
-      .withColumn("__actual",
-        coalesce(col("n_tokens"), lit(0L)).cast("double") / col("__tot"))
-      .withColumn("__target",
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(nTokens.cast("long")), lit(0L)).as("n_tokens"))
+      .withColumn("__tgt",
         coalesce(element_at(tgt, col("source")), lit(defaultPermille))
-          .cast("double") / 1000.0)
-      // a source with zero token mass has nothing to sample — its ratio is
-      // 0, NOT target/0 = Infinity, which would poison the max-ratio
-      // normalizer and silently zero every other source's rate
-      .withColumn("__ratio",
-        when(col("__actual") > 0, col("__target") / col("__actual"))
-          .otherwise(lit(0.0)))
-    val maxRatio = shares.agg(max("__ratio").as("__maxr"))
-    def ppm(c: Column): Column = round(c * 1e6).cast("long")
-    shares.crossJoin(broadcast(maxRatio))
+          .cast("long"))
+    val total = agg.agg(sum("n_tokens").as("__tot"))
+    // Exact rational argmax of target/actual ≡ argmax of tgt_u/n_u over
+    // sources with positive mass AND positive target (a zero-mass source
+    // has nothing to sample — its ratio is 0, NOT tgt/0 = ∞, which would
+    // poison the normalizer and silently zero every other source's rate).
+    // `a` survives iff no `b` has a strictly larger ratio — compared by
+    // cross-product, never by a float division.
+    val candA = agg.filter(col("n_tokens") > 0 && col("__tgt") > 0)
+      .select(col("source").as("__asrc"), col("__tgt").as("__at"),
+        col("n_tokens").as("__an"))
+    val candB = candA.select(col("__asrc").as("__bsrc"),
+      col("__at").as("__bt"), col("__an").as("__bn"))
+    val best = candA.join(broadcast(candB),
+        (dec(col("__bt")) * col("__an") > dec(col("__at")) * col("__bn")) ||
+        (dec(col("__bt")) * col("__an") === dec(col("__at")) * col("__bn") &&
+          col("__bsrc") < col("__asrc")),
+        "left_anti")
+      // ≤ 1 row by construction; empty ⟺ no source has positive target
+      // mass, in which case every rate is the documented explicit 0
+      .agg(coalesce(first("__at"), lit(0L)).as("__mt"),
+        coalesce(first("__an"), lit(0L)).as("__mn"))
+    agg.crossJoin(broadcast(total)).crossJoin(broadcast(best))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        ppm(col("__actual")).as("actual_share_ppm"),
-        ppm(col("__target")).as("target_share_ppm"),
-        // __maxr <= 0 means NO source has positive target mass (all-zero
-        // token mass, or all targets zero): 0/0 would be NaN, which
-        // compares false against every threshold and silently drops
-        // nothing — emit the documented rate-0 drop explicitly instead
-        when(col("__maxr") > 0, ppm(col("__ratio") / col("__maxr")))
+        when(col("__tot") > 0,
+          idiv(dec(col("n_tokens")) * lit(1000000L), col("__tot")))
+          .otherwise(lit(0L)).as("actual_share_ppm"),
+        (col("__tgt") * 1000L).as("target_share_ppm"),
+        when(col("__mt") > 0 && col("n_tokens") > 0 && col("__tgt") > 0,
+          idiv(dec(col("__tgt")) * col("__mn") * lit(1000000L),
+            dec(col("__mt")) * col("n_tokens")))
           .otherwise(lit(0L)).as("sample_rate_ppm"))
   }
 
@@ -67,16 +105,24 @@ object Mixing {
     * so low-resource sources are seen more than their raw share (and
     * high-resource ones less) without hand-written targets; [[mixWeights]]
     * is the hand-targeted sibling. The exponent is fixed at 1/2 (T = 2):
-    * IEEE-754 `sqrt` is CORRECTLY ROUNDED in every engine, so the replay
-    * is bit-exact where a general `pow` (allowed >0.5 ulp error, libm-
-    * dependent) would be the t18 class of bug by construction.
+    * IEEE-754 `sqrt` is correctly rounded in every engine, where a general
+    * `pow` (allowed >0.5 ulp error, libm-dependent) would diverge by
+    * construction.
     *
-    * Engine-exactness: the normalizer `z = Σ_s round(√p_s · 1e6)` sums
-    * INTEGERS (a float Σ√p would be partial-order-dependent across
-    * engines and partitions); every emitted ratio is then a single IEEE
-    * division of exact integer operands. `boost_ppm` = temp share over
-    * actual share — the per-source up/down-sampling factor a realization
-    * step ([[realizeMixture]]) would consume.
+    * Integerization: `w_micro = FLOOR(√(n/Σn) · 10⁶)` — the divide, sqrt,
+    * and multiply are each single correctly-rounded IEEE ops, and `floor`
+    * acts on the BINARY double directly, so the chain is deterministic
+    * across conforming engines. (`round` would not be: Spark rounds the
+    * double's shortest-decimal rendering, other engines round the binary
+    * value — the t18/t40 hash-red class of round 6.) Every downstream
+    * column is then integer floor division of exact operands:
+    * `temp_share_ppm = w·10⁶ DIV z` with `z = Σ w_micro` an integer sum,
+    * and `boost_ppm = w·Σn·10⁶ DIV (z·n)` — the per-source up/down-
+    * sampling factor a realization step ([[realizeMixture]]) consumes.
+    *
+    * Int64 headroom: `w ≤ 10⁶` so `w·10⁶ ≤ 10¹²` always fits; the boost
+    * numerator `w·Σn·10⁶` rides as DECIMAL(38,0) (replay: HUGEINT), exact
+    * to ~10²⁶ corpus tokens.
     *
     * Scale shape: one aggregation shuffle keyed on source, then two
     * broadcast 1-row frames (token total, integer normalizer) — the
@@ -90,23 +136,25 @@ object Mixing {
     val total = agg.agg(sum("n_tokens").as("__tot"))
     val w = agg.crossJoin(broadcast(total))
       .withColumn("actual_share_ppm",
-        round(col("n_tokens").cast("double") / col("__tot") * 1e6)
-          .cast("long"))
+        when(col("__tot") > 0,
+          idiv(dec(col("n_tokens")) * lit(1000000L), col("__tot")))
+          .otherwise(lit(0L)))
       .withColumn("__w",
-        round(sqrt(col("n_tokens").cast("double") / col("__tot")) * 1e6)
-          .cast("long"))
+        when(col("__tot") > 0,
+          floor(sqrt(col("n_tokens").cast("double") / col("__tot")) * 1e6))
+          .otherwise(lit(0L)))
     val z = w.agg(sum("__w").as("__z"))
     w.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("actual_share_ppm"),
         when(col("__z") > 0,
-          round(col("__w").cast("double") * 1e6 / col("__z")).cast("long"))
+          idiv(col("__w") * lit(1000000L), col("__z")))
           .otherwise(lit(0L)).as("temp_share_ppm"),
         // guard the zero-mass source (boost would divide by 0) and the
         // all-zero corpus (z = 0) — explicit 0, never NaN/Infinity
         when(col("__z") > 0 && col("n_tokens") > 0,
-          round(col("__w").cast("double") * col("__tot") /
-            (col("__z").cast("double") * col("n_tokens")) * 1e6).cast("long"))
+          idiv(dec(col("__w")) * col("__tot") * lit(1000000L),
+            dec(col("__z")) * col("n_tokens")))
           .otherwise(lit(0L)).as("boost_ppm"))
   }
 
@@ -119,12 +167,15 @@ object Mixing {
     * it repeat (rate > 1), and the expected token mass realizes the target
     * mixture at the original corpus total.
     *
+    * `rate_ppm = t_s · Σn · 1000 DIV n_s` — pure-integer like the rest of
+    * this module (`t_s/1000 · Σn/n_s · 10⁶` with the permille denominator
+    * folded in), DECIMAL(38,0) product so headroom is ~10²⁹ corpus tokens.
     * Fractional rates realize deterministically: every doc gets
     * `floor(rate)` copies plus one more iff its affine hash bucket (ppm)
     * falls below the fractional part — integer comparisons only, so the
     * copy set is reproducible and engine-replayable (same idiom as the
-    * [[QualityFilters]] hash samplers). Rates ride as integer ppm; the
-    * floor/frac split is integer `div`/`%`, never a float boundary.
+    * [[QualityFilters]] hash samplers). The floor/frac split is integer
+    * `div`/`%`, never a float boundary.
     *
     * Scale shape: one agg shuffle keyed on source + a broadcast rate join
     * + a map-side `explode(sequence)` — output size is the realized corpus
@@ -136,17 +187,15 @@ object Mixing {
     import graft.sim.Ivf.{PickA, PickB, PickP}
     val tgt = typedLit(targetPermille)
     val agg = df.groupBy(source.as("source"))
-      .agg(sum(nTokens.cast("long")).as("__n"))
+      .agg(coalesce(sum(nTokens.cast("long")), lit(0L)).as("__n"))
     val total = agg.agg(sum("__n").as("__tot"))
     val rates = agg.crossJoin(broadcast(total))
-      .withColumn("__actual",
-        coalesce(col("__n"), lit(0L)).cast("double") / col("__tot"))
-      .withColumn("__target",
+      .withColumn("__tgt",
         coalesce(element_at(tgt, col("source")), lit(defaultPermille))
-          .cast("double") / 1000.0)
+          .cast("long"))
       .select(col("source"),
-        when(col("__actual") > 0,
-          round(col("__target") / col("__actual") * 1e6).cast("long"))
+        when(col("__n") > 0 && col("__tgt") > 0,
+          idiv(dec(col("__tgt")) * col("__tot") * lit(1000L), col("__n")))
           .otherwise(lit(0L)).as("rate_ppm"))
     val idName = df.select(id).columns.head
     val bucket =

@@ -9,7 +9,8 @@ class MixingSpec extends SparkSpec {
   test("mixWeights: hand-computed rates; anchor source keeps everything") {
     // token mass: a=6000, b=3000, c=1000 (actual shares 0.6/0.3/0.1);
     // targets 1:1:2 → ratios 1/6, 1/3, 2 → anchor c (rate 1), a = (1/6)/2,
-    // b = (1/3)/2; emitted in integer micro-units (ppm)
+    // b = (1/3)/2; integer micro-units, FLOOR division (pure-integer
+    // emission): b = 250·1000·10⁶ div (500·3000) = 166666, not 166667
     val docs = Seq(
       ("a", 4000L), ("a", 2000L), ("b", 3000L), ("c", 1000L))
       .toDF("source", "nt")
@@ -20,25 +21,42 @@ class MixingSpec extends SparkSpec {
         "target_share_ppm", "sample_rate_ppm")
       .as[(String, Long, Long, Long, Long, Long)].collect()
     assert(out(0) == (("a", 2L, 6000L, 600000L, 250000L, 83333L)))
-    assert(out(1) == (("b", 1L, 3000L, 300000L, 250000L, 166667L)))
+    assert(out(1) == (("b", 1L, 3000L, 300000L, 250000L, 166666L)))
     assert(out(2) == (("c", 1L, 1000L, 100000L, 500000L, 1000000L)))
   }
 
+  test("mixWeights: exactly tied max ratios cannot change any emitted rate") {
+    // a and b tie exactly on tgt/n (300/600 ≡ 150/300 as rationals): the
+    // argmax tie-break picks one, but every rate is the floor of an exact
+    // rational, so WHICH of the tied pair anchors is unobservable
+    val docs = Seq(("a", 600L), ("b", 300L), ("c", 2100L))
+      .toDF("source", "nt")
+    val out = Mixing.mixWeights(docs, col("source"), col("nt"),
+        targetPermille = Map("a" -> 300, "b" -> 150, "c" -> 550))
+      .select("source", "sample_rate_ppm").as[(String, Long)].collect().toMap
+    assert(out("a") == 1000000L && out("b") == 1000000L)
+    // c: (550/2100) / (300/600) = 550·600·10⁶ div (300·2100) = 523809
+    assert(out("c") == 523809L)
+  }
+
   test("temperatureWeights: closed form at T=2; flattening direction; zero-mass source") {
-    // token mass: a=900, b=100, z=0 → p = 0.9/0.1/0; √p̄ flattens 9:1 to 3:1
+    // token mass: a=900, b=100, z=0 → p = 0.9/0.1/0; √p̄ flattens 9:1 to
+    // 3:1. Mirror the engine exactly: w = FLOOR(√(n/Σn)·10⁶) (floor of
+    // the binary double), then integer floor division throughout.
     val docs = Seq(("a", 900L), ("b", 100L), ("z", 0L)).toDF("source", "nt")
-    def r0(x: Double): Long =
-      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val wa = r0(math.sqrt(900.0 / 1000) * 1e6)
-    val wb = r0(math.sqrt(100.0 / 1000) * 1e6)
+    val wa = math.floor(math.sqrt(900.0 / 1000) * 1e6).toLong
+    val wb = math.floor(math.sqrt(100.0 / 1000) * 1e6).toLong
     val zn = wa + wb
+    def fdiv(n: BigInt, d: BigInt): Long = (n / d).toLong
     val out = Mixing.temperatureWeights(docs, col("source"), col("nt"))
       .orderBy("source")
       .as[(String, Long, Long, Long, Long, Long)].collect()
     assert(out(0) == (("a", 1L, 900L, 900000L,
-      r0(wa.toDouble * 1e6 / zn), r0(wa.toDouble * 1000 / (zn.toDouble * 900) * 1e6))))
+      fdiv(BigInt(wa) * 1000000, zn),
+      fdiv(BigInt(wa) * 1000 * 1000000, BigInt(zn) * 900))))
     assert(out(1) == (("b", 1L, 100L, 100000L,
-      r0(wb.toDouble * 1e6 / zn), r0(wb.toDouble * 1000 / (zn.toDouble * 100) * 1e6))))
+      fdiv(BigInt(wb) * 1000000, zn),
+      fdiv(BigInt(wb) * 1000 * 1000000, BigInt(zn) * 100))))
     // zero-mass source: all derived columns explicit 0, never NaN
     assert(out(2) == (("z", 1L, 0L, 0L, 0L, 0L)))
     // flattening: minority boosted above 1, majority damped below 1
