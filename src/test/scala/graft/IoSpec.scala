@@ -123,6 +123,79 @@ class IoSpec extends SparkSpec {
     assert(Sources.parquetMerged(spark, dir).count() == 2)
   }
 
+  test("replaceWhere purges predicate partitions with no incoming rows (Delta semantics)") {
+    val dir = tmp() + "/rw"
+    val v1 = Seq((1, "2024-01"), (2, "2024-02"), (3, "2024-03"))
+      .toDF("id", "month")
+    Sinks.overwritePartitions(v1, dir, "month")
+    // replace Feb+Mar but supply rows only for Feb: Mar must be PURGED
+    // (dynamic overwrite would have kept it — that's the semantic split)
+    val v2 = Seq((99, "2024-02")).toDF("id", "month")
+    Sinks.replaceWhere(v2, dir, "month", Seq("2024-02", "2024-03"))
+    val back = spark.read.parquet(dir).select("id", "month")
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(back == Seq((1, "2024-01"), (99, "2024-02")))
+    // contrast: dynamic overwrite with the same frame keeps 2024-03
+    val dir2 = tmp() + "/dyn"
+    Sinks.overwritePartitions(v1, dir2, "month")
+    Sinks.overwritePartitions(v2, dir2, "month")
+    assert(spark.read.parquet(dir2).count() == 3)
+  }
+
+  test("replaceWhere rejects rows outside the predicate before writing") {
+    val dir = tmp() + "/rwv"
+    Sinks.overwritePartitions(Seq((1, "2024-01")).toDF("id", "month"), dir, "month")
+    val bad = Seq((2, "2024-01"), (3, "2024-02")).toDF("id", "month")
+    intercept[IllegalArgumentException] {
+      Sinks.replaceWhere(bad, dir, "month", Seq("2024-01"))
+    }
+    // nothing was staged or swapped — table unchanged
+    assert(spark.read.parquet(dir).collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("replaceWhere: a crash before commit leaves the table byte-identical") {
+    val dir = tmp() + "/rwc"
+    val v1 = Seq((1, "2024-01"), (2, "2024-02")).toDF("id", "month")
+    Sinks.overwritePartitions(v1, dir, "month")
+    // simulate step-2 crash: a dead staging dir full of data, commit never ran
+    Seq((99, "2024-02")).toDF("id", "month")
+      .write.partitionBy("month").parquet(dir + "/_staging_deadbeef")
+    // readers skip _-prefixed dirs: old contents, old row count, no 99
+    val back = spark.read.parquet(dir).select("id").orderBy("id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(back == Seq(1, 2))
+    // and a later successful replaceWhere still works over the leftover
+    Sinks.replaceWhere(Seq((99, "2024-02")).toDF("id", "month"),
+      dir, "month", Seq("2024-02"))
+    assert(spark.read.parquet(dir).select("id").orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 99))
+  }
+
+  test("overwritePartitionsEvolving widens the catalog table schema at write time") {
+    val table = "evolve_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val v1 = Seq((1L, "a", "2024-01")).toDF("id", "name", "month")
+    Sinks.overwritePartitionsEvolving(v1, table, "month")
+    // iteration 2 arrives with a NEW column: table schema must widen
+    val v2 = Seq((2L, "b", 9.5, "2024-02")).toDF("id", "name", "score", "month")
+    Sinks.overwritePartitionsEvolving(v2, table, "month")
+    assert(spark.table(table).columns.toSet == Set("id", "name", "score", "month"))
+    // old partition reads the new column as null
+    val rows = spark.table(table).orderBy("id")
+      .select("id", "score").as[(Long, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some(9.5))))
+    // iteration 3: a NARROWER frame (no score) still inserts — typed null fill
+    val v3 = Seq((3L, "c", "2024-03")).toDF("id", "name", "month")
+    Sinks.overwritePartitionsEvolving(v3, table, "month")
+    assert(spark.table(table).count() == 3)
+    // and K3 semantics hold: re-running month 2024-02 replaces only it
+    val v2b = Seq((22L, "b2", 1.5, "2024-02")).toDF("id", "name", "score", "month")
+    Sinks.overwritePartitionsEvolving(v2b, table, "month")
+    assert(spark.table(table).orderBy("id").select("id")
+      .as[Long].collect().toSeq == Seq(1L, 3L, 22L))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("ORC sink/source round-trip preserves rows and types") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/out"
