@@ -1629,7 +1629,8 @@ object SparkEntry {
          |    ELSE s || ' ' || t END), ' ')""".stripMargin
     }
     s"""WITH d AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS words
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |    w -> len(w) > 0) AS words
        |  FROM documents),
        |e AS (
        |  SELECT doc_id, CAST(len(words) AS INT) AS n_tokens,
@@ -1637,7 +1638,9 @@ object SparkEntry {
        |      array_to_string($enc, ' ')), ' ') AS bpe_text
        |  FROM d)
        |SELECT doc_id, n_tokens, bpe_text,
-       |  CAST(len(string_split(bpe_text, ' ')) AS INT) AS n_bpe_tokens
+       |  CASE WHEN bpe_text = '' THEN 0
+       |       ELSE CAST(len(string_split(bpe_text, ' ')) AS INT)
+       |  END AS n_bpe_tokens
        |FROM e""".stripMargin
   }
 

@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * ~|basket|²/salt² and the pinned partition count keeps AQE from
   * serializing the blowup. Everything after the pair rollup is item-scale:
   * marginals broadcast, lift is exact integer arithmetic
-  * (`co·N·10⁶ DIV (cnt_a·cnt_b)`), and the top-k is an orderBy+limit
+  * (`co·N·10⁶ DIV (cnt_a·cnt_b)`, the product riding DECIMAL(38,0) so the
+  * numerator never overflows int64 — co·N·10⁶ crosses 2⁶³ at roughly
+  * 3×10⁶ baskets with hot pairs, well inside the 100 TB frame; decimal
+  * headroom is ~10³⁸, and `DIV` returns the exact int64 quotient since
+  * lift values are bounded by N), and the top-k is an orderBy+limit
   * (TakeOrderedAndProject: per-partition heaps, no global sort). The
   * `minSupport` floor is applied BEFORE the marginal joins — at corpus
   * scale the co ≥ s filter is what shrinks the pair set from quadratic to
@@ -47,7 +51,8 @@ object Associations {
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("co_count"),
         col("cnt_a"), col("cnt_b"),
-        expr("co_count * __n * 1000000 DIV (cnt_a * cnt_b)").as("lift_ppm"))
+        expr("CAST(co_count AS DECIMAL(38,0)) * __n * 1000000" +
+          " DIV (cnt_a * cnt_b)").as("lift_ppm"))
       .orderBy(col("co_count").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }

@@ -61,16 +61,9 @@ object ScaleJoins {
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val w = lit(binWidth)
-    // exact floor division on longs: subtracting pmod first keeps the ÷ an
-    // integer-valued double op (a raw long/long double divide can round
-    // across a bin boundary for epoch-µs magnitudes)
-    def bin(c: Column): Column = {
-      val l = c.cast("long")
-      ((l - pmod(l, w)) / w).cast("long")
-    }
-    val p = points.withColumn("__bin", bin(point))
+    val p = points.withColumn("__bin", floorDiv(point, w))
     val iv = intervals.withColumn("__bin",
-      explode(sequence(bin(lo), bin(hi.cast("long") - 1))))
+      explode(sequence(floorDiv(lo, w), floorDiv(hi.cast("long") - 1, w))))
     p.join(iv, Seq("__bin"))
       .filter(point >= lo && point < hi)
       .drop("__bin")
@@ -100,18 +93,25 @@ object ScaleJoins {
                          binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val w = lit(binWidth)
-    def bin(c: Column): Column = {
-      val l = c.cast("long")
-      ((l - pmod(l, w)) / w).cast("long")
-    }
     val l = left.withColumn("__bin",
-      explode(sequence(bin(lLo), bin(lHi.cast("long") - 1))))
+      explode(sequence(floorDiv(lLo, w), floorDiv(lHi.cast("long") - 1, w))))
     val r = right.withColumn("__bin",
-      explode(sequence(bin(rLo), bin(rHi.cast("long") - 1))))
+      explode(sequence(floorDiv(rLo, w), floorDiv(rHi.cast("long") - 1, w))))
     l.join(r, Seq("__bin"))
       .filter(greatest(lLo, rLo) < least(lHi, rHi))
-      .filter(col("__bin") === bin(greatest(lLo, rLo)))
+      .filter(col("__bin") === floorDiv(greatest(lLo, rLo), w))
       .drop("__bin")
+  }
+
+  /** Exact floor division over the FULL int64 domain: `pmod` makes the
+    * numerator an exact multiple of `w`, and the divide runs in
+    * DECIMAL(38,0) — never double, whose 53-bit mantissa would round a
+    * quotient across a bin boundary for operands past 2^53 (epoch-ns
+    * magnitudes). Result is exact for any long input and positive width.
+    */
+  private def floorDiv(c: Column, w: Column): Column = {
+    val l = c.cast("long")
+    ((l - pmod(l, w)).cast("decimal(38,0)") / w).cast("long")
   }
 
   /** Triangle-salted within-bucket pair generation — all unordered pairs

@@ -74,11 +74,18 @@ object Bpe {
 
   /** Per-document BPE: `n_tokens` (words), `bpe_text` (space-joined
     * subwords), `n_bpe_tokens` — the corpus-scale tokenizer-apply report.
+    *
+    * Empty words (consecutive/leading/trailing spaces, empty text) are
+    * dropped BEFORE encoding on both the engine and oracle sides: an empty
+    * word encodes to zero subwords, so keeping it would make `n_tokens`
+    * count phantom words while contributing nothing to `bpe_text` — and the
+    * contract must not depend on corpus whitespace hygiene.
     */
   def encode(df: DataFrame, id: Column, text: Column,
              merges: Seq[(String, String)]): DataFrame = {
     validate(merges)
-    df.select(id, split(lower(text), " ").as("__w"))
+    df.select(id,
+        filter(split(lower(text), " "), w => length(w) > 0).as("__w"))
       .select(id, size(col("__w")).as("n_tokens"),
         flatten(transform(col("__w"), w => encodeWord(w, merges)))
           .as("__enc"))

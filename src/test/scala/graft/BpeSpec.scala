@@ -61,6 +61,21 @@ class BpeSpec extends SparkSpec {
     syms
   }
 
+  test("encode: empty words (double spaces, edges, empty text) drop cleanly") {
+    val table = Seq("a" -> "b")
+    val df = Seq(
+        (1L, "ab  ab"),   // double space
+        (2L, " ab "),     // leading + trailing
+        (3L, ""),         // empty text
+        (4L, "   "))      // spaces only
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(df, col("doc_id"), col("text"), table)
+      .orderBy("doc_id")
+      .select("n_tokens", "bpe_text", "n_bpe_tokens")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(got == Seq((2, "ab ab", 2), (1, "ab", 1), (0, "", 0), (0, "", 0)))
+  }
+
   test("encode: rank-ascending sweep equals iterate-to-fixpoint BPE " +
     "on random words over a chain-heavy constructive table") {
     val table = Seq("a" -> "b", "b" -> "c", "ab" -> "c", "c" -> "a",

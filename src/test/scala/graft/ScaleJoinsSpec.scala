@@ -92,6 +92,29 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(out == Seq(2L), "[0,10) must meet [9,20) but not [10,20)")
   }
 
+  test("rangeJoinBinned: exact past 2^53 (epoch-ns magnitudes)") {
+    // points one ulp(double) apart around 2^60: a double-divide bin would
+    // collapse or shift bins and drop matches; the decimal floorDiv must not
+    val base = 1L << 60 // ~1.15e18, double ulp here is 256
+    val points = Seq((1L, base + 999L), (2L, base + 1000L), (3L, base + 1001L))
+      .toDF("pid", "p")
+    val intervals = Seq((10L, base + 1000L, base + 1002L)).toDF("iid", "lo", "hi")
+    for (w <- Seq(1L, 3L, 1000L, 1L << 40)) {
+      val got = ScaleJoins.rangeJoinBinned(points, col("p"), intervals,
+          col("lo"), col("hi"), w)
+        .select("pid").as[Long].collect().toSeq.sorted
+      assert(got == Seq(2L, 3L), s"binWidth=$w wrong matches past 2^53: $got")
+    }
+    // interval×interval at the same magnitude: exact-boundary overlap only
+    val l = Seq((1L, base + 1000L, base + 1004L)).toDF("lid", "a_lo", "a_hi")
+    val r = Seq((1L, base + 1003L, base + 1010L), (2L, base + 1004L, base + 1010L))
+      .toDF("rid", "b_lo", "b_hi")
+    val out = ScaleJoins.intervalJoinBinned(l, col("a_lo"), col("a_hi"),
+        r, col("b_lo"), col("b_hi"), 7L)
+      .select("rid").as[Long].collect().toSeq
+    assert(out == Seq(1L), "half-open boundary at 2^60 must stay exact")
+  }
+
   test("rangeJoinBinned plans an equi shuffle join, not a nested loop") {
     val points = (0L to 500L).map(p => (p, p)).toDF("pid", "p")
     val intervals = (0L to 30L).map(i => (i, i * 15, i * 15 + 20))
