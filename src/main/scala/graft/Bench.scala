@@ -23,12 +23,15 @@ object Bench {
     * runs out. Unlisted queries default to 0 and run last.
     */
   private val costHint: Map[String, Double] = Map(
-    // round-4 2-pass minimums (sf0.1, post d6/pipe fixes)
-    "pipe_consume_e2e" -> 8.5, "pipe_consume_sql" -> 8.4,
-    "d6_neardup_dedup" -> 7.3, "d7_semantic_dedup" -> 3.6,
-    "d2_minhash_neardup" -> 3.3,
-    "s3_ann_ivf_topk" -> 3.2, "d4_jaccard_pairs" -> 2.4,
-    "d3_simhash_neardup" -> 1.8, "w3_price_change_history" -> 1.8,
+    // round-6 driver record (sf0.1; d9's 30.2 was the instability the
+    // heavy-warmup mode below exists for — its warm runtime is ~5 s)
+    "d9_semantic_dedup_lsh" -> 30.2, "a5_copurchase_pairs" -> 9.5,
+    "d6_neardup_dedup" -> 8.8, "pipe_consume_e2e" -> 8.5,
+    "d11_semantic_dedup_kmeans" -> 7.8, "pipe_consume_sql" -> 6.4,
+    "d7_semantic_dedup" -> 3.6, "d2_minhash_neardup" -> 3.3,
+    "g2_triangle_count" -> 3.3, "s3_ann_ivf_topk" -> 3.2,
+    "d4_jaccard_pairs" -> 2.4, "d3_simhash_neardup" -> 1.8,
+    "w3_price_change_history" -> 1.8, "m4_png_decode" -> 1.7,
     "w2_latest_per_key_day" -> 1.7, "s2_ann_lsh_topk" -> 1.6,
     "j1_cdc_resurrect" -> 1.5, "a1_argmax" -> 1.3,
     "j1_asof_join" -> 1.2, "j6_newer_exists" -> 1.2,
@@ -127,15 +130,28 @@ object Bench {
     // queries in different passes. Pass 1 doubles as the JIT warmup, so the
     // separate warmup pass defaults off when reps > 1.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val warmupDefault = if (reps > 1) "0" else "1"
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", warmupDefault) != "0") {
+    // Warmup modes: "1"/"full" = every query, "0" = none, "heavy" = only
+    // queries with costHint >= 5 s. With reps > 1 pass 1 doubles as warmup
+    // for the cheap majority, but the heaviest plans (d9's 12-table
+    // hyperplane codegen, the pipeline composites) pay multi-second
+    // cold-compile on their first TWO executions — a 2-pass min still
+    // records a cold number for them (r6: d9 at 30.2 s official vs ~5 s
+    // warm). Heavy-warmup buys their steady-state for ~40 s of untimed
+    // work.
+    val warmupMode =
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP", if (reps > 1) "heavy" else "1")
+    if (warmupMode != "0") {
       // bounded so the warmup can never more than ~double the bench wall
       // time on a slow/contended host; most-expensive-first so the heavy
       // queries are the LAST to lose warmup when the budget binds
       val budgetNs =
         sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET_SEC", "240").toLong * 1000000000L
+      val pool =
+        if (warmupMode == "heavy")
+          ordered.filter { case (n, _) => costHint.getOrElse(n, 0.0) >= 5.0 }
+        else ordered
       val t0 = System.nanoTime()
-      ordered.sortBy { case (n, _) => -costHint.getOrElse(n, 0.0) }
+      pool.sortBy { case (n, _) => -costHint.getOrElse(n, 0.0) }
         .iterator.takeWhile(_ => System.nanoTime() - t0 < budgetNs)
         .foreach { case (name, fn) =>
           val q0 = System.nanoTime()

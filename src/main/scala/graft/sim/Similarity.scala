@@ -210,23 +210,43 @@ object Similarity {
   def lshCandidatePairs(corpus: DataFrame, threshold: Double,
                         nPlanes: Int = 2, tables: Int = 12, dim: Int = 64,
                         seed: Long = 42L): DataFrame = {
+    require(tables * nPlanes <= 62, "packed code must fit one int64")
     val codes = (0 until tables).map(t => (t, hyperplanes(nPlanes, dim, seed + t)))
-    def bucketIndex(idName: String): DataFrame = {
+    // every table's code for a row, plus all of them packed into ONE long
+    // (nPlanes bits per table) — the packed code is what lets a pair decide
+    // table ownership with pure integer ops after the band join
+    val index: DataFrame = {
       val emb = transform(col("embedding"), x => x.cast("double"))
-      val codeStructs = array(codes.map { case (t, planes) =>
-        struct(lit(t).as("tbl"), lshCode(emb, planes).as("code"))
-      }: _*)
-      corpus.select(col("vec_id").as(idName), explode(codeStructs).as("bc"))
-        .select(col(idName), col("bc.tbl").as("tbl"), col("bc.code").as("code"))
+      val codeCols = codes.map { case (_, planes) => lshCode(emb, planes) }
+      val packed = codeCols.zipWithIndex
+        .map { case (c, t) => c.cast("long") * lit(1L << (nPlanes * t)) }
+        .reduce(_ + _)
+      corpus.select(col("vec_id").as("vid"), packed.as("pk"),
+        posexplode(array(codeCols: _*)).as(Seq("tbl", "code")))
     }
     val u = corpus.select(col("vec_id"), asDouble(col("embedding")).as("u"))
     // triangle-salted band join: tables × 2^nPlanes codes is a small key
     // space (48 here), so the plain band self-join would cap parallelism at
     // the bucket count and hand each degenerate bucket's quadratic pair
     // stage to a single task (ScaleJoins.bucketedSelfPairs)
-    graft.ops.ScaleJoins.bucketedSelfPairs(bucketIndex("vid"),
-        bucket = Seq("tbl", "code"), id = "vid", payload = Nil, salt = 8)
-      .select("id_a", "id_b").distinct()
+    val paired = graft.ops.ScaleJoins.bucketedSelfPairs(index,
+      bucket = Seq("tbl", "code"), id = "vid", payload = Seq("pk"), salt = 8)
+    // A pair sharing k tables' buckets surfaces k times (once per table).
+    // Instead of a global distinct() — a full extra exchange of the
+    // candidate set, formerly this plan's most expensive shuffle — each
+    // pair is emitted only by its FIRST matching table: xor the packed
+    // codes and keep the emission whose band is the lowest all-zero
+    // nPlanes-bit field. Same first-bin-ownership idea as
+    // intervalJoinBinned: an exact, codegen'd, map-side test; the dedup
+    // shuffle disappears at every scale.
+    val mask = (1L << nPlanes) - 1
+    val xorPk = col("pk_a").bitwiseXOR(col("pk_b"))
+    val firstMatch = (0 until tables).foldRight(lit(-1): Column) { (t, rest) =>
+      when(xorPk.bitwiseAND(lit(mask << (nPlanes * t))) === 0, lit(t))
+        .otherwise(rest)
+    }
+    paired.filter(col("tbl") === firstMatch)
+      .select("id_a", "id_b")
       .join(u.select(col("vec_id").as("id_a"), col("u").as("u_a")), Seq("id_a"))
       .join(u.select(col("vec_id").as("id_b"), col("u").as("u_b")), Seq("id_b"))
       .withColumn("cosine", round(cosine(col("u_a"), col("u_b")), 6))
