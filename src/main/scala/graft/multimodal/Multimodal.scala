@@ -203,8 +203,30 @@ object Multimodal {
     * 100 TB scan. `getRGB` converts whatever raster layout the codec
     * produced to packed sRGB ints, from which the RGB bytes are exact.
     */
+  /** One-time per-executor-JVM ImageIO warm-up: the FIRST `ImageIO.read`
+    * in a JVM pays the `IIORegistry` plugin scan plus codec class-loading
+    * — a synchronized, hundreds-of-ms init that 32 concurrent first-decode
+    * tasks otherwise contend on (the measured ±2× wobble of the m4/m6/m8
+    * bench family). Encoding + decoding one 1×1 PNG at first touch loads
+    * registry, writer, and reader once, off every task's critical path but
+    * the first; `setUseCache(false)` additionally pins the NO-temp-file
+    * policy JVM-wide (the per-call `MemoryCacheImageInputStream` already
+    * avoids it — this covers any future plugin path).
+    */
+  private lazy val imageIoReady: Boolean =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = new java.awt.image.BufferedImage(
+        1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(baos.toByteArray)) != null
+    } catch { case _: Throwable => false }
+
   private def decodeViaImageIO(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
+      imageIoReady
       val img = javax.imageio.ImageIO.read(
         new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(p)))
