@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object Associations {
 
+  /** `co · N · 10⁶ DIV (cnt_a · cnt_b)` with BOTH products in
+    * DECIMAL(38,0): the numerator's int64 bound breaks once
+    * co_count·n_baskets crosses 9.2·10¹² (~3·10⁶ baskets with hot pairs),
+    * the divisor's once two items each appear in ~3·10⁹ baskets. Exposed
+    * for the boundary property test, which is what caught the divisor
+    * side.
+    */
+  private[graft] def liftPpm: Column =
+    expr("CAST(co_count AS DECIMAL(38,0)) * __n * 1000000" +
+      " DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b)")
+
   /** Top-k co-occurring item pairs with lift.
     *
     * @param minSupport keep pairs sharing at least this many baskets
@@ -51,8 +62,7 @@ object Associations {
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("co_count"),
         col("cnt_a"), col("cnt_b"),
-        expr("CAST(co_count AS DECIMAL(38,0)) * __n * 1000000" +
-          " DIV (cnt_a * cnt_b)").as("lift_ppm"))
+        liftPpm.as("lift_ppm"))
       .orderBy(col("co_count").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }

@@ -191,6 +191,25 @@ object ScaleJoins {
     * Ties at the top-k boundary break by key order, so the emitted set is
     * deterministic for any input partitioning.
     */
+  /** `cnt · 10⁶ DIV total` with the product in DECIMAL(38,0): int64 alone
+    * overflows once a single key holds > 9.2·10¹² rows — reachable in a
+    * 100 TB table. DIV on decimals returns the exact int64 quotient
+    * (shares are ≤ 10⁶ by construction). Exposed for the boundary
+    * property test.
+    */
+  private[graft] def sharePpm: Column =
+    expr("CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV total_rows")
+
+  /** `max_cnt · distinct_keys · 10⁶ DIV total` (= max/mean in ppm), the
+    * triple product in DECIMAL(38,0): the int64 bound max_cnt·distinct ≤
+    * 9.2·10¹² is crossed by e.g. 10⁹ distinct keys with a 10⁴-row hot key.
+    * Decimal headroom ~10³⁸ ≫ any table. Exposed for the boundary
+    * property test.
+    */
+  private[graft] def skewRatioPpm: Column =
+    expr("CAST(max_cnt AS DECIMAL(38,0)) * distinct_keys * 1000000" +
+      " DIV total_rows")
+
   def keySkewAudit(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
     require(topK > 0, "topK must be positive")
     val counts = df.groupBy(key.cast("string").as("key"))
@@ -207,10 +226,9 @@ object ScaleJoins {
           .orderBy(col("cnt").desc, col("key").asc)))
     top.crossJoin(broadcast(stats))
       .select(col("key"), col("cnt"), col("rank").cast("long").as("rank"),
-        expr("cnt * 1000000 DIV total_rows").as("share_ppm"),
+        sharePpm.as("share_ppm"),
         col("distinct_keys"), col("total_rows"),
-        expr("max_cnt * distinct_keys * 1000000 DIV total_rows")
-          .as("skew_ratio_ppm"),
+        skewRatioPpm.as("skew_ratio_ppm"),
         col("p50_cnt"), col("p99_cnt"))
   }
 }

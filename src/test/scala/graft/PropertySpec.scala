@@ -467,6 +467,124 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // --- int64-boundary audit of the integer ppm surface ----------------------
+
+  /** Near-boundary long generator: values clustered where int64 arithmetic
+    * breaks — around 2^63/10^6, around sqrt(2^63), and the full range —
+    * plus small values so quotients exercise both the ≤10⁶ and huge cases.
+    */
+  private val boundaryLong: Gen[Long] = Gen.oneOf(
+    Gen.choose(1L, 1000L),
+    Gen.choose(9223372036854L - 1000, 9223372036854L + 1000), // 2^63/1e6
+    Gen.choose(3037000499L - 1000, 3037000499L + 1000),       // sqrt(2^63)
+    Gen.choose(1L, Long.MaxValue / 1000000L),
+    Gen.choose(Long.MaxValue / 2, Long.MaxValue))
+
+  test("property: ppm formulas are exact at int64-boundary operands (t43/a5)") {
+    // the PRODUCTION expressions (not copies): sharePpm, skewRatioPpm,
+    // liftPpm — evaluated over generated near-boundary operand rows and
+    // compared against BigInt reference arithmetic. Operands respect the
+    // DATA invariants each formula lives under (cnt ≤ total, max ≤ total,
+    // co ≤ min(cnt_a, cnt_b) ≤ N) plus the documented result bounds
+    // (skew: distinct ≤ 9.2·10¹² keys; lift: N ≤ 9.2·10¹² baskets — past
+    // those the QUOTIENT itself exceeds int64 and ANSI mode raises)
+    val ppmCap = 9223372036854L // 2^63 / 1e6
+    val ops = samples(for {
+      total <- boundaryLong
+      cnt <- Gen.choose(1L, total)
+      distinct <- Gen.choose(1L, math.min(total, ppmCap))
+      maxc <- Gen.choose(1L, total)
+      n <- Gen.choose(1L, ppmCap)
+      ca <- Gen.choose(1L, n)
+      cb <- Gen.choose(1L, n)
+      co <- Gen.choose(1L, math.min(ca, cb))
+    } yield (cnt, total, distinct, maxc, co, n, ca, cb), 80)
+    val df = ops.toDF("cnt", "total_rows", "distinct_keys", "max_cnt",
+      "co_count", "__n", "cnt_a", "cnt_b")
+    val got = df.select(
+      graft.ops.ScaleJoins.sharePpm.as("share"),
+      graft.ops.ScaleJoins.skewRatioPpm.as("skew"),
+      graft.ops.Associations.liftPpm.as("lift"))
+      .collect()
+    ops.zip(got).foreach { case ((cnt, tot, dk, mc, co, n, ca, cb), r) =>
+      val M = BigInt(1000000)
+      assert(BigInt(r.getLong(0)) == BigInt(cnt) * M / tot,
+        s"share_ppm wrong at cnt=$cnt total=$tot")
+      assert(BigInt(r.getLong(1)) == BigInt(mc) * dk * M / tot,
+        s"skew_ratio_ppm wrong at max=$mc distinct=$dk total=$tot")
+      assert(BigInt(r.getLong(2)) == BigInt(co) * n * M / (BigInt(ca) * cb),
+        s"lift_ppm wrong at co=$co n=$n ca=$ca cb=$cb")
+    }
+  }
+
+  test("property: mixing emissions are exact with exa-token sources (t18/t40)") {
+    // per-source token masses near int64/4 so the corpus total strains the
+    // long sum and every DECIMAL product far exceeds int64
+    val masses = samples(for {
+      a <- Gen.choose(1L, Long.MaxValue / 4)
+      b <- Gen.choose(1L, Long.MaxValue / 4)
+      c <- Gen.choose(1L, Long.MaxValue / 4)
+    } yield Seq(a, b, c), 12)
+    masses.foreach { ns =>
+      val srcs = Seq("web", "code", "books")
+      val df = srcs.zip(ns).map { case (s, n) => (s, n) }.toDF("src", "toks")
+      val tgt = Map("web" -> 500, "code" -> 300, "books" -> 200)
+      val mw = graft.text.Mixing.mixWeights(df, col("src"), col("toks"), tgt)
+        .orderBy("source").collect()
+      val tot = ns.map(BigInt(_)).sum
+      val M = BigInt(1000000)
+      // reference argmax of t/n by exact rational comparison, ties by name
+      val byName = srcs.zip(ns).sortBy(_._1)
+      val best = byName.reduceLeft { (x, y) =>
+        // y beats x iff t_y/n_y > t_x/n_x (cross-product), tie keeps first
+        if (BigInt(tgt(y._1)) * x._2 > BigInt(tgt(x._1)) * y._2) y else x
+      }
+      mw.foreach { r =>
+        val s = r.getString(0); val n = BigInt(r.getLong(2))
+        assert(BigInt(r.getLong(3)) == n * M / tot, s"actual_share_ppm $s")
+        assert(BigInt(r.getLong(5)) ==
+          BigInt(tgt(s)) * best._2 * M / (BigInt(tgt(best._1)) * n),
+          s"sample_rate_ppm $s (argmax=${best._1})")
+      }
+      val tw = graft.text.Mixing.temperatureWeights(df, col("src"), col("toks"))
+        .orderBy("source").collect()
+      val ws = byName.map { case (_, n) =>
+        BigInt(math.floor(math.sqrt(n.toDouble / tot.toDouble) * 1e6).toLong)
+      }
+      val z = ws.sum
+      tw.zip(byName).zip(ws).foreach { case ((r, (s, n)), w) =>
+        assert(BigInt(r.getLong(4)) == w * M / z, s"temp_share_ppm $s")
+        assert(BigInt(r.getLong(5)) == w * tot * M / (z * n), s"boost_ppm $s")
+      }
+    }
+  }
+
+  test("property: TWAP is exact at its documented headroom bound (w10)") {
+    // value 5·10⁵ milli held ~30 days in µs: Σ v·dur ≈ 1.3·10¹⁸, the
+    // documented int64 ceiling — exactness must hold right up to it
+    val gen = for {
+      v1 <- Gen.choose(400000L, 500000L)
+      v2 <- Gen.choose(400000L, 500000L)
+      cut <- Gen.choose(1L, 29L)
+    } yield (v1, v2, cut)
+    samples(gen, 10).foreach { case (v1, v2, cutDay) =>
+      val t0 = "2024-01-01 00:00:00"
+      val tc = f"2024-01-${1 + cutDay}%02d 00:00:00"
+      val horizon = "2024-01-31 00:00:00"
+      val df = Seq(("k", t0, 0L, v1), ("k", tc, 1L, v2))
+        .toDF("key", "ts", "seq", "vm")
+        .withColumn("ts", to_timestamp(col("ts")))
+      val out = graft.ops.Scd2.timeWeightedMean(df, col("key"), col("ts"),
+        col("seq"), col("vm"), horizon).collect().head
+      val usDay = 86400000000L
+      val d1 = BigInt(cutDay) * usDay
+      val d2 = BigInt(30 - cutDay) * usDay
+      val expect = (BigInt(v1) * d1 + BigInt(v2) * d2) / (d1 + d2)
+      assert(BigInt(out.getLong(2)) == expect,
+        s"twap_milli at v1=$v1 v2=$v2 cut=$cutDay")
+    }
+  }
+
   test("property: native RabinFingerprint equals the HOF formulation on hostile text") {
     val texts = (samples(hostileText, 60) ++ Seq("", " ", "  a  b ", "é 中文 😀"))
       .distinct
