@@ -724,6 +724,70 @@ object SparkEntry {
       Jaccard.thresholdSweep(pairs, "jaccard", 500 to 950 by 50)
     },
 
+    // Distributed BPE tokenizer TRAINING: 8 greedy merge rounds over the
+    // vocabulary-scale (word, freq) table — one corpus-scale shuffle
+    // total, then per-round vocab-scale pair counts ending in
+    // TakeOrderedAndProject(1). Emits the learned merge table; the
+    // oracle replays all 8 rounds in SQL (materialized CTE chain with
+    // greedy-leftmost replace over sentinel-wrapped symbol strings).
+    "t52_bpe_train" -> { (s, dir) =>
+      val merges = graft.text.Bpe.train(Tables.documents(s, dir),
+        col("text"), nMerges = 8)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, cnt), i) => (i + 1, a, b, cnt) }
+        .toDF("rank", "lhs", "rhs", "pair_count")
+        .select(col("rank").cast("int").as("rank"), col("lhs"),
+          col("rhs"), col("pair_count"))
+    },
+
+    // Exact distributed quantiles (percentile_disc semantics) WITHOUT
+    // collect_list/sketches: value-groupBy counts → per-group cumulative
+    // crossing in pure int64 (cum·1e6 ≥ ppm·n) — shuffle is
+    // distinct-value scale, emission engine-exact by construction.
+    "t53_exact_quantiles" -> { (s, dir) =>
+      graft.ops.Quantiles.exact(Tables.documents(s, dir), col("source"),
+        col("n_chars"),
+        Seq("p50" -> 500000L, "p90" -> 900000L, "p99" -> 990000L))
+    },
+
+    // Integer EWMA per user over the event timeline (α = 0.2 in ppm):
+    // one shuffle, codegen'd aggregate fold over the (ts, event_id)-
+    // sorted series — the float recurrence is the t18 rounding class,
+    // the integer DIV recurrence replays exactly on any engine.
+    "w12_ewma" -> { (s, dir) =>
+      graft.ops.Ewma.smooth(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"), alphaPpm = 200000L)
+    },
+
+    // Batch MERGE INTO: latest CDC change per key via one max(struct)
+    // aggregate (no window pass), full-outer key-aligned join against
+    // the snapshot; D deletes, I/U upserts, untouched keys pass through.
+    // Changelog = events (signup→I, error→D, else U) over the customer
+    // snapshot keyed c_custkey; milli-unit payloads.
+    "j12_cdc_merge" -> { (s, dir) =>
+      graft.ops.CdcMerge.merge(
+        Tables.customer(s, dir).select(col("c_custkey").as("user_id"),
+          col("c_acctbal")),
+        col("user_id"),
+        expr("CAST(round(c_acctbal * 1000) AS BIGINT)"),
+        Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")),
+        expr("CAST(round(value * 1000) AS BIGINT)"))
+    },
+
+    // Hard-negative mining for contrastive training: per query vector,
+    // top-3 most-similar DIFFERENT-label corpus vectors — broadcast
+    // query batch, one corpus scan, label filter inside the join.
+    "s13_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb.filter(col("vec_id") % 50 === 0), emb,
+        k = 3)
+    },
+
     // The user-360 mart: sessions + funnel stage + cohort + TWAP from ONE
     // shuffle and one sorted fold per user (the standalone operators would
     // scan the event log four times).
@@ -1642,6 +1706,49 @@ object SparkEntry {
        |       ELSE CAST(len(string_split(bpe_text, ' ')) AS INT)
        |  END AS n_bpe_tokens
        |FROM e""".stripMargin
+  }
+
+  /** t52 oracle: replays [[graft.text.Bpe.train]]'s 8 greedy rounds as a
+    * chained MATERIALIZED-CTE pipeline (inlined CTEs would re-expand the
+    * 3 scalar-subquery references per round into a 3^8 blowup). Word
+    * symbol state rides as a sentinel-wrapped string `' a  b  c '` — every
+    * symbol carries its OWN leading+trailing space, so SQL `replace` of
+    * `' a  b '` with `' ab '` is exactly the engine's greedy-leftmost
+    * non-overlapping merge pass (back-to-back occurrences don't share a
+    * separator, unlike a single-space join). Ties break (cnt DESC, a, b)
+    * on both sides — total, since grouped pairs are unique.
+    */
+  private def bpeTrainOracle: String = {
+    val k = 8
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT u.a AS a, u.b AS b, sum(u.freq) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(l)),
+         |      j -> struct_pack(a := l[j], b := l[j+1], freq := freq))) AS u
+         |    FROM (SELECT freq, string_split(trim(sym, ' '), '  ') AS l
+         |          FROM w${i - 1})
+         |  ) GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS rank, a, b, cnt FROM p$i
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT freq, replace(sym,
+         |    ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a || b FROM b$i) || ' ') AS sym
+         |  FROM w${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i =>
+      s"SELECT CAST(rank AS INT) AS rank, a AS lhs, b AS rhs, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM b$i").mkString(" UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT count(*) AS freq,
+       |    ' ' || array_to_string(list_filter(string_split(w, ''),
+       |      c -> len(c) > 0), '  ') || ' ' AS sym
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |          x -> len(x) > 0)) AS w FROM documents)
+       |  GROUP BY 2),
+       |$rounds
+       |$union""".stripMargin
   }
 
   /** The engine-neutral token hash as DuckDB SQL: base-131 Horner over
@@ -3330,6 +3437,73 @@ object SparkEntry {
 
     // Generated from the same merge table as the engine (see bpeOracle).
     "t48_bpe_encode" -> bpeOracle,
+    "t52_bpe_train" -> bpeTrainOracle,
+
+    "t53_exact_quantiles" ->
+      """WITH c AS (
+        |  SELECT source, n_chars AS v, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, v,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY source) AS n
+        |  FROM c)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum*1000000 >= 500000*n THEN v END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum*1000000 >= 900000*n THEN v END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum*1000000 >= 990000*n THEN v END) AS BIGINT) AS p99
+        |FROM cum GROUP BY 1""".stripMargin,
+
+    "w12_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value*1000) AS BIGINT) AS vm
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_obs, max(us) AS last_us,
+        |    list_sort(list(struct_pack(us := us, eid := event_id,
+        |      vm := vm))) AS l
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs, last_us,
+        |  list_reduce(list_transform(l, t -> t.vm),
+        |    (s, v) -> (200000*v + 800000*s) // 1000000) AS ewma_milli
+        |FROM g""".stripMargin,
+
+    "j12_cdc_merge" ->
+      """WITH latest AS (
+        |  SELECT user_id AS k, us, op, vm FROM (
+        |    SELECT user_id, epoch_us(ts) AS us,
+        |      CASE WHEN event_type = 'signup' THEN 'I'
+        |           WHEN event_type = 'error' THEN 'D'
+        |           ELSE 'U' END AS op,
+        |      CAST(round(value*1000) AS BIGINT) AS vm,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |snap AS (
+        |  SELECT c_custkey AS user_id,
+        |    CAST(round(c_acctbal*1000) AS BIGINT) AS sv
+        |  FROM customer)
+        |SELECT COALESCE(snap.user_id, latest.k) AS user_id,
+        |  CASE WHEN latest.k IS NULL THEN 'snapshot'
+        |       ELSE 'changelog' END AS origin,
+        |  COALESCE(latest.vm, snap.sv) AS value_milli,
+        |  latest.us AS updated_us
+        |FROM snap FULL OUTER JOIN latest ON snap.user_id = latest.k
+        |WHERE latest.op IS NULL OR latest.op <> 'D'""".stripMargin,
+
+    "s13_hard_negatives" ->
+      """SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    c.label AS neighbor_label,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.label <> c.label
+        |  WHERE q.vec_id % 50 = 0)
+        |WHERE rank <= 3""".stripMargin,
 
     // The identical RANGE frame over integer µs — strict-before via the
     // 1-PRECEDING bound, value-based lookback.

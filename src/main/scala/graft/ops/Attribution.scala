@@ -37,10 +37,13 @@ object Attribution {
       .select(key, unix_micros(ts).as("__us"),
         eventId.as("conversion_id"), isTouch.as("__touch"),
         isConversion.as("__conv"))
-      .withColumn("first_touch_us",
-        min(when(col("__touch"), col("__us"))).over(w))
-      .withColumn("n_touches",
-        count(when(col("__touch"), lit(1))).over(w))
+      // both aggregates in ONE projection → Catalyst plans ONE Window
+      // node riding one sort (sequential withColumn would plan two)
+      .select(col(keyName), col("__us"), col("conversion_id"),
+        col("__conv"),
+        min(when(col("__touch"), col("__us"))).over(w)
+          .as("first_touch_us"),
+        count(when(col("__touch"), lit(1))).over(w).as("n_touches"))
       .filter(col("__conv"))
       .select(col(keyName), col("conversion_id"),
         col("__us").as("conversion_us"), col("first_touch_us"),

@@ -73,6 +73,38 @@ object Similarity {
         col("__rn").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for every query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — maximally confusing non-matches, the pairs that actually
+    * move an embedding model (random negatives are trivially separable).
+    *
+    * Exact baseline shape = [[bruteForceTopK]]: the query batch
+    * broadcasts (training batches are small by construction), the corpus
+    * streams through one codegen'd cosine loop, ranking ends in
+    * per-query `row_number ≤ k` (TakeOrdered per key, no global sort).
+    * The label inequality rides the broadcast join condition, so
+    * same-label pairs are never scored at all. At 100 TB corpus scale,
+    * swap the scan for the IVF stored index ([[graft.sim.Ivf]]):
+    * probe nearest cells, filter `label ≠`, score only the probed
+    * bucket — same emission schema, so the swap is invisible downstream.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    broadcastQueries: Boolean = true): DataFrame = {
+    val qn = queries.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"), asDouble(col("embedding")).as("q_u"))
+    val q = if (broadcastQueries) broadcast(qn) else qn
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), asDouble(col("embedding")).as("c_u"))
+    val scored = c.join(q, col("q_label") =!= col("neighbor_label"))
+      .withColumn("cosine", round(cosine(col("q_u"), col("c_u")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"), col("__rn").as("rank"))
+  }
+
   /** Random-hyperplane LSH code: `planes` sign bits packed into a long.
     * Sign bits are scale-invariant, so unit vectors give the same code as
     * raw embeddings.

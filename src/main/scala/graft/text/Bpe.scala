@@ -30,6 +30,70 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Distributed BPE TRAINING (Sennrich et al. 2016, learn step): find the
+    * `nMerges` highest-count adjacent symbol pairs, greedily, each round
+    * merging the winner corpus-wide. Returns the learned merge table as
+    * `(lhs, rhs, pairCountAtSelection)` in rank order — ready to feed
+    * [[encode]] (the table is constructive by construction: rank r only
+    * ever merges symbols that exist after ranks < r).
+    *
+    * Scale shape: ONE corpus-scale shuffle total (the initial word-count
+    * aggregation); every training round then runs over the VOCABULARY-
+    * scale `(word-symbols, freq)` table — at 100 TB of text that table is
+    * ~10⁷ rows regardless of corpus size, cached once and re-projected
+    * per round. Per round: one vocab-scale partial-aggregated pair count
+    * ending in `TakeOrderedAndProject(1)`, then a codegen'd merge pass
+    * (the [[mergePass]] fold) over the cached table. The per-round 1-row
+    * driver read is CONTROL FLOW, not a data path — the merge table is
+    * driver-resident by definition (it compiles into the encoder's
+    * expression tree), the same class as the IVF dim probe and the
+    * connected-components convergence check.
+    *
+    * Ties break deterministically: highest count, then (lhs, rhs)
+    * lexicographic — a total order, since pairs are grouped unique.
+    * Rounds stop early when no pair reaches `minFreq` (vocabulary
+    * exhausted / fully merged).
+    */
+  def train(df: DataFrame, text: Column, nMerges: Int,
+            minFreq: Long = 1L): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val words = df
+      .select(explode(filter(split(lower(text), " "),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(filter(split(col("w"), ""), c => length(c) > 0).as("syms"),
+        col("freq"))
+    var state = words.persist(StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var exhausted = false
+    while (learned.size < nMerges && !exhausted) {
+      val top = state
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      top.headOption.filter(_.getLong(2) >= minFreq) match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          learned += ((a, b, cnt))
+          val next = state
+            .select(mergePass(col("syms"), a, b).as("syms"), col("freq"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the parent
+          state.unpersist(blocking = false)
+          state = next
+      }
+    }
+    state.unpersist(blocking = false)
+    learned.toSeq
+  }
+
   /** Enforce the constructive invariant: every multi-character symbol a
     * rank-r pair references must be the output of some merge at rank < r.
     */

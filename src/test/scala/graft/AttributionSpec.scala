@@ -50,4 +50,19 @@ class AttributionSpec extends SparkSpec {
       .select("n_touches").as[Long].head()
     assert(out == 1L)
   }
+
+  test("firstTouch plans exactly one hash exchange and one RANGE window") {
+    val events = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val plan = Attribution.firstTouch(events, col("user_id"), col("ts"),
+        col("event_id"), col("event_type") === "view",
+        col("event_type") === "purchase", lookbackSeconds = 86400)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
+    // both aggregates ride ONE Window node (no second sort/window pass)
+    val windows = "(?m)^\\s*[*+:-]*\\s*Window ".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 Window node, got $windows in:\n$plan")
+    assert(plan.contains("RangeFrame"), s"expected RANGE frame in:\n$plan")
+  }
 }

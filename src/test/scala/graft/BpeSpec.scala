@@ -93,4 +93,45 @@ class BpeSpec extends SparkSpec {
     val expected = words.map(w => trueBpe(w, table).mkString(" "))
     assert(got == expected)
   }
+
+  test("train: greedy argmax with (cnt, lhs, rhs) tie-break, chained symbols") {
+    // corpus: "abab" ×3, "ab" ×2 → (a,b) count 3·2+2 = 8 wins round 1;
+    // round 2 sees [ab, ab] ×3 → (ab, ab) count 3.
+    val df = Seq("abab abab abab ab ab").toDF("text")
+      .withColumn("doc_id", lit(1L))
+    val learned = Bpe.train(df, col("text"), nMerges = 2)
+    assert(learned == Seq(("a", "b", 8L), ("ab", "ab", 3L)))
+    // the learned table is constructive — encode accepts it
+    Bpe.validate(learned.map { case (a, b, _) => (a, b) })
+  }
+
+  test("train: ties break lexicographically on (lhs, rhs)") {
+    // "ba" and "ab" both appear twice as words → pairs (b,a) and (a,b)
+    // each count 2; (a,b) must win.
+    val df = Seq("ba ab ba ab").toDF("text").withColumn("doc_id", lit(1L))
+    val learned = Bpe.train(df, col("text"), nMerges = 1)
+    assert(learned == Seq(("a", "b", 2L)))
+  }
+
+  test("train: stops early when no pair reaches minFreq") {
+    // single-char words only → zero adjacent pairs anywhere
+    val df = Seq("a b c a b").toDF("text").withColumn("doc_id", lit(1L))
+    assert(Bpe.train(df, col("text"), nMerges = 5) == Seq())
+    // fully-merged vocabulary exhausts below nMerges
+    val df2 = Seq("ab ab").toDF("text").withColumn("doc_id", lit(1L))
+    assert(Bpe.train(df2, col("text"), nMerges = 5) ==
+      Seq(("a", "b", 2L)))
+  }
+
+  test("train then encode: learned merges compress their own corpus") {
+    val df = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the hat")).toDF("doc_id", "text")
+    val learned = Bpe.train(df, col("text"), nMerges = 6)
+    assert(learned.size == 6)
+    val out = Bpe.encode(df, col("doc_id"), col("text"),
+        learned.map { case (a, b, _) => (a, b) })
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    // 44 chars total in 12 words; 6 merges must strictly compress
+    assert(out < 44 - 6 && out >= 12)
+  }
 }

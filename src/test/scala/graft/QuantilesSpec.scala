@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact: percentile_disc semantics — first cumulative crossing") {
+    // group a: values 1..10 → p50 = ceil(0.5·10) = 5th value = 5;
+    // p90 = 9; p100 = 10. group b: single value.
+    val df = ((1 to 10).map(v => ("a", v.toLong)) :+ ("b", 7L))
+      .toDF("g", "v")
+    val out = Quantiles.exact(df, col("g"), col("v"),
+        Seq("p50" -> 500000L, "p90" -> 900000L, "p100" -> 1000000L))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 10L, 5L, 9L, 10L), ("b", 1L, 7L, 7L, 7L)))
+  }
+
+  test("exact: duplicate values collapse into one crossing row") {
+    // eight 3s then two 9s: p50 rank 5 → 3; p90 rank 9 → 9
+    val df = (Seq.fill(8)(3L) ++ Seq(9L, 9L)).map(("g", _)).toDF("g", "v")
+    val out = Quantiles.exact(df, col("g"), col("v"),
+        Seq("p50" -> 500000L, "p90" -> 900000L))
+      .as[(String, Long, Long, Long)].head()
+    assert(out == (("g", 10L, 3L, 9L)))
+  }
+
+  test("exact: low quantiles pick the minimum (ceil never hits rank 0)") {
+    val df = Seq(("g", 5L), ("g", 1L), ("g", 3L)).toDF("g", "v")
+    val out = Quantiles.exact(df, col("g"), col("v"), Seq("p1" -> 10000L))
+      .select("p1").as[Long].head()
+    assert(out == 1L)
+  }
+
+  test("exact plans one exchange + one sort; agg reuses the partitioning") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    val plan = Quantiles.exact(df, col("g"), col("v"),
+      Seq("p50" -> 500000L)).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one exchange for groupBy(g, v), the window + final agg both key on
+    // a SUBSET (g) of that partitioning — Spark needs one repartition to
+    // g for the window; the final agg reuses it. Budget: ≤ 2 total.
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges, got $exchanges in:\n$plan")
+    val sorts = "(?m)^\\s*[*+:-]*\\s*Sort ".r.findAllIn(plan).length
+    assert(sorts == 1, s"expected 1 sort, got $sorts in:\n$plan")
+  }
+}

@@ -155,4 +155,33 @@ class SimilaritySpec extends SparkSpec {
     val agreement = exact.size.toDouble / lsh.size
     assert(agreement >= 0.95, s"dedup agreement too low: $agreement")
   }
+
+  test("hardNegatives: same-label vectors never surface; ranking by cosine") {
+    val labeled = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 1),
+      (1L, Array(0.95f, 0.05f, 0f, 0f), 1),  // same label as 0 — excluded
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 2),    // best cross-label match
+      (3L, Array(0f, 1f, 0f, 0f), 2),
+      (4L, Array(-1f, 0f, 0f, 0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        labeled.filter(col("vec_id") === 0), labeled, k = 2)
+      .orderBy("rank")
+      .as[(Long, Long, Int, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(2L, 3L))       // neighbor ids, hard first
+    assert(out.map(_._3) == Seq(2, 2))         // labels differ from 1
+    assert(out.head._4 > out(1)._4)            // ranked by cosine desc
+  }
+
+  test("hardNegatives: broadcast query side, no CartesianProduct") {
+    val labeled = Seq((0L, Array(1f, 0f), 1), (1L, Array(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val plan = Similarity.hardNegatives(labeled, labeled, k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected CartesianProduct in:\n$plan")
+  }
 }
