@@ -788,6 +788,15 @@ object SparkEntry {
         k = 3)
     },
 
+    // Crawl-curation composed end-to-end: URL canonicalize → registrable
+    // domain → domain link graph → integer PageRank → C4 quality rollup →
+    // HUGEINT-share crawl budget. The real UrlOps regex chain runs in the
+    // engine; the oracle proves it collapses to the doc_id arithmetic.
+    "pipe_webrank_e2e" -> { (s, dir) =>
+      graft.pipeline.WebRank.crawlBudget(Tables.documents(s, dir),
+        stopwords)
+    },
+
     // The user-360 mart: sessions + funnel stage + cohort + TWAP from ONE
     // shuffle and one sorted fold per user (the standalone operators would
     // scan the event log four times).
@@ -1749,6 +1758,68 @@ object SparkEntry {
        |  GROUP BY 2),
        |$rounds
        |$union""".stripMargin
+  }
+
+  /** pipe_webrank oracle: the registrable domain collapses to pure
+    * doc_id arithmetic (scheme/www/cdn noise all strips — t45 proves the
+    * full regex chain equals this), the C4 keep verdict is the t4
+    * fragment grouped by domain, PageRank is the g1 integer iteration
+    * over STRING domain nodes, and the budget is the t18 HUGEINT
+    * share idiom.
+    */
+  private def webRankOracle: String = {
+    val domOf = (id: String) =>
+      s"'site' || (($id) % 37) || '.' || " +
+        s"(['com','org','net','co.uk'])[CAST(($id) % 4 + 1 AS INT)]"
+    val iter = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst, sum(r.pr // d.outdeg) AS s
+         |    FROM e JOIN d USING (src) JOIN r${k - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) c ON c.dst = n.node)"""
+    s"""WITH doms AS (
+       |  SELECT ${domOf("doc_id")} AS domain, text FROM documents),
+       |m AS (
+       |  SELECT domain,
+       |    len(string_split(lower(text), ' ')) AS n_tokens,
+       |    round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE /
+       |      len(string_split(lower(text), ' ')), 6) AS uniq_ratio,
+       |    round(len(list_filter(string_split(lower(text), ' '),
+       |        t -> list_contains(['the','a','of','and','is','in','to','it'], t)))::DOUBLE /
+       |      len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+       |    round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE /
+       |      greatest(length(text), 1), 6) AS punct_ratio
+       |  FROM doms),
+       |q AS (
+       |  SELECT domain, count(*) AS n_docs,
+       |    sum(CASE WHEN n_tokens < 20 OR n_tokens > 90
+       |          OR uniq_ratio < 0.4 OR stopword_ratio < 0.02
+       |          OR punct_ratio > 0.05 THEN 0 ELSE 1 END)::BIGINT AS kept
+       |  FROM m GROUP BY 1),
+       |q2 AS (SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+       |  (kept * 1000000) // n_docs AS kept_ppm FROM q),
+       |raw AS (
+       |  SELECT ${domOf("doc_id")} AS src,
+       |         ${domOf("doc_id * 7 + 3")} AS dst
+       |  FROM documents),
+       |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |n AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+       |${(1 to 5).map(iter).mkString(",\n")},
+       |scored AS (
+       |  SELECT q2.domain, q2.n_docs, r5.pr AS rank_micro, q2.kept_ppm,
+       |    r5.pr * q2.kept_ppm AS priority
+       |  FROM r5 JOIN q2 ON r5.node = q2.domain),
+       |tot AS (SELECT sum(priority) AS tot FROM scored)
+       |SELECT domain, n_docs, rank_micro, kept_ppm, priority,
+       |  CAST(CASE WHEN tot.tot > 0
+       |    THEN (priority::HUGEINT * 1000000) // tot.tot
+       |    ELSE 0 END AS BIGINT) AS budget_ppm
+       |FROM scored CROSS JOIN tot""".stripMargin
   }
 
   /** The engine-neutral token hash as DuckDB SQL: base-131 Horner over
@@ -3438,6 +3509,7 @@ object SparkEntry {
     // Generated from the same merge table as the engine (see bpeOracle).
     "t48_bpe_encode" -> bpeOracle,
     "t52_bpe_train" -> bpeTrainOracle,
+    "pipe_webrank_e2e" -> webRankOracle,
 
     "t53_exact_quantiles" ->
       """WITH c AS (

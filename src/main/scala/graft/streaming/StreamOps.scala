@@ -14,6 +14,13 @@ final case class KeyedEvent(
     event_type: String,
     value: Double)
 
+/** O(1) per-key streaming EWMA state ([[StreamOps.ewmaPerKey]]). */
+final case class EwmaState(
+    user_id: Long,
+    n_obs: Long,
+    last_us: Long,
+    ewma_milli: Long)
+
 /** Structured Streaming facade (SURVEY §2.10).
   *
   * The reference consumes its Kafka/Kinesis streams as already-landed batch
@@ -171,6 +178,42 @@ object StreamOps {
             state.setTimeoutDuration(idleTtl)
             Iterator.single(latest)
           }
+      }
+  }
+
+  /** Streaming integer EWMA — the live analog of
+    * [[graft.ops.Ewma.smooth]], and the proof of its design claim: the
+    * recurrence `s ← (α·v + (10⁶−α)·s) DIV 10⁶` needs NO look-back
+    * beyond the previous smoothed value, so per-key state is O(1) (one
+    * struct, four longs). Each trigger folds its events in `(ts,
+    * event_id)` order on top of the carried state; because Scala's `Long`
+    * division, Spark's `DIV`, and DuckDB's `//` all truncate toward
+    * zero, the streaming fold lands on EXACTLY the batch operator's
+    * integer fixpoint — asserted trigger-by-trigger in StreamingSpec.
+    *
+    * Cross-trigger disorder: like [[repairCdcStream]], state only moves
+    * forward — an event arriving a trigger late folds in arrival
+    * position, and the batch operator over the landed table remains the
+    * reconciliation path.
+    */
+  def ewmaPerKey(ds: Dataset[KeyedEvent], alphaPpm: Long): Dataset[EwmaState] = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000,
+      s"alphaPpm $alphaPpm out of (0, 1e6]")
+    implicit val stateEnc = Encoders.product[EwmaState]
+    implicit val longEnc = Encoders.scalaLong
+    val beta = 1000000L - alphaPpm
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, events: Iterator[KeyedEvent], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(k, 0L, 0L, 0L))
+          events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val vm = Math.round(e.value * 1000)
+            val s = if (st.n_obs == 0L) vm
+              else (alphaPpm * vm + beta * st.ewma_milli) / 1000000L
+            st = EwmaState(k, st.n_obs + 1, e.ts.getTime * 1000L, s)
+          }
+          state.update(st)
+          st
       }
   }
 

@@ -518,4 +518,46 @@ class StreamingSpec extends SparkSpec {
     // stage >= k counts: step 1 → both users, steps 2 and 3 → user 1 only
     assert(batch == Map(1 -> 2L, 2 -> 1L, 3 -> 1L))
   }
+
+  test("ewmaPerKey: O(1) state lands on the batch operator's exact fixpoint") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val smoothed = StreamOps.ewmaPerKey(input.toDS(), alphaPpm = 500000L)
+    val query = StreamOps.startMemorySink(smoothed.toDF(), "ewma_q",
+      OutputMode.Update())
+
+    def ev(u: Long, t: String, id: Long, v: Double) =
+      KeyedEvent(u, ts(t), id, "m", v)
+    val all = Seq(
+      // trigger 1: user 1 two readings (out of order inside the batch),
+      // user 2 one
+      Seq(ev(1L, "2024-01-01 00:00:01", 2, 3.0),
+        ev(1L, "2024-01-01 00:00:00", 1, 1.0),
+        ev(2L, "2024-01-01 00:00:00", 3, 10.0)),
+      // trigger 2: state carries — user 1's EWMA continues from 2000
+      Seq(ev(1L, "2024-01-01 00:00:02", 4, 0.5),
+        ev(2L, "2024-01-01 00:00:01", 5, 4.0)))
+    all.foreach { batch => input.addData(batch: _*); query.processAllAvailable() }
+    query.stop()
+
+    val streamed = spark.table("ewma_q")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_obs"), col("last_us"), col("ewma_milli"))).as("s"))
+      .select(col("user_id"), col("s.n_obs"), col("s.ewma_milli"))
+      .as[(Long, Long, Long)].collect().map { case (u, n, e) => u -> ((n, e)) }.toMap
+    // hand fold, α=0.5: u1: 1000 → (3000+1000)/2=2000 → (500+2000)/2=1250
+    //                   u2: 10000 → (4000+10000)/2=7000
+    assert(streamed == Map(1L -> ((3L, 1250L)), 2L -> ((2L, 7000L))))
+
+    // the batch operator over the union of all triggers agrees exactly
+    val batchOut = graft.ops.Ewma.smooth(
+        all.flatten.map(e => (e.user_id, e.ts, e.event_id, e.value))
+          .toDF("user_id", "ts", "event_id", "value"),
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"), alphaPpm = 500000L)
+      .select(col("user_id"), col("n_obs"), col("ewma_milli"))
+      .as[(Long, Long, Long)].collect().map { case (u, n, e) => u -> ((n, e)) }.toMap
+    assert(batchOut == streamed)
+  }
 }
