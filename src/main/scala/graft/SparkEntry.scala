@@ -788,6 +788,22 @@ object SparkEntry {
         k = 3)
     },
 
+    // Length-bucketed batch assembly + padding-waste report: docs bin by
+    // n_tokens DIV 16, batch 8-at-a-time in doc_id order within the bin;
+    // pad_waste_ppm is pure integer. One shuffle on bin, per-bin sort.
+    "t54_length_batches" -> { (s, dir) =>
+      graft.text.Chunking.lengthBatches(Tables.documents(s, dir),
+        col("doc_id"), col("text"), binWidth = 16, batchSize = 8)
+    },
+
+    // Largest-remainder (Hamilton) apportionment: a 997-unit sample
+    // budget across sources proportional to char mass — floor quotas +
+    // one unit per largest remainder, Σalloc = 997 exactly, no floats.
+    "t55_quota_alloc" -> { (s, dir) =>
+      graft.text.Mixing.largestRemainder(Tables.documents(s, dir),
+        col("source"), col("n_chars"), budget = 997L)
+    },
+
     // Crawl-curation composed end-to-end: URL canonicalize → registrable
     // domain → domain link graph → integer PageRank → C4 quality rollup →
     // HUGEINT-share crawl budget. The real UrlOps regex chain runs in the
@@ -3510,6 +3526,38 @@ object SparkEntry {
     "t48_bpe_encode" -> bpeOracle,
     "t52_bpe_train" -> bpeTrainOracle,
     "pipe_webrank_e2e" -> webRankOracle,
+
+    "t54_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 16 AS bin,
+        |    (row_number() OVER (PARTITION BY n_tokens // 16
+        |       ORDER BY doc_id) - 1) // 8 AS batch
+        |  FROM d)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(batch AS BIGINT) AS batch,
+        |  count(*) AS n_docs, CAST(max(n_tokens) AS BIGINT) AS max_len,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+        |  CAST(((count(*) * max(n_tokens) - sum(n_tokens)) * 1000000)
+        |    // (count(*) * max(n_tokens)) AS BIGINT) AS pad_waste_ppm
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "t55_quota_alloc" ->
+      """WITH a AS (
+        |  SELECT source AS stratum, sum(n_chars)::BIGINT AS mass
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(mass) AS tot FROM a),
+        |q AS (SELECT stratum, mass,
+        |    (997 * mass) // tot AS base, (997 * mass) % tot AS rem
+        |  FROM a CROSS JOIN t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC)
+        |    AS rk, sum(base) OVER () AS spent FROM q)
+        |SELECT stratum, mass,
+        |  CAST(base + CASE WHEN rk <= 997 - spent THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
 
     "t53_exact_quantiles" ->
       """WITH c AS (

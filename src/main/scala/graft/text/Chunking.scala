@@ -143,4 +143,37 @@ object Chunking {
       .drop("__key")
       .withColumnRenamed("__shard", "shard")
   }
+
+  /** Length-bucketed batch assembly with a padding-waste report — the
+    * sequence-bucketing trick every training loader uses: group
+    * similar-length documents so each batch pads to ITS OWN max, not the
+    * corpus max. Docs land in `n_tokens DIV binWidth` bins; within a bin
+    * they batch in deterministic `doc_id` order, `batchSize` at a time.
+    *
+    * Emits one row per (bin, batch): `n_docs`, `max_len`, `sum_len`, and
+    * `pad_waste_ppm = (n·max − Σlen)·10⁶ DIV (n·max)` — the fraction of
+    * padded positions, pure integer (engine-exact). A trailing partial
+    * batch reports honestly (n_docs < batchSize).
+    *
+    * Plan: one shuffle on the bin key, per-bin sort (bins are the
+    * parallelism unit — no global order), then a same-key aggregate that
+    * reuses the window's partitioning. Int64: `n·max·10⁶ < 2⁶³` needs
+    * `max_len < 9.2×10¹² / batchSize` — context lengths never bind.
+    */
+  def lengthBatches(df: DataFrame, id: Column, text: Column,
+                    binWidth: Int = 16, batchSize: Int = 8): DataFrame = {
+    require(binWidth >= 1 && batchSize >= 1, "binWidth/batchSize must be >= 1")
+    val d = df.select(id.as("__id"),
+      size(split(lower(text), " ")).cast("long").as("__n"))
+    val w = Window.partitionBy(col("bin")).orderBy(col("__id"))
+    d.withColumn("bin", expr(s"__n div $binWidth"))
+      .withColumn("batch",
+        call_function("div", (row_number().over(w) - 1).cast("long"),
+          lit(batchSize.toLong)))
+      .groupBy(col("bin"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), max("__n").as("max_len"),
+        sum("__n").as("sum_len"))
+      .withColumn("pad_waste_ppm",
+        expr("((n_docs * max_len - sum_len) * 1000000) div (n_docs * max_len)"))
+  }
 }

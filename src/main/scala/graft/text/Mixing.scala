@@ -208,4 +208,42 @@ object Mixing {
       .select(col(idName), col("source"), col("rate_ppm"),
         explode(sequence(lit(0L), col("__copies") - 1)).as("copy_id"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer sample
+    * budget across strata, proportional to each stratum's mass — the
+    * exact way to turn mixing SHARES into whole-unit QUOTAS (shard
+    * counts, sample sizes, per-source doc budgets). Floor quotas
+    * `B·mᵢ DIV M` under-spend by `B − Σfloor < |strata|`; the shortfall
+    * goes one unit each to the largest remainders `B·mᵢ mod M`
+    * (tie → stratum ascending). Σalloc = B EXACTLY — no float quota ever
+    * exists, so the replay is engine-exact and the budget never leaks a
+    * unit (the naive `round(B·mᵢ/M)` both over- and under-spends).
+    *
+    * Plan: the mass rollup is the only data-scale shuffle; ranking runs
+    * on the STRATA table (one row per source/lang/shard — thousands at
+    * most), so the single-partition global sort the rank needs is
+    * deliberate and harmless. Int64: `B·mᵢ < 2⁶³` — at B = 10⁶ that is
+    * ~9.2×10¹² mass units per stratum; larger corpora pre-scale mass.
+    */
+  def largestRemainder(df: DataFrame, stratum: Column, mass: Column,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val agg = df.groupBy(stratum.as("stratum"))
+      .agg(coalesce(sum(mass.cast("long")), lit(0L)).as("mass"))
+    val tot = agg.agg(sum("mass").as("__tot"))
+    val q = agg.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("mass"),
+        idiv(lit(budget) * col("mass"), col("__tot")).as("__base"),
+        (lit(budget) * col("mass") % col("__tot")).as("__rem"))
+    // strata-scale global window (single partition by design — see doc)
+    val byRem = Window.orderBy(col("__rem").desc, col("stratum").asc)
+    val whole = Window.partitionBy()
+    q.select(col("stratum"), col("mass"), col("__base"),
+        row_number().over(byRem).as("__rk"),
+        sum("__base").over(whole).as("__spent"))
+      .select(col("stratum"), col("mass"),
+        (col("__base") + when(col("__rk") <= lit(budget) - col("__spent"),
+          1L).otherwise(0L)).as("alloc"))
+  }
 }

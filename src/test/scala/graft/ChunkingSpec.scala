@@ -106,4 +106,30 @@ class ChunkingSpec extends SparkSpec {
       assert(p.contains("Generate"), s"expected explode Generate in:\n$p")
     } finally spark.conf.set("spark.graft.parallelizeInputs", "true")
   }
+
+  test("lengthBatches: bins by length, batches full except the tail") {
+    // 10 docs of 3 tokens (bin 0 at width 4) + 2 docs of 9 tokens (bin 2)
+    val docs = ((1L to 10L).map(i => (i, "a b c")) ++
+      Seq((11L, "a b c d e f g h i"), (12L, "a b c d e f g h j")))
+      .toDF("doc_id", "text")
+    val out = Chunking.lengthBatches(docs, col("doc_id"), col("text"),
+        binWidth = 4, batchSize = 4)
+      .orderBy("bin", "batch")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 4L, 3L, 12L, 0L),   // full batch, zero padding (equal lens)
+      (0L, 1L, 4L, 3L, 12L, 0L),
+      (0L, 2L, 2L, 3L, 6L, 0L),    // honest trailing partial batch
+      (2L, 0L, 2L, 9L, 18L, 0L)))
+  }
+
+  test("lengthBatches: pad_waste_ppm measures padded positions exactly") {
+    // one batch: lens 2 and 4 → padded grid 2·4 = 8, content 6 →
+    // waste 2/8 = 250000 ppm
+    val docs = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = Chunking.lengthBatches(docs, col("doc_id"), col("text"),
+        binWidth = 100, batchSize = 8)
+      .select("pad_waste_ppm").as[Long].head()
+    assert(out == 250000L)
+  }
 }

@@ -120,4 +120,43 @@ class MixingSpec extends SparkSpec {
       .select("source", "sample_rate_ppm").as[(String, Long)].collect().toMap
     assert(out("a") == 0L && out("b") == 0L)
   }
+
+  test("largestRemainder: allocations sum to the budget EXACTLY") {
+    // masses 3/3/3 with budget 10: floor quotas 3/3/3 (sum 9), one extra
+    // unit to the largest remainder — ties break by stratum ascending
+    val df = Seq(("a", 3L), ("b", 3L), ("c", 3L)).toDF("s", "m")
+    val out = Mixing.largestRemainder(df, col("s"), col("m"), budget = 10L)
+      .orderBy("stratum").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L, 4L), ("b", 3L, 3L), ("c", 3L, 3L)))
+  }
+
+  test("largestRemainder: each alloc is within 1 of its exact quota") {
+    val df = Seq(("a", 17L), ("b", 5L), ("c", 31L), ("d", 2L), ("e", 45L))
+      .toDF("s", "m")
+    val out = Mixing.largestRemainder(df, col("s"), col("m"), budget = 97L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.map(_._3).sum == 97L)
+    val tot = out.map(_._2).sum
+    out.foreach { case (s, m, alloc) =>
+      val exact = 97.0 * m / tot
+      assert(math.abs(alloc - exact) < 1.0,
+        s"$s: alloc $alloc vs quota $exact")
+    }
+  }
+
+  test("largestRemainder: zero-mass strata never win an extra unit") {
+    val df = Seq(("a", 7L), ("b", 0L), ("c", 6L)).toDF("s", "m")
+    val out = Mixing.largestRemainder(df, col("s"), col("m"), budget = 9L)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out("b") == 0L)
+    assert(out.values.sum == 9L)
+  }
+
+  test("largestRemainder: rows aggregate per stratum before apportioning") {
+    val rows = Seq(("a", 2L), ("a", 5L), ("b", 3L)).toDF("s", "m")
+    val out = Mixing.largestRemainder(rows, col("s"), col("m"), budget = 10L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map("a" -> 7L, "b" -> 3L))
+  }
 }
