@@ -788,6 +788,30 @@ object SparkEntry {
         k = 3)
     },
 
+    // Two-stage retrieval cascade: BM25 top-50 recall → exact-cosine
+    // re-rank to top-10 against the query vector. The candidate set
+    // broadcasts; embeddings are probed per candidate, never scanned.
+    "s15_cascade_rerank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cand = graft.text.Vocab.bm25TopK(Tables.documents(s, dir),
+          col("doc_id"), col("text"),
+          queryTerms = Seq("spark", "vector", "join"), k = 50)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score_micro").desc,
+            col("doc_id").asc)).as("bm25_rank"))
+      val emb = Tables.embeddings(s, dir)
+      Similarity.rerankByCosine(cand, "doc_id", emb,
+        emb.filter(col("vec_id") === 0), k = 10)
+    },
+
+    // Inverted-index postings with gap encoding: per term, df and the
+    // first-difference-compressed posting list — map-side distinct-term
+    // explode, one term shuffle, integer gaps. minDf=3 prunes hapaxes.
+    "t57_postings" -> { (s, dir) =>
+      graft.text.Vocab.postings(Tables.documents(s, dir), col("doc_id"),
+        col("text"), minDf = 3L)
+    },
+
     // Length-bucketed batch assembly + padding-waste report: docs bin by
     // n_tokens DIV 16, batch 8-at-a-time in doc_id order within the bin;
     // pad_waste_ppm is pure integer. One shuffle on bin, per-bin sort.
@@ -3526,6 +3550,62 @@ object SparkEntry {
     "t48_bpe_encode" -> bpeOracle,
     "t52_bpe_train" -> bpeTrainOracle,
     "pipe_webrank_e2e" -> webRankOracle,
+
+    "s15_cascade_rerank" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t,
+        |         len(string_split(lower(text), ' ')) AS len FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(len)::DOUBLE / count(*) AS avgdl
+        |  FROM docs),
+        |dfc AS (
+        |  SELECT token, count(*) AS df FROM (
+        |    SELECT unnest(list_distinct(t)) AS token FROM docs)
+        |  WHERE token IN ('spark', 'vector', 'join') GROUP BY 1),
+        |idf AS (
+        |  SELECT token, round(ln(1.0::DOUBLE + (n - df + 0.5) / (df + 0.5)), 6)
+        |    AS idf
+        |  FROM dfc, stats),
+        |scored AS (
+        |  SELECT x.doc_id,
+        |    CAST(round(idf.idf * (x.tf * 2.2::DOUBLE /
+        |      (x.tf + 1.2::DOUBLE * (0.25 + 0.75 * x.len / stats.avgdl)))
+        |      * 1e6) AS BIGINT) AS s
+        |  FROM (
+        |    SELECT d.doc_id, d.len, q.token,
+        |      len(list_filter(d.t, y -> y = q.token))::DOUBLE AS tf
+        |    FROM docs d,
+        |      (SELECT unnest(['spark', 'vector', 'join']) AS token) q) x
+        |  JOIN idf USING (token), stats
+        |  WHERE x.tf > 0),
+        |bm AS (
+        |  SELECT doc_id, sum(s) AS score_micro FROM scored GROUP BY doc_id
+        |  ORDER BY score_micro DESC, doc_id LIMIT 50),
+        |cand AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_micro DESC,
+        |    doc_id) AS INT) AS bm25_rank FROM bm),
+        |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+        |       WHERE vec_id = 0),
+        |rr AS (
+        |  SELECT cand.doc_id, cand.bm25_rank,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6)
+        |      AS cosine
+        |  FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id
+        |  CROSS JOIN qv)
+        |SELECT doc_id, bm25_rank, cosine, rerank FROM (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+        |    AS INT) AS rerank FROM rr)
+        |WHERE rerank <= 10""".stripMargin,
+
+    "t57_postings" ->
+      """WITH p AS (
+        |  SELECT term, count(*) AS df, list_sort(list(doc_id)) AS ds FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_filter(
+        |      string_split(lower(text), ' '), t -> len(t) > 0))) AS term
+        |    FROM documents) GROUP BY 1)
+        |SELECT term, df, array_to_string(list_transform(range(1, len(ds)+1),
+        |  i -> ds[i] - coalesce(ds[i-1], 0)), ' ') AS gaps
+        |FROM p WHERE df >= 3""".stripMargin,
 
     "t54_length_batches" ->
       """WITH d AS (

@@ -105,6 +105,34 @@ object Similarity {
         col("cosine"), col("__rn").as("rank"))
   }
 
+  /** Stage 2 of the standard retrieval cascade: re-rank a RECALL
+    * candidate set (BM25, LSH buckets, anything cheap) by exact cosine
+    * against one query vector. The candidate frame BROADCASTS (it is
+    * top-k-sized by construction), the corpus embedding table is probed
+    * by the hash join — embeddings are fetched for candidates only,
+    * never scanned corpus-wide. Ranking is a window over the candidate
+    * set (≤ |candidates| rows — candidate-scale by definition, so the
+    * single-partition sort is deliberate and harmless).
+    *
+    * Keeps every candidate column (upstream ranks ride along for rank-
+    * correlation analysis) and appends `cosine` + `rerank`.
+    */
+  def rerankByCosine(candidates: DataFrame, idCol: String,
+                     corpus: DataFrame, query: DataFrame,
+                     k: Int): DataFrame = {
+    val carried = candidates.columns.map(col).toSeq
+    val q = broadcast(query.select(asDouble(col("embedding")).as("__qv")))
+    val w = Window.orderBy(col("cosine").desc, col(idCol).asc)
+    broadcast(candidates)
+      .join(corpus, col(idCol) === col("vec_id"))
+      .crossJoin(q)
+      .withColumn("cosine",
+        round(cosine(asDouble(col("embedding")), col("__qv")), 6))
+      .select(carried :+ col("cosine"): _*)
+      .withColumn("rerank", row_number().over(w))
+      .filter(col("rerank") <= k)
+  }
+
   /** Random-hyperplane LSH code: `planes` sign bits packed into a long.
     * Sign bits are scale-invariant, so unit vectors give the same code as
     * raw embeddings.

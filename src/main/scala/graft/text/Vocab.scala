@@ -378,4 +378,34 @@ object Vocab {
       .groupBy(col(groupName))
       .agg(max(col("__tot")).as("n_tokens"), sum(col("__d")).as("l1_ppm"))
   }
+
+  /** Inverted-index posting lists with delta (gap) encoding — the
+    * retrieval-index artifact itself, materialized: per term, its
+    * document frequency and the sorted posting list as FIRST-DIFFERENCE
+    * gaps (`d₁, d₂−d₁, d₃−d₂, …`), the form every index compressor
+    * (VByte, PForDelta) consumes. Gaps are pure integer arithmetic over
+    * the sorted id list, so the emission is engine-exact.
+    *
+    * Plan: distinct terms per doc explode (map-side), ONE shuffle on the
+    * term, postings assemble via partial-aggregated `collect_list` +
+    * `sort_array`. `minDf` prunes the hapax tail BEFORE emission. A
+    * term's posting list lives in one aggregation buffer — fine to ~10⁷
+    * docs per term; at open-web scale, shard the doc-id space first
+    * (rendezvous buckets, [[graft.ops.Sharding]]) and emit per-shard
+    * postings that concatenate by construction (gaps restart per shard).
+    */
+  def postings(df: DataFrame, id: Column, text: Column,
+               minDf: Long = 1L): DataFrame = {
+    df.select(id.as("__doc"),
+        explode(array_distinct(split(lower(text), " "))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("__doc"))).as("__ds"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"),
+        concat_ws(" ",
+          expr("transform(__ds, (d, i) -> CASE WHEN i = 0 THEN d" +
+            " ELSE d - __ds[i-1] END)")).as("gaps"))
+  }
 }

@@ -599,4 +599,59 @@ class PropertySpec extends SparkSpec {
         s"fingerprint mismatch on ${r.getString(0)}: ${r.getLong(1)} vs ${r.getLong(2)}")
     }
   }
+
+  test("property: largestRemainder — exact budget, Hamilton quota bound") {
+    val cases: Gen[(Seq[Long], Long)] = for {
+      n <- Gen.choose(1, 12)
+      masses <- Gen.listOfN(n, Gen.choose(0L, 5000L))
+      if masses.sum > 0
+      budget <- Gen.choose(0L, 2000L)
+    } yield (masses, budget)
+    samples(cases, 25).foreach { case (masses, budget) =>
+      val df = masses.zipWithIndex
+        .map { case (m, i) => (f"s$i%03d", m) }.toDF("s", "m")
+      val out = graft.text.Mixing
+        .largestRemainder(df, col("s"), col("m"), budget)
+        .as[(String, Long, Long)].collect().toSeq
+      val tot = masses.sum
+      assert(out.map(_._3).sum == budget,
+        s"sum != budget for masses=$masses budget=$budget: $out")
+      out.foreach { case (s, m, alloc) =>
+        // Hamilton stays within the quota interval [floor, ceil]
+        val floorQ = budget * m / tot
+        val ceilQ = floorQ + (if (budget * m % tot == 0) 0 else 1)
+        assert(alloc >= floorQ && alloc <= ceilQ,
+          s"$s: alloc $alloc outside [$floorQ, $ceilQ] " +
+            s"(masses=$masses budget=$budget)")
+      }
+    }
+  }
+
+  test("property: Ewma.smooth equals an in-memory integer fold, any order") {
+    val cases: Gen[Seq[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        us <- Gen.choose(0L, 50L)     // dense → frequent (ts, eid) ties
+        vm <- Gen.choose(-10000L, 10000L)
+      } yield (us, vm))
+    } yield rows.zipWithIndex.map { case ((us, vm), i) =>
+      (us, i.toLong, vm)
+    }
+    val alpha = 300000L
+    samples(cases, 20).foreach { rows =>
+      val df = rows
+        .map { case (us, eid, vm) =>
+          (1L, new java.sql.Timestamp(us), eid, vm)
+        }
+        .toDF("user_id", "ts", "event_id", "vm")
+      val got = graft.ops.Ewma.smooth(df, col("user_id"), col("ts"),
+          col("event_id"), col("vm"), alpha)
+        .select("ewma_milli").as[Long].head()
+      val expected = rows
+        .sortBy { case (us, eid, _) => (us, eid) }
+        .map(_._3)
+        .reduceLeft((s, v) => (alpha * v + (1000000L - alpha) * s) / 1000000L)
+      assert(got == expected, s"rows=$rows: $got != $expected")
+    }
+  }
 }

@@ -205,4 +205,36 @@ class VocabSpec extends SparkSpec {
     val out = Vocab.distributionDrift(docs, col("source"), col("text"))
     assert(out.filter(col("l1_ppm") =!= 0L).isEmpty)
   }
+
+  test("postings: sorted gap encoding reconstructs the doc set; minDf prunes") {
+    val docs = Seq((10L, "cat dog"), (3L, "cat"), (7L, "cat cat bird"))
+      .toDF("doc_id", "text")
+    val out = Vocab.postings(docs, col("doc_id"), col("text"), minDf = 2L)
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // cat in docs 3, 7, 10 → sorted gaps "3 4 3"; within-doc repeats
+    // count once; dog/bird pruned by minDf
+    assert(out == Map("cat" -> ((3L, "3 4 3"))))
+    // gap prefix sums reconstruct the original posting list
+    val ids = out("cat")._2.split(" ").map(_.toLong)
+      .scanLeft(0L)(_ + _).drop(1).toSeq
+    assert(ids == Seq(3L, 7L, 10L))
+  }
+
+  test("rerankByCosine: exact cosine reorders the recall set, top-k only") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),   // the query vector
+      (1L, Array(0.2f, 1f, 0f, 0f), 0),
+      (2L, Array(1f, 0.1f, 0f, 0f), 0), // best cosine, worst bm25 rank
+      (3L, Array(0f, 0f, 1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cand = Seq((1L, 1), (3L, 2), (2L, 3)).toDF("doc_id", "bm25_rank")
+    val out = graft.sim.Similarity.rerankByCosine(cand, "doc_id", emb,
+        emb.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rerank")
+      .as[(Long, Int, Double, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L, 1L))         // cosine order, not bm25
+    assert(out.map(_._2) == Seq(3, 1))           // upstream rank carried
+    assert(out.head._3 > out(1)._3)
+  }
 }
