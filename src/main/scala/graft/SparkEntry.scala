@@ -788,6 +788,15 @@ object SparkEntry {
         k = 3)
     },
 
+    // IVF index upsert: assign a new vector batch into the EXISTING
+    // index's cells (centroids from the old corpus only — upsert never
+    // retrains) and report per-cell growth; empty cells still emit.
+    "s14_ivf_upsert" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Ivf.upsertReport(emb.filter(col("vec_id") % 50 =!= 0),
+        emb.filter(col("vec_id") % 50 === 0), nCells = 8)
+    },
+
     // Two-stage retrieval cascade: BM25 top-50 recall → exact-cosine
     // re-rank to top-10 against the query vector. The candidate set
     // broadcasts; embeddings are probed per candidate, never scanned.
@@ -3550,6 +3559,44 @@ object SparkEntry {
     "t48_bpe_encode" -> bpeOracle,
     "t52_bpe_train" -> bpeTrainOracle,
     "pipe_webrank_e2e" -> webRankOracle,
+
+    "s14_ivf_upsert" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |old AS (SELECT * FROM emb WHERE vec_id % 50 <> 0),
+         |batch AS (SELECT * FROM emb WHERE vec_id % 50 = 0),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+         |  FROM (
+         |    SELECT vec_id, e FROM old
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP})
+         |      * ${graft.sim.Ivf.PickA}
+         |      + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 8)),
+         |oa AS (
+         |  SELECT cell, count(*) AS n_old FROM (
+         |    SELECT m.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC,
+         |                 c.cell ASC) AS rn
+         |    FROM old m CROSS JOIN cents c)
+         |  WHERE rn = 1 GROUP BY 1),
+         |na AS (
+         |  SELECT cell, count(*) AS n_new FROM (
+         |    SELECT m.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC,
+         |                 c.cell ASC) AS rn
+         |    FROM batch m CROSS JOIN cents c)
+         |  WHERE rn = 1 GROUP BY 1)
+         |SELECT CAST(cents.cell AS INT) AS cell,
+         |  coalesce(oa.n_old, 0) AS n_old,
+         |  coalesce(na.n_new, 0) AS n_new,
+         |  coalesce(oa.n_old, 0) + coalesce(na.n_new, 0) AS n_total
+         |FROM cents
+         |LEFT JOIN oa ON oa.cell = cents.cell
+         |LEFT JOIN na ON na.cell = cents.cell""".stripMargin,
 
     "s15_cascade_rerank" ->
       """WITH docs AS (

@@ -162,4 +162,35 @@ object Ivf {
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__rn").as("rank"))
   }
+
+  /** Incremental index maintenance: assign a NEW vector batch into the
+    * EXISTING index's cells and report per-cell growth — the operational
+    * report behind "when do I re-train the coarse quantizer" (a cell
+    * absorbing most of the incoming traffic means the centroids no longer
+    * span the data; rebalance before recall decays).
+    *
+    * Centroids come from the existing corpus only (the index is NOT
+    * retrained per batch — that is the point of upsert) and broadcast;
+    * both assignments are the zero-shuffle [[assign]] projection, and
+    * the per-cell rollup is cell-count-sized. Cells that attract nothing
+    * still emit (n = 0) — a silent empty cell is itself a signal.
+    */
+  def upsertReport(existing: DataFrame, batch: DataFrame,
+                   nCells: Int): DataFrame = {
+    val ex = existing.filter(col("embedding").isNotNull)
+    val nb = batch.filter(col("embedding").isNotNull)
+    val cents = centroids(ex, nCells).cache()
+    val oldCounts = assign(ex, cents, idName = "vec_id")
+      .groupBy("cell").agg(count(lit(1)).as("__no"))
+    val newCounts = assign(nb, cents, idName = "vec_id")
+      .groupBy("cell").agg(count(lit(1)).as("__nn"))
+    cents.select("cell")
+      .join(oldCounts, Seq("cell"), "left")
+      .join(newCounts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("__no"), lit(0L)).as("n_old"),
+        coalesce(col("__nn"), lit(0L)).as("n_new"),
+        (coalesce(col("__no"), lit(0L)) + coalesce(col("__nn"), lit(0L)))
+          .as("n_total"))
+  }
 }

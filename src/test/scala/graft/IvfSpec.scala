@@ -55,4 +55,24 @@ class IvfSpec extends SparkSpec {
     // probing half the cells of a random-centroid index: expect >= 40%
     assert(hits / total >= 0.4, s"recall ${hits / total} too low")
   }
+
+  test("upsertReport: counts conserve, every cell emits, index not retrained") {
+    val emb = Tables.embeddings(spark, sf)
+    val existing = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val out = Ivf.upsertReport(existing, batch, nCells = 4)
+      .orderBy("cell").collect()
+    // all 4 cells present even if some attract nothing
+    assert(out.map(_.getInt(0)).toSeq == (0 until 4))
+    // conservation: every vector of each side lands in exactly one cell
+    assert(out.map(_.getLong(1)).sum == existing.count())
+    assert(out.map(_.getLong(2)).sum == batch.count())
+    out.foreach(r => assert(r.getLong(3) == r.getLong(1) + r.getLong(2)))
+    // centroids come from the EXISTING corpus only: they are identical
+    // whether or not the batch exists (upsert never retrains)
+    val c1 = Ivf.centroids(existing, 4).collect().map(_.toString).sorted.toSeq
+    val c2 = Ivf.centroids(existing.unionAll(batch).filter(col("vec_id") % 5 =!= 0), 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(c1 == c2)
+  }
 }
