@@ -788,6 +788,33 @@ object SparkEntry {
         k = 3)
     },
 
+    // Funnel abandonment: every view/click with no purchase by the same
+    // user within the following hour — ONE forward RANGE frame (strict
+    // "after"), converted_us carries the evidence for non-abandoned rows.
+    "w13_abandonment" -> { (s, dir) =>
+      graft.ops.Attribution.unconvertedTouches(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase",
+        windowSeconds = 3600L)
+    },
+
+    // Temporal-regularity bot signal: per user, distinct active hours +
+    // busiest-hour share in ppm. (key, hour) partial-agg → 24-rows/key
+    // rollup; no window, no sort.
+    "a6_hourly_profile" -> { (s, dir) =>
+      graft.ops.ActivityProfile.hourlyRegularity(Tables.events(s, dir),
+        col("user_id"), col("ts"))
+    },
+
+    // n-gram novelty: ppm of each doc's distinct 3-grams appearing in NO
+    // other doc — the diversity signal dedup misses when overlap is
+    // scattered. Gram df shuffle + gram-keyed join-back.
+    "t58_ngram_novelty" -> { (s, dir) =>
+      graft.text.Vocab.ngramNovelty(Tables.documents(s, dir),
+        col("doc_id"), col("text"), n = 3)
+    },
+
     // IVF index upsert: assign a new vector batch into the EXISTING
     // index's cells (centroids from the old corpus only — upsert never
     // retrains) and report per-cell growth; empty cells still emit.
@@ -3559,6 +3586,47 @@ object SparkEntry {
     "t48_bpe_encode" -> bpeOracle,
     "t52_bpe_train" -> bpeTrainOracle,
     "pipe_webrank_e2e" -> webRankOracle,
+
+    "w13_abandonment" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type IN ('view', 'click') AS tch,
+        |    event_type = 'purchase' AS cnv
+        |  FROM events)
+        |SELECT user_id, touch_id, touch_us, converted_us,
+        |  converted_us IS NULL AS abandoned
+        |FROM (
+        |  SELECT user_id, event_id AS touch_id, us AS touch_us, tch,
+        |    min(CASE WHEN cnv THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING)
+        |      AS converted_us
+        |  FROM e)
+        |WHERE tch""".stripMargin,
+
+    "a6_hourly_profile" ->
+      """WITH h AS (
+        |  SELECT user_id, hour(ts) AS hh, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_hour_share_ppm
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "t58_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 3),
+        |gdf AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+        |  CAST((sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM g JOIN gdf USING (gram) GROUP BY 1""".stripMargin,
 
     "s14_ivf_upsert" ->
       s"""WITH emb AS (

@@ -26,6 +26,36 @@ object Attribution {
     * `first_touch_us` (null when no touch inside the window),
     * `n_touches` in the window.
     */
+  /** The mirror image of [[firstTouch]]: every touch event with NO
+    * conversion by the same key within `(t, t + window]` — the
+    * abandonment report (clicks that never became purchases), the
+    * denominator of any conversion-rate funnel. One shuffle, one RANGE
+    * frame looking FORWARD (`1 FOLLOWING AND window FOLLOWING` — strict
+    * "after", same-µs conversions excluded symmetrically to firstTouch's
+    * strict "before"); `converted_us` carries the evidence for the
+    * non-abandoned rows, so one output serves both sides of the funnel.
+    * The join formulation (touches × conversions) re-shuffles the event
+    * log and explodes on hot keys; this is one pass per key timeline.
+    */
+  def unconvertedTouches(events: DataFrame, key: Column, ts: Column,
+                         eventId: Column, isTouch: Column,
+                         isConversion: Column,
+                         windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1, "windowSeconds must be >= 1")
+    val keyName = events.select(key).columns.head
+    val w = Window.partitionBy(col(keyName)).orderBy(col("__us"))
+      .rangeBetween(1L, windowSeconds * 1000000L)
+    events
+      .select(key, unix_micros(ts).as("__us"), eventId.as("touch_id"),
+        isTouch.as("__touch"), isConversion.as("__conv"))
+      .select(col(keyName), col("__us"), col("touch_id"), col("__touch"),
+        min(when(col("__conv"), col("__us"))).over(w).as("converted_us"))
+      .filter(col("__touch"))
+      .select(col(keyName), col("touch_id"), col("__us").as("touch_us"),
+        col("converted_us"),
+        col("converted_us").isNull.as("abandoned"))
+  }
+
   def firstTouch(events: DataFrame, key: Column, ts: Column, eventId: Column,
                  isTouch: Column, isConversion: Column,
                  lookbackSeconds: Long): DataFrame = {

@@ -379,6 +379,45 @@ object Vocab {
       .agg(max(col("__tot")).as("n_tokens"), sum(col("__d")).as("l1_ppm"))
   }
 
+  /** Per-document n-gram novelty: the fraction (integer ppm) of a doc's
+    * DISTINCT word n-grams that appear in NO other document — high
+    * novelty marks genuinely fresh content, low novelty marks templated/
+    * boilerplate-heavy docs even when exact/near dedup misses them (the
+    * gram overlap is scattered, not contiguous). The diversity-weighted
+    * sampling signal D4/DoReMi-style pipelines want next to quality.
+    *
+    * Plan: distinct grams per doc explode map-side; corpus gram df is one
+    * partial-aggregated shuffle; novelty joins doc-grams back to the df
+    * table on the gram key (second shuffle, gram-keyed — the classic
+    * inverted shape, skew-bounded because per-gram fan-out IS df and
+    * high-df grams are exactly the ones a min-df cap would drop). A doc
+    * counts a gram ONCE (distinct-within-doc), so df = 1 means "this doc
+    * only".
+    */
+  def ngramNovelty(df: DataFrame, id: Column, text: Column,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val idName = df.select(id).columns.head
+    // docs shorter than n tokens contribute an empty gram array (explode
+    // drops them); a descending `sequence(0, negative)` would otherwise
+    // feed slice() illegal starts
+    val grams = df
+      .select(id, split(lower(text), " ").as("__t"))
+      .select(col(idName), explode(array_distinct(
+        expr(s"CASE WHEN size(__t) >= $n THEN" +
+          s" transform(sequence(0, size(__t) - $n)," +
+          s" i -> array_join(slice(__t, i + 1, $n), ' '))" +
+          s" ELSE array() END"))).as("__g"))
+    val gdf = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    grams.join(gdf, "__g")
+      .groupBy(col(idName))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col(idName), col("n_grams"), col("n_unique"),
+        call_function("div", col("n_unique") * 1000000L, col("n_grams"))
+          .as("novelty_ppm"))
+  }
+
   /** Inverted-index posting lists with delta (gap) encoding — the
     * retrieval-index artifact itself, materialized: per term, its
     * document frequency and the sorted posting list as FIRST-DIFFERENCE

@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.ActivityProfile
+
+class ActivityProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyRegularity: bot-like key scores ~1e6, spread key scores low") {
+    val events = (
+      // user 1: a cron job — 10 events, all at 03:xx
+      (1 to 10).map(i => (1L, ts(f"2024-01-01 03:$i%02d:00"))) ++
+      // user 2: spread over 5 distinct hours, 2 events each
+      (0 until 10).map(i => (2L, ts(f"2024-01-0${i % 2 + 1} ${10 + i % 5}%02d:00:00")))
+    ).toDF("user_id", "ts")
+    val out = ActivityProfile.hourlyRegularity(events, col("user_id"),
+        col("ts"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 1L, 1000000L),
+      (2L, 10L, 5L, 200000L)))
+  }
+
+  test("hourlyRegularity: same hour on different days buckets together") {
+    // hour-of-day profile, not hour-of-timeline: 2 days × 09:00 → 1 hour
+    val events = Seq((1L, ts("2024-01-01 09:00:00")),
+      (1L, ts("2024-01-02 09:30:00"))).toDF("user_id", "ts")
+    val out = ActivityProfile.hourlyRegularity(events, col("user_id"),
+        col("ts"))
+      .select("n_hours").as[Long].head()
+    assert(out == 1L)
+  }
+
+  test("hourlyRegularity plans no window and no sort") {
+    val events = Seq((1L, ts("2024-01-01 09:00:00"))).toDF("user_id", "ts")
+    val plan = ActivityProfile.hourlyRegularity(events, col("user_id"),
+      col("ts")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert(!"(?m)^\\s*[*+:-]*\\s*Sort ".r.findFirstIn(plan).isDefined,
+      s"unexpected Sort in:\n$plan")
+  }
+}

@@ -51,6 +51,41 @@ class AttributionSpec extends SparkSpec {
     assert(out == 1L)
   }
 
+  test("unconvertedTouches: abandonment window is strict-after and bounded") {
+    val events = Seq(
+      // user 1: click converts 30 min later → NOT abandoned
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 10:30:00"), 2L, "purchase"),
+      // user 2: click converts 2h later — outside the 1h window
+      (2L, ts("2024-01-01 10:00:00"), 3L, "click"),
+      (2L, ts("2024-01-01 12:00:00"), 4L, "purchase"),
+      // user 3: same-µs purchase does NOT count (strict after)
+      (3L, ts("2024-01-01 10:00:00"), 5L, "view"),
+      (3L, ts("2024-01-01 10:00:00"), 6L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Attribution.unconvertedTouches(events,
+        col("user_id"), col("ts"), col("event_id"),
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", windowSeconds = 3600L)
+      .orderBy("user_id")
+      .select("user_id", "touch_id", "abandoned")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, false), (2L, 3L, true), (3L, 5L, true)))
+  }
+
+  test("unconvertedTouches: window boundary inclusive at exactly +window") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Attribution.unconvertedTouches(events,
+        col("user_id"), col("ts"), col("event_id"),
+        col("event_type") === "click", col("event_type") === "purchase",
+        windowSeconds = 3600L)
+      .select("abandoned").as[Boolean].head()
+    assert(!out)
+  }
+
   test("firstTouch plans exactly one hash exchange and one RANGE window") {
     val events = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "view"))
       .toDF("user_id", "ts", "event_id", "event_type")

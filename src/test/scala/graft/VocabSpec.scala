@@ -221,6 +221,30 @@ class VocabSpec extends SparkSpec {
     assert(ids == Seq(3L, 7L, 10L))
   }
 
+  test("ngramNovelty: shared grams zero out, unique grams count once") {
+    val docs = Seq(
+      (1L, "a b c d"),        // grams: "a b c", "b c d"
+      (2L, "a b c e"),        // grams: "a b c", "b c e"
+      (3L, "x y")             // too short — no grams, no output row
+    ).toDF("doc_id", "text")
+    val out = Vocab.ngramNovelty(docs, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // each doc: 2 grams, 1 unique ("a b c" is shared) → 500000 ppm
+    assert(out == Seq((1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L)))
+  }
+
+  test("ngramNovelty: repeated gram within one doc counts once for df") {
+    // doc 1 "a b a b a" → 3 gram POSITIONS but 2 DISTINCT grams
+    // {"a b a", "b a b"}; doc 2 shares "a b a" (df=2), "b a b" stays
+    // unique to doc 1 (df=1 — the within-doc repeat did not inflate it)
+    val docs = Seq((1L, "a b a b a"), (2L, "a b a")).toDF("doc_id", "text")
+    val out = Vocab.ngramNovelty(docs, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L, 500000L), (2L, 1L, 0L, 0L)))
+  }
+
   test("rerankByCosine: exact cosine reorders the recall set, top-k only") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),   // the query vector
