@@ -799,6 +799,18 @@ object SparkEntry {
         windowSeconds = 3600L)
     },
 
+    // U-shaped multi-touch attribution: 40/20/40 position credit in
+    // integer ppm, Σ = 1e6 exactly per conversion (middle remainder to
+    // the earliest middles — the Hamilton idiom positionally). Same
+    // one-shuffle strict-before RANGE frame as w11, collect + posexplode.
+    "w14_position_credit" -> { (s, dir) =>
+      graft.ops.Attribution.positionCredit(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase",
+        lookbackSeconds = 7L * 86400)
+    },
+
     // Temporal-regularity bot signal: per user, distinct active hours +
     // busiest-hour share in ppm. (key, hour) partial-agg → 24-rows/key
     // rollup; no window, no sort.
@@ -3603,6 +3615,37 @@ object SparkEntry {
         |      AS converted_us
         |  FROM e)
         |WHERE tch""".stripMargin,
+
+    "w14_position_credit" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type IN ('view', 'click') AS tch,
+        |    event_type = 'purchase' AS cnv
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id AS conversion_id, cnv,
+        |    list_sort(list_filter(
+        |      list(CASE WHEN tch THEN struct_pack(us := us, eid := event_id)
+        |           END) OVER (PARTITION BY user_id ORDER BY us
+        |        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING),
+        |      x -> x IS NOT NULL)) AS tl
+        |  FROM e),
+        |sel AS (
+        |  SELECT user_id, conversion_id, tl, len(tl) AS n
+        |  FROM c WHERE cnv AND len(tl) > 0)
+        |SELECT user_id, conversion_id, s.eid AS touch_id,
+        |  CAST(s.pos AS INT) AS position, s.credit AS credit_ppm
+        |FROM (
+        |  SELECT user_id, conversion_id,
+        |    unnest(list_transform(range(1, n + 1), i -> struct_pack(
+        |      eid := tl[i].eid, pos := i - 1,
+        |      credit := CASE WHEN n = 1 THEN CAST(1000000 AS BIGINT)
+        |        WHEN n = 2 THEN CAST(500000 AS BIGINT)
+        |        WHEN i = 1 OR i = n THEN CAST(400000 AS BIGINT)
+        |        ELSE 200000 // (n - 2) +
+        |          CASE WHEN i - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END
+        |        END))) AS s
+        |  FROM sel)""".stripMargin,
 
     "a6_hourly_profile" ->
       """WITH h AS (

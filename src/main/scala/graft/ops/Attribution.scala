@@ -56,6 +56,57 @@ object Attribution {
         col("converted_us").isNull.as("abandoned"))
   }
 
+  /** U-shaped (position-based) multi-touch attribution: each conversion
+    * splits its credit across every touch in the lookback window — 40%
+    * to the first touch, 40% to the last, the middle 20% divided among
+    * the rest. Credit is integer ppm and sums to EXACTLY 10⁶ per
+    * conversion: the middle share is `200000 DIV (n−2)` with the
+    * remainder going one ppm each to the EARLIEST middles (the Hamilton
+    * idiom positionally — deterministic, no float split). Degenerate
+    * sizes follow industry convention: n=1 → 10⁶, n=2 → 500000 each.
+    *
+    * Shape: the same ONE-shuffle strict-before RANGE frame as
+    * [[firstTouch]] — but credit needs per-touch OUTPUT rows, so the
+    * frame COLLECTS the touch list (bounded by the lookback window by
+    * construction — an unbounded timeline never rides in one buffer) and
+    * a posexplode fans it back out. RANGE frames allow one ordering
+    * expression, so same-µs collection order is pinned by sorting the
+    * collected (us, eid) structs, not the frame.
+    */
+  def positionCredit(events: DataFrame, key: Column, ts: Column,
+                     eventId: Column, isTouch: Column, isConversion: Column,
+                     lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds >= 1, "lookbackSeconds must be >= 1")
+    val keyName = events.select(key).columns.head
+    val w = Window.partitionBy(col(keyName)).orderBy(col("__us"))
+      .rangeBetween(-lookbackSeconds * 1000000L, -1L)
+    events
+      .select(key, unix_micros(ts).as("__us"),
+        eventId.as("conversion_id"), isTouch.as("__touch"),
+        isConversion.as("__conv"))
+      .select(col(keyName), col("__us"), col("conversion_id"), col("__conv"),
+        collect_list(when(col("__touch"),
+          struct(col("__us").as("us"), col("conversion_id").as("eid"))))
+          .over(w).as("__raw"))
+      .select(col(keyName), col("__us"), col("conversion_id"), col("__conv"),
+        sort_array(col("__raw")).as("__ts"))
+      .filter(col("__conv") && size(col("__ts")) > 0)
+      .select(col(keyName), col("conversion_id"),
+        size(col("__ts")).as("__n"),
+        posexplode(col("__ts")).as(Seq("position", "__t")))
+      .select(col(keyName), col("conversion_id"),
+        col("__t.eid").as("touch_id"), col("position"),
+        when(col("__n") === 1, lit(1000000L))
+          .when(col("__n") === 2, lit(500000L))
+          .when(col("position") === 0 || col("position") === col("__n") - 1,
+            lit(400000L))
+          .otherwise(
+            call_function("div", lit(200000L), col("__n") - 2) +
+              when(col("position") <= pmod(lit(200000L), col("__n") - 2),
+                1L).otherwise(0L))
+          .as("credit_ppm"))
+  }
+
   def firstTouch(events: DataFrame, key: Column, ts: Column, eventId: Column,
                  isTouch: Column, isConversion: Column,
                  lookbackSeconds: Long): DataFrame = {

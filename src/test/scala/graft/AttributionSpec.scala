@@ -86,6 +86,43 @@ class AttributionSpec extends SparkSpec {
     assert(!out)
   }
 
+  test("positionCredit: U-shape 40/20/40, middle remainder to earliest") {
+    // 5 touches before one purchase: credits 400000 | middle 200000/3 =
+    // 66666 r2 → positions 1,2 get +1 | 400000
+    val events = ((1 to 5).map(i =>
+      (1L, ts(f"2024-01-01 0$i:00:00"), i.toLong, "view")) :+
+      (1L, ts("2024-01-01 06:00:00"), 6L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Attribution.positionCredit(events, col("user_id"),
+        col("ts"), col("event_id"), col("event_type") === "view",
+        col("event_type") === "purchase", lookbackSeconds = 86400L)
+      .orderBy("position")
+      .select("touch_id", "position", "credit_ppm")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 400000L), (2L, 1, 66667L), (3L, 2, 66667L),
+      (4L, 3, 66666L), (5L, 4, 400000L)))
+    assert(out.map(_._3).sum == 1000000L)
+  }
+
+  test("positionCredit: n=1 and n=2 conventions; no-touch conversion drops") {
+    val events = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 02:00:00"), 2L, "purchase"),   // n=1 → 1e6
+      (2L, ts("2024-01-01 01:00:00"), 3L, "view"),
+      (2L, ts("2024-01-01 01:30:00"), 4L, "click"),
+      (2L, ts("2024-01-01 02:00:00"), 5L, "purchase"),   // n=2 → 500k each
+      (3L, ts("2024-01-01 02:00:00"), 6L, "purchase")    // n=0 → no rows
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Attribution.positionCredit(events, col("user_id"),
+        col("ts"), col("event_id"),
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", lookbackSeconds = 86400L)
+      .orderBy("user_id", "position")
+      .select("user_id", "credit_ppm").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1000000L), (2L, 500000L), (2L, 500000L)))
+  }
+
   test("firstTouch plans exactly one hash exchange and one RANGE window") {
     val events = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "view"))
       .toDF("user_id", "ts", "event_id", "event_type")
