@@ -799,6 +799,24 @@ object SparkEntry {
         windowSeconds = 3600L)
     },
 
+    // Tokenizer fertility by language: BPE subwords per word in ppm —
+    // the tokenizer-equity report (a vocab trained on one language
+    // over-fragments the others; fertility is the signal). Pure
+    // projection (t48's encode) + one lang-keyed rollup.
+    "t59_bpe_fertility" -> { (s, dir) =>
+      val enc = graft.text.Bpe.encode(Tables.documents(s, dir),
+        col("doc_id"), col("text"), bpeMerges)
+      enc.join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_tokens").as("n_words"),
+          sum("n_bpe_tokens").as("n_subwords"))
+        .filter(col("n_words") > 0)
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          call_function("div", col("n_subwords") * 1000000L,
+            col("n_words")).as("fertility_ppm"))
+    },
+
     // U-shaped multi-touch attribution: 40/20/40 position credit in
     // integer ppm, Σ = 1e6 exactly per conversion (middle remainder to
     // the earliest middles — the Hamilton idiom positionally). Same
@@ -3615,6 +3633,17 @@ object SparkEntry {
         |      AS converted_us
         |  FROM e)
         |WHERE tch""".stripMargin,
+
+    "t59_bpe_fertility" -> {
+      s"""WITH enc AS ($bpeOracle)
+         |SELECT d.lang, CAST(sum(enc.n_tokens) AS BIGINT) AS n_words,
+         |  CAST(sum(enc.n_bpe_tokens) AS BIGINT) AS n_subwords,
+         |  CAST((sum(enc.n_bpe_tokens) * 1000000) // sum(enc.n_tokens)
+         |    AS BIGINT) AS fertility_ppm
+         |FROM enc JOIN documents d USING (doc_id)
+         |GROUP BY d.lang
+         |HAVING sum(enc.n_tokens) > 0""".stripMargin
+    },
 
     "w14_position_credit" ->
       """WITH e AS (

@@ -328,6 +328,77 @@ object StreamOps {
       }
   }
 
+  /** Keyed buffer for the streaming abandonment decision: undecided
+    * touches and the conversions that might still resolve one.
+    */
+  final case class AbandonBuffer(touches: Seq[(Long, Long)],
+                                 conversions: Seq[Long])
+
+  /** Per-touch funnel outcome ([[abandonmentStream]]); times in µs. */
+  final case class TouchOutcome(user_id: Long, touch_id: Long,
+                                touch_us: Long, converted_us: Option[Long],
+                                abandoned: Boolean)
+
+  /** Streaming funnel abandonment — the live twin of
+    * [[graft.ops.Attribution.unconvertedTouches]]: a touch emits as
+    * CONVERTED the moment its window is provably decided, or as
+    * ABANDONED when the event-time watermark passes `touch + window`
+    * with no conversion seen. Append-mode correct: each touch emits
+    * exactly once, when decidable.
+    *
+    * The decision is event-time exact under cross-trigger disorder: a
+    * touch holds in state until `watermark ≥ touch_ts + window`, by
+    * which point every conversion that could fall inside `(t, t+window]`
+    * is final (the repairCdcStreamEventTime finalized-prefix argument).
+    * The matching rule replays the batch frame — strictly after the
+    * touch, inclusive at `+window`, earliest conversion wins. State per
+    * key is O(events inside one window + watermark delay) and conversions
+    * prune once `c + window < watermark` (any touch they could convert is
+    * already decided). Timestamps decide at MILLISECOND resolution
+    * (`getTime`, the streaming-facade convention); the batch operator is
+    * the µs-exact reconciliation path.
+    */
+  def abandonmentStream(ds: Dataset[KeyedEvent], touchTypes: Seq[String],
+                        conversionType: String, windowSeconds: Long,
+                        watermarkDelay: String): Dataset[TouchOutcome] = {
+    implicit val outEnc = Encoders.product[TouchOutcome]
+    implicit val stateEnc = Encoders.product[AbandonBuffer]
+    implicit val longEnc = Encoders.scalaLong
+    val wMs = windowSeconds * 1000L
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, events: Iterator[KeyedEvent],
+         state: GroupState[AbandonBuffer]) =>
+          val prior = state.getOption.getOrElse(AbandonBuffer(Nil, Nil))
+          val incoming = events.toSeq
+          val touches = (prior.touches ++ incoming
+            .filter(e => touchTypes.contains(e.event_type))
+            .map(e => (e.ts.getTime, e.event_id))).sorted
+          val convs = (prior.conversions ++ incoming
+            .filter(_.event_type == conversionType)
+            .map(_.ts.getTime)).sorted
+          val wm = state.getCurrentWatermarkMs()
+
+          val (decided, pending) = touches.partition(_._1 + wMs <= wm)
+          val out = decided.map { case (t, id) =>
+            val hit = convs.find(c => c > t && c <= t + wMs)
+            TouchOutcome(k, id, t * 1000L, hit.map(_ * 1000L),
+              abandoned = hit.isEmpty)
+          }
+          val liveConvs = convs.filter(_ + wMs >= wm)
+          if (pending.isEmpty && liveConvs.isEmpty) state.remove()
+          else {
+            state.update(AbandonBuffer(pending, liveConvs))
+            pending.headOption.foreach { case (t, _) =>
+              state.setTimeoutTimestamp(t + wMs)
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: each left event pairs with right events
     * of the same key whose timestamp lies in
     * `[left.ts - lookback, left.ts + lookahead]`. Both sides carry

@@ -519,6 +519,58 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Map(1 -> 2L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("abandonmentStream decides at the watermark and matches the batch frame") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val outcomes = StreamOps.abandonmentStream(input.toDS(),
+      touchTypes = Seq("view", "click"), conversionType = "purchase",
+      windowSeconds = 3600L, watermarkDelay = "0 seconds")
+    val query = StreamOps.startMemorySink(outcomes.toDF(), "abandon_q",
+      OutputMode.Append())
+
+    def ev(u: Long, t: String, id: Long, tp: String) =
+      KeyedEvent(u, ts(t), id, tp, 0.0)
+    // trigger 1: two clicks; nothing decidable yet
+    input.addData(ev(1L, "2024-01-01 10:00:00", 1, "click"),
+      ev(2L, "2024-01-01 10:00:00", 2, "click"))
+    query.processAllAvailable()
+    assert(spark.table("abandon_q").count() == 0)
+    // trigger 2: user 1 converts IN window — still held until the
+    // deadline passes (an earlier conversion could arrive late)
+    input.addData(ev(1L, "2024-01-01 10:30:00", 3, "purchase"))
+    query.processAllAvailable()
+    // trigger 3+: advance the watermark past both deadlines (11:00)
+    input.addData(ev(9L, "2024-01-01 13:00:00", 9, "signup"))
+    query.processAllAvailable()
+    input.addData(ev(9L, "2024-01-01 13:30:00", 10, "signup"))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("abandon_q")
+      .select("user_id", "touch_id", "converted_us", "abandoned")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(streamed == Set(
+      (1L, 1L, Some(us("2024-01-01 10:30:00")), false),
+      (2L, 2L, None, true)))
+
+    // batch operator over the same events agrees
+    val batch = graft.ops.Attribution.unconvertedTouches(
+      Seq((1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+        (2L, ts("2024-01-01 10:00:00"), 2L, "click"),
+        (1L, ts("2024-01-01 10:30:00"), 3L, "purchase"),
+        (9L, ts("2024-01-01 13:00:00"), 9L, "signup"),
+        (9L, ts("2024-01-01 13:30:00"), 10L, "signup"))
+        .toDF("user_id", "ts", "event_id", "event_type"),
+      col("user_id"), col("ts"), col("event_id"),
+      col("event_type").isin("view", "click"),
+      col("event_type") === "purchase", windowSeconds = 3600L)
+      .select("user_id", "touch_id", "converted_us", "abandoned")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(batch == streamed)
+  }
+
   test("ewmaPerKey: O(1) state lands on the batch operator's exact fixpoint") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
