@@ -627,6 +627,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: CdcMerge equals an in-memory latest-wins reference") {
+    val cases: Gen[(Seq[(Long, Long)], Seq[(Long, Long, Long, String, Long)])] =
+      for {
+        nSnap <- Gen.choose(0, 8)
+        snap <- Gen.listOfN(nSnap, for {
+          k <- Gen.choose(1L, 10L); v <- Gen.choose(0L, 999L)
+        } yield (k, v))
+        nChg <- Gen.choose(0, 20)
+        chg <- Gen.listOfN(nChg, for {
+          k <- Gen.choose(1L, 12L)
+          us <- Gen.choose(0L, 5L)        // dense → frequent ties
+          op <- Gen.oneOf("I", "U", "D")
+          v <- Gen.choose(0L, 999L)
+        } yield (k, us, op, v))
+      } yield (snap.distinctBy(_._1),
+        chg.zipWithIndex.map { case ((k, us, op, v), i) =>
+          (k, us, i.toLong, op, v) })
+    samples(cases, 20).foreach { case (snap, chg) =>
+      val snapDf = (snap :+ ((999L, 0L))).toDF("k", "sv") // never-empty frame
+      val chgDf = ((1L, new java.sql.Timestamp(0L), -1L, "U", 0L) +: chg.map {
+        case (k, us, eid, op, v) =>
+          (k, new java.sql.Timestamp(us), eid, op, v)
+      }).toDF("k", "ts", "eid", "op", "vm")
+      val got = graft.ops.CdcMerge.merge(snapDf, col("k"), col("sv"),
+          chgDf, col("k"), col("ts"), col("eid"), col("op"), col("vm"))
+        .as[(Long, String, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // in-memory reference
+      val allChg = (1L, 0L, -1L, "U", 0L) +: chg
+      val latest = allChg.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.maxBy(r => (r._2 * 1000L, r._3))
+      }
+      val expected = ((snap :+ ((999L, 0L))).map(_._1) ++ latest.keys).distinct
+        .flatMap { k =>
+          latest.get(k) match {
+            case Some((_, _, _, "D", _)) => None
+            case Some((_, _, _, _, v)) => Some(k -> (("changelog", v)))
+            case None =>
+              (snap :+ ((999L, 0L))).find(_._1 == k)
+                .map(s => k -> (("snapshot", s._2)))
+          }
+        }.toMap
+      assert(got == expected, s"snap=$snap chg=$chg:\n$got\nvs\n$expected")
+    }
+  }
+
+  test("property: lengthBatches — sizes bounded, waste consistent, docs conserved") {
+    val cases: Gen[Seq[Int]] = for {
+      n <- Gen.choose(1, 60)
+      lens <- Gen.listOfN(n, Gen.choose(1, 40))
+    } yield lens
+    samples(cases, 15).foreach { lens =>
+      val docs = lens.zipWithIndex
+        .map { case (l, i) => (i.toLong, Seq.fill(l)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.text.Chunking
+        .lengthBatches(docs, col("doc_id"), col("text"),
+          binWidth = 8, batchSize = 4)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(out.map(_._3).sum == lens.length.toLong) // every doc batched
+      out.foreach { case (bin, batch, n, maxLen, sumLen, waste) =>
+        assert(n >= 1 && n <= 4)
+        assert(maxLen / 8 == bin)                      // max stays in bin
+        assert(sumLen <= n * maxLen && sumLen >= n * (bin * 8).max(1))
+        assert(waste == (n * maxLen - sumLen) * 1000000L / (n * maxLen))
+        // only the LAST batch of a bin may be partial
+        if (n < 4)
+          assert(batch == out.filter(_._1 == bin).map(_._2).max,
+            s"partial batch $batch not last in bin $bin: $out")
+      }
+    }
+  }
+
   test("property: Ewma.smooth equals an in-memory integer fold, any order") {
     val cases: Gen[Seq[(Long, Long, Long)]] = for {
       n <- Gen.choose(1, 30)
