@@ -799,6 +799,26 @@ object SparkEntry {
         windowSeconds = 3600L)
     },
 
+    // CUSUM changepoint scan: per user, the peak |cumulative deviation
+    // from the own mean| and WHEN it happened — integer Page test, one
+    // shuffle, prefix sums and row numbers on one window.
+    "w15_cusum_changepoint" -> { (s, dir) =>
+      graft.ops.Changepoint.cusum(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"))
+    },
+
+    // ANN recall@5 evaluation: the engine's own LSH ranking graded
+    // against its own exact ranking, per query in ppm — the
+    // is-this-index-shippable report as a first-class operator.
+    "s16_ann_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(probes, emb, k = 5),
+        Similarity.lshTopK(probes, emb, k = 5))
+    },
+
     // Tokenizer fertility by language: BPE subwords per word in ppm —
     // the tokenizer-equity report (a vocab trained on one language
     // over-fragments the others; fertility is the signal). Pure
@@ -3633,6 +3653,55 @@ object SparkEntry {
         |      AS converted_us
         |  FROM e)
         |WHERE tch""".stripMargin,
+
+    "w15_cusum_changepoint" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value*1000) AS BIGINT) AS vm
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, us,
+        |    sum(vm) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn,
+        |    sum(vm) OVER (PARTITION BY user_id) AS tot,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |c AS (
+        |  SELECT user_id, us, n, tot // n AS mean,
+        |    prefix - rn * (tot // n) AS cusum
+        |  FROM w)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_obs,
+        |  CAST(max(mean) AS BIGINT) AS mean_milli,
+        |  CAST(-struct_extract(min(s), 'neg') AS BIGINT) AS max_abs_cusum,
+        |  CAST(struct_extract(min(s), 'us') AS BIGINT) AS at_us
+        |FROM (SELECT user_id, n, mean,
+        |        struct_pack(neg := -abs(cusum), us := us) AS s
+        |      FROM c)
+        |GROUP BY user_id""".stripMargin,
+
+    "s16_ann_recall" -> {
+      val exactSql =
+        """SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+          |               c.vec_id ASC) AS rank
+          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |  WHERE q.vec_id % 50 = 0)
+          |WHERE rank <= 5""".stripMargin
+      s"""WITH ex AS ($exactSql),
+         |ap AS ($lshTopkOracle)
+         |SELECT ex.query_id, count(*) AS n_exact,
+         |  sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0
+         |    END)::BIGINT AS n_hit,
+         |  CAST((sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0
+         |    END) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+         |  AND ex.neighbor_id = ap.neighbor_id
+         |GROUP BY 1""".stripMargin
+    },
 
     "t59_bpe_fertility" -> {
       s"""WITH enc AS ($bpeOracle)

@@ -133,6 +133,26 @@ object Similarity {
       .filter(col("rerank") <= k)
   }
 
+  /** ANN index-quality evaluation: recall@k of an approximate ranking
+    * against the exact one, per query, in integer ppm — the number that
+    * decides whether an LSH/IVF parameterization is shippable. Takes any
+    * two `(query_id, neighbor_id, …)` rankings (the engine's own s1/s2/s3
+    * outputs compose directly), LEFT-joins exact→approx on the pair, and
+    * rolls up hits. Both sides are top-k-sized; the join is trivially
+    * partitioned by query.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("__hit"), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        call_function("div", col("n_hit") * 1000000L, col("n_exact"))
+          .as("recall_ppm"))
+  }
+
   /** Random-hyperplane LSH code: `planes` sign bits packed into a long.
     * Sign bits are scale-invariant, so unit vectors give the same code as
     * raw embeddings.

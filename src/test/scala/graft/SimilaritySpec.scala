@@ -156,6 +156,19 @@ class SimilaritySpec extends SparkSpec {
     assert(agreement >= 0.95, s"dedup agreement too low: $agreement")
   }
 
+  test("recallAtK: hits over exact set, missing queries score zero") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(exact, approx)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // q1: 2 of 3 exact found (the approx-only 99 never counts);
+    // q2: approx returned nothing → 0; q3 has no exact set → no row
+    assert(out == Seq((1L, 3L, 2L, 666666L), (2L, 2L, 0L, 0L)))
+  }
+
   test("hardNegatives: same-label vectors never surface; ranking by cosine") {
     val labeled = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 1),
