@@ -799,6 +799,23 @@ object SparkEntry {
         windowSeconds = 3600L)
     },
 
+    // PCM silence trimming: drop sub-threshold leading/trailing frames
+    // from the REAL decoded mono stream; emits the trim evidence (lead/
+    // tail counts + kept-region sum). Partition-local, zero shuffle.
+    "m15_audio_trim" -> { (s, dir) =>
+      Multimodal.audioTrimSilence(wavPcmMedia(s, dir), threshold = 500)
+        .toDF()
+    },
+
+    // Heaps'-law growth curve over word 3-GRAMS (the unigram vocab of a
+    // bounded-vocab corpus saturates in the first decile — n-grams keep
+    // discriminating): new grams per corpus decile + cumulative, one
+    // min(bucket) agg, never a quadratic cumulative-distinct.
+    "t60_vocab_growth" -> { (s, dir) =>
+      graft.text.Vocab.vocabGrowth(Tables.documents(s, dir),
+        col("doc_id"), col("text"), nBuckets = 10, gram = 3)
+    },
+
     // CUSUM changepoint scan: per user, the peak |cumulative deviation
     // from the own mean| and WHEN it happened — integer Page test, one
     // shuffle, prefix sums and row numbers on one window.
@@ -3653,6 +3670,47 @@ object SparkEntry {
         |      AS converted_us
         |  FROM e)
         |WHERE tch""".stripMargin,
+
+    "m15_audio_trim" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + doc_id % 32 AS n,
+        |    list_transform(range(64 + doc_id % 32),
+        |      i -> (doc_id*31 + i*17) % 2003 - 1001) AS v
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, v,
+        |    list_filter(range(0, n), f -> abs(v[f+1]) >= 500) AS sig
+        |  FROM m)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN len(sig) = 0 THEN n ELSE sig[1] END AS BIGINT)
+        |    AS lead_trimmed,
+        |  CAST(CASE WHEN len(sig) = 0 THEN 0 ELSE n - sig[-1] - 1 END
+        |    AS BIGINT) AS tail_trimmed,
+        |  CAST(CASE WHEN len(sig) = 0 THEN 0 ELSE sig[-1] - sig[1] + 1 END
+        |    AS BIGINT) AS kept_frames,
+        |  CAST(coalesce(CASE WHEN len(sig) = 0 THEN 0
+        |    ELSE list_sum(v[sig[1]+1 : sig[-1]+1]) END, 0) AS BIGINT)
+        |    AS kept_sum
+        |FROM s""".stripMargin,
+
+    "t60_vocab_growth" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |fs AS (
+        |  SELECT tok, min(b) AS bucket FROM (
+        |    SELECT unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+        |        list_transform(range(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |        ELSE [] END)) AS tok,
+        |      least((doc_id * 10) // n.n, 9) AS b
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |          FROM documents), n)
+        |  GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  count(*) AS new_tokens,
+        |  CAST(sum(count(*)) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM fs GROUP BY bucket""".stripMargin,
 
     "w15_cusum_changepoint" ->
       """WITH e AS (

@@ -503,6 +503,55 @@ object Multimodal {
     })
   }
 
+  case class TrimStats(doc_id: Long, n_frames: Long, lead_trimmed: Long,
+                       tail_trimmed: Long, kept_frames: Long, kept_sum: Long)
+
+  /** Silence trimming over REAL decoded PCM: drop leading and trailing
+    * frames whose mono amplitude stays below `threshold` — the
+    * speech-corpus front end that cuts dead air before feature
+    * extraction (padding silence wastes exactly like padding tokens,
+    * and the m14/t54 lesson applies: measure what you cut). Stereo
+    * mixes down per frame first (the [[audioMono]] average), so the
+    * trim decision matches what a mono pipeline would hear. Emits the
+    * trim evidence — lead/tail counts and the kept-region sum — rather
+    * than the samples themselves; the kept sum is the verifiable part
+    * and downstream slicing is one `slice()` away. An all-silent clip
+    * trims to zero frames honestly (lead = n, tail = 0).
+    *
+    * Partition-local pass, zero shuffle; state is two indices and a sum.
+    */
+  def audioTrimSilence(media: Dataset[MediaRecord],
+                       threshold: Int): Dataset[TrimStats] = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWavPcm(r.payload).map { case (c, _, _, samples) =>
+        val n = samples.length / c
+        val mono = new Array[Int](n)
+        var f = 0
+        while (f < n) {
+          var acc = 0L
+          var ch = 0
+          while (ch < c) { acc += samples(f * c + ch); ch += 1 }
+          mono(f) = (acc / c).toInt
+          f += 1
+        }
+        var first = 0
+        while (first < n && math.abs(mono(first)) < threshold) first += 1
+        if (first == n) TrimStats(r.doc_id, n.toLong, n.toLong, 0L, 0L, 0L)
+        else {
+          var last = n - 1
+          while (math.abs(mono(last)) < threshold) last -= 1
+          var sum = 0L
+          var i = first
+          while (i <= last) { sum += mono(i); i += 1 }
+          TrimStats(r.doc_id, n.toLong, first.toLong, (n - 1 - last).toLong,
+            (last - first + 1).toLong, sum)
+        }
+      }
+    })
+  }
+
   case class ImagePatch(doc_id: Long, patch_idx: Int, px: Int, py: Int,
                         n_px: Int, sum_r: Long, sum_g: Long, sum_b: Long)
 

@@ -418,6 +418,49 @@ object Vocab {
           .as("novelty_ppm"))
   }
 
+  /** Heaps'-law vocabulary-growth curve: how many NEW distinct tokens
+    * each successive corpus slice contributes, plus the cumulative
+    * vocabulary — the saturation report that sizes tokenizer vocabularies
+    * and answers "will more data still buy new words". Slices are
+    * `nBuckets` equal id-order segments; a token belongs to the FIRST
+    * slice it appears in, which turns the cumulative-distinct problem
+    * (quadratic if done naively) into ONE `min(bucket)` aggregate over
+    * exploded distinct tokens and a window over the ≤ nBuckets-row
+    * rollup. `gram` > 1 tracks word n-gram growth instead — the right
+    * unit once the unigram vocabulary saturates (any bounded-vocab
+    * corpus flattens the unigram curve almost immediately; n-gram
+    * diversity keeps discriminating).
+    */
+  def vocabGrowth(df: DataFrame, id: Column, text: Column,
+                  nBuckets: Int = 10, gram: Int = 1): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(gram >= 1, s"gram must be >= 1, got $gram")
+    val total = df.agg(count(lit(1)).as("__n"))
+    val units =
+      if (gram == 1)
+        df.select(id.as("__id"), array_distinct(
+          filter(split(lower(text), " "), t => length(t) > 0)).as("__us"))
+      else
+        df.select(id.as("__id"), split(lower(text), " ").as("__t"))
+          .select(col("__id"), array_distinct(
+            expr(s"CASE WHEN size(__t) >= $gram THEN" +
+              s" transform(sequence(0, size(__t) - $gram)," +
+              s" i -> array_join(slice(__t, i + 1, $gram), ' '))" +
+              s" ELSE array() END")).as("__us"))
+    val firstSeen = units
+      .select(col("__id"), explode(col("__us")).as("__tok"))
+      .crossJoin(broadcast(total))
+      .select(col("__tok"),
+        least(call_function("div", col("__id") * nBuckets, col("__n")),
+          lit(nBuckets - 1L)).as("__b"))
+      .groupBy("__tok").agg(min("__b").as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    firstSeen.groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+      .withColumn("cum_vocab", sum("new_tokens").over(w))
+  }
+
   /** Inverted-index posting lists with delta (gap) encoding — the
     * retrieval-index artifact itself, materialized: per term, its
     * document frequency and the sorted posting list as FIRST-DIFFERENCE

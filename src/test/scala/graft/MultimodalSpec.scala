@@ -543,4 +543,24 @@ class MultimodalSpec extends SparkSpec {
     hugeDims(18) = 0; hugeDims(19) = 0; hugeDims(20) = 0; hugeDims(21) = 0x40
     assert(Multimodal.decodeBmp24(hugeDims).isEmpty)
   }
+
+  test("audioTrimSilence: trims both ends, keeps interior silence, mixes down") {
+    val lead = wavPcm(1, 8000, Seq(10, -20, 600, 0, -700, 30))  // trim 2 + 1
+    val silent = wavPcm(1, 8000, Seq(1, -2, 3))                 // all silent
+    // stereo frames mix to (300+800)/2=550, (10-10)/2=0, (-900-301)/2=-600:
+    // the mono MIX decides, so the quiet middle frame survives inside
+    val stereo = wavPcm(2, 8000, Seq(300, 800, 10, -10, -900, -301))
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "audio/wav", lead.length, lead),
+        Multimodal.MediaRecord(2L, "audio/wav", silent.length, silent),
+        Multimodal.MediaRecord(3L, "audio/wav", stereo.length, stereo))
+      .toDS()
+    val out = Multimodal.audioTrimSilence(media, threshold = 500)
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(out(1L).lead_trimmed == 2 && out(1L).tail_trimmed == 1)
+    assert(out(1L).kept_frames == 3 && out(1L).kept_sum == 600L + 0 - 700)
+    assert(out(2L).kept_frames == 0 && out(2L).lead_trimmed == 3 &&
+      out(2L).tail_trimmed == 0)
+    assert(out(3L).kept_frames == 3 && out(3L).kept_sum == 550L + 0 - 600)
+  }
 }

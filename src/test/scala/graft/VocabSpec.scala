@@ -245,6 +245,23 @@ class VocabSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1L, 500000L), (2L, 1L, 0L, 0L)))
   }
 
+  test("vocabGrowth: first-appearance bucketing, cumulative, gram mode") {
+    // 4 docs in 2 buckets (ids 0-1 → bucket 0, 2-3 → bucket 1)
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "a b d"), (3L, "e"))
+      .toDF("doc_id", "text")
+    val uni = Vocab.vocabGrowth(docs, col("doc_id"), col("text"),
+        nBuckets = 2)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    // bucket 0 introduces {a, b, c}; bucket 1 adds {d, e}
+    assert(uni == Seq((0L, 3L, 3L), (1L, 2L, 5L)))
+    val bi = Vocab.vocabGrowth(docs, col("doc_id"), col("text"),
+        nBuckets = 2, gram = 2)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    // bigrams: b0 {"a b", "a c"}; b1 adds {"b d"} ("a b" already seen;
+    // "e" too short for a bigram)
+    assert(bi == Seq((0L, 2L, 2L), (1L, 1L, 3L)))
+  }
+
   test("rerankByCosine: exact cosine reorders the recall set, top-k only") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),   // the query vector
