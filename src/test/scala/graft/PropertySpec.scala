@@ -627,6 +627,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Quantiles.exact equals the sorted-rank reference") {
+    val cases: Gen[(Seq[Long], Seq[Long])] = for {
+      n <- Gen.choose(1, 40)
+      vals <- Gen.listOfN(n, Gen.choose(-50L, 50L))   // dense → many dups
+      ppms <- Gen.listOfN(3, Gen.choose(1L, 1000000L))
+    } yield (vals, ppms)
+    samples(cases, 20).foreach { case (vals, ppms) =>
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val qs = ppms.zipWithIndex.map { case (p, i) => (s"q$i", p) }
+      val row = graft.ops.Quantiles.exact(df, col("g"), col("v"), qs)
+        .collect().head
+      val sorted = vals.sorted
+      qs.zipWithIndex.foreach { case ((_, ppm), i) =>
+        // percentile_disc: element at rank ceil(ppm/1e6 · n), 1-based
+        val rank = ((ppm * vals.length + 999999L) / 1000000L).toInt
+        val expected = sorted(rank - 1)
+        assert(row.getLong(2 + i) == expected,
+          s"vals=$vals ppm=$ppm: got ${row.getLong(2 + i)}, want $expected")
+      }
+    }
+  }
+
+  test("property: positionCredit always sums to exactly 1e6 per conversion") {
+    val cases: Gen[Int] = Gen.choose(1, 25)
+    samples(cases, 25).foreach { nTouches =>
+      val events = (1 to nTouches).map(i =>
+        (1L, new java.sql.Timestamp(i * 1000L), i.toLong, "view")) :+
+        ((1L, new java.sql.Timestamp(999999000L), 9999L, "purchase"))
+      val out = graft.ops.Attribution.positionCredit(
+          events.toDF("user_id", "ts", "event_id", "event_type"),
+          col("user_id"), col("ts"), col("event_id"),
+          col("event_type") === "view", col("event_type") === "purchase",
+          lookbackSeconds = 2000000L)
+        .select("position", "credit_ppm").as[(Int, Long)].collect().toSeq
+      assert(out.length == nTouches)
+      assert(out.map(_._2).sum == 1000000L, s"n=$nTouches: $out")
+      // U-shape: ends never score below any middle
+      if (nTouches >= 3) {
+        val byPos = out.toMap
+        val mids = out.filter(p => p._1 != 0 && p._1 != nTouches - 1)
+        assert(mids.forall(_._2 <= byPos(0)) &&
+          mids.forall(_._2 <= byPos(nTouches - 1)))
+      }
+    }
+  }
+
   test("property: CdcMerge equals an in-memory latest-wins reference") {
     val cases: Gen[(Seq[(Long, Long)], Seq[(Long, Long, Long, String, Long)])] =
       for {
