@@ -401,13 +401,18 @@ object Vocab {
     // docs shorter than n tokens contribute an empty gram array (explode
     // drops them); a descending `sequence(0, negative)` would otherwise
     // feed slice() illegal starts
+    // explode_OUTER + null filter: a plain explode triggers
+    // InferFiltersFromGenerate, which clones the whole gram-building
+    // lambda into a pre-Generate filter — 3 interpreted evaluations per
+    // row (the t60 lesson; measured 6.7× there)
     val grams = df
       .select(id, split(lower(text), " ").as("__t"))
-      .select(col(idName), explode(array_distinct(
+      .select(col(idName), explode_outer(array_distinct(
         expr(s"CASE WHEN size(__t) >= $n THEN" +
           s" transform(sequence(0, size(__t) - $n)," +
           s" i -> array_join(slice(__t, i + 1, $n), ' '))" +
           s" ELSE array() END"))).as("__g"))
+      .filter(col("__g").isNotNull)
     val gdf = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
     grams.join(gdf, "__g")
       .groupBy(col(idName))
@@ -447,8 +452,14 @@ object Vocab {
               s" transform(sequence(0, size(__t) - $gram)," +
               s" i -> array_join(slice(__t, i + 1, $gram), ' '))" +
               s" ELSE array() END")).as("__us"))
+    // explode_OUTER + null filter, not a plain explode:
+    // InferFiltersFromGenerate would otherwise clone the whole gram-
+    // building lambda into a pre-Generate filter (size(...)>0 AND
+    // isnotnull(...)) — three interpreted evaluations of the transform
+    // chain per row, measured 4× slower than the Generate itself
     val firstSeen = units
-      .select(col("__id"), explode(col("__us")).as("__tok"))
+      .select(col("__id"), explode_outer(col("__us")).as("__tok"))
+      .filter(col("__tok").isNotNull)
       .crossJoin(broadcast(total))
       .select(col("__tok"),
         least(call_function("div", col("__id") * nBuckets, col("__n")),
