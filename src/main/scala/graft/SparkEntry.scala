@@ -811,6 +811,13 @@ object SparkEntry {
         Tables.region(s, dir))
     },
 
+    // TPC-H Q14 shape: promo revenue share per ship month — broadcast
+    // part dim, conditional integer sum, ppm share on DECIMAL(38,0).
+    "a8_promo_share" -> { (s, dir) =>
+      graft.ops.StarJoin.promoShareByMonth(Tables.lineitem(s, dir),
+        Tables.part(s, dir))
+    },
+
     // PCM silence trimming: drop sub-threshold leading/trailing frames
     // from the REAL decoded mono stream; emits the trim evidence (lead/
     // tail counts + kept-region sum). Partition-local, zero shuffle.
@@ -3682,6 +3689,27 @@ object SparkEntry {
         |      AS converted_us
         |  FROM e)
         |WHERE tch""".stripMargin,
+
+    "a8_promo_share" ->
+      """WITH li AS (
+        |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+        |  FROM lineitem),
+        |j AS (
+        |  SELECT ship_month, rev, p.p_type
+        |  FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+        |g AS (
+        |  SELECT ship_month, count(*) AS n_items,
+        |    CAST(sum(rev) AS BIGINT) AS revenue_micro4,
+        |    CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0)
+        |      AS BIGINT) AS promo_revenue_micro4
+        |  FROM j GROUP BY 1)
+        |SELECT ship_month, n_items, revenue_micro4, promo_revenue_micro4,
+        |  CAST(CASE WHEN revenue_micro4 > 0
+        |    THEN (promo_revenue_micro4::HUGEINT * 1000000) // revenue_micro4
+        |    ELSE 0 END AS BIGINT) AS promo_share_ppm
+        |FROM g""".stripMargin,
 
     "a7_star_revenue" ->
       """SELECT r.r_name AS region, n.n_name AS nation,

@@ -25,6 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object StarJoin {
 
+  /** TPC-H Q14 shape: promotion revenue share per ship month — the
+    * conditional-share rollup every campaign dashboard runs. One
+    * broadcast dimension join (part rides to lineitem), one grouped
+    * conditional sum, share in ppm with the numerator on DECIMAL(38,0)
+    * (`Σrevenue·10⁶` passes 2⁶³ near ~9×10¹² micro-money units — a
+    * sf-thousands fact table gets there).
+    */
+  def promoShareByMonth(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = lineitem.select(col("l_partkey"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+      (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+        .as("__rev"))
+    val p = broadcast(part.select(col("p_partkey"), col("p_type")))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_items"),
+        sum("__rev").as("revenue_micro4"),
+        coalesce(sum(when(col("p_type") === "PROMO", col("__rev"))),
+          lit(0L)).as("promo_revenue_micro4"))
+      .select(col("ship_month"), col("n_items"), col("revenue_micro4"),
+        col("promo_revenue_micro4"),
+        when(col("revenue_micro4") > 0, call_function("div",
+          col("promo_revenue_micro4").cast(DecimalType(38, 0)) * 1000000L,
+          col("revenue_micro4"))).otherwise(lit(0L))
+          .as("promo_share_ppm"))
+  }
+
   /** One row per (region, nation, order year): `n_items`,
     * `revenue_micro4` (10⁻⁴ currency units, exact).
     */

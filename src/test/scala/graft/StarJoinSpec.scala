@@ -27,6 +27,21 @@ class StarJoinSpec extends SparkSpec {
     }
   }
 
+  test("promoShareByMonth: ppm share from the conditional sum, part broadcasts") {
+    val out = StarJoin.promoShareByMonth(Tables.lineitem(spark, sf),
+      Tables.part(spark, sf))
+    val rows = out.as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, items, rev, promo, ppm) =>
+      assert(m.matches("\\d{4}-\\d{2}"))
+      assert(promo >= 0 && promo <= rev && items > 0)
+      assert(ppm == (BigInt(promo) * 1000000 / BigInt(rev)).toLong)
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dimension must broadcast in:\n$plan")
+  }
+
   test("revenueByRegion: one shuffle join, every dimension broadcasts") {
     val plan = StarJoin.revenueByRegion(Tables.lineitem(spark, sf),
       Tables.orders(spark, sf), Tables.customer(spark, sf),
