@@ -835,6 +835,14 @@ object SparkEntry {
         col("doc_id"), col("text"), nBuckets = 10, gram = 3)
     },
 
+    // First-order Markov transition matrix over user event streams:
+    // P(next | cur) in ppm, transitions strictly within a key's
+    // timeline — the next-event-prediction feature table.
+    "w16_transition_matrix" -> { (s, dir) =>
+      graft.ops.Markov.transitionMatrix(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    },
+
     // CUSUM changepoint scan: per user, the peak |cumulative deviation
     // from the own mean| and WHEN it happened — integer Page test, one
     // shuffle, prefix sums and row numbers on one window.
@@ -3767,6 +3775,21 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_vocab
         |FROM fs GROUP BY bucket""".stripMargin,
+
+    "w16_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS cur_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_state
+        |  FROM events),
+        |t AS (
+        |  SELECT cur_state, next_state, count(*) AS n
+        |  FROM e WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur_state, next_state, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY cur_state) AS BIGINT) AS n_from,
+        |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY cur_state)
+        |    AS BIGINT) AS share_ppm
+        |FROM t""".stripMargin,
 
     "w15_cusum_changepoint" ->
       """WITH e AS (
