@@ -843,6 +843,75 @@ object SparkEntry {
         col("user_id"), col("ts"), col("event_id"), col("event_type"))
     },
 
+    // Gaps-and-islands daily streaks per user: distinct-day shuffle,
+    // island id = day_number − row_number, all-integer report; longest-
+    // streak ties break to the earliest start.
+    "w17_streaks" -> { (s, dir) =>
+      graft.ops.Streaks.dailyStreaks(Tables.events(s, dir),
+        col("user_id"), col("ts"))
+    },
+
+    // RFM quartile segmentation over orders: integer metrics, exact
+    // percentile_disc thresholds via the Quantiles crossing rule —
+    // no interpolated float percentile anywhere in the chain.
+    "w18_rfm" -> { (s, dir) =>
+      graft.ops.Rfm.segment(Tables.orders(s, dir), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    },
+
+    // TPC-H Q18 shape: HAVING-filtered order rollup, then enrich joins
+    // over the survivors only; exact integer quantities and cents.
+    "a9_big_spenders" -> { (s, dir) =>
+      graft.ops.StarJoin.bigSpenders(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir), minQty = 250L)
+    },
+
+    // Pivot/crosstab with an explicit value list: day × event_type count
+    // matrix — one shuffle, conditional-count compilation, dense zeros.
+    "p9_pivot_daily" -> { (s, dir) =>
+      graft.ops.Crosstab.counts(Tables.events(s, dir),
+        to_date(col("ts")).as("day"), col("event_type"),
+        Seq("click", "error", "purchase", "signup", "view"))
+    },
+
+    // Exact phrase search (scan-side): zero-shuffle HOF match over the
+    // token stream; 0-based positions, double-space slots preserved.
+    "t61_phrase_search" -> { (s, dir) =>
+      graft.text.Vocab.phraseSearch(Tables.documents(s, dir),
+        col("doc_id"), col("text"), Seq("table", "scan"))
+    },
+
+    // Synchronous label propagation (3 rounds, min-label ties) over the
+    // g1/g2 synthetic 37-node graph — deterministic community detection.
+    "g3_label_prop" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 37).as("src"),
+          ((col("doc_id") * 7 + 3) % 37).as("dst"))
+        .unionAll(d.select((col("doc_id") % 37).as("src"),
+          (((col("doc_id") * 11 + 5) % 41) % 37).as("dst")))
+      graft.graph.LabelPropagation.communities(edges, rounds = 3)
+    },
+
+    // Robust MAD outliers per user (milli-unit values, exact integer
+    // medians via the crossing rule, |v−med| > 3·MAD).
+    "w19_mad_outliers" -> { (s, dir) =>
+      graft.ops.Outliers.madOutliers(Tables.events(s, dir),
+        col("user_id"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"), k = 3L)
+    },
+
+    // Matryoshka-truncation recall@5: the 32-dim prefix ranking graded
+    // against the full 64-dim exact ranking — the storage/quality trade
+    // report for prefix-truncated embedding tiers.
+    "s17_matryoshka_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(probes, emb, k = 5),
+        Similarity.bruteForceTopK(Similarity.matryoshka(probes, 32),
+          Similarity.matryoshka(emb, 32), k = 5))
+    },
+
     // CUSUM changepoint scan: per user, the peak |cumulative deviation
     // from the own mean| and WHEN it happened — integer Page test, one
     // shuffle, prefix sums and row numbers on one window.
@@ -3790,6 +3859,212 @@ object SparkEntry {
         |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY cur_state)
         |    AS BIGINT) AS share_ppm
         |FROM t""".stripMargin,
+
+    "w17_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |s AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |    min(day) AS strt
+        |  FROM i GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT *, max(len) OVER (PARTITION BY user_id) AS longest
+        |  FROM s)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  min(CASE WHEN len = longest THEN strt END) AS best_streak_start
+        |FROM s2 GROUP BY user_id""".stripMargin,
+
+    "w18_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS cust, max(CAST(o_orderdate AS DATE)) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |ad AS (SELECT max(CAST(o_orderdate AS DATE)) AS asof_day FROM orders),
+        |m AS (
+        |  SELECT cust,
+        |    CAST(date_diff('day', last_day, asof_day) AS BIGINT) AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM per, ad),
+        |melt AS (
+        |  SELECT cust, 'r' AS metric, recency_days AS v FROM m
+        |  UNION ALL SELECT cust, 'f', frequency FROM m
+        |  UNION ALL SELECT cust, 'm', monetary_cents // 100 FROM m),
+        |cnt AS (SELECT metric, v, count(*) AS c FROM melt GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT metric, v,
+        |    sum(c) OVER (PARTITION BY metric ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY metric) AS n
+        |  FROM cnt),
+        |th AS (
+        |  SELECT metric,
+        |    min(CASE WHEN cum * 1000000 >= n * 250000 THEN v END) AS q25,
+        |    min(CASE WHEN cum * 1000000 >= n * 500000 THEN v END) AS q50,
+        |    min(CASE WHEN cum * 1000000 >= n * 750000 THEN v END) AS q75
+        |  FROM cum GROUP BY 1),
+        |sc AS (
+        |  SELECT melt.cust, melt.metric,
+        |    CASE WHEN melt.metric = 'r'
+        |      THEN 4 - ((v > q25)::BIGINT + (v > q50)::BIGINT
+        |        + (v > q75)::BIGINT)
+        |      ELSE 1 + (v > q25)::BIGINT + (v > q50)::BIGINT
+        |        + (v > q75)::BIGINT END AS score
+        |  FROM melt JOIN th ON melt.metric = th.metric),
+        |p AS (
+        |  SELECT cust,
+        |    CAST(max(CASE WHEN metric = 'r' THEN score END) AS BIGINT)
+        |      AS r_score,
+        |    CAST(max(CASE WHEN metric = 'f' THEN score END) AS BIGINT)
+        |      AS f_score,
+        |    CAST(max(CASE WHEN metric = 'm' THEN score END) AS BIGINT)
+        |      AS m_score
+        |  FROM sc GROUP BY 1)
+        |SELECT m.cust, m.recency_days, m.frequency, m.monetary_cents,
+        |  p.r_score, p.f_score, p.m_score,
+        |  CAST(p.r_score * 100 + p.f_score * 10 + p.m_score AS BIGINT)
+        |    AS rfm_code
+        |FROM m JOIN p ON m.cust = p.cust""".stripMargin,
+
+    "a9_big_spenders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty,
+        |    CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS order_date,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_price_cents,
+        |  q.sum_qty, q.n_lines
+        |FROM q
+        |JOIN orders o ON q.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    "p9_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |    AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+        |    AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |    AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+        |    AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+        |    AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "t61_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS a
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_filter(range(1, greatest(len(a) - 1, 0) + 1),
+        |      i -> a[i] = 'table' AND a[i + 1] = 'scan') AS hits
+        |  FROM t)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
+        |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "g3_label_prop" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 37 AS src, (doc_id * 7 + 3) % 37 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 37, ((doc_id * 11 + 5) % 41) % 37 FROM documents),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e0
+        |  UNION ALL SELECT dst AS a, src AS b FROM e0) t
+        |  WHERE a <> b),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |r1 AS (SELECT a AS node, label FROM (
+        |  SELECT u.a, l.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY u.a
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM und u JOIN l0 l ON u.b = l.node GROUP BY u.a, l.label)
+        |  WHERE rn = 1),
+        |r2 AS (SELECT a AS node, label FROM (
+        |  SELECT u.a, l.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY u.a
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM und u JOIN r1 l ON u.b = l.node GROUP BY u.a, l.label)
+        |  WHERE rn = 1),
+        |r3 AS (SELECT a AS node, label FROM (
+        |  SELECT u.a, l.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY u.a
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM und u JOIN r2 l ON u.b = l.node GROUP BY u.a, l.label)
+        |  WHERE rn = 1)
+        |SELECT node, CAST(label AS BIGINT) AS label,
+        |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+        |    AS community_size
+        |FROM r3""".stripMargin,
+
+    "w19_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |c1 AS (SELECT user_id, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |cu1 AS (SELECT user_id, v,
+        |  sum(c) OVER (PARTITION BY user_id ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY user_id) AS n FROM c1),
+        |med AS (SELECT user_id,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN v END) AS med
+        |  FROM cu1 GROUP BY 1),
+        |dev AS (SELECT b.user_id, b.event_id, b.v, m.med,
+        |    abs(b.v - m.med) AS dev
+        |  FROM base b JOIN med m ON b.user_id = m.user_id),
+        |c2 AS (SELECT user_id, dev AS d, count(*) AS c FROM dev
+        |  GROUP BY 1, 2),
+        |cu2 AS (SELECT user_id, d,
+        |  sum(c) OVER (PARTITION BY user_id ORDER BY d) AS cum,
+        |  sum(c) OVER (PARTITION BY user_id) AS n FROM c2),
+        |mad AS (SELECT user_id,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN d END) AS mad
+        |  FROM cu2 GROUP BY 1)
+        |SELECT dev.user_id, dev.event_id, dev.v, dev.med, mad.mad, dev.dev
+        |FROM dev JOIN mad ON dev.user_id = mad.user_id
+        |WHERE dev.dev > 3 * mad.mad""".stripMargin,
+
+    "s17_matryoshka_recall" ->
+      """WITH ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(
+        |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |        c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0)
+        |WHERE rank <= 5),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(
+        |        q.embedding[1:32]::DOUBLE[], c.embedding[1:32]::DOUBLE[]),
+        |        6) DESC,
+        |        c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0)
+        |WHERE rank <= 5)
+        |SELECT ex.query_id, count(*) AS n_exact,
+        |  sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END)::BIGINT AS n_hit,
+        |  CAST((sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+        |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+        |  AND ex.neighbor_id = ap.neighbor_id
+        |GROUP BY 1""".stripMargin,
 
     "w15_cusum_changepoint" ->
       """WITH e AS (

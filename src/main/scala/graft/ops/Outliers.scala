@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-key outlier detection via median absolute deviation — the
+  * anomaly gate that survives what breaks z-scores: a key whose history
+  * already contains outliers (they inflate the stddev until nothing
+  * flags) or heavy-tailed values (where "3σ" fires constantly). Median
+  * and MAD have a 50% breakdown point; the flag is
+  * `|v − median| > k · MAD`.
+  *
+  * Exactness: values arrive as integers (caller pre-scales, e.g.
+  * milli-units); both medians use the [[Quantiles]] crossing rule
+  * (percentile_disc — smallest value whose cumulative count reaches
+  * half), so every emitted column is an integer and the comparison
+  * `dev > k·mad` never touches a float. The k·MAD product stays far
+  * under int64 for any sane k.
+  *
+  * Plan: two [[Quantiles.exact]] passes (each: one distinct-value-scale
+  * rollup + window, keyed on the key) and two enrich joins back to the
+  * event stream, all hash-partitioned on the SAME key — Catalyst reuses
+  * the partitioning, so the chain costs two logical shuffles of the
+  * distinct-value tables and one of the events. Keys whose MAD is 0
+  * (over half the values identical) flag any deviation at all — the
+  * documented degenerate case of the MAD rule, kept faithful.
+  */
+object Outliers {
+
+  /** Flagged rows only: key, event id, value, the key's median and MAD,
+    * the absolute deviation — evidence enough to audit every flag.
+    */
+  def madOutliers(events: DataFrame, key: Column, eventId: Column,
+                  value: Column, k: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyName = events.select(key).columns.head
+    val base = events.select(key, eventId.as("event_id"),
+      value.cast("long").as("v"))
+    val med = Quantiles.exact(base, col(keyName), col("v"),
+        Seq("med" -> 500000L))
+      .select(col(keyName), col("med"))
+    val dev = base.join(med, Seq(keyName))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = Quantiles.exact(dev, col(keyName), col("dev"),
+        Seq("mad" -> 500000L))
+      .select(col(keyName), col("mad"))
+    dev.join(mad, Seq(keyName))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col(keyName), col("event_id"), col("v"), col("med"),
+        col("mad"), col("dev"))
+  }
+}

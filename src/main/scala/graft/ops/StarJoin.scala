@@ -54,6 +54,37 @@ object StarJoin {
           .as("promo_share_ppm"))
   }
 
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity exceeds a threshold, enriched with the customer — the
+    * whale-hunting report. The HAVING runs BEFORE any join: the
+    * lineitem rollup (one shuffle on the order key, partial map-side
+    * sums) filters to the handful of qualifying orders, and only those
+    * join to orders and customer. The orders join stays declarative —
+    * AQE converts it to a broadcast of the qualifying side at runtime
+    * when the threshold is selective (the usual case); customer
+    * broadcasts as a dimension. Quantities round to exact integers
+    * (the domain is integral); price emits as exact cents.
+    */
+  def bigSpenders(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, minQty: Long): DataFrame = {
+    val qual = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("sum_qty") > minQty)
+    qual
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("order_date"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .as("total_price_cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("order_date"), col("total_price_cents"), col("sum_qty"),
+        col("n_lines"))
+  }
+
   /** One row per (region, nation, order year): `n_items`,
     * `revenue_micro4` (10⁻⁴ currency units, exact).
     */

@@ -141,6 +141,19 @@ object Similarity {
     * rolls up hits. Both sides are top-k-sized; the join is trivially
     * partitioned by query.
     */
+  /** Matryoshka truncation: keep the first `d` dimensions of the
+    * embedding column. MRL-trained models (Kusupati et al. 2022) pack
+    * coarse-to-fine structure into the prefix, so truncated vectors
+    * remain usable for retrieval at a fraction of the storage/compute —
+    * the standard cheap-recall tier ahead of a full-dimension re-rank.
+    * Cosine renormalizes internally, so no renorm step is needed; grade
+    * the quality loss with [[recallAtK]] (truncated ranking vs full).
+    */
+  def matryoshka(emb: DataFrame, d: Int): DataFrame = {
+    require(d >= 1, s"d must be >= 1, got $d")
+    emb.withColumn("embedding", slice(col("embedding"), 1, d))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id"),

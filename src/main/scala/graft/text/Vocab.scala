@@ -501,4 +501,38 @@ object Vocab {
           expr("transform(__ds, (d, i) -> CASE WHEN i = 0 THEN d" +
             " ELSE d - __ds[i-1] END)")).as("gaps"))
   }
+
+  /** Exact phrase search over the corpus — all docs containing the
+    * n-word phrase as CONSECUTIVE tokens, with match count and first
+    * match position. This is the scan-side phrase matcher (the shape a
+    * one-off corpus query or a contamination sweep runs); the
+    * index-serving sibling would intersect [[postings]] lists with
+    * positional adjacency, but over a full corpus pass the scan is one
+    * map-side higher-order-function chain — ZERO shuffle, zero join,
+    * perfectly partition-parallel, and the filter prunes non-matching
+    * docs before anything materializes.
+    *
+    * Positions are 0-based token offsets in the raw `split(lower, " ")`
+    * stream (empty tokens from double spaces keep their slot — position
+    * semantics must not depend on whitespace hygiene).
+    */
+  def phraseSearch(df: DataFrame, id: Column, text: Column,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least 2 tokens")
+    require(phrase.forall(t => t.nonEmpty && !t.contains(" ") &&
+      !t.contains("'")), "phrase tokens must be non-empty single words")
+    val n = phrase.size
+    val cond = phrase.zipWithIndex.map { case (t, j) =>
+      s"__a[CAST(i + $j AS INT)] = '$t'"
+    }.mkString(" AND ")
+    df.select(id, split(lower(text), " ").as("__a"))
+      .withColumn("__hits",
+        when(size(col("__a")) >= n,
+          expr(s"filter(sequence(0L, CAST(size(__a) - $n AS BIGINT))," +
+            s" i -> $cond)"))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .filter(size(col("__hits")) > 0)
+      .select(id, size(col("__hits")).cast("long").as("n_matches"),
+        element_at(col("__hits"), 1).as("first_pos"))
+  }
 }

@@ -197,4 +197,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"unexpected CartesianProduct in:\n$plan")
   }
+
+  test("matryoshka: prefix truncation changes ranking, recall grades it") {
+    // full 4-dim: query q favors v1 (matches dims 3-4); the 2-dim prefix
+    // sees only dims 1-2, where v2 wins — truncation flips the ranking
+    val emb = Seq(
+      (0L, Array(1f, 0f, 1f, 1f)),  // the query
+      (1L, Array(0f, 0.1f, 1f, 1f)), // full-space winner, prefix-orthogonal
+      (2L, Array(1f, 0.5f, 0f, 0f)) // prefix winner
+    ).toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") === 0)
+    val full = Similarity.bruteForceTopK(probes, emb, k = 1)
+    val trunc = Similarity.bruteForceTopK(Similarity.matryoshka(probes, 2),
+      Similarity.matryoshka(emb, 2), k = 1)
+    val recall = Similarity.recallAtK(full, trunc)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(full.select("neighbor_id").as[Long].collect().toSeq == Seq(1L))
+    assert(trunc.select("neighbor_id").as[Long].collect().toSeq == Seq(2L))
+    assert(recall == Seq((0L, 1L, 0L, 0L))) // top-1 disagrees → recall 0
+  }
 }

@@ -58,4 +58,28 @@ class StarJoinSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
       s"expected map-side partial aggregation in:\n$plan")
   }
+
+  test("bigSpenders: HAVING before the joins, exact integer emission") {
+    import java.sql.Timestamp
+    val li = Seq(
+      (1L, 200.0, 10.0), (1L, 60.0, 20.0), // order 1: 260 > 250 ✓
+      (2L, 250.0, 5.0), // order 2: exactly 250 — strict > excludes
+      (3L, 300.0, 7.5) // order 3: 300 ✓
+    ).toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    val ords = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-03-01 00:00:00"), 123.45),
+      (2L, 10L, Timestamp.valueOf("2024-03-02 00:00:00"), 67.89),
+      (3L, 20L, Timestamp.valueOf("2024-03-03 00:00:00"), 10.01)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((10L, "alice"), (20L, "bob"), (30L, "carol"))
+      .toDF("c_custkey", "c_name")
+    val out = StarJoin.bigSpenders(li, ords, cust, minQty = 250L)
+      .orderBy("o_orderkey")
+      .select("c_custkey", "c_name", "o_orderkey", "total_price_cents",
+        "sum_qty", "n_lines")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, "alice", 1L, 12345L, 260L, 2L),
+      (20L, "bob", 3L, 1001L, 300L, 1L)))
+  }
 }

@@ -278,4 +278,28 @@ class VocabSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(3, 1))           // upstream rank carried
     assert(out.head._3 > out(1)._3)
   }
+
+  test("phraseSearch: consecutive-token matches, 0-based first position") {
+    val docs = Seq(
+      (1L, "the hash join beats the hash join here"), // 2 matches @ 1, 5
+      (2L, "hash and join but never adjacent"),       // no match
+      (3L, "HASH JOIN uppercase"),                    // lowercased match @ 0
+      (4L, "hash"),                                   // shorter than phrase
+      (5L, "join hash")                               // wrong order
+    ).toDF("doc_id", "text")
+    val out = Vocab.phraseSearch(docs, col("doc_id"), col("text"),
+        Seq("hash", "join"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L), (3L, 1L, 0L)))
+  }
+
+  test("phraseSearch: overlapping occurrences and zero-shuffle plan") {
+    val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val q = Vocab.phraseSearch(docs, col("doc_id"), col("text"),
+      Seq("a", "a"))
+    val out = q.as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L))) // positions 0, 1, 2 all match
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "phrase scan must not shuffle")
+  }
 }
