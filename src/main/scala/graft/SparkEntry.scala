@@ -881,6 +881,24 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Time-decay multi-touch attribution: weight halves per whole
+    // half-life as a power-of-two SHIFT, Hamilton-apportioned so
+    // Σcredit = 10⁶ ppm per conversion exactly — no float decay curve.
+    "w20_decay_credit" -> { (s, dir) =>
+      graft.ops.Attribution.timeDecayCredit(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase",
+        lookbackSeconds = 7L * 86400, halflifeSeconds = 86400L)
+    },
+
+    // Column profiler: one Expand-based aggregation pass → long-format
+    // (column, n_rows, n_nulls, n_distinct) data-quality report.
+    "p10_profile" -> { (s, dir) =>
+      graft.ops.Profile.columns(Tables.events(s, dir),
+        Seq("user_id", "event_type", "value", "props"))
+    },
+
     // Synchronous label propagation (3 rounds, min-label ties) over the
     // g1/g2 synthetic 37-node graph — deterministic community detection.
     "g3_label_prop" -> { (s, dir) =>
@@ -3976,6 +3994,59 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "w20_decay_credit" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type IN ('view', 'click') AS tch,
+        |    event_type = 'purchase' AS cnv
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id AS conversion_id, us AS conv_us, cnv,
+        |    list_sort(list_filter(
+        |      list(CASE WHEN tch THEN struct_pack(us := us, eid := event_id)
+        |           END) OVER (PARTITION BY user_id ORDER BY us
+        |        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING),
+        |      x -> x IS NOT NULL)) AS tl
+        |  FROM e),
+        |sel AS (
+        |  SELECT user_id, conversion_id, conv_us, tl, len(tl) AS n
+        |  FROM c WHERE cnv AND len(tl) > 0),
+        |w1 AS (
+        |  SELECT *, list_transform(range(1, n + 1), i ->
+        |    (CAST(1 AS BIGINT) << CAST(40 - least(40,
+        |      (conv_us - tl[i].us) // 86400000000) AS INT))) AS ws
+        |  FROM sel),
+        |w2 AS (SELECT *, CAST(list_aggregate(ws, 'sum') AS BIGINT) AS tw
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *,
+        |    list_transform(ws, w -> (w * 1000000) // tw) AS fl,
+        |    list_transform(ws, w -> (w * 1000000) % tw) AS rm
+        |  FROM w2),
+        |w4 AS (SELECT *,
+        |    1000000 - CAST(list_aggregate(fl, 'sum') AS BIGINT) AS rr
+        |  FROM w3)
+        |SELECT user_id, conversion_id, tl[i].eid AS touch_id,
+        |  CAST(i - 1 AS INT) AS position, CAST(ws[i] AS BIGINT) AS weight,
+        |  CAST(fl[i] + CASE WHEN 1 + len(list_filter(range(1, n + 1),
+        |      j -> rm[j] > rm[i] OR (rm[j] = rm[i] AND j < i))) <= rr
+        |    THEN 1 ELSE 0 END AS BIGINT) AS credit_ppm
+        |FROM (SELECT *, unnest(range(1, n + 1)) AS i FROM w4)""".stripMargin,
+
+    "p10_profile" ->
+      """SELECT 'user_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type) FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value) FROM events
+        |UNION ALL
+        |SELECT 'props', count(*), count(*) - count(props),
+        |  count(DISTINCT props) FROM events""".stripMargin,
 
     "g3_label_prop" ->
       """WITH e0 AS (

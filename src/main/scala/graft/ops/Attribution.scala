@@ -107,6 +107,74 @@ object Attribution {
           .as("credit_ppm"))
   }
 
+  /** Time-decay multi-touch attribution: each conversion splits its
+    * 10⁶ ppm of credit across the lookback touches with weight halving
+    * per elapsed half-life — the industry scheme between first-touch
+    * (all credit to discovery) and last-touch (all to closing).
+    *
+    * EXACT INTEGER throughout: the decay weight is a POWER OF TWO,
+    * `w = 2^(40 − min(40, age div halflife))` — halving per whole
+    * half-life is the decay law itself, not an approximation of
+    * `exp(−λt)`, and the shift form means no float ever exists. The cap
+    * floors the weight at 1 (a touch 40+ half-lives out still holds a
+    * sliver), so the normalizer is never 0. Credit is then Hamilton
+    * apportionment of 10⁶ by weight (floor shares + one ppm to the
+    * largest remainders, ties to the earliest touch) — Σcredit is
+    * EXACTLY 10⁶ per conversion, engine-replayable.
+    *
+    * Shape: the [[positionCredit]] one-shuffle collect frame; weights,
+    * floors, remainders and the remainder-rank all compute INSIDE the
+    * array (index-aware HOFs, O(n²) rank over the bounded window — no
+    * second exchange on (key, conversion)). Int64 headroom: the
+    * normalizer `Σw ≤ n·2⁴⁰` and each `w·10⁶ ≤ 2⁴⁰·10⁶ ≈ 1.1×10¹⁸`
+    * stay under 2⁶³ while a conversion has < ~8×10⁶ touches in-window.
+    */
+  def timeDecayCredit(events: DataFrame, key: Column, ts: Column,
+                      eventId: Column, isTouch: Column,
+                      isConversion: Column, lookbackSeconds: Long,
+                      halflifeSeconds: Long): DataFrame = {
+    require(lookbackSeconds >= 1, "lookbackSeconds must be >= 1")
+    require(halflifeSeconds >= 1, "halflifeSeconds must be >= 1")
+    val keyName = events.select(key).columns.head
+    val w = Window.partitionBy(col(keyName)).orderBy(col("__us"))
+      .rangeBetween(-lookbackSeconds * 1000000L, -1L)
+    val hlUs = halflifeSeconds * 1000000L
+    events
+      .select(key, unix_micros(ts).as("__us"),
+        eventId.as("conversion_id"), isTouch.as("__touch"),
+        isConversion.as("__conv"))
+      .select(col(keyName), col("__us"), col("conversion_id"), col("__conv"),
+        collect_list(when(col("__touch"),
+          struct(col("__us").as("us"), col("conversion_id").as("eid"))))
+          .over(w).as("__raw"))
+      .filter(col("__conv") && size(col("__raw")) > 0)
+      .select(col(keyName), col("conversion_id"), col("__us"),
+        sort_array(col("__raw")).as("__ts"))
+      .withColumn("__ws", expr(
+        s"transform(__ts, t -> shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(40 - least(40L, (__us - t.us) div $hlUs) AS INT)))"))
+      .withColumn("__W", expr(
+        "aggregate(__ws, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("__fl", expr("transform(__ws, w -> (w * 1000000) div __W)"))
+      .withColumn("__rm", expr("transform(__ws, w -> (w * 1000000) % __W)"))
+      .withColumn("__R", lit(1000000L) -
+        expr("aggregate(__fl, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col(keyName), col("conversion_id"), col("__ts"), col("__ws"),
+        col("__R"),
+        expr("transform(__fl, (f, i) -> f + IF(" +
+          "1 + size(filter(sequence(0, size(__fl) - 1), j -> " +
+          "element_at(__rm, j + 1) > element_at(__rm, i + 1) OR (" +
+          "element_at(__rm, j + 1) = element_at(__rm, i + 1) AND j < i)" +
+          ")) <= __R, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))").as("__cr"))
+      .select(col(keyName), col("conversion_id"),
+        posexplode(col("__ts")).as(Seq("position", "__t")),
+        col("__ws"), col("__cr"))
+      .select(col(keyName), col("conversion_id"),
+        col("__t.eid").as("touch_id"), col("position"),
+        element_at(col("__ws"), col("position") + 1).as("weight"),
+        element_at(col("__cr"), col("position") + 1).as("credit_ppm"))
+  }
+
   def firstTouch(events: DataFrame, key: Column, ts: Column, eventId: Column,
                  isTouch: Column, isConversion: Column,
                  lookbackSeconds: Long): DataFrame = {

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the data-quality report every ingestion pipeline
+  * runs before trusting a new drop: per column, row count, null count,
+  * exact distinct count. One row per profiled column, long format (a
+  * profile TABLE survives schema evolution; a wide row would not).
+  *
+  * Plan: ONE scan. Spark compiles multi-column `count_distinct` into a
+  * single Expand-based aggregate — the input replicates k+1 ways
+  * map-side (one lane per distinct target + one for the plain counts),
+  * each lane partial-aggregates on (value, gid) BEFORE its exchange, so
+  * what shuffles is per-partition-distinct values, not raw rows; a
+  * second 1-row exchange collapses the lane states. Two exchanges of
+  * shrunken state vs k separate jobs re-scanning 100 TB each — the
+  * right trade when the scan dominates. The `stack` melt to long format
+  * runs on the 1-row result — free. Exact distincts on a truly
+  * high-cardinality column still shuffle that column's distinct set;
+  * swap in the KMV/HLL sketches ([[graft.functions]]) when ±1%
+  * suffices.
+  */
+object Profile {
+
+  def columns(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    require(colNames.nonEmpty && colNames.distinct == colNames,
+      "need a non-empty, duplicate-free column list")
+    require(colNames.forall(c => c.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"plain identifier column names only, got $colNames")
+    val aggs = count(lit(1)).as("__n") +: colNames.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = colNames.map(c => s"'$c', __nn_$c, __nd_$c")
+      .mkString(", ")
+    one.select(
+        expr(s"stack(${colNames.size}, $stackArgs)" +
+          " AS (column_name, __nonnull, n_distinct)"),
+        col("__n"))
+      .select(col("column_name"), col("__n").as("n_rows"),
+        (col("__n") - col("__nonnull")).as("n_nulls"),
+        col("n_distinct"))
+  }
+}

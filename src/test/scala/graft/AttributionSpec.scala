@@ -137,4 +137,65 @@ class AttributionSpec extends SparkSpec {
     assert(windows == 1, s"expected 1 Window node, got $windows in:\n$plan")
     assert(plan.contains("RangeFrame"), s"expected RANGE frame in:\n$plan")
   }
+
+  test("timeDecayCredit: power-of-two decay, Hamilton exact 1e6 split") {
+    // touches 2/1/0 whole half-lives (1 day) before the conversion →
+    // weights 2^38 : 2^39 : 2^40, shares 1/7, 2/7, 4/7 of 1e6; the one
+    // leftover ppm goes to the largest remainder (the newest touch)
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 12:00:00", 2L, "click"),
+      (1L, "2024-01-02 12:00:00", 3L, "view"),
+      (1L, "2024-01-03 00:00:00", 9L, "purchase")
+    ).map { case (u, t, e, ty) =>
+      (u, java.sql.Timestamp.valueOf(t), e, ty)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val out = Attribution.timeDecayCredit(events, col("user_id"),
+        col("ts"), col("event_id"),
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase",
+        lookbackSeconds = 7L * 86400, halflifeSeconds = 86400L)
+      .orderBy("position")
+      .as[(Long, Long, Long, Int, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 9L, 1L, 0, 1L << 38, 142857L),
+      (1L, 9L, 2L, 1, 1L << 39, 285714L),
+      (1L, 9L, 3L, 2, 1L << 40, 571429L)))
+    assert(out.map(_._6).sum == 1000000L)
+  }
+
+  test("timeDecayCredit: equal weights tie the leftover to the earliest") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 11:00:00", 2L, "view"),
+      (1L, "2024-01-01 12:00:00", 3L, "view"),
+      (1L, "2024-01-01 13:00:00", 9L, "purchase")
+    ).map { case (u, t, e, ty) =>
+      (u, java.sql.Timestamp.valueOf(t), e, ty)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val out = Attribution.timeDecayCredit(events, col("user_id"),
+        col("ts"), col("event_id"),
+        isTouch = col("event_type") === "view",
+        isConversion = col("event_type") === "purchase",
+        lookbackSeconds = 86400L, halflifeSeconds = 86400L)
+      .orderBy("position")
+      .as[(Long, Long, Long, Int, Long, Long)].collect().toSeq
+    assert(out.map(_._6) == Seq(333334L, 333333L, 333333L))
+  }
+
+  test("timeDecayCredit: 40-half-life cap floors the weight at 1") {
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),   // 3000 s = 50 half-lives
+      (1L, "2024-01-01 00:50:00", 9L, "purchase")
+    ).map { case (u, t, e, ty) =>
+      (u, java.sql.Timestamp.valueOf(t), e, ty)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val out = Attribution.timeDecayCredit(events, col("user_id"),
+        col("ts"), col("event_id"),
+        isTouch = col("event_type") === "view",
+        isConversion = col("event_type") === "purchase",
+        lookbackSeconds = 86400L, halflifeSeconds = 60L)
+      .as[(Long, Long, Long, Int, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 9L, 1L, 0, 1L, 1000000L)))
+  }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import graft.ops.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("columns: exact nulls and distincts per column, long format") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (Some(2L), Some("b")),
+      (None, Some("a"))
+    ).toDF("k", "s")
+    val out = Profile.columns(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "k" -> ((4L, 1L, 2L)),
+      "s" -> ((4L, 1L, 2L))))
+  }
+
+  test("columns: one scan, Expand-based multi-distinct (two exchanges)") {
+    val df = Seq((1L, "a")).toDF("k", "s")
+    val plan = Profile.columns(df, Seq("k", "s"))
+      .queryExecution.executedPlan.toString
+    // lane dedup on (value, gid) + the 1-row collapse — never k jobs
+    assert("Exchange".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("Expand"), s"expected Expand-based multi-distinct:\n$plan")
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size == 1,
+      s"profiling must be a single scan:\n$plan")
+  }
+}
