@@ -881,6 +881,33 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Fuzzy self-match within Levenshtein 1 (SymSpell deletion-
+    // neighborhood keys — lossless candidates, exact verify, one key
+    // shuffle, never all-pairs).
+    "j13_fuzzy_match" -> { (s, dir) =>
+      graft.ops.FuzzyMatch.selfPairs(Tables.customer(s, dir),
+        col("c_custkey"), col("c_name"))
+    },
+
+    // Top-20 length-3 event paths (order-3 sibling of w16's transition
+    // matrix): two leads on one window, TakeOrderedAndProject cut.
+    "w21_top_paths" -> { (s, dir) =>
+      graft.ops.Markov.topPaths(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), k = 20)
+    },
+
+    // Language-ID confusion matrix: t2's heuristic prediction crossed
+    // against the labeled lang column via the p9 crosstab — the
+    // classifier-quality report as an operator composition.
+    "t62_lang_confusion" -> { (s, dir) =>
+      val pred = TextAnalysis.languageId(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), col("pred_lang"))
+      val lbl = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      graft.ops.Crosstab.counts(pred.join(lbl, Seq("doc_id")),
+        col("lang"), col("pred_lang"), Seq("de", "en", "es", "fr", "zh"))
+    },
+
     // Time-decay multi-touch attribution: weight halves per whole
     // half-life as a power-of-two SHIFT, Hamilton-apportioned so
     // Σcredit = 10⁶ ppm per conversion exactly — no float decay curve.
@@ -3994,6 +4021,65 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "j13_fuzzy_match" ->
+      """WITH k AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    unnest(list_distinct(list_append(
+        |      list_transform(range(1, length(c_name) + 1), i ->
+        |        substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+        |      c_name))) AS key
+        |  FROM customer)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a,
+        |  b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM k a JOIN k b ON a.key = b.key AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+
+    "w21_top_paths" ->
+      """WITH e AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM e WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
+
+    "t62_lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['the','a','of','and','is','in','to','it'], t)))::DOUBLE /
+        |      len(string_split(lower(text), ' ')) AS s_en,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['el','la','de','y','es','en','los','un'], t)))::DOUBLE /
+        |      len(string_split(lower(text), ' ')) AS s_es,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['der','die','das','und','ist','ein','zu','den'], t)))::DOUBLE /
+        |      len(string_split(lower(text), ' ')) AS s_de,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['le','la','de','et','est','un','les','des'], t)))::DOUBLE /
+        |      len(string_split(lower(text), ' ')) AS s_fr,
+        |    len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE /
+        |      greatest(length(text), 1) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |         WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |         ELSE 'de' END AS pred_lang
+        |  FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m
+        |        FROM scored))
+        |SELECT d.lang,
+        |  CAST(count(*) FILTER (WHERE pred_lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (WHERE pred_lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (WHERE pred_lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (WHERE pred_lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (WHERE pred_lang = 'zh') AS BIGINT) AS zh
+        |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin,
 
     "w20_decay_credit" ->
       """WITH e AS (

@@ -37,4 +37,31 @@ object Markov {
       .withColumn("share_ppm",
         call_function("div", col("n") * 1000000L, col("n_from")))
   }
+
+  /** Top-k length-3 event paths — the sequential-pattern rollup behind
+    * "what do users actually do" journey maps (the order-3 sibling of
+    * [[transitionMatrix]]'s order-1 view; k-length paths are the unit
+    * clickstream mining tools rank). Two `lead`s on ONE per-key window
+    * (single sort), trigrams never cross keys, the count rollup
+    * partial-aggregates, and the top-k ends in TakeOrderedAndProject
+    * (per-partition heaps — no global sort), fully ordered
+    * `(n DESC, path ASC)` for a deterministic cut boundary.
+    */
+  def topPaths(events: DataFrame, key: Column, ts: Column,
+               eventId: Column, state: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyName = events.select(key).columns.head
+    val w = Window.partitionBy(col(keyName))
+      .orderBy(col("__us"), col("__eid"))
+    events
+      .select(key, unix_micros(ts).as("__us"), eventId.as("__eid"),
+        state.as("s1"))
+      .select(col("s1"), lead(col("s1"), 1).over(w).as("s2"),
+        lead(col("s1"), 2).over(w).as("s3"))
+      .filter(col("s3").isNotNull)
+      .groupBy("s1", "s2", "s3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+      .limit(k)
+  }
 }

@@ -315,15 +315,24 @@ object Similarity {
         .map { case (c, t) => c.cast("long") * lit(1L << (nPlanes * t)) }
         .reduce(_ + _)
       corpus.select(col("vec_id").as("vid"), packed.as("pk"),
+        asDouble(col("embedding")).as("u"),
         posexplode(array(codeCols: _*)).as(Seq("tbl", "code")))
     }
-    val u = corpus.select(col("vec_id"), asDouble(col("embedding")).as("u"))
     // triangle-salted band join: tables × 2^nPlanes codes is a small key
     // space (48 here), so the plain band self-join would cap parallelism at
     // the bucket count and hand each degenerate bucket's quadratic pair
     // stage to a single task (ScaleJoins.bucketedSelfPairs)
+    // embeddings ride the band join as PAYLOAD: the pair stage scores
+    // cosine map-side right after the ownership test, so the candidate
+    // pair set — this plan's largest intermediate (weak 2-plane LSH at
+    // θ≈66° keeps most pairs) — is never exchanged again. The former
+    // shape (pairs → distinct/ownership → TWO id-joins back to the
+    // embedding table) re-shuffled those ~|pairs| rows twice; carrying
+    // the vector costs wider band-join input (bounded: rows × salt/2 ×
+    // dim doubles) and deletes both pair-scale exchanges.
     val paired = graft.ops.ScaleJoins.bucketedSelfPairs(index,
-      bucket = Seq("tbl", "code"), id = "vid", payload = Seq("pk"), salt = 8)
+      bucket = Seq("tbl", "code"), id = "vid", payload = Seq("pk", "u"),
+      salt = 8)
     // A pair sharing k tables' buckets surfaces k times (once per table).
     // Instead of a global distinct() — a full extra exchange of the
     // candidate set, formerly this plan's most expensive shuffle — each
@@ -339,9 +348,6 @@ object Similarity {
         .otherwise(rest)
     }
     paired.filter(col("tbl") === firstMatch)
-      .select("id_a", "id_b")
-      .join(u.select(col("vec_id").as("id_a"), col("u").as("u_a")), Seq("id_a"))
-      .join(u.select(col("vec_id").as("id_b"), col("u").as("u_b")), Seq("id_b"))
       .withColumn("cosine", round(cosine(col("u_a"), col("u_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

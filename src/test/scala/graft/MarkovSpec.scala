@@ -44,4 +44,28 @@ class MarkovSpec extends SparkSpec {
       .collect().toSet
     assert(out == Set(("a", "b"), ("b", "c")))
   }
+
+  test("topPaths: trigrams stay within a key, ranked (n desc, path asc)") {
+    def e(u: Long, sec: Int, id: Long, t: String) =
+      (u, ts(f"2024-01-01 00:00:$sec%02d"), id, t)
+    val events = Seq(
+      // user 1: a b c d → trigrams abc, bcd
+      e(1L, 0, 1L, "a"), e(1L, 1, 2L, "b"), e(1L, 2, 3L, "c"),
+      e(1L, 3, 4L, "d"),
+      // user 2: a b c → abc again (cross-user trigram d-a-b must NOT
+      // exist)
+      e(2L, 0, 5L, "a"), e(2L, 1, 6L, "b"), e(2L, 2, 7L, "c"),
+      // user 3: too short for any trigram
+      e(3L, 0, 8L, "a"), e(3L, 1, 9L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Markov.topPaths(events, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), k = 2)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(out == Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+    val plan = Markov.topPaths(events, col("user_id"), col("ts"),
+      col("event_id"), col("event_type"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
 }
