@@ -881,6 +881,32 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Holt double-exponential smoothing: integer (level, trend) struct
+    // fold, forecast = level + trend — the EWMA sibling for drifting
+    // series; same one-shuffle sorted-fold plan as w12.
+    "w23_holt_trend" -> { (s, dir) =>
+      graft.ops.Ewma.holt(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"),
+        alphaPpm = 200000L, betaPpm = 300000L)
+    },
+
+    // Term burstiness (Fano factor of per-doc counts over containing
+    // docs): exact integer var/mean micro-units, min-df floor, top-100.
+    "t63_burstiness" -> { (s, dir) =>
+      graft.text.Vocab.termBurstiness(Tables.documents(s, dir),
+        col("doc_id"), col("text"), minDf = 5L, k = 100)
+    },
+
+    // Calendar gap-fill with forward fill: per-user daily spine, last
+    // observation per day, fill across gaps — the time-series
+    // regularization step; only the rollup shuffles data-scale rows.
+    "w22_gap_fill" -> { (s, dir) =>
+      graft.ops.GapFill.dailyForwardFill(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"))
+    },
+
     // Fuzzy self-match within Levenshtein 1 (SymSpell deletion-
     // neighborhood keys — lossless candidates, exact verify, one key
     // shuffle, never all-pairs).
@@ -4021,6 +4047,78 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    // NOT list_reduce: DuckDB 1.0 mutates the accumulator struct field
+    // by field, so a struct-state lambda's later fields read already-
+    // updated values (s.l is the NEW level while computing b). The
+    // recursive-CTE fold has standard semantics; `e` is MATERIALIZED so
+    // the recursion doesn't re-inline the window per step (t52 gotcha).
+    "w23_holt_trend" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS i,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm, epoch_us(ts) AS us
+        |  FROM events),
+        |n AS (SELECT user_id, count(*) AS n_obs, max(us) AS last_us
+        |  FROM e GROUP BY 1),
+        |fold AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS i, vm AS l,
+        |    CAST(0 AS BIGINT) AS b
+        |  FROM e WHERE i = 1
+        |  UNION ALL
+        |  SELECT f.user_id, f.i + 1,
+        |    (200000 * e.vm + 800000 * (f.l + f.b)) // 1000000,
+        |    (300000 * (((200000 * e.vm + 800000 * (f.l + f.b))
+        |      // 1000000) - f.l) + 700000 * f.b) // 1000000
+        |  FROM fold f JOIN e ON e.user_id = f.user_id AND e.i = f.i + 1)
+        |SELECT n.user_id AS user_id, CAST(n.n_obs AS BIGINT) AS n_obs,
+        |  n.last_us AS last_us, f.l AS level_milli, f.b AS trend_milli,
+        |  f.l + f.b AS forecast_milli
+        |FROM fold f JOIN n ON f.user_id = n.user_id AND f.i = n.n_obs"""
+        .stripMargin,
+
+    "t63_burstiness" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT term, doc_id, count(*) AS c FROM t
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |a AS (
+        |  SELECT term, count(*) AS df_count, sum(c) AS sc,
+        |    sum(c * c) AS sc2
+        |  FROM c GROUP BY 1)
+        |SELECT term, CAST(df_count AS BIGINT) AS df_count,
+        |  CAST(sc AS BIGINT) AS n_occurrences,
+        |  CAST((df_count::HUGEINT * sc2 - sc::HUGEINT * sc) * 1000000
+        |    // (df_count::HUGEINT * sc) AS BIGINT) AS fano_micro
+        |FROM a WHERE df_count >= 5
+        |ORDER BY fano_micro DESC, term LIMIT 100""".stripMargin,
+
+    "w22_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id, day, v AS obs FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS day,
+        |      CAST(round(value * 1000) AS BIGINT) AS v,
+        |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1),
+        |span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM obs GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span)
+        |SELECT s.user_id, s.day,
+        |  last_value(o.obs IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  o.obs IS NOT NULL AS observed
+        |FROM spine s LEFT JOIN obs o
+        |  ON s.user_id = o.user_id AND s.day = o.day""".stripMargin,
 
     "j13_fuzzy_match" ->
       """WITH k AS (

@@ -52,4 +52,57 @@ object Ewma {
                    ELSE ($alphaPpm * v + $beta * s) DIV 1000000 END)""")
           .as("ewma_milli"))
   }
+
+  /** Holt double-exponential smoothing per key — [[smooth]] plus a
+    * TREND state, the standard next-step forecaster for series with
+    * drift (an EWMA alone always lags a trending series; Holt's
+    * `forecast = level + trend` does not). Same exact-integer contract:
+    *
+    *   `l₀ = v₀, b₀ = 0;`
+    *   `lᵢ = (α·vᵢ + (10⁶−α)·(lᵢ₋₁+bᵢ₋₁)) DIV 10⁶;`
+    *   `bᵢ = (β·(lᵢ−lᵢ₋₁) + (10⁶−β)·bᵢ₋₁) DIV 10⁶`
+    *
+    * — both DIVs truncate toward zero identically in Scala/Spark/DuckDB
+    * (the w12 verification), so negatives and down-trends replay. The
+    * fold state is a STRUCT (level, trend) threaded through the same
+    * codegen'd `aggregate` HOF; `lᵢ` appears twice in the `bᵢ` update
+    * (once as the new level, once in the delta) and is deliberately
+    * duplicated inline — SQL lambdas have no `let`, and the double
+    * evaluation of an exact integer expression cannot diverge.
+    *
+    * Same plan, state and headroom story as [[smooth]]; emission
+    * `(level_milli, trend_milli, forecast_milli = level + trend)` needs
+    * no look-back, so the incremental `mapGroupsWithState` form carries
+    * two longs of state.
+    */
+  def holt(events: DataFrame, key: Column, ts: Column, eventId: Column,
+           valueMilli: Column, alphaPpm: Long, betaPpm: Long): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000,
+      s"alphaPpm $alphaPpm out of (0, 1e6]")
+    require(betaPpm >= 1 && betaPpm <= 1000000,
+      s"betaPpm $betaPpm out of (0, 1e6]")
+    val keyName = events.select(key).columns.head
+    val (a, na) = (alphaPpm, 1000000L - alphaPpm)
+    val (b, nb) = (betaPpm, 1000000L - betaPpm)
+    val lNew = s"(($a * v + $na * (s.l + s.b)) DIV 1000000)"
+    events
+      .select(key, unix_micros(ts).as("__us"), eventId.as("__eid"),
+        valueMilli.as("__vm"))
+      .groupBy(col(keyName))
+      .agg(count(lit(1)).as("n_obs"), max("__us").as("last_us"),
+        sort_array(collect_list(struct(col("__us"), col("__eid"),
+          col("__vm")))).as("__l"))
+      .withColumn("__st", expr(
+        s"""aggregate(transform(__l, t -> t.__vm),
+            named_struct('l', CAST(NULL AS BIGINT), 'b', CAST(NULL AS BIGINT)),
+            (s, v) -> CASE WHEN s.l IS NULL
+              THEN named_struct('l', v, 'b', CAST(0 AS BIGINT))
+              ELSE named_struct(
+                'l', $lNew,
+                'b', (($b * ($lNew - s.l) + $nb * s.b) DIV 1000000))
+              END)"""))
+      .select(col(keyName), col("n_obs"), col("last_us"),
+        col("__st.l").as("level_milli"), col("__st.b").as("trend_milli"),
+        (col("__st.l") + col("__st.b")).as("forecast_milli"))
+  }
 }

@@ -502,6 +502,51 @@ object Vocab {
             " ELSE d - __ds[i-1] END)")).as("gaps"))
   }
 
+  /** Term burstiness — the Fano factor (variance/mean index of
+    * dispersion) of a term's per-document occurrence counts, over the
+    * documents that contain it. Content words are BURSTY (absent from
+    * most docs, repeated when on-topic → Fano ≫ 1); function words are
+    * Poisson-ish (Fano ≈ 1); burstiness is the corpus-linguistics
+    * signal behind keyword weighting beyond raw frequency (Church &
+    * Gale 1995) and a topical-vocabulary probe no plain count ranking
+    * gives.
+    *
+    * Exact integer: with `df` containing docs, `Σc`, `Σc²`,
+    * `fano_micro = (df·Σc² − (Σc)²)·10⁶ DIV (df·Σc)` — the population
+    * var/mean quotient cleared of fractions; products ride
+    * DECIMAL(38,0) (replay: HUGEINT). A uniform 1-per-doc term scores
+    * exactly 0.
+    *
+    * Plan: token explode (map-side) → (term, doc) rollup → term rollup
+    * (both partial-aggregated; the second reuses the first's term-side
+    * hash partitioning prefix) → `minDf` floor → TakeOrderedAndProject
+    * top-k, fully ordered `(fano DESC, term ASC)` for a deterministic
+    * cut.
+    */
+  def termBurstiness(df: DataFrame, id: Column, text: Column,
+                     minDf: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"k must be >= 1, got $k")
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    df.select(id.as("__doc"),
+        explode(split(lower(text), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("__doc"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_count"),
+        sum("__c").as("n_occurrences"),
+        sum(col("__c") * col("__c")).as("__sc2"))
+      .filter(col("df_count") >= minDf)
+      .select(col("term"), col("df_count"), col("n_occurrences"),
+        call_function("div",
+          (dec(col("df_count")) * col("__sc2") -
+            dec(col("n_occurrences")) * col("n_occurrences")) * 1000000L,
+          dec(col("df_count")) * col("n_occurrences")).as("fano_micro"))
+      .orderBy(col("fano_micro").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Exact phrase search over the corpus — all docs containing the
     * n-word phrase as CONSECUTIVE tokens, with match count and first
     * match position. This is the scan-side phrase matcher (the shape a

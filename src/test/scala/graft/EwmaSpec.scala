@@ -71,4 +71,38 @@ class EwmaSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
   }
+
+  test("holt: level+trend fold matches the hand recurrence") {
+    // v = 1000, 2000, 3000; α=0.2, β=0.3:
+    // l0=1000 b0=0 → l1=1200 b1=60 → l2=1608 b2=164
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1000L),
+      (1L, ts("2024-01-01 00:00:01"), 2L, 2000L),
+      (1L, ts("2024-01-01 00:00:02"), 3L, 3000L),
+      // single-observation key: level = v, trend = 0
+      (2L, ts("2024-01-01 00:00:00"), 4L, 500L)
+    ).toDF("user_id", "ts", "event_id", "vm")
+    val out = graft.ops.Ewma.holt(events, col("user_id"), col("ts"),
+        col("event_id"), col("vm"), alphaPpm = 200000L, betaPpm = 300000L)
+      .orderBy("user_id")
+      .select("user_id", "level_milli", "trend_milli", "forecast_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1608L, 164L, 1772L), (2L, 500L, 0L, 500L)))
+  }
+
+  test("holt: a falling series yields a negative trend (truncation-safe)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 3000L),
+      (1L, ts("2024-01-01 00:00:01"), 2L, 2000L),
+      (1L, ts("2024-01-01 00:00:02"), 3L, 1000L)
+    ).toDF("user_id", "ts", "event_id", "vm")
+    val out = graft.ops.Ewma.holt(events, col("user_id"), col("ts"),
+        col("event_id"), col("vm"), alphaPpm = 200000L, betaPpm = 300000L)
+      .select("level_milli", "trend_milli").as[(Long, Long)]
+      .collect().head
+    // l1=(0.2·2000+0.8·3000)=2800, b1=(0.3·(−200))=−60
+    // l2=(0.2·1000+0.8·2740)=200+2192=2392, b2=(0.3·(−408)+0.7·(−60))
+    //   = (−122400000−42000000) DIV 1e6 = −164 (truncation toward zero)
+    assert(out == ((2392L, -164L)))
+  }
 }

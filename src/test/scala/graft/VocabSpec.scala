@@ -279,6 +279,28 @@ class VocabSpec extends SparkSpec {
     assert(out.head._3 > out(1)._3)
   }
 
+  test("termBurstiness: bursty term outranks uniform, exact Fano micro") {
+    val docs = Seq(
+      (1L, "x x x y"),
+      (2L, "x y"),
+      (3L, "y")
+    ).toDF("doc_id", "text")
+    val out = Vocab.termBurstiness(docs, col("doc_id"), col("text"),
+        minDf = 1L, k = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // x: df=2, c={3,1} → (2·10 − 16)·1e6 / (2·4) = 500000
+    // y: df=3, c={1,1,1} → uniform ⇒ exactly 0
+    assert(out == Seq(("x", 2L, 4L, 500000L), ("y", 3L, 3L, 0L)))
+  }
+
+  test("termBurstiness: minDf prunes, top-k cuts on (fano desc, term)") {
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = Vocab.termBurstiness(docs, col("doc_id"), col("text"),
+        minDf = 2L, k = 1)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("b")) // 'a' has df=1 → pruned
+  }
+
   test("phraseSearch: consecutive-token matches, 0-based first position") {
     val docs = Seq(
       (1L, "the hash join beats the hash join here"), // 2 matches @ 1, 5
