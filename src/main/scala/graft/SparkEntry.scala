@@ -881,6 +881,21 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Sequential association rules (A bought, then B later): distinct
+    // per-customer item spans first, so the pair stage is catalog-
+    // bounded; integer confidence over the A-buyer marginal.
+    "a10_seq_rules" -> { (s, dir) =>
+      graft.ops.Sequences.sequentialRules(Tables.orders(s, dir),
+        Tables.lineitem(s, dir), minSupport = 3L, k = 100)
+    },
+
+    // Kaplan-Meier churn curve: censored lifetimes, integer ppm
+    // survival fold over duration-distinct (calendar-bounded) rows.
+    "w24_survival" -> { (s, dir) =>
+      graft.ops.Survival.kaplanMeier(Tables.events(s, dir),
+        col("user_id"), col("ts"), churnGapDays = 7)
+    },
+
     // Holt double-exponential smoothing: integer (level, trend) struct
     // fold, forecast = level + trend — the EWMA sibling for drifting
     // series; same one-shuffle sorted-fold plan as w12.
@@ -4047,6 +4062,61 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "a10_seq_rules" ->
+      """WITH items AS (
+        |  SELECT o.o_custkey AS cust, l.l_partkey AS item,
+        |    min(CAST(o.o_orderdate AS DATE)) AS f,
+        |    max(CAST(o.o_orderdate AS DATE)) AS lst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT a.item AS ante, b.item AS cons,
+        |    CAST(count(*) AS BIGINT) AS n_sequential
+        |  FROM items a JOIN items b
+        |    ON a.cust = b.cust AND a.item <> b.item AND a.f < b.lst
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3),
+        |ac AS (SELECT item AS ante, CAST(count(*) AS BIGINT) AS n_ante
+        |  FROM items GROUP BY 1)
+        |SELECT pc.ante, pc.cons, pc.n_sequential, ac.n_ante,
+        |  CAST((pc.n_sequential * 1000000) // ac.n_ante AS BIGINT)
+        |    AS confidence_ppm
+        |FROM pc JOIN ac ON pc.ante = ac.ante
+        |ORDER BY confidence_ppm DESC, pc.n_sequential DESC,
+        |  pc.ante, pc.cons
+        |LIMIT 100""".stripMargin,
+
+    "w24_survival" ->
+      """WITH RECURSIVE spans AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |    max(CAST(ts AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |edge AS (SELECT max(l) AS e FROM spans),
+        |lt AS (
+        |  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+        |    date_diff('day', l, e) >= 7 AS churned
+        |  FROM spans, edge),
+        |bd AS (
+        |  SELECT t, CAST(count(*) FILTER (WHERE churned) AS BIGINT) AS d,
+        |    CAST(count(*) FILTER (WHERE NOT churned) AS BIGINT) AS c
+        |  FROM lt GROUP BY 1),
+        |rk AS MATERIALIZED (
+        |  SELECT t, d, c,
+        |    CAST(sum(d + c) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS r,
+        |    row_number() OVER (ORDER BY t ASC) AS i
+        |  FROM bd),
+        |fold AS (
+        |  SELECT t, d, c, r, i, (1000000 * (r - d)) // r AS s
+        |  FROM rk WHERE i = 1
+        |  UNION ALL
+        |  SELECT rk.t, rk.d, rk.c, rk.r, rk.i, (f.s * (rk.r - rk.d)) // rk.r
+        |  FROM fold f JOIN rk ON rk.i = f.i + 1)
+        |SELECT t AS duration_days, r AS n_risk, d AS n_events,
+        |  c AS n_censored, CAST(s AS BIGINT) AS survival_ppm
+        |FROM fold""".stripMargin,
 
     // NOT list_reduce: DuckDB 1.0 mutates the accumulator struct field
     // by field, so a struct-state lambda's later fields read already-

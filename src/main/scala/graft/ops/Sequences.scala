@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential association rules — "customers who bought A LATER bought
+  * B": the temporal sibling of [[Associations]]' same-basket lift. The
+  * direction matters (diapers→beer ≠ beer→diapers here), which is what
+  * makes the rule actionable for next-purchase recommendation and
+  * lifecycle marketing.
+  *
+  * A rule (A → B) counts a customer once iff some A-purchase strictly
+  * precedes (by order DATE) some B-purchase, A ≠ B.
+  * `confidence_ppm = n(A→B)·10⁶ DIV n(A-buyers)` — the denominator is
+  * ALL customers who ever bought A (industry convention: confidence of
+  * "A-buyer later converts to B"), integer DIV exact.
+  *
+  * Scale shape: the per-customer item timeline collapses to DISTINCT
+  * (customer, item, first_day, last_day) FIRST — a customer buying A
+  * in 10⁶ orders still contributes ONE row — so the per-customer pair
+  * stage is quadratic in DISTINCT ITEMS per customer (catalog-bounded),
+  * never in orders. Pairing is a per-customer self-join on that
+  * deduped frame (`first_day(A) < last_day(B)` proves a preceding
+  * A-then-B witness exists); one customer-key shuffle, then a
+  * (A, B)-key rollup with map-side partials, a support floor, and the
+  * A-marginal broadcast back.
+  */
+object Sequences {
+
+  def sequentialRules(orders: DataFrame, lineitem: DataFrame,
+                      minSupport: Long, k: Int): DataFrame = {
+    require(k >= 1 && minSupport >= 1, "need k >= 1, minSupport >= 1")
+    val items = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("__day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .agg(min("__day").as("__first"), max("__day").as("__last"))
+    val a = items.select(col("cust"), col("item").as("ante"),
+      col("__first").as("__af"))
+    val b = items.select(col("cust"), col("item").as("cons"),
+      col("__last").as("__bl"))
+    val pairCounts = a.join(b, Seq("cust"))
+      .filter(col("ante") =!= col("cons") && col("__af") < col("__bl"))
+      .groupBy(col("ante"), col("cons"))
+      .agg(count(lit(1)).as("n_sequential"))
+      .filter(col("n_sequential") >= minSupport)
+    val anteCounts = items.groupBy(col("item").as("ante"))
+      .agg(count(lit(1)).as("n_ante"))
+    pairCounts.join(broadcast(anteCounts), Seq("ante"))
+      .select(col("ante"), col("cons"), col("n_sequential"), col("n_ante"),
+        call_function("div", col("n_sequential") * 1000000L,
+          col("n_ante")).as("confidence_ppm"))
+      .orderBy(col("confidence_ppm").desc, col("n_sequential").desc,
+        col("ante").asc, col("cons").asc)
+      .limit(k)
+  }
+}
