@@ -21,6 +21,14 @@ final case class EwmaState(
     last_us: Long,
     ewma_milli: Long)
 
+/** Two-long per-key streaming Holt state ([[StreamOps.holtPerKey]]). */
+final case class HoltState(
+    user_id: Long,
+    n_obs: Long,
+    last_us: Long,
+    level_milli: Long,
+    trend_milli: Long)
+
 /** Structured Streaming facade (SURVEY §2.10).
   *
   * The reference consumes its Kafka/Kinesis streams as already-landed batch
@@ -211,6 +219,46 @@ object StreamOps {
             val s = if (st.n_obs == 0L) vm
               else (alphaPpm * vm + beta * st.ewma_milli) / 1000000L
             st = EwmaState(k, st.n_obs + 1, e.ts.getTime * 1000L, s)
+          }
+          state.update(st)
+          st
+      }
+  }
+
+  /** Streaming Holt — [[graft.ops.Ewma.holt]]'s (level, trend) integer
+    * recurrence carried incrementally: exactly two longs of per-key
+    * state beyond the bookkeeping, the promise the batch operator's
+    * scaladoc makes. Same monotone-event-time contract and Update-mode
+    * emission as [[ewmaPerKey]]; Scala `/`, Spark `DIV` and DuckDB `//`
+    * all truncate toward zero, so the streamed fixpoint equals the
+    * batch fold bit-for-bit (StreamingSpec proves it).
+    */
+  def holtPerKey(ds: Dataset[KeyedEvent], alphaPpm: Long,
+                 betaPpm: Long): Dataset[HoltState] = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000,
+      s"alphaPpm $alphaPpm out of (0, 1e6]")
+    require(betaPpm >= 1 && betaPpm <= 1000000,
+      s"betaPpm $betaPpm out of (0, 1e6]")
+    implicit val stateEnc = Encoders.product[HoltState]
+    implicit val longEnc = Encoders.scalaLong
+    val na = 1000000L - alphaPpm
+    val nb = 1000000L - betaPpm
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, events: Iterator[KeyedEvent], state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(k, 0L, 0L, 0L, 0L))
+          events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val vm = Math.round(e.value * 1000)
+            val (l, b) =
+              if (st.n_obs == 0L) (vm, 0L)
+              else {
+                val ln = (alphaPpm * vm +
+                  na * (st.level_milli + st.trend_milli)) / 1000000L
+                val bn = (betaPpm * (ln - st.level_milli) +
+                  nb * st.trend_milli) / 1000000L
+                (ln, bn)
+              }
+            st = HoltState(k, st.n_obs + 1, e.ts.getTime * 1000L, l, b)
           }
           state.update(st)
           st

@@ -612,4 +612,46 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map { case (u, n, e) => u -> ((n, e)) }.toMap
     assert(batchOut == streamed)
   }
+
+  test("holtPerKey: two-long state lands on the batch Holt fixpoint") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val smoothed = StreamOps.holtPerKey(input.toDS(),
+      alphaPpm = 200000L, betaPpm = 300000L)
+    val query = StreamOps.startMemorySink(smoothed.toDF(), "holt_q",
+      OutputMode.Update())
+
+    def ev(u: Long, t: String, id: Long, v: Double) =
+      KeyedEvent(u, ts(t), id, "m", v)
+    val all = Seq(
+      // trigger 1: the w23 hand case's first two points (out of order)
+      Seq(ev(1L, "2024-01-01 00:00:01", 2, 2.0),
+        ev(1L, "2024-01-01 00:00:00", 1, 1.0)),
+      // trigger 2: state carries into the third point
+      Seq(ev(1L, "2024-01-01 00:00:02", 3, 3.0)))
+    all.foreach { batch => input.addData(batch: _*); query.processAllAvailable() }
+    query.stop()
+
+    val streamed = spark.table("holt_q")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_obs"), col("last_us"), col("level_milli"),
+        col("trend_milli"))).as("s"))
+      .select(col("user_id"), col("s.n_obs"), col("s.level_milli"),
+        col("s.trend_milli"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // hand fold (EwmaSpec's case): l=1608, b=164
+    assert(streamed == Seq((1L, 3L, 1608L, 164L)))
+
+    val batchOut = graft.ops.Ewma.holt(
+        all.flatten.map(e => (e.user_id, e.ts, e.event_id, e.value))
+          .toDF("user_id", "ts", "event_id", "value"),
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"),
+        alphaPpm = 200000L, betaPpm = 300000L)
+      .select(col("user_id"), col("n_obs"), col("level_milli"),
+        col("trend_milli"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(batchOut == streamed)
+  }
 }
