@@ -881,6 +881,21 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Referential-integrity report: orphan counts per declared FK —
+    // the gate before trusting inner joins; LEFT ANTI vs the parent's
+    // distinct (broadcast) key set.
+    "p11_fk_check" -> { (s, dir) =>
+      graft.ops.Profile.fkCheck(Seq(
+        ("lineitem.l_orderkey->orders", Tables.lineitem(s, dir),
+          col("l_orderkey"), Tables.orders(s, dir), col("o_orderkey")),
+        ("orders.o_custkey->customer", Tables.orders(s, dir),
+          col("o_custkey"), Tables.customer(s, dir), col("c_custkey")),
+        ("lineitem.l_partkey->part", Tables.lineitem(s, dir),
+          col("l_partkey"), Tables.part(s, dir), col("p_partkey")),
+        ("customer.c_nationkey->nation", Tables.customer(s, dir),
+          col("c_nationkey"), Tables.nation(s, dir), col("n_nationkey"))))
+    },
+
     // Sequential association rules (A bought, then B later): distinct
     // per-customer item spans first, so the pair stage is catalog-
     // bounded; integer confidence over the A-buyer marginal.
@@ -4062,6 +4077,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "p11_fk_check" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relationship,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+        |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT) AS n_orphans,
+        |  CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT) AS n_orphan_keys
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders r WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)),
+        |  (SELECT count(DISTINCT o_custkey) FROM orders r
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = r.o_custkey))
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM part p
+        |      WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+        |  (SELECT count(DISTINCT c_nationkey) FROM customer c
+        |    WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |      WHERE n.n_nationkey = c.c_nationkey))""".stripMargin,
 
     "a10_seq_rules" ->
       """WITH items AS (

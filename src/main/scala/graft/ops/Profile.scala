@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality report every ingestion pipeline
@@ -41,5 +41,36 @@ object Profile {
       .select(col("column_name"), col("__n").as("n_rows"),
         (col("__n") - col("__nonnull")).as("n_nulls"),
         col("n_distinct"))
+  }
+
+  /** Referential-integrity check — one row per declared FK relationship:
+    * child rows, orphan rows (child key value absent from the parent),
+    * distinct orphan key values. The data-quality gate before any join
+    * is trusted: an inner join silently DROPS orphans and a left join
+    * silently NULLs them, so "how many are there" must be a first-class
+    * report, not a surprise in downstream row counts.
+    *
+    * Plan per relationship: one LEFT ANTI join child→parent on the key
+    * (the parent side aggregates to its distinct keys first — at
+    * warehouse scale that's the dimension's key column, broadcastable),
+    * then a 1-row count aggregate. Null child keys count as orphans
+    * (they too vanish in an inner join — that's what the report is
+    * for). The per-relationship results union into one long-format
+    * table.
+    */
+  def fkCheck(relationships: Seq[(String, DataFrame, Column, DataFrame,
+      Column)]): DataFrame = {
+    require(relationships.nonEmpty, "need at least one relationship")
+    relationships.map { case (name, child, childKey, parent, parentKey) =>
+      val orphans = child.select(childKey.as("__k"))
+        .join(broadcast(parent.select(parentKey.as("__k")).distinct()),
+          Seq("__k"), "left_anti")
+      val total = child.agg(count(lit(1)).as("n_child"))
+      orphans.agg(count(lit(1)).as("n_orphans"),
+          count_distinct(col("__k")).as("n_orphan_keys"))
+        .crossJoin(total)
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"), col("n_orphan_keys"))
+    }.reduce(_ unionAll _)
   }
 }

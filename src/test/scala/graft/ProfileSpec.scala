@@ -18,6 +18,19 @@ class ProfileSpec extends SparkSpec {
       "s" -> ((4L, 1L, 2L))))
   }
 
+  test("fkCheck: orphans counted, null child keys are orphans too") {
+    import org.apache.spark.sql.functions.col
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = Profile.fkCheck(Seq(("c->p", child, col("fk"), parent,
+        col("pk"))))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // 4 child rows; orphans: the 9 and the null; distinct orphan KEYS
+    // counts only the 9 (count distinct ignores null)
+    assert(out == Seq(("c->p", 4L, 2L, 1L)))
+  }
+
   test("columns: one scan, Expand-based multi-distinct (two exchanges)") {
     val df = Seq((1L, "a")).toDF("k", "s")
     val plan = Profile.columns(df, Seq("k", "s"))

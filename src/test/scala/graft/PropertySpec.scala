@@ -773,4 +773,104 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"rows=$rows: $got != $expected")
     }
   }
+
+  test("property: Ewma.holt equals an in-memory (level, trend) fold") {
+    val cases: Gen[Seq[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        us <- Gen.choose(0L, 50L)
+        vm <- Gen.choose(-10000L, 10000L)   // negatives exercise DIV
+      } yield (us, vm))
+    } yield rows.zipWithIndex.map { case ((us, vm), i) =>
+      (us, i.toLong, vm)
+    }
+    val (a, na, b, nb) = (200000L, 800000L, 300000L, 700000L)
+    samples(cases, 20).foreach { rows =>
+      val df = rows
+        .map { case (us, eid, vm) =>
+          (1L, new java.sql.Timestamp(us), eid, vm)
+        }
+        .toDF("user_id", "ts", "event_id", "vm")
+      val got = graft.ops.Ewma.holt(df, col("user_id"), col("ts"),
+          col("event_id"), col("vm"), a, b)
+        .select("level_milli", "trend_milli").as[(Long, Long)].head()
+      val vs = rows.sortBy { case (us, eid, _) => (us, eid) }.map(_._3)
+      val expected = vs.tail.foldLeft((vs.head, 0L)) { case ((l, t), v) =>
+        val ln = (a * v + na * (l + t)) / 1000000L
+        (ln, (b * (ln - l) + nb * t) / 1000000L)
+      }
+      assert(got == expected, s"rows=$rows: $got != $expected")
+    }
+  }
+
+  test("property: timeDecayCredit — exact 1e6 split, floor/ceil quota") {
+    val cases: Gen[Seq[Long]] = for {
+      n <- Gen.choose(1, 20)
+      ages <- Gen.listOfN(n, Gen.choose(1L, 2000000L)) // seconds back
+    } yield ages
+    samples(cases, 20).foreach { ages =>
+      val convUs = 3000000L * 1000000L
+      val events = ages.zipWithIndex.map { case (ageS, i) =>
+        (1L, new java.sql.Timestamp((convUs / 1000000L - ageS) * 1000L),
+          (i + 1).toLong, "view")
+      } :+ ((1L, new java.sql.Timestamp(convUs / 1000L), 9999L, "purchase"))
+      val out = graft.ops.Attribution.timeDecayCredit(
+          events.toDF("user_id", "ts", "event_id", "event_type"),
+          col("user_id"), col("ts"), col("event_id"),
+          col("event_type") === "view", col("event_type") === "purchase",
+          lookbackSeconds = 3000000L, halflifeSeconds = 3600L)
+        .select("weight", "credit_ppm").as[(Long, Long)].collect().toSeq
+      assert(out.length == ages.length)
+      assert(out.map(_._2).sum == 1000000L, s"ages=$ages: $out")
+      val w = out.map(_._1)
+      assert(w.forall(x => x >= 1 && (x & (x - 1)) == 0),
+        s"weights must be powers of two >= 1: $w")
+      val totalW = w.map(BigInt(_)).sum
+      out.foreach { case (wi, credit) =>
+        val floorQ = (BigInt(wi) * 1000000 / totalW).toLong
+        assert(credit == floorQ || credit == floorQ + 1,
+          s"credit $credit outside Hamilton [floor, floor+1] " +
+            s"(w=$wi, W=$totalW, ages=$ages)")
+      }
+    }
+  }
+
+  test("property: kaplanMeier equals an in-memory KM with censoring") {
+    val cases: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(1, 25)
+      users <- Gen.listOfN(n, for {
+        first <- Gen.choose(0L, 20L)
+        span <- Gen.choose(0L, 15L)
+      } yield (first, span))
+    } yield users
+    samples(cases, 20).foreach { users =>
+      val events = users.zipWithIndex.flatMap { case ((first, span), i) =>
+        Seq((i.toLong, new java.sql.Timestamp(first * 86400000L)),
+          (i.toLong, new java.sql.Timestamp((first + span) * 86400000L)))
+      }
+      val got = graft.ops.Survival.kaplanMeier(
+          events.toDF("user_id", "ts"), col("user_id"), col("ts"),
+          churnGapDays = 7)
+        .orderBy("duration_days")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      // in-memory reference
+      val edge = users.map { case (f, s) => f + s }.max
+      val lts = users.map { case (f, s) => (s, edge - (f + s) >= 7) }
+      val byT = lts.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+        (t, g.count(_._2).toLong, g.count(!_._2).toLong)
+      }
+      var risk = lts.size.toLong
+      var s = 1000000L
+      val expected = byT.map { case (t, d, c) =>
+        s = s * (risk - d) / risk
+        val row = (t, risk, d, c, s)
+        risk -= (d + c)
+        row
+      }
+      assert(got == expected, s"users=$users:\n$got\n$expected")
+      // survival is monotone nonincreasing
+      assert(got.map(_._5).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)))
+    }
+  }
 }
