@@ -30,7 +30,10 @@ object Bench {
     "d6_neardup_dedup" -> 8.0, "d11_semantic_dedup_kmeans" -> 7.5,
     "d9_semantic_dedup_lsh" -> 7.0, "pipe_consume_sql" -> 6.5,
     "pipe_consume_e2e" -> 6.0, "a5_copurchase_pairs" -> 5.5,
-    "pipe_webrank_e2e" -> 5.2,
+    "pipe_webrank_e2e" -> 5.2, "a10_seq_rules" -> 5.1,
+    "p11_fk_check" -> 2.7, "j13_fuzzy_match" -> 1.7,
+    "w24_survival" -> 1.3, "t63_burstiness" -> 1.2,
+    "t28_pmi_bigrams" -> 2.9,
     "d7_semantic_dedup" -> 2.8, "t52_bpe_train" -> 2.6,
     "d15_containment_pairs" -> 2.5, "d2_minhash_neardup" -> 2.9,
     "d12_incremental_neardup" -> 2.7, "d14_winnow_dedup" -> 2.7,

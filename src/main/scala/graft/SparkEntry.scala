@@ -881,6 +881,16 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // RAKE keyword extraction: stopword-delimited phrase runs, integer
+    // degree/frequency word scores, top-50 phrases — map-side phrase
+    // assembly, one vocabulary rollup, broadcast score join.
+    "t64_rake_keywords" -> { (s, dir) =>
+      graft.text.Rake.keywords(Tables.documents(s, dir), col("doc_id"),
+        col("text"),
+        stopwords = Seq("the", "a", "of", "and", "is", "in", "to", "it"),
+        k = 50)
+    },
+
     // Referential-integrity report: orphan counts per declared FK —
     // the gate before trusting inner joins; LEFT ANTI vs the parent's
     // distinct (broadcast) key set.
@@ -4077,6 +4087,43 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "t64_rake_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS a
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split(array_to_string(
+        |        list_transform(a, w -> CASE WHEN len(w) = 0 OR
+        |          list_contains(['the','a','of','and','is','in','to','it'],
+        |            w) THEN chr(1) ELSE w END), ' '),
+        |        chr(1)), p -> trim(p)), p -> p <> '') AS phs
+        |  FROM t),
+        |inst AS (
+        |  SELECT doc_id, unnest(phs) AS phrase,
+        |    unnest(range(1, len(phs) + 1)) AS gi
+        |  FROM p0),
+        |iw AS (
+        |  SELECT doc_id, gi, phrase,
+        |    CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+        |    unnest(string_split(phrase, ' ')) AS word
+        |  FROM inst),
+        |wsc AS (
+        |  SELECT word,
+        |    (sum(n_words) * 1000000) // count(*) AS ws
+        |  FROM iw GROUP BY 1),
+        |isc AS (
+        |  SELECT iw.doc_id, iw.gi, iw.phrase, iw.n_words,
+        |    CAST(sum(wsc.ws) AS BIGINT) AS sc
+        |  FROM iw JOIN wsc ON iw.word = wsc.word
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(max(sc) AS BIGINT) AS score_micro
+        |FROM isc GROUP BY phrase
+        |ORDER BY score_micro DESC, phrase LIMIT 50""".stripMargin,
 
     "p11_fk_check" ->
       """SELECT 'lineitem.l_orderkey->orders' AS relationship,
