@@ -881,6 +881,24 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // HITS hubs & authorities (3 rounds, ppm-of-max normalization) on
+    // the g1/g2 synthetic graph — role-specific directed importance.
+    "g5_hits" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 37).as("src"),
+          ((col("doc_id") * 7 + 3) % 37).as("dst"))
+        .unionAll(d.select((col("doc_id") % 37).as("src"),
+          (((col("doc_id") * 11 + 5) % 41) % 37).as("dst")))
+      graft.graph.Hits.hubsAndAuthorities(edges, rounds = 3)
+    },
+
+    // Per-user OLS activity trend: five integer moments in ONE groupBy
+    // — exact slope in micro-units/day, null for single-day keys.
+    "w25_trend_slope" -> { (s, dir) =>
+      graft.ops.Trend.slopePerKey(Tables.events(s, dir), col("user_id"),
+        col("ts"), expr("CAST(round(value * 1000) AS BIGINT)"))
+    },
+
     // RAKE keyword extraction: stopword-delimited phrase runs, integer
     // degree/frequency word scores, top-50 phrases — map-side phrase
     // assembly, one vocabulary rollup, broadcast score join.
@@ -4087,6 +4105,81 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "g5_hits" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 37 AS src, (doc_id * 7 + 3) % 37 AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 37, ((doc_id * 11 + 5) % 41) % 37
+        |    FROM documents) t
+        |  WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) t),
+        |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS a,
+        |  CAST(1000000 AS BIGINT) AS h FROM nodes),
+        |a1r AS (SELECT e.dst AS node, CAST(sum(s.h) AS BIGINT) AS v
+        |  FROM e0 e JOIN s0 s ON e.src = s.node GROUP BY 1),
+        |a1 AS (SELECT n.node AS node, COALESCE(r.v, 0) AS v
+        |  FROM nodes n LEFT JOIN a1r r ON n.node = r.node),
+        |a1n AS (SELECT node, CAST(CASE WHEN mm.m > 0
+        |    THEN (v * 1000000) // mm.m ELSE 0 END AS BIGINT) AS a
+        |  FROM a1, (SELECT max(v) AS m FROM a1) mm),
+        |h1r AS (SELECT e.src AS node, CAST(sum(x.a) AS BIGINT) AS v
+        |  FROM e0 e JOIN a1n x ON e.dst = x.node GROUP BY 1),
+        |h1 AS (SELECT n.node AS node, COALESCE(r.v, 0) AS v
+        |  FROM nodes n LEFT JOIN h1r r ON n.node = r.node),
+        |h1n AS (SELECT node, CAST(CASE WHEN mm.m > 0
+        |    THEN (v * 1000000) // mm.m ELSE 0 END AS BIGINT) AS h
+        |  FROM h1, (SELECT max(v) AS m FROM h1) mm),
+        |a2r AS (SELECT e.dst AS node, CAST(sum(s.h) AS BIGINT) AS v
+        |  FROM e0 e JOIN h1n s ON e.src = s.node GROUP BY 1),
+        |a2 AS (SELECT n.node AS node, COALESCE(r.v, 0) AS v
+        |  FROM nodes n LEFT JOIN a2r r ON n.node = r.node),
+        |a2n AS (SELECT node, CAST(CASE WHEN mm.m > 0
+        |    THEN (v * 1000000) // mm.m ELSE 0 END AS BIGINT) AS a
+        |  FROM a2, (SELECT max(v) AS m FROM a2) mm),
+        |h2r AS (SELECT e.src AS node, CAST(sum(x.a) AS BIGINT) AS v
+        |  FROM e0 e JOIN a2n x ON e.dst = x.node GROUP BY 1),
+        |h2 AS (SELECT n.node AS node, COALESCE(r.v, 0) AS v
+        |  FROM nodes n LEFT JOIN h2r r ON n.node = r.node),
+        |h2n AS (SELECT node, CAST(CASE WHEN mm.m > 0
+        |    THEN (v * 1000000) // mm.m ELSE 0 END AS BIGINT) AS h
+        |  FROM h2, (SELECT max(v) AS m FROM h2) mm),
+        |a3r AS (SELECT e.dst AS node, CAST(sum(s.h) AS BIGINT) AS v
+        |  FROM e0 e JOIN h2n s ON e.src = s.node GROUP BY 1),
+        |a3 AS (SELECT n.node AS node, COALESCE(r.v, 0) AS v
+        |  FROM nodes n LEFT JOIN a3r r ON n.node = r.node),
+        |a3n AS (SELECT node, CAST(CASE WHEN mm.m > 0
+        |    THEN (v * 1000000) // mm.m ELSE 0 END AS BIGINT) AS a
+        |  FROM a3, (SELECT max(v) AS m FROM a3) mm),
+        |h3r AS (SELECT e.src AS node, CAST(sum(x.a) AS BIGINT) AS v
+        |  FROM e0 e JOIN a3n x ON e.dst = x.node GROUP BY 1),
+        |h3 AS (SELECT n.node AS node, COALESCE(r.v, 0) AS v
+        |  FROM nodes n LEFT JOIN h3r r ON n.node = r.node),
+        |h3n AS (SELECT node, CAST(CASE WHEN mm.m > 0
+        |    THEN (v * 1000000) // mm.m ELSE 0 END AS BIGINT) AS h
+        |  FROM h3, (SELECT max(v) AS m FROM h3) mm)
+        |SELECT a3n.node AS node, a3n.a AS authority_ppm,
+        |  h3n.h AS hub_ppm
+        |FROM a3n JOIN h3n ON a3n.node = h3n.node""".stripMargin,
+
+    "w25_trend_slope" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(count(DISTINCT x) AS BIGINT) AS n_days,
+        |  CASE WHEN count(DISTINCT x) >= 2 THEN
+        |    CAST(((count(*)::HUGEINT * sum(x::HUGEINT * y)
+        |        - sum(x)::HUGEINT * sum(y)) * 1000000)
+        |      // (count(*)::HUGEINT * sum(x::HUGEINT * x)
+        |        - sum(x)::HUGEINT * sum(x)) AS BIGINT)
+        |  ELSE NULL END AS slope_micro_per_day
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(round(value * 1000) AS BIGINT) AS y
+        |  FROM events) t
+        |GROUP BY 1""".stripMargin,
 
     "t64_rake_keywords" ->
       """WITH t AS (

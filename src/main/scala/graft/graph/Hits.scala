@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (Kleinberg 1999) — the directed-importance
+  * pair PageRank collapses into one number: an AUTHORITY is pointed at
+  * by good hubs, a HUB points at good authorities. On a citation,
+  * link, or supplier graph the two roles are genuinely different
+  * answers, which is why the graph family carries both ([[PageRank]] =
+  * stationary importance, HITS = role-specific importance,
+  * [[Triangles]] = cohesion, [[LabelPropagation]] = community).
+  *
+  * Exact integer: scores live in ppm of the per-round MAXIMUM (the
+  * standard ∞-norm normalization, integerized): each round computes
+  * `a(n) = Σ h(m) over in-edges`, rescales to `a·10⁶ DIV max(a)`, then
+  * `h(n) = Σ a(m) over out-edges` (the fresh authorities — the classic
+  * sequential update), rescaled likewise. Sums stay < |V|·10⁶ —
+  * int64-safe to ~9×10¹² nodes; no float norm ever exists.
+  *
+  * Plan per round: two edge⋈score joins (score frame keyed on node —
+  * the PageRank one-shuffle-per-iteration shape; broadcast when small)
+  * + two 1-row max aggregates broadcast back. Rounds FIXED — no
+  * driver-side convergence read. Nodes with no in-edges hold authority
+  * 0 (never null), mirrored for hubs.
+  */
+object Hits {
+
+  def hubsAndAuthorities(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    def rescale(df: DataFrame, c: String): DataFrame = {
+      val m = df.agg(max(col(c)).as("__m"))
+      df.crossJoin(broadcast(m))
+        .select(col("node"),
+          when(col("__m") > 0,
+            call_function("div", col(c) * 1000000L, col("__m")))
+            .otherwise(lit(0L)).as(c))
+    }
+    var scores = nodes.select(col("node"),
+      lit(1000000L).as("authority_ppm"), lit(1000000L).as("hub_ppm"))
+    for (_ <- 1 to rounds) {
+      val a = nodes.join(
+          e.join(scores.select(col("node"), col("hub_ppm")),
+            e("src") === scores("node"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum("hub_ppm").as("authority_ppm"))
+            .withColumnRenamed("node", "__n"),
+          col("node") === col("__n"), "left")
+        .select(col("node"),
+          coalesce(col("authority_ppm"), lit(0L)).as("authority_ppm"))
+      val aN = rescale(a, "authority_ppm")
+      val h = nodes.join(
+          e.join(aN.select(col("node"), col("authority_ppm")),
+            e("dst") === aN("node"))
+            .groupBy(col("src").as("node"))
+            .agg(sum("authority_ppm").as("hub_ppm"))
+            .withColumnRenamed("node", "__n"),
+          col("node") === col("__n"), "left")
+        .select(col("node"),
+          coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
+      val hN = rescale(h, "hub_ppm")
+      scores = aN.join(hN, Seq("node"))
+    }
+    scores
+  }
+}
