@@ -881,6 +881,18 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // PQ quantization-loss report: ADC top-5 from stored codes graded
+    // against the exact-L2 top-5 — the is-the-compressed-index-
+    // shippable eval, completing the recall harness (LSH s16,
+    // matryoshka s17, PQ s18).
+    "s18_pq_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.recallAtK(
+        Quantize.exactL2TopK(probes, emb, topK = 5),
+        Quantize.adcTopK(probes, emb, topK = 5, m = 4, k = 4, dim = 64))
+    },
+
     // HITS hubs & authorities (3 rounds, ppm-of-max normalization) on
     // the g1/g2 synthetic graph — role-specific directed importance.
     "g5_hits" -> { (s, dir) =>
@@ -4106,6 +4118,67 @@ object SparkEntry {
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
 
+    "s18_pq_recall" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |cb AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+        |    SELECT vec_id, e FROM emb
+        |    ORDER BY ((vec_id % 2147483647) * 1103515245
+        |              + 12345) % 2147483647, vec_id
+        |    LIMIT 4)),
+        |sel AS (
+        |  SELECT vec_id, j, cvec FROM (
+        |    SELECT m.vec_id, t.j, c.c[(t.j*16+1):(t.j*16+16)] AS cvec,
+        |      row_number() OVER (PARTITION BY m.vec_id, t.j ORDER BY
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(list_zip(m.e[(t.j*16+1):(t.j*16+16)],
+        |                                  c.c[(t.j*16+1):(t.j*16+16)]),
+        |            z -> (struct_extract(z,1) - struct_extract(z,2))
+        |               * (struct_extract(z,1) - struct_extract(z,2)))),
+        |          (acc, v) -> acc + v) ASC, c.cell ASC) AS rn
+        |    FROM emb m CROSS JOIN range(0, 4) t(j) CROSS JOIN cb c)
+        |  WHERE rn = 1),
+        |qd AS (
+        |  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id, s.j,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_zip(q.e[(s.j*16+1):(s.j*16+16)], s.cvec),
+        |        z -> (struct_extract(z,1) - struct_extract(z,2))
+        |           * (struct_extract(z,1) - struct_extract(z,2)))),
+        |      (acc, v) -> acc + v) AS d2
+        |  FROM emb q JOIN sel s ON q.vec_id <> s.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |adc AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY j)),
+        |      (acc, v) -> acc + v) AS a
+        |  FROM qd GROUP BY query_id, neighbor_id),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY a ASC, neighbor_id ASC) AS rank FROM adc)
+        |  WHERE rank <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(sqrt(list_reduce(
+        |        list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(list_zip(q.e, c.e),
+        |            z -> (struct_extract(z,1) - struct_extract(z,2))
+        |               * (struct_extract(z,1) - struct_extract(z,2)))),
+        |        (acc, v) -> acc + v)), 6) ASC, c.vec_id ASC) AS rank
+        |  FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0)
+        |  WHERE rank <= 5)
+        |SELECT ex.query_id, count(*) AS n_exact,
+        |  sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END)::BIGINT AS n_hit,
+        |  CAST((sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+        |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+        |  AND ex.neighbor_id = ap.neighbor_id
+        |GROUP BY 1""".stripMargin,
+
     "g5_hits" ->
       """WITH e0 AS (
         |  SELECT DISTINCT src, dst FROM (
@@ -4167,8 +4240,8 @@ object SparkEntry {
 
     "w25_trend_slope" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
-        |  CAST(count(DISTINCT x) AS BIGINT) AS n_days,
-        |  CASE WHEN count(DISTINCT x) >= 2 THEN
+        |  CASE WHEN (count(*)::HUGEINT * sum(x::HUGEINT * x)
+        |      - sum(x)::HUGEINT * sum(x)) > 0 THEN
         |    CAST(((count(*)::HUGEINT * sum(x::HUGEINT * y)
         |        - sum(x)::HUGEINT * sum(y)) * 1000000)
         |      // (count(*)::HUGEINT * sum(x::HUGEINT * x)

@@ -17,12 +17,14 @@ import org.apache.spark.sql.types.DecimalType
   * HUGEINT). The naive per-point float regression is
   * partial-order-dependent; five integer sums are not.
   *
-  * A key needs ≥ 2 DISTINCT days for the denominator to be positive;
-  * single-day keys emit `n_days` but a null slope (explicitly typed,
-  * never a divide-by-zero).
+  * A key whose observations all fall on ONE day has denominator 0 (no
+  * slope is defined) — guarded directly on the denominator, which
+  * keeps the plan a SINGLE aggregation: a `count_distinct(day)` guard
+  * would force Spark's two-phase distinct plan, a second exchange this
+  * operator does not need. Such keys emit a typed null slope.
   *
-  * Plan: ONE shuffle — a single groupBy computing the five moments
-  * with map-side partials. Nothing else: no window, no sort, no
+  * Plan: ONE shuffle — a single groupBy computing the four moments +
+  * count with map-side partials. Nothing else: no window, no sort, no
   * second pass; at 100 TB this is the cheapest shape a regression can
   * have.
   */
@@ -39,17 +41,17 @@ object Trend {
         valueMilli.cast("long").as("__y"))
       .groupBy(col(keyName))
       .agg(count(lit(1)).as("n_obs"),
-        count_distinct(col("__x")).as("n_days"),
         sum("__x").as("__sx"), sum("__y").as("__sy"),
         sum(dec(col("__x")) * col("__y")).as("__sxy"),
         sum(dec(col("__x")) * col("__x")).as("__sxx"))
-      .select(col(keyName), col("n_obs"), col("n_days"),
-        when(col("n_days") >= 2,
+      .withColumn("__den", dec(col("n_obs")) * col("__sxx") -
+        dec(col("__sx")) * col("__sx"))
+      .select(col(keyName), col("n_obs"),
+        when(col("__den") > 0,
           call_function("div",
             (dec(col("n_obs")) * col("__sxy") -
               dec(col("__sx")) * col("__sy")) * 1000000L,
-            dec(col("n_obs")) * col("__sxx") -
-              dec(col("__sx")) * col("__sx")))
+            col("__den")))
           .otherwise(lit(null).cast("long")).as("slope_micro_per_day"))
   }
 }

@@ -199,6 +199,31 @@ object Quantize {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Exact Euclidean top-k — the uncompressed baseline [[adcTopK]] is
+    * graded against ([[graft.sim.Similarity.recallAtK]] composes the
+    * two into the quantization-loss report): same broadcast-probe
+    * shape and tie rule as the cosine brute force, metric swapped to
+    * L2 so the comparison isolates the CODE loss, not a metric change.
+    */
+  def exactL2TopK(queries: DataFrame, corpus: DataFrame,
+                  topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__q")))
+    val c = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("l2_dist", round(sqrt(l2sq(col("__q"), col("__c"))), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("l2_dist"),
+        col("__rn").as("rank"))
+  }
+
   /** The k codebook vectors packed into ONE broadcast row, cell-sorted
     * (struct sort: cell is field 1) so positional lookups index by cell id.
     */

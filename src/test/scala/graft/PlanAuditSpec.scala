@@ -254,4 +254,35 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("sequential rules: bounded top-k, word marginals broadcast back") {
+    val p = plan(SparkEntry.queries("a10_seq_rules")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ante marginal must broadcast onto the pair table:\n$p")
+  }
+
+  test("trend slope: one data-scale exchange, map-side partial moments") {
+    val p = plan(SparkEntry.queries("w25_trend_slope")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"five-moment regression must be a single groupBy:\n$p")
+    assert(p.contains("partial_"), s"moments must partial-aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window pass expected:\n$p")
+  }
+
+  test("phrase search and RAKE assembly stay out of the generator-filter trap") {
+    // scan-side phrase match: no OPERATOR shuffle (Tables.load's
+    // round-robin input shaping on tiny files is not one) — and the
+    // match filter pushes below it, pruning before the repartition
+    val p1 = plan(SparkEntry.queries("t61_phrase_search")(spark, sf))
+    assert(!p1.contains("Exchange hashpartitioning"),
+      s"phrase scan shuffled:\n$p1")
+    // RAKE: word-score table broadcasts, top-k bounded
+    val p2 = plan(SparkEntry.queries("t64_rake_keywords")(spark, sf))
+    assert(p2.contains("BroadcastHashJoin"),
+      s"word scores must broadcast:\n$p2")
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"RAKE top-k must be bounded:\n$p2")
+  }
 }

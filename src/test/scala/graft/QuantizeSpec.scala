@@ -108,4 +108,19 @@ class QuantizeSpec extends SparkSpec {
       .filter(col("max_abs_err") > lit(0.5) / col("scale") + lit(1e-9))
     assert(bad.count() == 0)
   }
+
+  test("exactL2TopK: true Euclidean ranking, self excluded, id ties") {
+    val emb = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),   // dist 1
+      (2L, Array(3f, 4f, 0f, 0f)),   // dist 5
+      (3L, Array(0f, 1f, 0f, 0f))    // dist 1 — ties with 1, id breaks
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.exactL2TopK(
+        emb.filter(col("vec_id") === 0), emb, topK = 2)
+      .orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 3L))
+    assert(out.map(_._3) == Seq(1.0, 1.0))
+  }
 }

@@ -23,11 +23,11 @@ class TrendSpec extends SparkSpec {
     val out = Trend.slopePerKey(events, col("user_id"), col("ts"),
         col("vm"))
       .orderBy("user_id")
-      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+      .as[(Long, Long, Option[Long])].collect().toSeq
     assert(out == Seq(
-      (1L, 3L, 3L, Some(2000L * 1000000L)),
-      (2L, 2L, 2L, Some(-500L * 1000000L)),
-      (3L, 2L, 1L, None)))
+      (1L, 3L, Some(2000L * 1000000L)),
+      (2L, 2L, Some(-500L * 1000000L)),
+      (3L, 2L, None)))
   }
 
   test("slopePerKey: repeated days weight the regression correctly") {
@@ -39,7 +39,7 @@ class TrendSpec extends SparkSpec {
     ).toDF("user_id", "ts", "vm")
     val out = Trend.slopePerKey(events, col("user_id"), col("ts"),
         col("vm"))
-      .as[(Long, Long, Long, Option[Long])].collect().head
-    assert(out == ((1L, 3L, 2L, Some(0L))))
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(out == ((1L, 3L, Some(0L))))
   }
 }
