@@ -881,6 +881,14 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Language-balanced corpus slice: Hamilton quotas by char mass,
+    // realized per-language in the deterministic hash order — quota
+    // computation and realization fused.
+    "t65_balanced_sample" -> { (s, dir) =>
+      graft.text.Mixing.balancedSample(Tables.documents(s, dir),
+        col("doc_id"), col("lang"), col("n_chars"), budget = 200L)
+    },
+
     // PQ quantization-loss report: ADC top-5 from stored codes graded
     // against the exact-L2 top-5 — the is-the-compressed-index-
     // shippable eval, completing the recall harness (LSH s16,
@@ -4117,6 +4125,35 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "t65_balanced_sample" ->
+      """WITH a AS (
+        |  SELECT lang AS stratum, sum(n_chars)::BIGINT AS mass
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(mass) AS tot FROM a),
+        |q AS (SELECT stratum, mass,
+        |    (200 * mass) // tot AS base, (200 * mass) % tot AS rem
+        |  FROM a CROSS JOIN t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC)
+        |    AS rk, sum(base) OVER () AS spent FROM q),
+        |al AS (SELECT stratum,
+        |  CAST(base + CASE WHEN rk <= 200 - spent THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc FROM r),
+        |rk AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(list_filter(
+        |          string_split(CAST(doc_id AS VARCHAR), ''),
+        |          c -> len(c) > 0),
+        |          c -> CAST(ord(c) AS BIGINT))),
+        |        (a, x) -> (a * 131 + x) % 1000000007), doc_id
+        |      ) AS sample_rank
+        |  FROM documents)
+        |SELECT rk.doc_id, rk.lang, al.alloc,
+        |  CAST(rk.sample_rank AS BIGINT) AS sample_rank
+        |FROM rk JOIN al ON rk.lang = al.stratum
+        |WHERE rk.sample_rank <= al.alloc""".stripMargin,
 
     "s18_pq_recall" ->
       """WITH emb AS (

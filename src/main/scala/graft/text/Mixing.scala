@@ -225,6 +225,40 @@ object Mixing {
     * deliberate and harmless. Int64: `B·mᵢ < 2⁶³` — at B = 10⁶ that is
     * ~9.2×10¹² mass units per stratum; larger corpora pre-scale mass.
     */
+  /** Balanced corpus slice: [[largestRemainder]] quotas REALIZED — for
+    * a global document budget, each stratum contributes exactly its
+    * mass-proportional Hamilton quota of documents, chosen by the
+    * deterministic hash order (the [[QualityFilters.stratifiedTopN]]
+    * order, so the pick is reproducible and unbiased by storage
+    * layout). This is the mC4-style language-balanced subsetting step
+    * as ONE operator: quota computation and realization fused, no
+    * float share ever existing.
+    *
+    * Σ kept = budget exactly whenever every stratum holds at least its
+    * quota in rows; a thinner stratum under-fills VISIBLY (its kept
+    * count < `alloc` in the output — the shortfall is auditable, never
+    * silently redistributed).
+    *
+    * Plan: the quota side is the largestRemainder plan (strata-scale);
+    * the realization is one per-stratum window (rank by hash) + a
+    * broadcast quota join — a single data-scale sort, no global
+    * ordering anywhere.
+    */
+  def balancedSample(df: DataFrame, id: Column, stratum: Column,
+                     mass: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = largestRemainder(df, stratum, mass, budget)
+    val sName = df.select(stratum).columns.head
+    val idName = df.select(id).columns.head
+    val w = Window.partitionBy(col(sName))
+      .orderBy(graft.text.TextAnalysis.tokenHash(id.cast("string")), id)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(q.select(col("stratum").as(sName), col("alloc"))),
+        Seq(sName))
+      .filter(col("sample_rank") <= col("alloc"))
+      .select(col(idName), col(sName), col("alloc"), col("sample_rank"))
+  }
+
   def largestRemainder(df: DataFrame, stratum: Column, mass: Column,
                        budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")

@@ -159,4 +159,24 @@ class MixingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(out == Map("a" -> 7L, "b" -> 3L))
   }
+
+  test("balancedSample: quotas realize exactly, thin stratum under-fills visibly") {
+    // masses 50/30/20 on budget 10 → quotas 5/3/2; stratum c holds only
+    // ONE document, so it keeps 1 < alloc 2 — the shortfall is visible
+    val docs = ((1 to 10).map(i => (i.toLong, "a", 5L)) ++
+      (21 to 30).map(i => (i.toLong, "b", 3L)) ++
+      Seq((31L, "c", 20L))).toDF("doc_id", "lang", "n_chars")
+    val out = Mixing.balancedSample(docs, col("doc_id"),
+        col("lang"), col("n_chars"), budget = 10L)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val byLang = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang == Map("a" -> 5, "b" -> 3, "c" -> 1))
+    assert(out.forall(r => r._4 <= r._3), "rank must respect the quota")
+    assert(out.filter(_._2 == "c").head._3 == 2L, "c's alloc stays 2")
+    // determinism: a second run picks the same ids
+    val again = Mixing.balancedSample(docs, col("doc_id"),
+        col("lang"), col("n_chars"), budget = 10L)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
+  }
 }
