@@ -31,6 +31,7 @@ object Bench {
     "d9_semantic_dedup_lsh" -> 7.0, "pipe_consume_sql" -> 6.5,
     "pipe_consume_e2e" -> 6.0, "a5_copurchase_pairs" -> 5.5,
     "pipe_webrank_e2e" -> 5.2, "a10_seq_rules" -> 5.1,
+    "g5_hits" -> 6.0,
     "p11_fk_check" -> 2.7, "j13_fuzzy_match" -> 1.7,
     "w24_survival" -> 1.3, "t63_burstiness" -> 1.2,
     "t28_pmi_bigrams" -> 2.9,

@@ -881,6 +881,13 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Gini concentration of char mass per language: exact integer rank
+    // formulation over the distinct-value histogram (Quantiles shape).
+    "t66_gini" -> { (s, dir) =>
+      graft.ops.Gini.perGroup(Tables.documents(s, dir), col("lang"),
+        col("n_chars"))
+    },
+
     // Language-balanced corpus slice: Hamilton quotas by char mass,
     // realized per-language in the deterministic hash order — quota
     // computation and realization fused.
@@ -4125,6 +4132,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "t66_gini" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT lang, v, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |a AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(v::HUGEINT * c) AS sx,
+        |    sum(v::HUGEINT * c * (2 * cum - c + 1)) AS s2,
+        |    min(v) AS minv
+        |  FROM w GROUP BY 1)
+        |SELECT lang, n, CAST(sx AS BIGINT) AS mass,
+        |  CASE WHEN minv < 0 THEN NULL WHEN sx > 0 THEN
+        |    CAST(((s2 - (n + 1)::HUGEINT * sx) * 1000000)
+        |      // (n::HUGEINT * sx) AS BIGINT)
+        |  ELSE 0 END AS gini_ppm
+        |FROM a""".stripMargin,
 
     "t65_balanced_sample" ->
       """WITH a AS (
