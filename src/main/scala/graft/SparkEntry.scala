@@ -881,6 +881,22 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Operational-latency report: order→ship lag (days) percentiles per
+    // order priority — one join + the exact Quantiles crossing rule.
+    "w26_ship_latency" -> { (s, dir) =>
+      val lagged = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("__ship"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("__ord")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("__ship"), col("__ord")).cast("long").as("lag_days"))
+      graft.ops.Quantiles.exact(lagged, col("o_orderpriority"),
+        col("lag_days"),
+        Seq("p50" -> 500000L, "p90" -> 900000L, "p99" -> 990000L))
+    },
+
     // Gini concentration of char mass per language: exact integer rank
     // formulation over the distinct-value histogram (Quantiles shape).
     "t66_gini" -> { (s, dir) =>
@@ -4132,6 +4148,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "w26_ship_latency" ->
+      """WITH lag AS (
+        |  SELECT o.o_orderpriority,
+        |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+        |      AS BIGINT) AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |c AS (
+        |  SELECT o_orderpriority, v, count(*) AS cnt
+        |  FROM lag GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT o_orderpriority, v,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum*1000000 >= 500000*n THEN v END)
+        |    AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum*1000000 >= 900000*n THEN v END)
+        |    AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum*1000000 >= 990000*n THEN v END)
+        |    AS BIGINT) AS p99
+        |FROM cum GROUP BY 1""".stripMargin,
 
     "t66_gini" ->
       """WITH c AS (
