@@ -881,6 +881,15 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Peak session concurrency per day: day-decomposed sweep-line over
+    // 1-hour-gap sessions — no global endpoint sort; inclusive overlap.
+    "w27_peak_concurrency" -> { (s, dir) =>
+      val sess = graft.ops.Sessionize.sessions(Tables.events(s, dir),
+        col("user_id"), col("ts"), gapSeconds = 3600L)
+      graft.ops.Concurrency.peakPerDay(sess, col("session_start"),
+        col("session_end"))
+    },
+
     // Operational-latency report: order→ship lag (days) percentiles per
     // order priority — one join + the exact Quantiles crossing rule.
     "w26_ship_latency" -> { (s, dir) =>
@@ -4148,6 +4157,50 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "w27_peak_concurrency" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 3600000000 THEN 1 ELSE 0 END AS op
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(op) OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS session_seq
+        |  FROM o),
+        |sess AS (
+        |  SELECT min(ts) AS session_start, max(ts) AS session_end
+        |  FROM s GROUP BY user_id, session_seq),
+        |pts AS (
+        |  SELECT CAST(session_start AS DATE) AS day,
+        |    epoch_us(session_start) AS us, CAST(1 AS BIGINT) AS d
+        |  FROM sess
+        |  UNION ALL
+        |  SELECT CAST(session_end AS DATE), epoch_us(session_end),
+        |    CAST(-1 AS BIGINT)
+        |  FROM sess),
+        |run AS (
+        |  SELECT day, d,
+        |    sum(d) OVER (PARTITION BY day ORDER BY us ASC, d DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+        |  FROM pts),
+        |agg AS (
+        |  SELECT day, sum(d) AS net, max(r) AS maxrun,
+        |    CAST(count(*) FILTER (WHERE d = 1) AS BIGINT) AS n_starts,
+        |    CAST(count(*) FILTER (WHERE d = -1) AS BIGINT) AS n_ends
+        |  FROM run GROUP BY 1),
+        |cum AS (
+        |  SELECT *, sum(net) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM agg)
+        |SELECT day, CAST(c - net AS BIGINT) AS base_concurrency,
+        |  CAST(c - net + greatest(CAST(0 AS BIGINT), maxrun) AS BIGINT)
+        |    AS peak_concurrency,
+        |  n_starts, n_ends
+        |FROM cum""".stripMargin,
 
     "w26_ship_latency" ->
       """WITH lag AS (
