@@ -835,6 +835,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Gini stays in [0, 1e6), zero iff uniform, reference-exact") {
+    val cases: Gen[Seq[Long]] = for {
+      n <- Gen.choose(1, 30)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 500L))
+      if vals.sum > 0
+    } yield vals
+    samples(cases, 20).foreach { vals =>
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val got = graft.ops.Gini.perGroup(df, col("g"), col("v"))
+        .select("gini_ppm").as[Option[Long]].head().get
+      // in-memory rank-formula reference
+      val sorted = vals.sorted
+      val n = vals.length.toLong
+      val sx = BigInt(vals.sum)
+      val s2 = sorted.zipWithIndex
+        .map { case (x, i) => BigInt(2) * (i + 1) * x }.sum
+      val expected = ((s2 - BigInt(n + 1) * sx) * 1000000 /
+        (BigInt(n) * sx)).toLong
+      assert(got == expected, s"vals=$vals: $got != $expected")
+      assert(got >= 0 && got < 1000000, s"out of range: $got for $vals")
+      if (vals.distinct.size == 1) assert(got == 0L)
+    }
+  }
+
   test("property: kaplanMeier equals an in-memory KM with censoring") {
     val cases: Gen[Seq[(Long, Long)]] = for {
       n <- Gen.choose(1, 25)
