@@ -921,6 +921,14 @@ object SparkEntry {
         col("doc_id"), col("lang"), col("n_chars"), budget = 200L)
     },
 
+    // Embedding-space drift: pairwise cosine of per-label INTEGER
+    // centroids (micro-unit sums, DIV means) — distribution-shift probe.
+    "s19_centroid_drift" -> { (s, dir) =>
+      Similarity.centroidDrift(
+        Tables.embeddings(s, dir).filter(col("embedding").isNotNull),
+        col("label"), col("embedding"))
+    },
+
     // PQ quantization-loss report: ADC top-5 from stored codes graded
     // against the exact-L2 top-5 — the is-the-compressed-index-
     // shippable eval, completing the recall harness (LSH s16,
@@ -4276,6 +4284,30 @@ object SparkEntry {
         |  CAST(rk.sample_rank AS BIGINT) AS sample_rank
         |FROM rk JOIN al ON rk.lang = al.stratum
         |WHERE rk.sample_rank <= al.alloc""".stripMargin,
+
+    "s19_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |d AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |    unnest(range(1, len(embedding) + 1)) AS dim
+        |  FROM e),
+        |c AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM d GROUP BY 1, 2),
+        |cen AS (
+        |  SELECT label,
+        |    list_transform(list_sort(list(struct_pack(d := dim,
+        |      c := s // n))), t -> CAST(t.c AS DOUBLE)) AS cen
+        |  FROM c GROUP BY 1)
+        |SELECT a.label AS group_a, b.label AS group_b,
+        |  round(list_cosine_similarity(a.cen, b.cen), 6)
+        |    AS centroid_cosine
+        |FROM cen a JOIN cen b ON a.label < b.label""".stripMargin,
 
     "s18_pq_recall" ->
       """WITH emb AS (

@@ -154,6 +154,50 @@ object Similarity {
     emb.withColumn("embedding", slice(col("embedding"), 1, d))
   }
 
+  /** Embedding-space drift between groups: pairwise cosine of the
+    * per-group CENTROIDS — the "did the distribution shift between
+    * snapshots/sources" probe a production embedding pipeline runs
+    * before trusting cross-snapshot ANN indexes or thresholds.
+    *
+    * Exactness: a float centroid (mean of doubles) is partial-order-
+    * dependent — unshippable under an exact-hash contract. Dimensions
+    * quantize to micro-units FIRST (`round(x·10⁶)`, exact int64 sums,
+    * map-side combined), the centroid is the integer `sum DIV n` per
+    * dimension, and only then does one cosine per GROUP PAIR (a
+    * groups²-scale computation, not data-scale) run in doubles —
+    * through the same [[cosine]]/`list_cosine_similarity` equivalence
+    * the whole ANN family's oracles already certify, rounded 6dp.
+    *
+    * Plan: dims explode map-side (×dim rows, partial-aggregated on
+    * (group, dim) before the one shuffle); centroids reassemble via
+    * sorted collect (dim-bounded arrays); the pair stage is a
+    * broadcast self-join of the GROUPS-scale centroid table.
+    */
+  def centroidDrift(df: DataFrame, group: Column,
+                    embedding: Column): DataFrame = {
+    val gName = df.select(group).columns.head
+    val cent = df
+      .select(group, posexplode(embedding).as(Seq("__d", "__x")))
+      .groupBy(col(gName), col("__d"))
+      // float→double is exact; float·10⁶ fits double's mantissa exactly
+      // and can never be a .5 boundary (5⁶ in the denominator), so the
+      // round is engine-deterministic
+      .agg(sum(expr("CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)"))
+          .as("__s"),
+        count(lit(1)).as("__n"))
+      .groupBy(col(gName))
+      .agg(sort_array(collect_list(struct(col("__d"),
+        call_function("div", col("__s"), col("__n")).as("__c"))))
+        .as("__cs"))
+      .select(col(gName),
+        expr("transform(__cs, s -> CAST(s.__c AS DOUBLE))").as("__cen"))
+    val a = cent.select(col(gName).as("group_a"), col("__cen").as("__ca"))
+    val b = cent.select(col(gName).as("group_b"), col("__cen").as("__cb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        round(cosine(col("__ca"), col("__cb")), 6).as("centroid_cosine"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id"),
