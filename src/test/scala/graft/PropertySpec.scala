@@ -859,6 +859,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: FuzzyMatch equals brute-force Levenshtein<=1 pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val word: Gen[String] = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val cases: Gen[Seq[String]] = for {
+      n <- Gen.choose(2, 15)
+      ws <- Gen.listOfN(n, word)
+    } yield ws
+    samples(cases, 15).foreach { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => ((i + 1).toLong, w) }
+        .toDF("id", "name")
+      val got = graft.ops.FuzzyMatch.selfPairs(df, col("id"), col("name"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        i <- ws.indices; j <- ws.indices if i < j
+        if lev(ws(i), ws(j)) <= 1
+      } yield ((i + 1).toLong, (j + 1).toLong)).toSet
+      assert(got == expected, s"words=$ws:\n got $got\n exp $expected")
+    }
+  }
+
+  test("property: phraseSearch equals a naive sliding-window reference") {
+    val cases: Gen[(Seq[String], Seq[String])] = for {
+      n <- Gen.choose(0, 15)
+      toks <- Gen.listOfN(n, Gen.oneOf("x", "y", "z"))
+      plen <- Gen.choose(2, 3)
+      phrase <- Gen.listOfN(plen, Gen.oneOf("x", "y", "z"))
+    } yield (toks, phrase)
+    samples(cases, 20).foreach { case (toks, phrase) =>
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.text.Vocab.phraseSearch(df, col("doc_id"),
+          col("text"), phrase)
+        .select("n_matches", "first_pos").as[(Long, Long)]
+        .collect().toSeq
+      // reference over the RAW split (empty text splits to [""])
+      val raw = toks.mkString(" ").split(" ", -1).toSeq
+      val hits = raw.indices.filter(i => i + phrase.length <= raw.length &&
+        phrase.indices.forall(j => raw(i + j) == phrase(j)))
+      val expected =
+        if (hits.isEmpty) Seq.empty
+        else Seq((hits.length.toLong, hits.head.toLong))
+      assert(got == expected,
+        s"toks=$toks phrase=$phrase: $got != $expected")
+    }
+  }
+
   test("property: kaplanMeier equals an in-memory KM with censoring") {
     val cases: Gen[Seq[(Long, Long)]] = for {
       n <- Gen.choose(1, 25)
