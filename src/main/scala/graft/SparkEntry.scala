@@ -881,6 +881,13 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Percent-rank normalization table per user (rank-based feature
+    // scaling, integer percent_rank semantics — ties share the rank).
+    "w28_percent_rank" -> { (s, dir) =>
+      graft.ops.Quantiles.percentRanks(Tables.events(s, dir),
+        col("user_id"), expr("CAST(round(value * 1000) AS BIGINT)"))
+    },
+
     // Peak session concurrency per day: day-decomposed sweep-line over
     // 1-hour-gap sessions — no global endpoint sort; inclusive overlap.
     "w27_peak_concurrency" -> { (s, dir) =>
@@ -4165,6 +4172,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "w28_percent_rank" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS value
+        |  FROM events),
+        |c AS (SELECT user_id, value, count(*) AS c
+        |  FROM base GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, value, c,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY user_id) AS n
+        |  FROM c)
+        |SELECT user_id, value, CAST(c AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN n > 1
+        |    THEN ((cum - c) * 1000000) // (n - 1) ELSE 0 END AS BIGINT)
+        |    AS pr_ppm
+        |FROM w""".stripMargin,
 
     "w27_peak_concurrency" ->
       """WITH o AS (

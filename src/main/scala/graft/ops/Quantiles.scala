@@ -55,4 +55,37 @@ object Quantiles {
           .as(name)
       }: _*)
   }
+
+  /** The inverse direction — value → percent rank, as a NORMALIZATION
+    * TABLE: one row per (group, distinct value) with
+    * `pr_ppm = (rank − 1)·10⁶ DIV (n − 1)` where `rank` is the SQL
+    * `rank()` (ties share the rank of their first row — exactly
+    * `percent_rank` semantics, integerized). Rank-based feature scaling
+    * is the robust alternative to min-max or z-score (outlier-immune,
+    * distribution-free); emitting the distinct-value TABLE instead of a
+    * per-row column keeps the output value-domain-scale and lets
+    * training and serving join the SAME table — no train/serve skew.
+    *
+    * Same plan as [[exact]]: one data-scale rollup shuffle, then
+    * distinct-value-scale windows on the same partitioning. A
+    * single-row group (n = 1) emits 0 — the conventional
+    * `percent_rank` of a lone row, never a divide-by-zero.
+    */
+  def percentRanks(df: DataFrame, group: Column,
+                   value: Column): DataFrame = {
+    val gName = df.select(group).columns.head
+    val counts = df.select(group, value.cast("long").as("value"))
+      .groupBy(col(gName), col("value")).agg(count(lit(1)).as("__c"))
+    val byV = Window.partitionBy(col(gName)).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(gName))
+    counts
+      .select(col(gName), col("value"), col("__c"),
+        sum("__c").over(byV).as("__cum"),
+        sum("__c").over(whole).as("__n"))
+      .select(col(gName), col("value"), col("__c").as("n_rows"),
+        when(col("__n") > 1, call_function("div",
+          (col("__cum") - col("__c")) * 1000000L, col("__n") - 1))
+          .otherwise(lit(0L)).as("pr_ppm"))
+  }
 }

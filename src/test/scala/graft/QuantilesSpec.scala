@@ -46,4 +46,20 @@ class QuantilesSpec extends SparkSpec {
     val sorts = "(?m)^\\s*[*+:-]*\\s*Sort ".r.findAllIn(plan).length
     assert(sorts == 1, s"expected 1 sort, got $sorts in:\n$plan")
   }
+
+  test("percentRanks: percent_rank semantics with ties, lone row is 0") {
+    val df = Seq(
+      ("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L), // ranks 1,2,2,4
+      ("b", 7L)
+    ).toDF("g", "v")
+    val out = graft.ops.Quantiles.percentRanks(df, col("g"), col("v"))
+      .orderBy("g", "value")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // n=4 → pr = (rank−1)·1e6 div 3: 0, 333333, 1000000
+    assert(out == Seq(
+      ("a", 10L, 1L, 0L),
+      ("a", 20L, 2L, 333333L),
+      ("a", 30L, 1L, 1000000L),
+      ("b", 7L, 1L, 0L)))
+  }
 }
