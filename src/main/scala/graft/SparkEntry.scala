@@ -2944,7 +2944,7 @@ object SparkEntry {
         |      OR (b.tgt::HUGEINT * a.n_tokens = a.tgt::HUGEINT * b.n_tokens
         |          AND b.source < a.source)))),
         |tot AS (SELECT sum(n_tokens) AS tot FROM agg)
-        |SELECT t.source, t.n_docs, t.n_tokens,
+        |SELECT t.source, t.n_docs, CAST(t.n_tokens AS BIGINT) AS n_tokens,
         |  CAST(CASE WHEN tot.tot > 0
         |    THEN (t.n_tokens::HUGEINT * 1000000) // tot.tot
         |    ELSE 0 END AS BIGINT) AS actual_share_ppm,
@@ -3097,7 +3097,8 @@ object SparkEntry {
         |             (SELECT sum(n_tokens) FROM agg)) * 1000000)
         |      ELSE 0 END AS BIGINT) AS w_micro
         |  FROM agg)
-        |SELECT source, n_docs, n_tokens, actual_share_ppm,
+        |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  actual_share_ppm,
         |  CASE WHEN (SELECT sum(w_micro) FROM w) > 0 THEN
         |    CAST((w_micro * 1000000) // (SELECT sum(w_micro) FROM w)
         |      AS BIGINT)

@@ -51,19 +51,24 @@ object Profile {
     * report, not a surprise in downstream row counts.
     *
     * Plan per relationship: one LEFT ANTI join child→parent on the key
-    * (the parent side aggregates to its distinct keys first — at
-    * warehouse scale that's the dimension's key column, broadcastable),
-    * then a 1-row count aggregate. Null child keys count as orphans
-    * (they too vanish in an inner join — that's what the report is
-    * for). The per-relationship results union into one long-format
-    * table.
+    * (the parent side aggregates to its distinct keys first), then a
+    * 1-row count aggregate. No broadcast hint: a dimension parent
+    * (nation, region) is small enough that AQE converts the anti join
+    * to broadcast at runtime from the measured distinct-key size, but a
+    * FACT parent (orders keys under lineitem→orders) is
+    * warehouse-scale and an unconditional hint would OOM the driver at
+    * 100 TB — the shuffled anti join on the key is the correct plan
+    * there, and AQE picks per relationship. Null child keys count as
+    * orphans (they too vanish in an inner join — that's what the
+    * report is for). The per-relationship results union into one
+    * long-format table.
     */
   def fkCheck(relationships: Seq[(String, DataFrame, Column, DataFrame,
       Column)]): DataFrame = {
     require(relationships.nonEmpty, "need at least one relationship")
     relationships.map { case (name, child, childKey, parent, parentKey) =>
       val orphans = child.select(childKey.as("__k"))
-        .join(broadcast(parent.select(parentKey.as("__k")).distinct()),
+        .join(parent.select(parentKey.as("__k")).distinct(),
           Seq("__k"), "left_anti")
       val total = child.agg(count(lit(1)).as("n_child"))
       orphans.agg(count(lit(1)).as("n_orphans"),

@@ -24,12 +24,22 @@ import org.apache.spark.sql.functions._
   * deduped frame (`first_day(A) < last_day(B)` proves a preceding
   * A-then-B witness exists); one customer-key shuffle, then a
   * (A, B)-key rollup with map-side partials, a support floor, and the
-  * A-marginal broadcast back.
+  * A-marginal joined back.
+  *
+  * `broadcastMarginals` (default true) hints the one-row-per-item
+  * A-marginal as a broadcast — valid while the ITEM CATALOG fits an
+  * executor broadcast budget (TPC-H part is 200k·SF rows ≈ 16 B/row —
+  * fine to SF 10k). A retail-scale catalog of 10⁸+ items exceeds the
+  * limit: pass false and the marginal joins on the already-shuffled
+  * `ante` key (pairCounts is post-aggregation, so this adds one
+  * exchange of rule-table size, not pair-scale). Same escape-hatch
+  * contract as `Vocab.unigramLogProb(broadcastVocab)`.
   */
 object Sequences {
 
   def sequentialRules(orders: DataFrame, lineitem: DataFrame,
-                      minSupport: Long, k: Int): DataFrame = {
+                      minSupport: Long, k: Int,
+                      broadcastMarginals: Boolean = true): DataFrame = {
     require(k >= 1 && minSupport >= 1, "need k >= 1, minSupport >= 1")
     val items = lineitem
       .join(orders.select(col("o_orderkey"), col("o_custkey"),
@@ -48,7 +58,8 @@ object Sequences {
       .filter(col("n_sequential") >= minSupport)
     val anteCounts = items.groupBy(col("item").as("ante"))
       .agg(count(lit(1)).as("n_ante"))
-    pairCounts.join(broadcast(anteCounts), Seq("ante"))
+    val marg = if (broadcastMarginals) broadcast(anteCounts) else anteCounts
+    pairCounts.join(marg, Seq("ante"))
       .select(col("ante"), col("cons"), col("n_sequential"), col("n_ante"),
         call_function("div", col("n_sequential") * 1000000L,
           col("n_ante")).as("confidence_ppm"))

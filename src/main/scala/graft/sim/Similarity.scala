@@ -351,16 +351,34 @@ object Similarity {
     val codes = (0 until tables).map(t => (t, hyperplanes(nPlanes, dim, seed + t)))
     // every table's code for a row, plus all of them packed into ONE long
     // (nPlanes bits per table) — the packed code is what lets a pair decide
-    // table ownership with pure integer ops after the band join
+    // table ownership with pure integer ops after the band join.
+    // Codegen shape: the former per-plane unrolling (tables × nPlanes
+    // separate zip_with+aggregate trees — 24 here) dominated this query's
+    // cold-start with ~9 s of JIT/codegen (r7 driver record 14.7 s vs
+    // ~5.3 s warm). All planes now ride ONE literal array-of-arrays: one
+    // `transform` computes every sign bit in a runtime loop, one
+    // `aggregate` packs them, and the per-table band codes are shift/mask
+    // over the packed long — three HOF operators total, with the dot
+    // products' summation order (elementwise zip_with, left fold from
+    // 0.0) preserved exactly, so emitted values are bit-identical.
     val index: DataFrame = {
       val emb = transform(col("embedding"), x => x.cast("double"))
-      val codeCols = codes.map { case (_, planes) => lshCode(emb, planes) }
-      val packed = codeCols.zipWithIndex
-        .map { case (c, t) => c.cast("long") * lit(1L << (nPlanes * t)) }
-        .reduce(_ + _)
+      val planesLit = typedLit(codes.flatMap(_._2.toSeq).map(_.toSeq))
+      // bit (nPlanes·t + j) = sign of table t's plane j — the flattened
+      // order IS the packed-code bit order
+      val weights = typedLit((0 until tables * nPlanes).map(1L << _))
+      val signs = transform(planesLit, p =>
+        when(aggregate(zip_with(emb, p, _ * _), lit(0.0), _ + _) >= 0,
+          lit(1L)).otherwise(lit(0L)))
+      val packed = aggregate(zip_with(signs, weights, _ * _), lit(0L), _ + _)
+      val mask = (1L << nPlanes) - 1
+      val tblCodes = transform(sequence(lit(0), lit(tables - 1)), t =>
+        call_function("shiftright", col("pk"), t * nPlanes)
+          .bitwiseAND(lit(mask)))
       corpus.select(col("vec_id").as("vid"), packed.as("pk"),
-        asDouble(col("embedding")).as("u"),
-        posexplode(array(codeCols: _*)).as(Seq("tbl", "code")))
+          asDouble(col("embedding")).as("u"))
+        .select(col("vid"), col("pk"), col("u"),
+          posexplode(tblCodes).as(Seq("tbl", "code")))
     }
     // triangle-salted band join: tables × 2^nPlanes codes is a small key
     // space (48 here), so the plain band self-join would cap parallelism at

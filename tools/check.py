@@ -45,6 +45,46 @@ def normalize(df):
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+#: DuckDB output types that pandas converts lossily (HUGEINT -> float64,
+#: wide DECIMAL -> float64/object, TIMESTAMP_NS truncation). An oracle
+#: emitting one of these hashes differently in the driver even when every
+#: value is identical — exactly the t18/t40 round-5..7 failure class. The
+#: oracle must CAST such columns to BIGINT/DOUBLE before emitting.
+def lossy_type(t):
+    s = str(t).upper()
+    if s in ("HUGEINT", "UHUGEINT", "TIMESTAMP_NS"):
+        return True
+    if s.startswith("DECIMAL"):
+        try:
+            prec = int(s.split("(")[1].split(",")[0])
+            return prec > 18
+        except (IndexError, ValueError):
+            return True
+    return False
+
+def sweep_types(con, oracle, only=()):
+    """Bind (not run) every oracle SQL and fail on pandas-lossy output
+    columns. Cheap: DuckDB resolves output types at bind time."""
+    bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            rel = con.sql(sql)
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error during type sweep: {e}")
+            bad += 1
+            continue
+        lossy = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                 if lossy_type(t)]
+        if lossy:
+            print(f"FAIL {name}: pandas-lossy oracle output columns {lossy} "
+                  f"— CAST to BIGINT/DOUBLE in the oracle SQL")
+            bad += 1
+    if not bad:
+        print(f"OK   type-sweep: {len(only) if only else len(oracle)} oracles, no lossy emissions")
+    return bad
+
 def compare(a, b, name):
     if list(a.columns) != list(b.columns):
         print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); return False
@@ -52,6 +92,14 @@ def compare(a, b, name):
         print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); return False
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Dtype-strict: an int64-vs-float64 pair hashes differently in the
+        # driver (510394 vs 510394.0) even when values match. Coercing both
+        # to float here would mask it — fail loudly instead.
+        if pd.api.types.is_integer_dtype(av) != pd.api.types.is_integer_dtype(bv):
+            print(f"FAIL {name}: column {c} dtype mismatch "
+                  f"(spark={av.dtype}, oracle={bv.dtype}) — the driver "
+                  f"hashes these differently even if values match")
+            return False
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             an, bn = av.astype(float).to_numpy(), bv.astype(float).to_numpy()
             if EXACT:
@@ -91,7 +139,7 @@ def main():
         p = f"{sf}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    fails = 0
+    fails = sweep_types(con, oracle, only)
     for name in sorted(os.listdir(out)):
         d = os.path.join(out, name)
         if not os.path.isdir(d) or (only and name not in only):
