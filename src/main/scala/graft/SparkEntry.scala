@@ -881,6 +881,36 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Benchmark-decontamination DECISION report (completes t13's shared-
+    // gram count): per-doc distinct-trigram overlap ppm vs the broadcast
+    // eval-gram set, thresholded to the contaminated flag; clean and
+    // too-short docs emit too — the gate consumes every row.
+    "t67_decontaminate" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      graft.text.Decontaminate.report(
+        d.filter(col("doc_id") % 11 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 11 === 0), col("text"),
+        n = 3, thresholdPpm = 150000L)
+    },
+
+    // Zipf frequency spectrum: distinct terms + token mass per
+    // power-of-two corpus-frequency band (band = binary digit count of
+    // the frequency — pure integer, no log), shares in ppm.
+    "t68_freq_spectrum" -> { (s, dir) =>
+      graft.text.Vocab.frequencySpectrum(Tables.documents(s, dir),
+        col("text"))
+    },
+
+    // Reliability-diagram bins: deterministic ppm score vs binary
+    // outcome, equal-width bins, predicted-vs-realized gap — the
+    // is-this-quality-score-trustworthy gate before score-weighted
+    // sampling.
+    "p12_calibration_bins" -> { (s, dir) =>
+      graft.ops.Calibration.bins(Tables.events(s, dir),
+        expr("CAST(round(value * 2000) AS BIGINT)"),
+        (col("event_type") === "purchase").cast("long"), nBins = 10)
+    },
+
     // Percent-rank normalization table per user (rank-based feature
     // scaling, integer percent_rank semantics — ties share the rank).
     "w28_percent_rank" -> { (s, dir) =>
@@ -4173,6 +4203,68 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "t67_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |ev AS (
+        |  SELECT string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |eg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM ev WHERE len(t) >= 3),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |  FROM corpus WHERE len(t) >= 3),
+        |agg AS (
+        |  SELECT cg.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM cg LEFT JOIN eg USING (gram) GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN coalesce(a.n_grams, 0) > 0
+        |    THEN (a.n_hit * 1000000) // a.n_grams ELSE 0 END AS BIGINT)
+        |    AS overlap_ppm,
+        |  CAST(CASE WHEN coalesce(a.n_grams, 0) > 0
+        |        AND (a.n_hit * 1000000) // a.n_grams >= 150000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM corpus c LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "t68_freq_spectrum" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS f FROM tok
+        |      WHERE token <> '' GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(f)) AS BIGINT) AS band,
+        |        count(*) AS n_terms, CAST(sum(f) AS BIGINT) AS mass
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_terms) AS BIGINT) AS vt,
+        |        CAST(sum(mass) AS BIGINT) AS mt FROM b)
+        |SELECT band, CAST(n_terms AS BIGINT) AS n_terms, mass,
+        |  CAST((n_terms * 1000000) // t.vt AS BIGINT) AS vocab_share_ppm,
+        |  CAST((mass * 1000000) // t.mt AS BIGINT) AS mass_share_ppm
+        |FROM b, t""".stripMargin,
+
+    "p12_calibration_bins" ->
+      """WITH s AS (
+        |  SELECT CAST(round(value * 2000) AS BIGINT) AS sc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |b AS (SELECT least((sc * 10) // 1000000, 9) AS bin, count(*) AS n,
+        |        sum(y) AS n_pos, sum(sc) AS ssum
+        |      FROM s GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(ssum // n AS BIGINT) AS mean_score_ppm,
+        |  CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_ppm,
+        |  CAST((n_pos * 1000000) // n - ssum // n AS BIGINT) AS gap_ppm
+        |FROM b""".stripMargin,
 
     "w28_percent_rank" ->
       """WITH base AS (

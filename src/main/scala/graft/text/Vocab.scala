@@ -580,4 +580,40 @@ object Vocab {
       .select(id, size(col("__hits")).cast("long").as("n_matches"),
         element_at(col("__hits"), 1).as("first_pos"))
   }
+
+  /** Zipf frequency spectrum: how many distinct terms fall in each
+    * power-of-two corpus-frequency band, plus the band's token mass —
+    * the rank-frequency fingerprint that sizes tokenizer vocabularies
+    * (a healthy natural-language corpus shows the straight-line decay;
+    * a boilerplate-heavy crawl bulges in the high bands) without the
+    * float `log(freq)` a fitted Zipf slope would need.
+    *
+    * The band is PURE-INTEGER: `bucket = length(bin(freq))` — the
+    * binary digit count, i.e. `floor(log2 f) + 1` — identical on any
+    * engine (the t18 lesson: never emit a value whose last bit depends
+    * on a transcendental). Share columns are integer ppm over the
+    * vocabulary / corpus totals.
+    *
+    * Plan: one corpus-scale exchange (the token rollup, map-side
+    * partial counts); the spectrum rollup and the total join run over
+    * vocabulary- then band-scale rows (≤ ~40 bands for any corpus that
+    * fits in 2⁶³ tokens). Totals attach via a broadcast 1-row frame —
+    * no second pass over the data.
+    */
+  def frequencySpectrum(df: DataFrame, text: Column): DataFrame = {
+    val counts = df
+      .select(explode(split(lower(text), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("__f"))
+    val bands = counts
+      .groupBy(length(bin(col("__f"))).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_terms"), sum("__f").as("mass"))
+    val tot = bands.agg(sum("n_terms").as("__vt"), sum("mass").as("__mt"))
+    bands.join(broadcast(tot))
+      .select(col("band"), col("n_terms"), col("mass"),
+        call_function("div", col("n_terms") * 1000000L, col("__vt"))
+          .as("vocab_share_ppm"),
+        call_function("div", col("mass") * 1000000L, col("__mt"))
+          .as("mass_share_ppm"))
+  }
 }

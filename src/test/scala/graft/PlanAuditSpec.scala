@@ -271,6 +271,93 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window pass expected:\n$p")
   }
 
+  test("percent-rank and Gini windows run over the value histogram, not raw rows") {
+    // Both w28 and t66 compress to a (group, value)-count histogram FIRST
+    // (one data-scale exchange), then window/rollup over distinct values
+    // (one histogram-scale exchange on the group). A third exchange — or a
+    // Window directly over the raw frame — would shuffle the corpus twice
+    // at 100 TB.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withProductionInputs {
+      for (q <- Seq("w28_percent_rank", "t66_gini")) {
+        val p = plan(SparkEntry.queries(q)(spark, sf))
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+        assert(exchanges == 2, s"$q: expected 2 hash exchanges, got $exchanges:\n$p")
+        assert(p.contains("partial_count"),
+          s"$q: histogram must partial-aggregate map-side:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("ship-latency percentiles: crossing-rule rollup, no data-scale Window") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withProductionInputs {
+      val p = plan(SparkEntry.queries("w26_ship_latency")(spark, sf))
+      assert(p.contains("partial_count"),
+        s"lag histogram must partial-aggregate before its shuffle:\n$p")
+      // the only Window pass is over the (priority, lag)-distinct histogram
+      // — its partition spec is the group key, never the raw join output
+      val windows = "Window".r.findAllIn(p).length
+      assert(windows <= 2, s"expected histogram-scale windows only:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("balanced sample broadcasts the quota table back onto the corpus") {
+    val p = plan(SparkEntry.queries("t65_balanced_sample")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the strata-scale alloc table must broadcast, not shuffle the corpus:\n$p")
+  }
+
+  test("centroid drift: pairwise stage broadcasts label-scale centroids") {
+    // The pairwise cosine runs over per-label centroid rows (label-bounded,
+    // tiny) — a BroadcastNestedLoopJoin there is correct and cheap; what
+    // must NOT happen is a cartesian of anything data-scale.
+    val p = plan(SparkEntry.queries("s19_centroid_drift")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid pair stage must broadcast one side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in drift plan:\n$p")
+  }
+
+  test("fuzzy match joins on deletion-neighborhood keys, never all-pairs") {
+    // SymSpell candidates ride an equi-join on the generated key — any
+    // non-equi fallback (BNLJ/cartesian) means the lossless key scheme
+    // regressed to O(n²) string comparisons.
+    val p = plan(SparkEntry.queries("j13_fuzzy_match")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match must stay an equi-join on __key:\n$p")
+    assert(p.contains("levenshtein"),
+      s"exact verify must gate the candidate pairs:\n$p")
+  }
+
+  test("peak concurrency: the only single-partition pass is day-scale") {
+    // The sweep-line is decomposed per day (window partitioned by day);
+    // the serial cumulative pass runs over day-DISTINCT rows post-rollup.
+    // A SinglePartition exchange below the day aggregate would serialize
+    // the corpus.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withProductionInputs {
+      val df = SparkEntry.queries("w27_peak_concurrency")(spark, sf)
+      import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec, ObjectHashAggregateExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val physical = df.queryExecution.executedPlan
+      val serial = physical.collect {
+        case s: ShuffleExchangeExec if s.outputPartitioning.numPartitions == 1 => s
+      }
+      serial.foreach { s =>
+        val belowAgg = s.collect {
+          case a: HashAggregateExec => a
+          case a: SortAggregateExec => a
+          case a: ObjectHashAggregateExec => a
+        }
+        assert(belowAgg.nonEmpty,
+          s"single-partition exchange feeds on un-aggregated (corpus-scale) rows:\n$physical")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("phrase search and RAKE assembly stay out of the generator-filter trap") {
     // scan-side phrase match: no OPERATOR shuffle (Tables.load's
     // round-robin input shaping on tiny files is not one) — and the

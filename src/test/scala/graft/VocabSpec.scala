@@ -324,4 +324,25 @@ class VocabSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
       "phrase scan must not shuffle")
   }
+
+  test("frequencySpectrum: power-of-two bands, exact ppm shares") {
+    // frequencies: a→4 (band 3), b→2, c→3 (band 2), d→1 (band 1)
+    val docs = Seq(
+      (1L, "a a b c"), (2L, "a a b c c d")
+    ).toDF("doc_id", "text")
+    val out = Vocab.frequencySpectrum(docs, col("text"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 250000L, 100000L)),  // d
+      2L -> ((2L, 5L, 500000L, 500000L)),  // b, c
+      3L -> ((1L, 4L, 250000L, 400000L)))) // a
+  }
+
+  test("frequencySpectrum: empty tokens dropped, one data-scale shuffle") {
+    val docs = Seq((1L, "x  x"), (2L, "")).toDF("doc_id", "text")
+    val q = Vocab.frequencySpectrum(docs, col("text"))
+    val out = q.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L, 2L, 1000000L, 1000000L)))
+  }
 }
