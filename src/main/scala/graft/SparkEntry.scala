@@ -881,6 +881,14 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Flesch reading-ease, integerized (×1000, exact integer ratio
+    // divisions): vowel-group syllable heuristic, sentence floor 1 —
+    // zero-shuffle per-row projection.
+    "t69_readability" -> { (s, dir) =>
+      graft.text.TextAnalysis.readability(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+    },
+
     // Benchmark-decontamination DECISION report (completes t13's shared-
     // gram count): per-doc distinct-trigram overlap ppm vs the broadcast
     // eval-gram set, thresholded to the contaminated flag; clean and
@@ -4203,6 +4211,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "t69_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(list_sum(list_transform(w,
+        |    x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)
+        |    AS BIGINT) AS n_syllables,
+        |  CAST(CASE WHEN len(w) > 0 THEN 206835
+        |      - (1015 * len(w)) // s
+        |      - (84600 * coalesce(list_sum(list_transform(w,
+        |          x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))),
+        |          0)) // len(w)
+        |    ELSE NULL END AS BIGINT) AS fre_milli
+        |FROM t""".stripMargin,
 
     "t67_decontaminate" ->
       """WITH corpus AS (

@@ -370,4 +370,43 @@ object TextAnalysis {
     }
     withStats.select(outCols: _*)
   }
+
+  /** Flesch reading-ease readability, integerized: per document emits
+    * word / sentence / syllable counts and
+    * `fre_milli = 206835 − (1015·w DIV s) − (84600·syl DIV w)` — the
+    * classic formula ×1000 with each ratio taken as one exact integer
+    * floor-division (engine-identical; a float chain here is the t18
+    * class). Syllables use the standard vowel-group heuristic
+    * (`[aeiouy]+` runs, minimum 1 per word) — the published formula's
+    * own accuracy bound swamps the heuristic's error, and the counts
+    * are reproducible on any engine, which a dictionary lookup is not.
+    * Sentences are `[.!?]+` runs with a floor of 1 so fragments score.
+    * Empty documents emit a typed-null score (readability undefined).
+    *
+    * Plan: pure per-row projection — zero shuffle, zero join, fully
+    * codegen'd HOF chain; at 100 TB this is a map-only pass that rides
+    * whatever scan produced the text column.
+    */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val idName = df.select(id).columns.head
+    df
+      .select(id, text.as("__txt"))
+      .select(col(idName),
+        filter(split(lower(col("__txt")), " "), t => t =!= "").as("__w"),
+        greatest(size(expr("regexp_extract_all(__txt, '[.!?]+', 0)")),
+          lit(1)).cast("long").as("n_sentences"))
+      .select(col(idName), size(col("__w")).cast("long").as("n_words"),
+        col("n_sentences"),
+        expr("aggregate(__w, CAST(0 AS BIGINT), (a, w) -> a + " +
+          "greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1))")
+          .as("n_syllables"))
+      .withColumn("fre_milli",
+        when(col("n_words") > 0,
+          lit(206835L)
+            - call_function("div", lit(1015L) * col("n_words"),
+              col("n_sentences"))
+            - call_function("div", lit(84600L) * col("n_syllables"),
+              col("n_words")))
+          .otherwise(lit(null).cast("long")))
+  }
 }

@@ -128,4 +128,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(g.getAs[Double]("p90_tokens") == 7.6)
     assert(out(1).getAs[Double]("p90_tokens") == 1.0)
   }
+
+  test("readability: exact integer Flesch components and score") {
+    val docs = Seq(
+      // 4 words, 2 sentences, syllables: the=1 cat=1 sat=1 down=1 = 4
+      // fre = 206835 − 1015·4/2 − 84600·4/4 = 206835 − 2030 − 84600
+      (1L, "The cat sat. Down!"),
+      // no sentence punctuation → sentence floor 1; "rhythm" has no
+      // vowel-group except 'y': r-h-y-t-h-m → [y] = 1
+      (2L, "rhythm"),
+      (3L, "") // empty → typed-null score, zero words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((4L, 2L, 4L, Some(206835L - 2030L - 84600L))))
+    assert(out(2L) == ((1L, 1L, 1L, Some(206835L - 1015L - 84600L))))
+    // "" splits to one empty token which the filter drops
+    assert(out(3L) == ((0L, 1L, 0L, None)))
+  }
+
+  test("readability: vowel groups count once per run, zero-shuffle plan") {
+    // "queueing" → [ueuei] = 1 group; "aeiou" → 1; "xyz" → y = 1
+    val docs = Seq((1L, "queueing aeiou xyz strengths")).toDF("doc_id", "text")
+    val q = TextAnalysis.readability(docs, col("doc_id"), col("text"))
+    val r = q.as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(r._2 == 4L && r._4 == 4L)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "readability must stay a map-only projection")
+  }
 }
