@@ -881,6 +881,14 @@ object SparkEntry {
         col("doc_id"), col("text"), Seq("table", "scan"))
     },
 
+    // Character-class composition census: ppm of Latin/digit/CJK/
+    // Cyrillic/Arabic/space/other code points per doc + dominant
+    // script — explicit code-point ranges, zero-shuffle projection.
+    "t70_charset_profile" -> { (s, dir) =>
+      graft.text.TextAnalysis.charsetProfile(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+    },
+
     // Flesch reading-ease, integerized (×1000, exact integer ratio
     // divisions): vowel-group syllable heuristic, sentence floor 1 —
     // zero-shuffle per-row projection.
@@ -974,6 +982,16 @@ object SparkEntry {
         col("label"), col("embedding"))
     },
 
+    // Embedding-dimension health: per-dim count / integer-micro mean /
+    // variance proxy / min / max / zero ppm — the dead-dimension
+    // detector run before trusting an ANN index. One explode shuffle,
+    // dim-scale result.
+    "s20_dim_stats" -> { (s, dir) =>
+      Similarity.dimStats(
+        Tables.embeddings(s, dir).filter(col("embedding").isNotNull),
+        col("embedding"))
+    },
+
     // PQ quantization-loss report: ADC top-5 from stored codes graded
     // against the exact-L2 top-5 — the is-the-compressed-index-
     // shippable eval, completing the recall harness (LSH s16,
@@ -995,6 +1013,19 @@ object SparkEntry {
         .unionAll(d.select((col("doc_id") % 37).as("src"),
           (((col("doc_id") * 11 + 5) % 41) % 37).as("dst")))
       graft.graph.Hits.hubsAndAuthorities(edges, rounds = 3)
+    },
+
+    // k-core decomposition (k=6): iterative peel until min-degree >= 6
+    // on a hub-augmented synthetic graph — degree filter alone would
+    // keep the transitively-doomed periphery; fixed-round chain,
+    // localCheckpoint lineage truncation, no driver-side graph.
+    "g6_kcore" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 151).as("src"),
+          ((col("doc_id") * 7 + 3) % 151).as("dst"))
+        .unionAll(d.select((col("doc_id") % 151).as("src"),
+          (col("doc_id") % 29).as("dst")))
+      graft.graph.KCore.decompose(edges, k = 6, maxRounds = 6)
     },
 
     // Per-user OLS activity trend: five integer moments in ONE groupBy
@@ -2456,11 +2487,48 @@ object SparkEntry {
        |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> comp)""".stripMargin
   }
 
+  /** g6 oracle: the engine's fixed-round peel, unrolled — round i
+    * recomputes degrees over round i−1's surviving edge list and
+    * re-filters both endpoints, exactly `KCore.decompose`'s chain.
+    * MATERIALIZED is required: each stage references its predecessor
+    * three times, and inlined CTEs would re-evaluate the whole chain
+    * exponentially.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+         |    SELECT doc_id % 151 AS u, (doc_id * 7 + 3) % 151 AS v
+         |    FROM documents
+         |    UNION ALL
+         |    SELECT doc_id % 151 AS u, doc_id % 29 AS v FROM documents)
+         |  WHERE u <> v),
+         |s0 AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s""",
+         |a$i AS MATERIALIZED (
+         |  SELECT src AS node FROM s${i - 1}
+         |  GROUP BY 1 HAVING count(*) >= $k),
+         |s$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM s${i - 1} e
+         |  JOIN a$i x ON e.src = x.node
+         |  JOIN a$i y ON e.dst = y.node)""".stripMargin
+    }.mkString
+    head + peels +
+      s"""
+         |SELECT src AS node, count(*) AS core_degree FROM s$rounds
+         |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
     "s2_ann_lsh_topk" -> lshTopkOracle,
+
+    "g6_kcore" -> kcoreOracle(k = 6, rounds = 6),
 
     "t4_quality_filter" ->
       """SELECT doc_id, n_tokens, uniq_ratio, stopword_ratio, punct_ratio,
@@ -4212,6 +4280,45 @@ object SparkEntry {
         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
         |FROM h WHERE len(hits) > 0""".stripMargin,
 
+    "t70_charset_profile" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) AS c_latin,
+        |    len(regexp_extract_all(text, '[0-9]')) AS c_digit,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS c_cjk,
+        |    len(regexp_extract_all(text, '[\x{0400}-\x{04ff}]'))
+        |      AS c_cyrillic,
+        |    len(regexp_extract_all(text, '[\x{0600}-\x{06ff}]'))
+        |      AS c_arabic,
+        |    len(regexp_extract_all(text, '[ ]')) AS c_space
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST((c_latin * 1000000) // greatest(n_chars, 1) AS BIGINT)
+        |    AS latin_ppm,
+        |  CAST((c_digit * 1000000) // greatest(n_chars, 1) AS BIGINT)
+        |    AS digit_ppm,
+        |  CAST((c_cjk * 1000000) // greatest(n_chars, 1) AS BIGINT)
+        |    AS cjk_ppm,
+        |  CAST((c_cyrillic * 1000000) // greatest(n_chars, 1) AS BIGINT)
+        |    AS cyrillic_ppm,
+        |  CAST((c_arabic * 1000000) // greatest(n_chars, 1) AS BIGINT)
+        |    AS arabic_ppm,
+        |  CAST((c_space * 1000000) // greatest(n_chars, 1) AS BIGINT)
+        |    AS space_ppm,
+        |  CAST(((n_chars - c_latin - c_digit - c_cjk - c_cyrillic
+        |    - c_arabic - c_space) * 1000000) // greatest(n_chars, 1)
+        |    AS BIGINT) AS other_ppm,
+        |  CASE WHEN greatest(c_latin, c_cjk, c_cyrillic, c_arabic) = 0
+        |      THEN 'none'
+        |    WHEN c_latin = greatest(c_latin, c_cjk, c_cyrillic, c_arabic)
+        |      THEN 'latin'
+        |    WHEN c_cyrillic = greatest(c_latin, c_cjk, c_cyrillic, c_arabic)
+        |      THEN 'cyrillic'
+        |    WHEN c_cjk = greatest(c_latin, c_cjk, c_cyrillic, c_arabic)
+        |      THEN 'cjk'
+        |    ELSE 'arabic' END AS dominant_script
+        |FROM c""".stripMargin,
+
     "t69_readability" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -4429,6 +4536,22 @@ object SparkEntry {
         |  CAST(rk.sample_rank AS BIGINT) AS sample_rank
         |FROM rk JOIN al ON rk.lang = al.stratum
         |WHERE rk.sample_rank <= al.alloc""".stripMargin,
+
+    "s20_dim_stats" ->
+      """WITH d AS (
+        |  SELECT unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS m
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        |  CAST(sum(m) // count(*) AS BIGINT) AS mean_micro,
+        |  CAST((sum(m * m) - (sum(m) * sum(m)) // count(*)) // count(*)
+        |    AS BIGINT) AS var_micro2,
+        |  CAST(min(m) AS BIGINT) AS min_micro,
+        |  CAST(max(m) AS BIGINT) AS max_micro,
+        |  CAST((sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS zero_ppm
+        |FROM d GROUP BY 1""".stripMargin,
 
     "s19_centroid_drift" ->
       """WITH e AS (

@@ -173,6 +173,44 @@ object Similarity {
     * sorted collect (dim-bounded arrays); the pair stage is a
     * broadcast self-join of the GROUPS-scale centroid table.
     */
+  /** Embedding-dimension health report — the dead/degenerate-dimension
+    * detector run before trusting any ANN index: per dimension, count,
+    * integer-micro mean, an integer variance proxy, min/max micro, and
+    * the ppm of exact zeros (a dimension that is ~always 0 wastes index
+    * bits; one with near-zero variance adds no recall).
+    *
+    * Integerization: each float quantizes to micro-units exactly
+    * (float·10⁶ fits a double's mantissa, never a .5 boundary — the
+    * s19 argument), then `mean_micro = Σx DIV n` and
+    * `var_micro2 = (Σx² − (Σx)² DIV n) DIV n` are nested exact integer
+    * divisions — engine-identical, monotone in the true variance. Σx²
+    * terms are ≤ ~10¹² each, so BIGINT holds to ~10⁶ rows/dim; the
+    * DECIMAL(38) upgrade is one cast when a corpus outgrows that.
+    *
+    * Plan: dims explode map-side and partial-aggregate on the dim key
+    * BEFORE the one shuffle; the result is dim-scale (64 rows).
+    */
+  def dimStats(df: DataFrame, embedding: Column): DataFrame = {
+    val micro = expr("CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)")
+    df.select(posexplode(embedding).as(Seq("dim", "__x")))
+      .select(col("dim").cast("long").as("dim"), micro.as("__m"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum("__m").as("__s"),
+        sum(col("__m") * col("__m")).as("__s2"),
+        min("__m").as("min_micro"),
+        max("__m").as("max_micro"),
+        sum(when(col("__m") === 0, 1L).otherwise(0L)).as("__z"))
+      .select(col("dim"), col("n"),
+        call_function("div", col("__s"), col("n")).as("mean_micro"),
+        call_function("div",
+          col("__s2") - call_function("div", col("__s") * col("__s"),
+            col("n")), col("n")).as("var_micro2"),
+        col("min_micro"), col("max_micro"),
+        call_function("div", col("__z") * 1000000L, col("n"))
+          .as("zero_ppm"))
+  }
+
   def centroidDrift(df: DataFrame, group: Column,
                     embedding: Column): DataFrame = {
     val gName = df.select(group).columns.head

@@ -371,6 +371,51 @@ object TextAnalysis {
     withStats.select(outCols: _*)
   }
 
+  /** Per-document character-class composition — the script census a
+    * multilingual corpus routes on before any tokenizer choice: ppm of
+    * Latin letters, digits, CJK / Cyrillic / Arabic code points, spaces,
+    * and everything else, plus the dominant script. Classes are EXPLICIT
+    * code-point ranges (the t2 idiom — named Unicode scripts resolve
+    * against different Unicode tables in Java regex vs RE2; literal
+    * ranges are engine-identical). All emissions integer (counts and
+    * DIV ppm); dominant-script ties break to the lexicographically
+    * LARGEST name via a (count, name) struct max, same determinism
+    * device as [[languageId]].
+    *
+    * Plan: zero-shuffle per-row projection (regexp_count is codegen'd);
+    * at 100 TB this rides the scan like the other quality metrics.
+    */
+  def charsetProfile(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val idName = df.select(id).columns.head
+    val classes = Seq(
+      "latin" -> "[A-Za-z]",
+      "digit" -> "[0-9]",
+      "cjk" -> "[\\u4e00-\\u9fff]",
+      "cyrillic" -> "[\\u0400-\\u04ff]",
+      "arabic" -> "[\\u0600-\\u06ff]",
+      "space" -> "[ ]")
+    val scripts = Seq("latin", "cjk", "cyrillic", "arabic")
+    val counted = df
+      .select(id, text.as("__txt"))
+      .select(col(idName) +:
+        length(col("__txt")).cast("long").as("n_chars") +:
+        classes.map { case (n, re) =>
+          regexp_count(col("__txt"), lit(re)).cast("long").as(s"__$n")
+        }: _*)
+      .withColumn("__other", col("n_chars") -
+        classes.map(c => col(s"__${c._1}")).reduce(_ + _))
+    val denom = greatest(col("n_chars"), lit(1L))
+    val best = array_max(array(scripts.map(s =>
+      struct(col(s"__$s").as("c"), lit(s).as("s"))): _*))
+    counted.select(
+      col(idName) +: col("n_chars") +:
+        ((classes.map(_._1) :+ "other").map(n =>
+          call_function("div", col(s"__$n") * 1000000L, denom)
+            .as(s"${n}_ppm")) :+
+          when(best.getField("c") > 0, best.getField("s"))
+            .otherwise(lit("none")).as("dominant_script")): _*)
+  }
+
   /** Flesch reading-ease readability, integerized: per document emits
     * word / sentence / syllable counts and
     * `fre_milli = 206835 − (1015·w DIV s) − (84600·syl DIV w)` — the

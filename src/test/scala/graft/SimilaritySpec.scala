@@ -240,4 +240,20 @@ class SimilaritySpec extends SparkSpec {
     assert(trunc.select("neighbor_id").as[Long].collect().toSeq == Seq(2L))
     assert(recall == Seq((0L, 1L, 0L, 0L))) // top-1 disagrees → recall 0
   }
+
+  test("dimStats: exact integer micro moments per dimension") {
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f)),
+      (2L, Array(0.0f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(emb, col("embedding"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // dim 0: micros {1000000, 0} → mean 500000,
+    //   var = (10¹² − (10⁶)² DIV 2) DIV 2 = 250000000000, zeros 1/2
+    assert(out(0L) == ((0L, 2L, 500000L, 250000000000L, 0L, 1000000L,
+      500000L)))
+    // dim 1: constant −0.5 → negative mean exact, zero variance
+    assert(out(1L) == ((1L, 2L, -500000L, 0L, -500000L, -500000L, 0L)))
+  }
 }

@@ -129,6 +129,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[Double]("p90_tokens") == 1.0)
   }
 
+  test("charsetProfile: exact class ppm and dominant script") {
+    val docs = Seq(
+      (1L, "Abc 12 漢字 Ж!"), // 12 chars: 3 latin, 2 digit,
+                                           // 2 cjk, 1 cyrillic, 3 space, 1 other
+      (2L, "") // empty → all zero, dominant 'none'
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charsetProfile(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 12L)
+    assert(r1.getLong(2) == 250000L)     // latin
+    assert(r1.getLong(3) == 166666L)     // digit
+    assert(r1.getLong(4) == 166666L)     // cjk
+    assert(r1.getLong(5) == 83333L)      // cyrillic
+    assert(r1.getLong(6) == 0L)          // arabic
+    assert(r1.getLong(7) == 250000L)     // space
+    assert(r1.getLong(8) == 83333L)      // other (!)
+    assert(r1.getString(9) == "latin")
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 0L && r2.getString(9) == "none")
+  }
+
+  test("charsetProfile: ties break to the lexicographically largest script") {
+    val docs = Seq(
+      (1L, "a漢"),      // latin 1 = cjk 1 → 'latin'
+      (2L, "漢Ж")  // cjk 1 = cyrillic 1 → 'cyrillic'
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charsetProfile(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(9)).toMap
+    assert(out == Map(1L -> "latin", 2L -> "cyrillic"))
+  }
+
   test("readability: exact integer Flesch components and score") {
     val docs = Seq(
       // 4 words, 2 sentences, syllables: the=1 cat=1 sat=1 down=1 = 4
