@@ -1015,6 +1015,37 @@ object SparkEntry {
       graft.graph.Hits.hubsAndAuthorities(edges, rounds = 3)
     },
 
+    // Near-dup cluster dedup, KEEP-BEST survivorship (the C4 rule:
+    // keep the longest member, not the min id) — components and the
+    // argmax are pair-scale; the corpus pays two id-keyed joins.
+    "d18_cluster_keep_best" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = MinHashLSH.nearDuplicates(docs, col("doc_id"),
+        col("text"), threshold = 0.95).select("id_a", "id_b")
+      Clusters.keepBest(docs, col("doc_id"), col("n_chars"), pairs)
+        .select("doc_id", "lang", "source", "n_chars")
+    },
+
+    // Conversion-lag distribution: per first-view cohort day, exact
+    // p50/p90 of seconds from first view to first subsequent purchase
+    // — funnel timing composed with the crossing-rule quantiles.
+    "w29_time_to_convert" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__fv"))
+      val lags = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("ts") >= col("__fv"))
+        .groupBy(col("user_id"), col("__fv"))
+        .agg(min(col("ts")).as("__fp"))
+        .select(to_date(col("__fv")).as("cohort_day"),
+          call_function("div",
+            unix_micros(col("__fp")) - unix_micros(col("__fv")),
+            lit(1000000L)).as("lag_s"))
+      graft.ops.Quantiles.exact(lags, col("cohort_day"), col("lag_s"),
+        Seq("p50" -> 500000L, "p90" -> 900000L))
+    },
+
     // k-core decomposition (k=6): iterative peel until min-degree >= 6
     // on a hub-augmented synthetic graph — degree filter alone would
     // keep the transitively-doomed periphery; fixed-round chain,
@@ -5995,6 +6026,63 @@ object SparkEntry {
         |  WHERE h.doc_id % 10 = 0
         |    AND round(len(list_intersect(b.s, h.s))::DOUBLE /
         |      (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))), 6) >= 0.95)""".stripMargin,
+
+    "d18_cluster_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+        |  FROM documents),
+        |sim AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS j
+        |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM sim WHERE j >= 0.95
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM sim WHERE j >= 0.95),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |labels AS (
+        |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+        |win AS (
+        |  SELECT id FROM (
+        |    SELECT l.id, row_number() OVER (PARTITION BY l.comp
+        |      ORDER BY d.n_chars DESC, l.id DESC) AS rn
+        |    FROM labels l JOIN documents d ON l.id = d.doc_id)
+        |  WHERE rn = 1)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM labels)
+        |   OR doc_id IN (SELECT id FROM win)""".stripMargin,
+
+    "w29_time_to_convert" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, fv.first_view, min(e.ts) AS first_purchase
+        |  FROM events e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+        |  GROUP BY 1, 2),
+        |lag AS (
+        |  SELECT CAST(first_view AS DATE) AS cohort_day,
+        |    (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+        |      AS v
+        |  FROM fp),
+        |c AS (SELECT cohort_day, v, count(*) AS cnt FROM lag GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_day, v,
+        |    sum(cnt) OVER (PARTITION BY cohort_day ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY cohort_day) AS n
+        |  FROM c)
+        |SELECT cohort_day, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum*1000000 >= 500000*n THEN v END)
+        |    AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum*1000000 >= 900000*n THEN v END)
+        |    AS BIGINT) AS p90
+        |FROM cum GROUP BY 1""".stripMargin,
 
     "d6_neardup_dedup" ->
       """WITH RECURSIVE toks AS (

@@ -81,4 +81,31 @@ object Clusters {
       .select(col("id").as("__doomed"))
     df.join(doomed, id === col("__doomed"), "left_anti")
   }
+
+  /** Canonical selection per near-duplicate cluster: keep the member
+    * with the HIGHEST `score` (C4 keeps the longest document — min-id
+    * survivorship throws away the best copy whenever the ids landed in
+    * the wrong order), ties broken to the larger id so the cut is
+    * total. Documents never mentioned in `pairs` survive untouched.
+    *
+    * Plan: components and winners are PAIR-scale (only near-dup
+    * mentions flow through `connectedComponents` and the per-component
+    * `max(struct(score, id))` argmax); the corpus is touched by two
+    * id-keyed joins (one anti for the unmentioned, one semi for the
+    * winners) — no corpus-scale shuffle beyond those, and the mentioned
+    * set is typically a small fraction so both joins broadcast under
+    * AQE at real scale.
+    */
+  def keepBest(df: DataFrame, id: Column, score: Column,
+               pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val winners = df.select(id.as("__id"), score.as("__s"))
+      .join(labels, col("__id") === col("id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("__s"), col("__id"))).as("__w"))
+      .select(col("__w").getField("__id").as("__keep"))
+    df.join(labels.select(col("id").as("__m")), id === col("__m"),
+        "left_anti")
+      .unionByName(df.join(winners, id === col("__keep"), "left_semi"))
+  }
 }

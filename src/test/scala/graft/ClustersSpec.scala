@@ -31,4 +31,16 @@ class ClustersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(1L))
   }
+
+  test("keepBest: the highest-scoring member survives, not the min id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // cluster {1,2,3}: 2 is longest
+      (10L, 5L), (11L, 5L),            // tie on score -> larger id (11)
+      (20L, 7L)                        // unmentioned, survives as-is
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Clusters.keepBest(docs, col("doc_id"), col("n_chars"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 11L, 20L))
+  }
 }

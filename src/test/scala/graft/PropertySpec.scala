@@ -953,4 +953,79 @@ class PropertySpec extends SparkSpec {
         p.length < 2 || p(0) >= p(1)))
     }
   }
+
+  // --- k-core invariants ----------------------------------------------------
+
+  private val randomEdges: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      u <- Gen.choose(0L, 11L)
+      v <- Gen.choose(0L, 11L)
+    } yield (u, v))
+
+  test("property: k-core has min degree >= k and nests (k+1)-core ⊆ k-core") {
+    samples(randomEdges, 12).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("src", "dst")
+      val core2 = graft.graph.KCore.decompose(df, k = 2, maxRounds = 12)
+        .as[(Long, Long)].collect().toMap
+      val core3 = graft.graph.KCore.decompose(df, k = 3, maxRounds = 12)
+        .as[(Long, Long)].collect().toMap
+      assert(core2.values.forall(_ >= 2), s"degree < k in 2-core: $edges")
+      assert(core3.keySet.subsetOf(core2.keySet),
+        s"3-core not nested in 2-core: $edges")
+      // in-memory reference peel for k=2
+      var es = edges.map { case (u, v) => (u min v, u max v) }
+        .filter(e => e._1 != e._2).distinct
+      var changed = true
+      while (changed) {
+        val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (n, g) => n -> g.size }
+        val alive = deg.filter(_._2 >= 2).keySet
+        val kept = es.filter(e => alive(e._1) && alive(e._2))
+        changed = kept.size != es.size
+        es = kept
+      }
+      val ref = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, g) => n -> g.size.toLong }
+      assert(core2 == ref, s"2-core mismatch for $edges:\n$core2\n$ref")
+    }
+  }
+
+  // --- keep-best cluster dedup invariants ----------------------------------
+
+  test("property: keepBest keeps exactly one member per cluster, the best one") {
+    val gen = for {
+      n <- Gen.choose(2, 10)
+      scores <- Gen.listOfN(n, Gen.choose(1L, 50L))
+      pairs <- Gen.listOf(for {
+        a <- Gen.choose(0L, (n - 1).toLong)
+        b <- Gen.choose(0L, (n - 1).toLong)
+      } yield (a, b))
+    } yield (scores, pairs.filter(p => p._1 != p._2))
+    samples(gen, 12).filter(_._2.nonEmpty).foreach { case (scores, pairs) =>
+      val docs = scores.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "n_chars")
+      val kept = graft.dedup.Clusters.keepBest(docs, col("doc_id"),
+          col("n_chars"), pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference union-find
+      val parent = Array.tabulate(scores.size)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      val mentioned = pairs.flatMap(p => Seq(p._1, p._2)).map(_.toInt).toSet
+      val clusters = mentioned.groupBy(find)
+      val expect = clusters.values.map(c =>
+        c.maxBy(i => (scores(i), i)).toLong).toSet ++
+        (scores.indices.toSet -- mentioned).map(_.toLong)
+      assert(kept.keySet == expect,
+        s"scores=$scores pairs=$pairs:\n${kept.keySet}\n$expect")
+      // same cluster count as min-id survivorship, different representative
+      val minId = graft.dedup.Clusters.dropNearDuplicates(docs,
+        col("doc_id"), pairs.toDF("id_a", "id_b")).count()
+      assert(kept.size.toLong == minId)
+    }
+  }
 }
