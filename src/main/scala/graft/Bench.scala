@@ -32,6 +32,10 @@ object Bench {
     "pipe_consume_e2e" -> 6.0, "a5_copurchase_pairs" -> 5.5,
     "pipe_webrank_e2e" -> 5.2, "a10_seq_rules" -> 5.1,
     "g5_hits" -> 6.0,
+    // round-8 additions sharing d6's MinHash+components shape — hinted
+    // into the heavy-warmup set so their driver record is warm
+    "d18_cluster_keep_best" -> 6.2, "pipe_corpusqc_e2e" -> 6.1,
+    "g6_kcore" -> 1.7,
     "p11_fk_check" -> 2.7, "j13_fuzzy_match" -> 1.7,
     "w24_survival" -> 1.3, "t63_burstiness" -> 1.2,
     "t28_pmi_bigrams" -> 2.9,

@@ -1015,6 +1015,13 @@ object SparkEntry {
       graft.graph.Hits.hubsAndAuthorities(edges, rounds = 3)
     },
 
+    // Corpus QC pipeline: script routing → readability floor →
+    // decontamination → keep-best near-dup dedup → per-source
+    // acceptance report, as ONE lazy plan (the round-8 gates composed).
+    "pipe_corpusqc_e2e" -> { (s, dir) =>
+      graft.pipeline.DataPrep.corpusQc(Tables.documents(s, dir))
+    },
+
     // Near-dup cluster dedup, KEEP-BEST survivorship (the C4 rule:
     // keep the longest member, not the min id) — components and the
     // argmax are pair-scale; the corpus pays two id-keyed joins.
@@ -6026,6 +6033,85 @@ object SparkEntry {
         |  WHERE h.doc_id % 10 = 0
         |    AND round(len(list_intersect(b.s, h.s))::DOUBLE /
         |      (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))), 6) >= 0.95)""".stripMargin,
+
+    "pipe_corpusqc_e2e" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |ev AS (
+        |  SELECT string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |cs AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      len(regexp_extract_all(text, '[A-Za-z]')) AS c_latin,
+        |      len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS c_cjk,
+        |      len(regexp_extract_all(text, '[\x{0400}-\x{04ff}]')) AS c_cyr,
+        |      len(regexp_extract_all(text, '[\x{0600}-\x{06ff}]')) AS c_ar
+        |    FROM corpus)
+        |  WHERE greatest(c_latin, c_cjk, c_cyr, c_ar) > 0
+        |    AND c_latin = greatest(c_latin, c_cjk, c_cyr, c_ar)),
+        |rd AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,
+        |      greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s
+        |    FROM corpus)
+        |  WHERE len(w) >= 5
+        |    AND 206835 - (1015 * len(w)) // s
+        |      - (84600 * coalesce(list_sum(list_transform(w,
+        |          x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')),
+        |            1))), 0)) // len(w) > 0),
+        |eg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM ev WHERE len(t) >= 3),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM corpus) WHERE len(t) >= 3),
+        |hit AS (
+        |  SELECT cg.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM cg LEFT JOIN eg USING (gram) GROUP BY 1),
+        |gated AS (
+        |  SELECT c.* FROM corpus c LEFT JOIN hit h USING (doc_id)
+        |  WHERE c.doc_id IN (SELECT doc_id FROM cs)
+        |    AND c.doc_id IN (SELECT doc_id FROM rd)
+        |    AND (coalesce(h.n_grams, 0) = 0
+        |         OR (h.n_hit * 1000000) // h.n_grams < 150000)),
+        |toks AS (
+        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+        |  FROM gated),
+        |sim AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS j
+        |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM sim WHERE j >= 0.95
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM sim WHERE j >= 0.95),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |labels AS (
+        |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+        |win AS (
+        |  SELECT id FROM (
+        |    SELECT l.id, row_number() OVER (PARTITION BY l.comp
+        |      ORDER BY d.n_chars DESC, l.id DESC) AS rn
+        |    FROM labels l JOIN gated d ON l.id = d.doc_id)
+        |  WHERE rn = 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_mass,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM gated
+        |WHERE doc_id NOT IN (SELECT id FROM labels)
+        |   OR doc_id IN (SELECT id FROM win)
+        |GROUP BY 1""".stripMargin,
 
     "d18_cluster_keep_best" ->
       """WITH RECURSIVE toks AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ops.Dedup
-import graft.text.{QualityFilters, TextAnalysis}
+import graft.text.{Decontaminate, QualityFilters, TextAnalysis}
 
 /** The composed training-data preparation job — what a 100 TB corpus
   * actually runs before tokenization, as ONE declarative plan:
@@ -116,5 +116,56 @@ object DataPrep {
       defaultPermille = defaultPermille)
     graft.text.Chunking.epochShards(selected, col("doc_id"), epoch, nShards,
       carry = Seq(col("source"), col("n_tokens"), col("q")))
+  }
+
+  /** The corpus quality-control pass — the round-8 gates composed into
+    * one lazy plan, ending in the per-source acceptance report a data
+    * lead reads before signing off a crawl drop:
+    *
+    *   1. script routing: keep documents whose dominant script is Latin
+    *      ([[TextAnalysis.charsetProfile]] — per-row projection);
+    *   2. readability floor: ≥ `minWords` words and a positive Flesch
+    *      score ([[TextAnalysis.readability]] — per-row projection);
+    *   3. benchmark decontamination: drop documents whose trigram
+    *      overlap with the held-out eval slice crosses the threshold
+    *      ([[Decontaminate.report]] — broadcast eval grams, one per-doc
+    *      rollup);
+    *   4. near-duplicate cluster dedup with KEEP-BEST survivorship
+    *      ([[graft.dedup.Clusters.keepBest]] over MinHash-verified
+    *      pairs — pair-scale components, C4's keep-longest rule);
+    *   5. per-source report: surviving docs, character mass, distinct
+    *      languages.
+    *
+    * The gates run as LEFT SEMI joins on the compact doc key — each
+    * gate's verdict frame is id-only, so no text column rides any gate
+    * shuffle; the dedup stage dominates, exactly as in [[curate]].
+    */
+  def corpusQc(docs: DataFrame, evalModulus: Long = 11L,
+               contamThresholdPpm: Long = 150000L, minWords: Long = 5L,
+               dedupThreshold: Double = 0.95): DataFrame = {
+    val corpus = docs.filter(col("doc_id") % evalModulus =!= 0)
+    val evalSet = docs.filter(col("doc_id") % evalModulus === 0)
+    val cs = TextAnalysis.charsetProfile(corpus, col("doc_id"), col("text"))
+      .filter(col("dominant_script") === "latin")
+      .select(col("doc_id").as("__cs"))
+    val rd = TextAnalysis.readability(corpus, col("doc_id"), col("text"))
+      .filter(col("n_words") >= minWords && col("fre_milli") > 0)
+      .select(col("doc_id").as("__rd"))
+    val clean = Decontaminate.report(corpus, col("doc_id"), col("text"),
+        evalSet, col("text"), n = 3, thresholdPpm = contamThresholdPpm)
+      .filter(col("contaminated") === 0)
+      .select(col("doc_id").as("__cl"))
+    val gated = corpus
+      .join(cs, col("doc_id") === col("__cs"), "left_semi")
+      .join(rd, col("doc_id") === col("__rd"), "left_semi")
+      .join(clean, col("doc_id") === col("__cl"), "left_semi")
+    val pairs = graft.dedup.MinHashLSH.nearDuplicates(gated, col("doc_id"),
+      col("text"), threshold = dedupThreshold).select("id_a", "id_b")
+    graft.dedup.Clusters.keepBest(gated, col("doc_id"), col("n_chars"),
+        pairs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("char_mass"),
+        countDistinct(col("lang")).as("n_langs"))
   }
 }

@@ -85,4 +85,24 @@ class DataPrepSpec extends SparkSpec {
       assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
     } finally spark.conf.set("spark.graft.parallelizeInputs", "true")
   }
+
+  test("corpusQc: each gate drops its target, keep-best picks the longest dup") {
+    val docs = Seq(
+      // doc 0 is the eval slice (0 % 11 == 0)
+      (0L, "alpha beta gamma delta", "en", "s0", 22L),
+      (1L, "the cat sat on a mat today fine", "en", "s1", 50L),
+      // contaminated: shares 2 of its 5 trigrams with eval (400000 ppm)
+      (2L, "alpha beta gamma delta extra words here", "en", "s1", 40L),
+      (3L, "tiny doc", "en", "s1", 8L), // under the word floor
+      // exact near-dup of doc 1, longer — keep-best must pick THIS one
+      (4L, "the cat sat on a mat today fine", "en", "s1", 60L),
+      (5L, "we like big data jobs running fast here ok", "en", "s2", 42L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DataPrep.corpusQc(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // s1: only doc 4 survives (1 lost the dup vote, 2 contaminated,
+    // 3 too short); s2: doc 5 untouched
+    assert(out == Map("s1" -> ((1L, 60L, 1L)), "s2" -> ((1L, 42L, 1L))))
+  }
 }
