@@ -358,6 +358,33 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("decontamination broadcasts the eval gram set — corpus never shuffles on gram text") {
+    val p = plan(SparkEntry.queries("t67_decontaminate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast onto the corpus gram stream:\n$p")
+    // the only hash exchange is the per-doc rollup on the doc key
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withProductionInputs {
+      val p2 = plan(SparkEntry.queries("t67_decontaminate")(spark, sf))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p2).length
+      // exactly two: the doc-key rollup (data-scale) and the eval-side
+      // gram distinct (benchmark-scale, feeds the broadcast) — a third
+      // would mean corpus grams started shuffling
+      assert(exchanges == 2,
+        s"expected doc-rollup + eval-distinct exchanges only, got $exchanges:\n$p2")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("readability and charset census stay shuffle-free projections") {
+    withProductionInputs {
+      for (q <- Seq("t69_readability", "t70_charset_profile")) {
+        val p = plan(SparkEntry.queries(q)(spark, sf))
+        assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
+      }
+    }
+  }
+
   test("phrase search and RAKE assembly stay out of the generator-filter trap") {
     // scan-side phrase match: no OPERATOR shuffle (Tables.load's
     // round-robin input shaping on tiny files is not one) — and the
