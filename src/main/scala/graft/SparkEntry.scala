@@ -1113,6 +1113,17 @@ object SparkEntry {
         col("user_id"), col("ts"), churnGapDays = 7)
     },
 
+    // Holt-Winters triple smoothing (additive weekly seasonality):
+    // integer (level, trend, 7 seasonal slots) struct fold — completes
+    // the smoothing family; keys under 8 obs drop (no seasonal
+    // estimate); same one-shuffle sorted-fold plan as w12/w23.
+    "w30_holt_winters" -> { (s, dir) =>
+      graft.ops.Ewma.holtWinters(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"),
+        alphaPpm = 200000L, betaPpm = 300000L, gammaPpm = 400000L)
+    },
+
     // Holt double-exponential smoothing: integer (level, trend) struct
     // fold, forecast = level + trend — the EWMA sibling for drifting
     // series; same one-shuffle sorted-fold plan as w12.
@@ -2560,10 +2571,62 @@ object SparkEntry {
          |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
   }
 
+  /** w30 oracle: the engine's three-phase Holt–Winters fold as a
+    * recursive CTE whose state is the SAME 9 integers (i, level, trend,
+    * 7 seasonal slots as explicit columns — Ewma.holtWinters's struct
+    * fields, which is why neither side needs list surgery).
+    */
+  private def holtWintersOracle: String = {
+    val slots = 1 to 7
+    val sList = s"[${slots.map(k => s"f.s$k").mkString(", ")}]"
+    val sj = s"$sList[CAST(f.i % 7 AS INT) + 1]"
+    val lNew = s"((200000 * (e.vm - $sj) + 800000 * (f.l + f.b)) // 1000000)"
+    val bNew = s"((300000 * ($lNew - f.l) + 700000 * f.b) // 1000000)"
+    val sjNew = s"((400000 * (e.vm - $lNew) + 600000 * $sj) // 1000000)"
+    val lCase = s"CASE WHEN f.i < 6 THEN f.l + e.vm" +
+      s" WHEN f.i = 6 THEN (f.l + e.vm) // 7 ELSE $lNew END"
+    val bCase = s"CASE WHEN f.i <= 6 THEN CAST(0 AS BIGINT) ELSE $bNew END"
+    val sCases = slots.map { k =>
+      s"    CASE WHEN f.i < 6 THEN" +
+        s" (CASE WHEN f.i + 1 = $k THEN e.vm ELSE f.s$k END)\n" +
+        s"      WHEN f.i = 6 THEN (CASE WHEN $k = 7 THEN e.vm" +
+        s" ELSE f.s$k END) - ((f.l + e.vm) // 7)\n" +
+        s"      ELSE (CASE WHEN CAST(f.i % 7 AS INT) + 1 = $k" +
+        s" THEN $sjNew ELSE f.s$k END) END AS s$k"
+    }.mkString(",\n")
+    val seedSlots = slots.map(k =>
+      if (k == 1) "e.vm AS s1" else s"CAST(0 AS BIGINT) AS s$k")
+      .mkString(", ")
+    val jn = "CAST(n.n_obs % 7 AS INT) + 1"
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS i,
+       |    CAST(round(value * 1000) AS BIGINT) AS vm, epoch_us(ts) AS us
+       |  FROM events),
+       |n AS (SELECT user_id, count(*) AS n_obs, max(us) AS last_us
+       |  FROM e GROUP BY 1 HAVING count(*) >= 8),
+       |fold AS (
+       |  SELECT e.user_id, CAST(1 AS BIGINT) AS i, e.vm AS l,
+       |    CAST(0 AS BIGINT) AS b, $seedSlots
+       |  FROM e JOIN n USING (user_id) WHERE e.i = 1
+       |  UNION ALL
+       |  SELECT f.user_id, f.i + 1, $lCase AS l, $bCase AS b,
+       |$sCases
+       |  FROM fold f JOIN e ON e.user_id = f.user_id AND e.i = f.i + 1)
+       |SELECT n.user_id AS user_id, CAST(n.n_obs AS BIGINT) AS n_obs,
+       |  n.last_us AS last_us, f.l AS level_milli, f.b AS trend_milli,
+       |  $sList[$jn] AS season_milli,
+       |  f.l + f.b + $sList[$jn] AS forecast_milli
+       |FROM fold f JOIN n ON f.user_id = n.user_id AND f.i = n.n_obs"""
+      .stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "w30_holt_winters" -> holtWintersOracle,
     "s2_ann_lsh_topk" -> lshTopkOracle,
 
     "g6_kcore" -> kcoreOracle(k = 6, rounds = 6),

@@ -105,4 +105,81 @@ object Ewma {
         col("__st.l").as("level_milli"), col("__st.b").as("trend_milli"),
         (col("__st.l") + col("__st.b")).as("forecast_milli"))
   }
+
+  /** Holt–Winters triple exponential smoothing (additive seasonality,
+    * fixed `period` = 7 — the weekly cycle every engagement series
+    * carries), completing the smoothing family: EWMA (level), Holt
+    * (level+trend), Holt–Winters (level+trend+season). Same exact-hash
+    * contract as [[smooth]]/[[holt]]: every recurrence is an integer
+    * `DIV 10⁶` in ppm weights over a totally-ordered timeline, so the
+    * fold replays bit-identically on any engine and any partitioning.
+    *
+    * Initialization (the standard simple scheme, made fold-shaped):
+    * the first 7 observations seed `level = Σv DIV 7`, `trend = 0`,
+    * `season[j] = vⱼ − level`; from observation 8 on, the classic
+    * additive recurrences run. Keys with fewer than 8 observations are
+    * dropped — no seasonal estimate exists to emit.
+    *
+    * The 7 seasonal slots are EXPLICIT struct fields (not an array):
+    * each step rewrites one slot via a CASE per field, which keeps the
+    * whole state codegen-friendly in Spark AND lets the oracle carry
+    * the identical state as 7 recursive-CTE columns — an array state
+    * would force list surgery DuckDB lambdas can't index.
+    *
+    * Plan: identical to [[holt]] — one groupBy shuffle, sorted
+    * per-key array, one aggregate-HOF fold; `mapGroupsWithState` is
+    * the unbounded-stream analog (state = 9 longs).
+    */
+  def holtWinters(events: DataFrame, key: Column, ts: Column,
+                  eventId: Column, valueMilli: Column, alphaPpm: Long,
+                  betaPpm: Long, gammaPpm: Long): DataFrame = {
+    for ((n, p) <- Seq("alpha" -> alphaPpm, "beta" -> betaPpm,
+        "gamma" -> gammaPpm))
+      require(p >= 1 && p <= 1000000, s"${n}Ppm $p out of (0, 1e6]")
+    val keyName = events.select(key).columns.head
+    val (a, na) = (alphaPpm, 1000000L - alphaPpm)
+    val (b, nb) = (betaPpm, 1000000L - betaPpm)
+    val (g, ng) = (gammaPpm, 1000000L - gammaPpm)
+    val slots = 1 to 7
+    def fields(vals: Seq[String]): String =
+      slots.zip(vals).map { case (k, v) => s"'s$k', ($v)" }.mkString(", ")
+    // phase A (obs 1..6): accumulate the sum in l, park raw v in slot i
+    val phaseA = s"""named_struct('i', s.i + 1L, 'l', s.l + v, 'b', 0L,
+      ${fields(slots.map(k => s"CASE WHEN s.i + 1 = $k THEN v ELSE s.s$k END"))})"""
+    // phase B (obs 7): level = mean of the period, slots become v − level
+    val lInit = "((s.l + v) DIV 7)"
+    val phaseB = s"""named_struct('i', 7L, 'l', $lInit, 'b', 0L,
+      ${fields(slots.map(k =>
+        if (k == 7) s"v - $lInit" else s"s.s$k - $lInit"))})"""
+    // phase C (obs > 7): classic additive recurrences on slot j
+    val j = "(CAST(s.i % 7 AS INT) + 1)" // this obs is position s.i + 1
+    val sj = s"element_at(array(${slots.map(k => s"s.s$k").mkString(", ")}), $j)"
+    val lNew = s"(($a * (v - $sj) + $na * (s.l + s.b)) DIV 1000000)"
+    val bNew = s"(($b * ($lNew - s.l) + $nb * s.b) DIV 1000000)"
+    val sjNew = s"(($g * (v - $lNew) + $ng * $sj) DIV 1000000)"
+    val phaseC = s"""named_struct('i', s.i + 1L, 'l', $lNew, 'b', $bNew,
+      ${fields(slots.map(k => s"CASE WHEN $j = $k THEN $sjNew ELSE s.s$k END"))})"""
+    val init = s"named_struct('i', 0L, 'l', 0L, 'b', 0L, ${fields(slots.map(_ => "0L"))})"
+    events
+      .select(key, unix_micros(ts).as("__us"), eventId.as("__eid"),
+        valueMilli.as("__vm"))
+      .groupBy(col(keyName))
+      .agg(count(lit(1)).as("n_obs"), max("__us").as("last_us"),
+        sort_array(collect_list(struct(col("__us"), col("__eid"),
+          col("__vm")))).as("__l"))
+      .filter(col("n_obs") >= 8)
+      .withColumn("__st", expr(
+        s"""aggregate(transform(__l, t -> t.__vm), $init,
+            (s, v) -> CASE WHEN s.i < 6 THEN $phaseA
+                           WHEN s.i = 6 THEN $phaseB
+                           ELSE $phaseC END)"""))
+      // forecast for position n+1 reads slot ((n) mod 7) + 1
+      .withColumn("__jn", (col("n_obs") % 7 + 1).cast("int"))
+      .withColumn("__sn", element_at(
+        array(slots.map(k => col(s"__st.s$k")): _*), col("__jn")))
+      .select(col(keyName), col("n_obs"), col("last_us"),
+        col("__st.l").as("level_milli"), col("__st.b").as("trend_milli"),
+        col("__sn").as("season_milli"),
+        (col("__st.l") + col("__st.b") + col("__sn")).as("forecast_milli"))
+  }
 }

@@ -105,4 +105,50 @@ class EwmaSpec extends SparkSpec {
     //   = (−122400000−42000000) DIV 1e6 = −164 (truncation toward zero)
     assert(out == ((2392L, -164L)))
   }
+
+  test("holtWinters: fold matches an in-test integer reference; short keys drop") {
+    import java.sql.Timestamp
+    val vs = Seq(100L, 200L, 300L, 400L, 500L, 600L, 700L, 800L, 150L)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      (1L, new Timestamp(1000L * (i + 1)), i.toLong, v)
+    } ++ Seq((2L, new Timestamp(1000L), 0L, 50L)) // 1 obs — must drop
+    val df = rows.toDF("user_id", "ts", "event_id", "vm")
+    val (a, na) = (200000L, 800000L); val (b, nb) = (300000L, 700000L)
+    val (g, ng) = (400000L, 600000L)
+    // reference: same three phases, Scala / truncates like Spark DIV
+    var (l, tr, i) = (0L, 0L, 0)
+    val s = Array.fill(8)(0L)
+    for (v <- vs) {
+      if (i < 6) { l += v; s(i + 1) = v; i += 1 }
+      else if (i == 6) {
+        val lf = (l + v) / 7
+        for (k <- 1 to 6) s(k) -= lf
+        s(7) = v - lf; l = lf; tr = 0; i = 7
+      } else {
+        val j = (i % 7) + 1; val sj = s(j)
+        val ln = (a * (v - sj) + na * (l + tr)) / 1000000
+        val bn = (b * (ln - l) + nb * tr) / 1000000
+        s(j) = (g * (v - ln) + ng * sj) / 1000000
+        l = ln; tr = bn; i += 1
+      }
+    }
+    val jn = (vs.size % 7) + 1
+    val out = graft.ops.Ewma.holtWinters(df, col("user_id"), col("ts"),
+        col("event_id"), col("vm"), 200000L, 300000L, 400000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, vs.size.toLong, 9000000L, l, tr, s(jn),
+      l + tr + s(jn))))
+  }
+
+  test("holtWinters: constant series converges to zero trend and season") {
+    import java.sql.Timestamp
+    val rows = (0 until 20).map(i =>
+      (1L, new Timestamp(1000L * (i + 1)), i.toLong, 500L))
+    val out = graft.ops.Ewma.holtWinters(rows.toDF("user_id", "ts",
+        "event_id", "vm"), col("user_id"), col("ts"), col("event_id"),
+        col("vm"), 200000L, 300000L, 400000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // constant input: level = the constant, trend = 0, seasonals = 0
+    assert(out._4 == 500L && out._5 == 0L && out._6 == 0L && out._7 == 500L)
+  }
 }
