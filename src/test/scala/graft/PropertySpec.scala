@@ -990,6 +990,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // --- Holt–Winters reference equality -------------------------------------
+
+  test("property: holtWinters equals the integer reference fold on random series") {
+    val gen = for {
+      n <- Gen.choose(8, 30)
+      vs <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+    } yield vs
+    val (a, na) = (200000L, 800000L); val (b, nb) = (300000L, 700000L)
+    val (g, ng) = (400000L, 600000L)
+    samples(gen, 15).foreach { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        (1L, new java.sql.Timestamp(1000L * (i + 1)), i.toLong, v)
+      }
+      var (l, tr, i) = (0L, 0L, 0)
+      val s = Array.fill(8)(0L)
+      for (v <- vs) {
+        if (i < 6) { l += v; s(i + 1) = v; i += 1 }
+        else if (i == 6) {
+          val lf = (l + v) / 7
+          for (k <- 1 to 6) s(k) -= lf
+          s(7) = v - lf; l = lf; tr = 0; i = 7
+        } else {
+          val j = (i % 7) + 1; val sj = s(j)
+          val ln = (a * (v - sj) + na * (l + tr)) / 1000000
+          val bn = (b * (ln - l) + nb * tr) / 1000000
+          s(j) = (g * (v - ln) + ng * sj) / 1000000
+          l = ln; tr = bn; i += 1
+        }
+      }
+      val jn = (vs.size % 7) + 1
+      val out = graft.ops.Ewma.holtWinters(
+          rows.toDF("user_id", "ts", "event_id", "vm"), col("user_id"),
+          col("ts"), col("event_id"), col("vm"), a, b, g)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+      assert((out._4, out._5, out._6, out._7) ==
+        ((l, tr, s(jn), l + tr + s(jn))), s"series $vs")
+    }
+  }
+
   // --- keep-best cluster dedup invariants ----------------------------------
 
   test("property: keepBest keeps exactly one member per cluster, the best one") {
