@@ -29,6 +29,21 @@ final case class HoltState(
     level_milli: Long,
     trend_milli: Long)
 
+/** Fixed-width (9 longs + bookkeeping) per-key streaming Holt–Winters
+  * state ([[StreamOps.holtWintersPerKey]]) — the seasonal slots are
+  * explicit fields, the same shape as the batch fold's struct, and
+  * `level_milli` doubles as the warm-up sum during the first period
+  * exactly as in the batch fold, so the state never grows with the
+  * timeline.
+  */
+final case class HwState(
+    user_id: Long,
+    n_obs: Long,
+    last_us: Long,
+    level_milli: Long,
+    trend_milli: Long,
+    s1: Long, s2: Long, s3: Long, s4: Long, s5: Long, s6: Long, s7: Long)
+
 /** Structured Streaming facade (SURVEY §2.10).
   *
   * The reference consumes its Kafka/Kinesis streams as already-landed batch
@@ -259,6 +274,57 @@ object StreamOps {
                 (ln, bn)
               }
             st = HoltState(k, st.n_obs + 1, e.ts.getTime * 1000L, l, b)
+          }
+          state.update(st)
+          st
+      }
+  }
+
+  /** Streaming Holt–Winters — [[graft.ops.Ewma.holtWinters]]'s
+    * three-phase integer fold carried incrementally in the promised
+    * fixed-width state (9 longs: level, trend, 7 seasonal slots;
+    * `level_milli` accumulates the warm-up sum for the first period,
+    * exactly the batch fold's phase A). Same monotone-event-time
+    * contract as [[ewmaPerKey]]/[[holtPerKey]]; the streamed fixpoint
+    * equals the batch fold bit-for-bit once a key has ≥ 8 observations
+    * (StreamingSpec proves it) — before that the batch operator emits
+    * nothing while the stream exposes the warm-up state, which is the
+    * honest difference between a report and a live estimator.
+    */
+  def holtWintersPerKey(ds: Dataset[KeyedEvent], alphaPpm: Long,
+                        betaPpm: Long, gammaPpm: Long): Dataset[HwState] = {
+    for ((n, p) <- Seq("alpha" -> alphaPpm, "beta" -> betaPpm,
+        "gamma" -> gammaPpm))
+      require(p >= 1 && p <= 1000000, s"${n}Ppm $p out of (0, 1e6]")
+    implicit val stateEnc = Encoders.product[HwState]
+    implicit val longEnc = Encoders.scalaLong
+    val (na, nb, ng) =
+      (1000000L - alphaPpm, 1000000L - betaPpm, 1000000L - gammaPpm)
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, events: Iterator[KeyedEvent], state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(k, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val vm = Math.round(e.value * 1000)
+            val s = Array(0L, st.s1, st.s2, st.s3, st.s4, st.s5, st.s6, st.s7)
+            var (l, b) = (st.level_milli, st.trend_milli)
+            val i = st.n_obs
+            if (i < 6) { l += vm; s((i + 1).toInt) = vm; b = 0L }
+            else if (i == 6) {
+              val lf = (l + vm) / 7
+              for (j <- 1 to 6) s(j) -= lf
+              s(7) = vm - lf; l = lf; b = 0L
+            } else {
+              val j = (i % 7).toInt + 1
+              val sj = s(j)
+              val ln = (alphaPpm * (vm - sj) + na * (l + b)) / 1000000L
+              val bn = (betaPpm * (ln - l) + nb * b) / 1000000L
+              s(j) = (gammaPpm * (vm - ln) + ng * sj) / 1000000L
+              l = ln; b = bn
+            }
+            st = HwState(k, i + 1, e.ts.getTime * 1000L, l, b,
+              s(1), s(2), s(3), s(4), s(5), s(6), s(7))
           }
           state.update(st)
           st

@@ -654,4 +654,51 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(batchOut == streamed)
   }
+
+  test("holtWintersPerKey: fixed-width seasonal state lands on the batch fixpoint") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val smoothed = StreamOps.holtWintersPerKey(input.toDS(),
+      alphaPpm = 200000L, betaPpm = 300000L, gammaPpm = 400000L)
+    val query = StreamOps.startMemorySink(smoothed.toDF(), "hw_q",
+      OutputMode.Update())
+
+    def ev(u: Long, t: String, id: Long, v: Double) =
+      KeyedEvent(u, ts(t), id, "m", v)
+    // 9 points split across triggers so the warm-up period STRADDLES the
+    // trigger boundary — the state must resume phase 1 mid-period
+    val vs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.15)
+    val all = Seq(vs.take(4), vs.slice(4, 8), vs.drop(8)).zipWithIndex
+      .map { case (chunk, t) =>
+        chunk.zipWithIndex.map { case (v, i) =>
+          val pos = vs.indexOf(v)
+          ev(1L, f"2024-01-01 00:00:${pos}%02d", pos.toLong, v)
+        }
+      }
+    all.foreach { batch => input.addData(batch: _*); query.processAllAvailable() }
+    query.stop()
+
+    val streamed = spark.table("hw_q")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_obs"), col("level_milli"), col("trend_milli"),
+        col("s1"), col("s2"), col("s3"), col("s4"), col("s5"), col("s6"),
+        col("s7"))).as("s"))
+      .select(col("user_id"), col("s.n_obs"), col("s.level_milli"),
+        // batch season_milli reads the NEXT position's slot:
+        // (n_obs % 7) + 1 = (9 % 7) + 1 = 3
+        col("s.trend_milli"), col("s.s3"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val batchOut = graft.ops.Ewma.holtWinters(
+        all.flatten.map(e => (e.user_id, e.ts, e.event_id, e.value))
+          .toDF("user_id", "ts", "event_id", "value"),
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"),
+        alphaPpm = 200000L, betaPpm = 300000L, gammaPpm = 400000L)
+      .select(col("user_id"), col("n_obs"), col("level_milli"),
+        col("trend_milli"), col("season_milli"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(streamed == batchOut,
+      s"streamed $streamed != batch $batchOut")
+  }
 }
