@@ -1113,6 +1113,16 @@ object SparkEntry {
         col("user_id"), col("ts"), churnGapDays = 7)
     },
 
+    // Time-windowed funnel (ClickHouse windowFunnel semantics): max
+    // stage with every hop inside a 6 h window, max-anchor DP fold —
+    // per-stage user counts.
+    "a12_window_funnel" -> { (s, dir) =>
+      graft.ops.Funnel.windowed(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"),
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 6L * 3600L * 1000000L)
+    },
+
     // Holt-Winters triple smoothing (additive weekly seasonality):
     // integer (level, trend, 7 seasonal slots) struct fold — completes
     // the smoothing family; keys under 8 obs drop (no seasonal
@@ -2627,6 +2637,39 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "w30_holt_winters" -> holtWintersOracle,
+
+    "a12_window_funnel" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS i,
+        |    epoch_us(ts) AS us, event_type AS et
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |n AS (SELECT user_id, count(*) AS n_ev FROM e GROUP BY 1),
+        |fold AS (
+        |  SELECT e.user_id, e.i,
+        |    CASE WHEN e.et = 'view' THEN e.us
+        |         ELSE CAST(NULL AS BIGINT) END AS a1,
+        |    CAST(NULL AS BIGINT) AS a2, CAST(NULL AS BIGINT) AS a3
+        |  FROM e WHERE e.i = 1
+        |  UNION ALL
+        |  SELECT f.user_id, f.i + 1,
+        |    CASE WHEN e.et = 'view'
+        |      THEN greatest(coalesce(f.a1, e.us), e.us) ELSE f.a1 END,
+        |    CASE WHEN e.et = 'click' AND f.a1 IS NOT NULL
+        |        AND e.us - f.a1 <= 21600000000
+        |      THEN greatest(coalesce(f.a2, f.a1), f.a1) ELSE f.a2 END,
+        |    CASE WHEN e.et = 'purchase' AND f.a2 IS NOT NULL
+        |        AND e.us - f.a2 <= 21600000000
+        |      THEN greatest(coalesce(f.a3, f.a2), f.a2) ELSE f.a3 END
+        |  FROM fold f JOIN e ON e.user_id = f.user_id AND e.i = f.i + 1)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT f.user_id,
+        |    CAST(CASE WHEN a3 IS NOT NULL THEN 3
+        |         WHEN a2 IS NOT NULL THEN 2
+        |         WHEN a1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |  FROM fold f JOIN n ON f.user_id = n.user_id AND f.i = n.n_ev)
+        |GROUP BY 1""".stripMargin,
     "s2_ann_lsh_topk" -> lshTopkOracle,
 
     "g6_kcore" -> kcoreOracle(k = 6, rounds = 6),

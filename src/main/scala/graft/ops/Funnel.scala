@@ -83,4 +83,62 @@ object Funnel {
         when(col("__base") > 0, expr("__s.n_keys * 1000 DIV __base"))
           .otherwise(lit(0L)).as("conv_permille"))
   }
+
+  /** Time-WINDOWED funnel (the ClickHouse `windowFunnel` semantic):
+    * a key reaches stage k iff steps 1..k occur in order with EVERY
+    * consecutive hop inside `windowUs` of the previous stage's time —
+    * the conversion question [[conversion]] can't ask, because an
+    * unbounded funnel credits a purchase months after the view.
+    *
+    * The reached stage is the MAXIMUM over all chain anchorings, found
+    * with an O(m)-state DP: per stage k, keep the LATEST stage-(k−1)
+    * time of any valid chain reaching k (`a_k`). A later anchor can
+    * only loosen every downstream window check, so max-anchor
+    * dominates — greedy first-anchor would under-report whenever an
+    * early view expires and a later one would have converted.
+    *
+    * Plan: identical to [[conversion]] — funnel-typed events only
+    * leave the scan, one key shuffle, one sorted HOF fold (state = m
+    * nullable longs), stage rollup over ≤ m+1 rows. Ordering inside
+    * the fold is (µs, event_id) — total, engine-replayable.
+    */
+  def windowed(events: DataFrame, key: Column, ts: Column,
+               eventId: Column, step: Column, steps: Seq[String],
+               windowUs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct, got $steps")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val keyName = events.select(key).columns.head
+    val m = steps.size
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (name, i)) =>
+        when(step === name, lit(i + 1)).otherwise(acc)
+      }
+    val init = s"named_struct(${(1 to m)
+      .map(k => s"'a$k', CAST(NULL AS BIGINT)").mkString(", ")})"
+    val upd = (1 to m).map { k =>
+      if (k == 1)
+        "'a1', CASE WHEN ev.__step = 1" +
+          " THEN greatest(coalesce(s.a1, ev.__us), ev.__us) ELSE s.a1 END"
+      else
+        s"'a$k', CASE WHEN ev.__step = $k AND s.a${k - 1} IS NOT NULL" +
+          s" AND ev.__us - s.a${k - 1} <= ${windowUs}L" +
+          s" THEN greatest(coalesce(s.a$k, s.a${k - 1}), s.a${k - 1})" +
+          s" ELSE s.a$k END"
+    }.mkString(", ")
+    val stageCase = "CASE " + (m to 1 by -1)
+      .map(k => s"WHEN __st.a$k IS NOT NULL THEN $k").mkString(" ") +
+      " ELSE 0 END"
+    events
+      .select(key, unix_micros(ts).as("__us"), eventId.as("__eid"),
+        stepIdx.as("__step"))
+      .filter(col("__step").isNotNull)
+      .groupBy(col(keyName))
+      .agg(sort_array(collect_list(struct(col("__us"), col("__eid"),
+        col("__step")))).as("__evs"))
+      .withColumn("__st",
+        expr(s"aggregate(__evs, $init, (s, ev) -> named_struct($upd))"))
+      .select(col(keyName), expr(stageCase).cast("long").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -90,4 +90,32 @@ class FunnelSpec extends SparkSpec {
       .select("step_idx", "n_keys").as[(Int, Long)].collect().toMap
     assert(got == reference(evs), "fold diverged from the recurrence")
   }
+
+  test("windowed: max-anchor DP converts where greedy-first-anchor would not") {
+    import java.sql.Timestamp
+    def ev(u: Long, sec: Long, id: Long, t: String) =
+      (u, new Timestamp(sec * 1000L), id, t)
+    val rows = Seq(
+      // u1: clean chain — the whole funnel inside 15 s of the view
+      ev(1L, 0, 1, "view"), ev(1L, 5, 2, "click"), ev(1L, 10, 3, "purchase"),
+      // u2: the first view (t=0) expires; the SECOND view (t=100)
+      // anchors a full conversion — greedy-first-anchor reports stage 1
+      ev(2L, 0, 4, "view"), ev(2L, 100, 5, "view"),
+      ev(2L, 105, 6, "click"), ev(2L, 110, 7, "purchase"),
+      // u3: purchase misses the click-anchor window (20 − 5 > 15... the
+      // window check is vs the VIEW anchor: 20 − 0 > 15) → stage 2
+      ev(3L, 0, 8, "view"), ev(3L, 5, 9, "click"), ev(3L, 20, 10, "purchase"),
+      // u4: never views → stage 0
+      ev(4L, 0, 11, "click"), ev(4L, 1, 12, "purchase"),
+      // u5: steps in reverse order → only the view counts
+      ev(5L, 0, 13, "purchase"), ev(5L, 1, 14, "click"), ev(5L, 2, 15, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.windowed(rows, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 15L * 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 2L, 2L -> 1L, 1L -> 1L, 0L -> 1L),
+      s"got $out") // stage 3: u1+u2; stage 2: u3; stage 1: u5; stage 0: u4
+  }
 }
