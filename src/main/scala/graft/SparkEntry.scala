@@ -1113,6 +1113,16 @@ object SparkEntry {
         col("user_id"), col("ts"), churnGapDays = 7)
     },
 
+    // Trailing 7-day exact MEDIAN of per-day spend — the robust
+    // anomaly baseline (w9's sums spike with one outlier day); lower
+    // median over a RANGE frame, O(window) per-row state.
+    "w31_rolling_median" -> { (s, dir) =>
+      graft.ops.Rolling.trailingMedian(Tables.events(s, dir),
+        col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long"),
+        expr("CAST(round(value * 1000000) AS BIGINT)"), windowPeriods = 7)
+    },
+
     // Time-windowed funnel (ClickHouse windowFunnel semantics): max
     // stage with every hop inside a 6 h window, max-anchor DP fold —
     // per-stage user counts.
@@ -4157,6 +4167,24 @@ object SparkEntry {
 
     // Integer-µ-unit daily rollup + RANGE trailing frame; casts pin
     // DuckDB's HUGEINT window sums back to BIGINT.
+    "w31_rolling_median" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE) AS period,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS value_micro
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, period, n_events, value_micro,
+        |  CAST(len(frame) AS BIGINT) AS n_frame,
+        |  list_sort(frame)[CAST((len(frame) + 1) // 2 AS INT)]
+        |    AS median_micro_trail
+        |FROM (
+        |  SELECT *, list(value_micro) OVER (PARTITION BY user_id
+        |    ORDER BY period RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS frame
+        |  FROM d)""".stripMargin,
+
     "w9_rolling_window" ->
       """WITH d AS (
         |  SELECT user_id,

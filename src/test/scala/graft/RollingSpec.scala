@@ -42,4 +42,26 @@ class RollingSpec extends SparkSpec {
       spark.conf.set("spark.graft.parallelizeInputs", "true")
     }
   }
+
+  test("trailingMedian: lower median over the RANGE frame, gaps age out") {
+    import java.sql.Timestamp
+    def ev(u: Long, day: Int, v: Double) =
+      (u, new Timestamp(86400000L * day), v)
+    // user 1 daily totals: day0=10, day1=1000 (spike), day2=20
+    val rows = Seq(ev(1L, 0, 10.0), ev(1L, 1, 1000.0), ev(1L, 2, 20.0),
+      // day 10: far past the 3-day window — frame resets to itself
+      ev(1L, 10, 7.0))
+    val out = graft.ops.Rolling.trailingMedian(
+        rows.toDF("user_id", "ts", "value"), col("user_id"),
+        expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)"),
+        expr("CAST(round(value * 1000000) AS BIGINT)"), windowPeriods = 3)
+      .orderBy("period")
+      .select("period", "n_frame", "median_micro_trail")
+      .as[(Long, Long, Long)].collect().toSeq
+    // day0: [10] → 10; day1: [10,1000] lower median → 10 (the spike
+    // does NOT drag it, unlike the trailing mean); day2: [10,1000,20]
+    // → 20; day10: [7] → 7
+    assert(out == Seq((0L, 1L, 10000000L), (1L, 2L, 10000000L),
+      (2L, 3L, 20000000L), (10L, 1L, 7000000L)))
+  }
 }
