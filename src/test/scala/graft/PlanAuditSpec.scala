@@ -376,6 +376,32 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("smoothing and funnel folds cost exactly one key shuffle") {
+    // w30 (Holt-Winters) and a12 (windowed funnel) are sorted-fold
+    // operators: the groupBy collect is the ONLY data-scale exchange;
+    // the fold itself is a codegen'd HOF over the per-key array.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withProductionInputs {
+      val pHw = plan(SparkEntry.queries("w30_holt_winters")(spark, sf))
+      assert("Exchange hashpartitioning".r.findAllIn(pHw).length == 1,
+        s"w30: expected the single key exchange:\n$pHw")
+      // a12 adds the stage rollup — ≤ m+1 keys, partial-aggregated, so
+      // its exchange moves per-user stage rows, never events
+      val pWf = plan(SparkEntry.queries("a12_window_funnel")(spark, sf))
+      assert("Exchange hashpartitioning".r.findAllIn(pWf).length == 2,
+        s"a12: expected fold + stage-rollup exchanges:\n$pWf")
+      assert(pWf.contains("partial_count"),
+        s"a12: stage rollup must partial-aggregate:\n$pWf")
+      // w31: the (key, period) rollup + the key-only window frame — two
+      // exchanges, but the second moves the PRE-AGGREGATED daily frame,
+      // never raw events (the Rolling scaladoc argument; same as w9)
+      val p = plan(SparkEntry.queries("w31_rolling_median")(spark, sf))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 2, s"w31: expected rollup+window exchanges, got $exchanges:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("readability and charset census stay shuffle-free projections") {
     withProductionInputs {
       for (q <- Seq("t69_readability", "t70_charset_profile")) {
