@@ -1113,6 +1113,16 @@ object SparkEntry {
         col("user_id"), col("ts"), churnGapDays = 7)
     },
 
+    // Relative-error quantiles over the unbounded micro-value domain:
+    // pure-integer log-bucket sketch (exact < 32, ≤ 1/16 rel. error
+    // above — no float log anywhere), the 100 TB path exact quantiles
+    // document for data-scale distinct-value domains.
+    "w32_approx_quantiles" -> { (s, dir) =>
+      graft.ops.Quantiles.approxLogQuantiles(Tables.events(s, dir),
+        col("event_type"), expr("CAST(round(value * 1000000) AS BIGINT)"),
+        Seq("p50" -> 500000L, "p90" -> 900000L, "p99" -> 990000L))
+    },
+
     // Trailing 7-day exact MEDIAN of per-day spend — the robust
     // anomaly baseline (w9's sums spike with one outlier day); lower
     // median over a RANGE frame, O(window) per-row state.
@@ -4167,6 +4177,38 @@ object SparkEntry {
 
     // Integer-µ-unit daily rollup + RANGE trailing frame; casts pin
     // DuckDB's HUGEINT window sums back to BIGINT.
+    "w32_approx_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |    AND CAST(round(value * 1000000) AS BIGINT) >= 0),
+        |kb AS (
+        |  SELECT event_type,
+        |    CASE WHEN v <= 31 THEN v
+        |      ELSE (length(bin(v))::BIGINT << 4)
+        |        + ((v >> (length(bin(v)) - 5)) & 15) END AS key,
+        |    CASE WHEN v <= 31 THEN v
+        |      ELSE (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+        |        + (((v >> (length(bin(v)) - 5)) & 15)
+        |           << (length(bin(v)) - 5)) END AS lo
+        |  FROM v),
+        |c AS (SELECT event_type, key, count(*) AS cnt, min(lo) AS lo
+        |      FROM kb GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, lo,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum*1000000 >= 500000*n THEN lo END)
+        |    AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum*1000000 >= 900000*n THEN lo END)
+        |    AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum*1000000 >= 990000*n THEN lo END)
+        |    AS BIGINT) AS p99
+        |FROM cum GROUP BY 1""".stripMargin,
+
     "w31_rolling_median" ->
       """WITH d AS (
         |  SELECT user_id,

@@ -71,6 +71,73 @@ object Quantiles {
     * single-row group (n = 1) emits 0 — the conventional
     * `percent_rank` of a lone row, never a divide-by-zero.
     */
+  /** Relative-error quantiles for UNBOUNDED non-negative integer
+    * domains — the scale path [[exact]]'s scaladoc promises for metrics
+    * whose distinct-value count is itself data-scale (latencies in
+    * micros, byte sizes, token counts at corpus scale). A DDSketch-
+    * shaped log-bucket histogram, but with PURE-INTEGER bucketing:
+    * values below `2^(subBits+1)` map to themselves (exact); larger
+    * values map to (binary digit count, top `subBits` mantissa bits) —
+    * `log` never appears, so bucket boundaries cannot drift between
+    * engines (the t18 class applied to sketches: a float `log_γ` puts
+    * boundary values on different sides per libm).
+    *
+    * Guarantee: each reported quantile is the LOWER BOUND of its
+    * bucket, within relative error `2^-subBits` of the true
+    * percentile_disc value (≤ 6.25 % at the default 4), and EXACT when
+    * the domain stays under `2^(subBits+1)`. The histogram is
+    * mergeable by construction (bucket counts add), state is
+    * O(subBits · 64) buckets per group — the sketch property — and the
+    * plan is [[exact]]'s: one data-scale shuffle with map-side
+    * partials, then bucket-scale frames. Nulls and negatives are
+    * excluded (a latency/size domain; callers with signed data shift
+    * it first).
+    */
+  def approxLogQuantiles(df: DataFrame, group: Column, value: Column,
+                         quantiles: Seq[(String, Long)],
+                         subBits: Int = 4): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1, 16], got $subBits")
+    quantiles.foreach { case (n, p) =>
+      require(p >= 1 && p <= 1000000, s"quantile $n: ppm $p out of (0, 1e6]")
+    }
+    val gName = df.select(group).columns.head
+    val k = subBits
+    val small = (1L << (k + 1)) - 1
+    // L = binary digit count; sub = the k bits after the leading 1;
+    // key order ≡ lower-bound order (small keys < 2^(k+1) ≤ any large
+    // key's ((k+2) << k)), so the crossing rule sorts by key directly
+    val keyed = df
+      .select(group, value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") >= 0)
+      .selectExpr(gName,
+        s"""CASE WHEN __v <= $small THEN __v
+           |ELSE shiftleft(CAST(length(bin(__v)) AS BIGINT), $k)
+           |  + (shiftright(__v, length(bin(__v)) - 1 - $k)
+           |     & ${(1L << k) - 1}) END AS __key""".stripMargin,
+        s"""CASE WHEN __v <= $small THEN __v
+           |ELSE shiftleft(1L, length(bin(__v)) - 1)
+           |  + shiftleft(shiftright(__v, length(bin(__v)) - 1 - $k)
+           |      & ${(1L << k) - 1},
+           |    length(bin(__v)) - 1 - $k) END AS __lo""".stripMargin)
+    val counts = keyed.groupBy(col(gName), col("__key"))
+      .agg(count(lit(1)).as("__cnt"), min("__lo").as("__lo"))
+    val byK = Window.partitionBy(col(gName)).orderBy(col("__key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(gName))
+    val cum = counts
+      .select(col(gName), col("__lo"),
+        sum("__cnt").over(byK).as("__cum"),
+        sum("__cnt").over(whole).as("__n"))
+    cum.groupBy(col(gName)).agg(
+      max("__n").as("n"),
+      quantiles.map { case (name, ppm) =>
+        min(when(col("__cum") * 1000000L >= col("__n") * ppm, col("__lo")))
+          .as(name)
+      }: _*)
+  }
+
   def percentRanks(df: DataFrame, group: Column,
                    value: Column): DataFrame = {
     val gName = df.select(group).columns.head

@@ -62,4 +62,32 @@ class QuantilesSpec extends SparkSpec {
       ("a", 30L, 1L, 1000000L),
       ("b", 7L, 1L, 0L)))
   }
+
+  test("approxLogQuantiles: exact below 2^(k+1), lower bound within 2^-k above") {
+    // small domain (all values ≤ 31 with subBits=4) → identical to exact
+    val small = Seq.tabulate(20)(i => ("a", (i + 1).toLong)).toDF("g", "v")
+    val qs = Seq("p50" -> 500000L, "p90" -> 900000L)
+    val ex = graft.ops.Quantiles.exact(small, col("g"), col("v"), qs)
+      .as[(String, Long, Long, Long)].collect().head
+    val ap = graft.ops.Quantiles.approxLogQuantiles(small, col("g"),
+      col("v"), qs).as[(String, Long, Long, Long)].collect().head
+    assert(ap == ex)
+    // large values: deterministic bucket lower bound, ≤ truth, within 1/16
+    val big = Seq(("a", 1000L), ("a", 2000L), ("a", 4000L), ("a", 100000L))
+      .toDF("g", "v")
+    val r = graft.ops.Quantiles.approxLogQuantiles(big, col("g"), col("v"),
+      Seq("p50" -> 500000L)).as[(String, Long, Long)].collect().head
+    // 2000 = 0b11111010000 (11 digits): sub = (2000 >> 6) & 15 = 15,
+    // lo = 2^10 + 15·2^6 = 1984
+    assert(r == (("a", 4L, 1984L)))
+    assert(2000L - r._3 <= 2000L / 16)
+  }
+
+  test("approxLogQuantiles: nulls and negatives are excluded from the histogram") {
+    val df = Seq(("a", Some(5L)), ("a", None), ("a", Some(-3L)),
+      ("a", Some(9L))).toDF("g", "v")
+    val r = graft.ops.Quantiles.approxLogQuantiles(df, col("g"), col("v"),
+      Seq("p50" -> 500000L)).as[(String, Long, Long)].collect().head
+    assert(r == (("a", 2L, 5L)))
+  }
 }
