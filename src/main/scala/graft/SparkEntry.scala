@@ -1154,6 +1154,57 @@ object SparkEntry {
         alphaPpm = 200000L, betaPpm = 300000L, gammaPpm = 400000L)
     },
 
+    // Merged-interval union coverage per user (gaps-and-islands):
+    // 30-min exposure windows per event, overlaps counted once —
+    // one key shuffle, O(1) window state, integer-µs throughout.
+    "w33_interval_union" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.ops.Intervals.unionCoverage(ev, col("user_id"),
+          unix_micros(col("ts")),
+          unix_micros(col("ts")) + lit(1800L * 1000000L))
+        .withColumnRenamed("key", "user_id")
+    },
+
+    // 2-D Pareto frontier (min catalog price, max shipped quantity):
+    // per-cost rollup + window over cost-DISTINCT levels + one hash
+    // join back — never all-pairs, never a data-scale global sort.
+    "a13_pareto_front" -> { (s, dir) =>
+      val qty = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("gain"))
+      val pts = Tables.part(s, dir)
+        .select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cost"))
+        .join(qty, col("p_partkey") === col("l_partkey"))
+      graft.ops.Pareto.frontier2d(pts, col("p_partkey"), col("cost"),
+        col("gain"))
+    },
+
+    // Multi-source BFS hop distance (radius 4 from seeds {0,1,2}) on
+    // the mod-1013 synthetic doc graph: frontier-relaxation rounds,
+    // one shuffle per round, localCheckpoint lineage truncation.
+    "g7_bfs_hops" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 1013).as("src"),
+          ((col("doc_id") * 17 + 5) % 1013).as("dst"))
+        .unionAll(d.select((col("doc_id") % 1013).as("src"),
+          (col("doc_id") % 97).as("dst")))
+      graft.graph.Bfs.hops(s, edges, seeds = Seq(0L, 1L, 2L), maxHops = 4)
+    },
+
+    // Sentence-level corpus stats per source: terminal-punctuation
+    // segmentation, words-per-sentence ppm, longest sentence — all
+    // higher-order functions, zero explode before the rollup. The
+    // synthetic corpus carries no punctuation, so the query derives
+    // it deterministically (translate e/o → ./!) — the same trick the
+    // graph queries use to conjure edges from doc_id arithmetic —
+    // which makes every doc genuinely multi-sentence for the hash.
+    "t71_sentence_stats" -> { (s, dir) =>
+      graft.text.Sentences.stats(Tables.documents(s, dir),
+          col("source"), translate(col("text"), "eo", ".!"))
+        .withColumnRenamed("group", "source")
+    },
+
     // Holt double-exponential smoothing: integer (level, trend) struct
     // fold, forecast = level + trend — the EWMA sibling for drifting
     // series; same one-shuffle sorted-fold plan as w12.
@@ -2573,6 +2624,42 @@ object SparkEntry {
     * three times, and inlined CTEs would re-evaluate the whole chain
     * exponentially.
     */
+  /** g7 oracle: the engine's frontier-relaxation BFS unrolled into
+    * `maxHops` CTE rounds (same scheme as [[kcoreOracle]] — DuckDB's
+    * recursive CTEs can't carry the settled-set anti-join cleanly, an
+    * explicit unroll can).
+    */
+  private def bfsOracle(seeds: Seq[Long], maxHops: Int): String = {
+    val head =
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT doc_id % 1013 AS u, (doc_id * 17 + 5) % 1013 AS v
+         |    FROM documents
+         |    UNION ALL
+         |    SELECT doc_id % 1013 AS u, doc_id % 97 AS v FROM documents)
+         |  WHERE u <> v),
+         |und AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM e0
+         |  UNION SELECT v, u FROM e0),
+         |r0 AS MATERIALIZED (
+         |  SELECT CAST(unnest([${seeds.mkString(", ")}]) AS BIGINT) AS node,
+         |    CAST(0 AS BIGINT) AS hop),
+         |f0 AS MATERIALIZED (SELECT node FROM r0)""".stripMargin
+    val rounds = (1 to maxHops).map { i =>
+      s""",
+         |f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node FROM und e
+         |  JOIN f${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM r${i - 1})),
+         |r$i AS MATERIALIZED (
+         |  SELECT node, hop FROM r${i - 1}
+         |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT node, hop FROM r$maxHops""".stripMargin
+  }
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val head =
       s"""WITH e0 AS MATERIALIZED (
@@ -4226,6 +4313,84 @@ object SparkEntry {
         |    ORDER BY period RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |    AS frame
         |  FROM d)""".stripMargin,
+
+    "w33_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 1800000000 AS en
+        |  FROM events WHERE ts IS NOT NULL),
+        |mk AS (
+        |  SELECT user_id, st, en,
+        |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, st, en,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM mk),
+        |g AS (
+        |  SELECT user_id, island, count(*) AS n,
+        |    min(st) AS ist, max(en) AS ien
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(ien - ist) // 1000000 AS BIGINT) AS covered_s,
+        |  CAST((max(ien) - min(ist)) // 1000000 AS BIGINT) AS span_s,
+        |  CAST((max(ien) - min(ist) - sum(ien - ist)) // 1000000
+        |    AS BIGINT) AS idle_s
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "a13_pareto_front" ->
+      """WITH pts AS (
+        |  SELECT p.p_partkey AS id,
+        |    CAST(round(p.p_retailprice * 100) AS BIGINT) AS cost,
+        |    q.gain
+        |  FROM part p
+        |  JOIN (SELECT l_partkey,
+        |          CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |            AS gain
+        |        FROM lineitem GROUP BY 1) q
+        |    ON q.l_partkey = p.p_partkey),
+        |lv AS (SELECT cost, max(gain) AS best_here FROM pts GROUP BY 1),
+        |lv2 AS (
+        |  SELECT cost, best_here,
+        |    coalesce(max(best_here) OVER (ORDER BY cost
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) AS best_cheaper
+        |  FROM lv)
+        |SELECT CAST(min(p.id) AS BIGINT) AS id, p.cost, p.gain,
+        |  CAST(count(*) AS BIGINT) AS n_tied
+        |FROM pts p JOIN lv2 l ON p.cost = l.cost
+        |WHERE p.gain = l.best_here AND p.gain > l.best_cheaper
+        |GROUP BY p.cost, p.gain""".stripMargin,
+
+    "g7_bfs_hops" -> bfsOracle(seeds = Seq(0L, 1L, 2L), maxHops = 4),
+
+    "t71_sentence_stats" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    list_filter(
+        |      string_split_regex(translate(text, 'eo', '.!'), '[.!?]+'),
+        |      s -> trim(s) <> '') AS ss
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, len(ss) AS ns,
+        |    coalesce(list_sum(list_transform(ss,
+        |      s -> len(string_split_regex(trim(s), ' +')))), 0) AS nw,
+        |    list_max(list_transform(ss,
+        |      s -> len(string_split_regex(trim(s), ' +')))) AS mx
+        |  FROM per)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ns) AS BIGINT) AS n_sentences,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CASE WHEN sum(ns) > 0
+        |    THEN CAST(sum(nw) * 1000000 // sum(ns) AS BIGINT) END
+        |    AS wps_ppm,
+        |  CAST(max(mx) AS BIGINT) AS max_sentence_words
+        |FROM w GROUP BY 1""".stripMargin,
 
     "w9_rolling_window" ->
       """WITH d AS (
