@@ -1205,6 +1205,50 @@ object SparkEntry {
         .withColumnRenamed("group", "source")
     },
 
+    // Quantity-weighted price quantiles per return flag: the w10
+    // exact-quantile plan with weight sums — shuffle output stays
+    // distinct-value-scale, crossing test pure int64.
+    "w34_weighted_quantiles" -> { (s, dir) =>
+      graft.ops.Quantiles.weightedExact(Tables.lineitem(s, dir),
+        col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(round(l_quantity) AS BIGINT)"),
+        Seq("p50" -> 500000L, "p90" -> 900000L))
+    },
+
+    // ABC revenue classes over the part catalog: per-key totals, then
+    // the cumulative share ridden on revenue-DISTINCT levels (ties
+    // share a class by construction — no row-order boundary).
+    "a14_abc_classes" -> { (s, dir) =>
+      graft.ops.Abc.classes(Tables.lineitem(s, dir), col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+    },
+
+    // Common-neighbors link prediction on the mod-251 doc graph:
+    // wedge-generated candidates only (never all pairs), existing
+    // edges anti-joined out, top-50 via TakeOrderedAndProject.
+    "g8_link_predict" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 251).as("src"),
+          ((col("doc_id") * 13 + 7) % 251).as("dst"))
+        .unionAll(d.select((col("doc_id") % 251).as("src"),
+          (col("doc_id") % 61).as("dst")))
+      graft.graph.LinkPredict.commonNeighbors(edges, k = 50,
+        maxCenterDegree = 1000L)
+    },
+
+    // Snapshot drift report over orders split at 1998-01-01: one
+    // scan, conditional partials on the cell key, whole-frame totals
+    // on cell-scale rows only — the pre-training data-drift gate.
+    "p13_snapshot_drift" -> { (s, dir) =>
+      graft.ops.Profile.snapshotDrift(Tables.orders(s, dir),
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumnsRenamed(Map("dim1" -> "o_orderstatus",
+          "dim2" -> "o_orderpriority"))
+    },
+
     // Holt double-exponential smoothing: integer (level, trend) struct
     // fold, forecast = level + trend — the EWMA sibling for drifting
     // series; same one-shuffle sorted-fold plan as w12.
@@ -4391,6 +4435,110 @@ object SparkEntry {
         |    AS wps_ppm,
         |  CAST(max(mx) AS BIGINT) AS max_sentence_words
         |FROM w GROUP BY 1""".stripMargin,
+
+    "w34_weighted_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(round(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem WHERE CAST(round(l_quantity) AS BIGINT) > 0),
+        |c AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS ws FROM r GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v,
+        |    sum(ws) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(ws) OVER (PARTITION BY g) AS tw
+        |  FROM c)
+        |SELECT g AS l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+        |  CAST(min(CASE WHEN cumw*1000000 >= 500000*tw THEN v END)
+        |    AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cumw*1000000 >= 900000*tw THEN v END)
+        |    AS BIGINT) AS p90
+        |FROM cum GROUP BY 1""".stripMargin,
+
+    "a14_abc_classes" ->
+      """WITH pk AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |lv AS (SELECT rev, count(*) AS nk, rev * count(*) AS lt
+        |       FROM pk GROUP BY 1),
+        |c AS (
+        |  SELECT rev, nk, lt,
+        |    sum(lt) OVER (ORDER BY rev DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(lt) OVER () AS tot
+        |  FROM lv),
+        |k AS (
+        |  SELECT *, CASE WHEN (cum - lt) * 1000000 < 700000 * tot THEN 'A'
+        |                 WHEN (cum - lt) * 1000000 < 900000 * tot THEN 'B'
+        |                 ELSE 'C' END AS abc_class
+        |  FROM c)
+        |SELECT abc_class, CAST(sum(nk) AS BIGINT) AS n_keys,
+        |  CAST(sum(lt) AS BIGINT) AS value_total,
+        |  CAST(sum(lt) * 1000000 // max(tot) AS BIGINT) AS share_ppm,
+        |  CAST(min(rev) AS BIGINT) AS min_key_value,
+        |  CAST(max(rev) AS BIGINT) AS max_key_value
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "g8_link_predict" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT doc_id % 251 AS u, (doc_id * 13 + 7) % 251 AS v
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 251 AS u, doc_id % 61 AS v FROM documents)
+        |  WHERE u <> v),
+        |und AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e0 UNION SELECT v, u FROM e0),
+        |deg AS MATERIALIZED (
+        |  SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+        |ctr AS (SELECT u.src AS c, u.dst AS n FROM und u
+        |        JOIN deg d ON u.src = d.node AND d.deg <= 1000),
+        |w AS (SELECT l.n AS u, r.n AS v FROM ctr l
+        |      JOIN ctr r ON l.c = r.c AND l.n < r.n),
+        |cn AS (SELECT u, v, count(*) AS common_neighbors
+        |       FROM w GROUP BY 1, 2),
+        |nc AS (
+        |  SELECT cn.* FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM und
+        |    WHERE und.src = cn.u AND und.dst = cn.v))
+        |SELECT nc.u, nc.v, nc.common_neighbors,
+        |  CAST(nc.common_neighbors * 1000000
+        |    // (du.deg + dv.deg - nc.common_neighbors) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM nc JOIN deg du ON nc.u = du.node
+        |JOIN deg dv ON nc.v = dv.node
+        |ORDER BY nc.common_neighbors DESC, nc.u, nc.v
+        |LIMIT 50""".stripMargin,
+
+    "p13_snapshot_drift" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN 1 ELSE 0 END AS b,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(b) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN b = 0 THEN v END) AS va,
+        |    sum(CASE WHEN b = 1 THEN v END) AS vb
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT *, sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+        |      FROM g)
+        |SELECT o_orderstatus, o_orderpriority, n_a, n_b,
+        |  CAST(n_a * 1000000 // ta AS BIGINT) AS rate_a_ppm,
+        |  CAST(n_b * 1000000 // tb AS BIGINT) AS rate_b_ppm,
+        |  CAST(n_b * 1000000 // tb - n_a * 1000000 // ta AS BIGINT)
+        |    AS drift_ppm,
+        |  CASE WHEN n_a > 0 THEN CAST(va // n_a AS BIGINT) END
+        |    AS mean_a_micro,
+        |  CASE WHEN n_b > 0 THEN CAST(vb // n_b AS BIGINT) END
+        |    AS mean_b_micro
+        |FROM t""".stripMargin,
 
     "w9_rolling_window" ->
       """WITH d AS (

@@ -78,4 +78,49 @@ object Profile {
           col("n_orphans"), col("n_orphan_keys"))
     }.reduce(_ unionAll _)
   }
+
+  /** Snapshot drift report — "did this week's drop change shape":
+    * compares two partitions of one table (the PSI/data-drift gate a
+    * pipeline runs before a new snapshot may feed training). One row
+    * per dimension cell: row counts on each side, integer-ppm rates
+    * (of each side's total), the rate delta, and each side's mean of
+    * an integer measure (µ-units, floor) — nulls when a side is empty
+    * in that cell.
+    *
+    * Plan: ONE scan, one shuffle on the dimension-bounded cell key
+    * with conditional map-side partials (`sum(when(inB, …))`), then
+    * whole-frame windows for the two totals — cell-scale rows only,
+    * the same deliberate serial step as [[Concurrency]]. No join of
+    * two scans: the snapshot flag is a predicate, not a table.
+    */
+  def snapshotDrift(df: DataFrame, dims: Seq[Column], inB: Column,
+                    valueMicro: Column): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension column")
+    val dimNames = dims.indices.map(i => s"dim${i + 1}")
+    val sel = dims.zip(dimNames).map { case (c, n) => c.as(n) } ++
+      Seq(inB.as("__b"), valueMicro.as("__v"))
+    val cells = df.select(sel: _*)
+      .groupBy(dimNames.map(col): _*)
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__b"), col("__v"))).as("__va"),
+        sum(when(col("__b"), col("__v"))).as("__vb"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells
+      .withColumn("__ta", sum(col("n_a")).over(whole))
+      .withColumn("__tb", sum(col("n_b")).over(whole))
+      .withColumn("rate_a_ppm", call_function("div",
+        col("n_a") * lit(1000000L), col("__ta")))
+      .withColumn("rate_b_ppm", call_function("div",
+        col("n_b") * lit(1000000L), col("__tb")))
+      .select((dimNames.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("rate_a_ppm"), col("rate_b_ppm"),
+        (col("rate_b_ppm") - col("rate_a_ppm")).as("drift_ppm"),
+        when(col("n_a") > 0, call_function("div", col("__va"),
+          col("n_a"))).as("mean_a_micro"),
+        when(col("n_b") > 0, call_function("div", col("__vb"),
+          col("n_b"))).as("mean_b_micro"))): _*)
+  }
 }

@@ -56,6 +56,43 @@ object Quantiles {
       }: _*)
   }
 
+  /** Weighted quantiles — [[exact]] with per-row integer weights
+    * (revenue-weighted price medians, token-weighted doc-length
+    * percentiles): the smallest value whose cumulative WEIGHT reaches
+    * ⌈p·W⌉. The plan is identical — the rollup aggregates `sum(w)`
+    * per (group, value) instead of a count, so the shuffle output
+    * stays distinct-value-scale and the crossing test stays pure
+    * int64 (`cumw·10⁶ ≥ ppm·W`; headroom now binds on TOTAL WEIGHT
+    * per group < ~9.2×10¹² — quantize upstream accordingly).
+    * Zero/negative-weight rows are dropped (a mass domain); a group
+    * with no positive mass emits nothing.
+    */
+  def weightedExact(df: DataFrame, group: Column, value: Column,
+                    weight: Column,
+                    quantiles: Seq[(String, Long)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (n, p) =>
+      require(p >= 1 && p <= 1000000, s"quantile $n: ppm $p out of (0, 1e6]")
+    }
+    val gName = df.select(group).columns.head
+    val counts = df.select(group, value.as("__v"), weight.as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy(col(gName), col("__v")).agg(sum(col("__w")).as("__wsum"))
+    val byV = Window.partitionBy(col(gName)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(gName))
+    val cum = counts
+      .select(col(gName), col("__v"),
+        sum("__wsum").over(byV).as("__cumw"),
+        sum("__wsum").over(whole).as("__tw"))
+    cum.groupBy(col(gName)).agg(
+      max("__tw").as("total_weight"),
+      quantiles.map { case (name, ppm) =>
+        min(when(col("__cumw") * 1000000L >= col("__tw") * ppm, col("__v")))
+          .as(name)
+      }: _*)
+  }
+
   /** The inverse direction — value → percent rank, as a NORMALIZATION
     * TABLE: one row per (group, distinct value) with
     * `pr_ppm = (rank − 1)·10⁶ DIV (n − 1)` where `rank` is the SQL

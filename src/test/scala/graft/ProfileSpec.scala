@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.ops.Profile
 
 class ProfileSpec extends SparkSpec {
@@ -40,5 +41,22 @@ class ProfileSpec extends SparkSpec {
     assert(plan.contains("Expand"), s"expected Expand-based multi-distinct:\n$plan")
     assert("LocalTableScan|Scan".r.findAllIn(plan).size == 1,
       s"profiling must be a single scan:\n$plan")
+  }
+
+  test("snapshotDrift: rates per side, integer means, empty-side nulls") {
+    val df = Seq(
+      ("x", false, 100L), ("x", false, 200L), ("y", false, 300L),
+      ("x", true, 400L), ("z", true, 501L), ("z", true, 502L))
+      .toDF("d", "b", "v")
+    val out = Profile.snapshotDrift(df, Seq(col("d")), col("b"), col("v"))
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // totals: a side 3 rows, b side 3 rows
+    assert(out("x") == (("x", 2L, 1L, 666666L, 333333L, -333333L,
+      Some(150L), Some(400L))))
+    assert(out("y") == (("y", 1L, 0L, 333333L, 0L, -333333L,
+      Some(300L), None)))
+    assert(out("z") == (("z", 0L, 2L, 0L, 666666L, 666666L,
+      None, Some(501L))))
   }
 }

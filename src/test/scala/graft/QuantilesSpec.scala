@@ -90,4 +90,27 @@ class QuantilesSpec extends SparkSpec {
       Seq("p50" -> 500000L)).as[(String, Long, Long)].collect().head
     assert(r == (("a", 2L, 5L)))
   }
+
+  test("weightedExact: cumulative-weight crossing, zero weights dropped") {
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 8L), ("a", 30L, 1L),
+      ("a", 99L, 0L), ("b", 5L, 3L)).toDF("g", "v", "w")
+    val out = graft.ops.Quantiles.weightedExact(df, col("g"), col("v"),
+        col("w"), Seq("p50" -> 500000L, "p90" -> 900000L))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a: W=10, p50 crossing at cum 5 -> v=20; p90 at cum 9 -> v=20
+    assert(out("a") == ((10L, 20L, 20L)))
+    assert(out("b") == ((3L, 5L, 5L)))
+  }
+
+  test("weightedExact: unit weights reduce to exact()") {
+    val df = Seq.tabulate(101)(i => ("g", i.toLong)).toDF("g", "v")
+    val qs = Seq("p50" -> 500000L, "p99" -> 990000L)
+    val w = graft.ops.Quantiles.weightedExact(df.withColumn("w", lit(1L)),
+        col("g"), col("v"), col("w"), qs)
+      .as[(String, Long, Long, Long)].collect().head
+    val e = graft.ops.Quantiles.exact(df, col("g"), col("v"), qs)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(w == e)
+  }
 }
