@@ -1249,6 +1249,39 @@ object SparkEntry {
           "dim2" -> "o_orderpriority"))
     },
 
+    // Personalized PageRank from seeds {0,1,2} on the mod-151 doc
+    // graph: g1's one-shuffle-per-iteration integer plan with the
+    // restart mass gated on seed membership — seed-proximity ranking.
+    "g9_ppr" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 151).as("src"),
+          ((col("doc_id") * 7 + 3) % 151).as("dst"))
+        .unionAll(d.select((col("doc_id") % 151).as("src"),
+          (((col("doc_id") * 11 + 5) % 157) % 151).as("dst")))
+      graft.graph.PageRank.personalized(edges, seeds = Seq(0L, 1L, 2L),
+        iterations = 5)
+    },
+
+    // k-NN majority-vote classification + confusion matrix over the
+    // embedding table (probes = vec_id ≡ 7 mod 25): the s1 broadcast-
+    // probe scan, per-query vote argmax, class²-row emission.
+    "s21_knn_classify" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Similarity.knnClassify(
+        emb.filter(col("vec_id") % 25 === 7), emb, k = 5)
+    },
+
+    // Lexicon (dictionary-weight) scoring per language: literal-map
+    // weights compiled into one codegen'd HOF fold — zero joins,
+    // zero shuffles before the rollup; exact integer emissions.
+    "t72_lexicon_score" -> { (s, dir) =>
+      graft.text.Lexicon.score(Tables.documents(s, dir), col("lang"),
+          col("text"),
+          Seq("fast" -> 3L, "slow" -> -3L, "big" -> 2L, "small" -> -2L,
+            "merge" -> 1L, "spill" -> -1L))
+        .withColumnRenamed("group", "lang")
+    },
+
     // Holt double-exponential smoothing: integer (level, trend) struct
     // fold, forecast = level + trend — the EWMA sibling for drifting
     // series; same one-shuffle sorted-fold plan as w12.
@@ -2702,6 +2735,38 @@ object SparkEntry {
     head + rounds +
       s"""
          |SELECT node, hop FROM r$maxHops""".stripMargin
+  }
+
+  /** g9 oracle: the g1 PageRank unroll with seed-gated restart mass
+    * (same integer constants as [[graft.graph.PageRank.personalized]]).
+    */
+  private def pprOracle(seeds: Seq[Long], iterations: Int): String = {
+    val seedList = s"[${seeds.mkString(", ")}]"
+    val iter = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    CAST(CASE WHEN list_contains($seedList, n.node)
+         |        THEN 150000 ELSE 0 END
+         |      + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst, sum(r.pr // d.outdeg) AS s
+         |    FROM e JOIN d USING (src) JOIN r${k - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) c ON c.dst = n.node)"""
+    s"""WITH raw AS (
+       |  SELECT doc_id % 151 AS src, (doc_id * 7 + 3) % 151 AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id % 151, ((doc_id * 11 + 5) % 157) % 151
+       |  FROM documents),
+       |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |n AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT node,
+       |  CAST(CASE WHEN list_contains($seedList, node)
+       |    THEN 1000000 ELSE 0 END AS BIGINT) AS pr FROM n),
+       |${(1 to iterations).map(iter).mkString(",\n")}
+       |SELECT node, pr AS rank_micro FROM r$iterations""".stripMargin
   }
 
   private def kcoreOracle(k: Int, rounds: Int): String = {
@@ -4539,6 +4604,52 @@ object SparkEntry {
         |  CASE WHEN n_b > 0 THEN CAST(vb // n_b AS BIGINT) END
         |    AS mean_b_micro
         |FROM t""".stripMargin,
+
+    "g9_ppr" -> pprOracle(seeds = Seq(0L, 1L, 2L), iterations = 5),
+
+    "s21_knn_classify" ->
+      """WITH nn AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(
+        |          q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |          c.vec_id ASC) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id % 25 = 7)
+        |  WHERE rank <= 5),
+        |v AS (
+        |  SELECT nn.query_id, c.label AS n_label, count(*) AS votes
+        |  FROM nn JOIN embeddings c ON nn.neighbor_id = c.vec_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT query_id, n_label AS pred_label FROM (
+        |    SELECT query_id, n_label,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, n_label ASC) AS rn
+        |    FROM v) WHERE rn = 1)
+        |SELECT CAST(q.label AS BIGINT) AS true_label,
+        |  CAST(p.pred_label AS BIGINT) AS pred_label, count(*) AS n
+        |FROM p JOIN embeddings q ON p.query_id = q.vec_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "t72_lexicon_score" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    coalesce(list_sum(list_transform(
+        |      string_split_regex(lower(text), ' +'),
+        |      t -> CASE t WHEN 'fast' THEN 3 WHEN 'slow' THEN -3
+        |        WHEN 'big' THEN 2 WHEN 'small' THEN -2
+        |        WHEN 'merge' THEN 1 WHEN 'spill' THEN -1
+        |        ELSE 0 END)), 0) AS sc
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(sc) AS BIGINT) AS total_score,
+        |  CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN sc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST(min(sc) AS BIGINT) AS min_doc_score,
+        |  CAST(max(sc) AS BIGINT) AS max_doc_score
+        |FROM s GROUP BY 1""".stripMargin,
 
     "w9_rolling_window" ->
       """WITH d AS (

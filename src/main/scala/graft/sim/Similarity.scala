@@ -561,4 +561,37 @@ object Similarity {
       .join(cands.select("vec_id", "rel_micro"), Seq("vec_id"))
       .select("sel_rank", "vec_id", "rel_micro")
   }
+
+  /** k-NN classification report: predict each probe's label by
+    * majority vote over its [[bruteForceTopK]] neighbors (ties: most
+    * votes, then smallest label — total order, engine-exact), then
+    * roll the predictions into a confusion matrix against the held
+    * true labels. The evaluation loop behind every embedding-quality
+    * gate: "do the vectors separate the classes" answered without
+    * training anything.
+    *
+    * Plan: the probe batch broadcasts through the one corpus scan
+    * (the s1 shape), votes and argmax ride per-query windows on the
+    * probe-scale intermediate, and the emission is class² rows. At
+    * 100 TB corpus the scan swaps for the IVF bucketed index exactly
+    * as [[hardNegatives]] documents — probe-side semantics unchanged.
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame,
+                  k: Int): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, k)
+    val votes = nn.join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("__nl")), "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+    val byVotes = Window.partitionBy(col("query_id"))
+      .orderBy(col("__votes").desc, col("__nl").asc)
+    val pred = votes.withColumn("__rn", row_number().over(byVotes))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"))
+    pred.join(queries.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .groupBy(col("true_label").cast("long").as("true_label"),
+        col("pred_label").cast("long").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -39,4 +39,31 @@ class PageRankSpec extends SparkSpec {
     assert(out.filter(col("rank_micro") < 150000L).isEmpty,
       "every node keeps at least the base 150000 micro-rank")
   }
+
+  test("personalized: restart mass lands only on seeds") {
+    // 2-cycle a<->b with seed a (ids as longs: 1, 2)
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = PageRank.personalized(edges, Seq(1L), iterations = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // r0: a=1e6, b=0. iter1: a gets base 150000 + 850*contrib(b=0)/1000;
+    // b gets 0 + 850*1e6/1000 = 850000
+    assert(out == Seq((1L, 150000L), (2L, 850000L)))
+  }
+
+  test("personalized: unreachable nodes hold rank 0 forever") {
+    val edges = Seq((1L, 2L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val out = PageRank.personalized(edges, Seq(1L), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out(3L) == 0L && out(4L) == 0L)
+    assert(out(1L) > 0L && out(2L) > 0L)
+  }
+
+  test("personalized: total mass bounded by seeds + damping flow") {
+    val out = SparkEntry.queries("g9_ppr")(spark, "/root/testdata/sf0.001")
+    val total = out.agg(sum("rank_micro")).as[Long].head()
+    // restart mass 3 seeds x 1e6 scaled by the geometric damping series:
+    // sum <= |seeds| * 1e6 / (1 - 0.85) ~ 2e7; integer floors only shrink it
+    assert(total > 0L && total <= 3L * 1000000L * 1000L / 150L,
+      s"mass out of bounds: $total")
+  }
 }

@@ -425,4 +425,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(p2.contains("TakeOrderedAndProject"),
       s"RAKE top-k must be bounded:\n$p2")
   }
+
+  test("interval union (w33) reuses ONE key partitioning across window and both rollups") {
+    val p = plan(SparkEntry.queries("w33_interval_union")(spark, sf))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 1, s"expected 1 hash exchange, got $ex in:\n$p")
+  }
+
+  test("Pareto frontier (a13) serializes only cost-DISTINCT levels") {
+    val p = plan(SparkEntry.queries("a13_pareto_front")(spark, sf))
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1,
+      s"expected exactly the level-window single-partition step in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("ABC classes (a14) serializes only value-DISTINCT levels") {
+    val p = plan(SparkEntry.queries("a14_abc_classes")(spark, sf))
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1,
+      s"expected exactly the level-window single-partition step in:\n$p")
+  }
+
+  test("weighted quantiles (w34) costs the rollup shuffle plus the value-scale regroup only") {
+    val p = plan(SparkEntry.queries("w34_weighted_quantiles")(spark, sf))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 2, s"expected 2 hash exchanges, got $ex in:\n$p")
+  }
+
+  test("snapshot drift (p13) is ONE scan — the flag is a predicate, not a join") {
+    val p = plan(SparkEntry.queries("p13_snapshot_drift")(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"expected a single orders scan in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final cell aggregate in:\n$p")
+  }
+
+  test("link prediction (g8) cuts top-k without a global sort or cartesian") {
+    val p = plan(SparkEntry.queries("g8_link_predict")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TopK operator in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("knn classify (s21) broadcasts the probe batch over one corpus scan") {
+    val p = plan(SparkEntry.queries("s21_knn_classify")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NLJ probe scan in:\n$p")
+  }
+
+  test("lexicon scoring (t72) and sentence stats (t71) fold map-side: one shuffle each") {
+    for (q <- Seq("t72_lexicon_score", "t71_sentence_stats")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(ex == 1, s"$q: expected 1 hash exchange, got $ex in:\n$p")
+    }
+  }
 }

@@ -256,4 +256,33 @@ class SimilaritySpec extends SparkSpec {
     // dim 1: constant −0.5 → negative mean exact, zero variance
     assert(out(1L) == ((1L, 2L, -500000L, 0L, -500000L, -500000L, 0L)))
   }
+
+  test("knnClassify: majority vote with (votes desc, label asc) tie-break") {
+    // 2-D unit-ish vectors: probe 100 at angle 0; neighbors at small
+    // angles labeled 1,1,2 -> vote 1; far vector labeled 3 excluded by k=3
+    val emb = Seq(
+      (100L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.999f, 0.045f), 1),
+      (2L, Seq(0.998f, 0.063f), 1),
+      (3L, Seq(0.997f, 0.077f), 2),
+      (4L, Seq(-1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb.filter(col("vec_id") === 100),
+        emb, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L)))
+  }
+
+  test("knnClassify: vote tie resolves to the smallest label") {
+    val emb = Seq(
+      (100L, Seq(1.0f, 0.0f), 9),
+      (1L, Seq(0.999f, 0.045f), 5),
+      (2L, Seq(0.998f, 0.063f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb.filter(col("vec_id") === 100),
+        emb, k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // one vote each for 5 and 2: smallest label wins
+    assert(out == Seq((9L, 2L, 1L)))
+  }
 }
