@@ -1282,6 +1282,30 @@ object SparkEntry {
         .withColumnRenamed("group", "lang")
     },
 
+    // DAU/WAU/MAU stickiness: ONE data-scale (day,user) distinct;
+    // week/month dedups derive from the day-distinct set; calendar-
+    // scale count frames broadcast into the per-day report.
+    "w35_dau_mau" -> { (s, dir) =>
+      graft.ops.ActiveUsers.dauWauMau(Tables.events(s, dir),
+        col("user_id"), col("ts"))
+    },
+
+    // Skip-gram (±2) co-occurrence top-100: HOF pair expansion inside
+    // the scan stage, one explode, one rollup with partials,
+    // TakeOrderedAndProject on the (n, w1, w2) total order.
+    "t73_skipgram_pairs" -> { (s, dir) =>
+      graft.text.Skipgrams.topPairs(Tables.documents(s, dir),
+        col("text"), window = 2, k = 100)
+    },
+
+    // Hashing-trick bucket audit (64 slots of the engine-neutral
+    // token hash): collision occupancy per slot, heaviest-token share
+    // — (bucket, token) partials before the bucket-grain rollup.
+    "t74_feature_hash" -> { (s, dir) =>
+      graft.text.FeatureHash.bucketProfile(Tables.documents(s, dir),
+        col("text"), buckets = 64)
+    },
+
     // Holt double-exponential smoothing: integer (level, trend) struct
     // fold, forecast = level + trend — the EWMA sibling for drifting
     // series; same one-shuffle sorted-fold plan as w12.
@@ -4650,6 +4674,49 @@ object SparkEntry {
         |  CAST(min(sc) AS BIGINT) AS min_doc_score,
         |  CAST(max(sc) AS BIGINT) AS max_doc_score
         |FROM s GROUP BY 1""".stripMargin,
+
+    "w35_dau_mau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT ts::DATE AS day, user_id FROM events
+        |  WHERE ts IS NOT NULL),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |wau AS (SELECT date_trunc('week', day)::DATE AS wk,
+        |          count(DISTINCT user_id) AS wau FROM du GROUP BY 1),
+        |mau AS (SELECT date_trunc('month', day)::DATE AS mo,
+        |          count(DISTINCT user_id) AS mau FROM du GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau, m.mau,
+        |  CAST(d.dau * 1000000 // w.wau AS BIGINT) AS dau_wau_ppm,
+        |  CAST(d.dau * 1000000 // m.mau AS BIGINT) AS dau_mau_ppm
+        |FROM dau d
+        |JOIN wau w ON date_trunc('week', d.day)::DATE = w.wk
+        |JOIN mau m ON date_trunc('month', d.day)::DATE = m.mo""".stripMargin,
+
+    "t73_skipgram_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(lower(text), ' +') AS tk
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |    generate_subscripts(tk, 1) AS pos
+        |  FROM s),
+        |p AS (
+        |  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos + 1 AND b.pos <= a.pos + 2)
+        |SELECT w1, w2, count(*) AS n FROM p GROUP BY 1, 2
+        |ORDER BY n DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "t74_feature_hash" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(string_split_regex(lower(text), ' +')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT tok, ${duckTokenHash("tok")} % 64 AS bucket FROM tk),
+         |bt AS (SELECT bucket, tok, count(*) AS c FROM h GROUP BY 1, 2)
+         |SELECT bucket, CAST(sum(c) AS BIGINT) AS n_occ,
+         |  count(*) AS n_distinct,
+         |  CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_token_ppm
+         |FROM bt GROUP BY 1""".stripMargin,
 
     "w9_rolling_window" ->
       """WITH d AS (
