@@ -1306,6 +1306,31 @@ object SparkEntry {
         col("text"), buckets = 64)
     },
 
+    // Bloom-prefiltered ingest gate (d8's scale upgrade): history
+    // packs into 16 int64 words that BROADCAST; bit-clean rows skip
+    // the exact check entirely, candidates alone pay the join. The
+    // report exposes the false-positive cost of the chosen size.
+    "d20_bloom_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def fp(df: DataFrame) =
+        df.withColumn("__f", TextAnalysis.fingerprint(col("text")))
+      graft.dedup.Bloom.gateReport(
+          fp(docs.filter(col("doc_id") % 10 =!= 0)),
+          fp(docs.filter(col("doc_id") % 10 === 0)),
+          col("__f"), col("source"), words = 16)
+        .withColumnRenamed("group", "source")
+    },
+
+    // Weekly growth accounting (new/retained/resurrected/churned):
+    // one (week,user) distinct, then per-user lag/lead windows on
+    // period-grain rows — no activity self-joins, churn lands on the
+    // following week. Weekly grain because the synthetic events span
+    // one calendar month (five ISO weeks — real flows).
+    "w36_growth_accounting" -> { (s, dir) =>
+      graft.ops.Growth.accounting(Tables.events(s, dir), col("user_id"),
+        col("ts"), period = "week")
+    },
+
     // Holt double-exponential smoothing: integer (level, trend) struct
     // fold, forecast = level + trend — the EWMA sibling for drifting
     // series; same one-shuffle sorted-fold plan as w12.
@@ -4717,6 +4742,75 @@ object SparkEntry {
          |  count(*) AS n_distinct,
          |  CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_token_ppm
          |FROM bt GROUP BY 1""".stripMargin,
+
+    "d20_bloom_gate" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(lower(text), ' '),
+         |        t -> ${duckTokenHash("t")})),
+         |      (acc, th) -> (acc * 31 + th) % 1000000007) AS fp
+         |  FROM documents),
+         |hist AS (SELECT fp FROM f WHERE doc_id % 10 = 0),
+         |bloom AS (
+         |  SELECT (fp % 992) // 62 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST((fp % 992) % 62 AS INT))
+         |      AS bits
+         |  FROM hist GROUP BY 1),
+         |b AS (
+         |  SELECT f.source, f.fp, (f.fp % 992) // 62 AS word,
+         |    CAST(1 AS BIGINT) << CAST((f.fp % 992) % 62 AS INT) AS mask
+         |  FROM f WHERE doc_id % 10 <> 0),
+         |j AS (
+         |  SELECT b.source, b.fp,
+         |    CASE WHEN bl.bits IS NOT NULL AND (bl.bits & b.mask) <> 0
+         |      THEN 1 ELSE 0 END AS cand
+         |  FROM b LEFT JOIN bloom bl ON b.word = bl.word),
+         |td AS (
+         |  SELECT source, count(*) AS n_true_dup FROM j
+         |  WHERE cand = 1 AND fp IN (SELECT fp FROM hist) GROUP BY 1)
+         |SELECT j.source, count(*) AS n_batch,
+         |  CAST(sum(1 - cand) AS BIGINT) AS n_clean,
+         |  CAST(sum(cand) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(max(td.n_true_dup), 0) AS BIGINT) AS n_true_dup,
+         |  CAST(sum(cand) - coalesce(max(td.n_true_dup), 0) AS BIGINT)
+         |    AS n_false_pos
+         |FROM j LEFT JOIN td ON j.source = td.source
+         |GROUP BY 1""".stripMargin,
+
+    "w36_growth_accounting" ->
+      """WITH mu AS (
+        |  SELECT DISTINCT date_trunc('week', ts::DATE)::DATE AS period,
+        |    user_id
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (
+        |  SELECT period, user_id,
+        |    lag(period) OVER (PARTITION BY user_id ORDER BY period)
+        |      AS prev,
+        |    lead(period) OVER (PARTITION BY user_id ORDER BY period)
+        |      AS next
+        |  FROM mu),
+        |st AS (
+        |  SELECT period,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN prev = period - 7 THEN 'retained'
+        |         ELSE 'resurrected' END AS s
+        |  FROM f
+        |  UNION ALL
+        |  SELECT period + 7, 'churned'
+        |  FROM f WHERE next IS NULL OR next > period + 7)
+        |SELECT period,
+        |  CAST(sum(CASE WHEN s <> 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS active,
+        |  CAST(sum(CASE WHEN s = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN s = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained,
+        |  CAST(sum(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN s = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_churned
+        |FROM st GROUP BY 1""".stripMargin,
 
     "w9_rolling_window" ->
       """WITH d AS (
