@@ -1331,6 +1331,36 @@ object SparkEntry {
         col("ts"), period = "week")
     },
 
+    // Typed JSON field extraction (events.props is a JSON string):
+    // codegen'd get_json_object in the scan stage, parse-rate
+    // reported, one partial-agg rollup — schema-on-read trust gate.
+    "p14_json_profile" -> { (s, dir) =>
+      graft.ops.Json.fieldProfile(Tables.events(s, dir),
+          col("event_type"), col("props"), "k")
+        .withColumnRenamed("group", "event_type")
+    },
+
+    // Weekly engagement mart: w36's growth flows joined with 30-min
+    // session counts per ISO week — each leg a proven fragment, the
+    // composition one calendar-scale join.
+    "pipe_engagement_e2e" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val flows = graft.ops.Growth.accounting(ev, col("user_id"),
+        col("ts"), period = "week")
+      val sess = graft.ops.Sessionize.sessions(ev, col("user_id"),
+          col("ts"), gapSeconds = 1800L)
+        .select(trunc(to_date(col("session_start")), "week").as("period"),
+          col("n_events"))
+        .groupBy(col("period"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+      flows.join(sess, Seq("period"), "left")
+        .select(col("period"), col("active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"), col("n_churned"),
+          coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    },
+
     // Holt double-exponential smoothing: integer (level, trend) struct
     // fold, forecast = level + trend — the EWMA sibling for drifting
     // series; same one-shuffle sorted-fold plan as w12.
@@ -4811,6 +4841,76 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN s = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_churned
         |FROM st GROUP BY 1""".stripMargin,
+
+    "p14_json_profile" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, count(v) AS n_parsed,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(min(v) AS BIGINT) AS min_v,
+        |  CAST(max(v) AS BIGINT) AS max_v
+        |FROM v GROUP BY 1""".stripMargin,
+
+    "pipe_engagement_e2e" ->
+      """WITH mu AS (
+        |  SELECT DISTINCT date_trunc('week', ts::DATE)::DATE AS period,
+        |    user_id
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (
+        |  SELECT period, user_id,
+        |    lag(period) OVER (PARTITION BY user_id ORDER BY period)
+        |      AS prev,
+        |    lead(period) OVER (PARTITION BY user_id ORDER BY period)
+        |      AS next
+        |  FROM mu),
+        |st AS (
+        |  SELECT period,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN prev = period - 7 THEN 'retained'
+        |         ELSE 'resurrected' END AS s
+        |  FROM f
+        |  UNION ALL
+        |  SELECT period + 7, 'churned'
+        |  FROM f WHERE next IS NULL OR next > period + 7),
+        |flows AS (
+        |  SELECT period,
+        |    CAST(sum(CASE WHEN s <> 'churned' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS active,
+        |    CAST(sum(CASE WHEN s = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN s = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected,
+        |    CAST(sum(CASE WHEN s = 'churned' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_churned
+        |  FROM st GROUP BY 1),
+        |o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 1800000000 THEN 1 ELSE 0 END AS op
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s2 AS (
+        |  SELECT user_id, ts,
+        |    sum(op) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        |  FROM o),
+        |sg AS (
+        |  SELECT date_trunc('week', min(ts)::DATE)::DATE AS period,
+        |    count(*) AS ne
+        |  FROM s2 GROUP BY user_id, session_seq),
+        |wk AS (
+        |  SELECT period, count(*) AS n_sessions,
+        |    CAST(sum(ne) AS BIGINT) AS n_events
+        |  FROM sg GROUP BY 1)
+        |SELECT f2.period, f2.active, f2.n_new, f2.n_retained,
+        |  f2.n_resurrected, f2.n_churned,
+        |  CAST(coalesce(wk.n_sessions, 0) AS BIGINT) AS n_sessions,
+        |  CAST(coalesce(wk.n_events, 0) AS BIGINT) AS n_events
+        |FROM flows f2 LEFT JOIN wk ON f2.period = wk.period""".stripMargin,
 
     "w9_rolling_window" ->
       """WITH d AS (
