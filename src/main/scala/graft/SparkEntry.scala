@@ -1361,6 +1361,15 @@ object SparkEntry {
           coalesce(col("n_events"), lit(0L)).as("n_events"))
     },
 
+    // One-step-ahead EWMA backtest: w12's fold with a (state, |err|,
+    // err, n) struct — MAE + signed bias per key, exact int64, one
+    // shuffle; the forecast-quality gate for the smoothing family.
+    "w37_ewma_backtest" -> { (s, dir) =>
+      graft.ops.Ewma.backtest(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)"), alphaPpm = 200000L)
+    },
+
     // Holt double-exponential smoothing: integer (level, trend) struct
     // fold, forecast = level + trend — the EWMA sibling for drifting
     // series; same one-shuffle sorted-fold plan as w12.
@@ -4911,6 +4920,49 @@ object SparkEntry {
         |  CAST(coalesce(wk.n_sessions, 0) AS BIGINT) AS n_sessions,
         |  CAST(coalesce(wk.n_events, 0) AS BIGINT) AS n_events
         |FROM flows f2 LEFT JOIN wk ON f2.period = wk.period""".stripMargin,
+
+    "w37_ewma_backtest" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value*1000) AS BIGINT) AS vm
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_obs,
+        |    list_sort(list(struct_pack(us := us, eid := event_id,
+        |      vm := vm))) AS l
+        |  FROM e GROUP BY 1),
+        |-- state field ORDER is load-bearing: DuckDB's list_reduce
+        |-- mutates the accumulator struct field-by-field in place, so
+        |-- a field reading st.s AFTER s is written sees the NEW value;
+        |-- the smoothed state therefore writes LAST (probed: the
+        |-- (s-first) ordering silently computed errors vs s_new).
+        |b AS (
+        |  SELECT user_id, n_obs,
+        |    list_reduce(
+        |      list_prepend(
+        |        struct_pack(sae := CAST(0 AS BIGINT),
+        |          se := CAST(0 AS BIGINT), nf := CAST(0 AS BIGINT),
+        |          s := CAST(NULL AS BIGINT)),
+        |        list_transform(l, t -> struct_pack(
+        |          sae := CAST(0 AS BIGINT), se := CAST(0 AS BIGINT),
+        |          nf := CAST(0 AS BIGINT), s := t.vm))),
+        |      (st, x) -> CASE WHEN st.s IS NULL
+        |        THEN struct_pack(sae := CAST(0 AS BIGINT),
+        |          se := CAST(0 AS BIGINT), nf := CAST(0 AS BIGINT),
+        |          s := x.s)
+        |        ELSE struct_pack(
+        |          sae := st.sae + abs(x.s - st.s),
+        |          se := st.se + (x.s - st.s),
+        |          nf := st.nf + 1,
+        |          s := (200000 * x.s + 800000 * st.s) // 1000000)
+        |        END) AS bt
+        |  FROM g)
+        |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+        |  bt.nf AS n_forecasts,
+        |  CASE WHEN bt.nf > 0 THEN bt.sae // bt.nf END AS mae_milli,
+        |  CASE WHEN bt.nf > 0 THEN bt.se // bt.nf END AS bias_milli,
+        |  bt.sae AS sum_abs_err_milli, bt.se AS sum_err_milli
+        |FROM b""".stripMargin,
 
     "w9_rolling_window" ->
       """WITH d AS (

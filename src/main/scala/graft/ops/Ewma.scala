@@ -182,4 +182,57 @@ object Ewma {
         col("__sn").as("season_milli"),
         (col("__st.l") + col("__st.b") + col("__sn")).as("forecast_milli"))
   }
+
+  /** One-step-ahead EWMA backtest — the forecast-quality report that
+    * decides whether [[smooth]]'s α is any good BEFORE the smoothed
+    * value feeds an alert threshold: at every step i ≥ 1 the forecast
+    * is the previous smoothed state, the error is `vᵢ − sᵢ₋₁`, and the
+    * per-key report carries MAE plus the signed error sums (a biased
+    * α under-reacts in one direction; MAE alone can't see that).
+    *
+    * Same single-shuffle sorted-fold plan as [[smooth]] — the fold
+    * state is a struct `(s, sae, se, nf)` threaded through the same
+    * codegen'd `aggregate` HOF, so the backtest costs exactly one
+    * extra struct over the smoothing it evaluates. All emissions are
+    * exact int64; `mae_milli = sae DIV nf` (sae ≥ 0 so truncation is
+    * floor) and `bias_milli = se DIV nf` (both engines truncate
+    * toward zero — verified: DuckDB `-7 // 2 = -3`). Single-
+    * observation keys emit null metrics (no forecast ever made).
+    */
+  def backtest(events: DataFrame, key: Column, ts: Column,
+               eventId: Column, valueMilli: Column,
+               alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000,
+      s"alphaPpm $alphaPpm out of (0, 1e6]")
+    val keyName = events.select(key).columns.head
+    val beta = 1000000L - alphaPpm
+    events
+      .select(key, unix_micros(ts).as("__us"), eventId.as("__eid"),
+        valueMilli.as("__vm"))
+      .groupBy(col(keyName))
+      .agg(count(lit(1)).as("n_obs"),
+        sort_array(collect_list(struct(col("__us"), col("__eid"),
+          col("__vm")))).as("__l"))
+      .select(col(keyName), col("n_obs"),
+        expr(s"""aggregate(transform(__l, t -> t.__vm),
+                 named_struct('s', CAST(NULL AS BIGINT),
+                   'sae', CAST(0 AS BIGINT), 'se', CAST(0 AS BIGINT),
+                   'nf', CAST(0 AS BIGINT)),
+                 (st, v) -> CASE WHEN st.s IS NULL
+                   THEN named_struct('s', v, 'sae', CAST(0 AS BIGINT),
+                     'se', CAST(0 AS BIGINT), 'nf', CAST(0 AS BIGINT))
+                   ELSE named_struct(
+                     's', ($alphaPpm * v + $beta * st.s) DIV 1000000,
+                     'sae', st.sae + abs(v - st.s),
+                     'se', st.se + (v - st.s),
+                     'nf', st.nf + 1) END)""").as("__bt"))
+      .select(col(keyName), col("n_obs"),
+        col("__bt.nf").as("n_forecasts"),
+        when(col("__bt.nf") > 0,
+          expr("__bt.sae DIV __bt.nf")).as("mae_milli"),
+        when(col("__bt.nf") > 0,
+          expr("__bt.se DIV __bt.nf")).as("bias_milli"),
+        col("__bt.sae").as("sum_abs_err_milli"),
+        col("__bt.se").as("sum_err_milli"))
+  }
 }

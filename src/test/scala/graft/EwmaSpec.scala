@@ -151,4 +151,36 @@ class EwmaSpec extends SparkSpec {
     // constant input: level = the constant, trend = 0, seasonals = 0
     assert(out._4 == 500L && out._5 == 0L && out._6 == 0L && out._7 == 500L)
   }
+
+  test("backtest: one-step-ahead errors against the PREVIOUS state") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:01"), 1L, 10L),
+      ("a", Timestamp.valueOf("2024-01-01 00:00:02"), 2L, 20L),
+      ("a", Timestamp.valueOf("2024-01-01 00:00:03"), 3L, 0L),
+      ("b", Timestamp.valueOf("2024-01-01 00:00:01"), 4L, 7L)
+    ).toDF("k", "ts", "eid", "vm")
+    val out = Ewma.backtest(ev, col("k"), col("ts"), col("eid"),
+        col("vm"), alphaPpm = 200000L)
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // a: s0=10; err1=+10 (s->12); err2=-12 (vs s=12, NOT the updated 9)
+    assert(out("a") == (("a", 3L, 2L, Some(11L), Some(-1L), 22L, -2L)))
+    // b: single obs -> no forecasts, null metrics
+    assert(out("b") == (("b", 1L, 0L, None, None, 0L, 0L)))
+  }
+
+  test("backtest bias division truncates toward zero on both engines") {
+    import java.sql.Timestamp
+    // errors +1, -4: se=-3, nf=2 -> bias = -3 DIV 2 = -1 (not floor -2)
+    val ev = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:01"), 1L, 0L),
+      ("a", Timestamp.valueOf("2024-01-01 00:00:02"), 2L, 1L),
+      ("a", Timestamp.valueOf("2024-01-01 00:00:03"), 3L, -4L)
+    ).toDF("k", "ts", "eid", "vm")
+    val out = Ewma.backtest(ev, col("k"), col("ts"), col("eid"),
+        col("vm"), alphaPpm = 200000L)
+      .select("bias_milli").as[Long].collect().head
+    assert(out == -1L)
+  }
 }
