@@ -1953,6 +1953,26 @@ object SparkEntry {
           round(col("mean_b").cast("double"), 6).as("mean_b"))
     },
 
+    // Luminance-band histogram over the same arithmetic BMPs — the
+    // brightness-profile curation gate; real decode, integer luma,
+    // oracle replays the channel arithmetic.
+    "m16_luma_histogram" -> { (s, dir) =>
+      val hdrHex = "424D3E0000000000000036000000" +
+        "28000000" + "02000000" + "01000000" + "0100" + "1800" +
+        "00000000" + "08000000" + "00000000" + "00000000" +
+        "00000000" + "00000000"
+      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      val id = col("doc_id")
+      val payload = unhex(concat(lit(hdrHex),
+        bh(id * 13), bh(id * 7), bh(id),
+        bh(id * 17), bh(id * 11), bh(id * 3),
+        lit("0000")))
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        lit("image/bmp").as("mime"), lit(62).as("n_bytes"),
+        payload.as("payload"))
+      Multimodal.lumaHistogram(Multimodal.asMediaDataset(media)).toDF()
+    },
+
     // Same pattern for audio: a valid 44-byte PCM WAV header per doc,
     // parsed by the real RIFF chunk walker; oracle replays the arithmetic.
     "m3_wav_decode" -> { (s, dir) =>
@@ -4001,6 +4021,24 @@ object SparkEntry {
         |  round(((doc_id * 7) % 256 + (doc_id * 11) % 256) / 2.0, 6) AS mean_g,
         |  round(((doc_id * 13) % 256 + (doc_id * 17) % 256) / 2.0, 6) AS mean_b
         |FROM documents""".stripMargin,
+
+    "m16_luma_histogram" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 256) + ((doc_id*7) % 256) + ((doc_id*13) % 256))
+        |      // 3 // 64 AS k
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (((doc_id*3) % 256) + ((doc_id*11) % 256) + ((doc_id*17) % 256))
+        |      // 3 // 64
+        |  FROM documents)
+        |SELECT doc_id, 2 AS width, 1 AS height,
+        |  CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |  CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+        |FROM px GROUP BY 1""".stripMargin,
 
     "m4_png_decode" ->
       """SELECT doc_id, 'png' AS format, 2 AS width, 2 AS height,

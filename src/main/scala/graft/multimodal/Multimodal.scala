@@ -354,6 +354,38 @@ object Multimodal {
     })
   }
 
+  case class LumaHistogram(doc_id: Long, width: Int, height: Int,
+                           b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** 4-bucket luminance histogram over REAL decoded pixels — the
+    * brightness-profile gate image curation runs before training
+    * (all-dark and blown-out frames are the image analog of
+    * boilerplate text; a skewed corpus-wide histogram flags a broken
+    * camera/source). Luma is the INTEGER channel mean
+    * `(r+g+b) DIV 3` (no floats — the [[imageDHash]] grayscale
+    * argument), bucketed by `DIV 64` into 4 bands
+    * (dark/dim/bright/blown). Per-image emission; the corpus rollup
+    * is one aggregate over these rows. Undecodable payloads drop —
+    * same contract as every decoder here.
+    */
+  def lumaHistogram(media: Dataset[MediaRecord]): Dataset[LumaHistogram] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeImage(r.payload).map { case (w, h, rgb) =>
+        val counts = new Array[Long](4)
+        var i = 0
+        while (i + 2 < rgb.length) {
+          val luma = ((rgb(i) & 0xff) + (rgb(i + 1) & 0xff) +
+            (rgb(i + 2) & 0xff)) / 3
+          counts(luma / 64) += 1L
+          i += 3
+        }
+        LumaHistogram(r.doc_id, w, h, counts(0), counts(1), counts(2),
+          counts(3))
+      }
+    })
+  }
+
   case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
                        bits: Int, n_samples: Long, duration_ms: Long)
 

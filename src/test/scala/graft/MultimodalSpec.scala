@@ -563,4 +563,18 @@ class MultimodalSpec extends SparkSpec {
       out(2L).tail_trimmed == 0)
     assert(out(3L).kept_frames == 3 && out(3L).kept_sum == 550L + 0 - 600)
   }
+
+  test("lumaHistogram: integer luma bands over decoded pixels") {
+    import Multimodal._
+    // 2x1 BMP: pixel1 black (band 0), pixel2 white (band 3)
+    val hdr = Array(0x42,0x4D,0x3E,0,0,0,0,0,0,0,0x36,0,0,0,
+      0x28,0,0,0, 2,0,0,0, 1,0,0,0, 1,0, 24,0,
+      0,0,0,0, 8,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0)
+      .map(_.toByte)
+    val px = Array(0,0,0, 255,255,255, 0,0).map(_.toByte)
+    val media = Seq(MediaRecord(1L, "image/bmp", 62, hdr ++ px))
+      .toDS()
+    val out = lumaHistogram(media).collect().head
+    assert(out == LumaHistogram(1L, 2, 1, 1L, 0L, 0L, 1L))
+  }
 }
