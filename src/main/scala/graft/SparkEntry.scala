@@ -1224,6 +1224,24 @@ object SparkEntry {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
     },
 
+    // TPC-H Q3 shape: top-20 unshipped-order revenue for one market
+    // segment — segment predicate rides the broadcast customer dim
+    // into the fact join; TakeOrderedAndProject cut, no global sort.
+    "a15_top_unshipped" -> { (s, dir) =>
+      graft.ops.StarJoin.topUnshipped(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        segment = "BUILDING", cutoff = "1998-06-15", k = 20)
+    },
+
+    // TPC-H Q10 shape: top-30 customers by returned-item revenue loss
+    // — return-flag predicate pushed into the fact scan, customer and
+    // nation dims broadcast, TakeOrdered cut on (loss desc, custkey).
+    "a16_return_loss" -> { (s, dir) =>
+      graft.ops.StarJoin.returnLoss(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), k = 30)
+    },
+
     // Common-neighbors link prediction on the mod-251 doc graph:
     // wedge-generated candidates only (never all pairs), existing
     // edges anti-joined out, top-50 via TakeOrderedAndProject.
@@ -4672,6 +4690,36 @@ object SparkEntry {
         |  CAST(min(rev) AS BIGINT) AS min_key_value,
         |  CAST(max(rev) AS BIGINT) AS max_key_value
         |FROM k GROUP BY 1""".stripMargin,
+
+    "a15_top_unshipped" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_micro4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_micro4 DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "a16_return_loss" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS loss_micro4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY loss_micro4 DESC, c.c_custkey
+        |LIMIT 30""".stripMargin,
 
     "g8_link_predict" ->
       """WITH e0 AS (

@@ -116,4 +116,68 @@ object StarJoin {
         sum(col("__cents") * (lit(100L) - col("__disc")))
           .as("revenue_micro4"))
   }
+
+  /** TPC-H Q3 shape — top-k unshipped-order revenue for one market
+    * segment: orders placed before the cutoff whose items ship after
+    * it, ranked by discounted revenue. The shipping-priority triage
+    * query. Segment predicate rides the broadcast customer dim into
+    * the fact join (filter BEFORE the fact shuffle, not after);
+    * the cut is TakeOrderedAndProject on (revenue desc, orderkey) —
+    * total order, never a global sort.
+    */
+  def topUnshipped(lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame, segment: String, cutoff: String,
+                   k: Int): DataFrame = {
+    val li = lineitem
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("__cents"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("__disc"))
+    val ords = orders
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val cust = broadcast(customer
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey")))
+    li
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(col("__cents") * (lit(100L) - col("__disc")))
+        .as("revenue_micro4"))
+      .orderBy(col("revenue_micro4").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q10 shape — top-k customers by RETURNED-item revenue loss:
+    * the churn-risk list (a customer who returned that much is about
+    * to leave). Return-flag predicate pushes into the fact scan; the
+    * customer/nation dims broadcast; TakeOrdered cut on
+    * (loss desc, custkey).
+    */
+  def returnLoss(lineitem: DataFrame, orders: DataFrame,
+                 customer: DataFrame, nation: DataFrame,
+                 k: Int): DataFrame = {
+    val li = lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("__cents"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("__disc"))
+    val ords = orders.select(col("o_orderkey"), col("o_custkey"))
+    val cust = broadcast(customer.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey")))
+    val nat = broadcast(nation.select(col("n_nationkey"), col("n_name")))
+    li
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__cents") * (lit(100L) - col("__disc")))
+          .as("loss_micro4"))
+      .orderBy(col("loss_micro4").desc, col("c_custkey"))
+      .limit(k)
+  }
 }

@@ -59,6 +59,62 @@ class StarJoinSpec extends SparkSpec {
       s"expected map-side partial aggregation in:\n$plan")
   }
 
+  test("topUnshipped: cutoff splits orders/ships, segment gates, top-k order") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      // order 1: one item ships after cutoff (counts), one before (not)
+      (1L, ts("2024-07-01"), 100.0, 0.10),
+      (1L, ts("2024-05-01"), 999.0, 0.00),
+      // order 2: ships after cutoff but order placed after cutoff — out
+      (2L, ts("2024-07-02"), 50.0, 0.00),
+      // order 3: wrong segment customer — out
+      (3L, ts("2024-07-03"), 70.0, 0.00),
+      // order 4: bigger revenue than order 1 — ranks first
+      (4L, ts("2024-08-01"), 300.0, 0.50)
+    ).toDF("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val ords = Seq(
+      (1L, 10L, ts("2024-01-01"), "1-URGENT"),
+      (2L, 10L, ts("2024-06-20"), "2-HIGH"),
+      (3L, 30L, ts("2024-02-01"), "3-MEDIUM"),
+      (4L, 10L, ts("2024-03-01"), "4-NOT SPECIFIED")
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val cust = Seq((10L, "BUILDING"), (30L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = StarJoin.topUnshipped(li, ords, cust,
+        segment = "BUILDING", cutoff = "2024-06-15", k = 10)
+      .select("o_orderkey", "revenue_micro4")
+      .as[(Long, Long)].collect().toSeq
+    // order 4: 30000 cents · (100-50) = 1_500_000; order 1: 10000·90 = 900_000
+    assert(out == Seq((4L, 1500000L), (1L, 900000L)))
+  }
+
+  test("returnLoss: only R items count, dims broadcast, TakeOrdered cut") {
+    import java.sql.Timestamp
+    val li = Seq(
+      (1L, "R", 100.0, 0.10), (1L, "N", 500.0, 0.00),
+      (2L, "R", 200.0, 0.00), (3L, "A", 50.0, 0.00)
+    ).toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val ords = Seq((1L, 10L), (2L, 20L), (3L, 10L))
+      .toDF("o_orderkey", "o_custkey")
+    val cust = Seq((10L, "alice", 1L), (20L, "bob", 2L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val nat = Seq((1L, "FRANCE"), (2L, "KENYA"))
+      .toDF("n_nationkey", "n_name")
+    val q = StarJoin.returnLoss(li, ords, cust, nat, k = 5)
+    val out = q.select("c_custkey", "c_name", "nation", "n_items",
+        "loss_micro4")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    // bob: 20000·100 = 2_000_000; alice: 10000·90 = 900_000
+    assert(out == Seq(
+      (20L, "bob", "KENYA", 1L, 2000000L),
+      (10L, "alice", "FRANCE", 1L, 900000L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("bigSpenders: HAVING before the joins, exact integer emission") {
     import java.sql.Timestamp
     val li = Seq(
