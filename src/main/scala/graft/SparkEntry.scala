@@ -1242,6 +1242,31 @@ object SparkEntry {
         Tables.nation(s, dir), k = 30)
     },
 
+    // TPC-H Q4 shape: per-priority count of 1997 orders with ≥1 line
+    // shipped >90 days late — EXISTS as a left-semi join, one orderkey
+    // shuffle, never a fact-row multiplication.
+    "a17_priority_late" -> { (s, dir) =>
+      graft.ops.StarJoin.latePriorityCount(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), from = "1997-01-01", until = "1998-01-01",
+        lateDays = 90)
+    },
+
+    // TPC-H Q22 shape: idle high-balance customers per nation — the
+    // above-mean test is exact integer cross-multiplication (broadcast
+    // one-row threshold), the inactivity test a left-anti join.
+    "a18_idle_rich" -> { (s, dir) =>
+      graft.ops.StarJoin.idleRichCustomers(Tables.customer(s, dir),
+        Tables.orders(s, dir), since = "2000-01-01")
+    },
+
+    // TPC-H Q16 shape: distinct-supplier breadth per (brand,type,size)
+    // with one brand excluded before the shuffle; top-40 on a total
+    // order via TakeOrderedAndProject.
+    "a19_supplier_breadth" -> { (s, dir) =>
+      graft.ops.StarJoin.supplierBreadth(Tables.lineitem(s, dir),
+        Tables.part(s, dir), excludeBrand = "Brand#1", k = 40)
+    },
+
     // Common-neighbors link prediction on the mod-251 doc graph:
     // wedge-generated candidates only (never all pairs), existing
     // edges anti-joined out, top-50 via TakeOrderedAndProject.
@@ -4720,6 +4745,41 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY loss_micro4 DESC, c.c_custkey
         |LIMIT 30""".stripMargin,
+
+    "a17_priority_late" ->
+      """SELECT o.o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "a18_idle_rich" ->
+      """WITH th AS (
+        |  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot,
+        |         count(*) AS cnt
+        |  FROM customer
+        |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+        |act AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT c.c_nationkey, count(*) AS n_custs,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents
+        |FROM customer c, th
+        |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * th.cnt > th.tot
+        |  AND NOT EXISTS (SELECT 1 FROM act WHERE act.o_custkey = c.c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "a19_supplier_breadth" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        |LIMIT 40""".stripMargin,
 
     "g8_link_predict" ->
       """WITH e0 AS (

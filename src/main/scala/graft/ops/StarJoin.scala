@@ -180,4 +180,79 @@ object StarJoin {
       .orderBy(col("loss_micro4").desc, col("c_custkey"))
       .limit(k)
   }
+
+  /** TPC-H Q4 shape — order-priority count of orders with at least one
+    * LATE line (shipped more than `lateDays` after the order date)
+    * inside a date window: the fulfilment-SLA report. The EXISTS is a
+    * LEFT SEMI join — it stops at the first late line per order, never
+    * multiplies the fact rows, and the non-equi lateness predicate
+    * rides the equi orderkey join as a post-join filter (one shuffle
+    * on orderkey; bucketed warehouses make it exchange-free).
+    */
+  def latePriorityCount(lineitem: DataFrame, orders: DataFrame,
+                        from: String, until: String,
+                        lateDays: Int): DataFrame = {
+    val ords = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    ords
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") +
+          expr(s"INTERVAL $lateDays DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  /** TPC-H Q22 shape — idle high-balance customers per nation: account
+    * balance above the positive-balance mean AND no order since the
+    * cutoff. The mean test is EXACT integer cross-multiplication
+    * (cents·count > total-cents — no float average, so the boundary
+    * customer lands identically on every engine and partitioning); the
+    * one-row threshold broadcasts; the activity check is a left ANTI
+    * join (null-safe, unlike a literal NOT IN under NULL keys).
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+                        since: String): DataFrame = {
+    val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val thresh = customer
+      .filter(cents > 0L)
+      .agg(sum(cents).as("__tot"), count(lit(1)).as("__cnt"))
+    val active = orders
+      .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .select(col("o_custkey"))
+    customer
+      .select(col("c_custkey"), col("c_nationkey"), cents.as("__cents"))
+      .crossJoin(broadcast(thresh))
+      .filter(col("__cents") * col("__cnt") > col("__tot"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("__cents")).as("acctbal_cents"))
+  }
+
+  /** TPC-H Q16 shape — supplier breadth per part group: how many
+    * DISTINCT suppliers ship each (brand, type, size), one brand
+    * excluded, top-k groups. The part dim broadcasts into the fact
+    * scan (the brand exclusion prunes before the shuffle); the
+    * count-distinct shuffles once on the group key with Spark's
+    * two-phase distinct-aggregate; the cut is TakeOrderedAndProject on
+    * a total order (count desc, then the full group key).
+    */
+  def supplierBreadth(lineitem: DataFrame, part: DataFrame,
+                      excludeBrand: String, k: Int): DataFrame = {
+    val dims = broadcast(part
+      .filter(col("p_brand") =!= excludeBrand)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size")))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(dims, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(k)
+  }
 }

@@ -478,4 +478,37 @@ class PlanAuditSpec extends SparkSpec {
       assert(ex == 1, s"$q: expected 1 hash exchange, got $ex in:\n$p")
     }
   }
+
+  test("Q3/Q10 top-k shapes (a15/a16): dims broadcast, TopK not a global sort") {
+    for (q <- Seq("a15_top_unshipped", "a16_return_loss")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: top-k must be per-partition heaps, not a global sort:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: dimensions must ride to the fact as broadcasts:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in:\n$p")
+    }
+  }
+
+  test("Q4 lateness EXISTS (a17) plans a semi join — fact rows never multiply") {
+    val p = plan(SparkEntry.queries("a17_priority_late")(spark, sf))
+    assert(p.contains("LeftSemi"), s"expected a left-semi join in:\n$p")
+    assert(p.contains("PushedFilters: ["),
+      s"the date-window filter must reach the orders scan:\n$p")
+  }
+
+  test("Q22 idle-rich (a18): one-row threshold broadcasts, activity is anti join") {
+    val p = plan(SparkEntry.queries("a18_idle_rich")(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected a left-anti join in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row threshold must broadcast, never shuffle customers:\n$p")
+  }
+
+  test("Q16 supplier breadth (a19): brand exclusion prunes before the shuffle, TopK bounded") {
+    val p = plan(SparkEntry.queries("a19_supplier_breadth")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dim must broadcast into the fact scan:\n$p")
+  }
 }

@@ -115,6 +115,69 @@ class StarJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("latePriorityCount: semi join never multiplies, window gates") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val ords = Seq(
+      (1L, ts("2024-02-01"), "1-URGENT"),   // two late lines — counts ONCE
+      (2L, ts("2024-03-01"), "1-URGENT"),   // on-time only — out
+      (3L, ts("2024-06-01"), "2-HIGH"),     // exactly 90 days — strict >, out
+      (4L, ts("2023-12-31"), "2-HIGH")      // late but before window — out
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("2024-06-01")), (1L, ts("2024-07-01")),
+      (2L, ts("2024-03-15")),
+      (3L, ts("2024-08-30")), // 2024-06-01 + 90d = 2024-08-30, not late
+      (4L, ts("2024-06-01"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = StarJoin.latePriorityCount(li, ords,
+        from = "2024-01-01", until = "2025-01-01", lateDays = 90)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("1-URGENT" -> 1L))
+  }
+
+  test("idleRichCustomers: exact mean boundary excluded, anti join gates") {
+    import java.sql.Timestamp
+    // positive balances: 100, 500, 400, 600 → mean exactly 400.00
+    val cust = Seq(
+      (1L, 1, 100.0),  // below mean — out
+      (2L, 1, 500.0),  // above mean, no recent order — in
+      (3L, 2, 400.0),  // EXACTLY the mean — strict >, out
+      (4L, 2, -50.0),  // negative — excluded from mean, below it anyway
+      (5L, 2, 600.0)   // above mean but recently active — out
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val ords = Seq(
+      (10L, 5L, Timestamp.valueOf("2024-06-01 00:00:00")),
+      (11L, 2L, Timestamp.valueOf("2023-01-01 00:00:00")) // too old
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = StarJoin.idleRichCustomers(cust, ords, since = "2024-01-01")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(out == Set((1, 1L, 50000L)))
+  }
+
+  test("supplierBreadth: distinct suppliers, brand excluded, total order") {
+    val li = Seq(
+      (1L, 100L), (1L, 100L), (1L, 101L), // part 1: suppliers {100, 101}
+      (2L, 100L),                          // part 2: {100}
+      (3L, 102L)                           // part 3: excluded brand
+    ).toDF("l_partkey", "l_suppkey")
+    val part = Seq(
+      (1L, "Brand#2", "typeA", 5),
+      (2L, "Brand#3", "typeA", 5),
+      (3L, "Brand#1", "typeB", 9)
+    ).toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val q = StarJoin.supplierBreadth(li, part, excludeBrand = "Brand#1",
+      k = 10)
+    val out = q.as[(String, String, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      ("Brand#2", "typeA", 5, 2L),
+      ("Brand#3", "typeA", 5, 1L)))
+    // NOTE: no TakeOrdered assert here — on LocalRelation inputs the
+    // optimizer KNOWS maxRows ≤ k and EliminateLimits drops the limit
+    // node entirely; the plan pin lives in PlanAuditSpec over parquet
+    // tables, where maxRows is unknown and the TopK operator must form.
+  }
+
   test("bigSpenders: HAVING before the joins, exact integer emission") {
     import java.sql.Timestamp
     val li = Seq(
