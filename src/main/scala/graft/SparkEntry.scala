@@ -1314,6 +1314,16 @@ object SparkEntry {
         emb.filter(col("vec_id") % 25 === 7), emb, k = 5)
     },
 
+    // IVF nprobe/recall tradeoff sweep: one index build + ONE ranked
+    // query-cell assignment at max(probes); each candidate participates
+    // in every level above its probe rank — the is-nprobe-2-enough
+    // tuning report, recall micro-averaged in exact ppm.
+    "s22_nprobe_sweep" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ivf.probeSweep(emb.filter(col("vec_id") % 50 === 0), emb, k = 5,
+        probes = Seq(1, 2, 4), nCells = 16, lloydIters = 1, dim = 64)
+    },
+
     // Lexicon (dictionary-weight) scoring per language: literal-map
     // weights compiled into one codegen'd HOF fold — zero joins,
     // zero shuffles before the rollup; exact integer emissions.
@@ -7568,6 +7578,84 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+
+    // IVF probe sweep replay: the s3 index CTEs (deterministic centroid
+    // pick, one Lloyd step, final assignment), query cells kept to
+    // max(probes) WITH their closeness rank, the (1,2,4) levels joined on
+    // probe_rank < p, per-level top-k vs the exact brute-force top-k.
+    "s22_nprobe_sweep" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+         |    SELECT vec_id, e FROM emb
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |              + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 16)),
+         |assign0 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents0 c)
+         |  WHERE rn = 1),
+         |cents1 AS (
+         |  SELECT c0.cell, coalesce(m.c, c0.c) AS c FROM cents0 c0
+         |  LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY i) AS c FROM (
+         |      SELECT cell, i, avg(e[CAST(i AS INT)]) AS m
+         |      FROM assign0 CROSS JOIN range(1, 65) t(i)
+         |      GROUP BY cell, i)
+         |    GROUP BY cell) m USING (cell)),
+         |assign1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents1 c)
+         |  WHERE rn = 1),
+         |qcells AS (
+         |  SELECT vec_id AS query_id, e AS q, cell, rn - 1 AS probe_rank FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents1 c
+         |    WHERE m.vec_id % 50 = 0)
+         |  WHERE rn <= 4),
+         |probes(p) AS (VALUES (1), (2), (4)),
+         |leveled AS (
+         |  SELECT pr.p AS nprobe, q.query_id, a.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.q, a.e), 6) AS cosine
+         |  FROM qcells q JOIN assign1 a USING (cell)
+         |  JOIN probes pr ON q.probe_rank < pr.p
+         |  WHERE q.query_id <> a.vec_id),
+         |topk AS (
+         |  SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM leveled)
+         |  WHERE rn <= 5),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+         |          c.vec_id ASC) AS rn
+         |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id % 50 = 0)
+         |  WHERE rn <= 5),
+         |ex_tot AS (SELECT count(*) AS n_exact FROM exact),
+         |hits AS (
+         |  SELECT t.nprobe, count(*) AS n_hits FROM topk t
+         |  JOIN exact e USING (query_id, neighbor_id) GROUP BY 1),
+         |cand AS (
+         |  SELECT nprobe, count(DISTINCT query_id) AS n_queries,
+         |    count(*) AS n_candidates
+         |  FROM leveled GROUP BY 1)
+         |SELECT c.nprobe, c.n_queries, c.n_candidates,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  x.n_exact,
+         |  CAST(coalesce(h.n_hits, 0) * 1000000 // x.n_exact AS BIGINT)
+         |    AS recall_ppm
+         |FROM cand c LEFT JOIN hits h USING (nprobe) CROSS JOIN ex_tot x""".stripMargin,
 
     "s4_cosine_sql" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -65,7 +65,9 @@ object Ivf {
     * runs (the previous plan exploded to (vector × centroid) rows and moved
     * them all through a row_number exchange — at 100 TB that shuffle IS the
     * assignment cost; here it is zero). Tie-break matches the oracle's
-    * `ORDER BY sim DESC, cell ASC` exactly.
+    * `ORDER BY sim DESC, cell ASC` exactly. Emits `probe_rank` (0-based
+    * closeness rank of the kept cell) for probe-budget sweeps; single-cell
+    * callers drop it.
     */
   private def assignCells(vectors: DataFrame, cents: DataFrame, idName: String,
                           embName: String, keep: Int): DataFrame = {
@@ -75,7 +77,7 @@ object Ivf {
       .select(col("vec_id").as(idName), col("embedding").cast("array<double>").as(embName))
       .crossJoin(packed)
       .select(col(idName), col(embName),
-        explode(slice(array_sort(
+        posexplode(slice(array_sort(
           transform(col("__cents"), c =>
             // null-safe: a null cosine (degenerate vector) sorts LAST as
             // -Inf — a raw null would make both comparator branches false
@@ -89,14 +91,15 @@ object Ivf {
             when(l.getField("sim") > r.getField("sim"), -1)
               .when(l.getField("sim") < r.getField("sim"), 1)
               .otherwise(l.getField("cell") - r.getField("cell"))),
-          1, keep)).as("__rc"))
-      .select(col(idName), col(embName), col("__rc.cell").as("cell"))
+          1, keep)).as(Seq("probe_rank", "__rc")))
+      .select(col(idName), col(embName), col("__rc.cell").as("cell"),
+        col("probe_rank"))
   }
 
   /** Single-cell corpus assignment (the IVF index). */
   def assign(corpus: DataFrame, cents: DataFrame, idName: String = "neighbor_id",
              embName: String = "c_u"): DataFrame =
-    assignCells(corpus, cents, idName, embName, keep = 1)
+    assignCells(corpus, cents, idName, embName, keep = 1).drop("probe_rank")
 
   /** Multi-cell assignment: each vector lands in its `nProbe` best cells —
     * the index-side analog of query-side probing, used by candidate
@@ -106,6 +109,7 @@ object Ivf {
   def assignProbes(corpus: DataFrame, cents: DataFrame, idName: String,
                    embName: String, nProbe: Int): DataFrame =
     assignCells(corpus, cents, idName, embName, keep = nProbe)
+      .drop("probe_rank")
 
   /** Lloyd refinement: `iters` k-means steps — assign, then recentre each
     * cell on the mean of its members (renormalized). Each step is one
@@ -192,5 +196,57 @@ object Ivf {
         coalesce(col("__nn"), lit(0L)).as("n_new"),
         (coalesce(col("__no"), lit(0L)) + coalesce(col("__nn"), lit(0L)))
           .as("n_total"))
+  }
+
+  /** nProbe/recall tradeoff sweep — the index-tuning report that decides
+    * what an ANN deployment actually pays per query: for each probe
+    * budget in `probes`, recall@k against the exact brute-force ranking
+    * (micro-averaged, integer ppm) and the candidate workload that budget
+    * scored. The report answers "is nprobe=2 within 1% of nprobe=8 at a
+    * quarter of the reads" BEFORE the index ships.
+    *
+    * One index build, one corpus assignment, ONE query-cell ranking at
+    * `max(probes)` — a candidate row scored at probe rank r participates
+    * in every level p > r via an explode over the literal sweep array, so
+    * no level recomputes cosines (the level column multiplies only
+    * query-scale candidate rows, never the corpus). Recall joins the
+    * exact top-k on (query, neighbor) ids; all emissions exact int64.
+    */
+  def probeSweep(queries: DataFrame, corpus: DataFrame, k: Int,
+                 probes: Seq[Int], nCells: Int = 16, lloydIters: Int = 1,
+                 dim: Int = -1): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ > 0))
+    val cents = refine(corpus, centroids(corpus, nCells), lloydIters, dim)
+    val corpusCells = assign(corpus, cents)
+    val queryCells = assignCells(queries, cents, "query_id", "q_u",
+      keep = probes.max)
+    val sweepLit = array(probes.map(lit(_)): _*)
+    val leveled = queryCells
+      .join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("q_u"), col("c_u")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        explode(filter(sweepLit, p => p > col("probe_rank"))).as("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approxTopK = leveled
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactTotal = broadcast(exact.agg(count(lit(1)).as("n_exact")))
+    val hits = approxTopK.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    leveled.groupBy("nprobe")
+      .agg(count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(exactTotal)
+      .select(col("nprobe"), col("n_queries"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+        call_function("div",
+          coalesce(col("n_hits"), lit(0L)) * 1000000L, col("n_exact"))
+          .as("recall_ppm"))
   }
 }

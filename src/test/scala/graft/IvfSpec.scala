@@ -75,4 +75,39 @@ class IvfSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(c1 == c2)
   }
+
+  test("probeSweep: recall and workload monotone in nprobe; full-probe recall is total") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val out = Ivf.probeSweep(probes, emb, k = 5, probes = Seq(1, 2, 16),
+        nCells = 16, lloydIters = 1, dim = 64)
+      .orderBy("nprobe")
+      .select("nprobe", "n_queries", "n_candidates", "n_hits", "n_exact",
+        "recall_ppm")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1, 2, 16))
+    // candidate workload and recall never shrink with more probes
+    assert(out.sliding(2).forall { case Seq(a, b) =>
+      b._3 >= a._3 && b._6 >= a._6 })
+    // probing ALL 16 cells IS the exact scan: recall must be 100%
+    assert(out.last._6 == 1000000L, s"full-probe recall: ${out.last}")
+    out.foreach { r => assert(r._4 <= r._5 && r._2 > 0) }
+  }
+
+  test("probeSweep at nprobe=n equals topK at that nprobe (one shared index)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    // the sweep's level-4 hit count must equal recallAtK over topK(nProbe=4)
+    val sweep4 = Ivf.probeSweep(probes, emb, k = 5, probes = Seq(4),
+        nCells = 16, lloydIters = 1, dim = 64)
+      .select("n_hits").as[Long].head()
+    val viaTopK = Similarity.recallAtK(
+        Similarity.bruteForceTopK(probes, emb, k = 5),
+        Ivf.topK(probes, emb, k = 5, nCells = 16, nProbe = 4,
+          lloydIters = 1, dim = 64))
+      .agg(sum("n_hit")).as[Long].head()
+    assert(sweep4 == viaTopK)
+  }
 }

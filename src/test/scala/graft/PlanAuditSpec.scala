@@ -479,6 +479,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("nprobe sweep (s22): centroids broadcast as one packed row, no cartesian") {
+    val p = plan(SparkEntry.queries("s22_nprobe_sweep")(spark, sf))
+    assert(p.contains("BroadcastExchange"),
+      s"the packed centroid row must broadcast for the assignment projection:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("Q3/Q10 top-k shapes (a15/a16): dims broadcast, TopK not a global sort") {
     for (q <- Seq("a15_top_unshipped", "a16_return_loss")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
