@@ -1374,6 +1374,16 @@ object SparkEntry {
         .withColumnRenamed("group", "source")
     },
 
+    // MinHash sketch-calibration audit: estimated vs exact Jaccard per
+    // signature match count over probe×corpus pairs — engine-neutral
+    // Horner hashing so the oracle reproduces the signatures bit-exactly;
+    // probe side broadcasts, rollup is (numHashes+1)-row scale.
+    "d21_sketch_calibration" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      MinHashLSH.sketchCalibration(docs.filter(col("doc_id") % 50 === 0),
+        docs, col("doc_id"), col("text"), numHashes = 16, seed = 42L)
+    },
+
     // Weekly growth accounting (new/retained/resurrected/churned):
     // one (week,user) distinct, then per-user lag/lead windows on
     // period-grain rows — no activity self-joins, churn lands on the
@@ -4972,6 +4982,36 @@ object SparkEntry {
          |    AS n_false_pos
          |FROM j LEFT JOIN td ON j.source = td.source
          |GROUP BY 1""".stripMargin,
+
+    // d21 oracle: the SAME (a,b) hash family as the engine (interpolated
+    // from MinHashLSH.hashParams — seed 42, k=16) over the engine-neutral
+    // Horner token hash, so the DuckDB signatures are bit-identical and
+    // the calibration rollup replays exactly.
+    "d21_sketch_calibration" -> {
+      val perms = MinHashLSH.hashParams(16, 42L).map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % ${MinHashLSH.P}))"
+      }.mkString(",\n         |    ")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(string_split(lower(text), ' '),
+         |      t -> ${duckTokenHash("t")})) AS hs
+         |  FROM documents),
+         |sig AS (SELECT doc_id, hs, [$perms] AS sig FROM tk),
+         |pairs AS (
+         |  SELECT CAST(list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)]
+         |           THEN 1 ELSE 0 END)) AS BIGINT) AS n_match,
+         |    len(list_intersect(a.hs, b.hs)) * 1000000 //
+         |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+         |      AS jac_ppm
+         |  FROM sig a JOIN sig b ON a.doc_id % 50 = 0 AND a.doc_id <> b.doc_id)
+         |SELECT n_match, CAST(n_match * 1000000 // 16 AS BIGINT) AS est_ppm,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(jac_ppm) // count(*) AS BIGINT) AS avg_exact_ppm,
+         |  CAST(min(jac_ppm) AS BIGINT) AS min_exact_ppm,
+         |  CAST(max(jac_ppm) AS BIGINT) AS max_exact_ppm
+         |FROM pairs GROUP BY 1""".stripMargin
+    },
 
     "w36_growth_accounting" ->
       """WITH mu AS (

@@ -131,6 +131,62 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Sketch-calibration audit: MinHash-ESTIMATED Jaccard graded against
+    * the EXACT token-set Jaccard, rolled up per signature match count —
+    * the "is my sketch lying" report to read BEFORE trusting a banding
+    * threshold. Each row says: pairs whose signatures agreed in `n_match`
+    * of `numHashes` positions (estimate `n_match/numHashes`) actually have
+    * exact Jaccard in [min,max] averaging `avg_exact_ppm`. A well-behaved
+    * sketch shows the estimate tracking the average within the binomial
+    * noise band; a biased row means the hash family or shingle choice is
+    * wrong for this corpus.
+    *
+    * Hashing is the ENGINE-NEUTRAL Horner token hash
+    * ([[graft.text.TextAnalysis.tokenHash]], < 10⁹+7 < p, so `h·a+b`
+    * never overflows), not xxhash64 — the estimate itself is the audited
+    * value here, so the oracle must reproduce the signatures bit-exactly.
+    * Probe side broadcasts (audits sample a probe set; the corpus streams
+    * through one codegen'd scan — linear per probe, like the exact-Jaccard
+    * baseline in [[Jaccard.similarPairs]]); the rollup is
+    * (numHashes+1)-row scale.
+    */
+  def sketchCalibration(probes: DataFrame, corpus: DataFrame, id: Column,
+                        text: Column, numHashes: Int,
+                        seed: Long): DataFrame = {
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    val params = hashParams(numHashes, seed)
+    def prep(df: DataFrame, idn: String, setn: String, sign: String) = {
+      val hs = array_distinct(transform(split(lower(text), " "),
+        t => graft.text.TextAnalysis.tokenHash(t)))
+      df.select(id.as(idn), hs.as(setn),
+        asColumn(graft.functions.MinHashSignature(asExpression(hs),
+          params.map(_._1).toArray, params.map(_._2).toArray, P)).as(sign))
+    }
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    val uni = size(col("set_a")) + size(col("set_b")) - inter
+    broadcast(prep(probes, "id_a", "set_a", "sig_a"))
+      .join(prep(corpus, "id_b", "set_b", "sig_b"),
+        col("id_a") =!= col("id_b"))
+      .select(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (a, v) => a + v).as("n_match"),
+        call_function("div", inter.cast("long") * 1000000L,
+          uni.cast("long")).as("__jac_ppm"))
+      .groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__jac_ppm")).as("__s"),
+        min(col("__jac_ppm")).as("min_exact_ppm"),
+        max(col("__jac_ppm")).as("max_exact_ppm"))
+      .select(col("n_match"),
+        call_function("div", col("n_match") * 1000000L,
+          lit(numHashes.toLong)).as("est_ppm"),
+        col("n_pairs"),
+        call_function("div", col("__s"), col("n_pairs"))
+          .as("avg_exact_ppm"),
+        col("min_exact_ppm"), col("max_exact_ppm"))
+  }
+
   /** End-to-end near-dup detection: LSH candidates verified with the exact
     * shingle-set Jaccard, keeping pairs ≥ threshold.
     */

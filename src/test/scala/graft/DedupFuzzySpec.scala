@@ -180,4 +180,45 @@ class DedupFuzzySpec extends SparkSpec {
     assert(out(650) == 2L)
     assert(out(950) == 2L, "0.95 and the clamped 0.99")
   }
+
+  test("sketchCalibration: identical docs land in the full-match bin at exact 1e6") {
+    val probes = corpus.filter(col("doc_id") === 3L)
+    val out = MinHashLSH.sketchCalibration(probes, corpus, col("doc_id"),
+        col("text"), numHashes = 16, seed = 42L)
+      .select("n_match", "est_ppm", "n_pairs", "avg_exact_ppm",
+        "min_exact_ppm", "max_exact_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 4 is an exact dup of probe 3: all 16 positions match, exact
+    // Jaccard is exactly 1e6 ppm, and the estimate agrees
+    val full = out(16L)
+    assert(full._2 == 1000000L && full._4 == 1000000L &&
+      full._5 == 1000000L && full._6 == 1000000L)
+    // every pair lands in exactly one bin; bins cover all 5 non-self pairs
+    assert(out.values.map(_._3).sum == 5L)
+    // min ≤ avg ≤ max in every bin
+    out.values.foreach { r => assert(r._5 <= r._4 && r._4 <= r._6) }
+  }
+
+  test("sketchCalibration signatures match an independent Scala fold") {
+    // recompute one probe/corpus pair's match count in plain Scala with
+    // the same Horner token hash and (a,b) family; the bin it lands in
+    // must contain a pair
+    val params = MinHashLSH.hashParams(16, 42L)
+    def hash(t: String): Long =
+      t.foldLeft(7L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+    def sig(text: String): Seq[Long] = {
+      val hs = text.toLowerCase.split(" ", -1).map(hash).distinct
+      params.map { case (a, b) => hs.map(h => (h * a + b) % MinHashLSH.P).min }
+    }
+    val s1 = sig("the quick brown fox jumps over the lazy dog near the river bank today")
+    val s2 = sig("the quick brown fox jumps over the lazy dog near the river bank tonight")
+    val expectMatch = s1.zip(s2).count { case (x, y) => x == y }.toLong
+    val probes = corpus.filter(col("doc_id") === 1L)
+    val bins = MinHashLSH.sketchCalibration(probes,
+        corpus.filter(col("doc_id") === 2L), col("doc_id"), col("text"),
+        numHashes = 16, seed = 42L)
+      .select("n_match").as[Long].collect().toSeq
+    assert(bins == Seq(expectMatch))
+  }
 }
