@@ -1267,6 +1267,32 @@ object SparkEntry {
         Tables.part(s, dir), excludeBrand = "Brand#1", k = 40)
     },
 
+    // TPC-H Q8 shape: supplier-nation market share of EUROPE's demand
+    // per order year — region-filtered customers and supplier→nation
+    // map broadcast; ppm share on DECIMAL(38,0) over the year×nation
+    // rollup, never the fact table.
+    "a20_market_share" -> { (s, dir) =>
+      graft.ops.StarJoin.marketShare(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir), regionName = "EUROPE")
+    },
+
+    // Zero-crossing rate over the REAL decoded mono PCM (m5's stream):
+    // strict sign changes, exact integer counts + ppm rate — the
+    // voiced/unvoiced noisiness gate. Partition-local, zero shuffle.
+    "m17_zero_crossing" -> { (s, dir) =>
+      Multimodal.audioZeroCrossing(wavPcmMedia(s, dir)).toDF()
+    },
+
+    // Day-of-week seasonality per event type: ISO-dow counts, share and
+    // flat-week index in exact ppm; the group-total window runs over
+    // ≤7-rows-per-group rollup output only.
+    "w38_dow_seasonality" -> { (s, dir) =>
+      graft.ops.ActivityProfile.dowSeasonality(Tables.events(s, dir),
+        col("event_type"), col("ts"))
+    },
+
     // Common-neighbors link prediction on the mod-251 doc graph:
     // wedge-generated candidates only (never all pairs), existing
     // edges anti-joined out, top-50 via TakeOrderedAndProject.
@@ -4791,6 +4817,60 @@ object SparkEntry {
         |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * th.cnt > th.tot
         |  AND NOT EXISTS (SELECT 1 FROM act WHERE act.o_custkey = c.c_custkey)
         |GROUP BY 1""".stripMargin,
+
+    "a20_market_share" ->
+      """WITH agg AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+        |    sn.n_name AS supplier_nation,
+        |    count(*) AS n_items,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS revenue_micro4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE r.r_name = 'EUROPE'
+        |  GROUP BY 1, 2)
+        |SELECT order_year, supplier_nation, n_items, revenue_micro4,
+        |  CAST(CASE WHEN sum(revenue_micro4)
+        |      OVER (PARTITION BY order_year) > 0
+        |    THEN (revenue_micro4::HUGEINT * 1000000) //
+        |      sum(revenue_micro4) OVER (PARTITION BY order_year)
+        |    ELSE 0 END AS BIGINT) AS share_ppm
+        |FROM agg""".stripMargin,
+
+    "m17_zero_crossing" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + doc_id % 32 AS n,
+        |    list_transform(range(64 + doc_id % 32),
+        |      i -> (doc_id*31 + i*17) % 2003 - 1001) AS v
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CAST(len(list_filter(range(1, n),
+        |      i -> v[i] * v[i + 1] < 0)) AS BIGINT) AS nc
+        |  FROM m)
+        |SELECT doc_id, CAST(n AS INT) AS n_samples, nc AS n_crossings,
+        |  CAST(nc * 1000000 // greatest(n - 1, 1) AS BIGINT) AS zcr_ppm
+        |FROM c""".stripMargin,
+
+    "w38_dow_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(isodow(ts) AS INT) AS iso_dow,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, iso_dow, n_events,
+        |  CAST(n_events * 1000000 //
+        |    sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS share_ppm,
+        |  CAST(n_events * 7000000 //
+        |    sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS index_ppm
+        |FROM c""".stripMargin,
 
     "a19_supplier_breadth" ->
       """SELECT p.p_brand, p.p_type, p.p_size,

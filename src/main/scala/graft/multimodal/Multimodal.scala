@@ -965,6 +965,35 @@ object Multimodal {
     })
   }
 
+  case class AudioZcr(doc_id: Long, n_samples: Int, n_crossings: Long,
+                      zcr_ppm: Long)
+
+  /** Zero-crossing rate over the REAL decoded mono PCM stream — the
+    * classic O(1)-state voiced/unvoiced + noisiness gate audio curation
+    * runs before transcription (hiss and static cross often; speech and
+    * tone cross rarely). A crossing is a strict sign change
+    * (`v[i-1]·v[i] < 0`; zero samples never cross), so every count is an
+    * exact integer the oracle replays; the rate lands in ppm of the n−1
+    * adjacent pairs. Same scale contract as [[audioEnergyWindows]]: one
+    * document decodes inside one task, zero shuffle, undecodable
+    * payloads drop wholesale.
+    */
+  def audioZeroCrossing(media: Dataset[MediaRecord]): Dataset[AudioZcr] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWavPcm(r.payload).toSeq.map { case (_, _, _, samples) =>
+        var c = 0L
+        var i = 1
+        while (i < samples.length) {
+          if (samples(i - 1).toLong * samples(i).toLong < 0) c += 1
+          i += 1
+        }
+        AudioZcr(r.doc_id, samples.length, c,
+          c * 1000000L / math.max(samples.length - 1, 1))
+      }
+    })
+  }
+
   case class FrameDelta(doc_id: Long, frame_idx: Int, width: Int, height: Int,
                         sad: Long, is_cut: Boolean)
 

@@ -34,4 +34,34 @@ object ActivityProfile {
         call_function("div", col("__max") * 1000000L, col("n_events"))
           .as("top_hour_share_ppm"))
   }
+
+  /** Day-of-week seasonality index per group — the weekly-rhythm report
+    * behind staffing, send-time, and anomaly baselines: per (group,
+    * ISO day-of-week 1=Monday), the event count, its share of the
+    * group's total (ppm), and the seasonality index (share × 7 — 10⁶
+    * means a perfectly flat week, 2·10⁶ a day carrying twice its flat
+    * share). Exact integers end to end.
+    *
+    * Plan: one (group, dow) partial-before-shuffle rollup (≤ 7 rows per
+    * group cross the wire), then the group-total window over the
+    * 7-rows-per-group table — never the events. `weekday(ts)+1` is
+    * ISO-Monday numbering on any engine (DuckDB `isodow`).
+    */
+  def dowSeasonality(events: DataFrame, group: Column,
+                     ts: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groupName = events.select(group).columns.head
+    val counts = events
+      .select(group, (weekday(ts) + 1).as("iso_dow"))
+      .groupBy(col(groupName), col("iso_dow"))
+      .agg(count(lit(1)).as("n_events"))
+    counts
+      .withColumn("__tot",
+        sum(col("n_events")).over(Window.partitionBy(col(groupName))))
+      .select(col(groupName), col("iso_dow"), col("n_events"),
+        call_function("div", col("n_events") * 1000000L, col("__tot"))
+          .as("share_ppm"),
+        call_function("div", col("n_events") * 7000000L, col("__tot"))
+          .as("index_ppm"))
+  }
 }

@@ -233,6 +233,56 @@ object StarJoin {
         sum(col("__cents")).as("acctbal_cents"))
   }
 
+  /** TPC-H Q8 shape — supplier-nation market share of one region's
+    * demand per order year: which supplying nations win the region's
+    * spend, and is a given nation's share growing. Join strategy: the
+    * only big-big join is lineitem ⋈ orders on the order key; the
+    * region-filtered customer key set and the supplier→nation map both
+    * broadcast (the region predicate prunes customers BEFORE the fact
+    * join, so non-region demand never shuffles). Revenue is exact
+    * integer micro-money; the share divides on DECIMAL(38,0) inside a
+    * year-partitioned window over (year × nation)-scale rows — the
+    * rollup output, never the fact table.
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  nation: DataFrame, region: DataFrame,
+                  regionName: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+        .as("__rev"))
+    val ords = orders.select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).cast("int").as("order_year"))
+    val regionNations = nation
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName)
+      .select(col("n_nationkey").as("__rn"))
+    val regionCust = broadcast(customer
+      .join(broadcast(regionNations), col("c_nationkey") === col("__rn"))
+      .select(col("c_custkey")))
+    val supplierNation = broadcast(supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supplier_nation")))
+    val byYearNation = li
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"))
+      .join(supplierNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("order_year"), col("supplier_nation"))
+      .agg(count(lit(1)).as("n_items"), sum("__rev").as("revenue_micro4"))
+    val w = Window.partitionBy(col("order_year"))
+    byYearNation
+      .withColumn("__tot", sum(col("revenue_micro4")).over(w))
+      .select(col("order_year"), col("supplier_nation"), col("n_items"),
+        col("revenue_micro4"),
+        when(col("__tot") > 0, call_function("div",
+          col("revenue_micro4").cast(DecimalType(38, 0)) * 1000000L,
+          col("__tot"))).otherwise(lit(0L)).as("share_ppm"))
+  }
+
   /** TPC-H Q16 shape — supplier breadth per part group: how many
     * DISTINCT suppliers ship each (brand, type, size), one brand
     * excluded, top-k groups. The part dim broadcasts into the fact

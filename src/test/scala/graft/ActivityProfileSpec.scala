@@ -35,6 +35,37 @@ class ActivityProfileSpec extends SparkSpec {
     assert(out == 1L)
   }
 
+  test("dowSeasonality: ISO Monday=1, exact shares and flat-week index") {
+    // 2024-01-01 is a Monday; type 'a': 3×Mon + 1×Tue; type 'b': 2×Sun
+    val events = Seq(
+      ("a", ts("2024-01-01 09:00:00")), ("a", ts("2024-01-08 10:00:00")),
+      ("a", ts("2024-01-15 11:00:00")), ("a", ts("2024-01-02 09:00:00")),
+      ("b", ts("2024-01-07 09:00:00")), ("b", ts("2024-01-14 09:00:00"))
+    ).toDF("event_type", "ts")
+    val out = ActivityProfile.dowSeasonality(events, col("event_type"),
+        col("ts"))
+      .orderBy("event_type", "iso_dow")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 1, 3L, 750000L, 5250000L),
+      ("a", 2, 1L, 250000L, 1750000L),
+      ("b", 7, 2L, 1000000L, 7000000L)))
+  }
+
+  test("dowSeasonality: the window runs over rollup rows, not events") {
+    val events = Seq(("a", ts("2024-01-01 09:00:00"))).toDF("event_type", "ts")
+    val plan = ActivityProfile.dowSeasonality(events, col("event_type"),
+      col("ts")).queryExecution.executedPlan.toString
+    // partial-before-shuffle rollup feeds the window: the Window's child
+    // chain must contain the final HashAggregate, i.e. aggregation
+    // happens BELOW the window, never after it
+    assert(plan.contains("Window"), s"expected a window in:\n$plan")
+    assert(plan.indexOf("Window") < plan.indexOf("HashAggregate"),
+      s"window must sit above the rollup in:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"expected map-side partial aggregation in:\n$plan")
+  }
+
   test("hourlyRegularity plans no window and no sort") {
     val events = Seq((1L, ts("2024-01-01 09:00:00"))).toDF("user_id", "ts")
     val plan = ActivityProfile.hourlyRegularity(events, col("user_id"),

@@ -577,4 +577,20 @@ class MultimodalSpec extends SparkSpec {
     val out = lumaHistogram(media).collect().head
     assert(out == LumaHistogram(1L, 2, 1, 1L, 0L, 0L, 1L))
   }
+
+  test("audioZeroCrossing: strict sign changes only; zeros never cross") {
+    // samples: 100,-50,30,0,-10,20 → pairs (+,-)(-,+)(+,0)(0,-)(-,+):
+    // crossings at 1,2,5 → 3 of 5 pairs = 600000 ppm
+    val samples = Seq(100, -50, 30, 0, -10, 20)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(s => pcm.putShort(s.toShort))
+    val payload = wav(1, 8000, 16, samples.length) ++ pcm.array()
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "audio/wav", payload.length, payload),
+        Multimodal.MediaRecord(2L, "audio/wav", 3, Array[Byte](1, 2, 3)))
+      .toDS()
+    val out = Multimodal.audioZeroCrossing(media).collect()
+    assert(out.toSeq == Seq(Multimodal.AudioZcr(1L, 6, 3L, 600000L)))
+  }
 }

@@ -178,6 +178,32 @@ class StarJoinSpec extends SparkSpec {
     // tables, where maxRows is unknown and the TopK operator must form.
   }
 
+  test("marketShare: region gates demand, shares partition per year") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 100L, 300.0, 0.00),  // eu order, supplier nation X: 3_000_000
+      (1L, 101L, 100.0, 0.00),  // eu order, supplier nation Y: 1_000_000
+      (2L, 100L, 999.0, 0.00)   // non-eu customer's order — out entirely
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ords = Seq((1L, 10L, ts("2024-03-01")), (2L, 20L, ts("2024-03-02")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((10L, 1L), (20L, 2L)).toDF("c_custkey", "c_nationkey")
+    val sup = Seq((100L, 3L), (101L, 4L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1L, "GERMANY", 0L), (2L, "BRAZIL", 1L),
+        (3L, "FRANCE", 0L), (4L, "CHINA", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0L, "EUROPE"), (1L, "AMERICA"), (2L, "ASIA"))
+      .toDF("r_regionkey", "r_name")
+    val out = StarJoin.marketShare(li, ords, cust, sup, nat, reg, "EUROPE")
+      .select("order_year", "supplier_nation", "n_items", "revenue_micro4",
+        "share_ppm")
+      .as[(Int, String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (2024, "FRANCE", 1L, 3000000L, 750000L),
+      (2024, "CHINA", 1L, 1000000L, 250000L)))
+  }
+
   test("bigSpenders: HAVING before the joins, exact integer emission") {
     import java.sql.Timestamp
     val li = Seq(
