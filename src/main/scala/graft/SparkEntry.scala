@@ -1541,6 +1541,33 @@ object SparkEntry {
       graft.graph.LabelPropagation.communities(edges, rounds = 3)
     },
 
+    // Newman modularity audit over 3-round LPA labels on the mod-61 doc
+    // graph: per-community intra-edge count, degree mass, and the exact
+    // ppm contribution on DECIMAL(38,0) — did the clustering beat chance.
+    "g10_modularity" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 61).as("src"),
+          ((col("doc_id") * 5 + 2) % 61).as("dst"))
+        .unionAll(d.select((col("doc_id") % 61).as("src"),
+          (((col("doc_id") * 13 + 7) % 67) % 61).as("dst")))
+      graft.graph.Modularity.report(edges, rounds = 3)
+    },
+
+    // PQ codebook distortion sweep over nested k ∈ {2,4,8}: count/sum/
+    // mean/max reconstruction error in exact micro-units — where extra
+    // codebook bits stop paying.
+    "s23_pq_distortion" -> { (s, dir) =>
+      Quantize.distortionSweep(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), m = 4, ks = Seq(2, 4, 8), dim = 64)
+    },
+
+    // Zipf coverage curve: token-mass share of the top 10/100/1000
+    // types — TakeOrdered cut at 1000, cutoff-scale rollup, exact ppm.
+    "t75_zipf_coverage" -> { (s, dir) =>
+      graft.text.Vocab.zipfCoverage(Tables.documents(s, dir), col("text"),
+        cutoffs = Seq(10, 100, 1000))
+    },
+
     // Robust MAD outliers per user (milli-unit values, exact integer
     // medians via the crossing rule, |v−med| > 3·MAD).
     "w19_mad_outliers" -> { (s, dir) =>
@@ -6285,6 +6312,77 @@ object SparkEntry {
         |    AS community_size
         |FROM r3""".stripMargin,
 
+    // g10 oracle: the g3 LPA replay pattern on the mod-61 constants, then
+    // degree mass / intra-edge rollups and the HUGEINT ppm contribution
+    // (both engines truncate integer division toward zero — NOTES round-8).
+    "g10_modularity" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 61 AS src, (doc_id * 5 + 2) % 61 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 61, ((doc_id * 13 + 7) % 67) % 61 FROM documents),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e0
+        |  UNION ALL SELECT dst AS a, src AS b FROM e0) t
+        |  WHERE a <> b),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |r1 AS (SELECT a AS node, label FROM (
+        |  SELECT u.a, l.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY u.a
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM und u JOIN l0 l ON u.b = l.node GROUP BY u.a, l.label)
+        |  WHERE rn = 1),
+        |r2 AS (SELECT a AS node, label FROM (
+        |  SELECT u.a, l.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY u.a
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM und u JOIN r1 l ON u.b = l.node GROUP BY u.a, l.label)
+        |  WHERE rn = 1),
+        |r3 AS (SELECT a AS node, label FROM (
+        |  SELECT u.a, l.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY u.a
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM und u JOIN r2 l ON u.b = l.node GROUP BY u.a, l.label)
+        |  WHERE rn = 1),
+        |deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY 1),
+        |dm AS (
+        |  SELECT l.label, count(*) AS n_nodes,
+        |    CAST(sum(d.d) AS BIGINT) AS degree_sum
+        |  FROM r3 l JOIN deg d USING (node) GROUP BY 1),
+        |intra AS (
+        |  SELECT la.label, count(*) AS e_in
+        |  FROM und u
+        |  JOIN r3 la ON u.a = la.node
+        |  JOIN r3 lb ON u.b = lb.node
+        |  WHERE u.a < u.b AND la.label = lb.label
+        |  GROUP BY 1),
+        |m AS (SELECT count(*) // 2 AS m FROM und)
+        |SELECT CAST(dm.label AS BIGINT) AS label, dm.n_nodes,
+        |  CAST(coalesce(i.e_in, 0) AS BIGINT) AS e_in, dm.degree_sum,
+        |  CAST(((coalesce(i.e_in, 0)::HUGEINT * m.m * 4 -
+        |         dm.degree_sum::HUGEINT * dm.degree_sum) * 1000000) //
+        |       (m.m::HUGEINT * m.m * 4) AS BIGINT) AS q_contrib_ppm
+        |FROM dm LEFT JOIN intra i USING (label) CROSS JOIN m""".stripMargin,
+
+    "t75_zipf_coverage" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0)) AS tok
+        |    FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total FROM c),
+        |top AS (SELECT tok, c, row_number()
+        |          OVER (ORDER BY c DESC, tok ASC) AS r
+        |        FROM c ORDER BY c DESC, tok ASC LIMIT 1000),
+        |lv AS (SELECT k.k AS cutoff, t.c FROM top t
+        |       JOIN (VALUES (10), (100), (1000)) k(k) ON t.r <= k.k)
+        |SELECT cutoff, count(*) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS covered_tokens,
+        |  CAST(max(total) AS BIGINT) AS total_tokens,
+        |  CAST(sum(c) * 1000000 // max(total) AS BIGINT) AS coverage_ppm
+        |FROM lv CROSS JOIN tot GROUP BY 1""".stripMargin,
+
     "w19_mad_outliers" ->
       """WITH base AS (
         |  SELECT user_id, event_id, CAST(round(value * 1000) AS BIGINT) AS v
@@ -7063,6 +7161,54 @@ object SparkEntry {
          |         * (struct_extract(z,1) - struct_extract(z,2)))),
          |    (acc, v) -> acc + v)), 6) AS recon_err
          |FROM emb m JOIN rec r USING (vec_id)""".stripMargin,
+
+    // s23 oracle: the s7 PQ replay instantiated per codebook size k (CTE
+    // names suffixed), errors quantized micro exactly like the engine
+    // (round(round(err,6)·1e6)), unioned and rolled up per k.
+    "s23_pq_distortion" -> {
+      def per(k: Int): String =
+        s"""cb$k AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+           |    SELECT vec_id, e FROM emb
+           |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+           |              + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+           |    LIMIT $k)),
+           |sel$k AS (
+           |  SELECT vec_id, j, cvec FROM (
+           |    SELECT m.vec_id, t.j, c.c[(t.j*16+1):(t.j*16+16)] AS cvec,
+           |      row_number() OVER (PARTITION BY m.vec_id, t.j ORDER BY
+           |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(list_zip(m.e[(t.j*16+1):(t.j*16+16)],
+           |                                  c.c[(t.j*16+1):(t.j*16+16)]),
+           |            z -> (struct_extract(z,1) - struct_extract(z,2))
+           |               * (struct_extract(z,1) - struct_extract(z,2)))),
+           |          (acc, v) -> acc + v) ASC, c.cell ASC) AS rn
+           |    FROM emb m CROSS JOIN range(0, 4) t(j) CROSS JOIN cb$k c)
+           |  WHERE rn = 1),
+           |err$k AS (
+           |  SELECT $k AS k_codes,
+           |    CAST(round(round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(m.e, r.r),
+           |        z -> (struct_extract(z,1) - struct_extract(z,2))
+           |           * (struct_extract(z,1) - struct_extract(z,2)))),
+           |      (acc, v) -> acc + v)), 6) * 1000000) AS BIGINT) AS err
+           |  FROM emb m JOIN (
+           |    SELECT vec_id, flatten(list(cvec ORDER BY j)) AS r
+           |    FROM sel$k GROUP BY vec_id) r USING (vec_id))""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |${per(2)},
+         |${per(4)},
+         |${per(8)},
+         |errs AS (SELECT * FROM err2 UNION ALL
+         |         SELECT * FROM err4 UNION ALL SELECT * FROM err8)
+         |SELECT k_codes, count(*) AS n_vectors,
+         |  CAST(sum(err) AS BIGINT) AS sum_err_micro,
+         |  CAST(sum(err) // count(*) AS BIGINT) AS avg_err_micro,
+         |  CAST(max(err) AS BIGINT) AS max_err_micro
+         |FROM errs GROUP BY 1""".stripMargin
+    },
 
     // ADC replay: corpus codes from the same per-subspace argmin as s7,
     // query-vs-reconstruction partial distances per subspace, summed in

@@ -78,6 +78,37 @@ object Quantize {
           .as("recon_err"))
   }
 
+  /** Codebook distortion sweep — the "how many codes do I need" report
+    * read before a PQ index ships: per codebook size k, the count, sum,
+    * mean and max reconstruction error over the corpus (micro-units:
+    * `round(err,6)·10⁶` exact int64, the [[Similarity.mmrSelect]] idiom,
+    * so partial-aggregation order can't wobble a float sum). The
+    * deterministic centroid pick is NESTED (k=2 ⊆ k=4 ⊆ k=8), so mean
+    * distortion is weakly decreasing in k — the curve's knee says where
+    * extra codebook bits stop paying for themselves.
+    *
+    * Each k is one [[productQuantize]] projection (codebook broadcast,
+    * corpus never shuffled); the union aggregates map-side into
+    * |ks| rows.
+    */
+  def distortionSweep(df: DataFrame, id: Column, embedding: Column,
+                      m: Int, ks: Seq[Int], dim: Int): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    ks.map { k =>
+      productQuantize(df, id, embedding, m, k, dim)
+        .select(lit(k).as("k_codes"),
+          round(col("recon_err") * 1000000).cast("long").as("__e"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("k_codes"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("__e")).as("sum_err_micro"),
+        max(col("__e")).as("max_err_micro"))
+      .select(col("k_codes"), col("n_vectors"), col("sum_err_micro"),
+        call_function("div", col("sum_err_micro"), col("n_vectors"))
+          .as("avg_err_micro"),
+        col("max_err_micro"))
+  }
+
   /** ADC (asymmetric-distance) top-k over PQ codes — the query path the
     * codes exist for: each query precomputes an m×k table of subspace
     * distances against the codebook ONCE, and every compressed corpus

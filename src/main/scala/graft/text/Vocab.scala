@@ -616,4 +616,45 @@ object Vocab {
         call_function("div", col("mass") * 1000000L, col("__mt"))
           .as("mass_share_ppm"))
   }
+
+  /** Zipf coverage curve — what share of the corpus token MASS the top
+    * 10/100/1000 vocabulary entries carry: the vocab-sizing and
+    * stopword-budget report (a natural corpus puts ~half its mass in the
+    * top few hundred types; a synthetic or boilerplate-heavy one is far
+    * flatter or far spikier). Emits per cutoff the covered type count
+    * (< cutoff when the vocabulary is smaller), covered token mass, total
+    * mass, and the coverage in exact ppm.
+    *
+    * Plan: one unigram rollup (partial map-side), the global cut via
+    * TakeOrderedAndProject at max(cutoffs) — never a full-vocab global
+    * sort — then ranking + cutoff explosion over ≤ max(cutoffs) rows and
+    * a cutoff-scale rollup; the corpus total rides a broadcast one-row
+    * frame. The only single-partition pass is over the top-max(cutoffs)
+    * slice, a constant.
+    */
+  def zipfCoverage(df: DataFrame, text: Column,
+                   cutoffs: Seq[Int]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ >= 1))
+    val counts = df
+      .select(explode(filter(split(lower(text), " "),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val total = broadcast(counts.agg(sum("__c").as("total_tokens")))
+    val top = counts.orderBy(col("__c").desc, col("tok").asc)
+      .limit(cutoffs.max)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("tok").asc)
+    top
+      .withColumn("__r", row_number().over(w))
+      .select(col("__c"),
+        explode(filter(array(cutoffs.map(lit(_)): _*),
+          c => c >= col("__r"))).as("cutoff"))
+      .groupBy("cutoff")
+      .agg(count(lit(1)).as("n_types"), sum("__c").as("covered_tokens"))
+      .crossJoin(total)
+      .select(col("cutoff"), col("n_types"), col("covered_tokens"),
+        col("total_tokens"),
+        call_function("div", col("covered_tokens") * 1000000L,
+          col("total_tokens")).as("coverage_ppm"))
+  }
 }

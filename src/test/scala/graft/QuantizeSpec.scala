@@ -123,4 +123,22 @@ class QuantizeSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(1L, 3L))
     assert(out.map(_._3) == Seq(1.0, 1.0))
   }
+
+  test("distortionSweep: nested codebooks make mean error weakly decreasing") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Quantize.distortionSweep(emb, col("vec_id"),
+        col("embedding"), m = 4, ks = Seq(2, 4, 8), dim = 64)
+      .orderBy("k_codes")
+      .select("k_codes", "n_vectors", "sum_err_micro", "avg_err_micro",
+        "max_err_micro")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(2, 4, 8))
+    // same corpus every row; mean distortion never rises with more codes
+    assert(out.map(_._2).distinct.size == 1)
+    assert(out.sliding(2).forall { case Seq(a, b) => b._4 <= a._4 })
+    out.foreach { r =>
+      assert(r._4 <= r._5, "mean cannot exceed max")
+      assert(r._3 == 0L || r._5 > 0L)
+    }
+  }
 }

@@ -345,4 +345,27 @@ class VocabSpec extends SparkSpec {
     val out = q.as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq((2L, 1L, 2L, 1000000L, 1000000L)))
   }
+
+  test("zipfCoverage: exact ppm at each cutoff, undersized vocab saturates") {
+    // counts: a=4, b=2, c=1, d=1 → total 8; rank order a,b,c,d
+    val docs = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val out = Vocab.zipfCoverage(docs, col("text"), cutoffs = Seq(1, 2, 10))
+      .orderBy("cutoff")
+      .select("cutoff", "n_types", "covered_tokens", "total_tokens",
+        "coverage_ppm")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, 1L, 4L, 8L, 500000L),
+      (2, 2L, 6L, 8L, 750000L),
+      // only 4 types exist: the cutoff-10 row covers everything
+      (10, 4L, 8L, 8L, 1000000L)))
+  }
+
+  test("zipfCoverage: rank ties break on the token, deterministically") {
+    // b and c tie at 2; rank by (count desc, token asc) → cutoff 2 = a,b
+    val docs = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    val out = Vocab.zipfCoverage(docs, col("text"), cutoffs = Seq(2))
+      .select("covered_tokens").as[Long].head()
+    assert(out == 5L)
+  }
 }
