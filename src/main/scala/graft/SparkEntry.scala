@@ -1429,6 +1429,24 @@ object SparkEntry {
         .withColumnRenamed("group", "event_type")
     },
 
+    // JSON field drift between event-stream halves (cutoff 2024-01-16):
+    // parse rates + signed delta + exact value sums per event type, one
+    // scan with conditional partials — the after-deploy schema check.
+    "p15_props_drift" -> { (s, dir) =>
+      graft.ops.Json.fieldDrift(Tables.events(s, dir), col("event_type"),
+          col("props"), "k",
+          col("ts") >= lit("2024-01-16").cast("timestamp"))
+        .withColumnRenamed("group", "event_type")
+    },
+
+    // Monthly open-order backlog: placed vs fully-shipped flows + the
+    // running period-end backlog; the only big-big join is the orderkey
+    // rollup⋈orders, the cumulative window runs on month-scale rows.
+    "w39_order_backlog" -> { (s, dir) =>
+      graft.ops.Backlog.monthlyBacklog(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))
+    },
+
     // Weekly engagement mart: w36's growth flows joined with 30-min
     // session counts per ISO week — each leg a proven fragment, the
     // composition one calendar-scale join.
@@ -5164,6 +5182,49 @@ object SparkEntry {
         |  CAST(min(v) AS BIGINT) AS min_v,
         |  CAST(max(v) AS BIGINT) AS max_v
         |FROM v GROUP BY 1""".stripMargin,
+
+    "p15_props_drift" ->
+      """WITH v AS (
+        |  SELECT event_type, ts >= TIMESTAMP '2024-01-16' AS b,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    count(*) FILTER (NOT b) AS n_a,
+        |    count(*) FILTER (b) AS n_b,
+        |    count(v) FILTER (NOT b) AS parsed_a,
+        |    count(v) FILTER (b) AS parsed_b,
+        |    CAST(coalesce(sum(v) FILTER (NOT b), 0) AS BIGINT) AS sum_a,
+        |    CAST(coalesce(sum(v) FILTER (b), 0) AS BIGINT) AS sum_b
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, n_a, n_b, parsed_a, parsed_b,
+        |  CAST(parsed_a * 1000000 // greatest(n_a, 1) AS BIGINT)
+        |    AS rate_a_ppm,
+        |  CAST(parsed_b * 1000000 // greatest(n_b, 1) AS BIGINT)
+        |    AS rate_b_ppm,
+        |  CAST(parsed_b * 1000000 // greatest(n_b, 1) -
+        |       parsed_a * 1000000 // greatest(n_a, 1) AS BIGINT)
+        |    AS rate_delta_ppm,
+        |  sum_a, sum_b
+        |FROM a""".stripMargin,
+
+    "w39_order_backlog" ->
+      """WITH sh AS (
+        |  SELECT l_orderkey, strftime(max(l_shipdate), '%Y-%m') AS sm
+        |  FROM lineitem GROUP BY 1),
+        |fl AS (
+        |  SELECT strftime(o.o_orderdate, '%Y-%m') AS pm, sh.sm
+        |  FROM orders o LEFT JOIN sh ON o.o_orderkey = sh.l_orderkey),
+        |p AS (SELECT pm AS month, count(*) AS n_placed FROM fl GROUP BY 1),
+        |s AS (SELECT sm AS month, count(*) AS n_shipped FROM fl
+        |      WHERE sm IS NOT NULL GROUP BY 1)
+        |SELECT coalesce(p.month, s.month) AS month,
+        |  CAST(coalesce(n_placed, 0) AS BIGINT) AS n_placed,
+        |  CAST(coalesce(n_shipped, 0) AS BIGINT) AS n_shipped,
+        |  CAST(sum(coalesce(n_placed, 0) - coalesce(n_shipped, 0))
+        |    OVER (ORDER BY coalesce(p.month, s.month)) AS BIGINT)
+        |    AS backlog_end
+        |FROM p FULL OUTER JOIN s ON p.month = s.month""".stripMargin,
 
     "pipe_engagement_e2e" ->
       """WITH mu AS (

@@ -42,4 +42,45 @@ object Json {
         min(col("__v")).as("min_v"),
         max(col("__v")).as("max_v"))
   }
+
+  /** Parse-rate and value drift of JSON field `$.field` between two
+    * populations of the SAME stream (`isB` splits them — typically a
+    * time cutoff): per group, counts and parse rates on each side plus
+    * the signed rate delta, and the exact value sums for a mean-shift
+    * read. The schema-on-read health check to diff after a producer
+    * deploy: a falling parse rate means the field moved or changed type;
+    * matching rates with a jumped sum means semantic drift.
+    *
+    * ONE scan — the split flag is a predicate driving conditional
+    * partials (the [[Profile.snapshotDrift]] posture), never a second
+    * read or a self-join. All emissions exact int64; the delta may be
+    * negative (both engines truncate integer division toward zero, and
+    * the two rate divisions happen independently before subtracting,
+    * so the replay is exact).
+    */
+  def fieldDrift(df: DataFrame, group: Column, json: Column,
+                 field: String, isB: Column): DataFrame = {
+    require(field.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"plain identifier field names only, got $field")
+    val rateA = call_function("div",
+      col("parsed_a") * 1000000L, greatest(col("n_a"), lit(1L)))
+    val rateB = call_function("div",
+      col("parsed_b") * 1000000L, greatest(col("n_b"), lit(1L)))
+    df.select(group.as("group"), isB.as("__b"),
+        get_json_object(json, s"$$.$field").as("__raw"))
+      .select(col("group"), col("__b"),
+        expr("TRY_CAST(__raw AS BIGINT)").as("__v"))
+      .groupBy(col("group"))
+      .agg(count(when(!col("__b"), 1)).as("n_a"),
+        count(when(col("__b"), 1)).as("n_b"),
+        count(when(!col("__b"), col("__v"))).as("parsed_a"),
+        count(when(col("__b"), col("__v"))).as("parsed_b"),
+        coalesce(sum(when(!col("__b"), col("__v"))), lit(0L)).as("sum_a"),
+        coalesce(sum(when(col("__b"), col("__v"))), lit(0L)).as("sum_b"))
+      .select(col("group"), col("n_a"), col("n_b"),
+        col("parsed_a"), col("parsed_b"),
+        rateA.as("rate_a_ppm"), rateB.as("rate_b_ppm"),
+        (rateB - rateA).as("rate_delta_ppm"),
+        col("sum_a"), col("sum_b"))
+  }
 }

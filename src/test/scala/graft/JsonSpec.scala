@@ -40,4 +40,31 @@ class JsonSpec extends SparkSpec {
         col("j"), "bad-name")
     }
   }
+
+  test("fieldDrift: conditional partials split sides; poison docs land in the rate") {
+    val df = Seq(
+      // side A: 2 rows, 1 parses (the string "x" does not)
+      ("t", false, """{"k": 5}"""),
+      ("t", false, """{"k": "x"}"""),
+      // side B: 3 rows, 2 parse; one malformed JSON
+      ("t", true, """{"k": 7}"""),
+      ("t", true, """{"k": 9}"""),
+      ("t", true, """not json""")
+    ).toDF("g", "b", "j")
+    val out = Json.fieldDrift(df, col("g"), col("j"), "k", col("b"))
+      .select("group", "n_a", "n_b", "parsed_a", "parsed_b",
+        "rate_a_ppm", "rate_b_ppm", "rate_delta_ppm", "sum_a", "sum_b")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("t", 2L, 3L, 1L, 2L, 500000L, 666666L, 166666L, 5L, 16L)))
+  }
+
+  test("fieldDrift: a side with no rows rates 0, not a division error") {
+    val df = Seq(("t", false, """{"k": 1}""")).toDF("g", "b", "j")
+    val out = Json.fieldDrift(df, col("g"), col("j"), "k", col("b"))
+      .select("rate_a_ppm", "rate_b_ppm", "rate_delta_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(out == ((1000000L, 0L, -1000000L)))
+  }
 }
