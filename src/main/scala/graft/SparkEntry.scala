@@ -1586,6 +1586,42 @@ object SparkEntry {
         cutoffs = Seq(10, 100, 1000))
     },
 
+    // Weakly-connected components on a block-structured doc graph (four
+    // disjoint 100-node islands — edges never cross blocks): per-component
+    // node count and id span — the d6 propagation surfaced as a graph
+    // report (min-label rounds, lineage-truncated, O(1) convergence probe).
+    "g11_wcc" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val src = (col("doc_id") % 400).as("src")
+      def inBlock(m: Long, b: Long) =
+        (col("doc_id") % 400) - (col("doc_id") % 100) +
+          ((col("doc_id") % 100) * m + b) % 100
+      val edges = d.select(src, inBlock(7, 3).as("dst"))
+        .unionAll(d.select(src, inBlock(13, 7).as("dst")))
+      graft.graph.Components.report(edges)
+    },
+
+    // Recall@{1,3,5,10} curve of the IVF index (nprobe=4) vs the exact
+    // ranking — one index run + one exact run at depth 10, every level
+    // from a single join + literal-array explode over rank-scale rows.
+    "s24_recall_curve" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.recallCurve(
+        Similarity.bruteForceTopK(probes, emb, k = 10),
+        Ivf.topK(probes, emb, k = 10, nCells = 16, nProbe = 4,
+          lloydIters = 1, dim = 64),
+        ks = Seq(1, 3, 5, 10))
+    },
+
+    // Weekly rhythm heatmap: (iso_dow × hour) grid per event type with
+    // within-type share in exact ppm; the share window runs on ≤168
+    // rows per type.
+    "w40_dow_hour_heatmap" -> { (s, dir) =>
+      graft.ops.ActivityProfile.dowHourHeatmap(Tables.events(s, dir),
+        col("event_type"), col("ts"))
+    },
+
     // Robust MAD outliers per user (milli-unit values, exact integer
     // medians via the crossing rule, |v−med| > 3·MAD).
     "w19_mad_outliers" -> { (s, dir) =>
@@ -6372,6 +6408,116 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
         |    AS community_size
         |FROM r3""".stripMargin,
+
+    // g11 oracle: exact component = min reachable id via a recursive
+    // transitive-closure walk (UNION dedups, so it terminates); the
+    // engine's min-label propagation converges to the same fixpoint.
+    "g11_wcc" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT doc_id % 400 AS src,
+        |    doc_id % 400 - doc_id % 100 + ((doc_id % 100) * 7 + 3) % 100 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 400,
+        |    doc_id % 400 - doc_id % 100 + ((doc_id % 100) * 13 + 7) % 100
+        |  FROM documents),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e0
+        |  UNION ALL SELECT dst AS a, src AS b FROM e0) t
+        |  WHERE a <> b),
+        |walk(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM und) n
+        |  UNION
+        |  SELECT u.a, w.lab FROM und u JOIN walk w ON u.b = w.node),
+        |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY 1)
+        |SELECT component, count(*) AS n_nodes,
+        |  CAST(min(node) AS BIGINT) AS min_node,
+        |  CAST(max(node) AS BIGINT) AS max_node
+        |FROM comp GROUP BY 1""".stripMargin,
+
+    // s24 oracle: the s3 IVF replay (nprobe 4) ranked to depth 10, the
+    // exact ranking to depth 10, hit iff both ranks ≤ k, levels exploded
+    // from the (1,3,5,10) VALUES list.
+    "s24_recall_curve" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c FROM (
+         |    SELECT vec_id, e FROM emb
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |              + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 16)),
+         |assign0 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents0 c)
+         |  WHERE rn = 1),
+         |cents1 AS (
+         |  SELECT c0.cell, coalesce(m.c, c0.c) AS c FROM cents0 c0
+         |  LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY i) AS c FROM (
+         |      SELECT cell, i, avg(e[CAST(i AS INT)]) AS m
+         |      FROM assign0 CROSS JOIN range(1, 65) t(i)
+         |      GROUP BY cell, i)
+         |    GROUP BY cell) m USING (cell)),
+         |assign1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents1 c)
+         |  WHERE rn = 1),
+         |qcells AS (
+         |  SELECT vec_id AS query_id, e AS q, cell FROM (
+         |    SELECT m.vec_id, m.e, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC, c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents1 c
+         |    WHERE m.vec_id % 50 = 0)
+         |  WHERE rn <= 4),
+         |approx AS (
+         |  SELECT query_id, neighbor_id, rn AS ap FROM (
+         |    SELECT q.query_id, a.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(q.q, a.e), 6) DESC,
+         |          a.vec_id ASC) AS rn
+         |    FROM qcells q JOIN assign1 a USING (cell)
+         |    WHERE q.query_id <> a.vec_id)
+         |  WHERE rn <= 10),
+         |exact AS (
+         |  SELECT query_id, neighbor_id, rn AS ex FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+         |          c.vec_id ASC) AS rn
+         |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id % 50 = 0)
+         |  WHERE rn <= 10),
+         |ks(k) AS (VALUES (1), (3), (5), (10)),
+         |den AS (
+         |  SELECT ks.k AS k_at, count(*) AS n_exact
+         |  FROM exact JOIN ks ON exact.ex <= ks.k GROUP BY 1),
+         |hits AS (
+         |  SELECT ks.k AS k_at, count(*) AS n_hits
+         |  FROM exact e JOIN approx a USING (query_id, neighbor_id)
+         |  JOIN ks ON greatest(e.ex, a.ap) <= ks.k GROUP BY 1)
+         |SELECT d.k_at, d.n_exact,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) * 1000000 // d.n_exact AS BIGINT)
+         |    AS recall_ppm
+         |FROM den d LEFT JOIN hits h USING (k_at)""".stripMargin,
+
+    "w40_dow_hour_heatmap" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(isodow(ts) AS INT) AS iso_dow,
+        |    CAST(hour(ts) AS INT) AS hour, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, iso_dow, hour, n_events,
+        |  CAST(n_events * 1000000 //
+        |    sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS share_ppm
+        |FROM c""".stripMargin,
 
     // g10 oracle: the g3 LPA replay pattern on the mod-61 constants, then
     // degree mass / intra-edge rollups and the HUGEINT ppm contribution

@@ -64,4 +64,25 @@ object ActivityProfile {
         call_function("div", col("n_events") * 7000000L, col("__tot"))
           .as("index_ppm"))
   }
+
+  /** (ISO day-of-week × hour) activity heatmap per group — the 168-cell
+    * weekly rhythm grid behind on-call staffing and anomaly baselines,
+    * [[dowSeasonality]]'s two-dimensional refinement. Emits count and
+    * within-group share (exact ppm) per populated cell; the group-total
+    * window runs over ≤168 rows per group, never the events.
+    */
+  def dowHourHeatmap(events: DataFrame, group: Column,
+                     ts: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groupName = events.select(group).columns.head
+    events
+      .select(group, (weekday(ts) + 1).as("iso_dow"), hour(ts).as("hour"))
+      .groupBy(col(groupName), col("iso_dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__tot",
+        sum(col("n_events")).over(Window.partitionBy(col(groupName))))
+      .select(col(groupName), col("iso_dow"), col("hour"), col("n_events"),
+        call_function("div", col("n_events") * 1000000L, col("__tot"))
+          .as("share_ppm"))
+  }
 }

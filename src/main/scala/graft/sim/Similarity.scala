@@ -248,6 +248,39 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** Recall@k CURVE — [[recallAtK]] swept over rank depths in one pass:
+    * given an exact and an approximate ranking (both `(query_id,
+    * neighbor_id, rank)`, rank 1-based, computed to depth ≥ max(ks)),
+    * the micro-averaged recall at each k in `ks`. Answers "the index is
+    * fine at top-1 but loses the tail" without re-running the index per
+    * depth: a (q, n) pair counts as a hit at level k iff BOTH ranks are
+    * ≤ k, so one join + one literal-array explode covers every level
+    * (rank-scale rows, never the corpus). Denominators come from the
+    * exact side alone — queries with fewer than k true neighbors
+    * contribute what they have.
+    */
+  def recallCurve(exact: DataFrame, approx: DataFrame,
+                  ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    val ksLit = array(ks.map(lit(_)): _*)
+    val den = exact
+      .select(explode(filter(ksLit, k => k >= col("rank"))).as("k_at"))
+      .groupBy("k_at").agg(count(lit(1)).as("n_exact"))
+    val hits = exact.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__ex"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__ap")), Seq("query_id", "neighbor_id"))
+      .select(explode(filter(ksLit,
+        k => k >= greatest(col("__ex"), col("__ap")))).as("k_at"))
+      .groupBy("k_at").agg(count(lit(1)).as("n_hits"))
+    den.join(hits, Seq("k_at"), "left")
+      .select(col("k_at"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        call_function("div",
+          coalesce(col("n_hits"), lit(0L)) * 1000000L, col("n_exact"))
+          .as("recall_ppm"))
+  }
+
   /** Random-hyperplane LSH code: `planes` sign bits packed into a long.
     * Sign bits are scale-invariant, so unit vectors give the same code as
     * raw embeddings.

@@ -66,6 +66,23 @@ class ActivityProfileSpec extends SparkSpec {
       s"expected map-side partial aggregation in:\n$plan")
   }
 
+  test("dowHourHeatmap: cells key on (iso_dow, hour); shares sum to ~1e6") {
+    // Monday 09h ×2, Monday 10h ×1, Sunday 23h ×1 for one type
+    val events = Seq(
+      ("a", ts("2024-01-01 09:05:00")), ("a", ts("2024-01-08 09:55:00")),
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-07 23:59:59"))
+    ).toDF("event_type", "ts")
+    val out = ActivityProfile.dowHourHeatmap(events, col("event_type"),
+        col("ts"))
+      .orderBy("iso_dow", "hour")
+      .as[(String, Int, Int, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 1, 9, 2L, 500000L),
+      ("a", 1, 10, 1L, 250000L),
+      ("a", 7, 23, 1L, 250000L)))
+    assert(out.map(_._5).sum == 1000000L)
+  }
+
   test("hourlyRegularity plans no window and no sort") {
     val events = Seq((1L, ts("2024-01-01 09:00:00"))).toDF("user_id", "ts")
     val plan = ActivityProfile.hourlyRegularity(events, col("user_id"),

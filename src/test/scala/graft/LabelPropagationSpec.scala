@@ -39,6 +39,33 @@ class LabelPropagationSpec extends SparkSpec {
     }
   }
 
+  test("Components.report: islands separate, spans exact, raw edges normalized") {
+    // island {1,2,3} (with a self-loop and a duplicate reversed edge),
+    // island {10,11}, island {20} alone in a self-loop (drops entirely)
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (1L, 1L),
+      (10L, 11L),
+      (20L, 20L)
+    ).toDF("src", "dst")
+    val out = graft.graph.Components.report(edges)
+      .orderBy("component")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 1L, 3L), (10L, 2L, 10L, 11L)))
+  }
+
+  test("recallCurve: hits need BOTH ranks within k; denominators from exact") {
+    // query 1: exact = [(a,1),(b,2)], approx = [(b,1),(a,2)]
+    // k=1: no pair has both ranks ≤1 → 0/1; k=2: both hit → 2/2
+    val exact = Seq((1L, "a", 1), (1L, "b", 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((1L, "b", 1), (1L, "a", 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = graft.sim.Similarity.recallCurve(exact, approx, Seq(1, 2))
+      .orderBy("k_at")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1, 1L, 0L, 0L), (2, 2L, 2L, 1000000L)))
+  }
+
   test("communities: two cliques joined by a bridge split cleanly") {
     // clique {1,2,3}, clique {10,11,12}, bridge 3–10
     val edges = Seq(
