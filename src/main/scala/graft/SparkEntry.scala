@@ -1622,6 +1622,43 @@ object SparkEntry {
         col("event_type"), col("ts"))
     },
 
+    // Index-migration shadow test: LSH vs IVF top-5 overlap per probe
+    // query, histogrammed (zero-overlap queries kept) — run before an
+    // index swap; rank-scale joins only.
+    "s25_index_shadow" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.indexShadow(
+        Similarity.lshTopK(probes, emb, k = 5),
+        Ivf.topK(probes, emb, k = 5, nCells = 16, nProbe = 4,
+          lloydIters = 1, dim = 64),
+        probes.select(col("vec_id").as("query_id")))
+    },
+
+    // Composed index-health mart: recall curve + distortion sweep +
+    // nprobe sweep as one labeled (metric, value) report — each leg a
+    // proven fragment, the composition pure reshaping.
+    "pipe_annhealth_e2e" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      val recall = Similarity.recallCurve(
+          Similarity.bruteForceTopK(probes, emb, k = 10),
+          Ivf.topK(probes, emb, k = 10, nCells = 16, nProbe = 4,
+            lloydIters = 1, dim = 64),
+          ks = Seq(1, 3, 5, 10))
+        .select(concat(lit("recall@"), col("k_at")).as("metric"),
+          col("recall_ppm").as("value"))
+      val dist = Quantize.distortionSweep(emb, col("vec_id"),
+          col("embedding"), m = 4, ks = Seq(2, 4, 8), dim = 64)
+        .select(concat(lit("distortion_avg@"), col("k_codes")).as("metric"),
+          col("avg_err_micro").as("value"))
+      val probe = Ivf.probeSweep(probes, emb, k = 5,
+          probes = Seq(1, 2, 4), nCells = 16, lloydIters = 1, dim = 64)
+        .select(concat(lit("recall_nprobe@"), col("nprobe")).as("metric"),
+          col("recall_ppm").as("value"))
+      recall.unionAll(dist).unionAll(probe)
+    },
+
     // Robust MAD outliers per user (milli-unit values, exact integer
     // medians via the crossing rule, |v−med| > 3·MAD).
     "w19_mad_outliers" -> { (s, dir) =>
@@ -3129,7 +3166,41 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracles +
+    // pipe_annhealth oracle: the three index-health replays (s24 recall
+    // curve, s23 distortion sweep, s22 nprobe sweep) composed verbatim as
+    // subqueries and reshaped into labeled (metric, value) rows — the
+    // composition adds NO new math, exactly like the engine side.
+    ("pipe_annhealth_e2e" ->
+      s"""WITH r AS (${baseOracles("s24_recall_curve")}),
+         |d AS (${baseOracles("s23_pq_distortion")}),
+         |p AS (${baseOracles("s22_nprobe_sweep")})
+         |SELECT 'recall@' || k_at AS metric, recall_ppm AS value FROM r
+         |UNION ALL
+         |SELECT 'distortion_avg@' || k_codes, avg_err_micro FROM d
+         |UNION ALL
+         |SELECT 'recall_nprobe@' || nprobe, recall_ppm FROM p""".stripMargin) +
+    // s25 oracle: both index replays (s2 LSH, s3 IVF) verbatim, overlap
+    // counted per query, histogrammed with zero-overlap queries kept via
+    // the left join from the probe set.
+    ("s25_index_shadow" ->
+      s"""WITH lsh AS (${baseOracles("s2_ann_lsh_topk")}),
+         |ivf AS (${baseOracles("s3_ann_ivf_topk")}),
+         |qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings
+         |       WHERE vec_id % 50 = 0),
+         |common AS (
+         |  SELECT l.query_id, count(*) AS c FROM lsh l
+         |  JOIN ivf i ON l.query_id = i.query_id
+         |    AND l.neighbor_id = i.neighbor_id
+         |  GROUP BY 1),
+         |tot AS (SELECT count(*) AS nq FROM qs)
+         |SELECT CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,
+         |  count(*) AS n_queries,
+         |  CAST(count(*) * 1000000 // max(nq) AS BIGINT) AS share_ppm
+         |FROM qs LEFT JOIN common c USING (query_id) CROSS JOIN tot
+         |GROUP BY 1""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "w30_holt_winters" -> holtWintersOracle,
 
     "a12_window_funnel" ->

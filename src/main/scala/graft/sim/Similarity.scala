@@ -281,6 +281,31 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** Index shadow test — the migration gate between two ANN configs: per
+    * probe query, how many of config A's top-k ids config B also returns,
+    * histogrammed over the overlap count (share in exact ppm of the probe
+    * set). Run it before swapping an index: a mass at k means the swap is
+    * invisible to users; mass at 0 means the two indexes disagree about
+    * the space itself. Queries with zero overlap are KEPT (left join from
+    * the probe list) — they are the interesting rows. Rank-scale joins
+    * only; the probe total rides a broadcast one-row frame.
+    */
+  def indexShadow(a: DataFrame, b: DataFrame,
+                  queries: DataFrame): DataFrame = {
+    val common = a.select(col("query_id"), col("neighbor_id"))
+      .join(b.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__c"))
+    val tot = broadcast(queries.agg(count(lit(1)).as("__nq")))
+    queries.join(common, Seq("query_id"), "left")
+      .select(coalesce(col("__c"), lit(0L)).as("n_common"))
+      .groupBy(col("n_common")).agg(count(lit(1)).as("n_queries"))
+      .crossJoin(tot)
+      .select(col("n_common"), col("n_queries"),
+        call_function("div", col("n_queries") * 1000000L, col("__nq"))
+          .as("share_ppm"))
+  }
+
   /** Random-hyperplane LSH code: `planes` sign bits packed into a long.
     * Sign bits are scale-invariant, so unit vectors give the same code as
     * raw embeddings.

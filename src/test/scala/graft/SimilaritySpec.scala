@@ -6,6 +6,17 @@ import graft.sim.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("indexShadow: zero-overlap queries kept, shares over the probe set") {
+    val a = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val b = Seq((1L, 10L), (1L, 11L), (2L, 99L)).toDF("query_id", "neighbor_id")
+    // query 3 ran in neither ranking (empty bucket) but IS a probe
+    val qs = Seq(1L, 2L, 3L).toDF("query_id")
+    val out = graft.sim.Similarity.indexShadow(a, b, qs)
+      .orderBy("n_common")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L, 666666L), (2L, 1L, 333333L)))
+  }
+
   private def vecs = Seq(
     (0L, Array(1f, 0f, 0f, 0f)),
     (1L, Array(0.9f, 0.1f, 0f, 0f)),   // close to 0
