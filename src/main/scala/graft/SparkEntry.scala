@@ -1267,6 +1267,44 @@ object SparkEntry {
         Tables.part(s, dir), excludeBrand = "Brand#1", k = 40)
     },
 
+    // TPC-H Q13 shape: customer order-count distribution with the zero
+    // bucket kept (left join, count of matches only).
+    "a21_order_count_hist" -> { (s, dir) =>
+      graft.ops.StarJoin.orderCountHistogram(Tables.customer(s, dir),
+        Tables.orders(s, dir))
+    },
+
+    // TPC-H Q15 shape: top supplier(s) by shipped revenue in 1998H1,
+    // ties kept — the max rides back as a broadcast one-row frame.
+    "a22_top_supplier" -> { (s, dir) =>
+      graft.ops.StarJoin.topSupplier(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), from = "1998-01-01", until = "1998-07-01")
+    },
+
+    // TPC-H Q17 shape: revenue locked in sub-20%-of-average-quantity
+    // lines per brand — exact cross-multiplied average test, one
+    // partkey self-join.
+    "a23_small_order_rev" -> { (s, dir) =>
+      graft.ops.StarJoin.smallOrderRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))
+    },
+
+    // TPC-H Q19 shape: OR-of-ANDs bracket predicate revenue, part dim
+    // broadcast with the sargable size-range union pre-filtered.
+    "a24_bracket_revenue" -> { (s, dir) =>
+      graft.ops.StarJoin.bracketRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))
+    },
+
+    // TPC-H Q7 shape: cross-border trade flows between two nations per
+    // order year; both nation maps broadcast.
+    "a25_volume_shipping" -> { (s, dir) =>
+      graft.ops.StarJoin.volumeShipping(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        nationA = "NATION_3", nationB = "NATION_7")
+    },
+
     // TPC-H Q8 shape: supplier-nation market share of EUROPE's demand
     // per order year — region-filtered customers and supplier→nation
     // map broadcast; ppm share on DECIMAL(38,0) over the year×nation
@@ -4969,6 +5007,72 @@ object SparkEntry {
         |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * th.cnt > th.tot
         |  AND NOT EXISTS (SELECT 1 FROM act WHERE act.o_custkey = c.c_custkey)
         |GROUP BY 1""".stripMargin,
+
+    "a21_order_count_hist" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c.c_custkey, count(o.o_custkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
+    "a22_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS revenue_micro4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-07-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.revenue_micro4
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.revenue_micro4 = (SELECT max(revenue_micro4) FROM rev)""".stripMargin,
+
+    "a23_small_order_rev" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |st AS (SELECT l_partkey AS pk, sum(qty) AS s, count(*) AS c
+        |       FROM li GROUP BY 1)
+        |SELECT p.p_brand, count(*) AS n_small_lines,
+        |  CAST(sum(li.cents) AS BIGINT) AS small_rev_cents
+        |FROM li JOIN st ON li.l_partkey = st.pk
+        |JOIN part p ON li.l_partkey = p.p_partkey
+        |WHERE li.qty * 5 * st.c < st.s
+        |GROUP BY 1""".stripMargin,
+
+    "a24_bracket_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0) AS BIGINT)
+        |    AS revenue_micro4
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND round(l.l_quantity) BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND round(l.l_quantity) BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+        |       AND round(l.l_quantity) BETWEEN 20 AND 30)""".stripMargin,
+
+    "a25_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(o.o_orderdate) AS INT) AS order_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_micro4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE cn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND sn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "a20_market_share" ->
       """WITH agg AS (

@@ -283,6 +283,134 @@ object StarJoin {
           col("__tot"))).otherwise(lit(0L)).as("share_ppm"))
   }
 
+  /** TPC-H Q13 shape — the customer order-count distribution: how many
+    * customers placed 0, 1, 2, … orders. The zero bucket is the whole
+    * point (dormant accounts), so customers LEFT-join orders and
+    * `count(o_custkey)` counts only matches. Two shuffles total
+    * (custkey, then the count value); the histogram output is
+    * order-count-scale.
+    */
+  def orderCountHistogram(customer: DataFrame,
+                          orders: DataFrame): DataFrame = {
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** TPC-H Q15 shape — the top supplier(s) by shipped revenue inside a
+    * date window, ties kept (the classic view-based argmax). The
+    * supplier rollup is one suppkey shuffle with map-side partials; the
+    * maximum rides back as a broadcast ONE-ROW frame (never a global
+    * sort), and the supplier dim broadcasts onto the winners.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  from: String, until: String): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+        .as("revenue_micro4"))
+    val mx = broadcast(rev.agg(max(col("revenue_micro4")).as("__mx")))
+    rev.crossJoin(mx)
+      .filter(col("revenue_micro4") === col("__mx"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_micro4"))
+  }
+
+  /** TPC-H Q17 shape — revenue locked in SMALL orders: lines whose
+    * quantity is under 20% of their part's average, rolled up per brand
+    * (the replace-with-bulk-shipping opportunity). The average test is
+    * EXACT integer cross-multiplication (`qty·5·count < Σqty` — no float
+    * average, every boundary line lands identically on both engines);
+    * the per-part stats come from one partkey rollup self-joined back
+    * (the Q17 correlated-subquery shape — both sides shuffle on the
+    * part key once; bucketed fact tables make it exchange-free).
+    */
+  def smallOrderRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("__qty"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("__cents"))
+    val stats = li.groupBy(col("l_partkey").as("__pk"))
+      .agg(sum(col("__qty")).as("__s"), count(lit(1)).as("__c"))
+    li.join(stats, col("l_partkey") === col("__pk"))
+      .filter(col("__qty") * 5L * col("__c") < col("__s"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum(col("__cents")).as("small_rev_cents"))
+  }
+
+  /** TPC-H Q19 shape — revenue under an OR-of-ANDs bracket predicate
+    * (brand × size-range × quantity-range alternatives): the classic
+    * "does the optimizer keep a disjunction selective" probe. The part
+    * dim broadcasts with its size bracket pre-filtered by the predicate's
+    * UNION OF RANGES (the only part-side filter that stays sargable);
+    * the per-alternative conjunctions evaluate post-join inside codegen;
+    * output is the one-row (n_lines, revenue) rollup.
+    */
+  def bracketRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("__qty"),
+      (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+        .as("__rev"))
+    val p = broadcast(part
+      .filter(col("p_size") >= 1 && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")))
+    val alt1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("__qty").between(1, 11)
+    val alt2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("__qty").between(10, 20)
+    val alt3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 15) && col("__qty").between(20, 30)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(alt1 || alt2 || alt3)
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(col("__rev")), lit(0L)).as("revenue_micro4"))
+  }
+
+  /** TPC-H Q7 shape — cross-border volume shipping between two nations,
+    * by supplier nation × customer nation × order year: the trade-flow
+    * report. Both nation-filtered maps broadcast (supplier→nation and
+    * customer→nation); the cross-border requirement (`supp ≠ cust`
+    * nation) rides the rollup key, and the only big-big join is
+    * lineitem ⋈ orders.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, nationA: String,
+                     nationB: String): DataFrame = {
+    val nats = broadcast(nation
+      .filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name")))
+    val sup = broadcast(supplier
+      .join(nats, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(customer
+      .join(nats, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+          .as("__rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("int").as("order_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("order_year"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__rev")).as("revenue_micro4"))
+  }
+
   /** TPC-H Q16 shape — supplier breadth per part group: how many
     * DISTINCT suppliers ship each (brand, type, size), one brand
     * excluded, top-k groups. The part dim broadcasts into the fact

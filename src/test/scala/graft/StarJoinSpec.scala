@@ -204,6 +204,91 @@ class StarJoinSpec extends SparkSpec {
       (2024, "CHINA", 1L, 1000000L, 250000L)))
   }
 
+  test("orderCountHistogram: the zero bucket survives the left join") {
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val ords = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .select("o_custkey")
+    val out = StarJoin.orderCountHistogram(cust, ords)
+      .orderBy("n_orders").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("topSupplier: window gates, exact revenue, ties both kept") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (100L, ts("2024-02-01"), 100.0, 0.00),
+      (101L, ts("2024-02-02"), 50.0, 0.00),
+      (101L, ts("2024-02-03"), 50.0, 0.00), // 101 ties 100 at 1_000_000
+      (102L, ts("2023-01-01"), 999.0, 0.00) // outside window
+    ).toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val sup = Seq((100L, "s100"), (101L, "s101"), (102L, "s102"))
+      .toDF("s_suppkey", "s_name")
+    val out = StarJoin.topSupplier(li, sup, "2024-01-01", "2025-01-01")
+      .orderBy("s_suppkey")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((100L, "s100", 1000000L), (101L, "s101", 1000000L)))
+  }
+
+  test("smallOrderRevenue: exact 20%-of-average boundary excluded") {
+    // part 1: quantities 1, 9, 10 → sum 20, count 3; threshold qty·15 < 20
+    // → only qty 1 qualifies (1·15=15 < 20; 9·15=135 ≥ 20)
+    val li = Seq(
+      (1L, 1.0, 100.0), (1L, 9.0, 200.0), (1L, 10.0, 300.0),
+      // part 2: single line — 5·5·1 < 5 is false (a lone line is never
+      // below its own average)
+      (2L, 5.0, 400.0)
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#11"), (2L, "Brand#22"))
+      .toDF("p_partkey", "p_brand")
+    val out = StarJoin.smallOrderRevenue(li, part)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("Brand#11", 1L, 10000L)))
+  }
+
+  test("bracketRevenue: each alternative gates on its own ranges") {
+    val li = Seq(
+      (1L, 5.0, 100.0, 0.00),   // Brand#12, size 3, qty 5 → alt1 hits
+      (1L, 12.0, 100.0, 0.00),  // qty 12 outside alt1's 1-11 → out
+      (2L, 15.0, 200.0, 0.50),  // Brand#23, size 8, qty 15 → alt2 hits
+      (3L, 25.0, 300.0, 0.00),  // Brand#34, size 20 — outside union → out
+      (4L, 25.0, 400.0, 0.00)   // Brand#55 never matches
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Seq(
+      (1L, "Brand#12", 3), (2L, "Brand#23", 8),
+      (3L, "Brand#34", 20), (4L, "Brand#55", 2)
+    ).toDF("p_partkey", "p_brand", "p_size")
+    val out = StarJoin.bracketRevenue(li, part)
+      .as[(Long, Long)].collect().head
+    // alt1: 10000·100 = 1_000_000; alt2: 20000·50 = 1_000_000
+    assert(out == ((2L, 2000000L)))
+  }
+
+  test("volumeShipping: same-nation flows drop, both directions emit") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 100L, 100.0, 0.00), // A-supplier → B-customer
+      (2L, 101L, 200.0, 0.00), // B-supplier → A-customer
+      (3L, 100L, 999.0, 0.00)  // A-supplier → A-customer: same nation, out
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ords = Seq((1L, 10L, ts("2024-01-01")), (2L, 11L, ts("2024-06-01")),
+        (3L, 11L, ts("2024-07-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((10L, 2L), (11L, 1L)).toDF("c_custkey", "c_nationkey")
+    val sup = Seq((100L, 1L), (101L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1L, "A"), (2L, "B"), (3L, "C"))
+      .toDF("n_nationkey", "n_name")
+    val out = StarJoin.volumeShipping(li, ords, cust, sup, nat, "A", "B")
+      .select("supp_nation", "cust_nation", "order_year", "n_items",
+        "revenue_micro4")
+      .as[(String, String, Int, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("A", "B", 2024, 1L, 1000000L),
+      ("B", "A", 2024, 1L, 2000000L)))
+  }
+
   test("bigSpenders: HAVING before the joins, exact integer emission") {
     import java.sql.Timestamp
     val li = Seq(
