@@ -1624,6 +1624,40 @@ object SparkEntry {
         cutoffs = Seq(10, 100, 1000))
     },
 
+    // C4-style line-level boilerplate removal (lines in ≥3 docs struck
+    // from every doc); the synthetic fixture has no newlines, so lines
+    // are fixed 8-token segments — the operator takes any segmentation.
+    "t76_line_dedup" -> { (s, dir) =>
+      val segmented = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("__t"))
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, CAST((size(__t)+7) DIV 8 AS INT) - 1)," +
+            " i -> array_join(slice(__t, i*8+1, 8), ' '))").as("__lines"))
+      graft.text.LineDedup.removeCommonLines(segmented, col("doc_id"),
+        col("__lines"), minDf = 3)
+    },
+
+    // Code-vs-prose routing gate: exact ppm symbol/digit/uppercase
+    // rates + thresholded flag; pure projection, zero shuffle.
+    "t77_code_detect" -> { (s, dir) =>
+      TextAnalysis.codeDetect(Tables.documents(s, dir), col("doc_id"),
+        col("text"))
+    },
+
+    // Inter-arrival spectrum: per-user event gaps histogrammed into
+    // power-of-two second bands (binary digit count — no float log).
+    "w41_interarrival_hist" -> { (s, dir) =>
+      graft.ops.Sessionize.interArrivalSpectrum(Tables.events(s, dir),
+        col("user_id"), col("ts"))
+    },
+
+    // Session-depth distribution at a 30-min gap: events per session
+    // histogrammed with exact ppm shares.
+    "w42_session_depth" -> { (s, dir) =>
+      graft.ops.Sessionize.depthHistogram(Tables.events(s, dir),
+        col("user_id"), col("ts"), gapSeconds = 1800)
+    },
+
     // Weakly-connected components on a block-structured doc graph (four
     // disjoint 100-node islands — edges never cross blocks): per-component
     // node count and id span — the d6 propagation surfaced as a graph
@@ -6764,6 +6798,84 @@ object SparkEntry {
         |  CAST(max(total) AS BIGINT) AS total_tokens,
         |  CAST(sum(c) * 1000000 // max(total) AS BIGINT) AS coverage_ppm
         |FROM lv CROSS JOIN tot GROUP BY 1""".stripMargin,
+
+    "t76_line_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |e AS (SELECT doc_id, toks,
+         |        unnest(range((len(toks)+7)//8)) AS pos FROM t),
+         |l AS (SELECT doc_id, pos,
+         |        array_to_string(toks[(pos*8+1):(pos*8+8)], ' ') AS line
+         |      FROM e),
+         |com AS (SELECT line FROM (
+         |  SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+         |  WHERE df >= 3),
+         |kept AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    array_to_string(list(line ORDER BY pos), ' ') AS ktext
+         |  FROM l WHERE line NOT IN (SELECT line FROM com) GROUP BY 1),
+         |base AS (SELECT doc_id, (len(toks)+7)//8 AS n_lines FROM t)
+         |SELECT b.doc_id, CAST(b.n_lines AS BIGINT) AS n_lines,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(b.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(coalesce(k.ktext, ''), ' '),
+         |      t -> ${duckTokenHash("t")})),
+         |    (acc, th) -> (acc * 31 + th) % 1000000007) AS clean_fp
+         |FROM base b LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "t77_code_detect" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST((length(text) - length(regexp_replace(text,
+        |    '[{}()\[\];=<>]', '', 'g'))) * 1000000 //
+        |    greatest(length(text), 1) AS BIGINT) AS symbol_ppm,
+        |  CAST((length(text) - length(regexp_replace(text,
+        |    '[0-9]', '', 'g'))) * 1000000 //
+        |    greatest(length(text), 1) AS BIGINT) AS digit_ppm,
+        |  CAST((length(text) - length(regexp_replace(text,
+        |    '[A-Z]', '', 'g'))) * 1000000 //
+        |    greatest(length(text), 1) AS BIGINT) AS upper_ppm,
+        |  (length(text) - length(regexp_replace(text,
+        |    '[{}()\[\];=<>]', '', 'g'))) * 1000000 //
+        |    greatest(length(text), 1) >= 20000 AS is_code
+        |FROM documents""".stripMargin,
+
+    "w41_interarrival_hist" ->
+      """WITH g AS (
+        |  SELECT (epoch_us(ts) - lag(epoch_us(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts)) // 1000000 AS gap_s
+        |  FROM events),
+        |b AS (
+        |  SELECT CASE WHEN gap_s = 0 THEN 0
+        |         ELSE CAST(length(bin(gap_s)) AS BIGINT) END AS band,
+        |    count(*) AS n_gaps,
+        |    CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |    CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT band, n_gaps, min_gap_s, max_gap_s,
+        |  CAST(n_gaps * 1000000 // sum(n_gaps) OVER () AS BIGINT)
+        |    AS share_ppm
+        |FROM b""".stripMargin,
+
+    "w42_session_depth" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |o AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1
+        |    ELSE 0 END AS op
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, sum(op) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM o),
+        |c AS (SELECT user_id, seq, count(*) AS n_events FROM s GROUP BY 1, 2),
+        |h AS (SELECT n_events, count(*) AS n_sessions FROM c GROUP BY 1)
+        |SELECT n_events, n_sessions,
+        |  CAST(n_sessions * 1000000 // sum(n_sessions) OVER () AS BIGINT)
+        |    AS share_ppm
+        |FROM h""".stripMargin,
 
     "w19_mad_outliers" ->
       """WITH base AS (

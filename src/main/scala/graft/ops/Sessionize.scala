@@ -48,4 +48,52 @@ object Sessionize {
         min(col("__ts")).as("session_start"),
         max(col("__ts")).as("session_end"))
   }
+
+  /** Session-depth distribution — the engagement histogram product teams
+    * read first: how many sessions contain 1, 2, 3, … events, with the
+    * share in exact ppm. Composes [[sessions]]; the histogram rollup and
+    * its one-row total are session-count-scale.
+    */
+  def depthHistogram(events: DataFrame, key: Column, ts: Column,
+                     gapSeconds: Long): DataFrame = {
+    val hist = sessions(events, key, ts, gapSeconds)
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"))
+    hist.crossJoin(broadcast(hist.agg(sum("n_sessions").as("__t"))))
+      .select(col("n_events"), col("n_sessions"),
+        call_function("div", col("n_sessions") * 1000000L, col("__t"))
+          .as("share_ppm"))
+  }
+
+  /** Inter-arrival-time spectrum — bursty-vs-steady traffic triage: the
+    * per-key gap between consecutive events, histogrammed into
+    * power-of-two second bands (band = binary digit count of the gap —
+    * integer, no float log; band 0 = same-second). A human browse
+    * session piles into the low bands with a long tail; a fixed-rate
+    * scraper puts everything in one band. One per-key window (the
+    * sessionize sort), then a band-scale rollup; min/max per band show
+    * the realized range.
+    */
+  def interArrivalSpectrum(events: DataFrame, key: Column,
+                           ts: Column): DataFrame = {
+    val keyName = events.select(key).columns.head
+    val w = Window.partitionBy(col(keyName)).orderBy(col("__ts"))
+    val gaps = events.select(key, ts.as("__ts"))
+      .withColumn("__gap_s",
+        call_function("div",
+          unix_micros(col("__ts")) - lag(unix_micros(col("__ts")), 1).over(w),
+          lit(1000000L)))
+      .filter(col("__gap_s").isNotNull)
+    val bands = gaps
+      .groupBy(when(col("__gap_s") === 0L, 0L)
+        .otherwise(length(bin(col("__gap_s"))).cast("long")).as("band"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("__gap_s")).as("min_gap_s"),
+        max(col("__gap_s")).as("max_gap_s"))
+    bands.crossJoin(broadcast(bands.agg(sum("n_gaps").as("__t"))))
+      .select(col("band"), col("n_gaps"), col("min_gap_s"),
+        col("max_gap_s"),
+        call_function("div", col("n_gaps") * 1000000L, col("__t"))
+          .as("share_ppm"))
+  }
 }

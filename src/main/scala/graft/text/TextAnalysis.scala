@@ -454,4 +454,28 @@ object TextAnalysis {
               col("n_words")))
           .otherwise(lit(null).cast("long")))
   }
+
+  /** Code-vs-prose heuristic — the routing gate web-corpus pipelines run
+    * before language filters (code in a prose pipeline poisons n-gram
+    * stats; prose in a code pipeline wastes the code tokenizer): exact
+    * integer ppm of code-symbol characters (`{}()[];=<>`), digits, and
+    * uppercase letters, plus the thresholded flag. All three rates are
+    * `count·10⁶ DIV n_chars` with counts via length-difference after a
+    * class strip (`regexp_replace` with an explicit character class —
+    * Java regex ≡ RE2 on it, so any engine replays). Pure projection,
+    * zero shuffle.
+    */
+  def codeDetect(df: DataFrame, id: Column, text: Column,
+                 symbolThresholdPpm: Long = 20000L): DataFrame = {
+    val n = greatest(length(text), lit(1)).cast("long")
+    def classPpm(pattern: String): Column =
+      call_function("div",
+        (length(text) - length(regexp_replace(text, pattern, "")))
+          .cast("long") * 1000000L, n)
+    df.select(id.as("doc_id"), length(text).cast("long").as("n_chars"),
+        classPpm("[{}()\\[\\];=<>]").as("symbol_ppm"),
+        classPpm("[0-9]").as("digit_ppm"),
+        classPpm("[A-Z]").as("upper_ppm"))
+      .withColumn("is_code", col("symbol_ppm") >= symbolThresholdPpm)
+  }
 }

@@ -58,4 +58,41 @@ class SessionizeSpec extends SparkSpec {
       spark.conf.set("spark.graft.parallelizeInputs", "true")
     }
   }
+
+  test("depthHistogram: session sizes bucket with exact ppm shares") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: one 3-event session + one 1-event session (gap > 30 min);
+    // user 2: one 1-event session
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 09:10:00")),
+      (1L, ts("2024-01-01 09:20:00")),
+      (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.ops.Sessionize.depthHistogram(events, col("user_id"),
+        col("ts"), gapSeconds = 1800)
+      .orderBy("n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 666666L), (3L, 1L, 333333L)))
+  }
+
+  test("interArrivalSpectrum: bands are binary digit counts, zeros band 0") {
+    import java.sql.Timestamp
+    def at(sec: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    // one user: gaps 0, 1, 5, 300 s → bands 0, 1, 3, 9 (300 = 100101100b)
+    val events = Seq(0, 0, 1, 6, 306).map(s => (1L, at(s)))
+      .toDF("user_id", "ts")
+    val out = graft.ops.Sessionize.interArrivalSpectrum(events,
+        col("user_id"), col("ts"))
+      .orderBy("band")
+      .select("band", "n_gaps", "min_gap_s", "max_gap_s", "share_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 1L, 0L, 0L, 250000L),
+      (1L, 1L, 1L, 1L, 250000L),
+      (3L, 1L, 5L, 5L, 250000L),
+      (9L, 1L, 300L, 300L, 250000L)))
+  }
 }

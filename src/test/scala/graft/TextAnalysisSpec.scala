@@ -189,4 +189,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
       "readability must stay a map-only projection")
   }
+
+  test("codeDetect: symbol-heavy text flags, prose does not, ppm exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (1L, "if (x) { y[0] = z; }"),   // 20 chars, 8 symbols + 1 digit
+      (2L, "plain prose with words"),
+      (3L, "Count 42 UPPER chars")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.codeDetect(df, col("doc_id"),
+        col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_chars", "symbol_ppm", "digit_ppm", "upper_ppm",
+        "is_code")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.head == ((1L, 20L, 400000L, 50000L, 0L, true)))
+    assert(out(1) == ((2L, 22L, 0L, 0L, 0L, false)))
+    // "Count 42 UPPER chars": 20 chars, digits 2 → 100000, uppers C+UPPER=6
+    assert(out(2) == ((3L, 20L, 0L, 100000L, 300000L, false)))
+    val q = graft.text.TextAnalysis.codeDetect(df, col("doc_id"), col("text"))
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "codeDetect must stay a map-only projection")
+  }
 }
