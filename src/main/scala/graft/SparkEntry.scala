@@ -2252,6 +2252,36 @@ object SparkEntry {
       Multimodal.lumaHistogram(Multimodal.asMediaDataset(media)).toDF()
     },
 
+    // Letterbox/border detection over a REAL decoded 4×4 BMP: gray-200
+    // frame, two formula-driven interior columns — the crop gate. When a
+    // formula lands ON the border color the margins legitimately widen;
+    // the oracle replays that branch.
+    "m18_image_borders" -> { (s, dir) =>
+      val hdrHex = "424D660000000000000036000000" +
+        "28000000" + "04000000" + "04000000" + "0100" + "1800" +
+        "00000000" + "30000000" + "00000000" + "00000000" +
+        "00000000" + "00000000"
+      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      val id = col("doc_id")
+      val a3 = concat(bh(id * 7), bh(id * 7), bh(id * 7))
+      val b3 = concat(bh(id * 13), bh(id * 13), bh(id * 13))
+      val borderRow = lit("C8" * 12)
+      val interiorRow = concat(lit("C8C8C8"), a3, b3, lit("C8C8C8"))
+      val payload = unhex(concat(lit(hdrHex), borderRow, interiorRow,
+        interiorRow, borderRow))
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        lit("image/bmp").as("mime"), lit(102).as("n_bytes"),
+        payload.as("payload"))
+      Multimodal.imageBorders(Multimodal.asMediaDataset(media)).toDF()
+    },
+
+    // Clipping-rate gate over m5's REAL decoded mono PCM: samples pinned
+    // at/beyond ±1000 of the ~uniform[-1001,1001] formula domain.
+    "m19_audio_clipping" -> { (s, dir) =>
+      Multimodal.audioClipping(wavPcmMedia(s, dir), threshold = 1000)
+        .toDF()
+    },
+
     // Same pattern for audio: a valid 44-byte PCM WAV header per doc,
     // parsed by the real RIFF chunk walker; oracle replays the arithmetic.
     "m3_wav_decode" -> { (s, dir) =>
@@ -4352,6 +4382,33 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
         |  CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
         |FROM px GROUP BY 1""".stripMargin,
+
+    "m18_image_borders" ->
+      """WITH v AS (
+        |  SELECT doc_id, (doc_id*7) % 256 AS a, (doc_id*13) % 256 AS b
+        |  FROM documents)
+        |SELECT doc_id, 4 AS width, 4 AS height,
+        |  CASE WHEN a = 200 AND b = 200 THEN 4 ELSE 1 END AS border_top,
+        |  CASE WHEN a = 200 AND b = 200 THEN 4 ELSE 1 END AS border_bottom,
+        |  CASE WHEN a = 200 THEN CASE WHEN b = 200 THEN 4 ELSE 2 END
+        |       ELSE 1 END AS border_left,
+        |  CASE WHEN b = 200 THEN CASE WHEN a = 200 THEN 4 ELSE 2 END
+        |       ELSE 1 END AS border_right
+        |FROM v""".stripMargin,
+
+    "m19_audio_clipping" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + doc_id % 32 AS n,
+        |    list_transform(range(64 + doc_id % 32),
+        |      i -> (doc_id*31 + i*17) % 2003 - 1001) AS v
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CAST(len(list_filter(v, x -> abs(x) >= 1000)) AS BIGINT) AS nc
+        |  FROM m)
+        |SELECT doc_id, CAST(n AS INT) AS n_samples, nc AS n_clipped,
+        |  CAST(nc * 1000000 // greatest(n, 1) AS BIGINT) AS clip_ppm
+        |FROM c""".stripMargin,
 
     "m4_png_decode" ->
       """SELECT doc_id, 'png' AS format, 2 AS width, 2 AS height,

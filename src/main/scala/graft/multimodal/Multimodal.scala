@@ -386,6 +386,70 @@ object Multimodal {
     })
   }
 
+  case class ImageBorders(doc_id: Long, width: Int, height: Int,
+                          border_top: Int, border_bottom: Int,
+                          border_left: Int, border_right: Int)
+
+  /** Uniform-border (letterbox/pillarbox) detection over REAL decoded
+    * pixels — the crop gate image curation runs before training (a
+    * screenshot with a 40% white frame wastes 40% of every patch): the
+    * maximal margins on each side whose every pixel EXACTLY matches the
+    * top-left corner color. A fully uniform image reports full-size
+    * margins on all four sides (degenerate — reject upstream). Exact
+    * byte comparisons, partition-local, zero shuffle; undecodable
+    * payloads drop wholesale.
+    */
+  def imageBorders(media: Dataset[MediaRecord]): Dataset[ImageBorders] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeImage(r.payload).flatMap { case (w, h, rgb) =>
+        if (w < 1 || h < 1 || rgb.length < w * h * 3) None
+        else {
+          @inline def matches(x: Int, y: Int): Boolean = {
+            val i = (y * w + x) * 3
+            rgb(i) == rgb(0) && rgb(i + 1) == rgb(1) && rgb(i + 2) == rgb(2)
+          }
+          def rowU(y: Int) = (0 until w).forall(x => matches(x, y))
+          def colU(x: Int) = (0 until h).forall(y => matches(x, y))
+          var top = 0
+          while (top < h && rowU(top)) top += 1
+          var bottom = 0
+          while (bottom < h && rowU(h - 1 - bottom)) bottom += 1
+          var left = 0
+          while (left < w && colU(left)) left += 1
+          var right = 0
+          while (right < w && colU(w - 1 - right)) right += 1
+          Some(ImageBorders(r.doc_id, w, h, top, bottom, left, right))
+        }
+      }
+    })
+  }
+
+  case class AudioClipping(doc_id: Long, n_samples: Int, n_clipped: Long,
+                           clip_ppm: Long)
+
+  /** Clipping-rate gate over the REAL decoded mono PCM — the distorted-
+    * audio detector (a recording that spends time pinned at the rails is
+    * useless for ASR training): samples at or beyond ±`threshold`,
+    * counted exactly, rate in ppm. Partition-local, zero shuffle.
+    */
+  def audioClipping(media: Dataset[MediaRecord],
+                    threshold: Int): Dataset[AudioClipping] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWavPcm(r.payload).toSeq.map { case (_, _, _, samples) =>
+        var c = 0L
+        var i = 0
+        while (i < samples.length) {
+          if (math.abs(samples(i)) >= threshold) c += 1
+          i += 1
+        }
+        AudioClipping(r.doc_id, samples.length, c,
+          c * 1000000L / math.max(samples.length, 1))
+      }
+    })
+  }
+
   case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
                        bits: Int, n_samples: Long, duration_ms: Long)
 

@@ -578,6 +578,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out == LumaHistogram(1L, 2, 1, 1L, 0L, 0L, 1L))
   }
 
+  test("imageBorders: margins measured against the corner color exactly") {
+    // 4x3 top-down? bmp() helper builds bottom-up rows; build via raw rows:
+    // image: border color (10,20,30) frame 1px, interior pixel differs
+    val b = (10, 20, 30)
+    val rows = Seq(
+      Seq(b, b, b, b),
+      Seq(b, (99, 20, 30), (10, 20, 30), b), // one interior pixel differs
+      Seq(b, b, b, b))
+    val img = bmp(rows, bottomUp = true)
+    val media = Seq(Multimodal.MediaRecord(1L, "image/bmp", img.length, img))
+      .toDS()
+    val out = Multimodal.imageBorders(media).collect().head
+    // row 1 breaks uniformity at x=1: top=1, bottom=1, left=1;
+    // col 2 IS corner-colored everywhere → right margin reaches 2
+    assert(out == Multimodal.ImageBorders(1L, 4, 3, 1, 1, 1, 2))
+  }
+
+  test("imageBorders: fully uniform image reports full-size margins") {
+    val b = (200, 200, 200)
+    val img = bmp(Seq(Seq(b, b), Seq(b, b)), bottomUp = true)
+    val media = Seq(Multimodal.MediaRecord(1L, "image/bmp", img.length, img))
+      .toDS()
+    val out = Multimodal.imageBorders(media).collect().head
+    assert(out == Multimodal.ImageBorders(1L, 2, 2, 2, 2, 2, 2))
+  }
+
+  test("audioClipping: rail samples count, threshold inclusive") {
+    val samples = Seq(1000, -1000, 999, 0, -1001, 500)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(s => pcm.putShort(s.toShort))
+    val payload = wav(1, 8000, 16, samples.length) ++ pcm.array()
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "audio/wav", payload.length, payload))
+      .toDS()
+    val out = Multimodal.audioClipping(media, threshold = 1000).collect()
+    assert(out.toSeq == Seq(Multimodal.AudioClipping(1L, 6, 3L, 500000L)))
+  }
+
   test("audioZeroCrossing: strict sign changes only; zeros never cross") {
     // samples: 100,-50,30,0,-10,20 → pairs (+,-)(-,+)(+,0)(0,-)(-,+):
     // crossings at 1,2,5 → 3 of 5 pairs = 600000 ppm
