@@ -35,6 +35,12 @@ object Bench {
     // round-8 additions sharing d6's MinHash+components shape — hinted
     // into the heavy-warmup set so their driver record is warm
     "d18_cluster_keep_best" -> 6.2, "pipe_corpusqc_e2e" -> 6.1,
+    // round-8 continuation-session additions (sf0.1 records / estimates):
+    // the composed ANN mart and the iterative WCC warm with the heavies
+    "pipe_annhealth_e2e" -> 4.0, "s25_index_shadow" -> 3.0,
+    "g10_modularity" -> 2.7, "g11_wcc" -> 2.5, "s22_nprobe_sweep" -> 2.4,
+    "w39_order_backlog" -> 2.1, "a19_supplier_breadth" -> 1.8,
+    "a20_market_share" -> 1.6, "t76_line_dedup" -> 1.5,
     "g6_kcore" -> 1.7,
     "p11_fk_check" -> 2.7, "j13_fuzzy_match" -> 1.7,
     "w24_survival" -> 1.3, "t63_burstiness" -> 1.2,

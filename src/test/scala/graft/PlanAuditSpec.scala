@@ -518,4 +518,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the part dim must broadcast into the fact scan:\n$p")
   }
+
+  test("Q15/Q19/Q7 (a22/a24/a25): one-row max and dims broadcast, filters pushed") {
+    val p22 = plan(SparkEntry.queries("a22_top_supplier")(spark, sf))
+    assert(p22.contains("PushedFilters: ["),
+      s"the ship-date window must reach the lineitem scan:\n$p22")
+    assert(p22.contains("BroadcastNestedLoopJoin") ||
+      p22.contains("BroadcastHashJoin"),
+      s"the one-row max must broadcast back, never sort globally:\n$p22")
+    val p24 = plan(SparkEntry.queries("a24_bracket_revenue")(spark, sf))
+    assert(p24.contains("BroadcastHashJoin"),
+      s"the size-filtered part dim must broadcast:\n$p24")
+    assert(!p24.contains("CartesianProduct"))
+    val p25 = plan(SparkEntry.queries("a25_volume_shipping")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p25).length >= 2,
+      s"both nation maps must broadcast:\n$p25")
+  }
+
+  test("Q17 small-order revenue (a23): the part-average self-join shuffles once per side") {
+    val p = plan(SparkEntry.queries("a23_small_order_rev")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-part stats must partial-aggregate map-side:\n$p")
+  }
+
+  test("line dedup (t76): the boilerplate set broadcasts into an anti join") {
+    val p = plan(SparkEntry.queries("t76_line_dedup")(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected a left-anti join in:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"common lines must broadcast — per-doc rows never reshuffle:\n$p")
+  }
 }
