@@ -1267,6 +1267,48 @@ object SparkEntry {
         Tables.part(s, dir), excludeBrand = "Brand#1", k = 40)
     },
 
+    // Schema-evolution union: column-drifted projections of the event
+    // stream union BY NAME with null fill — the landed-history reality.
+    "u4_union_by_name" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      graft.ops.SetOps.unionByNameAligned(Seq(
+        e.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("v_milli")),
+        e.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("event_type"))))
+    },
+
+    // Composed warehouse exec mart: total revenue, period-end backlog,
+    // 1997 late orders, top-30 return loss, idle-rich customer count —
+    // every leg a proven fragment, reshaped to labeled (metric, value).
+    "pipe_warehouse_e2e" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ords = Tables.orders(s, dir)
+      val rev = li.agg(coalesce(sum(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))),
+          lit(0L)).as("value"))
+        .select(lit("revenue_total_micro4").as("metric"), col("value"))
+      val backlog = graft.ops.Backlog.monthlyBacklog(ords, li)
+        .orderBy(col("month").desc).limit(1)
+        .select(lit("backlog_end_last").as("metric"),
+          col("backlog_end").as("value"))
+      val late = graft.ops.StarJoin.latePriorityCount(li, ords,
+          from = "1997-01-01", until = "1998-01-01", lateDays = 90)
+        .agg(coalesce(sum("n_late_orders"), lit(0L)).as("value"))
+        .select(lit("late_orders_1997").as("metric"), col("value"))
+      val loss = graft.ops.StarJoin.returnLoss(li, ords,
+          Tables.customer(s, dir), Tables.nation(s, dir), k = 30)
+        .agg(coalesce(sum("loss_micro4"), lit(0L)).as("value"))
+        .select(lit("return_loss_top30_micro4").as("metric"), col("value"))
+      val idle = graft.ops.StarJoin.idleRichCustomers(
+          Tables.customer(s, dir), ords, since = "2000-01-01")
+        .agg(coalesce(sum("n_custs"), lit(0L)).as("value"))
+        .select(lit("idle_rich_custs").as("metric"), col("value"))
+      rev.unionAll(backlog).unionAll(late).unionAll(loss).unionAll(idle)
+    },
+
     // TPC-H Q13 shape: customer order-count distribution with the zero
     // bucket kept (left join, count of matches only).
     "a21_order_count_hist" -> { (s, dir) =>
@@ -3300,7 +3342,31 @@ object SparkEntry {
          |  count(*) AS n_queries,
          |  CAST(count(*) * 1000000 // max(nq) AS BIGINT) AS share_ppm
          |FROM qs LEFT JOIN common c USING (query_id) CROSS JOIN tot
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin) +
+    // pipe_warehouse oracle: the w39/a17/a16/a18 replays composed verbatim,
+    // each branch collapsed to its labeled scalar.
+    ("pipe_warehouse_e2e" ->
+      s"""WITH b AS (${baseOracles("w39_order_backlog")}),
+         |lt AS (${baseOracles("a17_priority_late")}),
+         |rl AS (${baseOracles("a16_return_loss")}),
+         |ir AS (${baseOracles("a18_idle_rich")})
+         |SELECT 'revenue_total_micro4' AS metric,
+         |  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+         |    (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT)
+         |    AS value
+         |FROM lineitem
+         |UNION ALL
+         |SELECT 'backlog_end_last',
+         |  (SELECT backlog_end FROM b ORDER BY month DESC LIMIT 1)
+         |UNION ALL
+         |SELECT 'late_orders_1997',
+         |  (SELECT CAST(coalesce(sum(n_late_orders), 0) AS BIGINT) FROM lt)
+         |UNION ALL
+         |SELECT 'return_loss_top30_micro4',
+         |  (SELECT CAST(coalesce(sum(loss_micro4), 0) AS BIGINT) FROM rl)
+         |UNION ALL
+         |SELECT 'idle_rich_custs',
+         |  (SELECT CAST(coalesce(sum(n_custs), 0) AS BIGINT) FROM ir)""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "w30_holt_winters" -> holtWintersOracle,
@@ -5098,6 +5164,15 @@ object SparkEntry {
         |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * th.cnt > th.tot
         |  AND NOT EXISTS (SELECT 1 FROM act WHERE act.o_custkey = c.c_custkey)
         |GROUP BY 1""".stripMargin,
+
+    "u4_union_by_name" ->
+      """SELECT event_id, user_id,
+        |  CAST(round(value * 1000) AS BIGINT) AS v_milli,
+        |  NULL::VARCHAR AS event_type
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, NULL::BIGINT, NULL::BIGINT, event_type
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
 
     "a21_order_count_hist" ->
       """SELECT n_orders, count(*) AS n_customers FROM (

@@ -29,4 +29,17 @@ object SetOps {
       case other      => throw new IllegalArgumentException(
         s"union type must be ALL or DISTINCT, got $other")
     }
+
+  /** Schema-evolution union: frames whose columns drifted apart union BY
+    * NAME, absent columns null-filled — the landed-history reality where
+    * last year's partitions lack this year's columns (the read-side twin
+    * of the writer-side mergeSchema in [[graft.io.Sources]]). Output
+    * columns = the first frame's, then each later frame's new columns in
+    * first-appearance order. Pure plan-level alignment — no shuffle, no
+    * data movement beyond the union itself.
+    */
+  def unionByNameAligned(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "need at least one frame")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

@@ -28,4 +28,20 @@ class SetOpsSpec extends SparkSpec {
   test("unknown union type is rejected") {
     assertThrows[IllegalArgumentException](SetOps.union(Seq(a, b), "OUTER"))
   }
+
+  test("unionByNameAligned: drifted schemas align by name, absents null-fill") {
+    import org.apache.spark.sql.functions.col
+    val x = Seq((1L, "a")).toDF("id", "name")
+    val y = Seq((2L, 99L)).toDF("id", "score")
+    val out = SetOps.unionByNameAligned(Seq(x, y))
+    assert(out.columns.toSeq == Seq("id", "name", "score"))
+    val rows = out.orderBy("id")
+      .as[(Long, Option[String], Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, Some("a"), None), (2L, None, Some(99L))))
+    // column ORDER differences alone must not misalign values
+    val z = Seq(("b", 3L)).toDF("name", "id")
+    val aligned = SetOps.unionByNameAligned(Seq(x, z))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(aligned == Seq((1L, "a"), (3L, "b")))
+  }
 }
