@@ -1700,6 +1700,27 @@ object SparkEntry {
         col("user_id"), col("ts"), gapSeconds = 1800)
     },
 
+    // Candidate-key uniqueness audit: the fkCheck companion — how far is
+    // each would-be key from unique, long-format per candidate.
+    "p16_key_check" -> { (s, dir) =>
+      graft.ops.Profile.keyCheck(Seq(
+        ("orders.o_orderkey", Tables.orders(s, dir), col("o_orderkey")),
+        ("lineitem.l_orderkey", Tables.lineitem(s, dir),
+          col("l_orderkey")),
+        ("events.user_id", Tables.events(s, dir), col("user_id"))))
+    },
+
+    // Degree distribution of the mod-151 doc graph in power-of-two
+    // bands — the power-law check behind hub caps and skew salts.
+    "g12_degree_hist" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 151).as("src"),
+          ((col("doc_id") * 7 + 3) % 151).as("dst"))
+        .unionAll(d.select((col("doc_id") % 151).as("src"),
+          (((col("doc_id") * 11 + 5) % 157) % 151).as("dst")))
+      graft.graph.Components.degreeHistogram(edges)
+    },
+
     // Weakly-connected components on a block-structured doc graph (four
     // disjoint 100-node islands — edges never cross blocks): per-component
     // node count and id span — the d6 propagation surfaced as a graph
@@ -6749,6 +6770,54 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
         |    AS community_size
         |FROM r3""".stripMargin,
+
+    "p16_key_check" ->
+      """WITH ko AS (
+        |  SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |kl AS (
+        |  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |ke AS (
+        |  SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1)
+        |SELECT 'orders.o_orderkey' AS candidate,
+        |  CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |  CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT)
+        |    AS n_dup_keys,
+        |  CAST(sum(c) - count(*) AS BIGINT) AS n_surplus_rows,
+        |  CAST(max(c) AS BIGINT) AS max_multiplicity
+        |FROM ko
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey', CAST(sum(c) AS BIGINT), count(*),
+        |  CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT),
+        |  CAST(sum(c) - count(*) AS BIGINT), CAST(max(c) AS BIGINT)
+        |FROM kl
+        |UNION ALL
+        |SELECT 'events.user_id', CAST(sum(c) AS BIGINT), count(*),
+        |  CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT),
+        |  CAST(sum(c) - count(*) AS BIGINT), CAST(max(c) AS BIGINT)
+        |FROM ke""".stripMargin,
+
+    "g12_degree_hist" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 151 AS src, (doc_id * 7 + 3) % 151 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 151, ((doc_id * 11 + 5) % 157) % 151
+        |  FROM documents),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e0
+        |  UNION ALL SELECT dst AS a, src AS b FROM e0) t
+        |  WHERE a <> b),
+        |deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(length(bin(d)) AS BIGINT) AS band,
+        |    count(*) AS n_nodes,
+        |    CAST(min(d) AS BIGINT) AS min_degree,
+        |    CAST(max(d) AS BIGINT) AS max_degree
+        |  FROM deg GROUP BY 1)
+        |SELECT band, n_nodes, min_degree, max_degree,
+        |  CAST(n_nodes * 1000000 // sum(n_nodes) OVER () AS BIGINT)
+        |    AS share_ppm
+        |FROM b""".stripMargin,
 
     // g11 oracle: exact component = min reachable id via a recursive
     // transitive-closure walk (UNION dedups, so it terminates); the

@@ -30,4 +30,30 @@ object Components {
       .agg(count(lit(1)).as("n_nodes"),
         min(col("id")).as("min_node"), max(col("id")).as("max_node"))
   }
+
+  /** Degree distribution in power-of-two bands (band = binary digit count
+    * of the degree — integer, no float log): the is-it-a-power-law check
+    * read before choosing hub caps, broadcast thresholds, or skew salts
+    * for any graph algorithm on this edge set. Directions symmetrize and
+    * parallel edges collapse first (degree = distinct-neighbor count, the
+    * semantics every algorithm here uses); the histogram is band-scale.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val bands = und.groupBy(col("a"))
+      .agg(count(lit(1)).as("__deg"))
+      .groupBy(length(bin(col("__deg"))).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("__deg")).as("min_degree"),
+        max(col("__deg")).as("max_degree"))
+    bands.crossJoin(broadcast(bands.agg(sum("n_nodes").as("__t"))))
+      .select(col("band"), col("n_nodes"), col("min_degree"),
+        col("max_degree"),
+        call_function("div", col("n_nodes") * 1000000L, col("__t"))
+          .as("share_ppm"))
+  }
 }

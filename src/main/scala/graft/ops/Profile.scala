@@ -123,4 +123,29 @@ object Profile {
         when(col("n_b") > 0, call_function("div", col("__vb"),
           col("n_b"))).as("mean_b_micro"))): _*)
   }
+
+  /** Candidate-key uniqueness audit — the companion to [[fkCheck]] on the
+    * other side of the join: before declaring a column THE key (and
+    * building merges, SCD logic, or bucketing on it), measure how far it
+    * is from unique. Per candidate: row count, distinct keys, keys with
+    * duplicates, surplus rows (rows − keys — what a dedup would remove),
+    * and the worst key's multiplicity. One rollup per candidate with
+    * map-side partials; results union long-format like [[fkCheck]].
+    */
+  def keyCheck(candidates: Seq[(String, DataFrame, Column)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate key")
+    candidates.map { case (name, df, key) =>
+      df.select(key.as("__k"))
+        .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("__c")).as("n_rows"),
+          coalesce(sum(when(col("__c") > 1L, lit(1L))), lit(0L))
+            .as("n_dup_keys"),
+          max(col("__c")).as("max_multiplicity"))
+        .select(lit(name).as("candidate"), col("n_rows"), col("n_keys"),
+          col("n_dup_keys"),
+          (col("n_rows") - col("n_keys")).as("n_surplus_rows"),
+          col("max_multiplicity"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -59,4 +59,16 @@ class ProfileSpec extends SparkSpec {
     assert(out("z") == (("z", 0L, 2L, 0L, 666666L, 666666L,
       None, Some(501L))))
   }
+
+  test("keyCheck: unique key reports zero surplus; dup key counts multiplicity") {
+    import org.apache.spark.sql.functions.col
+    val u = Seq(1L, 2L, 3L).toDF("k")
+    val d = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val out = Profile.keyCheck(Seq(("u", u, col("k")), ("d", d, col("k"))))
+      .orderBy("candidate")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("d", 4L, 2L, 1L, 2L, 3L),
+      ("u", 3L, 3L, 0L, 0L, 1L)))
+  }
 }
