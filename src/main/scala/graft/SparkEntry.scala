@@ -1347,6 +1347,15 @@ object SparkEntry {
         nationA = "NATION_3", nationB = "NATION_7")
     },
 
+    // YoY revenue growth per customer nation: signed ppm delta on
+    // DECIMAL(38,0), first year emits null; lag window over the
+    // nation×year rollup only.
+    "a26_revenue_yoy" -> { (s, dir) =>
+      graft.ops.StarJoin.revenueYoy(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir))
+    },
+
     // TPC-H Q8 shape: supplier-nation market share of EUROPE's demand
     // per order year — region-filtered customers and supplier→nation
     // map broadcast; ppm share on DECIMAL(38,0) over the year×nation
@@ -2432,6 +2441,14 @@ object SparkEntry {
           col("sad"), col("is_cut"))
     },
 
+    // Shot-rhythm profile over m11's REAL-demuxed cut flags: scene
+    // counts + mean scene length in exact milli-frames per clip.
+    "m20_scene_stats" -> { (s, dir) =>
+      Multimodal.sceneStats(
+        Multimodal.frameDelta(aviDibMedia(s, dir), cutThreshold = 400L)
+          .toDF())
+    },
+
     // REAL decode -> nearest-neighbor resize -> PNG re-encode -> decode
     // again: a 4x1 PNG per doc resized to 2x1 keeps source pixels 1 and 3
     // (pixel-center mapping, exact integer arithmetic the oracle replays).
@@ -3387,7 +3404,21 @@ object SparkEntry {
          |  (SELECT CAST(coalesce(sum(loss_micro4), 0) AS BIGINT) FROM rl)
          |UNION ALL
          |SELECT 'idle_rich_custs',
-         |  (SELECT CAST(coalesce(sum(n_custs), 0) AS BIGINT) FROM ir)""".stripMargin)
+         |  (SELECT CAST(coalesce(sum(n_custs), 0) AS BIGINT) FROM ir)""".stripMargin) +
+    // m20 oracle: the m11 frame-delta replay composed verbatim, rolled up
+    // to scene statistics (frames = deltas + 1, scenes = cuts + 1).
+    ("m20_scene_stats" ->
+      s"""WITH fd AS (${baseOracles("m11_frame_delta")})
+         |SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS n_frames,
+         |  CAST(coalesce(sum(CASE WHEN is_cut THEN 1 END), 0) AS BIGINT)
+         |    AS n_cuts,
+         |  CAST(coalesce(sum(CASE WHEN is_cut THEN 1 END), 0) + 1 AS BIGINT)
+         |    AS n_scenes,
+         |  CAST((count(*) + 1) * 1000 //
+         |    (coalesce(sum(CASE WHEN is_cut THEN 1 END), 0) + 1) AS BIGINT)
+         |    AS avg_scene_frames_milli,
+         |  CAST(max(sad) AS BIGINT) AS max_sad
+         |FROM fd GROUP BY 1""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "w30_holt_winters" -> holtWintersOracle,
@@ -5260,6 +5291,28 @@ object SparkEntry {
         |  AND sn.n_name IN ('NATION_3', 'NATION_7')
         |  AND sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "a26_revenue_yoy" ->
+      """WITH agg AS (
+        |  SELECT n.n_name AS nation,
+        |    CAST(year(o.o_orderdate) AS INT) AS order_year,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS revenue_micro4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, order_year, revenue_micro4,
+        |  CASE WHEN lag(revenue_micro4)
+        |      OVER (PARTITION BY nation ORDER BY order_year) > 0
+        |    THEN CAST((revenue_micro4::HUGEINT * 1000000) //
+        |      lag(revenue_micro4)
+        |        OVER (PARTITION BY nation ORDER BY order_year)
+        |      - 1000000 AS BIGINT)
+        |  END AS yoy_ppm
+        |FROM agg""".stripMargin,
 
     "a20_market_share" ->
       """WITH agg AS (

@@ -425,6 +425,26 @@ object Multimodal {
     })
   }
 
+  /** Scene-length statistics over [[frameDelta]]'s cut flags — the
+    * shot-rhythm profile video curation reads after cut detection (a clip
+    * averaging two frames per scene is a slideshow; one scene spanning
+    * the whole clip is static filler): per clip, frame/cut/scene counts,
+    * mean scene length in milli-frames (exact integer), and the peak SAD.
+    * A k-frame clip emits k−1 deltas, so frames = deltas + 1 and scenes =
+    * cuts + 1. Plain rollup over the delta frame — one doc-keyed shuffle.
+    */
+  def sceneStats(deltas: DataFrame): DataFrame = {
+    deltas.groupBy(col("doc_id"))
+      .agg((count(lit(1)) + 1L).as("n_frames"),
+        coalesce(sum(when(col("is_cut"), 1L)), lit(0L)).as("n_cuts"),
+        max(col("sad")).as("max_sad"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + 1L).as("n_scenes"),
+        call_function("div", col("n_frames") * 1000L,
+          col("n_cuts") + 1L).as("avg_scene_frames_milli"),
+        col("max_sad"))
+  }
+
   case class AudioClipping(doc_id: Long, n_samples: Int, n_clipped: Long,
                            clip_ppm: Long)
 

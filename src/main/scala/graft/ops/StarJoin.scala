@@ -411,6 +411,43 @@ object StarJoin {
       .agg(count(lit(1)).as("n_items"), sum(col("__rev")).as("revenue_micro4"))
   }
 
+  /** Year-over-year revenue growth per customer nation — the board-deck
+    * trend table: per (nation, order year), exact integer revenue and
+    * the signed YoY delta in ppm (`rev_t·10⁶ / rev_{t-1} − 10⁶` on
+    * DECIMAL(38,0); the first year and zero-revenue predecessors emit
+    * null — a NULL growth is honest, a 0 is a lie). The only big-big
+    * join is lineitem ⋈ orders; the customer→nation map broadcasts; the
+    * lag window runs over (nation × year) rollup rows only.
+    */
+  def revenueYoy(lineitem: DataFrame, orders: DataFrame,
+                 customer: DataFrame, nation: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
+    val custNation = broadcast(customer
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation")))
+    val byYear = lineitem
+      .select(col("l_orderkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+          .as("__rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("int").as("order_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nation"), col("order_year"))
+      .agg(sum(col("__rev")).as("revenue_micro4"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("order_year"))
+    byYear
+      .withColumn("__prev", lag(col("revenue_micro4"), 1).over(w))
+      .select(col("nation"), col("order_year"), col("revenue_micro4"),
+        when(col("__prev") > 0L, call_function("div",
+          col("revenue_micro4").cast(DecimalType(38, 0)) * 1000000L,
+          col("__prev")) - 1000000L)
+          .otherwise(lit(null).cast("long")).as("yoy_ppm"))
+  }
+
   /** TPC-H Q16 shape — supplier breadth per part group: how many
     * DISTINCT suppliers ship each (brand, type, size), one brand
     * excluded, top-k groups. The part dim broadcasts into the fact

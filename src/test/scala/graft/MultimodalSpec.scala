@@ -617,6 +617,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq(Multimodal.AudioClipping(1L, 6, 3L, 500000L)))
   }
 
+  test("sceneStats: frames = deltas + 1, scenes = cuts + 1, exact mean") {
+    val deltas = Seq(
+      (1L, 1, 100L, false), (1L, 2, 500L, true), (1L, 3, 90L, false),
+      (2L, 1, 50L, false)
+    ).toDF("doc_id", "frame_idx", "sad", "is_cut")
+    val out = Multimodal.sceneStats(deltas)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // clip 1: 4 frames, 1 cut → 2 scenes, mean 2000 milli-frames
+    assert(out == Seq(
+      (1L, 4L, 1L, 2L, 2000L, 500L),
+      (2L, 2L, 0L, 1L, 2000L, 50L)))
+  }
+
   test("audioZeroCrossing: strict sign changes only; zeros never cross") {
     // samples: 100,-50,30,0,-10,20 → pairs (+,-)(-,+)(+,0)(0,-)(-,+):
     // crossings at 1,2,5 → 3 of 5 pairs = 600000 ppm

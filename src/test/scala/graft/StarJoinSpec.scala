@@ -289,6 +289,28 @@ class StarJoinSpec extends SparkSpec {
       ("B", "A", 2024, 1L, 2000000L)))
   }
 
+  test("revenueYoy: signed ppm growth, first year null, halving = -500000") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 100.0, 0.00), (2L, 200.0, 0.00), (3L, 100.0, 0.00)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val ords = Seq(
+      (1L, 10L, ts("2022-05-01")), (2L, 10L, ts("2023-05-01")),
+      (3L, 10L, ts("2024-05-01"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((10L, 1L)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((1L, "A")).toDF("n_nationkey", "n_name")
+    val out = StarJoin.revenueYoy(li, ords, cust, nat)
+      .orderBy("order_year")
+      .select("nation", "order_year", "revenue_micro4", "yoy_ppm")
+      .as[(String, Int, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("A", 2022, 1000000L, None),          // no predecessor
+      ("A", 2023, 2000000L, Some(1000000L)), // doubled: +100%
+      ("A", 2024, 1000000L, Some(-500000L)))) // halved: -50%
+  }
+
   test("bigSpenders: HAVING before the joins, exact integer emission") {
     import java.sql.Timestamp
     val li = Seq(
