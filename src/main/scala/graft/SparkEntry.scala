@@ -1356,6 +1356,55 @@ object SparkEntry {
         Tables.nation(s, dir))
     },
 
+    // TPC-H Q9 shape: signed product-family profit per supplier nation
+    // × order year (retail-price cost proxy — no partsupp in this
+    // schema); name predicate prunes the broadcast part dim before the
+    // fact join.
+    "a27_product_profit" -> { (s, dir) =>
+      graft.ops.StarJoin.productProfit(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        nameToken = "red")
+    },
+
+    // TPC-H Q2 shape: minimum-cost supplier per part within EUROPE —
+    // groupwise-min + join-back on the (part, supplier) rollup; unit
+    // cost in milli-cents via truncating integer division, ties kept.
+    "a28_min_cost_supplier" -> { (s, dir) =>
+      graft.ops.StarJoin.minCostSupplier(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir),
+        regionName = "EUROPE")
+    },
+
+    // TPC-H Q11 shape: parts concentrating >10bp of one nation's
+    // shipped value — one-row broadcast total, exact DECIMAL(38,0)
+    // cross-multiplied threshold.
+    "a29_important_parts" -> { (s, dir) =>
+      graft.ops.StarJoin.importantParts(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        nationName = "NATION_3", thresholdBp = 10L)
+    },
+
+    // TPC-H Q21 shape: the sole late supplier on multi-supplier
+    // orders — EXISTS/NOT-EXISTS collapsed into one orderkey rollup
+    // (distinct suppliers, distinct late suppliers, conditional max).
+    "a30_waiting_suppliers" -> { (s, dir) =>
+      graft.ops.StarJoin.waitingSuppliers(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), lateDays = 90)
+    },
+
+    // TPC-H Q20 shape: suppliers shipping >half a PROMO part's 1997
+    // volume — family key set broadcasts, (part,supplier) rollup +
+    // part-total join-back, exact 2·qty>total test.
+    "a31_dominant_suppliers" -> { (s, dir) =>
+      graft.ops.StarJoin.dominantFamilySuppliers(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), partType = "PROMO",
+        from = "1997-01-01", until = "1998-01-01")
+    },
+
     // TPC-H Q8 shape: supplier-nation market share of EUROPE's demand
     // per order year — region-filtered customers and supplier→nation
     // map broadcast; ppm share on DECIMAL(38,0) over the year×nation
@@ -5313,6 +5362,105 @@ object SparkEntry {
         |      - 1000000 AS BIGINT)
         |  END AS yoy_ppm
         |FROM agg""".stripMargin,
+
+    "a27_product_profit" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS INT) AS order_year,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l.l_discount * 100) AS BIGINT)) -
+        |      CAST(round(p.p_retailprice * 100) AS BIGINT) * 100 *
+        |      CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS profit_micro4
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "a28_min_cost_supplier" ->
+      """WITH rs AS (
+        |  SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+        |    CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |sp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000) //
+        |      CAST(round(l_quantity) AS BIGINT)) AS cost_milli
+        |  FROM lineitem
+        |  WHERE CAST(round(l_quantity) AS BIGINT) > 0
+        |    AND l_suppkey IN (SELECT s_suppkey FROM rs)
+        |  GROUP BY 1, 2),
+        |mn AS (SELECT l_partkey AS pk, min(cost_milli) AS m
+        |       FROM sp GROUP BY 1)
+        |SELECT p.p_partkey, p.p_brand, rs.s_suppkey, rs.s_name,
+        |  rs.nation, rs.acctbal_cents, sp.cost_milli
+        |FROM sp
+        |JOIN mn ON sp.l_partkey = mn.pk AND sp.cost_milli = mn.m
+        |JOIN rs ON sp.l_suppkey = rs.s_suppkey
+        |JOIN part p ON sp.l_partkey = p.p_partkey""".stripMargin,
+
+    "a29_important_parts" ->
+      """WITH byp AS (
+        |  SELECT l_partkey AS p_partkey, count(*) AS n_lines,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier s
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    WHERE n.n_name = 'NATION_3')
+        |  GROUP BY 1)
+        |SELECT p_partkey, n_lines, value_cents
+        |FROM byp, (SELECT CAST(coalesce(sum(value_cents), 0) AS BIGINT)
+        |           AS tot FROM byp)
+        |WHERE value_cents::HUGEINT * 10000 > tot::HUGEINT * 10""".stripMargin,
+
+    "a30_waiting_suppliers" ->
+      """WITH po AS (
+        |  SELECT l.l_orderkey,
+        |    count(DISTINCT l.l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l.l_shipdate >
+        |      o.o_orderdate + INTERVAL 90 DAY THEN l.l_suppkey END)
+        |      AS n_late,
+        |    max(CASE WHEN l.l_shipdate >
+        |      o.o_orderdate + INTERVAL 90 DAY THEN l.l_suppkey END)
+        |      AS culprit
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+        |  count(*) AS numwait
+        |FROM po
+        |JOIN supplier s ON po.culprit = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE po.n_supp > 1 AND po.n_late = 1
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "a31_dominant_suppliers" ->
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'PROMO')
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS t
+        |        FROM sp GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+        |  count(*) AS n_dominated_parts
+        |FROM sp
+        |JOIN tot ON sp.l_partkey = tot.pk
+        |JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE sp.q * 2 > tot.t
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "a20_market_share" ->
       """WITH agg AS (

@@ -448,6 +448,206 @@ object StarJoin {
           .otherwise(lit(null).cast("long")).as("yoy_ppm"))
   }
 
+  /** TPC-H Q9 shape — product-line profit per supplier nation × order
+    * year: which nations' suppliers make money on a product family.
+    * This schema has no `partsupp`, so supply cost proxies as the
+    * part's retail price × quantity (the shape — a signed
+    * revenue-minus-cost rollup over a name-gated part family — is the
+    * point, not the cost model). Profit is EXACT signed micro-money:
+    * `Σ(cents·(100−disc) − retail_cents·100·qty)`; losses emit as
+    * negative numbers, never clamped. The name predicate prunes the
+    * broadcast part dim BEFORE the fact join, so only the family's
+    * lines shuffle; supplier→nation broadcasts; the one big-big join
+    * is lineitem ⋈ orders for the order year.
+    */
+  def productProfit(lineitem: DataFrame, orders: DataFrame,
+                    part: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, nameToken: String): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"),
+      (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+        .as("__rev"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("__qty"))
+    val fam = broadcast(part
+      .filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+          .as("__retail_cents")))
+    val supNat = broadcast(supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    li
+      .join(fam, col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("order_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("order_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("__rev") - col("__retail_cents") * 100L * col("__qty"))
+          .as("profit_micro4"))
+  }
+
+  /** TPC-H Q2 shape — the minimum-cost supplier per part within a
+    * region (groupwise-min + join-back, the classic correlated-scalar
+    * decorrelation). Without `partsupp`, the observed supply cost of a
+    * (part, supplier) pair is the MINIMUM unit price across that
+    * supplier's lines for the part, in milli-cents via truncating
+    * integer division (`cents·1000 div qty` — positive operands, so
+    * Spark `div` ≡ DuckDB `//` exactly; no float unit price). Join
+    * strategy: the (part, supplier) rollup shuffles once on the pair
+    * key; the per-part minimum reuses that output (part-key rollup +
+    * equality join-back, both sides part-scale); the region's supplier
+    * key set and every dim broadcast. Ties keep ALL winning suppliers.
+    */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame, regionName: String): DataFrame = {
+    val regNations = nation
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName)
+      .select(col("n_nationkey"), col("n_name"))
+    val regSupp = broadcast(supplier
+      .join(broadcast(regNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("n_name").as("nation"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("acctbal_cents")))
+    val spCost = lineitem
+      .filter(expr("CAST(round(l_quantity) AS BIGINT)") > 0L)
+      .join(regSupp.select(col("s_suppkey").as("__sk")),
+        col("l_suppkey") === col("__sk"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * 1000 div " +
+          "CAST(round(l_quantity) AS BIGINT)")).as("cost_milli"))
+    val partMin = spCost
+      .groupBy(col("l_partkey").as("__pk"))
+      .agg(min(col("cost_milli")).as("__mn"))
+    spCost
+      .join(partMin, col("l_partkey") === col("__pk") &&
+        col("cost_milli") === col("__mn"))
+      .join(regSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+        col("s_name"), col("nation"), col("acctbal_cents"),
+        col("cost_milli"))
+  }
+
+  /** TPC-H Q11 shape — value-concentrated parts: parts whose shipped
+    * value from ONE nation's suppliers exceeds a basis-point fraction
+    * of that nation's total (the "important stock" report). The
+    * whole-frame total is a ONE-ROW broadcast; the threshold test is
+    * exact integer cross-multiplication on DECIMAL(38,0)
+    * (`value·10⁴ > bp·total` — no float share, so boundary parts land
+    * identically on both engines). One partkey shuffle with map-side
+    * partials; the nation's supplier key set broadcasts into the scan.
+    */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, nationName: String,
+                     thresholdBp: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val natSupp = broadcast(supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val byPart = lineitem
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("value_cents"))
+    val total = broadcast(byPart
+      .agg(coalesce(sum(col("value_cents")), lit(0L)).as("__tot")))
+    byPart.crossJoin(total)
+      .filter(col("value_cents").cast(DecimalType(38, 0)) * 10000L >
+        col("__tot").cast(DecimalType(38, 0)) * thresholdBp)
+      .select(col("p_partkey"), col("n_lines"), col("value_cents"))
+  }
+
+  /** TPC-H Q21 shape — suppliers who single-handedly held up
+    * multi-supplier orders: the supplier was LATE (shipped more than
+    * `lateDays` after the order date — this schema's stand-in for
+    * receipt > commit) on an order that involved OTHER suppliers, none
+    * of whom were late. The whole EXISTS / NOT-EXISTS pair collapses
+    * into ONE orderkey rollup: `countDistinct(supplier)` > 1 supplies
+    * the EXISTS, `countDistinct(late supplier) = 1` the NOT-EXISTS,
+    * and the culprit's id is `max(late supplier)` — exact because the
+    * qualifying orders have exactly one. One big-big join
+    * (lineitem ⋈ orders) and one orderkey shuffle; supplier/nation
+    * dims broadcast onto the supplier-scale result.
+    */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+                       supplier: DataFrame, nation: DataFrame,
+                       lateDays: Int): DataFrame = {
+    val joined = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("__late", col("l_shipdate") > col("o_orderdate") +
+        expr(s"INTERVAL $lateDays DAYS"))
+    val perOrder = joined
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
+        countDistinct(when(col("__late"), col("l_suppkey")))
+          .as("__n_late"),
+        max(when(col("__late"), col("l_suppkey"))).as("__culprit"))
+      .filter(col("__n_supp") > 1L && col("__n_late") === 1L)
+    perOrder
+      .groupBy(col("__culprit").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier
+          .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("__sk"), col("s_name"),
+            col("n_name").as("nation"))),
+        col("s_suppkey") === col("__sk"))
+      .select(col("s_suppkey"), col("s_name"), col("nation"),
+        col("numwait"))
+  }
+
+  /** TPC-H Q20 shape — suppliers who dominate a part family's
+    * shipments inside a window: for each PROMO-type part, the
+    * suppliers who shipped MORE THAN HALF of the part's total quantity
+    * (`2·qty > total` — exact integers, the availqty>½Σqty analog
+    * without partsupp), counted per supplier. The semi-join chain is
+    * kept: the part-family key set broadcasts into the window-pruned
+    * fact scan; the (part, supplier) rollup shuffles once on the pair
+    * key; the per-part total reuses it (part-key rollup + join-back);
+    * supplier/nation dims broadcast onto the supplier-scale output.
+    */
+  def dominantFamilySuppliers(lineitem: DataFrame, part: DataFrame,
+                              supplier: DataFrame, nation: DataFrame,
+                              partType: String, from: String,
+                              until: String): DataFrame = {
+    val fam = broadcast(part.filter(col("p_type") === partType)
+      .select(col("p_partkey")))
+    val sp = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(fam, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("__qty"))
+    val totals = sp.groupBy(col("l_partkey").as("__pk"))
+      .agg(sum(col("__qty")).as("__tot"))
+    sp
+      .join(totals, col("l_partkey") === col("__pk"))
+      .filter(col("__qty") * 2L > col("__tot"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated_parts"))
+      .join(broadcast(supplier
+          .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("n_name").as("nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("nation"),
+        col("n_dominated_parts"))
+  }
+
   /** TPC-H Q16 shape — supplier breadth per part group: how many
     * DISTINCT suppliers ship each (brand, type, size), one brand
     * excluded, top-k groups. The part dim broadcasts into the fact

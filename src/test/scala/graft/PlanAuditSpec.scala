@@ -542,6 +542,36 @@ class PlanAuditSpec extends SparkSpec {
       s"per-part stats must partial-aggregate map-side:\n$p")
   }
 
+  test("Q9/Q2/Q11 (a27/a28/a29): family prunes before the fact join, totals broadcast") {
+    val p27 = plan(SparkEntry.queries("a27_product_profit")(spark, sf))
+    assert(p27.contains("BroadcastHashJoin"),
+      s"the name-gated part family must broadcast:\n$p27")
+    assert(!p27.contains("CartesianProduct"))
+    val p28 = plan(SparkEntry.queries("a28_min_cost_supplier")(spark, sf))
+    assert(p28.contains("LeftSemi"),
+      s"the region supplier set must gate as a semi join:\n$p28")
+    assert(!p28.contains("CartesianProduct"))
+    val p29 = plan(SparkEntry.queries("a29_important_parts")(spark, sf))
+    assert(p29.contains("BroadcastNestedLoopJoin") ||
+      p29.contains("BroadcastHashJoin"),
+      s"the one-row total must broadcast back, never re-shuffle:\n$p29")
+    assert(p29.contains("partial_sum"),
+      s"part values must partial-aggregate map-side:\n$p29")
+  }
+
+  test("Q21/Q20 (a30/a31): one orderkey rollup, dims broadcast onto supplier-scale output") {
+    val p30 = plan(SparkEntry.queries("a30_waiting_suppliers")(spark, sf))
+    assert(!p30.contains("CartesianProduct"))
+    assert(p30.contains("BroadcastHashJoin"),
+      s"supplier/nation dims must broadcast:\n$p30")
+    val p31 = plan(SparkEntry.queries("a31_dominant_suppliers")(spark, sf))
+    assert(p31.contains("LeftSemi"),
+      s"the PROMO family key set must gate the scan as a semi join:\n$p31")
+    assert(p31.contains("PushedFilters: ["),
+      s"the ship window must reach the lineitem scan:\n$p31")
+    assert(!p31.contains("CartesianProduct"))
+  }
+
   test("line dedup (t76): the boilerplate set broadcasts into an anti join") {
     val p = plan(SparkEntry.queries("t76_line_dedup")(spark, sf))
     assert(p.contains("LeftAnti"), s"expected a left-anti join in:\n$p")

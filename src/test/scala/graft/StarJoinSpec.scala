@@ -334,4 +334,122 @@ class StarJoinSpec extends SparkSpec {
       (10L, "alice", 1L, 12345L, 260L, 2L),
       (20L, "bob", 3L, 1001L, 300L, 1L)))
   }
+
+  test("productProfit: losses stay negative, name token gates the family") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      // red part, profitable: rev 100.00·(100−0)=1000000, cost 10.00·100·2
+      (1L, 1L, 100L, 100.0, 0.0, 2.0),
+      // red part, LOSS: rev 5.00·(100−10)=45000, cost 10.00·100·40=4000000
+      (1L, 1L, 100L, 5.0, 0.10, 40.0),
+      // blue part — not in the family, out
+      (2L, 2L, 100L, 999.0, 0.0, 1.0)
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+      "l_discount", "l_quantity")
+    val part = Seq((1L, "small red widget", 10.0), (2L, "blue bolt", 1.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val ords = Seq((1L, ts("2024-03-01")), (2L, ts("2024-03-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val supp = Seq((100L, 1)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1, "FR")).toDF("n_nationkey", "n_name")
+    val out = StarJoin.productProfit(li, ords, part, supp, nat, "red")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    // 1000000 − 200000 = 800000; 45000 − 4000000 = −3955000 → net −3155000
+    assert(out == Seq(("FR", 2024, 2L, -3155000L)))
+  }
+
+  test("minCostSupplier: truncating unit division, ties kept, region gates") {
+    val li = Seq(
+      // part 1, supp 100: 10.00 for qty 3 → 1000·1000/3 = 333333 (trunc)
+      (1L, 100L, 10.0, 3.0),
+      // part 1, supp 101: two lines, min unit wins → 5.00/2 = 250000
+      (1L, 101L, 5.0, 2.0), (1L, 101L, 90.0, 1.0),
+      // part 1, supp 102: TIES supp 101 at 250000 — both kept
+      (1L, 102L, 2.5, 1.0),
+      // part 1, supp 103: cheapest of all but OUTSIDE the region — out
+      (1L, 103L, 0.01, 1.0),
+      // part 2: only supp 100
+      (2L, 100L, 7.0, 1.0)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#2"))
+      .toDF("p_partkey", "p_brand")
+    val supp = Seq((100L, "s-a", 1, 10.0), (101L, "s-b", 1, 20.0),
+      (102L, "s-c", 1, 30.0), (103L, "s-far", 9, 40.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nat = Seq((1, "FR", 1), (9, "JP", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((1, "EUROPE"), (2, "ASIA")).toDF("r_regionkey", "r_name")
+    val out = StarJoin.minCostSupplier(li, part, supp, nat, reg, "EUROPE")
+      .select("p_partkey", "s_suppkey", "nation", "cost_milli")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(out == Set((1L, 101L, "FR", 250000L),
+      (1L, 102L, "FR", 250000L), (2L, 100L, "FR", 700000L)))
+  }
+
+  test("importantParts: exact bp boundary excluded, nation gates value") {
+    val li = Seq(
+      // total from nation-1 suppliers: 100.00 → part 1 holds exactly
+      // 50% (5000bp), part 2 holds 30%, part 3 holds 20%
+      (1L, 100L, 50.0), (2L, 100L, 30.0), (3L, 100L, 20.0),
+      // other-nation supplier value never counts
+      (3L, 200L, 999.0)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val supp = Seq((100L, 1), (200L, 2)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1, "FR"), (2, "JP")).toDF("n_nationkey", "n_name")
+    // threshold 3000bp: part 1 (5000) in, part 2 (exactly 3000) OUT
+    val out = StarJoin.importantParts(li, supp, nat, "FR", 3000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 5000L)))
+  }
+
+  test("waitingSuppliers: only the sole late supplier on shared orders") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val ords = Seq((1L, ts("2024-01-01")), (2L, ts("2024-01-01")),
+      (3L, ts("2024-01-01")), (4L, ts("2024-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      // order 1: supp 100 late, supp 101 on time → 100 counts
+      (1L, 100L, ts("2024-06-01")), (1L, 101L, ts("2024-01-15")),
+      // order 2: BOTH late → nobody counts
+      (2L, 100L, ts("2024-06-01")), (2L, 101L, ts("2024-06-01")),
+      // order 3: single-supplier order, late → no other supplier, out
+      (3L, 100L, ts("2024-06-01")),
+      // order 4: supp 101 late twice (one agg row), supp 100 on time
+      (4L, 101L, ts("2024-06-01")), (4L, 101L, ts("2024-07-01")),
+      (4L, 100L, ts("2024-01-20"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((100L, "s-a", 1), (101L, "s-b", 1))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nat = Seq((1, "FR")).toDF("n_nationkey", "n_name")
+    val out = StarJoin.waitingSuppliers(li, ords, supp, nat, lateDays = 90)
+      .select("s_suppkey", "numwait").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 1L), (101L, 1L)))
+  }
+
+  test("dominantFamilySuppliers: exactly-half excluded, window and family gate") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      // part 1 total 10: supp 100 ships 6 (>half, in), supp 101 ships 4
+      (1L, 100L, ts("1997-03-01"), 6.0), (1L, 101L, ts("1997-04-01"), 4.0),
+      // part 2 total 10: supp 100 ships EXACTLY half — strict >, out
+      (2L, 100L, ts("1997-03-01"), 5.0), (2L, 101L, ts("1997-04-01"), 5.0),
+      // part 1 shipment outside the window never counts
+      (1L, 101L, ts("1998-02-01"), 99.0),
+      // part 3 is not PROMO — out even though supp 101 ships all of it
+      (3L, 101L, ts("1997-05-01"), 7.0)
+    ).toDF("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
+    val part = Seq((1L, "PROMO"), (2L, "PROMO"), (3L, "STANDARD"))
+      .toDF("p_partkey", "p_type")
+    val supp = Seq((100L, "s-a", 1), (101L, "s-b", 1))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nat = Seq((1, "FR")).toDF("n_nationkey", "n_name")
+    val out = StarJoin.dominantFamilySuppliers(li, part, supp, nat,
+        "PROMO", from = "1997-01-01", until = "1998-01-01")
+      .select("s_suppkey", "n_dominated_parts")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 1L)))
+  }
 }
