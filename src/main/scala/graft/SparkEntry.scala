@@ -192,6 +192,32 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
     },
 
+    // Filtered vector search: top-k restricted to corpus vectors whose
+    // label passes the predicate — the filter lands in the corpus SCAN
+    // (PushedFilters), before any cosine is computed, so the scored set
+    // shrinks with the predicate's selectivity (the pre-filter strategy;
+    // at selective predicates it beats post-filtering an oversized ANN
+    // result, and composes with the IVF path unchanged).
+    "s26_filtered_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0),
+        emb.filter(col("label").isin(1, 2)), k = 5)
+    },
+
+    // Normalization-key dedup over documents + planted case/punct
+    // variants (every doc_id % 7 == 0 gets an uppercased, bang-suffixed
+    // twin at id+100000): the canonicalizer must collapse each planted
+    // pair to the original id; untouched docs stay singletons.
+    "d22_norm_dedup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val variants = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!!")).as("text"))
+      graft.ops.Dedup.normalizedDedup(
+        d.select(col("doc_id"), col("text")).unionAll(variants),
+        col("doc_id"), col("text"))
+    },
+
     // MMR diverse top-10 from a 40-candidate window: one broadcast-query
     // corpus scan, O(40²) pair grid collapsed to one row, greedy loop as
     // a single integer-decided aggregate fold — no driver loop.
@@ -1758,6 +1784,14 @@ object SparkEntry {
         col("user_id"), col("ts"), gapSeconds = 1800)
     },
 
+    // Cumulative distinct customers by order month: first-seen month per
+    // customer (one key shuffle), monthly new counts, running total over
+    // month-scale rows only — never an expanding count-distinct.
+    "w43_cumulative_customers" -> { (s, dir) =>
+      graft.ops.Growth.cumulativeDistinct(Tables.orders(s, dir),
+        col("o_custkey"), col("o_orderdate"))
+    },
+
     // Candidate-key uniqueness audit: the fkCheck companion — how far is
     // each would-be key from unique, long-format per candidate.
     "p16_key_check" -> { (s, dir) =>
@@ -1777,6 +1811,18 @@ object SparkEntry {
         .unionAll(d.select((col("doc_id") % 151).as("src"),
           (((col("doc_id") * 11 + 5) % 157) % 151).as("dst")))
       graft.graph.Components.degreeHistogram(edges)
+    },
+
+    // Per-node local clustering coefficient on the g12 graph: the same
+    // degree-oriented once-per-triangle enumeration as g2, plus a
+    // 3-corner explode + node rollup; lcc = 2·t/(d·(d−1)) in exact ppm.
+    "g13_local_clustering" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 151).as("src"),
+          ((col("doc_id") * 7 + 3) % 151).as("dst"))
+        .unionAll(d.select((col("doc_id") % 151).as("src"),
+          (((col("doc_id") * 11 + 5) % 157) % 151).as("dst")))
+      graft.graph.Triangles.localClustering(edges)
     },
 
     // Weakly-connected components on a block-structured doc graph (four
@@ -8688,6 +8734,77 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id % 50 = 0)
         |WHERE rank <= 5""".stripMargin,
+
+    // s1's replay with the label predicate applied to the CORPUS side
+    // before any cosine — the pre-filter strategy.
+    "s26_filtered_topk" ->
+      """SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0 AND c.label IN (1, 2))
+        |WHERE rank <= 5""".stripMargin,
+
+    // Normalization-key dedup replay: same planted variants, same
+    // canonicalizer (DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all semantics).
+    "d22_norm_dedup" ->
+      """WITH allr AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || ' !!!' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |k AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nk
+        |  FROM allr)
+        |SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies,
+        |  CAST(length(nk) AS BIGINT) AS norm_len
+        |FROM k GROUP BY nk""".stripMargin,
+
+    // Per-node clustering replay: sorted-triple triangle enumeration
+    // (u<v<w) ≡ the engine's degree-oriented once-per-triangle count;
+    // corners unpivot to a node rollup.
+    "g13_local_clustering" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 151 AS src, (doc_id * 7 + 3) % 151 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 151, ((doc_id * 11 + 5) % 157) % 151
+        |  FROM documents),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |          greatest(src, dst) AS v FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM und e1
+        |        JOIN und e2 ON e2.u = e1.v
+        |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, count(*) AS t FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.d AS degree,
+        |  CAST(coalesce(pn.t, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.d >= 2
+        |    THEN CAST(coalesce(pn.t, 0) * 2000000 //
+        |      (deg.d * (deg.d - 1)) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS lcc_ppm
+        |FROM deg LEFT JOIN pn USING (node)""".stripMargin,
+
+    // First-seen month per customer, then a month-scale running sum.
+    "w43_cumulative_customers" ->
+      """WITH f AS (
+        |  SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS month
+        |  FROM orders GROUP BY 1),
+        |mo AS (SELECT month, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT month, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY month
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_total
+        |FROM mo""".stripMargin,
 
     // Full IVF replay in SQL: affine centroid pick (same constants as
     // Ivf.PickA/B/P), one Lloyd refinement (per-dim avg, empty cells keep

@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** One-row census: nodes, undirected edges, wedges (open two-paths),
-    * triangles, and the global clustering coefficient in ppm
-    * (`3·triangles / wedges`, 0 for wedge-free graphs).
+  /** The shared orientation pipeline: (undirected distinct edge set,
+    * per-node degrees, (degree, id)-oriented edges with the precomputed
+    * destination sort key). `und` is cached — both the census and the
+    * per-node variant read it three times.
     */
-  def stats(edges: DataFrame): DataFrame = {
+  private def orient(edges: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
     val Seq(srcName, dstName) = edges.columns.toSeq.take(2)
     val und = edges
       .select(least(col(srcName), col(dstName)).as("u"),
@@ -52,6 +54,15 @@ object Triangles {
           struct(col("__dv").as("kd"), col("v").as("kn")))
           .otherwise(struct(col("__du").as("kd"), col("u").as("kn")))
           .as("__dstKey"))
+    (und, deg, oriented)
+  }
+
+  /** One-row census: nodes, undirected edges, wedges (open two-paths),
+    * triangles, and the global clustering coefficient in ppm
+    * (`3·triangles / wedges`, 0 for wedge-free graphs).
+    */
+  def stats(edges: DataFrame): DataFrame = {
+    val (und, deg, oriented) = orient(edges)
     val wedgeEnds = oriented.alias("e1")
       .join(oriented.alias("e2"), col("e1.src") === col("e2.src"))
       // order the wedge's two ends by the SAME (degree, id) key as the
@@ -72,5 +83,37 @@ object Triangles {
       when(col("n_wedges") > 0,
         expr("3 * n_triangles * 1000000 DIV n_wedges"))
         .otherwise(lit(0L)).as("clustering_ppm"))
+  }
+
+  /** Per-node triangle counts and LOCAL clustering coefficients — the
+    * node-grain companion of [[stats]] (which communities is this node
+    * embedded in vs how star-like is it): `lcc = 2·t(v) / (d(v)·(d(v)−1))`
+    * in exact integer ppm, 0 for degree-<2 nodes. Same degree-oriented
+    * enumeration (each triangle materializes once, O(√m) wedge fan-out);
+    * the only addition is crediting each triangle to its three corners —
+    * an explode to 3·triangles rows and one node-key rollup with map-side
+    * partials, both linear in the triangle count. Per-node output, so at
+    * 100 TB this is a node-scale report (graph-order rows, not edges).
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val (_, deg, oriented) = orient(edges)
+    val triCorners = oriented.alias("e1")
+      .join(oriented.alias("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.__dstKey") < col("e2.__dstKey"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+    val perNode = triCorners
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__t"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2L,
+          call_function("div",
+            coalesce(col("__t"), lit(0L)) * 2000000L,
+            col("d") * (col("d") - 1L)))
+          .otherwise(lit(0L)).as("lcc_ppm"))
   }
 }

@@ -88,4 +88,26 @@ object Dedup {
           .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Normalization-key ("fuzzy-exact") dedup — the cheapest rung of the
+    * near-dup ladder, standard in web-corpus pipelines between byte-exact
+    * dedup and MinHash: collapse documents that differ only in case,
+    * punctuation, or whitespace. The key is the canonicalized text
+    * (casefold → non-alphanumerics to spaces → runs of spaces collapsed →
+    * trimmed); one group per key keeps the smallest id and reports the
+    * collapse count. One hash shuffle on the key with map-side partials.
+    * At 100 TB, shuffle an 8-byte fingerprint OF the key instead of the
+    * key text (the [[graft.dedup.SpanDedup]] hashed-key posture) — the
+    * string key here is what makes the oracle replay engine-neutral.
+    */
+  def normalizedDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    df.select(id.as("__id"), norm.as("__k"))
+      .groupBy(col("__k"))
+      .agg(min(col("__id")).as("kept_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("kept_doc_id"), col("n_copies"),
+        length(col("__k")).cast("long").as("norm_len"))
+  }
 }

@@ -66,4 +66,24 @@ object Growth {
         sum(when(col("__st") === "churned", 1L).otherwise(0L))
           .as("n_churned"))
   }
+
+  /** Cumulative distinct keys by month — the "total customers ever"
+    * growth curve. A naive `count(DISTINCT key)` per expanding window is
+    * quadratic; the linear formulation is first-seen month per key (one
+    * key shuffle with map-side partial min), monthly new-key counts, and
+    * a running sum over MONTH-scale rows only — the single-partition
+    * window is calendar-bounded (a century is 1 200 rows), never
+    * key-scale.
+    */
+  def cumulativeDistinct(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val first = df
+      .select(key.as("__k"), date_format(ts, "yyyy-MM").as("__m"))
+      .filter(col("__m").isNotNull)
+      .groupBy(col("__k")).agg(min(col("__m")).as("month"))
+    val monthly = first.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.withColumn("cum_total", sum(col("n_new")).over(w))
+  }
 }

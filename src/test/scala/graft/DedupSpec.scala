@@ -55,4 +55,22 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(out == Set(2L, 4L))
   }
+
+  test("normalizedDedup: case/punct/whitespace variants collapse, min id kept") {
+    val docs = Seq(
+      (10L, "Hello, World!"),
+      (11L, "hello world"),
+      (12L, "HELLO  world?!"),
+      (20L, "something else"),
+      (30L, "!!!"),      // all punctuation -> empty key
+      (31L, "  ...  ")   // also empty key -> collapses with 30
+    ).toDF("id", "text")
+    val out = Dedup.normalizedDedup(docs, col("id"), col("text"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      10L -> ((3L, 11L)),  // "hello world" is 11 chars
+      20L -> ((1L, 14L)),
+      30L -> ((2L, 0L))))
+  }
 }

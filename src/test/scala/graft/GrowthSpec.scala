@@ -54,4 +54,18 @@ class GrowthSpec extends SparkSpec {
     assert(out("2024-01-22") == ((1L, 0L, 0L, 1L, 0L)))
     assert(out("2024-01-29") == ((0L, 0L, 0L, 0L, 1L)))
   }
+
+  test("cumulativeDistinct: first-seen month only, running total accumulates") {
+    val orders = Seq(
+      (1L, ts("2024-01-05")),  // u1 first in Jan
+      (1L, ts("2024-03-09")),  // reappears in Mar -> must NOT count again
+      (2L, ts("2024-01-20")),  // u2 first in Jan
+      (3L, ts("2024-02-11")),  // u3 first in Feb
+      (4L, ts("2024-03-01"))   // u4 first in Mar
+    ).toDF("user_id", "ts")
+    val out = Growth.cumulativeDistinct(orders, col("user_id"), col("ts"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("2024-01", 2L, 2L), ("2024-02", 1L, 3L), ("2024-03", 1L, 4L)))
+  }
 }

@@ -572,6 +572,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p31.contains("CartesianProduct"))
   }
 
+  test("filtered vector search (s26): the label predicate reaches the corpus scan") {
+    val p = plan(SparkEntry.queries("s26_filtered_topk")(spark, sf))
+    assert(p.contains("PushedFilters: [") && p.contains("In(label"),
+      s"the label filter must push into the embeddings scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("line dedup (t76): the boilerplate set broadcasts into an anti join") {
     val p = plan(SparkEntry.queries("t76_line_dedup")(spark, sf))
     assert(p.contains("LeftAnti"), s"expected a left-anti join in:\n$p")

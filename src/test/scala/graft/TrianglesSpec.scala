@@ -48,4 +48,40 @@ class TrianglesSpec extends SparkSpec {
       .select("n_triangles").as[Long].head()
     assert(out == brute.toLong, s"oriented=$out brute=$brute")
   }
+
+  test("localClustering: hand-computed lcc on K4 minus one edge") {
+    // a,b in two triangles of deg 3: lcc = 2·2e6/(3·2) = 666666
+    // c,d in one triangle of deg 2: lcc = 2e6/2 = 1000000
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+      .toDF("src", "dst")
+    val out = Triangles.localClustering(edges)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "a" -> ((3L, 2L, 666666L)), "b" -> ((3L, 2L, 666666L)),
+      "c" -> ((2L, 1L, 1000000L)), "d" -> ((2L, 1L, 1000000L))))
+  }
+
+  test("localClustering: per-node counts match brute force; degree-1 emits 0") {
+    val es = (for {
+      i <- 0L until 300L
+      e = (i * 13 % 40, (i * 29 + 7) % 40)
+      if e._1 != e._2
+    } yield e) :+ ((40L, 0L)) // a pendant node: degree 1, lcc must be 0
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    def tri(n: Long) = (for {
+      (a, b) <- und.toSeq; c <- 0L to 40L
+      if c > b && und.contains((a, c)) && und.contains((b, c))
+      if a == n || b == n || c == n
+    } yield 1).size.toLong
+    val out = Triangles.localClustering(es.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (node, d, t, ppm) =>
+      assert(t == tri(node), s"node $node: got $t, brute ${tri(node)}")
+      if (d < 2) assert(ppm == 0L)
+      else assert(ppm == t * 2000000L / (d * (d - 1)))
+    }
+    assert(out.exists { case (n, d, _, ppm) => n == 40L && d == 1L && ppm == 0L })
+  }
 }
