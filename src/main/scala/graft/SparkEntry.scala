@@ -1431,6 +1431,14 @@ object SparkEntry {
         from = "1997-01-01", until = "1998-01-01")
     },
 
+    // TPC-H Q12 shape: urgent-vs-routine order mix per line class in
+    // 1997 (return flag stands in for ship mode) — conditional partial
+    // sums after the one big-big join.
+    "a32_priority_mix" -> { (s, dir) =>
+      graft.ops.StarJoin.priorityMixByFlag(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), from = "1997-01-01", until = "1998-01-01")
+    },
+
     // TPC-H Q8 shape: supplier-nation market share of EUROPE's demand
     // per order year — region-filtered customers and supplier→nation
     // map broadcast; ppm share on DECIMAL(38,0) over the year×nation
@@ -1811,6 +1819,18 @@ object SparkEntry {
         .unionAll(d.select((col("doc_id") % 151).as("src"),
           (((col("doc_id") * 11 + 5) % 157) % 151).as("dst")))
       graft.graph.Components.degreeHistogram(edges)
+    },
+
+    // Degree assortativity of the g12 graph: ppm Pearson correlation of
+    // endpoint degrees over directed incidences, DECIMAL(38,0) moments,
+    // signed truncating division; zero-variance graphs emit null.
+    "g14_assortativity" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 151).as("src"),
+          ((col("doc_id") * 7 + 3) % 151).as("dst"))
+        .unionAll(d.select((col("doc_id") % 151).as("src"),
+          (((col("doc_id") * 11 + 5) % 157) % 151).as("dst")))
+      graft.graph.Components.assortativity(edges)
     },
 
     // Per-node local clustering coefficient on the g12 graph: the same
@@ -8794,6 +8814,45 @@ object SparkEntry {
         |      (deg.d * (deg.d - 1)) AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS lcc_ppm
         |FROM deg LEFT JOIN pn USING (node)""".stripMargin,
+
+    "a32_priority_mix" ->
+      """SELECT l.l_returnflag,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    // Assortativity replay: symmetrized distinct incidences, HUGEINT
+    // moments, the same signed truncating ppm division.
+    "g14_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 151 AS src, (doc_id * 7 + 3) % 151 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 151, ((doc_id * 11 + 5) % 157) % 151
+        |  FROM documents),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e0
+        |  UNION ALL SELECT dst, src FROM e0) t WHERE a <> b),
+        |deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    sum(da.d::HUGEINT) AS sx,
+        |    sum(da.d::HUGEINT * db.d) AS sxy,
+        |    sum(da.d::HUGEINT * da.d) AS sx2
+        |  FROM und
+        |  JOIN deg da ON und.a = da.node
+        |  JOIN deg db ON und.b = db.node)
+        |SELECT n AS n_incidences,
+        |  CASE WHEN n::HUGEINT * sx2 - sx * sx > 0
+        |    THEN CAST((n::HUGEINT * sxy - sx * sx) * 1000000 //
+        |      (n::HUGEINT * sx2 - sx * sx) AS BIGINT)
+        |  END AS assort_ppm
+        |FROM m""".stripMargin,
 
     // First-seen month per customer, then a month-scale running sum.
     "w43_cumulative_customers" ->

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Weakly-connected components as a first-class graph report — the
@@ -55,5 +55,46 @@ object Components {
         col("max_degree"),
         call_function("div", col("n_nodes") * 1000000L, col("__t"))
           .as("share_ppm"))
+  }
+
+  /** Degree assortativity — do hubs attach to hubs (ppm Pearson
+    * correlation of endpoint degrees over directed edge incidences,
+    * each undirected edge counted in both directions so the two
+    * marginals coincide). Positive = social-network-like, negative =
+    * hub-and-spoke; the one-number complement of [[degreeHistogram]]
+    * when sizing skew salts. Exact arithmetic end to end: moments
+    * accumulate on DECIMAL(38,0) (Σd·d' over 10¹² edges passes int64),
+    * the correlation emits as `num·10⁶ div den` — signed truncating
+    * division, identical on both engines — and a zero-variance
+    * (regular) graph emits null, not a fake 0. Two degree joins onto
+    * the edge list (broadcast-eligible node-scale frames) and a one-row
+    * rollup; nothing quadratic.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val und = edges
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val joined = und
+      .join(deg.select(col("node").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("__db")), "b")
+    val m = joined.agg(count(lit(1)).as("n_incidences"),
+      sum(dec(col("__da"))).as("__sx"),
+      sum(dec(col("__da") * col("__db"))).as("__sxy"),
+      sum(dec(col("__da") * col("__da"))).as("__sx2"))
+    m.select(col("n_incidences"),
+      (dec(col("n_incidences")) * col("__sxy") - col("__sx") * col("__sx"))
+        .as("__num"),
+      (dec(col("n_incidences")) * col("__sx2") - col("__sx") * col("__sx"))
+        .as("__den"))
+      .select(col("n_incidences"),
+        when(col("__den") > 0,
+          call_function("div", col("__num") * 1000000L, col("__den")))
+          .otherwise(lit(null).cast("long")).as("assort_ppm"))
   }
 }

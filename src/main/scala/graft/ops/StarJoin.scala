@@ -648,6 +648,28 @@ object StarJoin {
         col("n_dominated_parts"))
   }
 
+  /** TPC-H Q12 shape — the critical-vs-routine order mix per line class
+    * (this schema has no ship mode, so the return flag plays the class
+    * key): per class, how many lines belong to URGENT/HIGH-priority
+    * orders vs everything else, inside a ship-date window. One big-big
+    * join (lineitem ⋈ orders on the order key), the priority test as
+    * conditional partial sums — two counters per group, no second pass.
+    */
+  def priorityMixByFlag(lineitem: DataFrame, orders: DataFrame,
+                        from: String, until: String): DataFrame = {
+    val li = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    li.join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("n_high"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("n_low"))
+  }
+
   /** TPC-H Q16 shape — supplier breadth per part group: how many
     * DISTINCT suppliers ship each (brand, type, size), one brand
     * excluded, top-k groups. The part dim broadcasts into the fact

@@ -428,6 +428,24 @@ class StarJoinSpec extends SparkSpec {
     assert(out == Set((100L, 1L), (101L, 1L)))
   }
 
+  test("priorityMixByFlag: urgent/high split from routine, window gates") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, "A", ts("1997-03-01")), // urgent order, in window
+      (2L, "A", ts("1997-04-01")), // low order, in window
+      (2L, "B", ts("1997-05-01")), // low order, class B
+      (1L, "A", ts("1998-02-01"))  // urgent but ships out of window
+    ).toDF("l_orderkey", "l_returnflag", "l_shipdate")
+    val ords = Seq((1L, "1-URGENT"), (2L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val out = StarJoin.priorityMixByFlag(li, ords,
+        from = "1997-01-01", until = "1998-01-01")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map("A" -> ((1L, 1L)), "B" -> ((0L, 1L))))
+  }
+
   test("dominantFamilySuppliers: exactly-half excluded, window and family gate") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
