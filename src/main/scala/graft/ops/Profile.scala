@@ -148,4 +148,45 @@ object Profile {
           col("max_multiplicity"))
     }.reduce(_ unionAll _)
   }
+
+  /** Small-files audit — the layout-hygiene report behind every 100 TB
+    * table: per file, row count and byte size (from the scan's own task
+    * metadata — `input_file_name`/`input_file_block_length`, no
+    * filesystem listing job), plus the file count the table SHOULD have
+    * at `targetBytesPerFile` (ceiling division, exact integers). A
+    * table whose `n_files` dwarfs the recommendation is the classic
+    * small-files pathology (driver-side planning cost, per-file open
+    * overhead, undersized row groups); the fix is a `coalesce` rewrite
+    * sized by this report. One map-side rollup per file — the audit
+    * costs one scan of file metadata columns, no data columns read.
+    * Byte counts are scan-observed block coverage: exact for
+    * single-block files (the small-files case this exists for), a
+    * lower bound on a multi-block file whose tail block carries no
+    * row-group midpoint (that block never surfaces a row).
+    */
+  def fileAudit(tables: Seq[(String, DataFrame)],
+                targetBytesPerFile: Long = 128L * 1024 * 1024): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    require(targetBytesPerFile > 0, "target must be positive")
+    val perFile = tables.map { case (name, df) =>
+      // block grain first: a file bigger than maxPartitionBytes scans as
+      // several blocks, each reporting its own length — per-file bytes
+      // are the SUM over distinct blocks, never max(block length)
+      df.select(lit(name).as("table_name"),
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("file_name"),
+          input_file_block_start().as("__blk"),
+          input_file_block_length().as("__len"))
+        .groupBy(col("table_name"), col("file_name"), col("__blk"))
+        .agg(count(lit(1)).as("n_rows"), max(col("__len")).as("__blen"))
+        .groupBy(col("table_name"), col("file_name"))
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("__blen")).as("n_bytes"))
+    }.reduce(_ unionAll _)
+    perFile.groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .withColumn("recommended_files",
+        greatest(lit(1L), call_function("div",
+          col("n_bytes") + (targetBytesPerFile - 1L),
+          lit(targetBytesPerFile))))
+  }
 }

@@ -71,4 +71,25 @@ class ProfileSpec extends SparkSpec {
       ("d", 4L, 2L, 1L, 2L, 3L),
       ("u", 3L, 3L, 0L, 0L, 1L)))
   }
+
+  test("fileAudit: counts files and rows, recommendation is ceiling division") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("fileaudit").toString
+    // 8 files of ~25 rows each — the classic over-fragmented layout
+    spark.range(200).repartition(8).write.mode("overwrite").parquet(dir)
+    val audited = spark.read.parquet(dir)
+    val out = Profile.fileAudit(Seq(("frag", audited)),
+        targetBytesPerFile = 1L << 20)
+      .as[(String, Long, Long, Long, Long)].head()
+    val (name, nFiles, nRows, nBytes, rec) = out
+    assert(name == "frag" && nFiles == 8L && nRows == 200L)
+    // real parquet files on disk: byte total matches the filesystem
+    val fsBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(nBytes == fsBytes, s"audit $nBytes vs fs $fsBytes")
+    // 8 tiny files vs a 1 MiB target -> ONE recommended file
+    assert(rec == 1L, s"expected 1 recommended file, got $rec")
+    // ceiling division: 3 MiB of data at 1 MiB target -> 3 files
+    assert((3L * (1L << 20) + (1L << 20) - 1) / (1L << 20) == 3L)
+  }
 }
