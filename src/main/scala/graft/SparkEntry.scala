@@ -1159,6 +1159,17 @@ object SparkEntry {
         expr("CAST(round(value * 1000000) AS BIGINT)"), windowPeriods = 7)
     },
 
+    // Trailing 7-day Pearson correlation between the daily purchase and
+    // click totals — five DECIMAL(38,0) frame moments over the
+    // calendar-scale rollup, one double division at the end (6dp).
+    "w44_rolling_corr" -> { (s, dir) =>
+      graft.ops.Rolling.rollingCorr(Tables.events(s, dir),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long"),
+        col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)"),
+        typeX = "purchase", typeY = "click", windowPeriods = 7)
+    },
+
     // Time-windowed funnel (ClickHouse windowFunnel semantics): max
     // stage with every hop inside a 6 h window, max-anchor DP fold —
     // per-stage user counts.
@@ -1437,6 +1448,23 @@ object SparkEntry {
     "a32_priority_mix" -> { (s, dir) =>
       graft.ops.StarJoin.priorityMixByFlag(Tables.lineitem(s, dir),
         Tables.orders(s, dir), from = "1997-01-01", until = "1998-01-01")
+    },
+
+    // TPC-H Q1 shape: the pricing summary — one pushed scan predicate,
+    // one 6-group hash agg; exact cents/micro4/micro6 money on
+    // DECIMAL(38,0), truncating-division averages.
+    "a33_pricing_summary" -> { (s, dir) =>
+      graft.ops.StarJoin.pricingSummary(Tables.lineitem(s, dir),
+        shipBefore = "2000-09-02")
+    },
+
+    // TPC-H Q6 shape: forecast revenue change — fully sargable
+    // year×discount-bracket×quantity-cap predicate, global one-row
+    // rollup, Σcents·disc% on DECIMAL(38,0).
+    "a34_forecast_revenue" -> { (s, dir) =>
+      graft.ops.StarJoin.forecastRevenue(Tables.lineitem(s, dir),
+        from = "1996-01-01", until = "1997-01-01",
+        discLoPct = 5L, discHiPct = 7L, maxQty = 24L)
     },
 
     // TPC-H Q8 shape: supplier-nation market share of EUROPE's demand
@@ -8826,6 +8854,44 @@ object SparkEntry {
         |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin,
 
+    // Q1 replay: same integer money units (cents / micro4 / micro6),
+    // HUGEINT internal sums emitted as BIGINT, truncating `//` averages
+    // (all operands positive — identical to Spark's `div`).
+    "a33_pricing_summary" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-09-02')
+        |SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_lines,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(cents * (100 - disc)) AS BIGINT) AS sum_disc_micro4,
+        |  CAST(sum(cents * (100 - disc) * (100 + tax)) AS BIGINT)
+        |    AS sum_charge_micro6,
+        |  CAST((sum(qty) * 1000) // count(*) AS BIGINT) AS avg_qty_milli,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_price_cents,
+        |  CAST((sum(disc) * 100) // count(*) AS BIGINT) AS avg_disc_bp
+        |FROM li GROUP BY 1, 2""".stripMargin,
+
+    // Q6 replay: sargable year x discount-bracket x quantity-cap
+    // predicate, single global row, Sum(cents * disc%) emitted BIGINT.
+    "a34_forecast_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(coalesce(sum(
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+        |    AS forecast_rev_micro4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) >= 5
+        |  AND CAST(round(l_discount * 100) AS BIGINT) <= 7
+        |  AND CAST(round(l_quantity) AS BIGINT) < 24""".stripMargin,
+
     // Assortativity replay: symmetrized distinct incidences, HUGEINT
     // moments, the same signed truncating ppm division.
     "g14_assortativity" ->
@@ -8864,6 +8930,41 @@ object SparkEntry {
         |  CAST(sum(n_new) OVER (ORDER BY month
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_total
         |FROM mo""".stripMargin,
+
+    // Rolling-correlation replay: conditional partial sums into the
+    // daily two-column panel, five HUGEINT frame moments over a RANGE
+    // frame, one double division + sqrt rounded to 6dp (the w37/t21
+    // cross-engine float contract). Degenerate frames emit NULL.
+    "w44_rolling_corr" ->
+      """WITH d AS (
+        |  SELECT date_diff('day', DATE '2024-01-01', ts::DATE) AS period,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT period, x, y,
+        |    count(*) OVER w AS n,
+        |    sum(x::HUGEINT) OVER w AS sx,
+        |    sum(y::HUGEINT) OVER w AS sy,
+        |    sum(x::HUGEINT * x) OVER w AS sxx,
+        |    sum(y::HUGEINT * y) OVER w AS syy,
+        |    sum(x::HUGEINT * y) OVER w AS sxy
+        |  FROM d
+        |  WINDOW w AS (ORDER BY period
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT period, x, y, n AS n_frame,
+        |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+        |      AND n * syy - sy * sy > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS corr_trail
+        |FROM m""".stripMargin,
 
     // Full IVF replay in SQL: affine centroid pick (same constants as
     // Ivf.PickA/B/P), one Lloyd refinement (per-dim avg, empty cells keep

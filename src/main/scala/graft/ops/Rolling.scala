@@ -81,4 +81,59 @@ object Rolling {
           ((size(col("__frame")) + 1) / 2).cast("int"))
           .as("median_micro_trail"))
   }
+
+  /** Trailing Pearson correlation between TWO per-period series (the
+    * "do these metrics move together this week" panel — purchases vs
+    * clicks, errors vs deploys). The event stream crosses the wire
+    * once into a per-period two-column rollup (conditional partial
+    * sums — one pass, no pivot); the window then runs over
+    * calendar-scale rows only.
+    *
+    * The five frame moments (Σx, Σy, Σx², Σy², Σxy) accumulate on
+    * DECIMAL(38,0) — per-period totals square past 2⁶³ as soon as a
+    * period sums ~10⁹·µ units, so int64 products are a scale trap.
+    * Correlation leaves integers only at the last step:
+    * `num = n·Σxy − Σx·Σy`, `den² = (n·Σx²−Σx²)·(n·Σy²−Σy²)`, both
+    * exact, then one double division + correctly-rounded sqrt,
+    * rounded to 6dp (the w37/t21 cross-engine contract). Degenerate
+    * frames (n<2 or a constant series) emit null, not NaN.
+    *
+    * RANGE framing over the integer period index, same gap-aging
+    * argument as [[trailing]]: a missing period ages out by VALUE
+    * distance instead of silently widening a ROWS frame.
+    */
+  def rollingCorr(events: DataFrame, period: Column, typeCol: Column,
+                  valueMicro: Column, typeX: String, typeY: String,
+                  windowPeriods: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(windowPeriods >= 2,
+      s"windowPeriods must be >= 2, got $windowPeriods")
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .filter(typeCol.isin(typeX, typeY))
+      .groupBy(period.as("period"))
+      .agg(sum(when(typeCol === typeX, valueMicro).otherwise(0L)).as("x"),
+        sum(when(typeCol === typeY, valueMicro).otherwise(0L)).as("y"))
+    val w = Window.orderBy(col("period"))
+      .rangeBetween(-(windowPeriods - 1).toLong, 0L)
+    val m = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("x").cast(dec)).over(w))
+      .withColumn("__sy", sum(col("y").cast(dec)).over(w))
+      .withColumn("__sxx",
+        sum((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).over(w))
+      .withColumn("__syy",
+        sum((col("y").cast(dec) * col("y").cast(dec)).cast(dec)).over(w))
+      .withColumn("__sxy",
+        sum((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).over(w))
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val denX = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val denY = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    m.select(col("period"), col("x"), col("y"),
+      col("__n").as("n_frame"),
+      when(col("__n") >= 2 && denX > 0 && denY > 0,
+        round(num.cast("double") /
+          sqrt(denX.cast("double") * denY.cast("double")), 6))
+        .as("corr_trail"))
+  }
 }

@@ -301,6 +301,83 @@ object StarJoin {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** TPC-H Q1 shape — the pricing summary report: per (return flag,
+    * line status) over everything shipped by a cutoff, the sum/average
+    * battery the warehouse runs nightly. This is the purest
+    * scan-shaped query in the suite: one predicate pushed to the
+    * parquet scan, one hash aggregation over a 6-ish-group key space —
+    * partial aggregation collapses each task to a handful of states,
+    * so the exchange moves bytes, not rows, at any scale.
+    *
+    * Money stays exact: base price in cents (int64), discounted price
+    * in micro4 (`cents·(100−disc%)`), charge in micro6
+    * (`cents·(100−disc%)·(100+tax%)`) accumulated on DECIMAL(38,0) —
+    * the float `Σ price·(1−d)·(1+t)` is partial-order-dependent. The
+    * micro6 emission rides back down to BIGINT: ~10⁹ micro6 units per
+    * average line puts 2⁶³ near 10¹⁰ lines; past that, emit the
+    * DECIMAL or coarsen the unit. Averages are truncating integer
+    * divisions (milli-qty, cents, basis points) — exact on both
+    * engines by the shared toward-zero division contract.
+    */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val li = lineitem
+      .filter(col("l_shipdate") < lit(shipBefore).cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("__qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("__cents"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("__disc"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("__tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("__qty")).as("sum_qty"),
+        sum(col("__cents")).as("sum_base_cents"),
+        sum((col("__cents") * (lit(100L) - col("__disc"))).cast(dec))
+          .as("__disc_d"),
+        sum((col("__cents") * (lit(100L) - col("__disc")) *
+          (lit(100L) + col("__tax"))).cast(dec)).as("__charge_d"),
+        sum(col("__disc")).as("__disc_sum"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_lines"),
+        col("sum_qty"), col("sum_base_cents"),
+        col("__disc_d").cast("long").as("sum_disc_micro4"),
+        col("__charge_d").cast("long").as("sum_charge_micro6"),
+        call_function("div", col("sum_qty") * 1000L, col("n_lines"))
+          .as("avg_qty_milli"),
+        call_function("div", col("sum_base_cents"), col("n_lines"))
+          .as("avg_price_cents"),
+        call_function("div", col("__disc_sum") * 100L, col("n_lines"))
+          .as("avg_disc_bp"))
+  }
+
+  /** TPC-H Q6 shape — the forecast-revenue-change probe: how much
+    * revenue a discount-band change would move, i.e. `Σ price·disc`
+    * over one ship year × a discount bracket × a quantity cap. The
+    * whole predicate is sargable and pushes to the scan (date range on
+    * the timestamp, bracket on the rounded-integer discount evaluated
+    * post-scan in codegen); the aggregate is global, so partials
+    * collapse to ONE state per task before the single-row exchange —
+    * the cheapest possible query at any scale. Revenue accumulates as
+    * `cents·disc%` (micro4) on DECIMAL(38,0), emitted as BIGINT (2⁶³
+    * is ~10¹⁰ qualifying lines away at ~10⁸ micro4/line).
+    */
+  def forecastRevenue(lineitem: DataFrame, from: String, until: String,
+                      discLoPct: Long, discHiPct: Long,
+                      maxQty: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val disc = expr("CAST(round(l_discount * 100) AS BIGINT)")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        disc >= discLoPct && disc <= discHiPct &&
+        expr("CAST(round(l_quantity) AS BIGINT)") < maxQty)
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum((expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            disc).cast(DecimalType(38, 0))), lit(0L).cast(DecimalType(38, 0)))
+          .cast("long").as("forecast_rev_micro4"))
+  }
+
   /** TPC-H Q15 shape — the top supplier(s) by shipped revenue inside a
     * date window, ties kept (the classic view-based argmax). The
     * supplier rollup is one suppkey shuffle with map-side partials; the

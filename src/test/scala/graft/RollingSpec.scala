@@ -64,4 +64,40 @@ class RollingSpec extends SparkSpec {
     assert(out == Seq((0L, 1L, 10000000L), (1L, 2L, 10000000L),
       (2L, 3L, 20000000L), (10L, 1L, 7000000L)))
   }
+
+  test("rollingCorr: perfect correlation, broken tail, degenerate frames null") {
+    // daily panel (x = type p, y = type c): day0 (1,2), day1 (2,4),
+    // day2 (3,6) — collinear so corr is exactly 1.0; day3 (1,0) breaks it
+    val events = Seq(
+      (0L, "p", 1L), (0L, "c", 2L),
+      (1L, "p", 2L), (1L, "c", 4L),
+      (2L, "p", 3L), (2L, "c", 6L),
+      (3L, "p", 1L),
+      (0L, "view", 999L)  // other types never enter the panel
+    ).toDF("day", "et", "vm")
+    val out = Rolling.rollingCorr(events, col("day"), col("et"),
+        col("vm"), typeX = "p", typeY = "c", windowPeriods = 3)
+      .orderBy("period")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    // day3 frame = days 1..3: x [2,3,1], y [4,6,0] →
+    // 18 / sqrt(6·56) = 0.9819805… → 0.981981 at 6dp
+    assert(out == Seq(
+      (0L, 1L, 2L, 1L, None),          // n=1 → null
+      (1L, 2L, 4L, 2L, Some(1.0)),
+      (2L, 3L, 6L, 3L, Some(1.0)),
+      (3L, 1L, 0L, 3L, Some(0.981981))))
+  }
+
+  test("rollingCorr: constant series has zero variance — null, not NaN") {
+    val events = Seq(
+      (0L, "p", 5L), (0L, "c", 1L),
+      (1L, "p", 5L), (1L, "c", 9L),
+      (2L, "p", 5L), (2L, "c", 4L)
+    ).toDF("day", "et", "vm")
+    val out = Rolling.rollingCorr(events, col("day"), col("et"),
+        col("vm"), typeX = "p", typeY = "c", windowPeriods = 3)
+      .orderBy("period")
+      .select("corr_trail").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, None, None))
+  }
 }

@@ -470,4 +470,47 @@ class StarJoinSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(out == Set((100L, 1L)))
   }
+
+  test("pricingSummary: exact integer money units, truncating averages") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      ("A", "O", 5.0, 10.0, 0.05, 0.02, ts("1995-01-01")),
+      ("A", "O", 10.0, 20.0, 0.10, 0.00, ts("1996-01-01")),
+      // past the cutoff — filtered at the scan
+      ("R", "F", 1.0, 1.0, 0.0, 0.0, ts("2001-01-01"))
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val out = StarJoin.pricingSummary(li, shipBefore = "2000-09-02")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // 1000·95 + 2000·90 = 275000 micro4; 1000·95·102 + 2000·90·100 =
+    // 27 690 000 micro6; avgs truncate: 15·1000/2, 3000/2, 15·100/2
+    assert(out == Seq(("A", "O", 2L, 15L, 3000L, 275000L, 27690000L,
+      7500L, 1500L, 750L)))
+  }
+
+  test("forecastRevenue: bracket boundaries strict/inclusive, empty sum is 0") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      // qualifies: 1996 ship, disc 6 in [5,7], qty 10 < 24
+      (10.0, 100.0, 0.06, ts("1996-06-01")),
+      // disc 4 below the bracket
+      (10.0, 100.0, 0.04, ts("1996-06-01")),
+      // qty exactly at the cap — strict <, out
+      (24.0, 100.0, 0.06, ts("1996-06-01")),
+      // outside the ship year
+      (10.0, 100.0, 0.06, ts("1995-06-01"))
+    ).toDF("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    val out = StarJoin.forecastRevenue(li, from = "1996-01-01",
+        until = "1997-01-01", discLoPct = 5L, discHiPct = 7L, maxQty = 24L)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 60000L)))  // 10000 cents · 6 disc%
+    // no qualifying rows: count 0, revenue coalesces to exact 0
+    val empty = StarJoin.forecastRevenue(li, from = "1990-01-01",
+        until = "1991-01-01", discLoPct = 5L, discHiPct = 7L, maxQty = 24L)
+      .as[(Long, Long)].collect().toSeq
+    assert(empty == Seq((0L, 0L)))
+  }
 }
