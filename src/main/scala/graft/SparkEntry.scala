@@ -1467,6 +1467,30 @@ object SparkEntry {
         discLoPct = 5L, discHiPct = 7L, maxQty = 24L)
     },
 
+    // Item-item collaborative filtering: per-part top-5 co-purchase
+    // neighbors by Ochiai cosine over customer baskets — triangle-salted
+    // pair stage, broadcast marginals, per-item window rank (6dp-rounded
+    // cosine with integer tie-breaks, deterministic on both engines).
+    "a35_item_neighbors" -> { (s, dir) =>
+      val baskets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      graft.ops.Associations.itemNeighbors(baskets, col("o_custkey"),
+        col("l_partkey"), minSupport = 3, k = 5)
+    },
+
+    // Full 3-dim CUBE (return flag × line status × ship year): all 8
+    // grouping-set subtotals in one aggregation pass, grouping_id()
+    // marking subtotal rows; exact cents money.
+    "a36_cube_report" -> { (s, dir) =>
+      graft.ops.Aggregates.cubeReport(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("long"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+    },
+
     // TPC-H Q8 shape: supplier-nation market share of EUROPE's demand
     // per order year — region-filtered customers and supplier→nation
     // map broadcast; ppm share on DECIMAL(38,0) over the year×nation
@@ -1836,6 +1860,22 @@ object SparkEntry {
         ("lineitem.l_orderkey", Tables.lineitem(s, dir),
           col("l_orderkey")),
         ("events.user_id", Tables.events(s, dir), col("user_id"))))
+    },
+
+    // Incremental aggregate maintenance: per-user state from the January
+    // batch merged with the February-onward delta — only the delta is
+    // event-scale; the merge re-aggregates mergeable partials
+    // (count/sum/min/max) at key scale. Oracle recomputes from the full
+    // history: merge(state(A), state(B)) == state(A ∪ B) exactly.
+    "p17_incr_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val vm = expr("CAST(round(value * 1000000) AS BIGINT)")
+      graft.ops.Incremental.merge(Seq(
+        graft.ops.Incremental.state(ev.filter(col("ts") < split),
+          col("user_id"), col("ts"), vm),
+        graft.ops.Incremental.state(ev.filter(col("ts") >= split),
+          col("user_id"), col("ts"), vm)))
     },
 
     // Degree distribution of the mod-151 doc graph in power-of-two
@@ -7091,6 +7131,17 @@ object SparkEntry {
         |  CAST(sum(c) - count(*) AS BIGINT), CAST(max(c) AS BIGINT)
         |FROM ke""".stripMargin,
 
+    // IVM replay: the oracle aggregates the FULL history directly —
+    // equal to the engine's merge of two batch partials because every
+    // statistic is a commutative monoid fold.
+    "p17_incr_agg" ->
+      """SELECT user_id AS key, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS value_micro,
+        |  min(epoch_us(ts)) AS first_us,
+        |  max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY 1""".stripMargin,
+
     "g12_degree_hist" ->
       """WITH e0 AS (
         |  SELECT doc_id % 151 AS src, (doc_id * 7 + 3) % 151 AS dst
@@ -7856,6 +7907,38 @@ object SparkEntry {
         |FROM co JOIN ic ca ON ca.part = co.item_a
         |        JOIN ic cb ON cb.part = co.item_b
         |ORDER BY co_count DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // Neighbor replay: the same distinct-basket self-join mirrored into
+    // directed rows, cosine = co/sqrt(cnt·cnt) rounded 6dp, per-item
+    // row_number with the identical (cosine, co, id) tie-break.
+    "a35_item_neighbors" ->
+      """WITH bk AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ic AS (SELECT part, count(*) AS cnt FROM bk GROUP BY 1),
+        |co AS (
+        |  SELECT a.part AS item_a, b.part AS item_b, count(*) AS co_count
+        |  FROM bk a JOIN bk b ON a.cust = b.cust AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |dir AS (
+        |  SELECT item_a AS item, item_b AS neighbor, co_count FROM co
+        |  UNION ALL
+        |  SELECT item_b, item_a, co_count FROM co),
+        |sc AS (
+        |  SELECT item, neighbor, co_count,
+        |    CAST(ci.cnt AS BIGINT) AS cnt_item,
+        |    CAST(cn.cnt AS BIGINT) AS cnt_neighbor,
+        |    round(CAST(co_count AS DOUBLE) /
+        |      sqrt(CAST(ci.cnt AS DOUBLE) * CAST(cn.cnt AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM dir JOIN ic ci ON ci.part = dir.item
+        |           JOIN ic cn ON cn.part = dir.neighbor)
+        |SELECT * FROM (
+        |  SELECT item, neighbor, co_count, cnt_item, cnt_neighbor, cosine,
+        |    CAST(row_number() OVER (PARTITION BY item
+        |      ORDER BY cosine DESC, co_count DESC, neighbor) AS BIGINT)
+        |      AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin,
 
     // The m10 pixel-formula replay grouped into the 3×4 patch grid —
     // exact integer sums, XOR perturbation included.
@@ -8891,6 +8974,20 @@ object SparkEntry {
         |  AND CAST(round(l_discount * 100) AS BIGINT) >= 5
         |  AND CAST(round(l_discount * 100) AS BIGINT) <= 7
         |  AND CAST(round(l_quantity) AS BIGINT) < 24""".stripMargin,
+
+    // 3-dim CUBE replay: DuckDB's multi-arg GROUPING matches Spark's
+    // grouping_id bit order (leftmost dim = high bit, the t29 lesson).
+    "a36_cube_report" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS dim1, l_linestatus AS dim2,
+        |    CAST(year(l_shipdate) AS BIGINT) AS dim3,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT dim1, dim2, dim3,
+        |  GROUPING(dim1, dim2, dim3) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM li GROUP BY CUBE(dim1, dim2, dim3)""".stripMargin,
 
     // Assortativity replay: symmetrized distinct incidences, HUGEINT
     // moments, the same signed truncating ppm division.

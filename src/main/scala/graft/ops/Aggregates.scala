@@ -46,4 +46,26 @@ object Aggregates {
   /** A4: plain per-key max. */
   def maxPerKey(df: DataFrame, key: Column, value: Column, alias: String): DataFrame =
     df.groupBy(key).agg(max(value).as(alias))
+
+  /** Full CUBE over up to three dimensions — every subtotal combination
+    * (2³ grouping sets) in ONE aggregation pass, `grouping_id()`
+    * disambiguating a subtotal row from a genuinely-NULL dimension value
+    * (the t29 ROLLUP lesson: Spark's `grouping_id()` bit order equals
+    * DuckDB's multi-arg `GROUPING(...)` — leftmost dim is the high bit).
+    *
+    * Scale shape: Spark expands CUBE before the shuffle (each input row
+    * feeds all 2ⁿ grouping sets through ONE partial aggregate), so the
+    * exchange still moves combined partial states, not 2ⁿ× the input —
+    * the group-key space is the product of dimension cardinalities, tiny
+    * next to the fact table. Money sums ride int64 micro-units (cents
+    * here), counts int64; no float enters the aggregation.
+    */
+  def cubeReport(df: DataFrame, d1: Column, d2: Column, d3: Column,
+                 valueCents: Column): DataFrame =
+    df.select(d1.as("dim1"), d2.as("dim2"), d3.as("dim3"),
+        valueCents.as("__cents"))
+      .cube(col("dim1"), col("dim2"), col("dim3"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("__cents")).as("sum_cents"))
 }

@@ -66,4 +66,57 @@ object Associations {
       .orderBy(col("co_count").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** Per-item top-k nearest neighbors by co-occurrence cosine — the
+    * "customers who bought X also bought" panel, item-item collaborative
+    * filtering over binary basket vectors:
+    * `cos(a,b) = co(a,b) / √(cnt_a · cnt_b)` (Ochiai coefficient).
+    *
+    * Scale shape: the pair stage is the same triangle-salted
+    * [[ScaleJoins.bucketedSelfPairs]] as [[copurchasePairs]] and the
+    * `minSupport` floor prunes the quadratic set before any join; the
+    * marginals broadcast (item-catalog-scale); then each surviving pair
+    * is mirrored (a→b, b→a) and ranked per ITEM by a window — partitioned
+    * by item, so the rank shuffle is keyed on the catalog, never on
+    * baskets, and no global sort forms anywhere.
+    *
+    * Cross-engine float contract: the cosine is one double division over
+    * one double sqrt of an exact int64 product, rounded to 6dp — IEEE
+    * 754 correctly-rounded ops, bit-identical on Spark and DuckDB — and
+    * the rank orders by the ROUNDED value with integer tie-breaks
+    * (co-count desc, neighbor id asc), so the top-k cut is deterministic
+    * on both engines.
+    */
+  def itemNeighbors(baskets: DataFrame, basket: Column, item: Column,
+                    minSupport: Int, k: Int, salt: Int = 8): DataFrame = {
+    require(minSupport >= 1 && k >= 1, "minSupport and k must be >= 1")
+    val b = baskets.select(basket.as("__basket"), item.as("__item")).distinct()
+    val itemCnt = b.groupBy("__item").agg(count(lit(1)).as("__cnt"))
+    val co = ScaleJoins.bucketedSelfPairs(b, Seq("__basket"), "__item",
+        Nil, salt)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("co_count"))
+      .filter(col("co_count") >= minSupport)
+    // mirror each unordered pair into both directed neighbor rows
+    val directed = co.select(col("id_a").as("item"),
+        col("id_b").as("neighbor"), col("co_count"))
+      .unionByName(co.select(col("id_b").as("item"),
+        col("id_a").as("neighbor"), col("co_count")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("co_count").desc, col("neighbor"))
+    directed
+      .join(broadcast(itemCnt.select(col("__item").as("item"),
+        col("__cnt").as("cnt_item"))), "item")
+      .join(broadcast(itemCnt.select(col("__item").as("neighbor"),
+        col("__cnt").as("cnt_neighbor"))), "neighbor")
+      .withColumn("cosine",
+        round(col("co_count").cast("double") /
+          sqrt(col("cnt_item").cast("double") *
+            col("cnt_neighbor").cast("double")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("co_count"),
+        col("cnt_item"), col("cnt_neighbor"), col("cosine"), col("rank"))
+  }
 }

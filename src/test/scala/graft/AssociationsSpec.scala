@@ -32,6 +32,28 @@ class AssociationsSpec extends SparkSpec {
       (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)))
   }
 
+  test("itemNeighbors: per-item top-k, cosine + integer tie-breaks") {
+    val out = Associations.itemNeighbors(baskets, col("cust"), col("part"),
+        minSupport = 1, k = 2)
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSet
+    // cos(1,2)=3/√9=1.0, cos(3,4)=1/√4=0.5, the rest 1/√6→0.408248;
+    // rank-2 ties break on neighbor id ascending
+    assert(out == Set(
+      (1L, 2L, 3L, 3L, 3L, 1.0, 1L), (1L, 3L, 1L, 3L, 2L, 0.408248, 2L),
+      (2L, 1L, 3L, 3L, 3L, 1.0, 1L), (2L, 3L, 1L, 3L, 2L, 0.408248, 2L),
+      (3L, 4L, 1L, 2L, 2L, 0.5, 1L), (3L, 1L, 1L, 2L, 3L, 0.408248, 2L),
+      (4L, 3L, 1L, 2L, 2L, 0.5, 1L), (4L, 1L, 1L, 2L, 3L, 0.408248, 2L)))
+  }
+
+  test("itemNeighbors: support floor prunes before ranking") {
+    val out = Associations.itemNeighbors(baskets, col("cust"), col("part"),
+        minSupport = 2, k = 5)
+      .select("item", "neighbor", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    // only (1,2) survives co >= 2 — each direction ranks first
+    assert(out == Set((1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
   test("copurchasePairs: result is salt-invariant (bucketedSelfPairs contract)") {
     val base = Associations.copurchasePairs(baskets, col("cust"), col("part"),
       minSupport = 1, topK = 10, salt = 1).collect().toSeq

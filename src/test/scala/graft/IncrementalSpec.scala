@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Incremental
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(u: Long, t: String, v: Long) =
+    (u, Timestamp.valueOf(t), v)
+
+  private val events = Seq(
+    ev(1L, "2024-01-02 10:00:00", 100L),
+    ev(1L, "2024-01-20 09:00:00", 50L),
+    ev(2L, "2024-01-01 00:00:00", 7L),
+    ev(3L, "2024-02-01 12:00:00", 9L)
+  ).toDF("user_id", "ts", "vm")
+
+  test("merge of split-batch states equals the full-history aggregate") {
+    val split = lit("2024-01-15 00:00:00").cast("timestamp")
+    val merged = Incremental.merge(Seq(
+        Incremental.state(events.filter(col("ts") < split),
+          col("user_id"), col("ts"), col("vm")),
+        Incremental.state(events.filter(col("ts") >= split),
+          col("user_id"), col("ts"), col("vm"))))
+      .orderBy("key")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val full = Incremental.state(events, col("user_id"), col("ts"),
+        col("vm"))
+      .orderBy("key")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(merged == full)
+    // user 1 spans both batches: count/sum add, first/last combine
+    val u1 = merged.find(_._1 == 1L).get
+    assert(u1._2 == 2L && u1._3 == 150L)
+    assert(u1._4 == Timestamp.valueOf("2024-01-02 10:00:00").getTime * 1000)
+    assert(u1._5 == Timestamp.valueOf("2024-01-20 09:00:00").getTime * 1000)
+  }
+
+  test("merge is order- and batching-invariant (monoid fold)") {
+    val days = Seq("2024-01-10", "2024-01-20", "2024-02-05")
+    def batch(from: String, until: String) = {
+      var f = events
+      if (from.nonEmpty) f = f.filter(col("ts") >= lit(from + " 00:00:00"))
+      if (until.nonEmpty) f = f.filter(col("ts") < lit(until + " 00:00:00"))
+      Incremental.state(f, col("user_id"), col("ts"), col("vm"))
+    }
+    val bounds = ("" +: days) :+ ""
+    val batches = bounds.sliding(2).map { case Seq(a, b) => batch(a, b) }
+      .toSeq
+    val fwd = Incremental.merge(batches).orderBy("key").collect().toSeq
+    val rev = Incremental.merge(batches.reverse).orderBy("key")
+      .collect().toSeq
+    val nested = Incremental.merge(Seq(Incremental.merge(batches.take(2)),
+        Incremental.merge(batches.drop(2)))).orderBy("key").collect().toSeq
+    assert(fwd == rev && fwd == nested)
+  }
+}
