@@ -1878,6 +1878,21 @@ object SparkEntry {
           col("user_id"), col("ts"), vm)))
     },
 
+    // Incremental DISTINCT-count maintenance: per-source KMV sketch states
+    // built on two doc_id-split batches, merged at sketch scale (k longs
+    // per key — never rescanning either batch). KMV merge is exact on the
+    // sketch, so the oracle rebuilds from the FULL corpus and both the
+    // estimate and the k-th kept hash must match bit-for-bit.
+    "p18_incr_distinct" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      graft.ops.Incremental.kmvMerge(Seq(
+        graft.ops.Incremental.kmvState(even, col("source"), col("text"), 64),
+        graft.ops.Incremental.kmvState(odd, col("source"), col("text"), 64)),
+        k = 64)
+    },
+
     // Degree distribution of the mod-151 doc graph in power-of-two
     // bands — the power-law check behind hub caps and skew salts.
     "g12_degree_hist" -> { (s, dir) =>
@@ -7141,6 +7156,30 @@ object SparkEntry {
         |  min(epoch_us(ts)) AS first_us,
         |  max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY 1""".stripMargin,
+
+    // KMV-merge replay from the FULL corpus: rank distinct token hashes
+    // per source; the merged sketch's estimate and largest kept hash must
+    // equal the from-scratch build's (KMV merge is exact on the sketch).
+    "p18_incr_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT DISTINCT source, ${duckTokenHash("tok")} AS h FROM toks),
+         |ranked AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM hashed),
+         |stats AS (
+         |  SELECT source, count(*) AS n_distinct,
+         |    max(CASE WHEN rn <= 64 THEN h END) AS hk
+         |  FROM ranked GROUP BY source)
+         |SELECT source AS key,
+         |  CASE WHEN n_distinct < 64 THEN n_distinct
+         |       ELSE CAST(round(63.0 * 1000000007.0 / hk) AS BIGINT)
+         |  END AS n_est,
+         |  hk AS state_kth
+         |FROM stats""".stripMargin,
 
     "g12_degree_hist" ->
       """WITH e0 AS (

@@ -51,4 +51,51 @@ object Incremental {
         min(col("first_us")).as("first_us"),
         max(col("last_us")).as("last_us"))
   }
+
+  /** Mergeable DISTINCT-count state of one batch: the per-key KMV sketch
+    * (k smallest distinct token hashes, [[graft.functions.KMinValues]]) —
+    * the statistic `COUNT(DISTINCT …)` itself is NOT a monoid (distinct
+    * sets don't add), but its KMV sketch IS: the k smallest of a union
+    * are the k smallest of each side's k smallest, so
+    * `kmvMerge(kmvState(A), kmvState(B)) == kmvState(A ∪ B)` EXACTLY —
+    * sketch content, not just estimate. State is O(k) longs per key
+    * (vs the unbounded distinct set an exact incremental count would
+    * have to carry), which is the only shape that survives nightly
+    * maintenance at 100 TB.
+    */
+  def kmvState(docs: DataFrame, key: Column, text: Column,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    import graft.text.TextAnalysis
+    docs
+      .select(key.as("key"), explode(TextAnalysis.tokens(text)).as("__tok"))
+      .select(col("key"), TextAnalysis.tokenHash(col("__tok")).as("__h"))
+      .groupBy("key")
+      .agg(asColumn(graft.functions.KMinValues(asExpression(col("__h")), k)
+        .toAggregateExpression()).as("kmv"))
+  }
+
+  /** Merge KMV states and read off the estimator — the same
+    * `(k-1)·M/h_k` as `t27` (exact below k). The merge re-feeds each
+    * state's values through the SAME KMV aggregate (explode at k·keys
+    * scale — sketch scale, never corpus scale), so the merged sketch is
+    * bit-identical to a from-scratch build over the union; `state_kth`
+    * (the largest kept hash) is emitted so the oracle certifies the
+    * state itself, not only the derived estimate.
+    */
+  def kmvMerge(states: Seq[DataFrame], k: Int): DataFrame = {
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _)
+      .select(col("key"), explode(col("kmv")).as("__h"))
+      .groupBy("key")
+      .agg(asColumn(graft.functions.KMinValues(asExpression(col("__h")), k)
+        .toAggregateExpression()).as("__kmv"))
+      .select(col("key"),
+        when(size(col("__kmv")) < k, size(col("__kmv")).cast("long"))
+          .otherwise(round(lit((k - 1).toDouble) *
+            lit(graft.text.TextAnalysis.HashP.toDouble) /
+            element_at(col("__kmv"), k)).cast("long")).as("n_est"),
+        element_at(col("__kmv"), size(col("__kmv"))).as("state_kth"))
+  }
 }

@@ -56,4 +56,27 @@ class IncrementalSpec extends SparkSpec {
         Incremental.merge(batches.drop(2)))).orderBy("key").collect().toSeq
     assert(fwd == rev && fwd == nested)
   }
+
+  test("kmvMerge of split states equals the from-scratch sketch") {
+    val docs = Seq(
+      (1L, "s0", "a b c d e"),
+      (2L, "s0", "c d e f g"),
+      (3L, "s0", "h i j"),
+      (4L, "s1", "x y"),
+      (5L, "s1", "y z")
+    ).toDF("doc_id", "source", "text")
+    def split(p: Int) = docs.filter(col("doc_id") % 2 === p)
+    val merged = Incremental.kmvMerge(Seq(
+        Incremental.kmvState(split(0), col("source"), col("text"), 4),
+        Incremental.kmvState(split(1), col("source"), col("text"), 4)), 4)
+      .orderBy("key").as[(String, Long, Long)].collect().toSeq
+    val scratch = Incremental.kmvMerge(Seq(
+        Incremental.kmvState(docs, col("source"), col("text"), 4)), 4)
+      .orderBy("key").as[(String, Long, Long)].collect().toSeq
+    assert(merged == scratch)
+    // s1 has 3 distinct tokens < k=4: the sketch holds all, count exact
+    assert(merged.find(_._1 == "s1").get._2 == 3L)
+    // s0 has 10 distinct tokens > k: estimator path (positive estimate)
+    assert(merged.find(_._1 == "s0").get._2 >= 4L)
+  }
 }
