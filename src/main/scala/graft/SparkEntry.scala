@@ -2009,6 +2009,14 @@ object SparkEntry {
         expr("CAST(round(value * 1000) AS BIGINT)"), k = 3L)
     },
 
+    // Seasonal anomaly hours: each ISO-dow×hour slot judged against its
+    // OWN robust baseline (exact-integer median + MAD per slot) — the
+    // hour-of-week profile turned into an alerting gate.
+    "w45_seasonal_anomaly" -> { (s, dir) =>
+      graft.ops.Outliers.seasonalAnomalies(Tables.events(s, dir),
+        col("ts"), k = 3L)
+    },
+
     // Matryoshka-truncation recall@5: the 32-dim prefix ranking graded
     // against the full 64-dim exact ranking — the storage/quality trade
     // report for prefix-truncated embedding tiers.
@@ -7487,6 +7495,38 @@ object SparkEntry {
         |  FROM cu2 GROUP BY 1)
         |SELECT dev.user_id, dev.event_id, dev.v, dev.med, mad.mad, dev.dev
         |FROM dev JOIN mad ON dev.user_id = mad.user_id
+        |WHERE dev.dev > 3 * mad.mad""".stripMargin,
+
+    // Hour-of-week replay: hourly rollup, isodow·100+hour slot key
+    // (DuckDB isodow ≡ Spark weekday()+1), the same crossing-rule
+    // median/MAD chain as w19 keyed on the slot.
+    "w45_seasonal_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hs, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |keyed AS (
+        |  SELECT isodow(hs) * 100 + hour(hs) AS skey,
+        |    epoch_us(hs) AS hour_us, cnt
+        |  FROM hourly),
+        |c1 AS (SELECT skey, cnt AS v, count(*) AS c FROM keyed GROUP BY 1, 2),
+        |cu1 AS (SELECT skey, v,
+        |  sum(c) OVER (PARTITION BY skey ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY skey) AS n FROM c1),
+        |med AS (SELECT skey,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN v END) AS med
+        |  FROM cu1 GROUP BY 1),
+        |dev AS (SELECT k.skey, k.hour_us, k.cnt, m.med,
+        |    abs(k.cnt - m.med) AS dev
+        |  FROM keyed k JOIN med m ON k.skey = m.skey),
+        |c2 AS (SELECT skey, dev AS d, count(*) AS c FROM dev GROUP BY 1, 2),
+        |cu2 AS (SELECT skey, d,
+        |  sum(c) OVER (PARTITION BY skey ORDER BY d) AS cum,
+        |  sum(c) OVER (PARTITION BY skey) AS n FROM c2),
+        |mad AS (SELECT skey,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN d END) AS mad
+        |  FROM cu2 GROUP BY 1)
+        |SELECT dev.skey, dev.hour_us, dev.cnt, dev.med, mad.mad, dev.dev
+        |FROM dev JOIN mad ON dev.skey = mad.skey
         |WHERE dev.dev > 3 * mad.mad""".stripMargin,
 
     "s17_matryoshka_recall" ->

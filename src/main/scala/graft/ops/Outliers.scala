@@ -49,4 +49,32 @@ object Outliers {
       .select(col(keyName), col("event_id"), col("v"), col("med"),
         col("mad"), col("dev"))
   }
+
+  /** Seasonal anomaly detection over hourly event counts: each hour-of-week
+    * slot (ISO dow × hour-of-day — the traffic rhythm w38/w40 profile) has
+    * its own robust baseline, and an hour flags when its count deviates
+    * more than `k·MAD` from ITS OWN slot's median — so Monday 09:00 is
+    * judged against Monday-09:00 history, never against the weekend trough
+    * (which a global MAD would let drown weekday spikes).
+    *
+    * Scale shape: the raw stream collapses to hour grain FIRST (one
+    * map-side-combined shuffle at event scale — everything after runs on
+    * calendar-scale rows, ~8.8k/year); the slot key is
+    * `isodow·100 + hour` (Spark `weekday()+1` ≡ DuckDB `isodow` — the w38
+    * lesson), and the baseline reuses [[madOutliers]]' exact crossing-rule
+    * medians, so every emitted column is an integer.
+    */
+  def seasonalAnomalies(events: DataFrame, ts: Column,
+                        k: Long = 3L): DataFrame = {
+    val hourly = events
+      .select(date_trunc("hour", ts).as("__hs"))
+      .groupBy("__hs")
+      .agg(count(lit(1)).as("__cnt"))
+      .select(((weekday(col("__hs")) + 1) * 100 + hour(col("__hs")))
+          .cast("long").as("skey"),
+        unix_micros(col("__hs")).as("__hour_us"), col("__cnt"))
+    madOutliers(hourly, col("skey"), col("__hour_us"), col("__cnt"), k)
+      .select(col("skey"), col("event_id").as("hour_us"),
+        col("v").as("cnt"), col("med"), col("mad"), col("dev"))
+  }
 }

@@ -32,4 +32,21 @@ class OutliersSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 4L, 6L, 5L, 0L, 1L)))
   }
+
+  test("seasonalAnomalies: each hour-of-week slot has its own baseline") {
+    import java.sql.Timestamp
+    // Three Mondays 09:00 (2024-01-01/08/15 are Mondays): counts 3,3,9
+    // → slot 109 med 3, MAD 0, the 9 flags. Saturday 02:00 counts 1,1
+    // → quiet slot, no flag even though 9 would dwarf it globally.
+    def at(day: String, h: Int, n: Int) = (1 to n).map(i =>
+      Timestamp.valueOf(f"$day $h%02d:${i % 60}%02d:00"))
+    val ts = (at("2024-01-01", 9, 3) ++ at("2024-01-08", 9, 3) ++
+      at("2024-01-15", 9, 9) ++ at("2024-01-06", 2, 1) ++
+      at("2024-01-13", 2, 1)).map(Tuple1(_))
+    val events = ts.toDF("ts")
+    val out = Outliers.seasonalAnomalies(events, col("ts"), k = 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val mon9us = Timestamp.valueOf("2024-01-15 09:00:00").getTime * 1000
+    assert(out == Seq((109L, mon9us, 9L, 3L, 0L, 6L)))
+  }
 }
