@@ -2381,6 +2381,14 @@ object SparkEntry {
         epoch = 3, nShards = 8)
     },
 
+    // Curriculum-learning schedule: global exact-quartile difficulty
+    // stages (n_chars as difficulty), per-stage affine shuffle — staged
+    // easy→hard order with no global sort.
+    "t78_curriculum" -> { (s, dir) =>
+      graft.text.Chunking.curriculum(Tables.documents(s, dir), col("doc_id"),
+        col("n_chars"), nStages = 4)
+    },
+
     // Sliding-window token chunking (map-only Generate, no shuffle).
     "t8_chunk" -> { (s, dir) =>
       graft.text.Chunking.chunk(Tables.documents(s, dir), col("doc_id"),
@@ -5068,6 +5076,34 @@ object SparkEntry {
          |SELECT doc_id, k % 8 AS shard,
          |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1
          |       AS INT) AS position
+         |FROM keyed""".stripMargin,
+
+    // Curriculum replay: crossing-rule quartile boundaries over the
+    // distinct difficulty values, stage = boundaries strictly below, the
+    // same stage-keyed affine permutation as t25 (all terms non-negative
+    // so % equals pmod).
+    "t78_curriculum" ->
+      s"""WITH d AS (SELECT doc_id, n_chars AS difficulty FROM documents),
+         |c1 AS (SELECT difficulty AS v, count(*) AS c FROM d GROUP BY 1),
+         |cu AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+         |  sum(c) OVER () AS n FROM c1),
+         |b AS (SELECT
+         |  min(CASE WHEN cum * 4 >= n * 1 THEN v END) AS b1,
+         |  min(CASE WHEN cum * 4 >= n * 2 THEN v END) AS b2,
+         |  min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS b3 FROM cu),
+         |st AS (SELECT doc_id, difficulty,
+         |  CAST(difficulty > b.b1 AS BIGINT) +
+         |  CAST(difficulty > b.b2 AS BIGINT) +
+         |  CAST(difficulty > b.b3 AS BIGINT) AS stage
+         |  FROM d, b),
+         |keyed AS (SELECT doc_id, stage, difficulty,
+         |  ((doc_id % ${graft.sim.Ivf.PickP}) * ${graft.sim.Ivf.PickA}
+         |   + ${graft.sim.Ivf.PickB} + stage * 2654435761) %
+         |    ${graft.sim.Ivf.PickP} AS k
+         |  FROM st)
+         |SELECT doc_id, stage, difficulty,
+         |  CAST(row_number() OVER (PARTITION BY stage ORDER BY k, doc_id) - 1
+         |       AS BIGINT) AS position
          |FROM keyed""".stripMargin,
 
     "t8_chunk" ->

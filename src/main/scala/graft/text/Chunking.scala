@@ -176,4 +176,43 @@ object Chunking {
       .withColumn("pad_waste_ppm",
         expr("((n_docs * max_len - sum_len) * 1000000) div (n_docs * max_len)"))
   }
+
+  /** Curriculum schedule: docs staged easy→hard by GLOBAL difficulty
+    * quantile, deterministically shuffled WITHIN each stage — the
+    * curriculum-learning data order (train on stage 0 first, then 1, …)
+    * with none of the two global sorts the naive form implies.
+    *
+    * Stage boundaries come from [[graft.ops.Quantiles.exact]] on the
+    * integer difficulty (distinct-value-scale, crossing rule — engine
+    * exact); `stage = #{boundaries strictly below the doc}` so stages are
+    * ≈equal-mass with ties resolved identically on both engines. The
+    * boundary row broadcasts (nStages−1 longs); within a stage the order
+    * is the t25 affine permutation keyed by stage (distinct bijective
+    * permutations per stage), ranked by a PER-STAGE window — parallelism
+    * is the stage count × hash partitions of the rank shuffle, and no
+    * corpus-scale ORDER BY ever forms.
+    */
+  def curriculum(docs: DataFrame, id: Column, difficulty: Column,
+                 nStages: Int = 4): DataFrame = {
+    require(nStages >= 2 && 1000000 % nStages == 0,
+      s"nStages must be >= 2 and divide 1e6, got $nStages")
+    import graft.sim.Ivf.{PickA, PickB, PickP}
+    val idName = docs.select(id).columns.head
+    val d = docs.select(id, difficulty.cast("long").as("difficulty"))
+    val bounds = graft.ops.Quantiles.exact(
+      d.select(lit(0L).as("__g"), col("difficulty")),
+      col("__g"), col("difficulty"),
+      (1 until nStages).map(i => s"__b$i" -> i * 1000000L / nStages))
+      .drop("__g", "n")
+    val stage = (1 until nStages)
+      .map(i => when(col("difficulty") > col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val keyed = d.join(broadcast(bounds))
+      .withColumn("stage", stage)
+      .withColumn("__k", pmod(pmod(col(idName), lit(PickP)) * PickA + PickB +
+        col("stage") * 2654435761L, lit(PickP)))
+    val w = Window.partitionBy(col("stage")).orderBy(col("__k"), col(idName))
+    keyed.select(col(idName), col("stage"), col("difficulty"),
+      (row_number().over(w) - 1).cast("long").as("position"))
+  }
 }

@@ -132,4 +132,32 @@ class ChunkingSpec extends SparkSpec {
       .select("pad_waste_ppm").as[Long].head()
     assert(out == 250000L)
   }
+
+  test("curriculum: equal-mass stages, dense per-stage positions") {
+    // difficulties 1..8 → quartile boundaries 2,4,6 → stages of 2 each
+    val docs = (1L to 8L).map(i => (i, i * 10L)).map { case (id, _) =>
+      (id, id) }.toDF("doc_id", "n_chars")
+    val out = Chunking.curriculum(docs, col("doc_id"), col("n_chars"),
+        nStages = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byStage = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStage == Map(0L -> Set(1L, 2L), 1L -> Set(3L, 4L),
+      2L -> Set(5L, 6L), 3L -> Set(7L, 8L)))
+    // positions are a dense 0-based permutation within each stage
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted == Seq(0L, 1L))
+    }
+  }
+
+  test("curriculum: within-stage order is the stage-keyed affine permutation") {
+    import graft.sim.Ivf.{PickA, PickB, PickP}
+    val docs = (1L to 12L).map(i => (i, 1L)).toDF("doc_id", "n_chars")
+    // all difficulties equal → every doc in stage 0 (no boundary below)
+    val out = Chunking.curriculum(docs, col("doc_id"), col("n_chars"))
+      .orderBy("position").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.forall(_._2 == 0L))
+    val expected = (1L to 12L)
+      .sortBy(id => ((id % PickP) * PickA + PickB) % PickP)
+    assert(out.map(_._1) == expected)
+  }
 }
