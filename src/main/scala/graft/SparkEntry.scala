@@ -2860,6 +2860,26 @@ object SparkEntry {
           col("click_value").as("prior_click_value"))
     },
 
+    // As-of with a 7-day staleness bound (merge_asof tolerance): every
+    // purchase kept (left-outer), attribution NULLed when the latest prior
+    // click is older than the window; lag_us audits each match.
+    "j14_asof_tolerance" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      AsOfJoin.asOfTolerance(purchases, clicks,
+          Seq(("user_id", "c_user_id")),
+          leftTs = "ts", rightTs = "click_ts",
+          tiebreak = Seq("click_id"),
+          toleranceUs = 7L * 86400 * 1000000)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_id").as("prior_click_id"),
+          col("click_value").as("prior_click_value"), col("lag_us"))
+    },
+
     // Query-0 pipeline (0-merge_delete_query.sql): CDC delete-resurrection —
     // 'error' events play the Delete tombstones, other events the versions.
     "j1_cdc_resurrect" -> { (s, dir) =>
@@ -8732,6 +8752,27 @@ object SparkEntry {
         |  FROM events p JOIN events c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |) WHERE rn = 1""".stripMargin,
+
+    // Tolerance replay: LEFT JOIN keeps every purchase, rn=1 is the same
+    // latest-click pick as j1, then the 7-day CASE nulls stale matches —
+    // identical order of operations to the engine (latest first, THEN the
+    // staleness test).
+    "j14_asof_tolerance" ->
+      """SELECT event_id, user_id, ts, prior_click_id, prior_click_value,
+        |       lag_us FROM (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |    CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        |         THEN c.event_id END AS prior_click_id,
+        |    CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        |         THEN c.value END AS prior_click_value,
+        |    CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        |         THEN epoch_us(p.ts) - epoch_us(c.ts) END AS lag_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |) WHERE rn = 1""".stripMargin,
 
     "j1_cdc_resurrect" ->

@@ -38,6 +38,58 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       tiebreak: Seq[String]): DataFrame = {
+    val (m, payloadCols) = carryLatest(left, right, keys, leftTs, rightTs,
+      tiebreak)
+    m.filter(col("__m").isNotNull)
+      .select(left.columns.toSeq.map(col) ++
+        payloadCols.map(c => col(s"__m.$c")): _*)
+  }
+
+  /** As-of join with a staleness bound — pandas `merge_asof(tolerance=…)`
+    * semantics: the latest earlier right match counts ONLY if it is within
+    * `toleranceUs` of the left row's time; otherwise the left row keeps
+    * NULL payload (left-outer — staleness is data, not a drop). Emits
+    * every left row plus the right payload and `lag_us` (left − right
+    * event time, NULL when no fresh match) — the attribution-window /
+    * sensor-freshness join.
+    *
+    * Same carried-window plan as [[asOf]] (one shuffle + one sort per key,
+    * zero range-join blowup); the tolerance is a post-window predicate on
+    * the carried match's own timestamp, so hot keys with deep histories
+    * cost exactly what [[asOf]] costs.
+    */
+  def asOfTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTs: String,
+      rightTs: String,
+      tiebreak: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val (m, payloadCols) = carryLatest(left, right, keys, leftTs, rightTs,
+      tiebreak)
+    val lag = unix_micros(col(leftTs)) - unix_micros(col(s"__m.$rightTs"))
+    m.withColumn("__lag", lag)
+      .withColumn("__fresh", col("__m").isNotNull &&
+        col("__lag") <= lit(toleranceUs))
+      .select(left.columns.toSeq.map(col) ++
+        payloadCols.map(c => when(col("__fresh"), col(s"__m.$c")).as(c)) :+
+        when(col("__fresh"), col("__lag")).as("lag_us"): _*)
+  }
+
+  /** Shared carrier: union both sides per key, sort by (ts, side,
+    * tiebreak), run the forward-fill window, and return the LEFT rows with
+    * the latest right payload in `__m` (NULL when none) plus the payload
+    * column names.
+    */
+  private def carryLatest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTs: String,
+      rightTs: String,
+      tiebreak: Seq[String]): (DataFrame, Seq[String]) = {
     val keyNames = keys.map(_._1)
     val rKeyed = keys.foldLeft(right) { case (df, (l, r)) =>
       if (l == r) df else df.withColumnRenamed(r, l)
@@ -62,10 +114,10 @@ object AsOfJoin {
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    rTagged.unionByName(lTagged, allowMissingColumns = true)
+    val carried = rTagged.unionByName(lTagged, allowMissingColumns = true)
       .withColumn("__m", last(col("__match"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col("__m").isNotNull)
-      .select(left.columns.toSeq.map(col) ++ payloadCols.map(c => col(s"__m.$c")): _*)
+      .filter(col("__side") === 1)
+    (carried, payloadCols)
   }
 
   /** CDC delete-resurrection (reference `0-merge_delete_query.sql`, whole

@@ -109,4 +109,36 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 7L, -100L))) // tie at |100|, smaller rid wins
   }
+
+  test("asOfTolerance: stale matches null out, left rows always kept") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-10 00:00:00")),  // click 2 days earlier: fresh
+      (2L, "u1", ts("2024-02-01 00:00:00")),  // latest click 24 days old
+      (3L, "u2", ts("2024-01-05 00:00:00"))   // no click at all
+    ).toDF("pid", "user", "ts")
+    val right = Seq(
+      (10L, "u1", ts("2024-01-08 00:00:00"), 1.5)
+    ).toDF("cid", "c_user", "cts", "cv")
+    val out = AsOfJoin.asOfTolerance(left, right, Seq(("user", "c_user")),
+        leftTs = "ts", rightTs = "cts", tiebreak = Seq("cid"),
+        toleranceUs = 7L * 86400 * 1000000)
+      .select("pid", "cid", "cv", "lag_us")
+      .as[(Long, Option[Long], Option[Double], Option[Long])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, Some(10L), Some(1.5), Some(2L * 86400 * 1000000)),
+      (2L, None, None, None),
+      (3L, None, None, None)))
+  }
+
+  test("asOfTolerance: a match at exactly the tolerance is fresh") {
+    val left = Seq((1L, "u", ts("2024-01-08 00:00:00"))).toDF("pid", "user", "ts")
+    val right = Seq((9L, "u", ts("2024-01-01 00:00:00"), 2.0))
+      .toDF("cid", "c_user", "cts", "cv")
+    val out = AsOfJoin.asOfTolerance(left, right, Seq(("user", "c_user")),
+        "ts", "cts", Seq("cid"), toleranceUs = 7L * 86400 * 1000000)
+      .select("pid", "cid", "lag_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(out == Set((1L, Some(9L), Some(7L * 86400 * 1000000))))
+  }
 }
