@@ -2104,6 +2104,12 @@ object SparkEntry {
         emb.filter(col("vec_id") % 50 === 0), nCells = 8)
     },
 
+    // IVF cell-balance maintenance: per-cell load vs the ideal share and
+    // integer split/merge/keep advice — the periodic rebalancing report.
+    "s27_cell_balance" -> { (s, dir) =>
+      graft.sim.Ivf.cellBalance(Tables.embeddings(s, dir), nCells = 8)
+    },
+
     // Two-stage retrieval cascade: BM25 top-50 recall → exact-cosine
     // re-rank to top-10 against the query vector. The candidate set
     // broadcasts; embeddings are probed per candidate, never scanned.
@@ -7766,6 +7772,40 @@ object SparkEntry {
          |FROM cents
          |LEFT JOIN oa ON oa.cell = cents.cell
          |LEFT JOIN na ON na.cell = cents.cell""".stripMargin,
+
+    // Balance replay: the s14 centroid pick + assignment over the full
+    // corpus, integer div thresholds (split > 2× target, merge < ¼).
+    "s27_cell_balance" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+         |  FROM (
+         |    SELECT vec_id, e FROM emb
+         |    ORDER BY ((vec_id % ${graft.sim.Ivf.PickP})
+         |      * ${graft.sim.Ivf.PickA}
+         |      + ${graft.sim.Ivf.PickB}) % ${graft.sim.Ivf.PickP}, vec_id
+         |    LIMIT 8)),
+         |asg AS (
+         |  SELECT cell, count(*) AS n FROM (
+         |    SELECT m.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_cosine_similarity(m.e, c.c) DESC,
+         |                 c.cell ASC) AS rn
+         |    FROM emb m CROSS JOIN cents c)
+         |  WHERE rn = 1 GROUP BY 1),
+         |loads AS (
+         |  SELECT CAST(cents.cell AS INT) AS cell,
+         |    coalesce(asg.n, 0) AS n_vectors,
+         |    sum(coalesce(asg.n, 0)) OVER () AS total
+         |  FROM cents LEFT JOIN asg ON asg.cell = cents.cell)
+         |SELECT cell, n_vectors,
+         |  CAST((n_vectors * 1000000) // total AS BIGINT) AS load_ppm,
+         |  CASE WHEN n_vectors > (total // 8) * 2 THEN 'split'
+         |       WHEN n_vectors * 4 < total // 8 THEN 'merge'
+         |       ELSE 'keep' END AS action
+         |FROM loads""".stripMargin,
 
     "s15_cascade_rerank" ->
       """WITH docs AS (

@@ -198,6 +198,38 @@ object Ivf {
           .as("n_total"))
   }
 
+  /** Cell-balance maintenance report — the rebalancing decision an IVF
+    * index needs periodically: skewed cells ruin ANN latency (a probe of
+    * an oversized cell scores its whole bucket) and recall (starved cells
+    * waste probe budget), so each cell reports its load against the ideal
+    * `total/nCells` and an advisory action: `split` when over
+    * `splitX×` target, `merge` when under `target/mergeDiv`, else `keep`.
+    *
+    * Plan: one corpus-scale assignment (the same broadcast-centroid
+    * argmax as [[assign]]) collapsed to cell grain, then everything runs
+    * at CELL scale — the whole-set total rides one window over nCells
+    * rows. All thresholds integer (`load_ppm = n·10⁶ DIV total`), so the
+    * advice replays exactly in the oracle.
+    */
+  def cellBalance(corpus: DataFrame, nCells: Int, splitX: Long = 2L,
+                  mergeDiv: Long = 4L): DataFrame = {
+    require(splitX >= 1 && mergeDiv >= 1, "splitX/mergeDiv must be >= 1")
+    val ex = corpus.filter(col("embedding").isNotNull)
+    val cents = centroids(ex, nCells)
+    val counts = assign(ex, cents, idName = "vec_id")
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    cents.select("cell")
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+      .withColumn("__total", sum("n_vectors").over(Window.partitionBy()))
+      .withColumn("__target", expr("__total div " + nCells))
+      .select(col("cell"), col("n_vectors"),
+        expr("(n_vectors * 1000000) div __total").as("load_ppm"),
+        when(col("n_vectors") > col("__target") * splitX, "split")
+          .when(col("n_vectors") * mergeDiv < col("__target"), "merge")
+          .otherwise("keep").as("action"))
+  }
+
   /** nProbe/recall tradeoff sweep — the index-tuning report that decides
     * what an ANN deployment actually pays per query: for each probe
     * budget in `probes`, recall@k against the exact brute-force ranking

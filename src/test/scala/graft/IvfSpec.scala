@@ -110,4 +110,21 @@ class IvfSpec extends SparkSpec {
       .agg(sum("n_hit")).as[Long].head()
     assert(sweep4 == viaTopK)
   }
+
+  test("cellBalance: loads conserve, thresholds drive the advice") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val out = Ivf.cellBalance(emb, nCells = 8)
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(out.size == 8)
+    val total = emb.filter(col("embedding").isNotNull).count()
+    assert(out.map(_._2).sum == total)
+    val target = total / 8
+    out.foreach { case (_, n, ppm, action) =>
+      assert(ppm == n * 1000000 / total)
+      val expect = if (n > 2 * target) "split"
+        else if (n * 4 < target) "merge" else "keep"
+      assert(action == expect, s"n=$n target=$target got $action")
+    }
+  }
 }
