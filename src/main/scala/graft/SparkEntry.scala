@@ -2524,6 +2524,27 @@ object SparkEntry {
           round(col("mean_b").cast("double"), 6).as("mean_b"))
     },
 
+    // Aspect-ratio bucketing over REAL sniffed BMP headers (no pixel
+    // decode): formula-driven dims, nearest target ratio per image,
+    // bucket census — the aspect-aware batching step.
+    "m21_aspect_buckets" -> { (s, dir) =>
+      def bh(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      val id = col("doc_id")
+      val w = (lit(640) + (id % 7) * 128).cast("long")
+      val h = (lit(360) + (id % 5) * 120).cast("long")
+      def le32(c: Column): Column =
+        concat(bh(c), bh(shiftright(c, 8)), lit("0000"))
+      // 26-byte header-only BMP: BM, size, reserved, offset, DIB=40, w, h
+      val payload = unhex(concat(lit("424D1A000000000000001A000000"),
+        lit("28000000"), le32(w), le32(h)))
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        lit("image/bmp").as("mime"), lit(26).as("n_bytes"),
+        payload.as("payload"))
+      val dims = Multimodal.imageDims(Multimodal.asMediaDataset(media)).toDF()
+      Multimodal.aspectBuckets(dims,
+        Seq((1, 1), (4, 3), (3, 2), (16, 9), (2, 1)))
+    },
+
     // Luminance-band histogram over the same arithmetic BMPs — the
     // brightness-profile curation gate; real decode, integer luma,
     // oracle replays the channel arithmetic.
@@ -4722,6 +4743,30 @@ object SparkEntry {
         |  round(((doc_id * 7) % 256 + (doc_id * 11) % 256) / 2.0, 6) AS mean_g,
         |  round(((doc_id * 13) % 256 + (doc_id * 17) % 256) / 2.0, 6) AS mean_b
         |FROM documents""".stripMargin,
+
+    // Aspect-bucket replay: the same dim formulas (header sniff is
+    // engine-side realism; the dims ARE the formulas), nearest target
+    // ppm with ties to the smaller bucket id.
+    "m21_aspect_buckets" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 640 + (doc_id % 7) * 128 AS w,
+        |    360 + (doc_id % 5) * 120 AS h
+        |  FROM documents),
+        |targets(bucket_id, bucket, bucket_ppm) AS (VALUES
+        |  (0, '1:1', 1000000), (1, '4:3', 1333333), (2, '3:2', 1500000),
+        |  (3, '16:9', 1777777), (4, '2:1', 2000000)),
+        |picked AS (
+        |  SELECT doc_id, w, bucket, bucket_ppm FROM (
+        |    SELECT d.doc_id, d.w, t.bucket, t.bucket_ppm,
+        |      row_number() OVER (PARTITION BY d.doc_id
+        |        ORDER BY abs((d.w * 1000000) // d.h - t.bucket_ppm),
+        |                 t.bucket_id) AS rn
+        |    FROM dims d CROSS JOIN targets t)
+        |  WHERE rn = 1)
+        |SELECT bucket, CAST(bucket_ppm AS BIGINT) AS bucket_ppm,
+        |  count(*) AS n_images,
+        |  CAST(min(w) AS BIGINT) AS min_w, CAST(max(w) AS BIGINT) AS max_w
+        |FROM picked GROUP BY 1, 2""".stripMargin,
 
     "m16_luma_histogram" ->
       """WITH px AS (

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
@@ -301,6 +302,57 @@ object Multimodal {
         ImageStats(r.doc_id, fmt, w, h, sr / n, sg / n, sb / n)
       }
     })
+  }
+
+  case class ImageDims(doc_id: Long, format: String, width: Int, height: Int)
+
+  /** Header-only dimension sniff — [[sniffImage]] per record, NO pixel
+    * decode: reads a handful of header bytes per image, which is the only
+    * affordable first pass over a billion-image corpus (full decode is
+    * deferred to the images that survive dimension/aspect gates).
+    * Unsniffable payloads drop.
+    */
+  def imageDims(media: Dataset[MediaRecord]): Dataset[ImageDims] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val (fmt, w, h) = sniffImage(r.payload)
+      if (fmt != "unknown" && w > 0 && h > 0) Some(ImageDims(r.doc_id, fmt, w, h))
+      else None
+    })
+  }
+
+  /** Aspect-ratio bucketing — the batching step of aspect-aware image
+    * training (SDXL-style): each image joins the target ratio NEAREST its
+    * own (integer ppm distance, ties to the smaller bucket id) so a batch
+    * only ever pads/crops within its bucket. Emits the per-bucket census
+    * (count, width range) a loader uses to size its buckets.
+    *
+    * Plan: the bucket list is a literal array exploded per image (tiny ×
+    * image-scale, map-side), the nearest pick is a per-image window over
+    * that constant fan-out, and the rollup is one bucket-scale aggregate.
+    * All integer; empty buckets don't emit.
+    */
+  def aspectBuckets(dims: DataFrame,
+                    buckets: Seq[(Int, Int)]): DataFrame = {
+    require(buckets.nonEmpty, "need at least one target bucket")
+    val lits = buckets.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(lit(i.toLong).as("bucket_id"),
+        lit(s"$bw:$bh").as("bucket"),
+        lit(bw.toLong * 1000000L / bh).as("bucket_ppm"))
+    }
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__d"), col("__b.bucket_id"))
+    dims
+      .withColumn("ratio_ppm", expr("(width * 1000000) div height"))
+      .withColumn("__b", explode(array(lits: _*)))
+      .withColumn("__d", abs(col("ratio_ppm") - col("__b.bucket_ppm")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__b.bucket").as("bucket"),
+        col("__b.bucket_ppm").as("bucket_ppm"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("width").cast("long")).as("min_w"),
+        max(col("width").cast("long")).as("max_w"))
   }
 
   case class ImageHash(doc_id: Long, width: Int, height: Int,

@@ -646,4 +646,40 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.audioZeroCrossing(media).collect()
     assert(out.toSeq == Seq(Multimodal.AudioZcr(1L, 6, 3L, 600000L)))
   }
+
+  test("imageDims: header-only sniff, unsniffable payloads drop") {
+    def hdrBmp(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](26)
+      b(0) = 'B'; b(1) = 'M'
+      def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+        b(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      le32(2, 26); le32(10, 26); le32(14, 40); le32(18, w); le32(22, h)
+      b
+    }
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "image/bmp", 26, hdrBmp(1920, 1080)),
+        Multimodal.MediaRecord(2L, "image/bmp", 26, hdrBmp(640, 640)),
+        Multimodal.MediaRecord(3L, "application/junk", 3,
+          Array[Byte](9, 9, 9)))
+      .toDS()
+    val out = Multimodal.imageDims(media).collect().toSet
+    assert(out == Set(Multimodal.ImageDims(1L, "bmp", 1920, 1080),
+      Multimodal.ImageDims(2L, "bmp", 640, 640)))
+  }
+
+  test("aspectBuckets: nearest ratio wins, ties go to the smaller id") {
+    val dims = Seq(
+      (1L, 1920, 1080),  // 16:9 exactly
+      (2L, 640, 640),    // 1:1 exactly
+      (3L, 1400, 1000),  // 1.4 → distance 66667 to 4:3 vs 100000 to 3:2
+      (4L, 1000, 600)    // 5:3 ≈ 1666666 → 16:9 (111111) beats 3:2 (166666)
+    ).toDF("doc_id", "width", "height")
+    val out = Multimodal.aspectBuckets(dims,
+        Seq((1, 1), (4, 3), (3, 2), (16, 9), (2, 1)))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("1:1", 1000000L, 1L, 640L, 640L),
+      ("4:3", 1333333L, 1L, 1400L, 1400L),
+      ("16:9", 1777777L, 2L, 1000L, 1920L)))
+  }
 }
