@@ -1943,6 +1943,19 @@ object SparkEntry {
       graft.graph.Components.report(edges)
     },
 
+    // DeepWalk-style walk corpus on the mod-151 doc graph: one length-4
+    // walk per node, affine-deterministic neighbor picks — replayed by a
+    // recursive CTE in the oracle.
+    "g15_random_walks" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 151).as("src"),
+          ((col("doc_id") * 7 + 3) % 151).as("dst"))
+        .unionAll(d.select((col("doc_id") % 151).as("src"),
+          (((col("doc_id") * 11 + 5) % 157) % 151).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.Walks.randomWalks(edges, length = 4)
+    },
+
     // Recall@{1,3,5,10} curve of the IVF index (nprobe=4) vs the exact
     // ranking — one index run + one exact run at depth 10, every level
     // from a single join + literal-array explode over rank-scale rows.
@@ -7344,6 +7357,31 @@ object SparkEntry {
         |  CAST(min(node) AS BIGINT) AS min_node,
         |  CAST(max(node) AS BIGINT) AS max_node
         |FROM comp GROUP BY 1""".stripMargin,
+
+    // Walk replay: the same adjacency ranks and affine index pick, one
+    // recursive step per hop (all operands non-negative → % ≡ pmod).
+    "g15_random_walks" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT doc_id % 151 AS src, (doc_id * 7 + 3) % 151 AS dst
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 151, ((doc_id * 11 + 5) % 157) % 151
+         |  FROM documents),
+         |adj AS (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)),
+         |walk(walk_id, step, node) AS (
+         |  SELECT DISTINCT src, CAST(0 AS BIGINT), src FROM adj
+         |  UNION ALL
+         |  SELECT w.walk_id, w.step + 1, a.dst
+         |  FROM walk w JOIN adj a ON a.src = w.node
+         |    AND a.idx = ((w.walk_id * ${graft.sim.Ivf.PickA}
+         |      + (w.step + 1) * ${graft.sim.Ivf.PickB})
+         |      % ${graft.sim.Ivf.PickP}) % a.deg
+         |  WHERE w.step < 4)
+         |SELECT walk_id, step, node FROM walk""".stripMargin,
 
     // s24 oracle: the s3 IVF replay (nprobe 4) ranked to depth 10, the
     // exact ranking to depth 10, hit iff both ranks ≤ k, levels exploded
