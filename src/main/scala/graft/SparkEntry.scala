@@ -2172,6 +2172,21 @@ object SparkEntry {
         stopwords)
     },
 
+    // Graph-embedding training-data pipeline composed end-to-end: the g15
+    // deterministic walk corpus → skip-gram (±2) co-occurrence counts →
+    // top-100 training pairs. The walk self-join is walk-scale; the trim
+    // is TakeOrdered — word2vec input for the doc graph.
+    "pipe_graphemb_e2e" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 151).as("src"),
+          ((col("doc_id") * 7 + 3) % 151).as("dst"))
+        .unionAll(d.select((col("doc_id") % 151).as("src"),
+          (((col("doc_id") * 11 + 5) % 157) % 151).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.Walks.skipgramPairs(
+        graft.graph.Walks.randomWalks(edges, length = 4), window = 2, k = 100)
+    },
+
     // The user-360 mart: sessions + funnel stage + cohort + TWAP from ONE
     // shuffle and one sorted fold per user (the standalone operators would
     // scan the event log four times).
@@ -3623,6 +3638,18 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = baseOracles +
+    // pipe_graphemb oracle: the g15 walk replay verbatim, skip-gram pair
+    // expansion as one walk-keyed self-join, the same (n, center,
+    // context) top-100 total order.
+    ("pipe_graphemb_e2e" ->
+      s"""WITH w AS (${baseOracles("g15_random_walks")}),
+         |pr AS (
+         |  SELECT a.node AS center, b.node AS context, count(*) AS n
+         |  FROM w a JOIN w b ON a.walk_id = b.walk_id
+         |    AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |  GROUP BY 1, 2)
+         |SELECT center, context, n FROM pr
+         |ORDER BY n DESC, center, context LIMIT 100""".stripMargin) +
     // pipe_annhealth oracle: the three index-health replays (s24 recall
     // curve, s23 distortion sweep, s22 nprobe sweep) composed verbatim as
     // subqueries and reshaped into labeled (metric, value) rows — the

@@ -56,4 +56,28 @@ object Walks {
     }
     walks
   }
+
+  /** Skip-gram (center, context) co-occurrence counts over a walk corpus —
+    * the node-pair frequency table DeepWalk feeds to word2vec: within each
+    * walk, every ordered pair of positions at distance 1..`window`
+    * co-occurs once. The self-join is keyed on walk_id (walk-scale keys,
+    * bounded ≤(length+1)² fan-out per walk — never quadratic in the
+    * corpus), and the rollup runs with map-side partials on the node-pair
+    * key. Top-k trims via orderBy+limit (TakeOrderedAndProject — per-
+    * partition heaps, no global sort).
+    */
+  def skipgramPairs(walks: DataFrame, window: Int, k: Int): DataFrame = {
+    require(window >= 1 && k >= 1, "window and k must be >= 1")
+    val a = walks.select(col("walk_id"), col("step").as("__sa"),
+      col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("__sb"),
+      col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("__sa") =!= col("__sb") &&
+        abs(col("__sa") - col("__sb")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(k)
+  }
 }

@@ -38,4 +38,29 @@ class WalksSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
       (2L, 0L, 2L), (2L, 1L, 3L)))
   }
+
+  test("skipgramPairs: within-walk window pairs, ordered, counted") {
+    // two hand-written walks: 10-11-12 and 10-11 (walk ids 1, 2)
+    val walks = Seq(
+      (1L, 0L, 10L), (1L, 1L, 11L), (1L, 2L, 12L),
+      (2L, 0L, 10L), (2L, 1L, 11L)
+    ).toDF("walk_id", "step", "node")
+    val out = Walks.skipgramPairs(walks, window = 1, k = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    // adjacent pairs only, both directions; (10,11) occurs in both walks
+    assert(out == Set((10L, 11L, 2L), (11L, 10L, 2L),
+      (11L, 12L, 1L), (12L, 11L, 1L)))
+  }
+
+  test("skipgramPairs: window 2 reaches across one hop; k trims the tail") {
+    val walks = Seq((1L, 0L, 5L), (1L, 1L, 6L), (1L, 2L, 7L))
+      .toDF("walk_id", "step", "node")
+    val all = Walks.skipgramPairs(walks, window = 2, k = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all.contains((5L, 7L, 1L)) && all.size == 6)
+    // top-1 under (n desc, center, context): all counts 1 → smallest pair
+    val top = Walks.skipgramPairs(walks, window = 2, k = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(top == Seq((5L, 6L, 1L)))
+  }
 }
