@@ -1878,6 +1878,22 @@ object SparkEntry {
           col("user_id"), col("ts"), vm)))
     },
 
+    // Incremental heavy-hitter telemetry: Count-Min grids built on two
+    // doc_id-split batches, merged cell-wise (grid-scale work), probed
+    // with a fixed token list. CM merge is exact per cell, so the oracle
+    // rebuilds the grid from the FULL corpus and every estimate matches.
+    "p19_incr_topk" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val grid = graft.ops.Incremental.cmMerge(Seq(
+        graft.ops.Incremental.cmState(
+          docs.filter(col("doc_id") % 2 === 0), col("text")),
+        graft.ops.Incremental.cmState(
+          docs.filter(col("doc_id") % 2 === 1), col("text"))))
+      graft.ops.Incremental.cmEstimate(grid,
+        Seq("table", "query", "value", "spark", "scan",
+          "the", "a", "fast", "merge", "vector"))
+    },
+
     // Incremental DISTINCT-count maintenance: per-source KMV sketch states
     // built on two doc_id-split batches, merged at sketch scale (k longs
     // per key — never rescanning either batch). KMV merge is exact on the
@@ -7311,6 +7327,35 @@ object SparkEntry {
         |  min(epoch_us(ts)) AS first_us,
         |  max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY 1""".stripMargin,
+
+    // CM-merge replay from the FULL corpus: the t31 grid CTEs verbatim,
+    // probed with the fixed token list (merge is exact per cell, so the
+    // from-scratch grid equals the merged one).
+    "p19_incr_topk" -> {
+      val aList = graft.text.CountMin.Params.map(_._1).mkString("[", ",", "]")
+      val bList = graft.text.CountMin.Params.map(_._2).mkString("[", ",", "]")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS token
+         |  FROM documents),
+         |cnt AS (SELECT token, count(*) AS n_exact FROM toks GROUP BY 1),
+         |h AS (SELECT token, n_exact, ${duckTokenHash("token")} AS hh FROM cnt),
+         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         |  SELECT r,
+         |    ((hh * ($aList)[r + 1] + ($bList)[r + 1]) % 2147483647) % 256 AS cell,
+         |    CAST(sum(n_exact) AS BIGINT) AS n
+         |  FROM h CROSS JOIN rows_ GROUP BY 1, 2),
+         |pt(token) AS (VALUES ('table'), ('query'), ('value'), ('spark'),
+         |  ('scan'), ('the'), ('a'), ('fast'), ('merge'), ('vector')),
+         |ph AS (SELECT token, ${duckTokenHash("token")} AS hh FROM pt),
+         |probe AS (
+         |  SELECT token, r,
+         |    ((hh * ($aList)[r + 1] + ($bList)[r + 1]) % 2147483647) % 256 AS cell
+         |  FROM ph CROSS JOIN rows_)
+         |SELECT token, min(n) AS n_est
+         |FROM probe JOIN cells USING (r, cell)
+         |GROUP BY token""".stripMargin
+    },
 
     // KMV-merge replay from the FULL corpus: rank distinct token hashes
     // per source; the merged sketch's estimate and largest kept hash must

@@ -98,4 +98,46 @@ object Incremental {
             element_at(col("__kmv"), k)).cast("long")).as("n_est"),
         element_at(col("__kmv"), size(col("__kmv"))).as("state_kth"))
   }
+
+  /** Mergeable token-frequency state of one batch: the
+    * [[graft.text.CountMin]] grid — Depth×Width counters, CONSTANT size
+    * regardless of vocabulary or batch size, which is what lets frequency
+    * telemetry ride every nightly ingest without a vocabulary-scale
+    * shuffle ever rescanning history.
+    */
+  def cmState(docs: DataFrame, text: Column): DataFrame =
+    graft.text.CountMin.sketch(
+      docs.select(explode(graft.text.TextAnalysis.tokens(text)).as("__tok")),
+      col("__tok"))
+
+  /** Cell-wise grid addition — Count-Min's merge is exact (each cell is a
+    * plain sum), so `cmMerge(cmState(A), cmState(B)) == cmState(A ∪ B)`
+    * cell-for-cell, the strongest possible incremental-maintenance
+    * contract. Grid-scale work only.
+    */
+  def cmMerge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _)
+      .groupBy("row", "cell").agg(sum(col("n")).as("n"))
+  }
+
+  /** Point-estimate a fixed probe list against a maintained grid: each
+    * token reads the MIN of its Depth cells (classic CM overestimate-only
+    * bound). The grid broadcasts (≤ Depth·Width rows); the probe fan-out
+    * is literal-array explode — nothing here touches the corpus.
+    */
+  def cmEstimate(grid: DataFrame, tokens: Seq[String]): DataFrame = {
+    require(tokens.nonEmpty, "need at least one probe token")
+    import graft.text.{CountMin, TextAnalysis}
+    val probes = grid.sparkSession.range(1)
+      .select(explode(array(tokens.map(lit): _*)).as("token"))
+      .withColumn("__h", TextAnalysis.tokenHash(col("token")))
+      .select(col("token"), explode(array((0 until CountMin.Depth).map(r =>
+        struct(lit(r).as("row"),
+          CountMin.cellOf(col("__h"), r).as("cell"))): _*)).as("__rc"))
+      .select(col("token"), col("__rc.row").as("row"),
+        col("__rc.cell").as("cell"))
+    probes.join(broadcast(grid), Seq("row", "cell"))
+      .groupBy("token").agg(min(col("n")).as("n_est"))
+  }
 }

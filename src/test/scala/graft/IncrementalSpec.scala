@@ -79,4 +79,26 @@ class IncrementalSpec extends SparkSpec {
     // s0 has 10 distinct tokens > k: estimator path (positive estimate)
     assert(merged.find(_._1 == "s0").get._2 >= 4L)
   }
+
+  test("cmMerge of split states equals the from-scratch grid; estimates bound exact") {
+    val docs = Seq(
+      (1L, "x x x y z"),
+      (2L, "x y y w q"),
+      (3L, "z z q w w")
+    ).toDF("doc_id", "text")
+    def grid(df: org.apache.spark.sql.DataFrame) =
+      Incremental.cmState(df, col("text"))
+    val merged = Incremental.cmMerge(Seq(
+        grid(docs.filter(col("doc_id") % 2 === 0)),
+        grid(docs.filter(col("doc_id") % 2 === 1))))
+      .orderBy("row", "cell").collect().toSeq
+    val scratch = Incremental.cmMerge(Seq(grid(docs)))
+      .orderBy("row", "cell").collect().toSeq
+    assert(merged == scratch)
+    // CM never underestimates: est(x) >= 4, est(w) >= 3
+    val est = Incremental.cmEstimate(Incremental.cmMerge(Seq(grid(docs))),
+        Seq("x", "w"))
+      .as[(String, Long)].collect().toMap
+    assert(est("x") >= 4L && est("w") >= 3L)
+  }
 }
