@@ -2431,6 +2431,14 @@ object SparkEntry {
         epoch = 3, nShards = 8)
     },
 
+    // T5-style span-corruption schedule: one 3-token mask span per
+    // 20-token block at an affine offset — deterministic non-overlapping
+    // denoising spans, one map-side Generate, zero shuffles.
+    "t79_span_corruption" -> { (s, dir) =>
+      graft.text.Chunking.spanCorruption(Tables.documents(s, dir),
+        col("doc_id"), col("text"), window = 20, spanLen = 3)
+    },
+
     // Curriculum-learning schedule: global exact-quartile difficulty
     // stages (n_chars as difficulty), per-stage affine shuffle — staged
     // easy→hard order with no global sort.
@@ -5204,6 +5212,23 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1
          |       AS INT) AS position
          |FROM keyed""".stripMargin,
+
+    // Span replay: one row per full 20-token block, the same affine
+    // offset arithmetic (all operands non-negative → % ≡ pmod); DuckDB
+    // range() excludes the upper bound like Spark's sequence(0, k-1).
+    "t79_span_corruption" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, unnest(range(0, n // 20)) AS span_idx
+         |  FROM d WHERE n >= 20)
+         |SELECT doc_id, span_idx,
+         |  span_idx * 20 + ((doc_id * ${graft.sim.Ivf.PickA}
+         |    + span_idx * ${graft.sim.Ivf.PickB})
+         |    % ${graft.sim.Ivf.PickP}) % 18 AS start,
+         |  CAST(3 AS BIGINT) AS len
+         |FROM w""".stripMargin,
 
     // Curriculum replay: crossing-rule quartile boundaries over the
     // distinct difficulty values, stage = boundaries strictly below, the

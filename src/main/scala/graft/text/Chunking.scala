@@ -192,6 +192,39 @@ object Chunking {
     * is the stage count × hash partitions of the rank shuffle, and no
     * corpus-scale ORDER BY ever forms.
     */
+  /** Span-corruption mask schedule — the T5/UL2 denoising objective's
+    * data-prep step: each document gets deterministic, NON-OVERLAPPING
+    * corruption spans (one `spanLen`-token span per `window`-token block,
+    * at an affine-pseudo-random offset inside its block), emitted as
+    * (doc_id, span_idx, start, len) for the loader to replace with
+    * sentinels. Block-local placement makes non-overlap structural — no
+    * per-doc sequential greedy scan, so the op is one map-side explode
+    * (Generate) over doc-scale rows, zero shuffles, and the schedule
+    * replays bit-for-bit on any engine (the same affine constants as the
+    * t25 epoch permutation). Corruption rate = spanLen/window (15% at
+    * 3/20). Documents shorter than one block emit nothing; a trailing
+    * partial block is never corrupted (honest rate accounting).
+    */
+  def spanCorruption(docs: DataFrame, id: Column, text: Column,
+                     window: Int = 20, spanLen: Int = 3): DataFrame = {
+    require(window >= 2 && spanLen >= 1 && spanLen < window,
+      s"need 1 <= spanLen < window, got spanLen=$spanLen window=$window")
+    import graft.sim.Ivf.{PickA, PickB, PickP}
+    val offRange = (window - spanLen + 1).toLong
+    docs
+      .select(id.as("doc_id"),
+        size(TextAnalysis.tokens(text)).cast("long").as("__n"))
+      .filter(col("__n") >= window)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr(s"__n div $window") - 1))
+          .as("span_idx"))
+      .select(col("doc_id"), col("span_idx"),
+        (col("span_idx") * window +
+          pmod(pmod(col("doc_id") * PickA + col("span_idx") * PickB,
+            lit(PickP)), lit(offRange))).as("start"),
+        lit(spanLen.toLong).as("len"))
+  }
+
   def curriculum(docs: DataFrame, id: Column, difficulty: Column,
                  nStages: Int = 4): DataFrame = {
     require(nStages >= 2 && 1000000 % nStages == 0,

@@ -133,6 +133,24 @@ class ChunkingSpec extends SparkSpec {
     assert(out == 250000L)
   }
 
+  test("spanCorruption: one span per full block, inside its block, short docs skip") {
+    import graft.sim.Ivf.{PickA, PickB, PickP}
+    val docs = Seq(
+      (1L, (1 to 45).map(i => s"t$i").mkString(" ")),  // 45 toks → 2 blocks
+      (2L, (1 to 19).map(i => s"t$i").mkString(" "))   // < 20 → nothing
+    ).toDF("doc_id", "text")
+    val out = Chunking.spanCorruption(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def off(id: Long, w: Long) = ((id * PickA + w * PickB) % PickP) % 18
+    assert(out == Set(
+      (1L, 0L, off(1, 0), 3L),
+      (1L, 1L, 20L + off(1, 1), 3L)))
+    // spans stay inside their block: start + len <= (blockIdx+1) * 20
+    out.foreach { case (_, w, start, len) =>
+      assert(start >= w * 20 && start + len <= (w + 1) * 20)
+    }
+  }
+
   test("curriculum: equal-mass stages, dense per-stage positions") {
     // difficulties 1..8 → quartile boundaries 2,4,6 → stages of 2 each
     val docs = (1L to 8L).map(i => (i, i * 10L)).map { case (id, _) =>
