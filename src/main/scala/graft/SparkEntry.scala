@@ -1878,6 +1878,19 @@ object SparkEntry {
           col("user_id"), col("ts"), vm)))
     },
 
+    // Retractable aggregate maintenance (delete-bearing CDC): the
+    // 'error'-type events arrive as a delete batch; the state subtracts
+    // their own partials (count/sum are a GROUP) — oracle recomputes on
+    // the surviving rows: retract(state(A), state(D)) == state(A ∖ D).
+    "p20_retract_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val vm = expr("CAST(round(value * 1000000) AS BIGINT)")
+      graft.ops.Incremental.retract(
+        graft.ops.Incremental.retractableState(ev, col("user_id"), vm),
+        graft.ops.Incremental.retractableState(
+          ev.filter(col("event_type") === "error"), col("user_id"), vm))
+    },
+
     // Incremental heavy-hitter telemetry: Count-Min grids built on two
     // doc_id-split batches, merged cell-wise (grid-scale work), probed
     // with a fixed token list. CM merge is exact per cell, so the oracle
@@ -7352,6 +7365,15 @@ object SparkEntry {
         |  min(epoch_us(ts)) AS first_us,
         |  max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Retraction replay: aggregate the SURVIVING rows directly — equal
+    // to the engine's subtract because count/sum are group-invertible.
+    "p20_retract_agg" ->
+      """SELECT user_id AS key, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS value_micro
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1""".stripMargin,
 
     // CM-merge replay from the FULL corpus: the t31 grid CTEs verbatim,
     // probed with the fixed token list (merge is exact per cell, so the

@@ -140,4 +140,33 @@ object Incremental {
     probes.join(broadcast(grid), Seq("row", "cell"))
       .groupBy("token").agg(min(col("n")).as("n_est"))
   }
+
+  /** Retraction-capable per-key state: count and exact micro-sum ONLY —
+    * the group-invertible statistics (min/max are monoid-only: deleting
+    * the current max forces a rescan, so [[state]] handles append-only
+    * streams and THIS handles delete-bearing CDC). The Flink
+    * retract-stream contract in batch form.
+    */
+  def retractableState(events: DataFrame, key: Column,
+                       valueMicro: Column): DataFrame =
+    events.select(key.as("key"), valueMicro.as("__vm"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"), sum(col("__vm")).as("value_micro"))
+
+  /** Apply a delete batch to a maintained state by SUBTRACTING the
+    * deletes' own partial state — count/sum form a group, so
+    * `retract(state(A), state(D)) == state(A ∖ D)` exactly for any
+    * `D ⊆ A` (multiset semantics). Keys retracted to zero rows drop from
+    * the state (a key the deletes fully consume must disappear, exactly
+    * as a recompute would show). Work is key-scale on both inputs; the
+    * delete batch is never joined against history.
+    */
+  def retract(state: DataFrame, deletes: DataFrame): DataFrame =
+    state.unionByName(deletes.select(col("key"),
+        (-col("n_events")).as("n_events"),
+        (-col("value_micro")).as("value_micro")))
+      .groupBy("key")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_micro")).as("value_micro"))
+      .filter(col("n_events") > 0)
 }

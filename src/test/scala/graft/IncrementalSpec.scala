@@ -101,4 +101,17 @@ class IncrementalSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(est("x") >= 4L && est("w") >= 3L)
   }
+
+  test("retract(state(A), state(D)) equals state(A minus D); drained keys drop") {
+    val all = Seq((1L, 100L), (1L, 50L), (1L, 7L), (2L, 9L), (3L, 4L))
+      .toDF("user_id", "vm")
+    val dels = Seq((1L, 50L), (2L, 9L)).toDF("user_id", "vm")
+    def st(df: org.apache.spark.sql.DataFrame) =
+      Incremental.retractableState(df, col("user_id"), col("vm"))
+    val out = Incremental.retract(st(all), st(dels))
+      .orderBy("key").as[(Long, Long, Long)].collect().toSeq
+    // user 1 keeps 2 rows summing 107; user 2 fully drained → gone;
+    // user 3 untouched
+    assert(out == Seq((1L, 2L, 107L), (3L, 1L, 4L)))
+  }
 }
