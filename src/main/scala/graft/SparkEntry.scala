@@ -2219,6 +2219,55 @@ object SparkEntry {
     // The user-360 mart: sessions + funnel stage + cohort + TWAP from ONE
     // shuffle and one sorted fold per user (the standalone operators would
     // scan the event log four times).
+    // The nightly-maintenance mart composed end-to-end: the four
+    // incremental-state ops (p17 monoid partials, p18 KMV distinct, p19
+    // Count-Min probes, p20 retraction) folded to labeled scalars — the
+    // dashboard a 100 TB ingest loop reads every morning, produced
+    // without ever rescanning history (each branch is state/delta-scale).
+    "pipe_ivm_e2e" -> { (s, dir) =>
+      import graft.ops.Incremental
+      val ev = Tables.events(s, dir)
+      val docs = Tables.documents(s, dir)
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val vm = expr("CAST(round(value * 1000000) AS BIGINT)")
+      val st = Incremental.merge(Seq(
+        Incremental.state(ev.filter(col("ts") < split), col("user_id"),
+          col("ts"), vm),
+        Incremental.state(ev.filter(col("ts") >= split), col("user_id"),
+          col("ts"), vm)))
+      val kmv = Incremental.kmvMerge(Seq(
+        Incremental.kmvState(docs.filter(col("doc_id") % 2 === 0),
+          col("source"), col("text"), 64),
+        Incremental.kmvState(docs.filter(col("doc_id") % 2 === 1),
+          col("source"), col("text"), 64)), k = 64)
+      val cm = Incremental.cmEstimate(Incremental.cmMerge(Seq(
+          Incremental.cmState(docs.filter(col("doc_id") % 2 === 0),
+            col("text")),
+          Incremental.cmState(docs.filter(col("doc_id") % 2 === 1),
+            col("text")))),
+        Seq("table", "query", "value", "spark", "scan"))
+      val retracted = Incremental.retract(
+        Incremental.retractableState(ev, col("user_id"), vm),
+        Incremental.retractableState(
+          ev.filter(col("event_type") === "error"), col("user_id"), vm))
+      st.agg(count(lit(1)).as("v"), sum("n_events").as("e"),
+          sum("value_micro").as("s"))
+        .select(explode(array(
+          struct(lit("users_tracked").as("metric"), col("v").as("value")),
+          struct(lit("events_total").as("metric"), col("e").as("value")),
+          struct(lit("value_total_micro").as("metric"),
+            col("s").as("value")))).as("kv"))
+        .select(col("kv.metric"), col("kv.value"))
+        .unionByName(kmv.agg(
+          lit("distinct_est_total").as("metric"),
+          sum("n_est").as("value")))
+        .unionByName(cm.agg(
+          lit("cm_est_total").as("metric"), sum("n_est").as("value")))
+        .unionByName(retracted.agg(
+          lit("surviving_events").as("metric"),
+          coalesce(sum("n_events"), lit(0L)).as("value")))
+    },
+
     "pipe_user360_e2e" -> { (s, dir) =>
       graft.pipeline.UserMart.user360(Tables.events(s, dir), col("user_id"),
         col("ts"), col("event_id"), col("event_type"),
@@ -3675,6 +3724,32 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = baseOracles +
+    // pipe_ivm oracle: the four incremental replays composed verbatim,
+    // each collapsed to its labeled scalar — composition adds no math.
+    ("pipe_ivm_e2e" ->
+      s"""WITH st AS (${baseOracles("p17_incr_agg")}),
+         |kmv AS (${baseOracles("p18_incr_distinct")}),
+         |cm AS (${baseOracles("p19_incr_topk")}),
+         |rt AS (${baseOracles("p20_retract_agg")})
+         |SELECT 'users_tracked' AS metric,
+         |  (SELECT count(*) FROM st) AS value
+         |UNION ALL
+         |SELECT 'events_total', (SELECT CAST(sum(n_events) AS BIGINT) FROM st)
+         |UNION ALL
+         |SELECT 'value_total_micro',
+         |  (SELECT CAST(sum(value_micro) AS BIGINT) FROM st)
+         |UNION ALL
+         |SELECT 'distinct_est_total',
+         |  (SELECT CAST(sum(n_est) AS BIGINT) FROM kmv)
+         |UNION ALL
+         |SELECT 'cm_est_total',
+         |  (SELECT CAST(sum(n_est) AS BIGINT) FROM (
+         |    SELECT n_est FROM cm
+         |    WHERE token IN ('table', 'query', 'value', 'spark', 'scan')))
+         |UNION ALL
+         |SELECT 'surviving_events',
+         |  (SELECT CAST(coalesce(sum(n_events), 0) AS BIGINT) FROM rt)"""
+        .stripMargin) +
     // pipe_graphemb oracle: the g15 walk replay verbatim, skip-gram pair
     // expansion as one walk-keyed self-join, the same (n, center,
     // context) top-100 total order.
