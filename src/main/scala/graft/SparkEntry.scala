@@ -708,6 +708,42 @@ object SparkEntry {
             greatest(col("s_lo"), col("w_lo"))).as("overlap_us"))
     },
 
+    // Overlap-weighted proration (ad-flight budget allocation): each
+    // window's order value splits across overlapping sessions pro-rata by
+    // overlap length — the j11 binned interval join plus exact integer
+    // shares (ppm of window covered, value·ppm DIV 1e6; truncation is the
+    // pinned semantic on both engines).
+    "j15_interval_prorate" -> { (s, dir) =>
+      val sess = graft.ops.Sessionize.sessions(Tables.events(s, dir),
+          col("user_id"), col("ts"), gapSeconds = 86400)
+        .select(col("user_id"), col("session_seq"),
+          unix_micros(col("session_start")).as("s_lo"),
+          (unix_micros(col("session_end")) + 1).as("s_hi"))
+      val win = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("window_id"),
+          expr("CAST(round(o_totalprice * 1000000) AS BIGINT)")
+            .as("w_value_micro"),
+          (lit(1704067200000000L) +
+            (col("o_orderkey") % 29) * 86400000000L +
+            (col("o_orderkey") % 7) * 3600000000L).as("w_lo"),
+          (lit(1704067200000000L) +
+            (col("o_orderkey") % 29) * 86400000000L +
+            (col("o_orderkey") % 7) * 3600000000L +
+            ((col("o_orderkey") % 11) + 1) * 3600000000L).as("w_hi"))
+      graft.ops.ScaleJoins.intervalJoinBinned(sess,
+          col("s_lo"), col("s_hi"), win, col("w_lo"), col("w_hi"),
+          binWidth = 86400000000L)
+        .withColumn("overlap_us", least(col("s_hi"), col("w_hi")) -
+          greatest(col("s_lo"), col("w_lo")))
+        .withColumn("share_ppm",
+          expr("(overlap_us * 1000000) div (w_hi - w_lo)"))
+        .select(col("user_id"), col("session_seq"), col("window_id"),
+          col("overlap_us"), col("share_ppm"),
+          expr("(w_value_micro * share_ppm) div 1000000")
+            .as("alloc_micro"))
+    },
+
     // Trailing 7-day RANGE-window rollup per user: daily pre-aggregation
     // then a value-distance frame over it (gaps age out — ROWS would not);
     // events cross the wire once map-side combined, the window exchange
@@ -5466,6 +5502,47 @@ object SparkEntry {
         |SELECT sess.user_id, sess.session_seq, win.window_id,
         |  least(s_hi, w_hi) - greatest(s_lo, w_lo) AS overlap_us
         |FROM sess JOIN win ON greatest(s_lo, w_lo) < least(s_hi, w_hi)""".stripMargin,
+
+    // Proration replay: the j11 overlap join plus the same truncating
+    // integer share and allocation arithmetic (// ≡ div on non-negatives;
+    // casts pin the HUGEINT products back to BIGINT).
+    "j15_interval_prorate" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 86400000000 THEN 1 ELSE 0 END AS op
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(op) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+        |      AS session_seq
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, session_seq, epoch_us(min(ts)) AS s_lo,
+        |         epoch_us(max(ts)) + 1 AS s_hi
+        |  FROM s GROUP BY 1, 2),
+        |win AS (
+        |  SELECT o_orderkey AS window_id,
+        |    CAST(round(o_totalprice * 1000000) AS BIGINT) AS w_value_micro,
+        |    1704067200000000 + (o_orderkey % 29) * 86400000000
+        |      + (o_orderkey % 7) * 3600000000 AS w_lo,
+        |    1704067200000000 + (o_orderkey % 29) * 86400000000
+        |      + (o_orderkey % 7) * 3600000000
+        |      + ((o_orderkey % 11) + 1) * 3600000000 AS w_hi
+        |  FROM orders WHERE o_orderkey % 997 = 0),
+        |ov AS (
+        |  SELECT sess.user_id, sess.session_seq, win.window_id,
+        |    least(s_hi, w_hi) - greatest(s_lo, w_lo) AS overlap_us,
+        |    CAST((least(s_hi, w_hi) - greatest(s_lo, w_lo)) * 1000000
+        |      // (w_hi - w_lo) AS BIGINT) AS share_ppm,
+        |    w_value_micro
+        |  FROM sess JOIN win ON greatest(s_lo, w_lo) < least(s_hi, w_hi))
+        |SELECT user_id, session_seq, window_id, overlap_us, share_ppm,
+        |  CAST((w_value_micro * share_ppm) // 1000000 AS BIGINT)
+        |    AS alloc_micro
+        |FROM ov""".stripMargin,
 
     // Integer-µ-unit daily rollup + RANGE trailing frame; casts pin
     // DuckDB's HUGEINT window sums back to BIGINT.
