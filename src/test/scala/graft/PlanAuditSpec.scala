@@ -586,4 +586,48 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"),
       s"common lines must broadcast — per-doc rows never reshuffle:\n$p")
   }
+
+  test("item neighbors (a35): marginals broadcast, no cartesian, ranked per item") {
+    val p = plan(SparkEntry.queries("a35_item_neighbors")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both item-count marginals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("curriculum (t78): the one-row boundary frame broadcasts; no global sort") {
+    val p = plan(SparkEntry.queries("t78_curriculum")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"quartile boundaries must broadcast onto the corpus:\n$p")
+    // the only Sort operators may be window-local (inside a hash exchange),
+    // never a rangepartitioning global order
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort found in:\n$p")
+  }
+
+  test("incremental states (p17/p18/p20): partial+final aggregates, no history join") {
+    Seq("p17_incr_agg", "p18_incr_distinct", "p20_retract_agg").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).length >= 2 ||
+        "ObjectHashAggregate".r.findAllIn(p).length >= 2 ||
+        "SortAggregate".r.findAllIn(p).length >= 2,
+        s"$q: expected partial+final aggregation in:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in:\n$p")
+    }
+  }
+
+  test("span corruption (t79) is map-only: a Generate, zero exchanges") {
+    val p = plan(SparkEntry.queries("t79_span_corruption")(spark, sf))
+    assert(p.contains("Generate"), s"expected explode Generate in:\n$p")
+    // the loader's round-robin spread of tiny test files is allowed; the
+    // operator itself must add no hash/range exchange
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"t79 must not shuffle — schedule is per-row arithmetic:\n$p")
+  }
+
+  test("CM estimate (p19): the grid broadcasts into the probe join") {
+    val p = plan(SparkEntry.queries("p19_incr_topk")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the Depth×Width grid must broadcast:\n$p")
+  }
 }
