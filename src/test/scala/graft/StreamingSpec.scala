@@ -701,4 +701,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchOut,
       s"streamed $streamed != batch $batchOut")
   }
+
+  test("Incremental.state maintains across micro-batches via foreachBatch (IVM)") {
+    import org.apache.spark.sql.{DataFrame, Row, Dataset}
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val vm = expr("CAST(round(value * 1000000) AS BIGINT)")
+    // the maintained state table — in production a key-scale sink table;
+    // here materialized per batch (the merge itself is the op under test)
+    var state: Option[DataFrame] = None
+    val q = input.toDS().toDF().writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val bs = graft.ops.Incremental.state(batch.toDF(), col("user_id"),
+          col("ts"), vm)
+        val merged = state
+          .map(st => graft.ops.Incremental.merge(Seq(st, bs)))
+          .getOrElse(bs)
+        state = Some(spark.createDataFrame(
+          java.util.Arrays.asList(merged.collect(): _*), merged.schema))
+        ()
+      }
+      .start()
+    val b1 = Seq(
+      KeyedEvent(1L, ts("2024-01-02 10:00:00"), 1L, "click", 0.1),
+      KeyedEvent(2L, ts("2024-01-01 00:00:00"), 2L, "view", 0.007))
+    val b2 = Seq(
+      KeyedEvent(1L, ts("2024-01-20 09:00:00"), 3L, "click", 0.05),
+      KeyedEvent(3L, ts("2024-02-01 12:00:00"), 4L, "view", 0.009))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = state.get.orderBy("key")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val batchAll = graft.ops.Incremental.state((b1 ++ b2).toDF(),
+        col("user_id"), col("ts"), vm)
+      .orderBy("key").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batchAll, s"streamed $streamed != batch $batchAll")
+  }
 }
