@@ -1067,4 +1067,97 @@ class PropertySpec extends SparkSpec {
       assert(kept.size.toLong == minId)
     }
   }
+
+  test("property: Incremental.merge is split-invariant for any batch boundary") {
+    import graft.ops.Incremental
+    val rows: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 24)
+      rs <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 4L)
+        t <- Gen.choose(0L, 100L)
+        v <- Gen.choose(-1000L, 1000L)
+      } yield (k, t, v))
+    } yield rs
+    samples(rows, 10).foreach { rs =>
+      val df = rs.map { case (k, t, v) =>
+        (k, new java.sql.Timestamp(1704067200000L + t * 60000), v)
+      }.toDF("k", "ts", "v")
+      val full = Incremental.state(df, col("k"), col("ts"), col("v"))
+        .orderBy("key").collect().toSeq
+      // any split point gives the same merged state
+      Seq(20L, 50L, 80L).foreach { cut =>
+        val ts0 = new java.sql.Timestamp(1704067200000L + cut * 60000)
+        val merged = Incremental.merge(Seq(
+            Incremental.state(df.filter(col("ts") < lit(ts0)), col("k"),
+              col("ts"), col("v")),
+            Incremental.state(df.filter(col("ts") >= lit(ts0)), col("k"),
+              col("ts"), col("v"))))
+          .orderBy("key").collect().toSeq
+        assert(merged == full, s"cut=$cut rows=$rs")
+      }
+    }
+  }
+
+  test("property: retract inverts state for any delete subset (group law)") {
+    import graft.ops.Incremental
+    val rows: Gen[(List[(Long, Long)], Int)] = for {
+      n <- Gen.choose(1, 20)
+      rs <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 4L); v <- Gen.choose(-500L, 500L)
+      } yield (k, v))
+      mask <- Gen.choose(0, (1 << math.min(n, 16)) - 1)
+    } yield (rs, mask)
+    samples(rows, 12).foreach { case (rs, mask) =>
+      val all = rs.toDF("k", "v")
+      val dels = rs.zipWithIndex.filter { case (_, i) =>
+        i < 16 && ((mask >> i) & 1) == 1
+      }.map(_._1)
+      val survivors = rs.zipWithIndex.filterNot { case (_, i) =>
+        i < 16 && ((mask >> i) & 1) == 1
+      }.map(_._1)
+      val out = Incremental.retract(
+          Incremental.retractableState(all, col("k"), col("v")),
+          Incremental.retractableState(
+            if (dels.nonEmpty) dels.toDF("k", "v")
+            else Seq.empty[(Long, Long)].toDF("k", "v"),
+            col("k"), col("v")))
+        .orderBy("key").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val expect = survivors.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.size.toLong, vs.map(_._2).sum)
+      }.toSeq.sortBy(_._1)
+      assert(out == expect, s"rows=$rs mask=$mask")
+    }
+  }
+
+  test("property: spanCorruption spans never overlap and respect doc length") {
+    import graft.text.Chunking
+    val docGen: Gen[List[Int]] = for {
+      n <- Gen.choose(1, 12)
+      lens <- Gen.listOfN(n, Gen.choose(0, 90))
+    } yield lens
+    samples(docGen, 8).foreach { lens =>
+      val docs = lens.zipWithIndex.map { case (l, i) =>
+        (i.toLong + 1, (1 to math.max(l, 1)).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val spans = Chunking.spanCorruption(docs, col("doc_id"), col("text"),
+          window = 20, spanLen = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      spans.groupBy(_._1).foreach { case (id, ss) =>
+        val nToks = math.max(lens(id.toInt - 1), 1)
+        assert(ss.length == nToks / 20, s"doc $id: ${ss.length} spans")
+        ss.foreach { case (_, w, start, len) =>
+          assert(start >= w * 20 && start + len <= (w + 1) * 20)
+          assert(start + len <= nToks)
+        }
+        // block-local placement → pairwise disjoint by construction
+        val sorted = ss.sortBy(_._3)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 + a._4 <= b._3)
+          case _ =>
+        }
+      }
+    }
+  }
 }
