@@ -2529,6 +2529,15 @@ object SparkEntry {
         epoch = 3, nShards = 8)
     },
 
+    // Bitext candidate mining: cross-language pairs sharing ≥2 rare
+    // 4-gram shingle hashes (df ≤ 3 floor bounds the pair stage at
+    // 3 docs/bucket — no salt needed); Horner hashes on the wire.
+    "t80_bitext_mining" -> { (s, dir) =>
+      graft.text.Bitext.candidatePairs(Tables.documents(s, dir),
+        col("doc_id"), col("lang"), col("text"),
+        gram = 4, maxDf = 3, minShared = 2)
+    },
+
     // T5-style span-corruption schedule: one 3-token mask span per
     // 20-token block at an affine offset — deterministic non-overlapping
     // denoising spans, one map-side Generate, zero shuffles.
@@ -5336,6 +5345,29 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1
          |       AS INT) AS position
          |FROM keyed""".stripMargin,
+
+    // Bitext replay: the t32 Horner 4-gram hashes, df floor, the same
+    // normalized cross-lang pair join and shared-count floor.
+    "t80_bitext_mining" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+         |  FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= 4),
+         |g AS (
+         |  SELECT DISTINCT doc_id, lang,
+         |    unnest(list_transform(range(0, len(toks) - 3),
+         |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(toks[i+1:i+4], t -> ${duckTokenHash("t")})),
+         |           (acc, th) -> (acc * 31 + th) % 1000000007))) AS gh
+         |  FROM t),
+         |dfc AS (SELECT gh, count(*) AS d FROM g GROUP BY 1),
+         |rare AS (SELECT g.doc_id, g.lang, g.gh
+         |         FROM g JOIN dfc USING (gh) WHERE d <= 3)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+         |FROM rare a JOIN rare b
+         |  ON a.gh = b.gh AND a.doc_id < b.doc_id AND a.lang <> b.lang
+         |GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2""".stripMargin,
 
     // Span replay: one row per full 20-token block, the same affine
     // offset arithmetic (all operands non-negative → % ≡ pmod); DuckDB
