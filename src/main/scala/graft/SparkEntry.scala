@@ -2817,6 +2817,14 @@ object SparkEntry {
         windowSize = 16, lowThreshold = 8000L).toDF()
     },
 
+    // VAD-style activity segmentation over the REAL decoded PCM: the m12
+    // energy windows merged into consecutive-active segments
+    // (gaps-and-islands), per-segment span + total energy.
+    "m22_audio_segments" -> { (s, dir) =>
+      Multimodal.audioSegments(wavPcmMedia(s, dir),
+        windowSize = 16, lowThreshold = 8000L)
+    },
+
     // REAL video demux + frame sampling: a RIFF/AVI per doc with 3 + id%3
     // uncompressed 2x1 24-bit '00db' frames, built byte-by-byte IN THE
     // PLAN, demuxed by the real chunk walker, every 2nd frame reduced to
@@ -5090,6 +5098,31 @@ object SparkEntry {
         |  CAST(count(*) AS INT) AS n_samples,
         |  CAST(sum(a) AS BIGINT) AS sum_abs, sum(a) < 8000 AS is_low
         |FROM s GROUP BY doc_id, w""".stripMargin,
+
+    // Segment replay: the m12 window sums, active windows islanded by
+    // (idx − row_number), per-segment rollup and start-ordered rank.
+    "m22_audio_segments" ->
+      """WITH s AS (
+        |  SELECT doc_id, i // 16 AS w,
+        |    abs((doc_id*31 + i*17) % 2003 - 1001) AS a
+        |  FROM (SELECT doc_id, unnest(range(64 + doc_id % 32)) AS i
+        |        FROM documents)),
+        |win AS (
+        |  SELECT doc_id, w, sum(a) AS sum_abs FROM s GROUP BY 1, 2
+        |  HAVING sum(a) >= 8000),
+        |isl AS (
+        |  SELECT doc_id, w, sum_abs,
+        |    w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS g
+        |  FROM win),
+        |seg AS (
+        |  SELECT doc_id, min(w) AS start_window, max(w) AS end_window,
+        |    count(*) AS n_windows, CAST(sum(sum_abs) AS BIGINT) AS sum_abs
+        |  FROM isl GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY start_window)
+        |    AS segment_idx,
+        |  start_window, end_window, n_windows, sum_abs
+        |FROM seg""".stripMargin,
 
     // Full-outer diff on the md5 content fingerprint; the new-snapshot
     // synthesis (drops, rewrites, additions) replays on both sides.

@@ -1101,6 +1101,38 @@ object Multimodal {
     })
   }
 
+  /** Energy-gated activity segmentation — the VAD-shaped front end of a
+    * speech-corpus pipeline: consecutive NON-low [[audioEnergyWindows]]
+    * windows merge into activity segments (gaps-and-islands on the window
+    * index, the audio sibling of event sessionization), each emitting its
+    * window span and total absolute energy — the unit a transcription or
+    * diarization stage consumes.
+    *
+    * Plan: the decode is per-blob map-side (zero shuffle); the island
+    * window and the segment rollup share ONE doc-keyed exchange, and the
+    * segment rank reuses the same partitioning — one logical shuffle
+    * total, all integer emissions.
+    */
+  def audioSegments(media: Dataset[MediaRecord], windowSize: Int,
+                    lowThreshold: Long): DataFrame = {
+    val active = audioEnergyWindows(media, windowSize, lowThreshold).toDF()
+      .filter(!col("is_low"))
+    val byIdx = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
+    val segs = active
+      .withColumn("__isl",
+        col("window_idx").cast("long") - row_number().over(byIdx))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("window_idx")).cast("long").as("start_window"),
+        max(col("window_idx")).cast("long").as("end_window"),
+        count(lit(1)).as("n_windows"),
+        sum(col("sum_abs")).as("sum_abs"))
+    val bySeg = Window.partitionBy(col("doc_id")).orderBy(col("start_window"))
+    segs
+      .withColumn("segment_idx", row_number().over(bySeg).cast("long"))
+      .select(col("doc_id"), col("segment_idx"), col("start_window"),
+        col("end_window"), col("n_windows"), col("sum_abs"))
+  }
+
   case class AudioZcr(doc_id: Long, n_samples: Int, n_crossings: Long,
                       zcr_ppm: Long)
 

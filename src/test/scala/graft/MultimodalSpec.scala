@@ -647,6 +647,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq(Multimodal.AudioZcr(1L, 6, 3L, 600000L)))
   }
 
+  test("audioSegments: consecutive active windows merge, gaps split") {
+    // windowSize 4, threshold 100: windows [loud, loud, quiet, loud]
+    val samples = Seq.fill(4)(50) ++ Seq.fill(4)(60) ++
+      Seq.fill(4)(1) ++ Seq.fill(4)(99)
+    val payload = wavPcm(1, 8000, samples)
+    val media = Seq(
+        Multimodal.MediaRecord(7L, "audio/wav", payload.length, payload))
+      .toDS()
+    val out = Multimodal.audioSegments(media, windowSize = 4,
+        lowThreshold = 100L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (7L, 1L, 0L, 1L, 2L, 440L),   // windows 0-1: 4·50 + 4·60
+      (7L, 2L, 3L, 3L, 1L, 396L)))  // window 3: 4·99; window 2 is quiet
+  }
+
   test("imageDims: header-only sniff, unsniffable payloads drop") {
     def hdrBmp(w: Int, h: Int): Array[Byte] = {
       val b = new Array[Byte](26)
