@@ -1914,6 +1914,19 @@ object SparkEntry {
           col("user_id"), col("ts"), vm)))
     },
 
+    // Declarative expectations gate: five lineitem quality rules in ONE
+    // aggregate pass (nulls are violations); per-rule ppm + pass flag.
+    "p21_expectations" -> { (s, dir) =>
+      graft.ops.Expectations.check(Tables.lineitem(s, dir), Seq(
+        "qty_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        "disc_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "ship_after_1992" ->
+          (col("l_shipdate") >= to_date(lit("1992-01-01")))),
+        tolerancePpm = 50000L)
+    },
+
     // Retractable aggregate maintenance (delete-bearing CDC): the
     // 'error'-type events arrive as a delete batch; the state subtracts
     // their own partials (count/sum are a GROUP) — oracle recomputes on
@@ -7582,6 +7595,33 @@ object SparkEntry {
         |  min(epoch_us(ts)) AS first_us,
         |  max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Expectations replay: the same one-pass sums, CASE mirrors the
+    // null-is-violation reading, identical ppm div and tolerance.
+    "p21_expectations" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(coalesce(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_qty,
+        |    CAST(coalesce(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_disc,
+        |    CAST(coalesce(sum(CASE WHEN l_extendedprice > 0
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_price,
+        |    CAST(coalesce(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_flag,
+        |    CAST(coalesce(sum(CASE WHEN l_shipdate >= DATE '1992-01-01'
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_ship
+        |  FROM lineitem),
+        |rules(rule, n_violations, n_rows) AS (
+        |  SELECT 'qty_range', v_qty, n_rows FROM agg
+        |  UNION ALL SELECT 'disc_range', v_disc, n_rows FROM agg
+        |  UNION ALL SELECT 'price_positive', v_price, n_rows FROM agg
+        |  UNION ALL SELECT 'flag_domain', v_flag, n_rows FROM agg
+        |  UNION ALL SELECT 'ship_after_1992', v_ship, n_rows FROM agg)
+        |SELECT rule, n_rows, n_violations,
+        |  CAST((n_violations * 1000000) // n_rows AS BIGINT) AS viol_ppm,
+        |  (n_violations * 1000000) // n_rows <= 50000 AS pass
+        |FROM rules""".stripMargin,
 
     // Retraction replay: aggregate the SURVIVING rows directly — equal
     // to the engine's subtract because count/sum are group-invertible.
