@@ -2108,6 +2108,16 @@ object SparkEntry {
         col("ts"), k = 3L)
     },
 
+    // Bollinger breakouts on daily per-user value: trailing-7 mean ± 2σ
+    // with the σ test SQUARED into pure int64 — no sqrt, no float flag.
+    "w46_bollinger" -> { (s, dir) =>
+      graft.ops.Rolling.bollingerBreakouts(Tables.events(s, dir),
+        col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long"),
+        expr("CAST(round(value * 1000) AS BIGINT)"),
+        windowPeriods = 7, k = 2L, minPeriods = 3)
+    },
+
     // Matryoshka-truncation recall@5: the 32-dim prefix ranking graded
     // against the full 64-dim exact ranking — the storage/quality trade
     // report for prefix-truncated embedding tiers.
@@ -8017,6 +8027,27 @@ object SparkEntry {
         |SELECT dev.user_id, dev.event_id, dev.v, dev.med, mad.mad, dev.dev
         |FROM dev JOIN mad ON dev.user_id = mad.user_id
         |WHERE dev.dev > 3 * mad.mad""".stripMargin,
+
+    // Bollinger replay: daily rollup, the same RANGE frame and squared
+    // band test (HUGEINT intermediates are exact; emissions cast back).
+    "w46_bollinger" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE) AS period,
+        |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, period, v,
+        |    count(*) OVER win AS n,
+        |    sum(v) OVER win AS s,
+        |    sum(v * v) OVER win AS q
+        |  FROM d
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY period
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, period, v AS v_milli,
+        |  CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS sum_milli,
+        |  (n*v - s)*(n*v - s) > 4*(n*q - s*s) AS breakout
+        |FROM w WHERE n >= 3""".stripMargin,
 
     // Hour-of-week replay: hourly rollup, isodow·100+hour slot key
     // (DuckDB isodow ≡ Spark weekday()+1), the same crossing-rule

@@ -136,4 +136,44 @@ object Rolling {
           sqrt(denX.cast("double") * denY.cast("double")), 6))
         .as("corr_trail"))
   }
+
+  /** Bollinger-band breakout flags over per-period totals — the rolling
+    * mean ± k·σ volatility gate, with the σ comparison done WITHOUT a
+    * square root: `|v − μ| > k·σ` squares (both sides non-negative) to
+    * `(n·v − s)² > k²·(n·q − s²)` over the trailing count/sum/sum-of-
+    * squares — pure int64, engine-exact, no float ever enters the flag.
+    * Values ride MILLI-units so every term stays far inside int64
+    * (daily sums ~1e7 milli → squared terms ~5e15 < 2⁶³; micro-units
+    * would overflow the squares, which is why this op's contract differs
+    * from [[trailing]]'s micro idiom).
+    *
+    * Same two-exchange plan as [[trailing]] (event-scale partials, then
+    * the per-key daily frame); `sum_milli` is emitted instead of the mean
+    * so no signed division (Spark `div` truncates toward zero, DuckDB
+    * `//` floors — they disagree on negatives) touches the output.
+    */
+  def bollingerBreakouts(events: DataFrame, key: Column, period: Column,
+                         valueMilli: Column, windowPeriods: Int = 7,
+                         k: Long = 2L, minPeriods: Int = 3): DataFrame = {
+    require(windowPeriods >= 1 && k >= 1 && minPeriods >= 1,
+      "windowPeriods, k, minPeriods must be >= 1")
+    val keyName = events.select(key).columns.head
+    val daily = events
+      .select(key, period.as("period"), valueMilli.as("__vm"))
+      .groupBy(col(keyName), col("period"))
+      .agg(sum(col("__vm")).as("v_milli"))
+    val w = Window.partitionBy(col(keyName)).orderBy(col("period"))
+      .rangeBetween(-(windowPeriods - 1).toLong, 0L)
+    daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("sum_milli", sum(col("v_milli")).over(w))
+      .withColumn("__q", sum(col("v_milli") * col("v_milli")).over(w))
+      .filter(col("n_days") >= minPeriods)
+      .withColumn("__dev", col("n_days") * col("v_milli") - col("sum_milli"))
+      .select(col(keyName), col("period"), col("v_milli"), col("n_days"),
+        col("sum_milli"),
+        (col("__dev") * col("__dev") >
+          lit(k * k) * (col("n_days") * col("__q") -
+            col("sum_milli") * col("sum_milli"))).as("breakout"))
+  }
 }

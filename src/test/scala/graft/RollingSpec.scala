@@ -100,4 +100,26 @@ class RollingSpec extends SparkSpec {
       .select("corr_trail").as[Option[Double]].collect().toSeq
     assert(out == Seq(None, None, None))
   }
+
+  test("bollingerBreakouts: flat series never flags, a spike does, minPeriods gates") {
+    // Max z-score of a single outlier among n samples is (n−1)/√n — for
+    // k=2 a spike can only flag at n ≥ 6 (4/√5 ≈ 1.79 < 2 at n=5, the
+    // degenerate case that makes a 5-day fixture IMPOSSIBLE to flag).
+    // Six flat days then a spike: z = 6/√7 ≈ 2.27 > 2.
+    val ev = ((0L to 5L).map(d => (1L, d, 100L)) :+ ((1L, 6L, 2000L)))
+      .toDF("user_id", "day", "vm")
+    val out = Rolling.bollingerBreakouts(ev, col("user_id"), col("day"),
+        col("vm"), windowPeriods = 7, k = 2L, minPeriods = 3)
+      .orderBy("period")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // days 0-1 drop (n < 3); flat windows never break out; the spike:
+    // dev² = (7·2000−2600)² = 129,960,000 > 4·(7·4,060,000−2600²)
+    //      = 86,640,000 → flags
+    assert(out == Seq(
+      (1L, 2L, 100L, 3L, 300L, false),
+      (1L, 3L, 100L, 4L, 400L, false),
+      (1L, 4L, 100L, 5L, 500L, false),
+      (1L, 5L, 100L, 6L, 600L, false),
+      (1L, 6L, 2000L, 7L, 2600L, true)))
+  }
 }
