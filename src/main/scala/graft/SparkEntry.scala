@@ -2211,6 +2211,16 @@ object SparkEntry {
       graft.sim.Ivf.cellBalance(Tables.embeddings(s, dir), nCells = 8)
     },
 
+    // 1-bit binary quantization ANN: sign bits packed into hi/lo 32-bit
+    // halves, Hamming(popcount·xor) short-list of 10, exact-cosine rerank
+    // to top-3 — the 64×-compression retrieval tier.
+    "s29_binary_hamming" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Quantize.binaryHammingTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb,
+        topK = 3, hammingCandidates = 10, dim = 64)
+    },
+
     // Two-stage retrieval cascade: BM25 top-50 recall → exact-cosine
     // re-rank to top-10 against the query vector. The candidate set
     // broadcasts; embeddings are probed per candidate, never scanned.
@@ -8262,6 +8272,43 @@ object SparkEntry {
          |FROM cents
          |LEFT JOIN oa ON oa.cell = cents.cell
          |LEFT JOIN na ON na.cell = cents.cell""".stripMargin,
+
+    // Binary-ANN replay: the same left-fold sign packing (bit 0 = MSB of
+    // each 32-bit half), popcount-xor Hamming rank, cosine rerank with
+    // identical 6dp + id tie-breaks.
+    "s29_binary_hamming" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, e,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 32),
+        |        i -> CASE WHEN e[i+1] > 0 THEN 1 ELSE 0 END)),
+        |      (acc, b) -> acc * 2 + b) AS hi,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(32, 64),
+        |        i -> CASE WHEN e[i+1] > 0 THEN 1 ELSE 0 END)),
+        |      (acc, b) -> acc * 2 + b) AS lo
+        |  FROM emb),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    q.e AS qe, c.e AS ce,
+        |    bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo))
+        |      AS hamming,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo)),
+        |               c.vec_id) AS rn
+        |  FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0)
+        |SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+        |  cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, hamming,
+        |    round(list_cosine_similarity(qe, ce), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC,
+        |               neighbor_id) AS rank
+        |  FROM cand WHERE rn <= 10)
+        |WHERE rank <= 3""".stripMargin,
 
     // Balance replay: the s14 centroid pick + assignment over the full
     // corpus, integer div thresholds (split > 2× target, merge < ¼).

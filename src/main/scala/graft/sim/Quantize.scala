@@ -285,4 +285,57 @@ object Quantize {
           .when(l.getField("d2") > r.getField("d2"), 1)
           .otherwise(l.getField("cell") - r.getField("cell"))), 1)
     })
+
+  /** 1-bit binary quantization + Hamming search with exact rerank — the
+    * most aggressive embedding compression in production ANN (64× over
+    * float32): each dimension keeps only its SIGN, packed into two
+    * unsigned 32-bit halves (the dHash hi/lo idiom — int64-safe on every
+    * engine, no sign-bit overflow), candidates rank by
+    * `popcount(xor)` (one instruction vs `dim` float multiplies), and
+    * only the small Hamming short-list pays exact cosine for the final
+    * `topK` cut.
+    *
+    * Plan: the probe batch broadcasts (brute-force baseline shape); the
+    * corpus-side scan computes signatures in place, the Hamming rank and
+    * the rerank share the query-keyed window partitioning. Ties pinned
+    * (hamming, neighbor) and (cosine 6dp, neighbor) so both cuts replay
+    * deterministically in the oracle.
+    */
+  def binaryHammingTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+                        hammingCandidates: Int, dim: Int): DataFrame = {
+    require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128")
+    require(topK >= 1 && hammingCandidates >= topK,
+      "need hammingCandidates >= topK >= 1")
+    val half = dim / 2
+    def sigHalf(e: Column, off: Int): Column =
+      aggregate(sequence(lit(0), lit(half - 1)), lit(0L),
+        (acc, i) => acc * 2 +
+          when(element_at(e, lit(off) + i + 1) > 0d, 1L).otherwise(0L))
+    def withSig(df: DataFrame, e: String): DataFrame = df
+      .withColumn("__hi", sigHalf(col(e), 0))
+      .withColumn("__lo", sigHalf(col(e), half))
+    val q = withSig(queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qe")), "__qe")
+      .withColumnRenamed("__hi", "__qhi").withColumnRenamed("__lo", "__qlo")
+    val c = withSig(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__ce")), "__ce")
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cand = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        bit_count(col("__qhi").bitwiseXOR(col("__hi"))) +
+          bit_count(col("__qlo").bitwiseXOR(col("__lo"))))
+      .withColumn("__rn", row_number().over(wH))
+      .filter(col("__rn") <= hammingCandidates)
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .withColumn("cosine",
+        round(graft.sim.Similarity.cosine(col("__qe"), col("__ce")), 6))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("hamming").cast("long").as("hamming"), col("cosine"),
+        col("rank"))
+  }
 }

@@ -141,4 +141,28 @@ class QuantizeSpec extends SparkSpec {
       assert(r._3 == 0L || r._5 > 0L)
     }
   }
+
+  test("binaryHammingTopK: sign-identical vectors rank first at hamming 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // base pattern: alternating signs; vec 2 = scaled copy of vec 1 (same
+    // signs, hamming 0, cosine 1); vec 3 flips dims 0 and 63 (hamming 2);
+    // vec 4 flips all signs (hamming 64)
+    def v(scale: Float, flips: Set[Int]): Array[Float] =
+      Array.tabulate(64) { d =>
+        val base = if (d % 2 == 0) 0.5f else -0.5f
+        (if (flips.contains(d)) -base else base) * scale
+      }
+    val emb = Seq(
+      (1L, v(1.0f, Set())), (2L, v(2.0f, Set())),
+      (3L, v(1.0f, Set(0, 63))), (4L, v(1.0f, (0 until 64).toSet))
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.binaryHammingTopK(emb.filter(col("vec_id") === 1),
+        emb, topK = 3, hammingCandidates = 3, dim = 64)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(out(2L) == ((0L, 1.0, 1L)))       // sign-identical, cosine 1
+    assert(out(3L)._1 == 2L && out(3L)._3 == 2L)
+    assert(out(4L)._1 == 64L && out(4L)._2 == -1.0 && out(4L)._3 == 3L)
+  }
 }
