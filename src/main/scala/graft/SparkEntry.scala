@@ -51,6 +51,15 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     },
 
+    // SoftDeDup: every doc kept, loss weight = 1e6/cluster-size over the
+    // 3-token-lead fingerprint — repetition downweighted, nothing dropped.
+    "d24_soft_dedup" -> { (s, dir) =>
+      val lead = md5(array_join(
+        slice(graft.text.TextAnalysis.tokens(col("text")), 1, 3), " "))
+      graft.ops.Dedup.softDedupWeights(Tables.documents(s, dir),
+        col("doc_id"), lead)
+    },
+
     // MinHash+LSH near-dup (scale path); exact-Jaccard-verified candidates.
     "d2_minhash_neardup" -> { (s, dir) =>
       MinHashLSH.nearDuplicates(Tables.documents(s, dir), col("doc_id"),
@@ -9460,6 +9469,19 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    // SoftDeDup replay: the same md5 lead fingerprint (Spark md5 ≡ DuckDB
+    // md5 on identical bytes), cluster sizes, truncating ppm weight.
+    "d24_soft_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(lower(text), ' ')[1:3], ' '))
+        |      AS f
+        |  FROM documents),
+        |s AS (SELECT f, count(*) AS n_copies FROM k GROUP BY 1)
+        |SELECT doc_id, n_copies,
+        |  CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
+        |FROM k JOIN s USING (f)""".stripMargin,
 
     "d4_jaccard_pairs" ->
       """WITH probes AS (

@@ -67,6 +67,26 @@ object Dedup {
       Seq(key), Seq(keep.asc))
   }
 
+  /** Soft deduplication — downweight instead of drop: every row keeps its
+    * place in the corpus but carries `weight_ppm = 10⁶ div n_copies` over
+    * its exact-duplicate cluster, so a document duplicated 100× trains
+    * with 1% loss weight instead of 100× gradient mass (the SoftDeDup
+    * idea: repetition signal preserved, memorization pressure removed —
+    * and no content is ever deleted, which matters when the dup cluster
+    * spans licensing tiers the hard-drop variants can't arbitrate).
+    *
+    * Plan: one fingerprint-keyed rollup (map-side combined) + one shuffle
+    * join back on the same key — Catalyst reuses the partitioning, and
+    * only the 8-byte key plus a count travels, never the text twice.
+    */
+  def softDedupWeights(df: DataFrame, id: Column, dupKey: Column): DataFrame = {
+    val keyed = df.select(id.as("doc_id"), dupKey.as("__k"))
+    val sizes = keyed.groupBy("__k").agg(count(lit(1)).as("n_copies"))
+    keyed.join(sizes, Seq("__k"))
+      .select(col("doc_id"), col("n_copies"),
+        expr("1000000 div n_copies").as("weight_ppm"))
+  }
+
   /** Corpus snapshot diff — the data-versioning audit between two runs of
     * an ingest pipeline: classify every id as `added` (new only),
     * `removed` (old only), `changed` (both, different content

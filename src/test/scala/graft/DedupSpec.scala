@@ -73,4 +73,21 @@ class DedupSpec extends SparkSpec {
       20L -> ((1L, 14L)),
       30L -> ((2L, 0L))))
   }
+
+  test("softDedupWeights: every row kept, weight = 1e6/cluster truncated") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"),  // cluster of 3
+      (4L, "x y z"), (5L, "x y z"),                 // cluster of 2
+      (6L, "unique text")
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.softDedupWeights(docs, col("doc_id"),
+        md5(col("text")))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 6)  // nothing dropped
+    assert(out(1L) == ((3L, 333333L)) && out(2L) == ((3L, 333333L)))
+    assert(out(4L) == ((2L, 500000L)) && out(5L) == ((2L, 500000L)))
+    assert(out(6L) == ((1L, 1000000L)))
+  }
 }
