@@ -651,6 +651,23 @@ object SparkEntry {
         col("ts"), col("event_id"), col("event_type"), col("value"))
     },
 
+    // Point-in-time SCD2 lookup: clicks joined to the purchase-history
+    // VERSION valid at click time — Scd2.intervals composed with the
+    // as-of carried window (no fact×version blowup).
+    "j16_scd2_lookup" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val dim = graft.ops.Scd2.intervals(
+          ev.filter(col("event_type") === "purchase"),
+          col("user_id"), col("ts"), col("event_id"), col("value"))
+        .select(col("user_id").as("d_user"), col("valid_from"),
+          col("version"), col("value").as("dim_value"))
+      val facts = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.Scd2.lookup(facts, dim, Seq(("user_id", "d_user")), "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("version").cast("long").as("version"), col("dim_value"))
+    },
+
     // Ordered-funnel conversion (signup → view → click → purchase), greedy
     // earliest-completion semantics, one event-scale shuffle (per-key fold).
     // Later steps are event_id-mod sparsified so the funnel actually sheds
@@ -5527,6 +5544,23 @@ object SparkEntry {
         |  (lead(ts) OVER w IS NULL) AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // SCD2-lookup replay: the w6 version numbering, then the j1-style
+    // latest-at-or-before pick with the version tiebreak.
+    "j16_scd2_lookup" ->
+      """SELECT event_id, user_id, ts, version, dim_value FROM (
+        |  SELECT f.event_id, f.user_id, f.ts,
+        |    d.version, d.value AS dim_value,
+        |    row_number() OVER (PARTITION BY f.event_id
+        |      ORDER BY d.valid_from DESC, d.version DESC) AS rn
+        |  FROM (SELECT event_id, user_id, ts FROM events
+        |        WHERE event_type = 'click') f
+        |  JOIN (SELECT user_id, ts AS valid_from, value,
+        |          row_number() OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS version
+        |        FROM events WHERE event_type = 'purchase') d
+        |    ON f.user_id = d.user_id AND d.valid_from <= f.ts
+        |) WHERE rn = 1""".stripMargin,
 
     // The fold's greedy earliest-completion recurrence replayed as chained
     // strictly-after min-aggregations: t_k = min ts of a step-k event with

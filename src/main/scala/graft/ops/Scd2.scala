@@ -45,6 +45,26 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Point-in-time SCD2 lookup — join facts to the dimension VERSION that
+    * was valid at each fact's timestamp (the kimball "type-2 dimension at
+    * transaction time" join every warehouse mart needs). Because
+    * [[intervals]] chain half-open (each version valid until the next
+    * one's `valid_from`), membership `valid_from ≤ ts < valid_to` is
+    * EXACTLY "latest version with valid_from ≤ ts" — so the lookup rides
+    * [[AsOfJoin.asOf]]'s carried-window plan: one shuffle + sort per key,
+    * ZERO fact×version intermediate blowup (the naive equi-join +
+    * interval filter multiplies every fact by its key's version count
+    * before filtering — a deep-history dimension detonates it).
+    *
+    * `dim` must carry `valid_from` and `version` (from [[intervals]])
+    * plus the attributes to attach; facts earlier than their key's first
+    * version drop (inner semantics — no dimension existed yet).
+    */
+  def lookup(facts: DataFrame, dim: DataFrame, keys: Seq[(String, String)],
+             factTs: String): DataFrame =
+    AsOfJoin.asOf(facts, dim, keys, factTs, "valid_from",
+      tiebreak = Seq("version"))
+
   /** Time-weighted mean of a held value (TWAP): each observation's value
     * holds from its timestamp until the NEXT observation (the [[intervals]]
     * validity semantics), the key's final value holding until `horizonTs`

@@ -83,4 +83,27 @@ class Scd2Spec extends SparkSpec {
       spark.conf.set("spark.graft.parallelizeInputs", "true")
     }
   }
+
+  test("lookup: each fact gets the version valid at its timestamp") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "bronze"),
+      (1L, ts("2024-02-01 00:00:00"), 11L, "silver"),
+      (1L, ts("2024-03-01 00:00:00"), 12L, "gold")
+    ).toDF("k", "ts", "id", "tier")
+    val dim = Scd2.intervals(changes, col("k"), col("ts"), col("id"),
+        col("tier"))
+      .select(col("k").as("d_k"), col("valid_from"), col("version"),
+        col("tier"))
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-15 00:00:00")),  // bronze era
+      (101L, 1L, ts("2024-02-01 00:00:00")),  // boundary: silver starts
+      (102L, 1L, ts("2024-06-01 00:00:00")),  // current (gold)
+      (103L, 1L, ts("2023-12-01 00:00:00"))   // before history → dropped
+    ).toDF("fact_id", "k", "fts")
+    val out = Scd2.lookup(facts, dim, Seq(("k", "d_k")), "fts")
+      .select("fact_id", "version", "tier")
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set((100L, 1, "bronze"), (101L, 2, "silver"),
+      (102L, 3, "gold")))
+  }
 }
