@@ -2097,6 +2097,34 @@ object SparkEntry {
     // Composed index-health mart: recall curve + distortion sweep +
     // nprobe sweep as one labeled (metric, value) report — each leg a
     // proven fragment, the composition pure reshaping.
+    // Media-QC mart composed end-to-end: the three REAL-decode gates
+    // (m16 luma bands, m18 borders, m19 clipping) folded to labeled
+    // scalars — the image/audio curation dashboard. Reuses the sibling
+    // registry entries verbatim; the oracle composes their replays.
+    "pipe_mediaqc_e2e" -> { (s, dir) =>
+      val luma = queries("m16_luma_histogram")(s, dir)
+      val borders = queries("m18_image_borders")(s, dir)
+      val clip = queries("m19_audio_clipping")(s, dir)
+      luma.agg(sum("b0").as("v0"), sum("b3").as("v3"))
+        .select(explode(array(
+          struct(lit("dark_pixels_total").as("metric"),
+            col("v0").as("value")),
+          struct(lit("bright_pixels_total").as("metric"),
+            col("v3").as("value")))).as("kv"))
+        .select(col("kv.metric"), col("kv.value"))
+        .unionByName(borders.agg(
+          lit("border_px_total").as("metric"),
+          sum((col("border_top") + col("border_bottom") +
+            col("border_left") + col("border_right")).cast("long"))
+            .as("value")))
+        .unionByName(clip.agg(
+          lit("clipped_docs").as("metric"),
+          coalesce(sum(when(col("clip_ppm") > 0, 1L).otherwise(0L)),
+            lit(0L)).as("value")))
+        .unionByName(clip.agg(
+          lit("clip_ppm_max").as("metric"), max("clip_ppm").as("value")))
+    },
+
     "pipe_annhealth_e2e" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") % 50 === 0)
@@ -3862,6 +3890,28 @@ object SparkEntry {
          |SELECT 'surviving_events',
          |  (SELECT CAST(coalesce(sum(n_events), 0) AS BIGINT) FROM rt)"""
         .stripMargin) +
+    // pipe_mediaqc oracle: the three media replays composed verbatim,
+    // each collapsed to its labeled scalar.
+    ("pipe_mediaqc_e2e" ->
+      s"""WITH lu AS (${baseOracles("m16_luma_histogram")}),
+         |bo AS (${baseOracles("m18_image_borders")}),
+         |cl AS (${baseOracles("m19_audio_clipping")})
+         |SELECT 'dark_pixels_total' AS metric,
+         |  (SELECT CAST(sum(b0) AS BIGINT) FROM lu) AS value
+         |UNION ALL
+         |SELECT 'bright_pixels_total',
+         |  (SELECT CAST(sum(b3) AS BIGINT) FROM lu)
+         |UNION ALL
+         |SELECT 'border_px_total',
+         |  (SELECT CAST(sum(border_top + border_bottom + border_left
+         |    + border_right) AS BIGINT) FROM bo)
+         |UNION ALL
+         |SELECT 'clipped_docs',
+         |  (SELECT CAST(coalesce(sum(CASE WHEN clip_ppm > 0 THEN 1 END), 0)
+         |    AS BIGINT) FROM cl)
+         |UNION ALL
+         |SELECT 'clip_ppm_max',
+         |  (SELECT CAST(max(clip_ppm) AS BIGINT) FROM cl)""".stripMargin) +
     // pipe_graphemb oracle: the g15 walk replay verbatim, skip-gram pair
     // expansion as one walk-keyed self-join, the same (n, center,
     // context) top-100 total order.
