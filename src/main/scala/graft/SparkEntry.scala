@@ -51,6 +51,25 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     },
 
+    // Type-widening union: two snapshot generations whose qty column
+    // drifted int→double and whose tax column appeared later — widened,
+    // null-filled, unioned, rolled up with exact integer emissions.
+    "u5_union_widen" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val genA = li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_quantity").cast("int").as("qty"),
+          col("l_returnflag"))
+      val genB = li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_quantity").as("qty"),
+          col("l_returnflag"), col("l_tax"))
+      graft.ops.SetOps.unionWiden(Seq(genA, genB))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty").cast("long")).as("sum_qty"),
+          sum(coalesce(expr("CAST(round(l_tax * 100) AS BIGINT)"), lit(0L)))
+            .as("sum_tax_cents"))
+    },
+
     // SoftDeDup: every doc kept, loss weight = 1e6/cluster-size over the
     // 3-token-lead fingerprint — repetition downweighted, nothing dropped.
     "d24_soft_dedup" -> { (s, dir) =>
@@ -9553,6 +9572,23 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    // Widen replay: the same generation split, qty widened to DOUBLE,
+    // the absent tax column NULL-filled, identical integer rollup.
+    "u5_union_widen" ->
+      """WITH genA AS (
+        |  SELECT l_returnflag, CAST(CAST(l_quantity AS INT) AS DOUBLE)
+        |    AS qty, NULL::DOUBLE AS l_tax
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
+        |genB AS (
+        |  SELECT l_returnflag, l_quantity AS qty, l_tax
+        |  FROM lineitem WHERE l_orderkey % 2 = 1),
+        |u AS (SELECT * FROM genA UNION ALL SELECT * FROM genB)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(qty AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(coalesce(CAST(round(l_tax * 100) AS BIGINT), 0))
+        |    AS BIGINT) AS sum_tax_cents
+        |FROM u GROUP BY 1""".stripMargin,
 
     // SoftDeDup replay: the same md5 lead fingerprint (Spark md5 ≡ DuckDB
     // md5 on identical bytes), cluster sizes, truncating ppm weight.

@@ -42,4 +42,36 @@ object SetOps {
     require(dfs.nonEmpty, "need at least one frame")
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Type-widening union: frames whose SHARED columns drifted in TYPE
+    * (int → long → double across snapshot generations — the other half of
+    * schema evolution [[unionByNameAligned]] doesn't cover) union after
+    * each column is cast to the WIDEST type any frame carries, following
+    * Spark's numeric-promotion order; columns absent from a frame
+    * null-fill as in the aligned union. `union` without this either
+    * fails to resolve or silently truncates through positional casts —
+    * widening first is the only lossless direction.
+    *
+    * Plan-level only: the casts are projections fused into each branch's
+    * scan; no shuffle is added.
+    */
+  def unionWiden(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "need at least one frame")
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case FloatType => 5; case DoubleType => 6
+      case _ => 0
+    }
+    val widest: Map[String, DataType] = dfs
+      .flatMap(_.schema.fields.map(f => f.name -> f.dataType))
+      .groupBy(_._1)
+      .map { case (n, ts) => n -> ts.map(_._2).maxBy(rank) }
+    val cast = dfs.map { df =>
+      df.select(df.columns.toSeq.map(c =>
+        col(c).cast(widest(c)).as(c)): _*)
+    }
+    unionByNameAligned(cast)
+  }
 }

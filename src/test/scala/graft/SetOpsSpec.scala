@@ -44,4 +44,16 @@ class SetOpsSpec extends SparkSpec {
       .orderBy("id").as[(Long, String)].collect().toSeq
     assert(aligned == Seq((1L, "a"), (3L, "b")))
   }
+
+  test("unionWiden: shared columns promote to the widest type, absent null-fill") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val gen1 = Seq((1, 10)).toDF("id", "v")                  // int, int
+    val gen2 = Seq((2L, 2.5, "x")).toDF("id", "v", "tag")    // long, double
+    val out = SetOps.unionWiden(Seq(gen1, gen2))
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("id") == LongType && types("v") == DoubleType)
+    val rows = out.orderBy("id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, 10.0, None), (2L, 2.5, Some("x"))))
+  }
 }
