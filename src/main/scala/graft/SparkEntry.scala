@@ -2113,9 +2113,6 @@ object SparkEntry {
         probes.select(col("vec_id").as("query_id")))
     },
 
-    // Composed index-health mart: recall curve + distortion sweep +
-    // nprobe sweep as one labeled (metric, value) report — each leg a
-    // proven fragment, the composition pure reshaping.
     // Media-QC mart composed end-to-end: the three REAL-decode gates
     // (m16 luma bands, m18 borders, m19 clipping) folded to labeled
     // scalars — the image/audio curation dashboard. Reuses the sibling
@@ -2144,6 +2141,9 @@ object SparkEntry {
           lit("clip_ppm_max").as("metric"), max("clip_ppm").as("value")))
     },
 
+    // Composed index-health mart: recall curve + distortion sweep +
+    // nprobe sweep as one labeled (metric, value) report — each leg a
+    // proven fragment, the composition pure reshaping.
     "pipe_annhealth_e2e" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") % 50 === 0)
@@ -2348,50 +2348,25 @@ object SparkEntry {
     // top-100 training pairs. The walk self-join is walk-scale; the trim
     // is TakeOrdered — word2vec input for the doc graph.
     "pipe_graphemb_e2e" -> { (s, dir) =>
-      val d = Tables.documents(s, dir)
-      val edges = d.select((col("doc_id") % 151).as("src"),
-          ((col("doc_id") * 7 + 3) % 151).as("dst"))
-        .unionAll(d.select((col("doc_id") % 151).as("src"),
-          (((col("doc_id") * 11 + 5) % 157) % 151).as("dst")))
-        .filter(col("src") =!= col("dst"))
       graft.graph.Walks.skipgramPairs(
-        graft.graph.Walks.randomWalks(edges, length = 4), window = 2, k = 100)
+        queries("g15_random_walks")(s, dir), window = 2, k = 100)
     },
 
-    // The user-360 mart: sessions + funnel stage + cohort + TWAP from ONE
-    // shuffle and one sorted fold per user (the standalone operators would
-    // scan the event log four times).
     // The nightly-maintenance mart composed end-to-end: the four
     // incremental-state ops (p17 monoid partials, p18 KMV distinct, p19
     // Count-Min probes, p20 retraction) folded to labeled scalars — the
     // dashboard a 100 TB ingest loop reads every morning, produced
     // without ever rescanning history (each branch is state/delta-scale).
     "pipe_ivm_e2e" -> { (s, dir) =>
-      import graft.ops.Incremental
-      val ev = Tables.events(s, dir)
-      val docs = Tables.documents(s, dir)
-      val split = lit("2024-01-15 00:00:00").cast("timestamp")
-      val vm = expr("CAST(round(value * 1000000) AS BIGINT)")
-      val st = Incremental.merge(Seq(
-        Incremental.state(ev.filter(col("ts") < split), col("user_id"),
-          col("ts"), vm),
-        Incremental.state(ev.filter(col("ts") >= split), col("user_id"),
-          col("ts"), vm)))
-      val kmv = Incremental.kmvMerge(Seq(
-        Incremental.kmvState(docs.filter(col("doc_id") % 2 === 0),
-          col("source"), col("text"), 64),
-        Incremental.kmvState(docs.filter(col("doc_id") % 2 === 1),
-          col("source"), col("text"), 64)), k = 64)
-      val cm = Incremental.cmEstimate(Incremental.cmMerge(Seq(
-          Incremental.cmState(docs.filter(col("doc_id") % 2 === 0),
-            col("text")),
-          Incremental.cmState(docs.filter(col("doc_id") % 2 === 1),
-            col("text")))),
-        Seq("table", "query", "value", "spark", "scan"))
-      val retracted = Incremental.retract(
-        Incremental.retractableState(ev, col("user_id"), vm),
-        Incremental.retractableState(
-          ev.filter(col("event_type") === "error"), col("user_id"), vm))
+      // the four legs ARE the p17/p18/p19/p20 registry entries — reuse
+      // them verbatim (the oracle composes baseOracles the same way, so
+      // a tuning of any leg propagates to this mart automatically); only
+      // the CM leg narrows the probe list to its 5 dashboard tokens
+      val st = queries("p17_incr_agg")(s, dir)
+      val kmv = queries("p18_incr_distinct")(s, dir)
+      val cm = queries("p19_incr_topk")(s, dir)
+        .filter(col("token").isin("table", "query", "value", "spark", "scan"))
+      val retracted = queries("p20_retract_agg")(s, dir)
       st.agg(count(lit(1)).as("v"), sum("n_events").as("e"),
           sum("value_micro").as("s"))
         .select(explode(array(
@@ -2410,6 +2385,9 @@ object SparkEntry {
           coalesce(sum("n_events"), lit(0L)).as("value")))
     },
 
+    // The user-360 mart: sessions + funnel stage + cohort + TWAP from ONE
+    // shuffle and one sorted fold per user (the standalone operators would
+    // scan the event log four times).
     "pipe_user360_e2e" -> { (s, dir) =>
       graft.pipeline.UserMart.user360(Tables.events(s, dir), col("user_id"),
         col("ts"), col("event_id"), col("event_type"),
@@ -5541,7 +5519,8 @@ object SparkEntry {
          |  SELECT doc_id, unnest(range(0, n // 20)) AS span_idx
          |  FROM d WHERE n >= 20)
          |SELECT doc_id, span_idx,
-         |  span_idx * 20 + ((doc_id * ${graft.sim.Ivf.PickA}
+         |  span_idx * 20 + (((doc_id % ${graft.sim.Ivf.PickP})
+         |    * ${graft.sim.Ivf.PickA}
          |    + span_idx * ${graft.sim.Ivf.PickB})
          |    % ${graft.sim.Ivf.PickP}) % 18 AS start,
          |  CAST(3 AS BIGINT) AS len
@@ -7788,8 +7767,8 @@ object SparkEntry {
          |  SELECT token, r,
          |    ((hh * ($aList)[r + 1] + ($bList)[r + 1]) % 2147483647) % 256 AS cell
          |  FROM ph CROSS JOIN rows_)
-         |SELECT token, min(n) AS n_est
-         |FROM probe JOIN cells USING (r, cell)
+         |SELECT token, min(coalesce(n, 0)) AS n_est
+         |FROM probe LEFT JOIN cells USING (r, cell)
          |GROUP BY token""".stripMargin
     },
 
@@ -7885,7 +7864,8 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT w.walk_id, w.step + 1, a.dst
          |  FROM walk w JOIN adj a ON a.src = w.node
-         |    AND a.idx = ((w.walk_id * ${graft.sim.Ivf.PickA}
+         |    AND a.idx = (((w.walk_id % ${graft.sim.Ivf.PickP})
+         |      * ${graft.sim.Ivf.PickA}
          |      + (w.step + 1) * ${graft.sim.Ivf.PickB})
          |      % ${graft.sim.Ivf.PickP}) % a.deg
          |  WHERE w.step < 4)
@@ -8175,9 +8155,16 @@ object SparkEntry {
     // (DuckDB isodow ≡ Spark weekday()+1), the same crossing-rule
     // median/MAD chain as w19 keyed on the slot.
     "w45_seasonal_anomaly" ->
-      """WITH hourly AS (
+      """WITH counts AS (
         |  SELECT date_trunc('hour', ts) AS hs, count(*) AS cnt
         |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(hs) AS lo, max(hs) AS hi FROM counts),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hs
+        |  FROM bounds),
+        |hourly AS (
+        |  SELECT s.hs, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |  FROM spine s LEFT JOIN counts c USING (hs)),
         |keyed AS (
         |  SELECT isodow(hs) * 100 + hour(hs) AS skey,
         |    epoch_us(hs) AS hour_us, cnt

@@ -43,8 +43,12 @@ object Walks {
     var walks = start
     var frontier = start
     for (t <- 1 to length) {
+      // reduce walk_id mod P BEFORE the multiply (the Ivf.scala idiom) —
+      // raw 64-bit node ids would overflow walk_id·A and break the
+      // replays-verbatim contract
       val pick = pmod(
-        pmod(col("walk_id") * PickA + lit(t.toLong) * PickB, lit(PickP)),
+        pmod(pmod(col("walk_id"), lit(PickP)) * PickA +
+          lit(t.toLong) * PickB, lit(PickP)),
         col("deg"))
       val next = frontier
         .join(adj, frontier("node") === adj("src"))

@@ -343,7 +343,10 @@ object Multimodal {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("__d"), col("__b.bucket_id"))
     dims
-      .withColumn("ratio_ppm", expr("(width * 1000000) div height"))
+      // widths are IntegerType from the sniffer — widen BEFORE the ×1e6
+      // (a 4K width would wrap 32-bit and land in the wrong bucket)
+      .withColumn("ratio_ppm",
+        expr("(CAST(width AS BIGINT) * 1000000) div CAST(height AS BIGINT)"))
       .withColumn("__b", explode(array(lits: _*)))
       .withColumn("__d", abs(col("ratio_ppm") - col("__b.bucket_ppm")))
       .withColumn("__rn", row_number().over(w))

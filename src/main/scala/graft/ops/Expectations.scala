@@ -29,7 +29,10 @@ object Expectations {
     require(rules.nonEmpty, "need at least one expectation")
     require(tolerancePpm >= 0, "tolerancePpm must be >= 0")
     val aggs = count(lit(1)).as("__n") +: rules.map { case (name, rule) =>
-      sum(when(rule, 0L).otherwise(1L)).as(s"__v_$name")
+      // coalesce: sum over ZERO rows is NULL — an empty batch has zero
+      // violations, and the gate must still answer (a NULL pass flag
+      // fails both `filter(pass)` and `filter(!pass)` silently)
+      coalesce(sum(when(rule, 0L).otherwise(1L)), lit(0L)).as(s"__v_$name")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = rules.map { case (name, _) =>
@@ -39,7 +42,10 @@ object Expectations {
       .select(col("__n").as("n_rows"), explode(array(rows: _*)).as("kv"))
       .select(col("kv.rule").as("rule"), col("n_rows"),
         col("kv.n_violations").as("n_violations"))
-      .withColumn("viol_ppm", expr("(n_violations * 1000000) div n_rows"))
+      // empty batch: 0/0 would be NULL (or an ANSI error) — vacuous pass
+      .withColumn("viol_ppm",
+        when(col("n_rows") > 0,
+          expr("(n_violations * 1000000) div n_rows")).otherwise(0L))
       .withColumn("pass", col("viol_ppm") <= tolerancePpm)
   }
 }

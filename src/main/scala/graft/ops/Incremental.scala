@@ -137,8 +137,13 @@ object Incremental {
           CountMin.cellOf(col("__h"), r).as("cell"))): _*)).as("__rc"))
       .select(col("token"), col("__rc.row").as("row"),
         col("__rc.cell").as("cell"))
-    probes.join(broadcast(grid), Seq("row", "cell"))
-      .groupBy("token").agg(min(col("n")).as("n_est"))
+    // LEFT join + coalesce 0: the sketch stores only OCCUPIED cells, but
+    // CM semantics read every probed cell — an empty cell is a 0 counter
+    // (dropping it would inflate an unseen token's min to its one
+    // colliding hot cell, or lose the token from the report entirely)
+    probes.join(broadcast(grid), Seq("row", "cell"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_est"))
   }
 
   /** Retraction-capable per-key state: count and exact micro-sum ONLY —

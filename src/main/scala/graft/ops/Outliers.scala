@@ -66,13 +66,23 @@ object Outliers {
     */
   def seasonalAnomalies(events: DataFrame, ts: Column,
                         k: Long = 3L): DataFrame = {
-    val hourly = events
+    val counts = events
       .select(date_trunc("hour", ts).as("__hs"))
       .groupBy("__hs")
       .agg(count(lit(1)).as("__cnt"))
-      .select(((weekday(col("__hs")) + 1) * 100 + hour(col("__hs")))
-          .cast("long").as("skey"),
-        unix_micros(col("__hs")).as("__hour_us"), col("__cnt"))
+      .select(unix_micros(col("__hs")).as("__hus"), col("__cnt"))
+    // densify the hour spine over [min, max]: a ZERO-event hour is the
+    // severest anomaly there is (total outage) — leaving it absent both
+    // makes it unflaggable and skews every low-traffic slot's median up
+    val spine = counts
+      .agg(min(col("__hus")).as("__lo"), max(col("__hus")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"),
+        lit(3600000000L))).as("__hus"))
+    val t = timestamp_micros(col("__hus"))
+    val hourly = spine.join(counts, Seq("__hus"), "left")
+      .select(((weekday(t) + 1) * 100 + hour(t)).cast("long").as("skey"),
+        col("__hus").as("__hour_us"),
+        coalesce(col("__cnt"), lit(0L)).as("__cnt"))
     madOutliers(hourly, col("skey"), col("__hour_us"), col("__cnt"), k)
       .select(col("skey"), col("event_id").as("hour_us"),
         col("v").as("cnt"), col("med"), col("mad"), col("dev"))

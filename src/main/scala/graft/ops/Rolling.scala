@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
 
 /** Trailing RANGE-window rollups: per-key, per-period totals plus a
   * sliding N-period trailing sum — the moving-average/trailing-activity
@@ -141,11 +142,12 @@ object Rolling {
     * mean ± k·σ volatility gate, with the σ comparison done WITHOUT a
     * square root: `|v − μ| > k·σ` squares (both sides non-negative) to
     * `(n·v − s)² > k²·(n·q − s²)` over the trailing count/sum/sum-of-
-    * squares — pure int64, engine-exact, no float ever enters the flag.
-    * Values ride MILLI-units so every term stays far inside int64
-    * (daily sums ~1e7 milli → squared terms ~5e15 < 2⁶³; micro-units
-    * would overflow the squares, which is why this op's contract differs
-    * from [[trailing]]'s micro idiom).
+    * squares — exact integer arithmetic, no float ever enters the flag.
+    * Values ride MILLI-units (coarser than [[trailing]]'s micro idiom —
+    * the squares grow as v²·n²) and the squared terms run in
+    * DECIMAL(38,0), so the comparison stays exact to 38 digits on both
+    * engines (DuckDB's window sums promote to HUGEINT; a pure-int64
+    * Spark product would silently wrap past ~1e9-milli daily sums).
     *
     * Same two-exchange plan as [[trailing]] (event-scale partials, then
     * the per-key daily frame); `sum_milli` is emitted instead of the mean
@@ -164,16 +166,23 @@ object Rolling {
       .agg(sum(col("__vm")).as("v_milli"))
     val w = Window.partitionBy(col(keyName)).orderBy(col("period"))
       .rangeBetween(-(windowPeriods - 1).toLong, 0L)
+    // the squared terms run in DECIMAL(38,0): q ~ n·v², so daily sums past
+    // ~1e9 milli would wrap a pure-int64 product while DuckDB's HUGEINT
+    // stays exact — decimal keeps both engines exact to 38 digits
+    val dec = DataTypes.createDecimalType(38, 0)
     daily
       .withColumn("n_days", count(lit(1)).over(w))
       .withColumn("sum_milli", sum(col("v_milli")).over(w))
-      .withColumn("__q", sum(col("v_milli") * col("v_milli")).over(w))
+      .withColumn("__q", sum(col("v_milli").cast(dec) *
+        col("v_milli").cast(dec)).over(w))
       .filter(col("n_days") >= minPeriods)
-      .withColumn("__dev", col("n_days") * col("v_milli") - col("sum_milli"))
+      .withColumn("__dev",
+        (col("n_days") * col("v_milli") - col("sum_milli")).cast(dec))
       .select(col(keyName), col("period"), col("v_milli"), col("n_days"),
         col("sum_milli"),
         (col("__dev") * col("__dev") >
-          lit(k * k) * (col("n_days") * col("__q") -
-            col("sum_milli") * col("sum_milli"))).as("breakout"))
+          lit(k * k).cast(dec) * (col("n_days").cast(dec) * col("__q") -
+            col("sum_milli").cast(dec) * col("sum_milli").cast(dec)))
+          .as("breakout"))
   }
 }

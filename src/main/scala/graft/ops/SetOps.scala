@@ -64,13 +64,29 @@ object SetOps {
       case LongType => 4; case FloatType => 5; case DoubleType => 6
       case _ => 0
     }
-    val widest: Map[String, DataType] = dfs
+    def widen(ts: Seq[DataType]): DataType = {
+      val distinct = ts.distinct
+      if (distinct.size == 1) distinct.head
+      else {
+        // a TYPE conflict must be all-numeric — silently casting a
+        // string/decimal/date branch to a numeric would null or corrupt
+        // it, the opposite of this op's lossless contract
+        require(distinct.forall(rank(_) > 0),
+          s"unionWiden: non-numeric type conflict: ${distinct.mkString(", ")}")
+        val widest = distinct.maxBy(rank)
+        // long ∪ float is the one pair where the max-rank pick is lossy
+        // (float's 24-bit mantissa drops longs > 2^24) — promote to double
+        if (widest == FloatType && distinct.exists(rank(_) == 4)) DoubleType
+        else widest
+      }
+    }
+    val widestByName: Map[String, DataType] = dfs
       .flatMap(_.schema.fields.map(f => f.name -> f.dataType))
       .groupBy(_._1)
-      .map { case (n, ts) => n -> ts.map(_._2).maxBy(rank) }
+      .map { case (n, ts) => n -> widen(ts.map(_._2)) }
     val cast = dfs.map { df =>
       df.select(df.columns.toSeq.map(c =>
-        col(c).cast(widest(c)).as(c)): _*)
+        col(c).cast(widestByName(c)).as(c)): _*)
     }
     unionByNameAligned(cast)
   }

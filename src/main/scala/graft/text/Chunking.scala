@@ -219,9 +219,13 @@ object Chunking {
         explode(sequence(lit(0L), expr(s"__n div $window") - 1))
           .as("span_idx"))
       .select(col("doc_id"), col("span_idx"),
+        // doc_id reduces mod P BEFORE the multiply (the t25 idiom) —
+        // 64-bit hash ids would overflow doc_id·A and diverge from the
+        // oracle's exact BIGINT arithmetic
         (col("span_idx") * window +
-          pmod(pmod(col("doc_id") * PickA + col("span_idx") * PickB,
-            lit(PickP)), lit(offRange))).as("start"),
+          pmod(pmod(pmod(col("doc_id"), lit(PickP)) * PickA +
+            col("span_idx") * PickB, lit(PickP)), lit(offRange)))
+          .as("start"),
         lit(spanLen.toLong).as("len"))
   }
 
