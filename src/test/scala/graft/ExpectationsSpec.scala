@@ -32,4 +32,11 @@ class ExpectationsSpec extends SparkSpec {
       .select("pass").as[Boolean].head()
     assert(out) // 250000 ppm <= 300000 tolerance
   }
+
+  test("check: an empty batch passes vacuously — never a NULL gate") {
+    val out = Expectations.check(rows.filter(col("id") > 100),
+        Seq("qty_range" -> (col("qty") >= 1)))
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(("qty_range", 0L, 0L, 0L, true)))
+  }
 }

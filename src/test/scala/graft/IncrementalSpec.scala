@@ -102,6 +102,18 @@ class IncrementalSpec extends SparkSpec {
     assert(est("x") >= 4L && est("w") >= 3L)
   }
 
+  test("cmEstimate: an unseen token reads its empty cells as 0, never a hot collision") {
+    val docs = Seq((1L, "x x x")).toDF("doc_id", "text")
+    val grid = Incremental.cmMerge(Seq(Incremental.cmState(docs, col("text"))))
+    // "zzz_never_seen" has at least one empty cell among its 4 → min = 0
+    // (with only one distinct corpus token, 4 simultaneous collisions are
+    // impossible), and the token must still appear in the report
+    val est = Incremental.cmEstimate(grid, Seq("x", "zzz_never_seen"))
+      .as[(String, Long)].collect().toMap
+    assert(est("x") >= 3L)
+    assert(est("zzz_never_seen") == 0L)
+  }
+
   test("retract(state(A), state(D)) equals state(A minus D); drained keys drop") {
     val all = Seq((1L, 100L), (1L, 50L), (1L, 7L), (2L, 9L), (3L, 4L))
       .toDF("user_id", "vm")

@@ -49,4 +49,25 @@ class OutliersSpec extends SparkSpec {
     val mon9us = Timestamp.valueOf("2024-01-15 09:00:00").getTime * 1000
     assert(out == Seq((109L, mon9us, 9L, 3L, 0L, 6L)))
   }
+
+  test("seasonalAnomalies: a total-outage hour (zero events) flags via the dense spine") {
+    import java.sql.Timestamp
+    // Tuesday 10:00 on 3 consecutive weeks carries ~8 events; the 4th
+    // Tuesday 10:00 has NONE — the densified spine must surface it
+    def at(day: String, n: Int) = (1 to n).map(i =>
+      Timestamp.valueOf(f"$day 10:${i % 60}%02d:00"))
+    // the 4th week's only event sits in the NEXT hour, so it extends the
+    // spine past the outage without filling the outage slot itself
+    val events = (at("2024-01-02", 8) ++ at("2024-01-09", 8) ++
+      at("2024-01-16", 8) ++
+      Seq(Timestamp.valueOf("2024-01-23 11:00:00"))).map(Tuple1(_))
+      .toSeq.toDF("ts")
+    val out = Outliers.seasonalAnomalies(events, col("ts"), k = 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val tue10us = Timestamp.valueOf("2024-01-23 10:00:00").getTime * 1000
+    // slot 210 (Tue 10:00) counts are 8,8,8,0 → med 8, MAD 0, the zero
+    // hour deviates by 8 and flags
+    assert(out.contains((210L, tue10us, 0L, 8L, 0L, 8L)),
+      s"outage hour missing from $out")
+  }
 }

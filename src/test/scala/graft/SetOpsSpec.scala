@@ -56,4 +56,23 @@ class SetOpsSpec extends SparkSpec {
       .as[(Long, Double, Option[String])].collect().toSeq
     assert(rows == Seq((1L, 10.0, None), (2L, 2.5, Some("x"))))
   }
+
+  test("unionWiden: long meeting float widens to double (float would drop bits)") {
+    import org.apache.spark.sql.types.DoubleType
+    val a = Seq(Tuple1((1L << 40) + 1L)).toDF("v")
+    val b = Seq(Tuple1(1.5f)).toDF("v")
+    val out = SetOps.unionWiden(Seq(a, b))
+    assert(out.schema("v").dataType == DoubleType)
+    assert(out.as[Double].collect().toSet ==
+      Set(((1L << 40) + 1L).toDouble, 1.5))
+  }
+
+  test("unionWiden: a non-numeric type conflict refuses instead of corrupting") {
+    val a = Seq(Tuple1(1)).toDF("code")
+    val b = Seq(Tuple1("X9")).toDF("code")
+    val e = intercept[IllegalArgumentException] {
+      SetOps.unionWiden(Seq(a, b))
+    }
+    assert(e.getMessage.contains("non-numeric type conflict"))
+  }
 }
