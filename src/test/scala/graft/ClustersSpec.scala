@@ -32,6 +32,40 @@ class ClustersSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("connectedComponentsAlternating matches min-label on mixed clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 5L))
+      .toDF("id_a", "id_b")
+    val minLabel = Clusters.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alt = Clusters.connectedComponentsAlternating(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == minLabel)
+  }
+
+  test("alternating converges on a 1000-node chain where min-label's budget throws") {
+    // a containment-dup chain: diameter 999 >> min-label's default 10
+    // rounds. The r8 behavior was a SILENT mislabel; now it's loud.
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Clusters.connectedComponents(chain).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val alt = Clusters.connectedComponentsAlternating(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt.size == 1000 && alt.values.forall(_ == 0L))
+  }
+
+  test("alternating on random graphs: components equal min-label's fixpoint") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val minLabel = Clusters.connectedComponents(pairs, maxIter = 80).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alt = Clusters.connectedComponentsAlternating(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == minLabel)
+  }
+
   test("keepBest: the highest-scoring member survives, not the min id") {
     val docs = Seq(
       (1L, 10L), (2L, 99L), (3L, 50L), // cluster {1,2,3}: 2 is longest
