@@ -156,9 +156,21 @@ object Clusters {
 
   /** Drop near-duplicates: keep each component's minimum id plus every id
     * not mentioned in `pairs`.
+    *
+    * @param alternating use [[connectedComponentsAlternating]] (O(log n)
+    *        rounds) instead of min-label (O(diameter)). Set it when the
+    *        pair graph can chain — embedding-cosine graphs do (points
+    *        chain through space: a~b~c with a≁c is the NORM for cosine
+    *        thresholds, so component diameters grow with corpus size;
+    *        the loud convergence check caught exactly this on the sf0.1
+    *        semantic-dedup graphs, whose diameter exceeds 10 while the
+    *        sf0.01 graphs converge — a silent r8 mislabel at bench scale).
     */
-  def dropNearDuplicates(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
-    val doomed = connectedComponents(pairs)
+  def dropNearDuplicates(df: DataFrame, id: Column, pairs: DataFrame,
+                         alternating: Boolean = false): DataFrame = {
+    val labels = if (alternating) connectedComponentsAlternating(pairs)
+                 else connectedComponents(pairs)
+    val doomed = labels
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__doomed"))
     df.join(doomed, id === col("__doomed"), "left_anti")

@@ -134,6 +134,9 @@ object ScaleJoins {
     * (ga < gb) are emitted unconditionally and id-normalized after; pairs
     * inside one group (ga = gb) use the id order directly. Result-identical
     * to the naive plan for any salt; `salt = 1` IS the naive plan.
+    * Replication is two-sided (~(salt+1)/2× each side) so that EVERY block
+    * is its own join key — see the in-body comment for the one-sided
+    * variant's hidden |B|²/salt task cap.
     *
     * @param payload columns carried through to both sides of each pair,
     *                suffixed `_a` / `_b` (swapped alongside the ids during
@@ -146,22 +149,39 @@ object ScaleJoins {
       bucket.map(col) ++
         Seq(pmod(hash(col(id)), lit(salt)).as(s"__g$s"), col(id).as(s"id$s")) ++
         payload.map(c => col(c).as(s"$c$s")): _*)
-    val a = side("_a")
+    // BOTH sides explode so the join key carries the FULL block coordinate
+    // (ga, gb): a row in group g serves as the a-side of blocks (g, gb≥g)
+    // and the b-side of blocks (ga≤g, g). A one-sided explode (r8 shape —
+    // join key (bucket, gb) only) leaves the gb column's g blocks on ONE
+    // key, capping tasks at |B|²/salt instead of |B|²/salt²; the skew
+    // harness measured the difference at 16.4 s vs 1.4 s max-task on a 10%
+    // hot bucket (tools/SkewBench). Replication cost: ~(salt+1)/2× per
+    // side (vs one-sided's (salt+1)/2× on a alone) — the standard
+    // 1-Bucket-Theta trade of shuffle volume for a true per-task cap.
+    val a = side("_a").withColumn("__ga", col("__g_a"))
       .withColumn("__gb", explode(sequence(col("__g_a"), lit(salt - 1))))
-    val b = side("_b").withColumnRenamed("__g_b", "__gb")
+    val b = side("_b").withColumn("__gb", col("__g_b"))
+      .withColumn("__ga", explode(sequence(lit(0), col("__g_b"))))
     // pin the pair stage's partition count: AQE sizes reduce partitions by
     // shuffle INPUT bytes, and a quadratic stage's input is tiny relative
     // to its output — left to itself AQE coalesces the join to a couple of
     // partitions and the whole |B|² scoring runs near-serial. An EXPLICIT
     // partition count is exempt from AQE coalescing, so the scoring keeps
     // the cluster's parallelism.
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val keys = (bucket :+ "__gb").map(col)
+    // 4× the core count: block keys land in partitions by hash, and at
+    // near-core key counts the birthday effect stacks several heavy blocks
+    // in one partition (measured: salt=8's 36 hot-bucket blocks over 32
+    // partitions left a 10.5 s max-task; 128 partitions cut the stacking).
+    // Tasks here are CPU-bound on per-pair work, so extra small partitions
+    // cost scheduling noise only.
+    val parallelism = 4 * df.sparkSession.sparkContext.defaultParallelism
+    val keys = (bucket ++ Seq("__ga", "__gb")).map(col)
     val joined = a.repartition(parallelism, keys: _*)
-      .join(b.repartition(parallelism, keys: _*), bucket :+ "__gb")
-      // same group: id order picks the one emission; different groups: the
-      // (ga, gb) orientation already makes the pair unique
-      .filter(col("__g_a") < col("__gb") || col("id_a") < col("id_b"))
+      .join(b.repartition(parallelism, keys: _*), bucket ++ Seq("__ga", "__gb"))
+      // same group (diagonal block): id order picks the one emission;
+      // different groups: the ga < gb block orientation already makes the
+      // pair unique
+      .filter(col("__ga") < col("__gb") || col("id_a") < col("id_b"))
     val swap = col("id_a") > col("id_b")
     val normalized = Seq(
       when(swap, col("id_b")).otherwise(col("id_a")).as("id_a"),

@@ -389,7 +389,11 @@ object Similarity {
                     pairs: Option[DataFrame] = None): DataFrame = {
     val p = pairs.getOrElse(nearDupPairs(corpus, corpus, threshold))
       .select("id_a", "id_b")
-    graft.dedup.Clusters.dropNearDuplicates(corpus, col("vec_id"), p)
+    // alternating components: cosine near-dup graphs CHAIN (a~b~c, a≁c is
+    // the norm near the threshold), so diameters grow with corpus size —
+    // the sf0.1 graphs already exceed min-label's 10-round budget
+    graft.dedup.Clusters.dropNearDuplicates(corpus, col("vec_id"), p,
+      alternating = true)
   }
 
   /** LSH-bucketed candidate pair generator for [[semanticDedup]] at corpus
