@@ -214,6 +214,21 @@ object SparkEntry {
         col("doc_id"), col("text"), spanTokens = 8)
     },
 
+    // Incremental span-dedup gate (the d10 rule under batch-append ingest,
+    // completing the d8/d12 incremental family): the %10==0 slice plays the
+    // already-shipped corpus whose span-hash state is maintained; today's
+    // batch cuts every block seen in the state OR earlier in the batch,
+    // stitching survivors. Anti join on 8-byte hashes BEFORE the window,
+    // so the first-occurrence shuffle carries never-seen spans only.
+    "d25_incremental_span_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val state = graft.dedup.SpanDedup.spanHashState(
+        docs.filter(col("doc_id") % 10 === 0), col("text"), spanTokens = 8)
+      graft.dedup.SpanDedup.dedupSpansAgainstState(
+        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+        state, spanTokens = 8)
+    },
+
     // ANN: exact brute-force cosine top-k (the correctness baseline).
     "s1_ann_bruteforce_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -4996,6 +5011,38 @@ object SparkEntry {
         |       string_agg(span, ' ' ORDER BY pos) AS text,
         |       count(*) AS n_spans
         |FROM first_occ WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    // The incremental gate's oracle replays the span cut over the WHOLE
+    // corpus, takes the %10==0 slice's distinct spans as the state, and
+    // applies the gate to the batch slice: first-in-batch occurrence AND
+    // never in state. Span membership is per-span (constant across its
+    // occurrences), so filtering before or after the window is equivalent —
+    // the engine anti-joins first (smaller window input), the oracle
+    // filters after (simpler SQL); both emit the same survivor set.
+    "d25_incremental_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) > 0),
+        |spans AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos,
+        |         t
+        |  FROM toks),
+        |cut AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(t[(1 + pos*8):(8 + pos*8)], ' ') AS span
+        |  FROM spans),
+        |hist AS (SELECT DISTINCT span FROM cut WHERE doc_id % 10 = 0),
+        |batch_first AS (
+        |  SELECT doc_id, pos, span,
+        |         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM cut WHERE doc_id % 10 <> 0)
+        |SELECT doc_id,
+        |       string_agg(span, ' ' ORDER BY pos) AS text,
+        |       count(*) AS n_spans
+        |FROM batch_first
+        |WHERE rn = 1 AND span NOT IN (SELECT span FROM hist)
+        |GROUP BY doc_id""".stripMargin,
 
     "d7_semantic_dedup" ->
       """WITH RECURSIVE emb AS (

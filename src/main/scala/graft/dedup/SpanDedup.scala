@@ -121,6 +121,74 @@ object SpanDedup {
         size(col("__keep")).cast("long").as("n_spans"): _*)
   }
 
+  /** The span-hash state a batch contributes — the append-only table an
+    * incremental span-dedup pipeline maintains between ingest runs (the
+    * span analog of the d8/d12 fingerprint history). Distinct 8-byte
+    * xxhash64 keys; at warehouse scale store it bucketed on `span_h` so
+    * the nightly gate's anti join is a bucket-local probe.
+    */
+  def spanHashState(df: DataFrame, text: Column, spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    df.select(TextAnalysis.tokens(text).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(posexplode(sequence(lit(1), size(col("__toks")), lit(spanTokens)))
+        .as(Seq("__pos", "__start")), col("__toks"))
+      .select(xxhash64(concat_ws(" ",
+        slice(col("__toks"), col("__start"), lit(spanTokens)))).as("span_h"))
+      .distinct()
+  }
+
+  /** Incremental batch-append span-dedup gate — [[dedupSpans]]'s
+    * first-occurrence rule under nightly ingest (the d10 counterpart of
+    * `Dedup.dropAlreadySeen`): a block is cut if it EVER shipped in a
+    * previous batch (`state`, from [[spanHashState]]) or occurred earlier
+    * in this batch; survivors stitch back in order and an emptied document
+    * disappears. Running batches through the gate in id order, appending
+    * each batch's [[spanHashState]] to the state, reproduces the one-shot
+    * [[dedupSpans]] over the concatenated corpus exactly (spec-pinned).
+    *
+    * Scale shape: the batch's narrow (id, pos, hash) frame anti-joins the
+    * state on the 8-byte hash FIRST (batch-scale shuffle; the state side
+    * is a bucketed probe at warehouse scale), so the first-occurrence
+    * window then runs on never-seen spans only — strictly less than d10b's
+    * window input. Text rides one un-exploded join, map-side restitch, as
+    * in [[dedupSpansHashed]] (same 64-bit collision caveat, same exact
+    * fallback).
+    */
+  def dedupSpansAgainstState(batch: DataFrame, id: Column, text: Column,
+                             state: DataFrame, spanTokens: Int = 8,
+                             carry: Seq[String] = Nil): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val idName = batch.select(id).columns.head
+    val carryCols = carry.map(col)
+    val narrow = batch
+      .select(id, TextAnalysis.tokens(text).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idName), col("__toks"),
+        posexplode(sequence(lit(1), size(col("__toks")), lit(spanTokens)))
+          .as(Seq("__pos", "__start")))
+      .select(col(idName), col("__pos").cast("long").as("__pos"),
+        xxhash64(concat_ws(" ",
+          slice(col("__toks"), col("__start"), lit(spanTokens)))).as("__h"))
+      .join(state.select(col("span_h").as("__h")), Seq("__h"), "left_anti")
+    val firstOccurrence = Window.partitionBy(col("__h"))
+      .orderBy(col(idName), col("__pos"))
+    val keepPositions = narrow
+      .withColumn("__rn", row_number().over(firstOccurrence))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idName))
+      .agg(sort_array(collect_list(col("__pos"))).as("__keep"))
+    batch.select(id +: carryCols :+ text.as("__text"): _*)
+      .join(keepPositions, idName)
+      .withColumn("__toks", TextAnalysis.tokens(col("__text")))
+      .select(col(idName) +: carryCols :+
+        array_join(transform(col("__keep"), p =>
+          concat_ws(" ", slice(col("__toks"),
+            (p * spanTokens + 1).cast("int"), lit(spanTokens)))), " ")
+          .as("text") :+
+        size(col("__keep")).cast("long").as("n_spans"): _*)
+  }
+
   /** Frequency-threshold boilerplate removal — the CCNet/RefinedWeb
     * sibling of [[dedupSpans]]: a block occurring in `minDocs` or more
     * DISTINCT documents is boilerplate (headers, navigation, license

@@ -92,6 +92,95 @@ class PipelineSpec extends SparkSpec {
     assert(!n.fieldNames.contains("name"), "family member without whitelist must drop")
   }
 
+  test("golden: full 4-row reference matrix through ConsumeJob — all sinks, " +
+    "union accumulate, cache lifecycle (SURVEY §3.3)") {
+    // the FULL iteration matrix of the reference job (script/config.json:
+    // 161-186): DE/AT × BUY/RENT, mapped onto 4 disjoint segment slices
+    val cfg = graft.io.JobConfig.parse(
+      """{"geoDropColumns": ["geoid"],
+        |  "countryValues":[
+        |  {"geoid":108,"country_name":"GERMANY","distribution_type":"BUY","data_source":"SELL"},
+        |  {"geoid":108,"country_name":"GERMANY","distribution_type":"RENT","data_source":"RENTAL"},
+        |  {"geoid":103,"country_name":"AUSTRIA","distribution_type":"BUY","data_source":"SELL"},
+        |  {"geoid":103,"country_name":"AUSTRIA","distribution_type":"RENT","data_source":"RENTAL"}
+        |]}""".stripMargin)
+    // each config row claims a disjoint quarter of the user space (the
+    // reference's country×distribution predicates are likewise disjoint
+    // value slices; a hash quarter guarantees every slice is non-empty at
+    // sf0.001, where some c_mktsegment slices die in the activity filter)
+    val params = graft.pipeline.ConsumeParams.fromConfig(cfg, r => {
+      val q = (r.geoid, r.distributionType) match {
+        case (108, "BUY") => 0; case (108, "RENT") => 1
+        case (103, "BUY") => 2; case _ => 3
+      }
+      pmod(col("user_id"), lit(4)) === q
+    })
+    assert(params.iterations.map(_.name) ==
+      Seq("germany_buy", "germany_rent", "austria_buy", "austria_rent"))
+
+    // capture every action's executed plan: the cache-lifecycle assertion
+    // below reads the FINAL table write's plan
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val outDir = Files.createTempDirectory("graft-golden").toString
+    try {
+      // sf0.01: at sf0.001 the post-filter user population is thin enough
+      // that a whole quarter can die in the activity/validity filters
+      val result = ConsumeJob.run(spark, "/root/testdata/sf0.01", outDir,
+        params, Some(cfg), dateSegment = Some("2024-05-21"))
+
+      // all three sink families land, per iteration, date-keyed
+      for (it <- params.iterations.map(_.name)) {
+        val seg = s"partitioncreateddate=2024-05-21"
+        assert(new java.io.File(s"$outDir/json/$it/$seg")
+          .listFiles.exists(_.getName.endsWith(".json.gz")), s"json $it")
+        assert(new java.io.File(s"$outDir/csv/$it/$seg")
+          .listFiles.exists(_.getName.endsWith(".csv.gz")), s"csv $it")
+      }
+      val table = spark.read.parquet(s"$outDir/table")
+      assert(table.count() == result.count())
+      // every iteration contributes and no user crosses iterations (the
+      // 4 config rows slice the user space disjointly, like DE/AT×BUY/RENT)
+      val iters = table.select("iteration").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(iters == params.iterations.map(_.name).toSet)
+      assert(table.groupBy("user_id")
+        .agg(countDistinct("iteration").as("n"))
+        .filter(col("n") > 1).count() == 0)
+      // geoDropColumns shaped the accumulated table (modify-stage drop)
+      assert(!table.columns.contains("geoid"))
+
+      // THE §3.3 LIFECYCLE ASSERT: the reference unpersists BaseDataFirst
+      // before the final catalog write, so its accumulated union RECOMPUTES
+      // stage-1 lineage per iteration (script/main.py:370 + SURVEY §3.3).
+      // Our orchestration holds the stage caches until after the final
+      // action — so the union write's plan must read every one of the 4
+      // branches from cache (InMemoryTableScan), not recompute it.
+      // the listener is async — wait for the table write's plan to land
+      def tableWrite: Option[String] = plans.synchronized {
+        plans.find(p => p.contains("InsertIntoHadoopFsRelation") &&
+          p.contains(s"$outDir/table"))
+      }
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (tableWrite.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val finalWrite = tableWrite
+      assert(finalWrite.isDefined, "no captured table-write plan")
+      val scans = "InMemoryTableScan".r.findAllIn(finalWrite.get).size
+      assert(scans >= params.iterations.size,
+        s"final union write must hit the per-iteration caches " +
+          s"(got $scans InMemoryTableScan in\n${finalWrite.get.take(2000)})")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("CSV lookup feeds the broadcast geo join end-to-end (script/main.py:128-154)") {
     // write a nation-shaped CSV, load via Sources.csvLookup, feed modify()
     val csvDir = Files.createTempDirectory("graft-geo-csv").toString

@@ -118,6 +118,46 @@ class SpanDedupSpec extends SparkSpec {
       s"boilerplate set must broadcast into a left anti hash join:\n$plan")
   }
 
+  test("incremental gate: state blocks cut everywhere, in-batch dups keep first, " +
+    "emptied docs vanish") {
+    val block = (1 to 8).map(i => s"w$i").mkString(" ")
+    val hist = Seq((10L, block)).toDF("doc_id", "text")
+    val state = SpanDedup.spanHashState(hist, col("text"), spanTokens = 8)
+    val batch = Seq(
+      (1L, block + " " + (1 to 8).map(i => s"x$i").mkString(" ")), // state dup + fresh
+      (2L, (1 to 8).map(i => s"y$i").mkString(" ")),               // fresh
+      (3L, (1 to 8).map(i => s"y$i").mkString(" ")),               // in-batch dup of 2
+      (4L, block))                                                 // fully state-dup
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpansAgainstState(batch, col("doc_id"),
+        col("text"), state, spanTokens = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // 3 lost to 2, 4 emptied
+    assert(out(0)._2 == (1 to 8).map(i => s"x$i").mkString(" "))
+    assert(out(1)._2 == (1 to 8).map(i => s"y$i").mkString(" "))
+  }
+
+  test("incremental gate composed over ordered batches == one-shot dedupSpans") {
+    // batch-append ingest on the real corpus: ids < median ship first,
+    // the rest arrive as tonight's batch. Composing the gate must equal
+    // the one-shot corpus pass restricted to tonight's docs (history ids
+    // all precede batch ids, so global first occurrences in the batch are
+    // exactly the gate's survivors).
+    val docs = Tables.documents(spark, sf)
+    val split = 2500L
+    val hist = docs.filter(col("doc_id") < split)
+    val batch = docs.filter(col("doc_id") >= split)
+    val state = SpanDedup.spanHashState(hist, col("text"), spanTokens = 8)
+    val gated = SpanDedup.dedupSpansAgainstState(batch, col("doc_id"),
+        col("text"), state, spanTokens = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val oneShot = SpanDedup.dedupSpans(docs, col("doc_id"), col("text"),
+        spanTokens = 8)
+      .filter(col("doc_id") >= split)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(gated == oneShot)
+  }
+
   test("dedupSpansHashed: the window shuffle never carries span text") {
     // grep the optimized plan: the only Exchange whose child is the span
     // Generate must key and carry __h/__pos/id — no string span column

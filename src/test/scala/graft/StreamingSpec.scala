@@ -739,4 +739,75 @@ class StreamingSpec extends SparkSpec {
       .orderBy("key").as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(streamed == batchAll, s"streamed $streamed != batch $batchAll")
   }
+
+  /** Rows in the stateful operator's store at the most recent batch — the
+    * number SCALE.md's streaming claims rest on. `recentProgress` keeps the
+    * last batches; the newest entry with a state operator is the current
+    * store size.
+    */
+  private def stateRows(query: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    query.recentProgress.reverseIterator
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(-1L)
+
+  test("state-size audit: CDC repair state is O(keys), and buffers drain at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val query = StreamOps.startMemorySink(
+      StreamOps.repairCdcStreamEventTime(input.toDS(), "1 minute").toDF(),
+      "state_audit_repair_q", OutputMode.Append())
+
+    // 50 keys × 4 in-horizon events each: 200 buffered events, but the
+    // store must hold ONE row per key (the buffer is a field of the row,
+    // not a row per event)
+    val burst = for (k <- 1L to 50L; i <- 0 to 3) yield
+      KeyedEvent(k, ts(f"2024-01-01 10:0$i%d:00"), k * 10 + i, "upsert", i.toDouble)
+    input.addData(burst: _*)
+    query.processAllAvailable()
+    assert(stateRows(query) == 50L,
+      s"expected one state row per key, got ${stateRows(query)}")
+
+    // advance the watermark past every buffered event (12:00 - 1 min
+    // horizon covers all of 10:0x): buffers finalize; keys keep ONLY the
+    // O(1) latest-version row (needed for tombstone resurrection), plus
+    // the new key — state is O(keys), never O(history)
+    input.addData(KeyedEvent(999L, ts("2024-01-01 12:00:00"), 9990L, "upsert", 0.0))
+    query.processAllAvailable()
+    input.addData(KeyedEvent(999L, ts("2024-01-01 12:30:00"), 9991L, "upsert", 0.0))
+    query.processAllAvailable()
+    assert(stateRows(query) == 51L,
+      s"expected 51 latest-version rows after drain, got ${stateRows(query)}")
+    // every buffered event was emitted once finalized
+    assert(spark.table("state_audit_repair_q")
+      .filter("user_id <= 50").count() == 200L)
+    query.stop()
+  }
+
+  test("state-size audit: abandonment state drains to zero once every touch is decided") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val outcomes = StreamOps.abandonmentStream(input.toDS(),
+      touchTypes = Seq("click"), conversionType = "purchase",
+      windowSeconds = 600L, watermarkDelay = "0 seconds")
+    val query = StreamOps.startMemorySink(outcomes.toDF(),
+      "state_audit_abandon_q", OutputMode.Append())
+
+    // 30 keys, one undecided touch each
+    input.addData((1L to 30L).map(k =>
+      KeyedEvent(k, ts("2024-01-01 10:00:00"), k, "click", 0.0)): _*)
+    query.processAllAvailable()
+    assert(stateRows(query) == 30L)
+
+    // watermark passes every deadline (10:10): all touches decide as
+    // abandoned and their state rows are REMOVED, not retained
+    input.addData(KeyedEvent(500L, ts("2024-01-01 11:00:00"), 900L, "signup", 0.0))
+    query.processAllAvailable()
+    input.addData(KeyedEvent(500L, ts("2024-01-01 11:30:00"), 901L, "signup", 0.0))
+    query.processAllAvailable()
+    assert(stateRows(query) == 0L,
+      s"decided keys must drop their state rows, got ${stateRows(query)}")
+    assert(spark.table("state_audit_abandon_q").count() == 30L)
+    query.stop()
+  }
 }
