@@ -45,7 +45,9 @@ object Bench {
     "p11_fk_check" -> 2.7, "j13_fuzzy_match" -> 1.7,
     "w24_survival" -> 1.3, "t63_burstiness" -> 1.2,
     "t28_pmi_bigrams" -> 2.9,
-    "d7_semantic_dedup" -> 2.8, "t52_bpe_train" -> 2.6,
+    // d7 rose 2.8 -> ~4.6 in round 9: semanticDedup moved to alternating
+    // components (correctness at scale; see Similarity.semanticDedup)
+    "d7_semantic_dedup" -> 4.6, "t52_bpe_train" -> 2.6,
     "d15_containment_pairs" -> 2.5, "d2_minhash_neardup" -> 2.9,
     "d12_incremental_neardup" -> 2.7, "d14_winnow_dedup" -> 2.7,
     "g2_triangle_count" -> 2.6, "pipe_curate_e2e" -> 2.3,
