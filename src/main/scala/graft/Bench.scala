@@ -225,11 +225,11 @@ object Bench {
     val heavySec = sys.env.getOrElse("SPARK_GRAFT_HEAVY_SEC", "4.0").toDouble
     val heavyReps = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPS", "2").toInt
     val heavies = passResults.filter(r => r._3.isEmpty && r._2 >= heavySec)
-    val isolatedMin: Map[String, Double] =
+    val isolatedMin: Map[String, (Double, Double)] =
       if (heavyReps <= 0 || heavies.isEmpty) Map.empty
       else heavies.map { case (name, suiteSec, _, _) =>
         val fn = SparkEntry.queries(name)
-        val secs = (1 to heavyReps).flatMap { rep =>
+        val runs = (1 to heavyReps).flatMap { rep =>
           dropAllBlocks(spark)
           Thread.sleep(2000) // settle: let cleaner threads drain
           val calib = calibrate()
@@ -240,12 +240,17 @@ object Bench {
           System.err.println(f"[bench] isolated $rep $name $sec%.1f s " +
             f"(suite $suiteSec%.1f) calib $calib%.3f ${diag(spark)}" +
             err.fold("")(" ERR " + _))
-          if (err.isEmpty) Some(sec) else None
+          if (err.isEmpty) Some((sec, calib)) else None
         }
-        (name, if (secs.nonEmpty) secs.min else suiteSec)
+        (name, if (runs.nonEmpty) runs.minBy(_._1) else (suiteSec, -1.0))
       }.toMap
+    // the reported calib follows the CHOSEN run (isolated or in-suite)
     val results = passResults.map { case (name, sec, err, calib) =>
-      (name, isolatedMin.get(name).fold(sec)(math.min(sec, _)), err, calib)
+      isolatedMin.get(name) match {
+        case Some((isoSec, isoCalib)) if isoSec < sec =>
+          (name, isoSec, err, isoCalib)
+        case _ => (name, sec, err, calib)
+      }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -288,7 +293,7 @@ object Bench {
     // Per-heavy provenance: suite min vs isolated min, so a reader can see
     // how much suite-internal interference the isolation phase removed.
     val heavyJson = heavies.map { case (name, suiteSec, _, _) =>
-      jstr(name) + s""":{"suite":$suiteSec,"isolated":${isolatedMin.getOrElse(name, suiteSec)}}"""
+      jstr(name) + s""":{"suite":$suiteSec,"isolated":${isolatedMin.get(name).fold(suiteSec)(_._1)}}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$familiesJson,"heavy_isolation":$heavyJson,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""
