@@ -27,14 +27,16 @@ object Bench {
     // r6 30.2 s was cold-codegen, not plan cost — warm it runs ~5 s;
     // the heavy set is hinted ABOVE 5 so all of them keep the untimed
     // warm pass (their cold-JIT cost is the thing being amortized).
-    "d6_neardup_dedup" -> 8.0, "d11_semantic_dedup_kmeans" -> 7.5,
-    "d9_semantic_dedup_lsh" -> 7.0, "pipe_consume_sql" -> 6.5,
+    // round-9 measured records (post pointer-doubling / alternating CC)
+    "d6_neardup_dedup" -> 6.1, "d11_semantic_dedup_kmeans" -> 6.1,
+    "d9_semantic_dedup_lsh" -> 6.1, "pipe_consume_sql" -> 6.5,
     "pipe_consume_e2e" -> 6.0, "a5_copurchase_pairs" -> 5.5,
     "pipe_webrank_e2e" -> 5.2, "a10_seq_rules" -> 5.1,
-    "g5_hits" -> 6.0,
+    "g5_hits" -> 7.0, "a35_item_neighbors" -> 6.0,
     // round-8 additions sharing d6's MinHash+components shape — hinted
     // into the heavy-warmup set so their driver record is warm
-    "d18_cluster_keep_best" -> 6.2, "pipe_corpusqc_e2e" -> 6.1,
+    "d18_cluster_keep_best" -> 6.6, "pipe_corpusqc_e2e" -> 5.2,
+    "d15_containment_pairs" -> 4.5,
     // round-8 continuation-session additions (sf0.1 records / estimates):
     // the composed ANN mart and the iterative WCC warm with the heavies
     "pipe_annhealth_e2e" -> 4.0, "s25_index_shadow" -> 3.0,
@@ -48,7 +50,7 @@ object Bench {
     // d7 rose 2.8 -> ~4.6 in round 9: semanticDedup moved to alternating
     // components (correctness at scale; see Similarity.semanticDedup)
     "d7_semantic_dedup" -> 4.6, "t52_bpe_train" -> 2.6,
-    "d15_containment_pairs" -> 2.5, "d2_minhash_neardup" -> 2.9,
+    "d2_minhash_neardup" -> 2.9,
     "d12_incremental_neardup" -> 2.7, "d14_winnow_dedup" -> 2.7,
     "g2_triangle_count" -> 2.6, "pipe_curate_e2e" -> 2.3,
     "s3_ann_ivf_topk" -> 2.2, "d4_jaccard_pairs" -> 2.4,
