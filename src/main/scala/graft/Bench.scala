@@ -227,9 +227,11 @@ object Bench {
     val heavySec = sys.env.getOrElse("SPARK_GRAFT_HEAVY_SEC", "4.0").toDouble
     val heavyReps = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPS", "2").toInt
     val heavies = passResults.filter(r => r._3.isEmpty && r._2 >= heavySec)
+    // name -> (sec, calib) of the best SUCCESSFUL isolated rerun; absent
+    // when none succeeded (heavyReps=0 or every rerun errored)
     val isolatedMin: Map[String, (Double, Double)] =
       if (heavyReps <= 0 || heavies.isEmpty) Map.empty
-      else heavies.map { case (name, suiteSec, _, _) =>
+      else heavies.flatMap { case (name, suiteSec, _, _) =>
         val fn = SparkEntry.queries(name)
         val runs = (1 to heavyReps).flatMap { rep =>
           dropAllBlocks(spark)
@@ -244,7 +246,7 @@ object Bench {
             err.fold("")(" ERR " + _))
           if (err.isEmpty) Some((sec, calib)) else None
         }
-        (name, if (runs.nonEmpty) runs.minBy(_._1) else (suiteSec, -1.0))
+        runs.sortBy(_._1).headOption.map(best => (name, best))
       }.toMap
     // the reported calib follows the CHOSEN run (isolated or in-suite)
     val results = passResults.map { case (name, sec, err, calib) =>
@@ -284,7 +286,11 @@ object Bench {
     // to each recorded min) + its min/max over the session: a reader can
     // divide any query's calib by calib_min to see the host slowdown factor
     // in effect when that query's record was taken.
-    val allCalib = passes.flatten.map(_._4).filter(_ > 0)
+    // min/max cover BOTH suite passes and the isolated reruns — per_query
+    // calibs can come from either, and the "divide by calib_min" invariant
+    // must hold for every emitted reading
+    val allCalib = (passes.flatten.map(_._4) ++ isolatedMin.values.map(_._2))
+      .filter(_ > 0)
     val calibJson =
       if (allCalib.isEmpty) """"calib":null"""
       else {
@@ -294,8 +300,12 @@ object Bench {
       }
     // Per-heavy provenance: suite min vs isolated min, so a reader can see
     // how much suite-internal interference the isolation phase removed.
+    // isolated is null when NO isolated rerun succeeded (heavyReps=0 or
+    // every rerun errored) — never a copied suite number that would read
+    // as "isolation ran and removed nothing".
     val heavyJson = heavies.map { case (name, suiteSec, _, _) =>
-      jstr(name) + s""":{"suite":$suiteSec,"isolated":${isolatedMin.get(name).fold(suiteSec)(_._1)}}"""
+      val iso = isolatedMin.get(name).fold("null")(_._1.toString)
+      jstr(name) + s""":{"suite":$suiteSec,"isolated":$iso}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$familiesJson,"heavy_isolation":$heavyJson,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""

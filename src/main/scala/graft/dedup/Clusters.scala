@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Free a localCheckpoint's pinned storage blocks. `Dataset.unpersist`
+    * only touches cache-manager entries; a checkpoint's materialized RDD
+    * hides inside the plan's `LogicalRDD` node. Without this, every CC
+    * round's intermediate frame stays pinned for the query lifetime —
+    * exactly the storage-crowding hazard Bench.dropAllBlocks documents —
+    * and the doubling half-step made it 2 frames per round. Only frames
+    * this file created are ever passed here.
+    */
+  private def dropCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** (id, component) for every id appearing in `pairs`; component = min id
     * reachable. Ids not in any pair are absent (callers treat missing as
     * singleton).
@@ -97,9 +112,16 @@ object Clusters {
           (col("component") < col("__old")).as("__changed"))
         .localCheckpoint() // eager: materializes + truncates lineage
       converged = updated.filter(col("__changed")).limit(1).count() == 0
+      val prev = labels
       labels = updated.drop("__changed")
+      // this round's half-step and the superseded labels are dead once
+      // `updated` is materialized — free their blocks (storage stays
+      // O(1) rounds; the frame being RETURNED is never dropped)
+      dropCheckpointBlocks(m1)
+      dropCheckpointBlocks(prev)
       iter += 1
     }
+    edges.unpersist(blocking = false)
     // LOUD non-convergence (judge ask, r8): exiting the loop on the
     // iteration budget with the last round still propagating means some
     // component's diameter exceeds maxIter — returning the partial labels
@@ -174,15 +196,30 @@ object Clusters {
       // stability: distinct sets are equal iff same size and no novel edge
       converged = small.count() == edges.count() &&
         small.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      val prev = edges
       edges = small
+      // the superseded round's edge set is dead once the stability check
+      // ran — free its checkpoint blocks (the final edges frame, which
+      // the labels projection reads, is never dropped)
+      dropCheckpointBlocks(prev)
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsAlternating did not converge in $maxIter rounds")
     // star forest: non-roots appear exactly once as u; roots only as v
-    edges.select(col("u").as("id"), col("v").as("component"))
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
       .unionAll(edges.select(col("v").as("id"), col("v").as("component"))
         .distinct())
+    // contract parity with min-label: an id mentioned ONLY in self-loop
+    // pairs has no surviving edge (self-loops drop at entry) but must
+    // still label itself — min-label emits (x, x) for it. Self-loop-only
+    // ids are the only possible absentees (any real edge keeps both
+    // endpoints in the star forest), so the repair set is tiny.
+    val selfOnly = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id")).distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.unionAll(selfOnly)
   }
 
   /** Drop near-duplicates: keep each component's minimum id plus every id

@@ -88,11 +88,22 @@ object SpanDedup {
     * pins this variant to [[dedupSpans]] on the test corpus.
     */
   def dedupSpansHashed(df: DataFrame, id: Column, text: Column,
-                       spanTokens: Int = 8, carry: Seq[String] = Nil): DataFrame = {
+                       spanTokens: Int = 8, carry: Seq[String] = Nil): DataFrame =
+    hashedCore(df, id, text, spanTokens, carry, state = None)
+
+  /** Shared core of [[dedupSpansHashed]] (state = None) and
+    * [[dedupSpansAgainstState]] (state = Some): narrow (id, pos, hash)
+    * frame → optional anti join against the already-shipped span-hash
+    * state → first-occurrence window on the 8-byte hash → per-doc winning
+    * positions → one un-exploded text join + map-side restitch.
+    */
+  private def hashedCore(df: DataFrame, id: Column, text: Column,
+                         spanTokens: Int, carry: Seq[String],
+                         state: Option[DataFrame]): DataFrame = {
     require(spanTokens >= 1, "spanTokens must be >= 1")
     val idName = df.select(id).columns.head
     val carryCols = carry.map(col)
-    val narrow = df
+    val allSpans = df
       .select(id, TextAnalysis.tokens(text).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col(idName), col("__toks"),
@@ -101,6 +112,10 @@ object SpanDedup {
       .select(col(idName), col("__pos").cast("long").as("__pos"),
         xxhash64(concat_ws(" ",
           slice(col("__toks"), col("__start"), lit(spanTokens)))).as("__h"))
+    // already-shipped spans drop BEFORE the window, so the
+    // first-occurrence shuffle carries never-seen spans only
+    val narrow = state.fold(allSpans)(st =>
+      allSpans.join(st.select(col("span_h").as("__h")), Seq("__h"), "left_anti"))
     val firstOccurrence = Window.partitionBy(col("__h"))
       .orderBy(col(idName), col("__pos"))
     val keepPositions = narrow
@@ -157,37 +172,8 @@ object SpanDedup {
     */
   def dedupSpansAgainstState(batch: DataFrame, id: Column, text: Column,
                              state: DataFrame, spanTokens: Int = 8,
-                             carry: Seq[String] = Nil): DataFrame = {
-    require(spanTokens >= 1, "spanTokens must be >= 1")
-    val idName = batch.select(id).columns.head
-    val carryCols = carry.map(col)
-    val narrow = batch
-      .select(id, TextAnalysis.tokens(text).as("__toks"))
-      .filter(size(col("__toks")) > 0)
-      .select(col(idName), col("__toks"),
-        posexplode(sequence(lit(1), size(col("__toks")), lit(spanTokens)))
-          .as(Seq("__pos", "__start")))
-      .select(col(idName), col("__pos").cast("long").as("__pos"),
-        xxhash64(concat_ws(" ",
-          slice(col("__toks"), col("__start"), lit(spanTokens)))).as("__h"))
-      .join(state.select(col("span_h").as("__h")), Seq("__h"), "left_anti")
-    val firstOccurrence = Window.partitionBy(col("__h"))
-      .orderBy(col(idName), col("__pos"))
-    val keepPositions = narrow
-      .withColumn("__rn", row_number().over(firstOccurrence))
-      .filter(col("__rn") === 1)
-      .groupBy(col(idName))
-      .agg(sort_array(collect_list(col("__pos"))).as("__keep"))
-    batch.select(id +: carryCols :+ text.as("__text"): _*)
-      .join(keepPositions, idName)
-      .withColumn("__toks", TextAnalysis.tokens(col("__text")))
-      .select(col(idName) +: carryCols :+
-        array_join(transform(col("__keep"), p =>
-          concat_ws(" ", slice(col("__toks"),
-            (p * spanTokens + 1).cast("int"), lit(spanTokens)))), " ")
-          .as("text") :+
-        size(col("__keep")).cast("long").as("n_spans"): _*)
-  }
+                             carry: Seq[String] = Nil): DataFrame =
+    hashedCore(batch, id, text, spanTokens, carry, state = Some(state))
 
   /** Frequency-threshold boilerplate removal — the CCNet/RefinedWeb
     * sibling of [[dedupSpans]]: a block occurring in `minDocs` or more

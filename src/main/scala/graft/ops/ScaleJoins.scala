@@ -129,8 +129,8 @@ object ScaleJoins {
     * task. Salting each row into `salt` groups by id hash and joining group
     * ga to groups gb ≥ ga (the "triangle" of the salt × salt grid) raises
     * the key count to buckets × salt(salt+1)/2 and caps any task at
-    * ~|B|²/salt² pairs, for a one-sided replication cost of (salt+1)/2×
-    * — the standard trade for quadratic-bucket stages. Pairs across groups
+    * ~|B|²/salt² pairs, for a TWO-sided replication cost of ~(salt+1)/2×
+    * per side — the standard trade for quadratic-bucket stages. Pairs across groups
     * (ga < gb) are emitted unconditionally and id-normalized after; pairs
     * inside one group (ga = gb) use the id order directly. Result-identical
     * to the naive plan for any salt; `salt = 1` IS the naive plan.

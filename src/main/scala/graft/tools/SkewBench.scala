@@ -156,11 +156,17 @@ object SkewBench {
     println(s"[skew] equi fixture: 600k probe rows, hot key $hotRows rows " +
       s"-> ${hotRows * 20} hot output rows")
 
-    def work(df: DataFrame): Long =
+    // ONE pass computes both the checksum (per-row CPU work) and the row
+    // count — a separate .count() would execute the whole join a second
+    // time and double every reported number
+    def work(df: DataFrame): Long = {
       // pmod bounds the summands so the ANSI-mode sum cannot overflow int64
-      df.select(pmod(xxhash64(concat(col("dim_payload"),
-        col("l_extendedprice").cast("string"))), lit(1000000007L)).as("h"))
-        .agg(sum(col("h"))).collect().head.getLong(0)
+      val r = df.select(pmod(xxhash64(concat(col("dim_payload"),
+          col("l_extendedprice").cast("string"))), lit(1000000007L)).as("h"))
+        .agg(sum(col("h")).as("chk"), count(lit(1)).as("n")).collect().head
+      if (r.getLong(0) == -1) System.err.println("unreachable") // keep chk live
+      r.getLong(1)
+    }
 
     def plainJoin(aqe: Boolean): Long = {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -168,7 +174,7 @@ object SkewBench {
       // disable it so the measurement exercises the SHUFFLE join path the
       // fixture models (at 100 TB the build side is too big to broadcast)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      try { work(probe.join(build, Seq("key"))); probe.join(build, Seq("key")).count() }
+      try work(probe.join(build, Seq("key")))
       finally {
         spark.conf.set("spark.sql.adaptive.enabled", true)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -176,11 +182,9 @@ object SkewBench {
     }
     def saltedJoin(salt: Int): Long = {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      try {
-        val j = ScaleJoins.saltedEquiJoin(probe, build, "key",
-          col("l_orderkey") * 7919 + col("l_extendedprice").cast("long"), salt)
-        work(j); j.count()
-      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      try work(ScaleJoins.saltedEquiJoin(probe, build, "key",
+        col("l_orderkey") * 7919 + col("l_extendedprice").cast("long"), salt))
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 
     val (tNoAqe, rNoAqe, mNoAqe) = timeMin(reps, listener)(plainJoin(aqe = false))

@@ -60,6 +60,16 @@ class ClustersSpec extends SparkSpec {
     assert(alt == ml)
   }
 
+  test("self-loop-only ids label themselves in BOTH algorithms (contract parity)") {
+    val pairs = Seq((5L, 5L), (1L, 2L), (7L, 7L)).toDF("id_a", "id_b")
+    val ml = Clusters.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alt = Clusters.connectedComponentsAlternating(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ml == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L))
+    assert(alt == ml)
+  }
+
   test("alternating on random graphs: components equal min-label's fixpoint") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
