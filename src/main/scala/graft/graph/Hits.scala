@@ -28,8 +28,11 @@ object Hits {
 
   def hubsAndAuthorities(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // eager checkpoint: e is referenced twice per round (the a- and
+    // h-step joins), and lazily it would re-run the upstream edge
+    // construction (scan + union + distinct) on every reference
     val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
     def rescale(df: DataFrame, c: String): DataFrame = {
@@ -63,15 +66,18 @@ object Hits {
         .select(col("node"),
           coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
       val hN = rescale(h, "hub_ppm")
-      scores = aN.join(hN, Seq("node"))
+      // eager per-round checkpoint (the Clusters idiom): every rescale
+      // references its input twice (frame + its 1-row max), so an
+      // all-lazy chain multiplies subtree references ~4x per round and
+      // re-executes the upstream edge distinct ~4^rounds times (measured
+      // on g5 at sf0.1: 6.4 s lazy, 3.4 s with round + edge checkpoints; .cache() instead
+      // was CATASTROPHIC — 57 s, the InMemoryRelation materialization
+      // barriers multiplied). The checkpointed frame is node-scale.
+      scores = aN.join(hN, Seq("node")).localCheckpoint()
     }
-    // Cost note: wall-clock is dominated by FIXED per-round scheduling
-    // (each ∞-norm rescale broadcasts a 1-row max — 2 broadcast
-    // exchanges per round), not by data size; a 37-node graph and a
-    // 10⁹-node graph pay the same ~2 s/round constant on local mode.
-    // That constant is the price of the SCALE-CORRECT design: the
-    // tempting alternative (max via a whole-frame window) needs a
-    // single-partition pass over ALL nodes and dies at warehouse scale.
+    // The ∞-norm rescale stays a broadcast 1-row max — the tempting
+    // alternative (max via a whole-frame window) needs a single-partition
+    // pass over ALL nodes and dies at warehouse scale.
     scores
   }
 }
