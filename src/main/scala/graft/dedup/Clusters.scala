@@ -196,12 +196,13 @@ object Clusters {
       // stability: distinct sets are equal iff same size and no novel edge
       converged = small.count() == edges.count() &&
         small.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
-      val prev = edges
       edges = small
-      // the superseded round's edge set is dead once the stability check
-      // ran — free its checkpoint blocks (the final edges frame, which
-      // the labels projection reads, is never dropped)
-      dropCheckpointBlocks(prev)
+      // NOTE: superseded rounds' checkpoint blocks are deliberately NOT
+      // freed here — an A/B bench showed per-round unpersist costing this
+      // loop ~1.6× wall (d11 7.7 → 12.6 s at sf0.1; mechanism appears to
+      // be block-manager churn against the next round's in-flight jobs),
+      // while the retained blocks are pair-scale and reclaimed at query
+      // end. The min-label loop keeps its cleanup — measured free there.
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
