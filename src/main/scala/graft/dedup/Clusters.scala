@@ -36,7 +36,7 @@ object Clusters {
     * and the doubling half-step made it 2 frames per round. Only frames
     * this file created are ever passed here.
     */
-  private def dropCheckpointBlocks(df: DataFrame): Unit =
+  private[graft] def dropCheckpointBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)
@@ -155,11 +155,13 @@ object Clusters {
     * - small-star(u): u and every neighbor v < u attach to m = min
     *   neighbor. A fixed point of both operations is a star forest whose
     *   centers are the component minima — the labels, read directly.
-    * Convergence is edge-set stability (distinct sets: anti-join empty +
-    * equal counts); lineage truncates per round via localCheckpoint, as
-    * in min-label. Throws on non-convergence like min-label — but at
-    * O(log n) the default budget covers any constructible input
-    * (2^40 nodes at maxIter = 40).
+    * Convergence is edge-set stability, detected by a one-job-per-round
+    * (count, hash-sum) fingerprint; the exact anti-join confirm runs only
+    * when fingerprints match (≈ once per query). Lineage truncates per
+    * round via localCheckpoint, as in min-label; superseded rounds' blocks
+    * are freed in one batch after convergence. Throws on non-convergence
+    * like min-label — but at O(log n) the default budget covers any
+    * constructible input (2^40 nodes at maxIter = 40).
     */
   def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
     // (big, small) orientation, self-loops dropped, distinct — the shape
@@ -170,6 +172,30 @@ object Clusters {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    // Convergence probe = a (count, order-independent hash-sum) FINGERPRINT
+    // of the distinct edge set, computed in the SAME single aggregation job
+    // per round (round 10; replaces the old count-job + anti-join-job pair).
+    // A fingerprint mismatch proves the set changed — continue, no join
+    // needed (sound: equal sets hash equal). Only when fingerprints MATCH
+    // does the loop run the exact anti-join confirm — once per query on the
+    // converged round — so a hash collision can never terminate early, it
+    // only costs one extra round. Early-exit is immediate: the round whose
+    // edge set stops moving is the round the loop stops.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        // pmod bounds summands so the ANSI sum cannot overflow int64 even
+        // at 2^44 edges; order-independence comes from SUM's commutativity
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))).as("h"))
+        .collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    // superseded rounds' blocks are freed ONCE after convergence (below) —
+    // an A/B bench showed PER-ROUND unpersist costing ~1.6× wall (d11
+    // 7.7 → 12.6 s at sf0.1; block-manager churn against the next round's
+    // in-flight jobs), while deferring to the end keeps the loop hot AND
+    // restores O(1)-rounds storage for whatever pipeline stage runs next.
+    val superseded = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -193,18 +219,17 @@ object Clusters {
         .unionAll(minSmall.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
-      // stability: distinct sets are equal iff same size and no novel edge
-      converged = small.count() == edges.count() &&
+      val fpNew = fingerprint(small)
+      // distinct sets: fingerprint equality is necessary for set equality;
+      // the anti-join runs only on a match, to make it sufficient too
+      converged = fpNew == fp &&
         small.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      superseded += edges
       edges = small
-      // NOTE: superseded rounds' checkpoint blocks are deliberately NOT
-      // freed here — an A/B bench showed per-round unpersist costing this
-      // loop ~1.6× wall (d11 7.7 → 12.6 s at sf0.1; mechanism appears to
-      // be block-manager churn against the next round's in-flight jobs),
-      // while the retained blocks are pair-scale and reclaimed at query
-      // end. The min-label loop keeps its cleanup — measured free there.
+      fp = fpNew
       iter += 1
     }
+    superseded.foreach(dropCheckpointBlocks)
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsAlternating did not converge in $maxIter rounds")
     // star forest: non-roots appear exactly once as u; roots only as v
@@ -258,10 +283,19 @@ object Clusters {
     * winners) — no corpus-scale shuffle beyond those, and the mentioned
     * set is typically a small fraction so both joins broadcast under
     * AQE at real scale.
+    *
+    * @param alternating same escape hatch as [[dropNearDuplicates]]: route
+    *        the components stage to [[connectedComponentsAlternating]]
+    *        (O(log n) rounds) when the pair graph can chain beyond
+    *        min-label's diameter budget — e.g. a containment-duplicate
+    *        chain, exactly the shape min-label's non-convergence error
+    *        cites. Default stays min-label: the MinHash-verified text
+    *        graphs keepBest serves converge in 2-3 doubled rounds.
     */
   def keepBest(df: DataFrame, id: Column, score: Column,
-               pairs: DataFrame): DataFrame = {
-    val labels = connectedComponents(pairs)
+               pairs: DataFrame, alternating: Boolean = false): DataFrame = {
+    val labels = if (alternating) connectedComponentsAlternating(pairs)
+                 else connectedComponents(pairs)
     val winners = df.select(id.as("__id"), score.as("__s"))
       .join(labels, col("__id") === col("id"))
       .groupBy(col("component"))

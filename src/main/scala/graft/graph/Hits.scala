@@ -45,6 +45,13 @@ object Hits {
     }
     var scores = nodes.select(col("node"),
       lit(1000000L).as("authority_ppm"), lit(1000000L).as("hub_ppm"))
+    // superseded rounds' checkpoint blocks freed in ONE batch after the
+    // loop (the round-10 Clusters idiom): per-round unpersist measured
+    // 1.6× slower there (block-manager churn against in-flight jobs),
+    // while never freeing pins one node-scale frame per round for the
+    // query lifetime — the storage-crowding hazard Bench.dropAllBlocks
+    // documents. The returned frame is never dropped.
+    val superseded = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (_ <- 1 to rounds) {
       val a = nodes.join(
           e.join(scores.select(col("node"), col("hub_ppm")),
@@ -73,8 +80,13 @@ object Hits {
       // on g5 at sf0.1: 6.4 s lazy, 3.4 s with round + edge checkpoints; .cache() instead
       // was CATASTROPHIC — 57 s, the InMemoryRelation materialization
       // barriers multiplied). The checkpointed frame is node-scale.
+      val prev = scores
       scores = aN.join(hN, Seq("node")).localCheckpoint()
+      superseded += prev
     }
+    // round 1's "prev" is the un-checkpointed seed (no blocks — the drop
+    // is a no-op there); every later entry frees one node-scale frame
+    superseded.foreach(graft.dedup.Clusters.dropCheckpointBlocks)
     // The ∞-norm rescale stays a broadcast 1-row max — the tempting
     // alternative (max via a whole-frame window) needs a single-partition
     // pass over ALL nodes and dies at warehouse scale.

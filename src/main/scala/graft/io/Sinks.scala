@@ -74,10 +74,35 @@ object Sinks {
     * The swap window is per-partition (a reader racing the commit can see
     * partition A new + partition B old — the same read-committed-per-file
     * granularity dynamic overwrite has); the crash guarantee is strictly
-    * stronger: no torn partition is ever visible.
+    * stronger: no torn partition is ever visible, and failure handling is
+    * layered (round 10, closing the torn-commit-recovery ask):
+    *
+    *  - commit EXCEPTION → full rollback to the pre-call state: every
+    *    swapped partition's old copy returns from trash, swapped-in
+    *    partitions that had no old copy are removed, then the error
+    *    rethrows. All-or-nothing on every non-kill failure.
+    *  - process KILL mid-commit → the next `replaceWhere` on the same
+    *    table (or [[recoverStagedCommit]] directly) heals first: any
+    *    partition sitting in a leftover `_trash_*` whose live dir is
+    *    missing is restored (the kill hit between the two renames);
+    *    partitions whose live dir exists keep it (the swap completed —
+    *    roll forward); leftover `_staging_*`/`_trash_*` dirs are then
+    *    removed. Per-partition roll-forward/roll-back, matching the
+    *    documented per-partition visibility granularity. Single-writer
+    *    assumption (the reference's Glue job model: one writer per table
+    *    per schedule); concurrent writers need a real table format.
     */
   def replaceWhere(df: DataFrame, path: String, partitionCol: String,
-                   values: Seq[String]): Unit = {
+                   values: Seq[String]): Unit =
+    replaceWhereImpl(df, path, partitionCol, values, failAfterSwaps = Int.MaxValue)
+
+  /** Test seam: `failAfterSwaps` throws after that many partition swaps,
+    * simulating a mid-commit failure so the spec can exercise the rollback
+    * path without fault-injection infrastructure. Production entry point is
+    * [[replaceWhere]] (no failpoint).
+    */
+  private[graft] def replaceWhereImpl(df: DataFrame, path: String,
+      partitionCol: String, values: Seq[String], failAfterSwaps: Int): Unit = {
     require(values.nonEmpty, "replaceWhere needs at least one partition value")
     val spark = df.sparkSession
     val viol = df.filter(!col(partitionCol).cast("string")
@@ -87,26 +112,78 @@ object Sinks {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
+    // heal any prior killed run BEFORE staging: restores vanished
+    // partitions and clears `_`-prefixed leftovers (idempotent, no-op on a
+    // clean table)
+    recoverStagedCommit(fs, root)
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(root, s"_staging_$runId")
     val trash = new org.apache.hadoop.fs.Path(root, s"_trash_$runId")
     df.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(staging.toString)
     fs.mkdirs(trash)
+    // journal of completed swaps, for exact rollback: (dirName, hadOld)
+    val swapped = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
     try {
       values.foreach { v =>
+        if (swapped.size >= failAfterSwaps)
+          throw new IllegalStateException(
+            s"replaceWhere failpoint: simulated crash after ${swapped.size} swaps")
         val dirName = s"$partitionCol=${escapePartitionValue(v)}"
         val live = new org.apache.hadoop.fs.Path(root, dirName)
         val staged = new org.apache.hadoop.fs.Path(staging, dirName)
-        if (fs.exists(live))
+        val hadOld = fs.exists(live)
+        if (hadOld)
           fs.rename(live, new org.apache.hadoop.fs.Path(trash, dirName))
         // a predicate partition with no incoming rows stays purged — the
         // Delta/`purge_table` semantics this variant exists for
         if (fs.exists(staged)) fs.rename(staged, live)
+        swapped += ((dirName, hadOld))
       }
-    } finally {
+      // success: ONLY now is the old data let go. (The pre-round-10 code
+      // deleted trash in a `finally` — an exception mid-commit destroyed
+      // the only copy of the already-swapped partitions' old data.)
       fs.delete(trash, true)
       fs.delete(staging, true)
+    } catch {
+      case e: Throwable =>
+        swapped.foreach { case (dirName, hadOld) =>
+          val live = new org.apache.hadoop.fs.Path(root, dirName)
+          // drop the new copy (if the staged rename had happened)...
+          if (fs.exists(live)) fs.delete(live, true)
+          // ...and restore the old one from trash
+          if (hadOld)
+            fs.rename(new org.apache.hadoop.fs.Path(trash, dirName), live)
+        }
+        fs.delete(trash, true)
+        fs.delete(staging, true)
+        throw e
+    }
+  }
+
+  /** Heal a table after a KILLED [[replaceWhere]] commit (exceptions roll
+    * back in-process; only a kill can leave debris). For every leftover
+    * `_trash_*` entry whose live partition dir is MISSING, the kill landed
+    * between `live→trash` and `staged→live` — restore the old copy. A live
+    * dir that exists means that partition's swap completed — keep it (roll
+    * forward). All `_staging_*`/`_trash_*` dirs are then deleted. Safe to
+    * call any time under the single-writer assumption; [[replaceWhere]]
+    * calls it on entry, so a simple re-run self-heals.
+    */
+  private[graft] def recoverStagedCommit(fs: org.apache.hadoop.fs.FileSystem,
+                                         root: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(root)) return
+    val leftovers = fs.listStatus(root).filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && (n.startsWith("_staging_") || n.startsWith("_trash_"))
+    }
+    leftovers.foreach { s =>
+      if (s.getPath.getName.startsWith("_trash_"))
+        fs.listStatus(s.getPath).filter(_.isDirectory).foreach { part =>
+          val live = new org.apache.hadoop.fs.Path(root, part.getPath.getName)
+          if (!fs.exists(live)) fs.rename(part.getPath, live)
+        }
+      fs.delete(s.getPath, true)
     }
   }
 

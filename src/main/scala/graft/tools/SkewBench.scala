@@ -164,11 +164,18 @@ object SkewBench {
       val r = df.select(pmod(xxhash64(concat(col("dim_payload"),
           col("l_extendedprice").cast("string"))), lit(1000000007L)).as("h"))
         .agg(sum(col("h")).as("chk"), count(lit(1)).as("n")).collect().head
-      if (r.getLong(0) == -1) System.err.println("unreachable") // keep chk live
+      // sum() over zero rows is NULL — guard instead of throwing, so a
+      // variant that (wrongly) returns no rows reports 0 rows and fails
+      // the row-count parity require below rather than crashing the tool
+      val chk = if (r.isNullAt(0)) 0L else r.getLong(0)
+      if (chk == -1) System.err.println("unreachable") // keep chk live
       r.getLong(1)
     }
 
     def plainJoin(aqe: Boolean): Long = {
+      // save/restore the PRIOR value (not literal true): the tool must not
+      // overwrite a caller's session config with its own assumption
+      val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       // broadcast would dodge the shuffle entirely (build = 100k rows fits);
       // disable it so the measurement exercises the SHUFFLE join path the
@@ -176,7 +183,10 @@ object SkewBench {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
       try work(probe.join(build, Seq("key")))
       finally {
-        spark.conf.set("spark.sql.adaptive.enabled", true)
+        prevAqe match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+          case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+        }
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }

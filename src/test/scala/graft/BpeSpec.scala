@@ -123,6 +123,51 @@ class BpeSpec extends SparkSpec {
       Seq(("a", "b", 2L)))
   }
 
+  test("trainBatched: batch=1 is exactly serial greedy train") {
+    val df = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the hat"),
+      (3L, "a man can fan the tan van")).toDF("doc_id", "text")
+    val serial = Bpe.train(df, col("text"), nMerges = 8)
+    val batched1 = Bpe.trainBatched(df, col("text"), nMerges = 8, batch = 1)
+    assert(batched1 == serial)
+  }
+
+  test("trainBatched: batched == serial when rounds cannot interact " +
+    "(disjoint-alphabet corpus), at a fraction of the rounds") {
+    // every word is exactly 2 symbols over disjoint alphabets with strictly
+    // separated counts — a merge consumes its whole word, so no merge can
+    // create a new pair or change another pair's count: the serial and
+    // batched schedules provably coincide here, making the equality a real
+    // check of selection order, counts, and batch application
+    val words = Seq("ab" -> 50, "cd" -> 40, "ef" -> 30, "gh" -> 20, "ij" -> 10)
+    val corpus = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val df = Seq((1L, corpus)).toDF("doc_id", "text")
+    val serial = Bpe.train(df, col("text"), nMerges = 5)
+    val batched = Bpe.trainBatched(df, col("text"), nMerges = 5, batch = 4)
+    assert(serial == words.map { case (w, n) =>
+      (w.take(1), w.drop(1), n.toLong) })
+    assert(batched == serial)
+  }
+
+  test("trainBatched: within-batch picks are symbol-disjoint and the " +
+    "table stays constructive (encode-safe)") {
+    val df = Seq((1L, "the cat sat on the mat the rat"),
+      (2L, "then that this the other thing")).toDF("doc_id", "text")
+    val learned = Bpe.trainBatched(df, col("text"), nMerges = 10, batch = 4)
+    assert(learned.size == 10)
+    // constructive: validate() enforces rank-r symbols exist before rank r
+    Bpe.validate(learned.map { case (a, b, _) => (a, b) })
+    // the first pick is always the global argmax — identical to serial's
+    assert(learned.head == Bpe.train(df, col("text"), nMerges = 1).head)
+    // encode accepts the table and strictly compresses the corpus
+    val out = Bpe.encode(df, col("doc_id"), col("text"),
+        learned.map { case (a, b, _) => (a, b) })
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    val chars = df.select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .as[Long].head()
+    assert(out < chars)
+  }
+
   test("train then encode: learned merges compress their own corpus") {
     val df = Seq((1L, "the cat sat on the mat"),
       (2L, "the cat ran to the hat")).toDF("doc_id", "text")

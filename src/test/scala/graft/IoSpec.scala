@@ -169,6 +169,73 @@ class IoSpec extends SparkSpec {
       dir, "month", Seq("2024-02"))
     assert(spark.read.parquet(dir).select("id").orderBy("id")
       .collect().map(_.getInt(0)).toSeq == Seq(1, 99))
+    // the healing run also garbage-collected the dead staging dir
+    assert(!new java.io.File(dir + "/_staging_deadbeef").exists())
+  }
+
+  test("replaceWhere: an exception mid-commit rolls back to the pre-call state") {
+    val dir = tmp() + "/rwx"
+    val v1 = Seq((1, "2024-01"), (2, "2024-02"), (3, "2024-03"))
+      .toDF("id", "month")
+    Sinks.overwritePartitions(v1, dir, "month")
+    def snapshot(): Seq[(Int, String)] =
+      spark.read.parquet(dir).select("id", "month").orderBy("id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val before = snapshot()
+    // replace all three partitions, crash after the FIRST swap completed:
+    // partition 1 already holds new data + its old copy sits in trash when
+    // the failpoint fires — rollback must restore it and drop the new copy
+    val v2 = Seq((11, "2024-01"), (12, "2024-02"), (13, "2024-03"))
+      .toDF("id", "month")
+    val e = intercept[IllegalStateException] {
+      Sinks.replaceWhereImpl(v2, dir, "month",
+        Seq("2024-01", "2024-02", "2024-03"), failAfterSwaps = 1)
+    }
+    assert(e.getMessage.contains("failpoint"))
+    // all-or-nothing: table byte-identical rows, no _staging/_trash debris
+    assert(snapshot() == before)
+    assert(!new java.io.File(dir).listFiles
+      .exists(f => f.getName.startsWith("_staging_") ||
+                   f.getName.startsWith("_trash_")))
+    // and the same call without the failpoint commits cleanly afterwards
+    Sinks.replaceWhere(v2, dir, "month", Seq("2024-01", "2024-02", "2024-03"))
+    assert(snapshot() == Seq((11, "2024-01"), (12, "2024-02"), (13, "2024-03")))
+  }
+
+  test("replaceWhere: a kill mid-swap is healed by the next run (torn-commit recovery)") {
+    val dir = tmp() + "/rwk"
+    val v1 = Seq((1, "2024-01"), (2, "2024-02")).toDF("id", "month")
+    Sinks.overwritePartitions(v1, dir, "month")
+    // Construct the exact on-disk state a kill leaves (no in-process
+    // rollback ran): the new data fully staged, partition 2024-01's swap
+    // COMPLETED (old copy in trash, new copy live), partition 2024-02's
+    // swap interrupted between the two renames (old copy in trash, live
+    // dir MISSING, staged copy still in staging).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(dir + "/" + s)
+    Seq((11, "2024-01"), (12, "2024-02")).toDF("id", "month")
+      .write.partitionBy("month").parquet(dir + "/_staging_killed")
+    fs.mkdirs(p("_trash_killed"))
+    fs.rename(p("month=2024-01"), p("_trash_killed/month=2024-01"))
+    fs.rename(p("_staging_killed/month=2024-01"), p("month=2024-01"))
+    fs.rename(p("month=2024-02"), p("_trash_killed/month=2024-02"))
+    // reader invariant DURING the crash window: every visible partition is
+    // a complete copy (2024-01 new, 2024-02 absent) — never a torn mix
+    val mid = spark.read.parquet(dir).select("id", "month").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    assert(mid == Seq((11, "2024-01")))
+    // re-run heals: recovery first restores 2024-02's old copy (roll-back)
+    // and keeps 2024-01's completed swap (roll-forward), then the new
+    // commit applies the incoming frame on the healed table
+    Sinks.replaceWhere(Seq((21, "2024-02")).toDF("id", "month"),
+      dir, "month", Seq("2024-02"))
+    val after = spark.read.parquet(dir).select("id", "month").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(after == Seq((11, "2024-01"), (21, "2024-02")))
+    assert(!new java.io.File(dir).listFiles
+      .exists(f => f.getName.startsWith("_staging_") ||
+                   f.getName.startsWith("_trash_")))
   }
 
   test("overwritePartitionsEvolving widens the catalog table schema at write time") {
