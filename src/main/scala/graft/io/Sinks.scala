@@ -18,9 +18,18 @@ object Sinks {
     * the nested-struct frame (built by `Reshape.nestSchema`); nesting is the
     * caller's choice — this sink only owns format/compression/layout.
     */
+  /** Both file sinks write timestamps at FULL microsecond precision: the
+    * Spark default format truncates to milliseconds, silently making the
+    * file exports disagree with the parquet table on any event-time column
+    * (caught by the round-10 golden content round-trip). ISO-8601 with
+    * offset, so every reader parses it back losslessly.
+    */
+  private val losslessTs = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   def gzipJson(df: DataFrame, path: String, singleFile: Boolean = true): Unit =
     (if (singleFile) df.coalesce(1) else df)
-      .write.mode("overwrite").option("compression", "gzip").json(path)
+      .write.mode("overwrite").option("compression", "gzip")
+      .option("timestampFormat", losslessTs).json(path)
 
   /** K2 (`script/main.py:386-393`): gzip CSV export with header, single
     * file via `coalesce(1)` like the reference.
@@ -28,7 +37,8 @@ object Sinks {
   def gzipCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit =
     (if (singleFile) df.coalesce(1) else df)
       .write.mode("overwrite")
-      .option("compression", "gzip").option("header", "true").csv(path)
+      .option("compression", "gzip").option("header", "true")
+      .option("timestampFormat", losslessTs).csv(path)
 
   /** K3 (`script/main.py:395-416`): the reference's `purge_table(partition
     * predicate)` + append, i.e. delete-insert of exactly the partitions
