@@ -164,9 +164,17 @@ object Clusters {
     * constructible input (2^40 nodes at maxIter = 40).
     */
   def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    // `pairs` is consumed TWICE (the edge set here, the self-loop repair
+    // at the end) and is typically the query's most expensive frame — the
+    // full LSH/k-means candidate + cosine verification join in semantic
+    // dedup. Lazily, the second reference RE-EXECUTES that whole upstream
+    // stage (measured on d11 at sf0.1: ~2× the pair cost, the single
+    // largest chunk of the query) — so materialize a pair-scale two-column
+    // projection once and derive both consumers from it.
+    val raw = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     // (big, small) orientation, self-loops dropped, distinct — the shape
     // small-star consumes and both operations re-establish
-    var edges = pairs
+    var edges = raw
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -241,7 +249,7 @@ object Clusters {
     // still label itself — min-label emits (x, x) for it. Self-loop-only
     // ids are the only possible absentees (any real edge keeps both
     // endpoints in the star forest), so the repair set is tiny.
-    val selfOnly = pairs.filter(col("id_a") === col("id_b"))
+    val selfOnly = raw.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("id")).distinct()
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
