@@ -863,6 +863,24 @@ object SparkEntry {
           col("rhs"), col("pair_count"))
     },
 
+    // Batched BPE training (round 10): top-4 symbol-disjoint merges per
+    // round, one composed merge projection per round — O(merges/batch)
+    // driver turns vs t52's serial O(merges). The oracle replays the whole
+    // batched schedule in SQL: per round a 16-candidate pool, a RECURSIVE
+    // greedy disjoint selection walk, and a recursive merge fold over the
+    // sentinel-wrapped vocabulary — selection order, tie-breaks, pool
+    // bound, and remaining-merge cap all mirrored exactly.
+    "t81_bpe_train_batched" -> { (s, dir) =>
+      val merges = graft.text.Bpe.trainBatched(Tables.documents(s, dir),
+        col("text"), nMerges = 8, batch = 4)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, cnt), i) => (i + 1, a, b, cnt) }
+        .toDF("rank", "lhs", "rhs", "pair_count")
+        .select(col("rank").cast("int").as("rank"), col("lhs"),
+          col("rhs"), col("pair_count"))
+    },
+
     // Exact distributed quantiles (percentile_disc semantics) WITHOUT
     // collect_list/sketches: value-groupBy counts → per-group cumulative
     // crossing in pure int64 (cum·1e6 ≥ ppm·n) — shuffle is
@@ -3493,6 +3511,88 @@ object SparkEntry {
        |  GROUP BY 2),
        |$rounds
        |$union""".stripMargin
+  }
+
+  /** t81 oracle: replays [[graft.text.Bpe.trainBatched]] (nMerges = 8,
+    * batch = 4) in DuckDB SQL. Same sentinel-wrapped word-symbol state and
+    * pair counting as [[bpeTrainOracle]]; per round it adds the batched
+    * trainer's two driver-side steps as RECURSIVE CTEs:
+    *  - `sel$i`: a linear walk over the round's 16-candidate pool
+    *    (cnt DESC, a, b — the exact Scala ordering and pool bound) that
+    *    accumulates a `used` symbol list and takes a candidate iff both
+    *    symbols are fresh and the pick budget `least(batch, nMerges -
+    *    total_so_far)` is open — greedy symbol-disjoint selection;
+    *  - `fold$i`: the picked merges applied to every word IN SELECTION
+    *    ORDER (step-join recursion), mirroring the Scala mergePass fold.
+    * Rounds are unrolled nMerges deep (the worst case: every round picks
+    * exactly one); rounds after exhaustion pick nothing and pass the
+    * vocabulary through unchanged, so the unrolling is semantically inert
+    * past convergence. Global rank = (round, within-round order).
+    */
+  private def bpeTrainBatchedOracle: String = {
+    val nMerges = 8
+    val batch = 4
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT u.a AS a, u.b AS b, sum(u.freq) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(l)),
+         |      j -> struct_pack(a := l[j], b := l[j+1], freq := freq))) AS u
+         |    FROM (SELECT freq, string_split(trim(sym, ' '), '  ') AS l
+         |          FROM w${i - 1})
+         |  ) GROUP BY 1, 2),
+         |c$i AS MATERIALIZED (
+         |  SELECT a, b, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+         |  FROM p$i WHERE cnt >= 1
+         |  ORDER BY cnt DESC, a, b LIMIT ${batch * 4}),
+         |sel$i AS (
+         |  SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used, 0 AS npick,
+         |    CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+         |    CAST(NULL AS BIGINT) AS cnt, FALSE AS take
+         |  UNION ALL
+         |  SELECT c.rn,
+         |    CASE WHEN t.ok THEN list_concat(s.used, [c.a, c.b])
+         |         ELSE s.used END,
+         |    CASE WHEN t.ok THEN s.npick + 1 ELSE s.npick END,
+         |    c.a, c.b, c.cnt, t.ok
+         |  FROM sel$i s JOIN c$i c ON c.rn = s.rn + 1,
+         |  LATERAL (SELECT s.npick < least($batch,
+         |      $nMerges - (SELECT tot FROM tot${i - 1}))
+         |    AND NOT list_contains(s.used, c.a)
+         |    AND NOT list_contains(s.used, c.b) AS ok) t),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS round, row_number() OVER (ORDER BY rn) AS ord,
+         |    a, b, cnt
+         |  FROM sel$i WHERE take),
+         |tot$i AS MATERIALIZED (
+         |  SELECT (SELECT tot FROM tot${i - 1})
+         |    + (SELECT count(*) FROM b$i) AS tot),
+         |fold$i AS (
+         |  SELECT sym, freq, 0 AS step FROM w${i - 1}
+         |  UNION ALL
+         |  SELECT replace(f.sym, ' ' || p.ord_a || '  ' || p.ord_b || ' ',
+         |      ' ' || p.ord_a || p.ord_b || ' '), f.freq, p.ord
+         |  FROM fold$i f JOIN (SELECT ord, a AS ord_a, b AS ord_b FROM b$i) p
+         |    ON p.ord = f.step + 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT sym, freq FROM fold$i
+         |  WHERE step = (SELECT count(*) FROM b$i))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges).map(i =>
+      s"SELECT round, ord, a, b, cnt FROM b$i").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE w0 AS MATERIALIZED (
+       |  SELECT count(*) AS freq,
+       |    ' ' || array_to_string(list_filter(string_split(w, ''),
+       |      c -> len(c) > 0), '  ') || ' ' AS sym
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |          x -> len(x) > 0)) AS w FROM documents)
+       |  GROUP BY 2),
+       |tot0 AS MATERIALIZED (SELECT 0 AS tot),
+       |$rounds,
+       |allp AS (SELECT * FROM ($union))
+       |SELECT CAST(row_number() OVER (ORDER BY round, ord) AS INT) AS rank,
+       |  a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count
+       |FROM allp""".stripMargin
   }
 
   /** pipe_webrank oracle: the registrable domain collapses to pure
@@ -6711,6 +6811,7 @@ object SparkEntry {
     // Generated from the same merge table as the engine (see bpeOracle).
     "t48_bpe_encode" -> bpeOracle,
     "t52_bpe_train" -> bpeTrainOracle,
+    "t81_bpe_train_batched" -> bpeTrainBatchedOracle,
     "pipe_webrank_e2e" -> webRankOracle,
 
     "w13_abandonment" ->

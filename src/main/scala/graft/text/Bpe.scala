@@ -116,9 +116,10 @@ object Bpe {
     *
     * Selection per round is deterministic: candidates ordered (count desc,
     * lhs asc, rhs asc); a candidate joins the batch iff neither symbol
-    * appears in an earlier pick. The driver fetch over-samples 4× so
-    * conflicts rarely starve a batch; a starved batch just means one more
-    * round, never a wrong table.
+    * appears in an earlier pick. The driver fetch over-samples a FIXED
+    * 4×batch pool so conflicts rarely starve a batch (a starved batch just
+    * means one more round, never a wrong table) — fixed, so the t81 oracle
+    * can replay the exact pool bound in SQL.
     */
   def trainBatched(df: DataFrame, text: Column, nMerges: Int,
                    minFreq: Long = 1L, batch: Int = 8): Seq[(String, String, Long)] = {
@@ -146,7 +147,7 @@ object Bpe {
         .agg(sum("freq").as("cnt"))
         .filter(col("cnt") >= minFreq)
         .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .limit(want * 4).collect()
+        .limit(batch * 4).collect()
       // greedy symbol-disjoint selection, in count order
       val used = scala.collection.mutable.Set[String]()
       val picks = top.iterator.flatMap { row =>
