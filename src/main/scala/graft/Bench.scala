@@ -50,6 +50,7 @@ object Bench {
     // d7 rose 2.8 -> ~4.6 in round 9: semanticDedup moved to alternating
     // components (correctness at scale; see Similarity.semanticDedup)
     "d7_semantic_dedup" -> 4.6, "t52_bpe_train" -> 2.6,
+    "t81_bpe_train_batched" -> 2.0,
     "d2_minhash_neardup" -> 2.9,
     "d12_incremental_neardup" -> 2.7, "d14_winnow_dedup" -> 2.7,
     "g2_triangle_count" -> 2.6, "pipe_curate_e2e" -> 2.3,

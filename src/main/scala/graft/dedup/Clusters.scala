@@ -226,7 +226,13 @@ object Clusters {
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(minSmall.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        // LAZY checkpoint (round 10): the Dataset is wrapped in its
+        // LogicalRDD immediately (lineage truncation — the thing the
+        // checkpoint is for — is unconditional), but materialization is
+        // deferred to the FIRST action, which is the fingerprint agg on
+        // the next line. One job per round instead of two; the convergence
+        // anti-join and the next round then read the persisted blocks.
+        .localCheckpoint(false)
       val fpNew = fingerprint(small)
       // distinct sets: fingerprint equality is necessary for set equality;
       // the anti-join runs only on a match, to make it sufficient too
