@@ -332,19 +332,28 @@ object Bench {
     // the parsed line. This line carries the headline numbers + the top-5
     // heavies with their isolation spread — small enough to survive the
     // tail, structured enough to grade from alone.
+    // locale-proof rounding (self-review find, round 10): the f
+    // interpolator routes through the DEFAULT locale — a de/fr host would
+    // print decimal COMMAS and the summary line would stop parsing as
+    // JSON. Double.toString is locale-independent by spec.
+    def rnd(v: Double, digits: Int): String = {
+      val m = math.pow(10, digits)
+      (math.round(v * m) / m).toString
+    }
     val top5 = results.filter(_._3.isEmpty).sortBy(-_._2).take(5)
-    val top5Json = top5.map { case (k, v, _, _) => jstr(k) + ":" + f"$v%.2f" }
+    val top5Json = top5.map { case (k, v, _, _) => jstr(k) + ":" + rnd(v, 2) }
       .mkString("{", ",", "}")
     val top5Med = top5.flatMap { case (k, _, _, _) =>
-      isolatedRuns.get(k).map(rs => jstr(k) + ":" + f"${median(rs.map(_._1))}%.2f")
+      isolatedRuns.get(k).map(rs => jstr(k) + ":" + rnd(median(rs.map(_._1)), 2))
     }.mkString("{", ",", "}")
     val nOk = ok.size
     val nErr = results.count(_._3.nonEmpty)
     val calibRange =
       if (allCalib.isEmpty) "null"
-      else f"""{"min":${allCalib.min}%.3f,"max":${allCalib.max}%.3f}"""
+      else s"""{"min":${rnd(allCalib.min, 3)},"max":${rnd(allCalib.max, 3)}}"""
+    val secPerQuery = rnd(if (nOk > 0) total / nOk else 0.0, 3)
     val summary =
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":$nOk,"errors":$nErr,"sec_per_query":${if (nOk > 0) total / nOk else 0.0}%.3f,"queries":$top5Json,"heavy_median":$top5Med,"calib":$calibRange,"sf":${jstr(sfDir)},"full":"bench_out.json"}"""
+      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","n_queries":$nOk,"errors":$nErr,"sec_per_query":$secPerQuery,"queries":$top5Json,"heavy_median":$top5Med,"calib":$calibRange,"sf":${jstr(sfDir)},"full":"bench_out.json"}"""
     spark.stop()
     // last line on stdout, after Spark's shutdown logging
     println(summary)

@@ -191,9 +191,15 @@ object Clusters {
     // edge set stops moving is the round the loop stops.
     def fingerprint(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)).as("n"),
-        // pmod bounds summands so the ANSI sum cannot overflow int64 even
-        // at 2^44 edges; order-independence comes from SUM's commutativity
-        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))).as("h"))
+        // pmod bounds summands BELOW 2^20 so the ANSI sum stays int64-safe
+        // to 2^63/2^20 ≈ 8.8e12 edges — comfortably past any constructible
+        // pair graph (a larger modulus like 1e9+7 would overflow — and
+        // under ANSI mode THROW — at ~9.2e9 edges, i.e. exactly at the
+        // 100 TB scale this loop targets). The weaker per-edge hash only
+        // raises the probability of the already-harmless collision case:
+        // matching fingerprints trigger the exact anti-join confirm below,
+        // never an early exit. Order-independence = SUM's commutativity.
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1048573L))).as("h"))
         .collect().head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }

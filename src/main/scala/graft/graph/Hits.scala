@@ -84,9 +84,16 @@ object Hits {
       scores = aN.join(hN, Seq("node")).localCheckpoint()
       superseded += prev
     }
-    // round 1's "prev" is the un-checkpointed seed (no blocks — the drop
-    // is a no-op there); every later entry frees one node-scale frame
-    superseded.foreach(graft.dedup.Clusters.dropCheckpointBlocks)
+    // Round 1's "prev" is the un-checkpointed SEED, whose plan reaches
+    // back through `nodes` to the shared edge checkpoint `e` — and
+    // dropCheckpointBlocks unpersists EVERY LogicalRDD in the plan it is
+    // given, so passing the seed would free `e` out from under anything
+    // still reading it (self-review find, round 10). Skip it; every later
+    // entry is its own truncated checkpoint (one node-scale frame each).
+    // `e` itself is dead once the loop ends (the returned frame is a
+    // checkpoint) — free it explicitly.
+    superseded.drop(1).foreach(graft.dedup.Clusters.dropCheckpointBlocks)
+    graft.dedup.Clusters.dropCheckpointBlocks(e)
     // The ∞-norm rescale stays a broadcast 1-row max — the tempting
     // alternative (max via a whole-frame window) needs a single-partition
     // pass over ALL nodes and dies at warehouse scale.

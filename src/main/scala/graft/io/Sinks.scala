@@ -132,7 +132,11 @@ object Sinks {
     df.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(staging.toString)
     fs.mkdirs(trash)
-    // journal of completed swaps, for exact rollback: (dirName, hadOld)
+    // journal of STARTED swaps, for exact rollback: (dirName, hadOld).
+    // An entry is journaled BEFORE the staged→live rename, so a failure
+    // between the two renames still rolls its partition back (self-review
+    // find, round 10: journaling after meant a mid-partition failure left
+    // the old copy un-restored in a trash dir the rollback then deleted).
     val swapped = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
     try {
       values.foreach { v =>
@@ -143,12 +147,12 @@ object Sinks {
         val live = new org.apache.hadoop.fs.Path(root, dirName)
         val staged = new org.apache.hadoop.fs.Path(staging, dirName)
         val hadOld = fs.exists(live)
+        swapped += ((dirName, hadOld))
         if (hadOld)
-          fs.rename(live, new org.apache.hadoop.fs.Path(trash, dirName))
+          renameOrThrow(fs, live, new org.apache.hadoop.fs.Path(trash, dirName))
         // a predicate partition with no incoming rows stays purged — the
         // Delta/`purge_table` semantics this variant exists for
-        if (fs.exists(staged)) fs.rename(staged, live)
-        swapped += ((dirName, hadOld))
+        if (fs.exists(staged)) renameOrThrow(fs, staged, live)
       }
       // success: ONLY now is the old data let go. (The pre-round-10 code
       // deleted trash in a `finally` — an exception mid-commit destroyed
@@ -157,19 +161,36 @@ object Sinks {
       fs.delete(staging, true)
     } catch {
       case e: Throwable =>
-        swapped.foreach { case (dirName, hadOld) =>
-          val live = new org.apache.hadoop.fs.Path(root, dirName)
-          // drop the new copy (if the staged rename had happened)...
-          if (fs.exists(live)) fs.delete(live, true)
-          // ...and restore the old one from trash
-          if (hadOld)
-            fs.rename(new org.apache.hadoop.fs.Path(trash, dirName), live)
-        }
-        fs.delete(trash, true)
-        fs.delete(staging, true)
+        // best-effort full rollback; trash/staging are deleted ONLY if
+        // every restore succeeded — a failed restore keeps the old copy
+        // recoverable (recoverStagedCommit heals it on the next run)
+        try {
+          swapped.foreach { case (dirName, hadOld) =>
+            val live = new org.apache.hadoop.fs.Path(root, dirName)
+            val trashed = new org.apache.hadoop.fs.Path(trash, dirName)
+            // drop the new copy (if the staged rename had happened)...
+            if (fs.exists(live)) fs.delete(live, true)
+            // ...and restore the old one from trash (if the live→trash
+            // rename had happened — it may not have, journal-first)
+            if (hadOld && fs.exists(trashed)) renameOrThrow(fs, trashed, live)
+          }
+          fs.delete(trash, true)
+          fs.delete(staging, true)
+        } catch { case t: Throwable => e.addSuppressed(t) }
         throw e
     }
   }
+
+  /** Hadoop `FileSystem.rename` reports most failures by returning false,
+    * not throwing — treating that as success and then deleting the source's
+    * only remaining copy is silent data loss. Every rename on the commit
+    * path goes through this.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
 
   /** Heal a table after a KILLED [[replaceWhere]] commit (exceptions roll
     * back in-process; only a kill can leave debris). For every leftover
@@ -191,7 +212,9 @@ object Sinks {
       if (s.getPath.getName.startsWith("_trash_"))
         fs.listStatus(s.getPath).filter(_.isDirectory).foreach { part =>
           val live = new org.apache.hadoop.fs.Path(root, part.getPath.getName)
-          if (!fs.exists(live)) fs.rename(part.getPath, live)
+          // renameOrThrow: a false rename followed by the trash delete
+          // below would destroy the copy that failed to restore
+          if (!fs.exists(live)) renameOrThrow(fs, part.getPath, live)
         }
       fs.delete(s.getPath, true)
     }

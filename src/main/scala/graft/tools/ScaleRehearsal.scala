@@ -39,6 +39,13 @@ object ScaleRehearsal {
     val dst = args(1)
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
     require(replicas >= 1, "replicas must be >= 1")
+    // the text map is a Caesar rotation keyed `replica % 26` — replica 26
+    // would silently reuse replica 0's identity map, making its documents
+    // byte-identical and injecting exactly the cross-replica trivial-dup
+    // cliques this tool exists to avoid
+    require(replicas <= 26,
+      "replicas must be <= 26 (Caesar keys wrap at 26; larger factors " +
+        "need a stronger per-replica alphabet bijection)")
     val cpus = Env.cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

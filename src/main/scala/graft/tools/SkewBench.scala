@@ -172,30 +172,33 @@ object SkewBench {
       r.getLong(1)
     }
 
-    def plainJoin(aqe: Boolean): Long = {
-      // save/restore the PRIOR value (not literal true): the tool must not
-      // overwrite a caller's session config with its own assumption
-      val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.adaptive.enabled", aqe)
-      // broadcast would dodge the shuffle entirely (build = 100k rows fits);
-      // disable it so the measurement exercises the SHUFFLE join path the
-      // fixture models (at 100 TB the build side is too big to broadcast)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      try work(probe.join(build, Seq("key")))
-      finally {
-        prevAqe match {
-          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-          case None    => spark.conf.unset("spark.sql.adaptive.enabled")
-        }
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // save/restore the PRIOR values (not literals/unset): the tool must
+    // not overwrite a caller's session config with its own assumptions
+    def restoring[T](key: String)(body: => T): T = {
+      val prev = spark.conf.getOption(key)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
       }
     }
-    def saltedJoin(salt: Int): Long = {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      try work(ScaleJoins.saltedEquiJoin(probe, build, "key",
-        col("l_orderkey") * 7919 + col("l_extendedprice").cast("long"), salt))
-      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    }
+    def plainJoin(aqe: Boolean): Long =
+      restoring("spark.sql.adaptive.enabled") {
+        restoring("spark.sql.autoBroadcastJoinThreshold") {
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          // broadcast would dodge the shuffle entirely (build = 100k rows
+          // fits); disable it so the measurement exercises the SHUFFLE join
+          // path the fixture models (at 100 TB the build side is too big)
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+          work(probe.join(build, Seq("key")))
+        }
+      }
+    def saltedJoin(salt: Int): Long =
+      restoring("spark.sql.autoBroadcastJoinThreshold") {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        work(ScaleJoins.saltedEquiJoin(probe, build, "key",
+          col("l_orderkey") * 7919 + col("l_extendedprice").cast("long"), salt))
+      }
 
     val (tNoAqe, rNoAqe, mNoAqe) = timeMin(reps, listener)(plainJoin(aqe = false))
     println(f"[skew] equiJoin unsalted AQE-off $tNoAqe%7.2f s  maxTask $mNoAqe%6.2f s  ($rNoAqe rows)")
