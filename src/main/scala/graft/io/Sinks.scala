@@ -106,13 +106,18 @@ object Sinks {
                    values: Seq[String]): Unit =
     replaceWhereImpl(df, path, partitionCol, values, failAfterSwaps = Int.MaxValue)
 
-  /** Test seam: `failAfterSwaps` throws after that many partition swaps,
-    * simulating a mid-commit failure so the spec can exercise the rollback
-    * path without fault-injection infrastructure. Production entry point is
+  /** Test seam: `failAfterSwaps` throws after that many partition swaps
+    * (at the loop top, between partitions); with `failMidSwap` it instead
+    * throws INSIDE swap number `failAfterSwaps + 1`, after its live→trash
+    * rename but before staged→live — the narrowest crash window, where the
+    * partition is in trash and nowhere live. Both simulate mid-commit
+    * failures so the spec can exercise the rollback paths without
+    * fault-injection infrastructure. Production entry point is
     * [[replaceWhere]] (no failpoint).
     */
   private[graft] def replaceWhereImpl(df: DataFrame, path: String,
-      partitionCol: String, values: Seq[String], failAfterSwaps: Int): Unit = {
+      partitionCol: String, values: Seq[String], failAfterSwaps: Int,
+      failMidSwap: Boolean = false): Unit = {
     require(values.nonEmpty, "replaceWhere needs at least one partition value")
     val spark = df.sparkSession
     val viol = df.filter(!col(partitionCol).cast("string")
@@ -140,7 +145,7 @@ object Sinks {
     val swapped = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
     try {
       values.foreach { v =>
-        if (swapped.size >= failAfterSwaps)
+        if (!failMidSwap && swapped.size >= failAfterSwaps)
           throw new IllegalStateException(
             s"replaceWhere failpoint: simulated crash after ${swapped.size} swaps")
         val dirName = s"$partitionCol=${escapePartitionValue(v)}"
@@ -150,6 +155,9 @@ object Sinks {
         swapped += ((dirName, hadOld))
         if (hadOld)
           renameOrThrow(fs, live, new org.apache.hadoop.fs.Path(trash, dirName))
+        if (failMidSwap && swapped.size > failAfterSwaps)
+          throw new IllegalStateException(
+            s"replaceWhere failpoint: simulated crash mid-swap of $dirName")
         // a predicate partition with no incoming rows stays purged — the
         // Delta/`purge_table` semantics this variant exists for
         if (fs.exists(staged)) renameOrThrow(fs, staged, live)

@@ -202,6 +202,30 @@ class IoSpec extends SparkSpec {
     assert(snapshot() == Seq((11, "2024-01"), (12, "2024-02"), (13, "2024-03")))
   }
 
+  test("replaceWhere: an exception BETWEEN the two renames rolls back — the " +
+    "partition in trash with no live copy is restored") {
+    val dir = tmp() + "/rwm"
+    val v1 = Seq((1, "2024-01"), (2, "2024-02")).toDF("id", "month")
+    Sinks.overwritePartitions(v1, dir, "month")
+    def snapshot(): Seq[(Int, String)] =
+      spark.read.parquet(dir).select("id", "month").orderBy("id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val before = snapshot()
+    // crash INSIDE partition 2's swap: its old copy has moved to trash,
+    // nothing is live — the narrowest window. Partition 1's swap already
+    // completed (new data live, old in trash). Rollback must restore BOTH.
+    val v2 = Seq((11, "2024-01"), (12, "2024-02")).toDF("id", "month")
+    val e = intercept[IllegalStateException] {
+      Sinks.replaceWhereImpl(v2, dir, "month", Seq("2024-01", "2024-02"),
+        failAfterSwaps = 1, failMidSwap = true)
+    }
+    assert(e.getMessage.contains("mid-swap of month=2024-02"))
+    assert(snapshot() == before)
+    assert(!new java.io.File(dir).listFiles
+      .exists(f => f.getName.startsWith("_staging_") ||
+                   f.getName.startsWith("_trash_")))
+  }
+
   test("replaceWhere: a kill mid-swap is healed by the next run (torn-commit recovery)") {
     val dir = tmp() + "/rwk"
     val v1 = Seq((1, "2024-01"), (2, "2024-02")).toDF("id", "month")
