@@ -92,4 +92,52 @@ class ClustersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 11L, 20L))
   }
+
+  test("property: BOTH algorithms equal an independent union-find reference " +
+      "across graph shapes") {
+    // the random-graph test above proves alternating == min-label; if both
+    // shared a defect it would still pass. This one pins each against a
+    // third implementation (array union-find with path compression) the
+    // Spark code shares nothing with, across the adversarial shapes: sparse
+    // forests, dense near-cliques, pure chains (diameter-stressing), stars,
+    // and graphs with self-loop-only ids.
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // component label = min member id == root under min-merge above
+      val mentioned = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      mentioned.map(id => id -> find(id.toInt).toLong).toMap
+    }
+    val rnd = new scala.util.Random(20260816L)
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "sparse forest" -> Seq.fill(60)(
+        (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong)),
+      "near-clique" -> (for (a <- 0 until 14; b <- a + 1 until 14
+        if rnd.nextDouble() < 0.7) yield (a.toLong, b.toLong)),
+      "chain" -> (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      "star" -> (1L to 30L).map(i => (0L, i)),
+      "self-loops mixed" -> (Seq.fill(30)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+        Seq((90L, 90L), (91L, 91L))))
+    for ((name, edges) <- shapes) {
+      val expected = unionFind(100, edges)
+      val pairs = edges.toDF("id_a", "id_b")
+      val minLabel = Clusters.connectedComponents(pairs, maxIter = 80)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val alt = Clusters.connectedComponentsAlternating(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(minLabel == expected, s"min-label vs union-find on: $name")
+      assert(alt == expected, s"alternating vs union-find on: $name")
+    }
+  }
 }
