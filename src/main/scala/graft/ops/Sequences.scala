@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   * (customer, item, first_day, last_day) FIRST — a customer buying A
   * in 10⁶ orders still contributes ONE row — so the per-customer pair
   * stage is quadratic in DISTINCT ITEMS per customer (catalog-bounded),
-  * never in orders. Pairing is a per-customer self-join on that
-  * deduped frame (`first_day(A) < last_day(B)` proves a preceding
-  * A-then-B witness exists); one customer-key shuffle, then a
-  * (A, B)-key rollup with map-side partials, a support floor, and the
-  * A-marginal joined back.
+  * never in orders. Pairing is a per-customer self-join on that deduped
+  * frame (`first_day(A) < last_day(B)` proves a preceding A-then-B
+  * witness exists); one customer-key shuffle, then a (A, B)-key rollup
+  * with map-side partials, a support floor, and the A-marginal joined
+  * back. `salt > 1` reroutes the pair stage through the triangle-salted
+  * [[ScaleJoins.bucketedSelfPairs]] (bucket = customer, payload = the
+  * item's first/last day) for whale-customer graphs that must survive
+  * with AQE off — an escape hatch, not the default; see the in-body
+  * comment for the measured trade.
   *
   * `broadcastMarginals` (default true) hints the one-row-per-item
   * A-marginal as a broadcast — valid while the ITEM CATALOG fits an
@@ -39,7 +43,8 @@ object Sequences {
 
   def sequentialRules(orders: DataFrame, lineitem: DataFrame,
                       minSupport: Long, k: Int,
-                      broadcastMarginals: Boolean = true): DataFrame = {
+                      broadcastMarginals: Boolean = true,
+                      salt: Int = 1): DataFrame = {
     require(k >= 1 && minSupport >= 1, "need k >= 1, minSupport >= 1")
     val items = lineitem
       .join(orders.select(col("o_orderkey"), col("o_custkey"),
@@ -47,12 +52,39 @@ object Sequences {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
       .agg(min("__day").as("__first"), max("__day").as("__last"))
-    val a = items.select(col("cust"), col("item").as("ante"),
-      col("__first").as("__af"))
-    val b = items.select(col("cust"), col("item").as("cons"),
-      col("__last").as("__bl"))
-    val pairCounts = a.join(b, Seq("cust"))
-      .filter(col("ante") =!= col("cons") && col("__af") < col("__bl"))
+    // salt = 1 (default): plain cust-key self-join. Per-customer width is
+    // catalog-bounded, and under AQE skew-join a whale customer's a-side
+    // partition splits across tasks with the b-side replicated — so the
+    // default already has task-level mitigation. The EXPLICIT salted path
+    // below survives even with AQE off / a single key past the skew
+    // thresholds, at a measured ~13% warm cost on uniform data
+    // (tools/SeqAb interleaved same-JVM minima at sf0.1: 3.17 s naive vs
+    // 3.59 s salt=8 — replication + the explode breaking WSCG fusion),
+    // which is why it is the hatch, not the default — same contract as
+    // Clusters.keepBest(alternating).
+    val directed = if (salt == 1) {
+      val a = items.select(col("cust"), col("item").as("ante"),
+        col("__first").as("__af"))
+      val b = items.select(col("cust"), col("item").as("cons"),
+        col("__last").as("__bl"))
+      a.join(b, Seq("cust"))
+        .filter(col("ante") =!= col("cons") && col("__af") < col("__bl"))
+        .select(col("ante"), col("cons"))
+    } else {
+      // each unordered within-customer pair once (triangle-salted,
+      // ~|B|²/salt² per-task bound), then the ≤2 directed rules whose
+      // preceding-witness test passes; result-identical for any salt
+      ScaleJoins.bucketedSelfPairs(items, Seq("cust"), "item",
+          Seq("__first", "__last"), salt)
+        .select(explode(array(
+          struct(col("id_a").as("ante"), col("id_b").as("cons"),
+            (col("__first_a") < col("__last_b")).as("ok")),
+          struct(col("id_b").as("ante"), col("id_a").as("cons"),
+            (col("__first_b") < col("__last_a")).as("ok")))).as("e"))
+        .filter(col("e.ok"))
+        .select(col("e.ante").as("ante"), col("e.cons").as("cons"))
+    }
+    val pairCounts = directed
       .groupBy(col("ante"), col("cons"))
       .agg(count(lit(1)).as("n_sequential"))
       .filter(col("n_sequential") >= minSupport)

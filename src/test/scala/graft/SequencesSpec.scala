@@ -41,4 +41,21 @@ class SequencesSpec extends SparkSpec {
     // exactly one A→B witness row despite two A orders; confidence 1e6
     assert(out == Seq((100L, 200L, 1L, 1L, 1000000L)))
   }
+
+  test("sequentialRules: the salted pair stage (salt > 1) is " +
+      "result-identical to the default plan on a random basket history") {
+    val rnd = new scala.util.Random(11L)
+    val orders = (1L to 120L).map(ok =>
+      o(ok, rnd.nextInt(12).toLong,
+        f"2024-01-${rnd.nextInt(28) + 1}%02d")).toDF(
+      "o_orderkey", "o_custkey", "o_orderdate")
+    val li = (1L to 120L).flatMap(ok => Seq.fill(rnd.nextInt(4) + 1)(
+      (ok, (rnd.nextInt(9) + 100).toLong))).toDF("l_orderkey", "l_partkey")
+    def run(salt: Int) = Sequences.sequentialRules(orders, li,
+        minSupport = 2L, k = 1000, salt = salt)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val naive = run(1)
+    assert(naive.nonEmpty)
+    assert(run(4) == naive)
+  }
 }
