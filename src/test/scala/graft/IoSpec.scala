@@ -226,6 +226,42 @@ class IoSpec extends SparkSpec {
                    f.getName.startsWith("_trash_")))
   }
 
+  test("replaceWhere: exhaustive failpoint sweep — EVERY crash window " +
+      "rolls back to the pre-call state and a clean re-run commits") {
+    // the point tests above pick representative windows; this sweeps all
+    // of them: an exception at each loop-top (after 0, 1, 2 completed
+    // swaps) and inside each swap between the two renames (mid-swap of
+    // partitions 1, 2, 3) — 6 windows over a 3-partition commit
+    val windows = (for (fa <- 0 to 2; mid <- Seq(false, true)) yield (fa, mid))
+    for ((fa, mid) <- windows) {
+      val dir = tmp() + s"/rws_${fa}_$mid"
+      val v1 = Seq((1, "2024-01"), (2, "2024-02"), (3, "2024-03"))
+        .toDF("id", "month")
+      Sinks.overwritePartitions(v1, dir, "month")
+      def snapshot(): Seq[(Int, String)] =
+        spark.read.parquet(dir).select("id", "month").orderBy("id")
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      val before = snapshot()
+      val v2 = Seq((11, "2024-01"), (12, "2024-02"), (13, "2024-03"))
+        .toDF("id", "month")
+      val months = Seq("2024-01", "2024-02", "2024-03")
+      val e = intercept[IllegalStateException] {
+        Sinks.replaceWhereImpl(v2, dir, "month", months,
+          failAfterSwaps = fa, failMidSwap = mid)
+      }
+      assert(e.getMessage.contains("failpoint"), s"window ($fa, $mid)")
+      assert(snapshot() == before, s"rollback drifted in window ($fa, $mid)")
+      assert(!new java.io.File(dir).listFiles
+        .exists(f => f.getName.startsWith("_staging_") ||
+                     f.getName.startsWith("_trash_")),
+        s"debris left in window ($fa, $mid)")
+      Sinks.replaceWhere(v2, dir, "month", months)
+      assert(snapshot() ==
+        Seq((11, "2024-01"), (12, "2024-02"), (13, "2024-03")),
+        s"clean re-run failed after window ($fa, $mid)")
+    }
+  }
+
   test("replaceWhere: a kill mid-swap is healed by the next run (torn-commit recovery)") {
     val dir = tmp() + "/rwk"
     val v1 = Seq((1, "2024-01"), (2, "2024-02")).toDF("id", "month")
