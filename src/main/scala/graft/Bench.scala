@@ -27,16 +27,16 @@ object Bench {
     // r6 30.2 s was cold-codegen, not plan cost — warm it runs ~5 s;
     // the heavy set is hinted ABOVE 5 so all of them keep the untimed
     // warm pass (their cold-JIT cost is the thing being amortized).
-    // round-9 measured records (post pointer-doubling / alternating CC)
-    "d6_neardup_dedup" -> 6.1, "d11_semantic_dedup_kmeans" -> 6.1,
-    "d9_semantic_dedup_lsh" -> 6.1, "pipe_consume_sql" -> 6.5,
-    "pipe_consume_e2e" -> 6.0, "a5_copurchase_pairs" -> 5.5,
-    "pipe_webrank_e2e" -> 5.2, "a10_seq_rules" -> 5.1,
-    "g5_hits" -> 7.0, "a35_item_neighbors" -> 6.0,
+    // round-10 continuation measured records (clean-window suite numbers)
+    "d6_neardup_dedup" -> 5.9, "d11_semantic_dedup_kmeans" -> 6.0,
+    "d9_semantic_dedup_lsh" -> 5.7, "pipe_consume_sql" -> 5.2,
+    "pipe_consume_e2e" -> 4.9, "a5_copurchase_pairs" -> 4.5,
+    "pipe_webrank_e2e" -> 3.6, "a10_seq_rules" -> 3.9,
+    "g5_hits" -> 3.1, "a35_item_neighbors" -> 5.4,
     // round-8 additions sharing d6's MinHash+components shape — hinted
     // into the heavy-warmup set so their driver record is warm
-    "d18_cluster_keep_best" -> 6.6, "pipe_corpusqc_e2e" -> 5.2,
-    "d15_containment_pairs" -> 4.5,
+    "d18_cluster_keep_best" -> 7.1, "pipe_corpusqc_e2e" -> 4.2,
+    "d15_containment_pairs" -> 3.0,
     // round-8 continuation-session additions (sf0.1 records / estimates):
     // the composed ANN mart and the iterative WCC warm with the heavies
     "pipe_annhealth_e2e" -> 4.0, "s25_index_shadow" -> 3.0,
