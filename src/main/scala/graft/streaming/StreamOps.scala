@@ -44,6 +44,16 @@ final case class HwState(
     trend_milli: Long,
     s1: Long, s2: Long, s3: Long, s4: Long, s5: Long, s6: Long, s7: Long)
 
+/** A fingerprinted document row — the streaming ingest-gate analog of the
+  * batch d8 frame: doc id + 8-byte content fingerprint (computed upstream
+  * with the same [[graft.text.TextAnalysis.fingerprint]] column) + arrival
+  * event time.
+  */
+final case class FingerprintedDoc(
+    doc_id: Long,
+    fingerprint: Long,
+    ts: java.sql.Timestamp)
+
 /** Structured Streaming facade (SURVEY §2.10).
   *
   * The reference consumes its Kafka/Kinesis streams as already-landed batch
@@ -200,6 +210,46 @@ object StreamOps {
             state.update(latest)
             state.setTimeoutDuration(idleTtl)
             Iterator.single(latest)
+          }
+      }
+  }
+
+  /** d8 streaming analog — the incremental exact-dedup INGEST GATE
+    * ([[graft.ops.Dedup.dropAlreadySeen]]) as managed state: a document is
+    * admitted iff its fingerprint was never seen before, with one state
+    * row (the admitted doc id) per distinct fingerprint standing in for
+    * the batch gate's history table. Within a trigger the same
+    * deterministic order as the batch gate decides the survivor (smallest
+    * `doc_id` wins).
+    *
+    * Scale shape: state is keyed on the 8-byte fingerprint, so it
+    * hash-distributes like the batch anti join's shuffle and holds
+    * O(distinct fingerprints) rows of two longs — the cardinality the
+    * batch history table carries, never O(documents × triggers). For an
+    * open-ended stream that bound still grows monotonically (so does the
+    * batch history table); `idleTtl` caps it by processing-time idleness
+    * at the standard TTL'd-dedup trade — a fingerprint idle past the TTL
+    * is forgotten and its next copy re-admitted.
+    */
+  def firstSeenGate(ds: Dataset[FingerprintedDoc],
+                    idleTtl: Option[String] = None): Dataset[FingerprintedDoc] = {
+    implicit val docEnc = Encoders.product[FingerprintedDoc]
+    implicit val longEnc = Encoders.scalaLong
+    val timeout = if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: Long, docs: Iterator[FingerprintedDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            // already admitted: refresh the idle clock, emit nothing
+            idleTtl.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else {
+            val first = docs.minBy(_.doc_id)
+            state.update(first.doc_id)
+            idleTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(first)
           }
       }
   }

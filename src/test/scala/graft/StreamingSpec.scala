@@ -810,4 +810,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("state_audit_abandon_q").count() == 30L)
     query.stop()
   }
+
+  test("firstSeenGate admits each fingerprint exactly once across triggers, " +
+      "matching the batch gate, with O(distinct fingerprints) state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FingerprintedDoc
+    def doc(id: Long, fp: Long) =
+      FingerprintedDoc(id, fp, ts("2024-01-01 10:00:00"))
+    val input = MemoryStream[FingerprintedDoc]
+    val query = StreamOps.startMemorySink(
+      StreamOps.firstSeenGate(input.toDS()).toDF(),
+      "first_seen_q", OutputMode.Append())
+
+    // trigger 1: fpA duplicated within the trigger (smallest doc_id wins,
+    // the batch gate's order), fpB unique
+    val t1 = Seq(doc(7L, 100L), doc(2L, 100L), doc(3L, 200L))
+    input.addData(t1: _*)
+    query.processAllAvailable()
+    assert(spark.table("first_seen_q").select("doc_id")
+      .as[Long].collect().toSet == Set(2L, 3L))
+    // trigger 2: fpA again (suppressed by history), fpC new
+    val t2 = Seq(doc(4L, 100L), doc(5L, 300L))
+    input.addData(t2: _*)
+    query.processAllAvailable()
+    val admitted = spark.table("first_seen_q").select("doc_id")
+      .as[Long].collect().toSet
+    assert(admitted == Set(2L, 3L, 5L))
+    // one state row per distinct fingerprint ever seen — the batch
+    // history-table cardinality, not O(documents)
+    assert(stateRows(query) == 3L)
+    query.stop()
+    // batch parity: the landed-table gate over (history = trigger 1,
+    // batch = trigger 2) admits exactly what the stream did in trigger 2
+    val batchAdmitted = graft.ops.Dedup.dropAlreadySeen(
+        t2.toDF(), t1.toDF(),
+        org.apache.spark.sql.functions.col("fingerprint"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchAdmitted == admitted -- Set(2L, 3L))
+  }
 }
