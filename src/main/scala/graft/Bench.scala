@@ -18,23 +18,36 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Membership of the `heavy` warmup pool — the queries whose plans pay
+    * multi-second cold-codegen on their first executions (pipeline
+    * composites, the MinHash/CC family, the wide ANN marts). EXPLICIT set,
+    * decoupled from [[costHint]]: membership used to be `hint >= 5`, so
+    * refreshing hints to measured WARM values silently evicted heavies
+    * whose steady-state had dropped below 5 s (round-10 review find) —
+    * exactly the queries whose driver record then regressed to cold.
+    */
+  private val heavyWarmup: Set[String] = Set(
+    "d6_neardup_dedup", "d11_semantic_dedup_kmeans", "d9_semantic_dedup_lsh",
+    "pipe_consume_sql", "pipe_consume_e2e", "a5_copurchase_pairs",
+    "pipe_webrank_e2e", "a10_seq_rules", "g5_hits", "a35_item_neighbors",
+    "d18_cluster_keep_best", "pipe_corpusqc_e2e", "d7_semantic_dedup",
+    "d13_winnow_neardup", "d14_winnow_dedup", "d15_containment_pairs")
+
   /** Previous-round per-query cost (sf0.1 seconds) — orders the warmup so
     * the expensive queries are guaranteed warm even if the warmup budget
-    * runs out. Unlisted queries default to 0 and run last.
+    * runs out. Unlisted queries default to 0 and run last. Ordering ONLY —
+    * heavy-pool membership is [[heavyWarmup]].
     */
   private val costHint: Map[String, Double] = Map(
     // round-7 session record (sf0.1, 2-pass min + heavy warmup). d9's
-    // r6 30.2 s was cold-codegen, not plan cost — warm it runs ~5 s;
-    // the heavy set is hinted ABOVE 5 so all of them keep the untimed
-    // warm pass (their cold-JIT cost is the thing being amortized).
+    // r6 30.2 s was cold-codegen, not plan cost — warm it runs ~5 s.
     // round-10 continuation measured records (clean-window suite numbers)
     "d6_neardup_dedup" -> 5.9, "d11_semantic_dedup_kmeans" -> 6.0,
     "d9_semantic_dedup_lsh" -> 5.7, "pipe_consume_sql" -> 5.2,
     "pipe_consume_e2e" -> 4.9, "a5_copurchase_pairs" -> 4.5,
     "pipe_webrank_e2e" -> 3.6, "a10_seq_rules" -> 3.9,
     "g5_hits" -> 3.1, "a35_item_neighbors" -> 5.4,
-    // round-8 additions sharing d6's MinHash+components shape — hinted
-    // into the heavy-warmup set so their driver record is warm
+    // round-8 additions sharing d6's MinHash+components shape
     "d18_cluster_keep_best" -> 7.1, "pipe_corpusqc_e2e" -> 4.2,
     "d15_containment_pairs" -> 3.0,
     // round-8 continuation-session additions (sf0.1 records / estimates):
@@ -74,7 +87,7 @@ object Bench {
     * unrelated queries start spilling (measured: w2 at 7.6 s with leftover
     * blocks vs ~2 s isolated).
     */
-  private def dropAllBlocks(spark: SparkSession): Unit = {
+  private[graft] def dropAllBlocks(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     // Kick the ContextCleaner: broadcast blocks and shuffle files are only
@@ -158,7 +171,7 @@ object Bench {
     // separate warmup pass defaults off when reps > 1.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     // Warmup modes: "1"/"full" = every query, "0" = none, "heavy" = only
-    // queries with costHint >= 5 s. With reps > 1 pass 1 doubles as warmup
+    // the heavyWarmup set. With reps > 1 pass 1 doubles as warmup
     // for the cheap majority, but the heaviest plans (d9's 12-table
     // hyperplane codegen, the pipeline composites) pay multi-second
     // cold-compile on their first TWO executions — a 2-pass min still
@@ -175,7 +188,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET_SEC", "240").toLong * 1000000000L
       val pool =
         if (warmupMode == "heavy")
-          ordered.filter { case (n, _) => costHint.getOrElse(n, 0.0) >= 5.0 }
+          ordered.filter { case (n, _) => heavyWarmup.contains(n) }
         else ordered
       val t0 = System.nanoTime()
       pool.sortBy { case (n, _) => -costHint.getOrElse(n, 0.0) }

@@ -40,9 +40,11 @@ object RehearsalRun {
       val rows = graft.SparkEntry.queries(name)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[rehearsal] $name,$sec%.2f,$rows")
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // Bench's full cleanup, GC kick included — without it broadcast and
+      // shuffle blocks accumulate across the list and inflate the later
+      // queries' walls (the exact cross-query bleed the ratio table must
+      // not carry)
+      graft.Bench.dropAllBlocks(spark)
     }
     spark.stop()
   }

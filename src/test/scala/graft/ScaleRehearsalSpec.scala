@@ -17,11 +17,24 @@ import graft.tools.ScaleRehearsal
 class ScaleRehearsalSpec extends SparkSpec {
 
   private val src = "/root/testdata/sf0.001"
+  private var generated: Option[java.nio.file.Path] = None
   private lazy val dst: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-rehearsal")
-    dir.toFile.deleteOnExit()
+    generated = Some(dir)
     ScaleRehearsal.generate(spark, src, dir.toString, replicas = 2)
     dir.toString
+  }
+
+  override def afterAll(): Unit = {
+    // deleteOnExit would leave the tree behind (it only removes EMPTY
+    // dirs, and generate() fills this one with parquet subtrees)
+    generated.foreach { dir =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    super.afterAll()
   }
 
   private def srcT(t: String) = spark.read.parquet(s"$src/$t.parquet")
