@@ -650,4 +650,57 @@ object StreamOps {
         graft.io.Sinks.overwritePartitions(batch.toDF(), path, partitionCol)
       }
       .start()
+
+  /** d12 streaming analog — the FUZZY near-dup ingest gate at streaming
+    * cadence. Unlike [[firstSeenGate]] (exact, one fingerprint = one state
+    * key), near-dup admission cannot be managed per-key state: a
+    * document's verdict depends on ALL of its LSH band buckets plus an
+    * exact verify against every colliding prior document — cross-key
+    * coordination no single `flatMapGroupsWithState` key can see. The
+    * Spark-first composition is therefore the `foreachBatch` loop every
+    * production ingest dedup runs: each trigger drives the BATCH gate
+    * ([[graft.dedup.MinHashLSH.dropNearSeen]], banded batch×history join
+    * + exact verify) against an accumulating parquet history table of
+    * previously ADMITTED documents, then dedups the survivors within the
+    * trigger ([[graft.dedup.Clusters.dropNearDuplicates]] — history-gate
+    * first, so a batch-mate of a dropped duplicate is judged on its own
+    * novelty, the d8 gate's order) and lands them.
+    *
+    * Idempotent under replay: admitted rows write through the
+    * `__batch`-partitioned delete-insert sink, so a checkpoint-recovery
+    * re-run of batch N REPLACES batch N's partition instead of appending
+    * duplicates (same contract as [[startPartitionOverwriteSink]]).
+    *
+    * Scale shape per trigger: the band join is batch×history on band-key
+    * buckets (never all-pairs), history's side prunes to band keys the
+    * batch actually probes, and the history table is the batch operator's
+    * input — at 100 TB it is stored bucketed by band key so its side of
+    * the shuffle disappears (the d12/d25 posture, unchanged).
+    */
+  def startNearDupGateSink(df: DataFrame, historyPath: String,
+                           checkpointDir: String, idCol: String,
+                           textCol: String, threshold: Double) =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val spark = b.sparkSession
+        val root = new org.apache.hadoop.fs.Path(historyPath)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val history = if (fs.exists(root))
+          spark.read.parquet(historyPath).select(b.columns.map(col): _*)
+        else b.limit(0)
+        val novel = graft.dedup.MinHashLSH.dropNearSeen(
+          b, history, col(idCol), col(textCol), threshold)
+        val pairs = graft.dedup.MinHashLSH.nearDuplicates(
+            novel, col(idCol), col(textCol), threshold)
+          .select("id_a", "id_b")
+        val admitted = graft.dedup.Clusters.dropNearDuplicates(
+          novel, col(idCol), pairs)
+        graft.io.Sinks.overwritePartitions(
+          admitted.withColumn("__batch", lit(batchId)),
+          historyPath, "__batch")
+      }
+      .start()
 }

@@ -849,4 +849,50 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(batchAdmitted == admitted -- Set(2L, 3L))
   }
+
+  test("startNearDupGateSink: fuzzy ingest dedup accumulates an admitted " +
+      "history across triggers, matching the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ndgate")
+    val hist = base.resolve("history").toString
+    val cp = base.resolve("cp").toString
+    // word-SET shingles (shingleN = 1): a permutation of the same words is
+    // an exact set match (J = 1.0), distinct vocabularies share nothing
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tAperm = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    val tB = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tC = "phi chi psi omega digamma koppa sampi stigma sho heta"
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.startNearDupGateSink(
+      input.toDS().toDF("doc_id", "text"), hist, cp,
+      "doc_id", "text", threshold = 0.95)
+    try {
+      // trigger 1: 1 and 2 are near-dups of each other (min id survives
+      // the within-trigger cluster), 3 is unique
+      input.addData((1L, tA), (2L, tAperm), (3L, tB))
+      query.processAllAvailable()
+      def admitted(): Set[Long] = spark.read.parquet(hist)
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted() == Set(1L, 3L))
+      // trigger 2: 4 near-dups the ADMITTED history (drop), 5 is novel
+      input.addData((4L, tA), (5L, tC))
+      query.processAllAvailable()
+      assert(admitted() == Set(1L, 3L, 5L))
+      // batch parity: d12's gate over (batch = trigger 2, history =
+      // trigger 1's admissions) admits exactly what the stream did
+      val batchAdmitted = graft.dedup.MinHashLSH.dropNearSeen(
+          Seq((4L, tA), (5L, tC)).toDF("doc_id", "text"),
+          Seq((1L, tA), (3L, tB)).toDF("doc_id", "text"),
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"), threshold = 0.95)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchAdmitted == Set(5L))
+    } finally {
+      query.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
