@@ -669,7 +669,10 @@ object StreamOps {
     * Idempotent under replay: admitted rows write through the
     * `__batch`-partitioned delete-insert sink, so a checkpoint-recovery
     * re-run of batch N REPLACES batch N's partition instead of appending
-    * duplicates (same contract as [[startPartitionOverwriteSink]]).
+    * duplicates (same contract as [[startPartitionOverwriteSink]]) — and
+    * the history read EXCLUDES partition N itself, so the replay gates
+    * against exactly the original run's inputs (a doc would otherwise
+    * self-match its own prior admission and be erased by the rewrite).
     *
     * Scale shape per trigger: the band join is batch×history on band-key
     * buckets (never all-pairs), history's side prunes to band keys the
@@ -684,23 +687,67 @@ object StreamOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val b = batch.toDF()
+        nearDupGateBatch(batch.toDF(), historyPath, batchId, idCol, textCol,
+          threshold)
+      }
+      .start()
+
+  /** One trigger of [[startNearDupGateSink]] — exposed so the replay
+    * contract (same batch + same batchId twice ⇒ identical history) is
+    * directly testable without forcing a checkpoint recovery.
+    */
+  private[graft] def nearDupGateBatch(b: DataFrame, historyPath: String,
+      batchId: Long, idCol: String, textCol: String,
+      threshold: Double): Unit = {
         val spark = b.sparkSession
         val root = new org.apache.hadoop.fs.Path(historyPath)
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        val history = if (fs.exists(root))
-          spark.read.parquet(historyPath).select(b.columns.map(col): _*)
+        // "history exists" = at least one LANDED partition dir, not a bare
+        // directory: an interrupted first write can leave _SUCCESS or
+        // _temporary debris with no parquet files, and a bare-exists check
+        // would then feed an unreadable path to spark.read on every later
+        // trigger (permanent query death)
+        val hasHistory = fs.exists(root) &&
+          fs.globStatus(new org.apache.hadoop.fs.Path(root, "__batch=*"))
+            .nonEmpty
+        // a REPLAYED batch must not gate against its own prior admissions:
+        // doc X admitted by the first run of batch N would self-match
+        // (J = 1.0) on replay, be dropped, and the partition overwrite
+        // would then erase it from history. Excluding partition N from the
+        // history read gives the replay the exact inputs of the original
+        // run — the seeded MinHash pipeline is deterministic, so the
+        // rewrite reproduces the original admissions bit-for-bit.
+        val history = if (hasHistory)
+          spark.read.parquet(historyPath)
+            .filter(col("__batch") =!= lit(batchId))
+            .select(b.columns.map(col): _*)
         else b.limit(0)
+        // persisted: `novel` feeds BOTH the pair stage and the cluster
+        // anti-join — lazily that would run the banded batch×history gate
+        // (the trigger's dominant join) twice
         val novel = graft.dedup.MinHashLSH.dropNearSeen(
-          b, history, col(idCol), col(textCol), threshold)
-        val pairs = graft.dedup.MinHashLSH.nearDuplicates(
-            novel, col(idCol), col(textCol), threshold)
-          .select("id_a", "id_b")
-        val admitted = graft.dedup.Clusters.dropNearDuplicates(
-          novel, col(idCol), pairs)
-        graft.io.Sinks.overwritePartitions(
-          admitted.withColumn("__batch", lit(batchId)),
-          historyPath, "__batch")
-      }
-      .start()
+          b, history, col(idCol), col(textCol), threshold).persist()
+        try {
+          val pairs = graft.dedup.MinHashLSH.nearDuplicates(
+              novel, col(idCol), col(textCol), threshold)
+            .select("id_a", "id_b")
+          val admitted = graft.dedup.Clusters.dropNearDuplicates(
+            novel, col(idCol), pairs)
+          // skip the write when nothing was admitted: a zero-row dynamic
+          // overwrite touches no partitions but CREATES the directory
+          // (with only _SUCCESS), poisoning the history-exists check above
+          if (admitted.take(1).nonEmpty)
+            graft.io.Sinks.overwritePartitions(
+              admitted.withColumn("__batch", lit(batchId)),
+              historyPath, "__batch")
+        } finally {
+          novel.unpersist(blocking = false)
+          // dropNearSeen/nearDuplicates cache their internal prep frames
+          // (shingle sets + signatures) per CALL; their scaladoc makes the
+          // looping caller responsible for clearing between invocations —
+          // this loop is that caller, and without the clear every trigger
+          // pins a fresh history-scale cache copy for the query lifetime
+          spark.catalog.clearCache()
+        }
+  }
 }

@@ -895,4 +895,43 @@ class StreamingSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("nearDupGateBatch: replaying a batch under the same id reproduces " +
+      "history exactly — no self-gating erasure") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ndreplay")
+    val hist = base.resolve("history").toString
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tAperm = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    val tB = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tC = "phi chi psi omega digamma koppa sampi stigma sho heta"
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamOps.nearDupGateBatch(rows.toDF("doc_id", "text"), hist, id,
+        "doc_id", "text", threshold = 0.95)
+    def state(): Seq[(Long, Long)] = spark.read.parquet(hist)
+      .select("doc_id", "__batch").as[(Long, Long)].collect().toSeq.sorted
+    try {
+      val b0 = Seq((1L, tA), (2L, tAperm), (3L, tB))
+      run(b0, 0L)
+      val after0 = state()
+      assert(after0.map(_._1) == Seq(1L, 3L))
+      // checkpoint-recovery replay: same rows, same batch id. Without the
+      // own-partition exclusion, doc 1 would self-match its admitted copy
+      // (J = 1.0), drop, and the rewrite would erase it from history.
+      run(b0, 0L)
+      assert(state() == after0)
+      // a later batch gates against the healed history as usual...
+      val b1 = Seq((4L, tA), (5L, tC))
+      run(b1, 1L)
+      assert(state().map(_._1) == Seq(1L, 3L, 5L))
+      // ...and replays idempotently too (its own partition excluded, the
+      // prior batches' partitions untouched)
+      run(b1, 1L)
+      assert(state().map(_._1) == Seq(1L, 3L, 5L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
