@@ -2604,6 +2604,23 @@ object SparkEntry {
         nCells = 16, nProbe = 4, m = 4, k = 4, dim = 64)
     },
 
+    // Stored-index lifecycle (s9's "build once / store bucketed by cell /
+    // query many" posture made literal, round 11): the IVF-PQ index is
+    // WRITTEN — postings partitioned by cell, centroid/codebook side
+    // tables — and the answer comes from the stored form alone (corpus
+    // embeddings never touched at query time; the probed cells prune to
+    // their partition directories). Oracle = s9's inline replay, so
+    // stored ≡ inline is certified hash-exactly (the d10b gating
+    // pattern).
+    "s30_ivf_pq_stored" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${
+        java.lang.Integer.toHexString(dir.hashCode)}"
+      Quantize.writeIvfPqIndex(emb, idx, nCells = 16, m = 4, k = 4, dim = 64)
+      Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
+        topK = 5, nProbe = 4, m = 4, k = 4, dim = 64)
+    },
+
     // The composed training-data prep job: quality filter → content-
     // fingerprint dedup → stratified sample, as one plan with a single
     // shuffle (the fingerprint exchange).
@@ -3976,6 +3993,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = baseOracles +
+    // stored-index gate: the stored IVF-PQ path must answer EXACTLY like
+    // the inline s9 build it was written from — one oracle, two engines,
+    // two index lifecycles.
+    ("s30_ivf_pq_stored" -> baseOracles("s9_ivf_pq_topk")) +
     // pipe_ivm oracle: the four incremental replays composed verbatim,
     // each collapsed to its labeled scalar — composition adds no math.
     ("pipe_ivm_e2e" ->

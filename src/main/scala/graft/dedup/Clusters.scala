@@ -68,7 +68,7 @@ object Clusters {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
+      .transform(CacheScope.cache)
     // seed with round 1 computed directly: component = min(id, neighbors)
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("component"))
@@ -134,7 +134,13 @@ object Clusters {
         "component's diameter exceeds the iteration budget; use " +
         "connectedComponentsAlternating (O(log n) rounds) for " +
         "long-chain graphs")
-    labels
+    // the RETURNED frame's checkpoint blocks outlive this call by design
+    // (the result is lazy); a LOOPING caller frees them at scope end —
+    // without this, a streaming gate pins one labels checkpoint per
+    // trigger forever
+    val result = labels
+    CacheScope.onExit(dropCheckpointBlocks(result))
+    result
   }
 
   /** Connected components via the ALTERNATING large-star/small-star
@@ -265,6 +271,11 @@ object Clusters {
       .select(col("id_a").as("id")).distinct()
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
+    // same loop-caller lifecycle as min-label: the result's plan reads the
+    // final edge round's and `raw`'s checkpoint blocks lazily; free both
+    // at the caller's scope end
+    val finalEdges = edges
+    CacheScope.onExit { dropCheckpointBlocks(finalEdges); dropCheckpointBlocks(raw) }
     labels.unionAll(selfOnly)
   }
 

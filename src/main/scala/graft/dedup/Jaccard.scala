@@ -38,8 +38,10 @@ object Jaccard {
     // tokenization expression into generator-inferred `size(set)>0` filters
     // below each consumer — without the cache the corpus gets re-tokenized
     // ~4x. (id, set) only — never the source text.
-    val pa = probes.select(col("__id").as("id_a"), col("__set").as("set_a")).cache()
-    val pb = corpus.select(col("__id").as("id_b"), col("__set").as("set_b")).cache()
+    val pa = CacheScope.cache(
+      probes.select(col("__id").as("id_a"), col("__set").as("set_a")))
+    val pb = CacheScope.cache(
+      corpus.select(col("__id").as("id_b"), col("__set").as("set_b")))
 
     // Global token order: corpus document frequency, token as tiebreaker.
     // Tokens unseen in the corpus sort rarest (df 0) — order only has to be
@@ -101,8 +103,10 @@ object Jaccard {
     */
   def containmentPairs(probes: DataFrame, corpus: DataFrame,
                        threshold: Double): DataFrame = {
-    val pa = probes.select(col("__id").as("id_a"), col("__set").as("set_a")).cache()
-    val pb = corpus.select(col("__id").as("id_b"), col("__set").as("set_b")).cache()
+    val pa = CacheScope.cache(
+      probes.select(col("__id").as("id_a"), col("__set").as("set_a")))
+    val pb = CacheScope.cache(
+      corpus.select(col("__id").as("id_b"), col("__set").as("set_b")))
     val tokenDf = pb.select(explode(col("set_b")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
 

@@ -111,7 +111,7 @@ object MinHashLSH {
     // this the whole signature computation runs twice. Lifecycle is
     // caller-owned (the result is lazy): clear between repeated invocations
     // — see dropNearSeen's scaladoc.
-    val banded = bandKeys(sigs, bands, numHashes).cache()
+    val banded = CacheScope.cache(bandKeys(sigs, bands, numHashes))
     // Degenerate-bucket guard: a bucket of m docs contributes m(m−1)/2 pairs
     // to the self-join — ONE boilerplate shingle cluster goes quadratic at
     // corpus scale. Buckets above maxBucket are dropped (standard web-dedup
@@ -212,10 +212,10 @@ object MinHashLSH {
     // the (shorter) shingle sets IS the cheapest verifier.
     // SORTED sets: one sort_array per row buys the codegen'd merge-scan
     // intersection (SortedIntersectSize) on every candidate pair below.
-    val sets = df.select(id.as("__id"),
+    val sets = CacheScope.cache(df.select(id.as("__id"),
       sort_array(array_distinct(transform(wordShingles(text, shingleN), s => xxhash64(s))))
         .as("__set"))
-      .cache() // joined twice (id_a, id_b) — don't re-tokenize the corpus
+      ) // cached: joined twice (id_a, id_b) — don't re-tokenize the corpus
     val sigs = signatures(df, id, text, numHashes, shingleN, seed)
     val pairs = candidatePairs(sigs, bands, numHashes, maxBucket)
 
@@ -279,8 +279,10 @@ object MinHashLSH {
     // one tokenize pass per side: shingle set + signature in one projection
     // (the split/transform is a codegen common subexpression), cached and
     // read by banding AND verification
-    val hPrep = setsAndSignatures(history, id, text, numHashes, shingleN, seed).cache()
-    val bPrep = setsAndSignatures(batch, id, text, numHashes, shingleN, seed).cache()
+    val hPrep = CacheScope.cache(
+      setsAndSignatures(history, id, text, numHashes, shingleN, seed))
+    val bPrep = CacheScope.cache(
+      setsAndSignatures(batch, id, text, numHashes, shingleN, seed))
     val bBand = bandKeys(bPrep, bands, numHashes)
       .select(col("__id").as("batch_id"), col("band"), col("bh"))
     val hBand = bandKeys(hPrep, bands, numHashes)

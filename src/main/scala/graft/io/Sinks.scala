@@ -98,13 +98,36 @@ object Sinks {
     *    partitions whose live dir exists keep it (the swap completed —
     *    roll forward); leftover `_staging_*`/`_trash_*` dirs are then
     *    removed. Per-partition roll-forward/roll-back, matching the
-    *    documented per-partition visibility granularity. Single-writer
-    *    assumption (the reference's Glue job model: one writer per table
-    *    per schedule); concurrent writers need a real table format.
+    *    documented per-partition visibility granularity.
+    *
+    * SINGLE-WRITER CONTRACT — ENFORCED (round 11). The reference's Glue
+    * job model is one writer per table per schedule; real Delta would
+    * arbitrate concurrent writers through its transaction log. This
+    * staged-commit does not claim that: two interleaved commits could
+    * each heal the other's in-flight `_staging_`/`_trash_` dirs
+    * (`recoverStagedCommit` runs at entry and cannot tell a CRASHED
+    * run's debris from a LIVE run's) and restore partitions the other
+    * writer just swapped. Instead of leaving that as prose, the contract
+    * is enforced with an atomic lock file (`_writer_lock`, created with
+    * `FileSystem.create(overwrite = false)` — atomic on HDFS and POSIX;
+    * object stores need their conditional-put semantics): a second
+    * writer fails FAST with a descriptive error instead of corrupting
+    * the table, including writers targeting disjoint partition sets
+    * (the heal-each-other hazard is table-scoped, not partition-scoped).
+    *
+    * A writer killed mid-commit leaves its lock behind; `staleLockMs`
+    * bounds the outage — a lock older than it is broken and taken over
+    * (the new run's entry heal then rolls the dead run's partitions
+    * forward/back as usual). The default (30 min) is far beyond any
+    * single commit's duration (the commit is per-partition renames —
+    * metadata ops); pass `Long.MaxValue` to never steal, or `0` in
+    * tests.
     */
   def replaceWhere(df: DataFrame, path: String, partitionCol: String,
-                   values: Seq[String]): Unit =
-    replaceWhereImpl(df, path, partitionCol, values, failAfterSwaps = Int.MaxValue)
+                   values: Seq[String],
+                   staleLockMs: Long = 30L * 60 * 1000): Unit =
+    replaceWhereImpl(df, path, partitionCol, values,
+      failAfterSwaps = Int.MaxValue, staleLockMs = staleLockMs)
 
   /** Test seam: `failAfterSwaps` throws after that many partition swaps
     * (at the loop top, between partitions); with `failMidSwap` it instead
@@ -117,7 +140,8 @@ object Sinks {
     */
   private[graft] def replaceWhereImpl(df: DataFrame, path: String,
       partitionCol: String, values: Seq[String], failAfterSwaps: Int,
-      failMidSwap: Boolean = false): Unit = {
+      failMidSwap: Boolean = false,
+      staleLockMs: Long = 30L * 60 * 1000): Unit = {
     require(values.nonEmpty, "replaceWhere needs at least one partition value")
     val spark = df.sparkSession
     val viol = df.filter(!col(partitionCol).cast("string")
@@ -127,9 +151,72 @@ object Sinks {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
+    fs.mkdirs(root) // the lock must have a directory to live in
+    acquireWriterLock(fs, root, staleLockMs)
+    try replaceWhereLocked(df, fs, root, partitionCol, values,
+      failAfterSwaps, failMidSwap)
+    finally fs.delete(new org.apache.hadoop.fs.Path(root, LockName), false)
+  }
+
+  /** Name of the table-scoped writer lock. Underscore-prefixed, so data
+    * readers skip it like the staging/trash dirs.
+    */
+  private[graft] val LockName = "_writer_lock"
+
+  /** Take the table's writer lock or throw. Atomicity rides
+    * `FileSystem.create(overwrite = false)` — one winner when two writers
+    * race. A lock whose modification time is older than `staleLockMs`
+    * belongs to a killed writer: it is deleted and the acquisition
+    * retried ONCE (two stealers can race on the delete; the create
+    * decides the winner — the loser gets the descriptive error).
+    */
+  private def acquireWriterLock(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                staleLockMs: Long): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(root, LockName)
+    val holder =
+      s"pid=${ProcessHandle.current().pid()} acquired=${System.currentTimeMillis()}"
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(holder.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    // held — stale? (getFileStatus races with the holder's own delete;
+    // treat a vanished lock as freed and retry the create)
+    val age =
+      try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    if (age > staleLockMs) {
+      fs.delete(lock, false)
+      if (tryCreate()) return
+    }
+    val who =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](256)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8")
+        } finally in.close()
+      } catch { case _: Throwable => "<unreadable>" }
+    throw new java.util.ConcurrentModificationException(
+      s"replaceWhere: $root is locked by another writer ($who). The " +
+        "staged-commit protocol is single-writer per table — concurrent " +
+        "replaceWhere calls (even on disjoint partitions) would heal each " +
+        "other's in-flight staging/trash dirs. Serialize the writers, or " +
+        s"if the holder is dead, the lock goes stale after ${staleLockMs} ms.")
+  }
+
+  private def replaceWhereLocked(df: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      partitionCol: String, values: Seq[String], failAfterSwaps: Int,
+      failMidSwap: Boolean): Unit = {
     // heal any prior killed run BEFORE staging: restores vanished
     // partitions and clears `_`-prefixed leftovers (idempotent, no-op on a
-    // clean table)
+    // clean table). Safe under the lock: no live writer's dirs can be
+    // mistaken for debris.
     recoverStagedCommit(fs, root)
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(root, s"_staging_$runId")

@@ -184,26 +184,45 @@ object Quantize {
     val cPrep = corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
     val cents = Ivf.centroids(cPrep, nCells)
+    val cbPacked = packedCodebook(corpus, col("vec_id"), col("embedding"), k)
     // the stored index side: cell + PQ codes per corpus vector
     val coded = Ivf.assign(cPrep, cents, "neighbor_id", "__x")
-      .crossJoin(packedCodebook(corpus, col("vec_id"), col("embedding"), k))
+      .crossJoin(cbPacked)
       .select(col("cell"), col("neighbor_id"),
         transform(selectSubspaces(col("__x"), col("__cb"), m, sub),
           _.getField("cell")).as("__codes"))
     // query side: probe cells + ADC tables, broadcast (small per batch)
-    val qTbl = broadcast(
+    val qTbl = adcTablesFor(
       Ivf.assignProbes(
         queries.filter(col("embedding").isNotNull)
           .select(col("vec_id"), col("embedding")),
-        cents, "query_id", "__q", nProbe)
-        .crossJoin(packedCodebook(corpus, col("vec_id"), col("embedding"), k))
-        .select(col("cell"), col("query_id"),
-          transform(sequence(lit(0), lit(m - 1)), j => {
-            val start = j * sub + 1
-            transform(col("__cb"), c =>
-              l2sq(slice(col("__q"), start, lit(sub)),
-                slice(c.getField("c_emb"), start, lit(sub))))
-          }).as("__tbl")))
+        cents, "query_id", "__q", nProbe),
+      cbPacked, m, sub)
+    adcScoreTopK(coded, qTbl, topK, m)
+  }
+
+  /** Broadcast per-(query, probed cell) ADC distance tables:
+    * `__tbl[j][c] = ||q_j − codebook[c]_j||²`. `probes` carries
+    * (cell, query_id, __q); shared by the inline and the stored-index
+    * query paths so their scoring is definitionally identical.
+    */
+  private def adcTablesFor(probes: DataFrame, cbPacked: DataFrame,
+                           m: Int, sub: Int): DataFrame =
+    broadcast(probes.crossJoin(cbPacked)
+      .select(col("cell"), col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val start = j * sub + 1
+          transform(col("__cb"), c =>
+            l2sq(slice(col("__q"), start, lit(sub)),
+              slice(c.getField("c_emb"), start, lit(sub))))
+        }).as("__tbl")))
+
+  /** Probe join + ADC fold + per-query top-k — the shared tail of the
+    * inline and stored IVF-PQ paths. `coded` carries
+    * (cell, neighbor_id, __codes).
+    */
+  private def adcScoreTopK(coded: DataFrame, qTbl: DataFrame, topK: Int,
+                           m: Int): DataFrame = {
     val scored = coded.join(qTbl, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
@@ -215,6 +234,74 @@ object Quantize {
       .filter(col("__rn") <= topK)
       .select(col("query_id"), col("neighbor_id"),
         round(sqrt(col("__adc")), 6).as("adc_dist"), col("__rn").as("rank"))
+  }
+
+  /** Persist the IVF-PQ index — the 100 TB lifecycle [[ivfPqTopK]]'s
+    * scaladoc promises: build ONCE, store (cell, codes) per vector —
+    * m small ints plus a cell id, never the embeddings — and query many
+    * times against the stored form. Layout under `dir`:
+    *
+    *  - `postings/` — (neighbor_id, codes) PARTITIONED BY cell, so a
+    *    query batch's probed cells prune to exactly their directories
+    *    (`PartitionFilters` on the scan — the read-side analog of the
+    *    bucketed-history posture; at 100 TB only nProbe/nCells of the
+    *    index is ever read per batch);
+    *  - `centroids/` — the nCells coarse-quantizer rows (tiny);
+    *  - `codebook/` — the k PQ codebook rows (tiny).
+    *
+    * Centroids and codebook come from the same deterministic affine pick
+    * as [[ivfPqTopK]], so a stored-then-queried index answers EXACTLY
+    * like the inline path — the s30 oracle gates on that equality.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String, nCells: Int = 16,
+                      m: Int = 4, k: Int = 4, dim: Int = 64): Unit = {
+    val sub = subDim(m, k, dim)
+    val cPrep = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.centroids(cPrep, nCells)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    Ivf.centroids(cPrep, k).write.mode("overwrite").parquet(s"$dir/codebook")
+    val cbPacked = packedCodebook(corpus, col("vec_id"), col("embedding"), k)
+    Ivf.assign(cPrep, cents, "neighbor_id", "__x")
+      .crossJoin(cbPacked)
+      .select(col("cell"), col("neighbor_id"),
+        transform(selectSubspaces(col("__x"), col("__cb"), m, sub),
+          _.getField("cell")).as("codes"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Query a [[writeIvfPqIndex]]-stored index. The probed-cell set is
+    * collected to the driver first — bounded by nCells (cell IDS, not
+    * data; the same control-flow-scale read as k-means convergence) — so
+    * the postings scan carries a `cell IN (...)` partition filter and
+    * reads ONLY the probed directories. The postings side then streams
+    * map-side against the broadcast ADC tables: zero exchange until the
+    * query-keyed top-k window, which is candidate-scale.
+    *
+    * Embeddings are read only to place the QUERY batch (probe assignment
+    * against the tiny stored centroid table); corpus embeddings are
+    * never touched — the point of the stored form.
+    */
+  def ivfPqTopKStored(queries: DataFrame, dir: String, topK: Int,
+                      nProbe: Int = 4, m: Int = 4, k: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val sub = subDim(m, k, dim)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cbPacked = broadcast(spark.read.parquet(s"$dir/codebook")
+      .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
+        .as("__cb")))
+    val probes = Ivf.assignProbes(
+      queries.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding")),
+      cents, "query_id", "__q", nProbe)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val coded = spark.read.parquet(s"$dir/postings")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("cell"), col("neighbor_id"), col("codes").as("__codes"))
+    adcScoreTopK(coded, adcTablesFor(probes, cbPacked, m, sub), topK, m)
   }
 
   private def subDim(m: Int, k: Int, dim: Int): Int = {

@@ -679,37 +679,91 @@ object StreamOps {
     * batch actually probes, and the history table is the batch operator's
     * input — at 100 TB it is stored bucketed by band key so its side of
     * the shuffle disappears (the d12/d25 posture, unchanged).
+    *
+    * History COMPACTION (round 11 — the unbounded-growth fix): left
+    * alone, the `__batch` layout accretes one partition directory (with
+    * `coalesce`-free small files) per trigger FOREVER, and every
+    * trigger's history read lists and opens all of them — at streaming
+    * cadence the file count, the listing cost, and the per-trigger scan
+    * grow without bound. Whenever the partition count reaches
+    * `compactEvery`, the trigger first FOLDS every prior partition into
+    * one negative-keyed generation partition (`__batch = −batchId−1` —
+    * batch ids are non-negative, generation keys strictly decrease, so no
+    * collision is possible) via [[graft.io.Sinks.replaceWhere]]: the fold
+    * rides the staged-commit protocol, so a crash mid-fold is healed by
+    * [[graft.io.Sinks.recoverStagedCommit]] at the next trigger's entry
+    * and no reader ever sees a torn or doubled history. The per-trigger
+    * history read is then bounded by `compactEvery` partition directories
+    * regardless of how many triggers have run.
+    *
+    * The replay contract survives compaction: only partitions with
+    * `__batch ≠ current batchId` are folded, so the current batch still
+    * owns (and on replay overwrites) its own partition; a replayed batch
+    * N whose ORIGINAL attempt ran the fold simply sees the folded history
+    * — the same admitted-document SET it gated against originally, so the
+    * deterministic pipeline reproduces the same admissions. Batches older
+    * than the running one are checkpoint-committed and can never replay,
+    * so folding them is safe by construction.
     */
   def startNearDupGateSink(df: DataFrame, historyPath: String,
                            checkpointDir: String, idCol: String,
-                           textCol: String, threshold: Double) =
+                           textCol: String, threshold: Double,
+                           compactEvery: Int = 16) =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         nearDupGateBatch(batch.toDF(), historyPath, batchId, idCol, textCol,
-          threshold)
+          threshold, compactEvery)
       }
       .start()
 
   /** One trigger of [[startNearDupGateSink]] — exposed so the replay
-    * contract (same batch + same batchId twice ⇒ identical history) is
-    * directly testable without forcing a checkpoint recovery.
+    * contract (same batch + same batchId twice ⇒ identical history) and
+    * the compaction bound are directly testable without forcing a
+    * checkpoint recovery.
     */
   private[graft] def nearDupGateBatch(b: DataFrame, historyPath: String,
       batchId: Long, idCol: String, textCol: String,
-      threshold: Double): Unit = {
+      threshold: Double, compactEvery: Int = 16): Unit = {
+        require(compactEvery >= 2, "compactEvery must be >= 2")
         val spark = b.sparkSession
         val root = new org.apache.hadoop.fs.Path(historyPath)
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        // heal any KILLED prior compaction before anything reads the
+        // table: a kill inside the fold's commit can leave a partition in
+        // `_trash_*` and not yet live — reading past it would silently
+        // drop those admissions from the gate and re-admit their
+        // near-dups. No-op on a clean table.
+        if (fs.exists(root)) graft.io.Sinks.recoverStagedCommit(fs, root)
         // "history exists" = at least one LANDED partition dir, not a bare
         // directory: an interrupted first write can leave _SUCCESS or
         // _temporary debris with no parquet files, and a bare-exists check
         // would then feed an unreadable path to spark.read on every later
-        // trigger (permanent query death)
-        val hasHistory = fs.exists(root) &&
-          fs.globStatus(new org.apache.hadoop.fs.Path(root, "__batch=*"))
-            .nonEmpty
+        // trigger (permanent query death). globStatus may return NULL
+        // (not an empty array) on some FileSystem implementations when
+        // nothing matches — Option-wrapped so that can't NPE-kill the
+        // query (round-10 advice).
+        val parts: Array[org.apache.hadoop.fs.FileStatus] =
+          if (fs.exists(root))
+            Option(fs.globStatus(
+              new org.apache.hadoop.fs.Path(root, "__batch=*")))
+              .getOrElse(Array.empty)
+          else Array.empty
+        // fold prior partitions once the directory count hits the bound;
+        // the current batch's own partition (present only on replay) is
+        // never folded — it must stay individually overwritable
+        val foldable = parts.map(_.getPath.getName.stripPrefix("__batch="))
+          .filter(_ != batchId.toString)
+        if (parts.length >= compactEvery && foldable.length >= 2) {
+          val gen = -batchId - 1
+          val folded = spark.read.parquet(historyPath)
+            .filter(col("__batch") =!= lit(batchId))
+            .withColumn("__batch", lit(gen))
+          graft.io.Sinks.replaceWhere(folded, historyPath, "__batch",
+            foldable.toSeq :+ gen.toString)
+        }
+        val hasHistory = parts.nonEmpty
         // a REPLAYED batch must not gate against its own prior admissions:
         // doc X admitted by the first run of batch N would self-match
         // (J = 1.0) on replay, be dropped, and the partition overwrite
@@ -722,32 +776,38 @@ object StreamOps {
             .filter(col("__batch") =!= lit(batchId))
             .select(b.columns.map(col): _*)
         else b.limit(0)
-        // persisted: `novel` feeds BOTH the pair stage and the cluster
-        // anti-join — lazily that would run the banded batch×history gate
-        // (the trigger's dominant join) twice
-        val novel = graft.dedup.MinHashLSH.dropNearSeen(
-          b, history, col(idCol), col(textCol), threshold).persist()
-        try {
-          val pairs = graft.dedup.MinHashLSH.nearDuplicates(
-              novel, col(idCol), col(textCol), threshold)
-            .select("id_a", "id_b")
-          val admitted = graft.dedup.Clusters.dropNearDuplicates(
-            novel, col(idCol), pairs)
-          // skip the write when nothing was admitted: a zero-row dynamic
-          // overwrite touches no partitions but CREATES the directory
-          // (with only _SUCCESS), poisoning the history-exists check above
-          if (admitted.take(1).nonEmpty)
-            graft.io.Sinks.overwritePartitions(
-              admitted.withColumn("__batch", lit(batchId)),
-              historyPath, "__batch")
-        } finally {
-          novel.unpersist(blocking = false)
-          // dropNearSeen/nearDuplicates cache their internal prep frames
-          // (shingle sets + signatures) per CALL; their scaladoc makes the
-          // looping caller responsible for clearing between invocations —
-          // this loop is that caller, and without the clear every trigger
-          // pins a fresh history-scale cache copy for the query lifetime
-          spark.catalog.clearCache()
+        // CacheScope: dropNearSeen/nearDuplicates cache their internal
+        // prep frames (shingle sets + signatures) per CALL with
+        // caller-owned lifecycle; the scope releases exactly those frames
+        // at trigger end — NOT `spark.catalog.clearCache()`, which would
+        // also evict every co-resident workload's caches on a shared
+        // session (round-10 advice).
+        graft.dedup.CacheScope.withScope {
+          // persisted: `novel` feeds BOTH the pair stage and the cluster
+          // anti-join — lazily that would run the banded batch×history
+          // gate (the trigger's dominant join) twice
+          val novel = graft.dedup.MinHashLSH.dropNearSeen(
+            b, history, col(idCol), col(textCol), threshold).persist()
+          try {
+            val pairs = graft.dedup.MinHashLSH.nearDuplicates(
+                novel, col(idCol), col(textCol), threshold)
+              .select("id_a", "id_b")
+            // persisted: consumed twice — the emptiness probe AND the
+            // write; lazily the within-trigger pair join + components
+            // loop would execute twice per trigger (round-10 advice)
+            val admitted = graft.dedup.Clusters.dropNearDuplicates(
+              novel, col(idCol), pairs).persist()
+            try {
+              // skip the write when nothing was admitted: a zero-row
+              // dynamic overwrite touches no partitions but CREATES the
+              // directory (with only _SUCCESS), poisoning the
+              // history-exists check above
+              if (admitted.take(1).nonEmpty)
+                graft.io.Sinks.overwritePartitions(
+                  admitted.withColumn("__batch", lit(batchId)),
+                  historyPath, "__batch")
+            } finally admitted.unpersist(blocking = false)
+          } finally novel.unpersist(blocking = false)
         }
   }
 }

@@ -121,8 +121,19 @@ object Bpe {
     * means one more round, never a wrong table) — fixed, so the t81 oracle
     * can replay the exact pool bound in SQL.
     */
+  /** @param checkpointEvery truncate the state frame's LOGICAL lineage
+    *        (localCheckpoint) every this many rounds. Each round's state
+    *        is `select(mergePass…)` over the previous round's plan, so
+    *        without truncation the analyzed tree grows by `batch` fold
+    *        expressions per round and analysis/canonicalization cost per
+    *        round grows linearly — quadratic over a 4k-merge run (the
+    *        connected-components lineage hazard, in trainer form). 16
+    *        bounds the tree at ~16·batch folds; superseded checkpoints'
+    *        blocks are freed as soon as the next one materializes.
+    */
   def trainBatched(df: DataFrame, text: Column, nMerges: Int,
-                   minFreq: Long = 1L, batch: Int = 8): Seq[(String, String, Long)] = {
+                   minFreq: Long = 1L, batch: Int = 8,
+                   checkpointEvery: Int = 16): Seq[(String, String, Long)] = {
     require(nMerges >= 1, "nMerges must be >= 1")
     require(batch >= 1, "batch must be >= 1")
     import org.apache.spark.storage.StorageLevel
@@ -136,6 +147,7 @@ object Bpe {
     val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var exhausted = false
     var rounds = 0
+    var lastCp: Option[DataFrame] = None
     while (learned.size < nMerges && !exhausted) {
       val want = (nMerges - learned.size).min(batch)
       val top = state
@@ -164,15 +176,25 @@ object Bpe {
         val merged = picks.foldLeft(col("syms")) {
           case (c, (a, b, _)) => mergePass(c, a, b)
         }
-        val next = state.select(merged.as("syms"), col("freq"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val truncate = checkpointEvery > 0 && (rounds + 1) % checkpointEvery == 0
+        val projected = state.select(merged.as("syms"), col("freq"))
+        val next =
+          if (truncate) projected.localCheckpoint(false) // lazy: one job below
+          else projected.persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the parent
         state.unpersist(blocking = false)
+        if (truncate) {
+          // the new checkpoint is materialized — the previous one's blocks
+          // are dead (intermediate persisted rounds were materialized too)
+          lastCp.foreach(graft.dedup.Clusters.dropCheckpointBlocks)
+          lastCp = Some(next)
+        }
         state = next
         rounds += 1
       }
     }
     state.unpersist(blocking = false)
+    lastCp.foreach(graft.dedup.Clusters.dropCheckpointBlocks)
     System.err.println(s"[bpe] trainBatched: ${learned.size} merges in " +
       s"$rounds rounds (batch=$batch)")
     learned.toSeq

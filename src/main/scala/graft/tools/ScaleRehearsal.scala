@@ -39,13 +39,16 @@ object ScaleRehearsal {
     val dst = args(1)
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
     require(replicas >= 1, "replicas must be >= 1")
-    // the text map is a Caesar rotation keyed `replica % 26` — replica 26
-    // would silently reuse replica 0's identity map, making its documents
-    // byte-identical and injecting exactly the cross-replica trivial-dup
-    // cliques this tool exists to avoid
-    require(replicas <= 26,
-      "replicas must be <= 26 (Caesar keys wrap at 26; larger factors " +
-        "need a stronger per-replica alphabet bijection)")
+    // per-replica alphabet bijections must be DISTINCT, or same-map
+    // replicas carry byte-identical documents — exactly the cross-replica
+    // trivial-dup cliques this tool exists to avoid. Replicas 0–25 use
+    // Caesar shifts (identity at 0, r9-compatible); 26+ switch to affine
+    // maps x → a·x + b (mod 26) with a a unit of Z/26 — 12 units × 26
+    // shifts = 312 distinct bijections, all n-gram-overlap isometries
+    // within a replica (any alphabet bijection is)
+    require(replicas <= 312,
+      "replicas must be <= 312 (12 affine multipliers x 26 shifts " +
+        "exhaust the distinct alphabet bijections this map family has)")
     val cpus = Env.cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -109,13 +112,20 @@ object ScaleRehearsal {
     write(replicate(read("events"),
       Map(off("event_id", eventStride), off("user_id", custStride))),
       "events")
-    // per-replica Caesar rotation: replica 0 is the identity (byte-exact
-    // originals survive), each other replica maps a–z/A–Z bijectively
+    // per-replica alphabet bijection: replica 0 is the identity
+    // (byte-exact originals survive); 1–25 are Caesar shifts; 26+ are
+    // affine maps with a non-identity multiplier per 26-replica tier, so
+    // all maps up to replica 311 are pairwise distinct (two affine maps
+    // with different (a, b) agree on at most gcd(a1−a2, 26) < 26 letters)
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
+    // units of Z/26 minus the identity multiplier
+    val mults = Seq(3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     def rotated(r: Int): String = {
-      val k = r % 26
-      lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k)
+      val b = r % 26
+      val a = if (r < 26) 1 else mults((r / 26 - 1) % mults.size)
+      val m = (0 until 26).map(x => lower((a * x + b) % 26)).mkString
+      m + m.toUpperCase
     }
     val textEdit = (1 until replicas).foldLeft(col("text")) { (acc, r) =>
       when(col("__r") === r, translate(col("text"), lower + upper, rotated(r)))

@@ -365,4 +365,53 @@ class IoSpec extends SparkSpec {
       .as[(Long, Long, Long, Seq[String])].collect().toSeq
     assert(singles.size == 6 && singles.forall(_._2 == 1L))
   }
+
+  test("replaceWhere: single-writer lock — a concurrent writer fails fast, " +
+      "success/failure release, stale locks are taken over") {
+    val dir = tmp() + "/lock"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def lockPath = new org.apache.hadoop.fs.Path(root, Sinks.LockName)
+    val v1 = Seq((1, "2024-01"), (2, "2024-02")).toDF("id", "month")
+    Sinks.overwritePartitions(v1, dir, "month")
+
+    // a held lock (another writer mid-commit, even on DISJOINT partitions)
+    // rejects the call before anything is staged — the heal-each-other
+    // hazard is table-scoped
+    val out = fs.create(lockPath, false)
+    out.write("pid=held".getBytes("UTF-8")); out.close()
+    val before = spark.read.parquet(dir).count()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Sinks.replaceWhere(Seq((9, "2024-03")).toDF("id", "month"), dir,
+        "month", Seq("2024-03"), staleLockMs = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("locked by another writer"))
+    assert(spark.read.parquet(dir).count() == before) // nothing written
+    assert(fs.exists(lockPath)) // the loser never deletes the holder's lock
+
+    // a STALE lock (killed writer) is broken and the commit proceeds;
+    // the lock is released afterwards
+    Sinks.replaceWhere(Seq((9, "2024-03")).toDF("id", "month"), dir,
+      "month", Seq("2024-03"), staleLockMs = 0L)
+    assert(spark.read.parquet(dir).count() == before + 1)
+    assert(!fs.exists(lockPath))
+
+    // a failed commit (predicate violation pre-write) releases the lock
+    intercept[IllegalArgumentException] {
+      Sinks.replaceWhere(Seq((7, "2024-09")).toDF("id", "month"), dir,
+        "month", Seq("2024-03"))
+    }
+    assert(!fs.exists(lockPath))
+    // ...and so does a failpoint crash mid-commit (exception path)
+    intercept[IllegalStateException] {
+      Sinks.replaceWhereImpl(Seq((8, "2024-03")).toDF("id", "month"), dir,
+        "month", Seq("2024-03"), failAfterSwaps = 0)
+    }
+    assert(!fs.exists(lockPath))
+    // the table is back to normal single-writer operation
+    Sinks.replaceWhere(Seq((10, "2024-03")).toDF("id", "month"), dir,
+      "month", Seq("2024-03"))
+    assert(spark.read.parquet(dir).filter($"month" === "2024-03")
+      .select("id").as[Int].collect().toSeq == Seq(10))
+  }
 }

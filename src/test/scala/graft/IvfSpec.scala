@@ -198,4 +198,62 @@ class IvfSpec extends SparkSpec {
       assert(action == expect, s"n=$n target=$target got $action")
     }
   }
+
+  test("stored IVF-PQ index answers exactly like the inline build, with " +
+      "partition-pruned postings and no index-side exchange") {
+    import graft.sim.Quantize
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    try {
+      Quantize.writeIvfPqIndex(emb, dir, nCells = 8, m = 4, k = 4, dim = 64)
+      val stored = Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+        nProbe = 2, m = 4, k = 4, dim = 64)
+      val inline = Quantize.ivfPqTopK(queries, emb, topK = 5,
+        nCells = 8, nProbe = 2, m = 4, k = 4, dim = 64)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSeq
+      assert(rows(stored) == rows(inline))
+      // the stored postings only hold (cell, neighbor_id, codes) — m small
+      // ints per vector, never the embeddings
+      val postings = spark.read.parquet(s"$dir/postings")
+      assert(postings.columns.sorted.toSeq == Seq("cell", "codes", "neighbor_id"))
+      // plan pins (structural, AQE off so the tree is final): the probed
+      // cells reach the postings scan as PARTITION filters (only their
+      // directories are read), and the postings side flows scan →
+      // broadcast probe join with NO shuffle exchange anywhere beneath
+      // the join — the stored index is read exchange-free
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val physical = Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+          nProbe = 2, m = 4, k = 4, dim = 64).queryExecution.executedPlan
+        def isPostings(s: FileSourceScanExec): Boolean =
+          s.relation.location.rootPaths.exists(_.toString.contains("postings"))
+        val postingScans = physical.collect {
+          case s: FileSourceScanExec if isPostings(s) => s }
+        assert(postingScans.nonEmpty && postingScans.forall(_.partitionFilters.nonEmpty),
+          s"probed cells must prune postings partitions:\n$physical")
+        val probeJoins = physical.collect { case j: BroadcastHashJoinExec
+          if j.collect { case s: FileSourceScanExec if isPostings(s) => s }.nonEmpty => j }
+        assert(probeJoins.nonEmpty, s"expected a broadcast probe join:\n$physical")
+        probeJoins.foreach { j =>
+          assert(j.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+            s"index side must not shuffle before the probe join:\n$j")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir))) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }

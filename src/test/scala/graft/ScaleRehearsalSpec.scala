@@ -30,9 +30,12 @@ class ScaleRehearsalSpec extends SparkSpec {
     // dirs, and generate() fills this one with parquet subtrees)
     generated.foreach { dir =>
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Using: Files.walk holds a directory-stream handle until closed
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        st.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     super.afterAll()
   }

@@ -890,9 +890,12 @@ class StreamingSpec extends SparkSpec {
     } finally {
       query.stop()
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Using: Files.walk holds a directory-stream handle until closed
+      scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+        st.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 
@@ -929,9 +932,96 @@ class StreamingSpec extends SparkSpec {
       assert(state().map(_._1) == Seq(1L, 3L, 5L))
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Using: Files.walk holds a directory-stream handle until closed
+      scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+        st.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  test("nearDupGateBatch compaction: history partition count stays bounded, " +
+      "admissions and replay are unchanged") {
+    // Two identical 12-trigger ingest streams, one with compaction
+    // (compactEvery = 4) and one effectively without (compactEvery high):
+    // the admitted sets must be identical trigger by trigger, and the
+    // compacted table's `__batch=*` directory count — which IS the
+    // per-trigger history read's listing/open bound — must never exceed
+    // compactEvery, while the uncompacted one grows with the trigger count.
+    val base = java.nio.file.Files.createTempDirectory("graft-ndcompact")
+    val histC = base.resolve("hist_c").toString
+    val histU = base.resolve("hist_u").toString
+    // trigger i carries: one doc near-dupping trigger i-1's novel text
+    // (permuted word set — must be DROPPED against history), one novel doc
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi")
+    def novelText(i: Int): String =
+      (0 until 10).map(j => vocab((i * 7 + j * 3) % vocab.size) + s"$i").mkString(" ")
+    def permuted(i: Int): String = novelText(i).split(" ").reverse.mkString(" ")
+    def batchRows(i: Int): Seq[(Long, String)] =
+      if (i == 0) Seq((0L, novelText(0)))
+      else Seq((i * 10L, permuted(i - 1)), (i * 10L + 1L, novelText(i)))
+    def partDirs(hist: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(hist)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "__batch=*")))
+        .getOrElse(Array.empty).map(_.getPath.getName).toSeq
+    }
+    def admitted(hist: String): Set[Long] = spark.read.parquet(hist)
+      .select("doc_id").as[Long].collect().toSet
+    try {
+      (0 until 12).foreach { i =>
+        StreamOps.nearDupGateBatch(batchRows(i).toDF("doc_id", "text"),
+          histC, i.toLong, "doc_id", "text", threshold = 0.95,
+          compactEvery = 4)
+        StreamOps.nearDupGateBatch(batchRows(i).toDF("doc_id", "text"),
+          histU, i.toLong, "doc_id", "text", threshold = 0.95,
+          compactEvery = 1000)
+        // identical verdicts under compaction, every trigger
+        assert(admitted(histC) == admitted(histU))
+        // the compacted layout's partition count is bounded by
+        // compactEvery (the fold runs BEFORE the trigger's write, so the
+        // post-trigger count can reach fold-result + current batch but
+        // never grows with the trigger count)
+        assert(partDirs(histC).size <= 4,
+          s"trigger $i: ${partDirs(histC)}")
+      }
+      // only the novel doc of each trigger was admitted
+      val expect = (0 until 12).map(i => if (i == 0) 0L else i * 10L + 1L).toSet
+      assert(admitted(histC) == expect)
+      // the uncompacted control accreted one partition per admitting
+      // trigger — the unbounded growth the fold exists to stop
+      assert(partDirs(histU).size == 12)
+      // replay after compaction: the last batch reruns under its own id
+      // against a history whose older partitions are folded — same state
+      val before = admitted(histC)
+      StreamOps.nearDupGateBatch(batchRows(11).toDF("doc_id", "text"),
+        histC, 11L, "doc_id", "text", threshold = 0.95, compactEvery = 4)
+      assert(admitted(histC) == before)
+      // crash-window heal: simulate a kill mid-fold (a partition renamed
+      // to trash, not yet restored) — the next trigger must restore it
+      // BEFORE gating, or the trashed admissions would be re-admitted
+      val root = new org.apache.hadoop.fs.Path(histC)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val victim = partDirs(histC).head
+      val trash = new org.apache.hadoop.fs.Path(root, "_trash_test")
+      fs.mkdirs(trash)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(root, victim),
+        new org.apache.hadoop.fs.Path(trash, victim)))
+      StreamOps.nearDupGateBatch(Seq((999L, novelText(99)))
+        .toDF("doc_id", "text"), histC, 12L, "doc_id", "text",
+        threshold = 0.95, compactEvery = 4)
+      assert(admitted(histC) == before + 999L)
+      assert(!fs.exists(trash))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+        st.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 }
