@@ -2320,10 +2320,19 @@ object SparkEntry {
     // 1-bit binary quantization ANN: sign bits packed into hi/lo 32-bit
     // halves, Hamming(popcount·xor) short-list of 10, exact-cosine rerank
     // to top-3 — the 64×-compression retrieval tier.
+    //
+    // The probe PANEL is bounded (vec_id < 2000 — the full sf0.1 id
+    // domain, so every test SF's results are unchanged): a brute-force
+    // baseline whose probe set grows WITH the corpus is quadratic in
+    // data — the sf10 rehearsal measured it literally filling 78 GB of
+    // sort spill (candidate rows = |Q|·|corpus| = 10,000× at 100× data).
+    // A fixed panel is also the honest benchmark shape: recall panels
+    // don't grow with the index. With it, the scan is corpus-LINEAR per
+    // panel (rehearsed: see SCALE.md's sf10 decade table).
     "s29_binary_hamming" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       graft.sim.Quantize.binaryHammingTopK(
-        emb.filter(col("vec_id") % 50 === 0), emb,
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000), emb,
         topK = 3, hammingCandidates = 10, dim = 64)
     },
 
@@ -8567,7 +8576,7 @@ object SparkEntry {
         |      ORDER BY bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo)),
         |               c.vec_id) AS rn
         |  FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id % 50 = 0)
+        |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000)
         |SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
         |  cosine, rank FROM (
         |  SELECT query_id, neighbor_id, hamming,

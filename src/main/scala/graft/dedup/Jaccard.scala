@@ -19,8 +19,31 @@ import org.apache.spark.sql.functions._
   *    otherwise pair every probe with most of the corpus.
   *
   * Candidates then get one exact verification against the full sets.
+  *
+  * Both pair functions run the WHOLE pipeline on xxhash64-HASHED shingles
+  * (round 11, the d10b lesson measured again at the sf10 rehearsal):
+  * tokens become 8-byte longs before the inverted index, the candidate
+  * join, and the verification join, so every shuffle ships longs instead
+  * of shingle strings (~5–10× fewer bytes — at sf10 the string-set
+  * verification join was the spill that drove d15 superlinear). Exactness
+  * is unchanged modulo ~2⁻⁶⁴ hash collisions — |A∩B| and set sizes are
+  * hash-invariant when the hash is injective on the corpus — the same
+  * documented trade [[MinHashLSH.nearDuplicates]] made in round 8. The
+  * prefix ORDER tie-break changes (hash order, not lexicographic), which
+  * only re-picks among equal-df prefix tokens: the prefix-filter theorem
+  * needs any consistent total order, so the verified RESULT set is
+  * identical either way.
   */
 object Jaccard {
+
+  /** (id, xxhash64-hashed sorted shingle set) — the wire format both pair
+    * stages run on. Hash BEFORE sorting so the merge-scan intersect sees
+    * long order.
+    */
+  private def hashedSets(df: DataFrame, idName: String,
+                         setName: String): DataFrame =
+    df.select(col("__id").as(idName),
+      sort_array(transform(col("__set"), t => xxhash64(t))).as(setName))
 
   /** (id, shingle set) prep — sorted, so verification can run the
     * codegen'd merge-scan intersection ([[graft.functions.SortedIntersectSize]]).
@@ -38,10 +61,8 @@ object Jaccard {
     // tokenization expression into generator-inferred `size(set)>0` filters
     // below each consumer — without the cache the corpus gets re-tokenized
     // ~4x. (id, set) only — never the source text.
-    val pa = CacheScope.cache(
-      probes.select(col("__id").as("id_a"), col("__set").as("set_a")))
-    val pb = CacheScope.cache(
-      corpus.select(col("__id").as("id_b"), col("__set").as("set_b")))
+    val pa = CacheScope.cache(hashedSets(probes, "id_a", "set_a"))
+    val pb = CacheScope.cache(hashedSets(corpus, "id_b", "set_b"))
 
     // Global token order: corpus document frequency, token as tiebreaker.
     // Tokens unseen in the corpus sort rarest (df 0) — order only has to be
@@ -103,10 +124,8 @@ object Jaccard {
     */
   def containmentPairs(probes: DataFrame, corpus: DataFrame,
                        threshold: Double): DataFrame = {
-    val pa = CacheScope.cache(
-      probes.select(col("__id").as("id_a"), col("__set").as("set_a")))
-    val pb = CacheScope.cache(
-      corpus.select(col("__id").as("id_b"), col("__set").as("set_b")))
+    val pa = CacheScope.cache(hashedSets(probes, "id_a", "set_a"))
+    val pb = CacheScope.cache(hashedSets(corpus, "id_b", "set_b"))
     val tokenDf = pb.select(explode(col("set_b")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
 

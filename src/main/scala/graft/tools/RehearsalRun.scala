@@ -28,9 +28,15 @@ object RehearsalRun {
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val cpus = Env.cpus
+    // SPARK_GRAFT_SHUFFLE overrides the partition count: the knob the
+    // SCALE.md table says scales with data (2–3× total cores on a real
+    // cluster). The rehearsal's 10×/100× tiers on a FIXED 32 keep
+    // per-partition reduce state growing with the tier — the d15 sf10
+    // decade measured the difference between spill-thrash and linear.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
