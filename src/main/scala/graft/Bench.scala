@@ -31,7 +31,8 @@ object Bench {
     "pipe_consume_sql", "pipe_consume_e2e", "a5_copurchase_pairs",
     "pipe_webrank_e2e", "a10_seq_rules", "g5_hits", "a35_item_neighbors",
     "d18_cluster_keep_best", "pipe_corpusqc_e2e", "d7_semantic_dedup",
-    "d13_winnow_neardup", "d14_winnow_dedup", "d15_containment_pairs")
+    "d13_winnow_neardup", "d14_winnow_dedup", "d15_containment_pairs",
+    "s30_ivf_pq_stored")
 
   /** Previous-round per-query cost (sf0.1 seconds) — orders the warmup so
     * the expensive queries are guaranteed warm even if the warmup budget
@@ -49,7 +50,9 @@ object Bench {
     "g5_hits" -> 3.1, "a35_item_neighbors" -> 5.4,
     // round-8 additions sharing d6's MinHash+components shape
     "d18_cluster_keep_best" -> 7.1, "pipe_corpusqc_e2e" -> 4.2,
-    "d15_containment_pairs" -> 3.0,
+    // r11: hashed-shingle pipeline (d4/d15), stored-index lifecycle (s30 —
+    // the write dominates its steady state)
+    "d15_containment_pairs" -> 2.4, "s30_ivf_pq_stored" -> 3.7,
     // round-8 continuation-session additions (sf0.1 records / estimates):
     // the composed ANN mart and the iterative WCC warm with the heavies
     "pipe_annhealth_e2e" -> 4.0, "s25_index_shadow" -> 3.0,
@@ -68,7 +71,7 @@ object Bench {
     "d2_minhash_neardup" -> 2.9,
     "d12_incremental_neardup" -> 2.7, "d14_winnow_dedup" -> 2.7,
     "g2_triangle_count" -> 2.6, "pipe_curate_e2e" -> 2.3,
-    "s3_ann_ivf_topk" -> 2.2, "d4_jaccard_pairs" -> 2.4,
+    "s3_ann_ivf_topk" -> 2.2, "d4_jaccard_pairs" -> 2.0,
     "d3_simhash_neardup" -> 1.8, "w3_price_change_history" -> 1.8,
     "m4_png_decode" -> 1.7, "w2_latest_per_key_day" -> 1.7,
     "s2_ann_lsh_topk" -> 1.6, "j1_cdc_resurrect" -> 1.5,
