@@ -323,10 +323,12 @@ object Bench {
       val head = name.takeWhile(c => !c.isDigit)
       (if (head.endsWith("_")) head.dropRight(1) else head).split('_').head
     }
-    val familiesJson = ok.groupBy { case (k, _, _, _) => family(k) }
-      .toSeq.sortBy(_._1)
-      .map { case (f, rs) =>
-        jstr(f) + s""":{"sec":${rs.map(_._2).sum},"n":${rs.size}}""" }
+    val famAgg: Seq[(String, Double, Int)] =
+      ok.groupBy { case (k, _, _, _) => family(k) }
+        .toSeq.sortBy(_._1)
+        .map { case (f, rs) => (f, rs.map(_._2).sum, rs.size) }
+    val familiesJson = famAgg
+      .map { case (f, sec, n) => jstr(f) + s""":{"sec":$sec,"n":$n}""" }
       .mkString("{", ",", "}")
     // Per-query calibration (seconds for the fixed probe, measured adjacent
     // to each recorded min) + its min/max over the session: a reader can
@@ -386,9 +388,10 @@ object Bench {
     val top5Med = top20.take(5).flatMap { case (k, _, _, _) =>
       isolatedRuns.get(k).map(rs => jstr(k) + ":" + rnd(median(rs.map(_._1)), 2))
     }.mkString("{", ",", "}")
-    val famSummary = ok.groupBy { case (k, _, _, _) => family(k) }
-      .toSeq.sortBy(_._1)
-      .map { case (f, rs) => jstr(f) + ":" + rnd(rs.map(_._2).sum, 1) }
+    // same aggregation as familiesJson above, formatted compactly — one
+    // computation, two renderings, so the two records can never disagree
+    val famSummary = famAgg
+      .map { case (f, sec, _) => jstr(f) + ":" + rnd(sec, 1) }
       .mkString("{", ",", "}")
     val nOk = ok.size
     val nErr = results.count(_._3.nonEmpty)

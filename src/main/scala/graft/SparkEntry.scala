@@ -2623,8 +2623,12 @@ object SparkEntry {
     // pattern).
     "s30_ivf_pq_stored" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // pid-suffixed: two concurrent graft processes on the same data dir
+      // (a Bench and a Verify run) must not overwrite each other's index
+      // mid-scan (r11 review find)
       val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${
-        java.lang.Integer.toHexString(dir.hashCode)}"
+        java.lang.Integer.toHexString(dir.hashCode)}-${
+        ProcessHandle.current().pid()}"
       Quantize.writeIvfPqIndex(emb, idx, nCells = 16, m = 4, k = 4, dim = 64)
       Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
         topK = 5, nProbe = 4, m = 4, k = 4, dim = 64)

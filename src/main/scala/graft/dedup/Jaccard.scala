@@ -45,12 +45,15 @@ object Jaccard {
     df.select(col("__id").as(idName),
       sort_array(transform(col("__set"), t => xxhash64(t))).as(setName))
 
-  /** (id, shingle set) prep — sorted, so verification can run the
-    * codegen'd merge-scan intersection ([[graft.functions.SortedIntersectSize]]).
+  /** (id, distinct shingle set) prep. UNSORTED: every consumer is one of
+    * the pair functions, which hash to longs and sort in HASH order
+    * ([[hashedSets]]) for the codegen'd merge-scan intersection — a string
+    * sort here would be O(s log s) string comparisons per document whose
+    * result is immediately discarded (r11 review find).
     */
   def shingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("__id"),
-      sort_array(array_distinct(MinHashLSH.wordShingles(text, n))).as("__set"))
+      array_distinct(MinHashLSH.wordShingles(text, n)).as("__set"))
 
   /** Exact Jaccard ≥ threshold between `probes` and `corpus` (both outputs
     * of [[shingleSets]]); id_a from probes, id_b from corpus, id_a < id_b.
@@ -97,7 +100,7 @@ object Jaccard {
     candidates
       .join(pa, Seq("id_a"))
       .join(pb, Seq("id_b"))
-      // merge-scan intersect (sets are sorted by shingleSets): no per-pair
+      // merge-scan intersect (sets are hash-sorted by hashedSets): no per-pair
       // hash set / result array allocation on the verification hot path
       .withColumn("shared", asColumn(graft.functions.SortedIntersectSize(
         asExpression(col("set_a")), asExpression(col("set_b")))))

@@ -143,6 +143,12 @@ object Sinks {
       failMidSwap: Boolean = false,
       staleLockMs: Long = 30L * 60 * 1000): Unit = {
     require(values.nonEmpty, "replaceWhere needs at least one partition value")
+    // a duplicated value would swap the same partition twice: the second
+    // pass sees the just-landed NEW copy as "old", trashes it, finds the
+    // staged dir already consumed, and the success path then deletes the
+    // only remaining copy — silent data loss, so reject it before staging
+    require(values.distinct.size == values.size,
+      s"replaceWhere: duplicate partition values in ${values.mkString(", ")}")
     val spark = df.sparkSession
     val viol = df.filter(!col(partitionCol).cast("string")
       .isin(values.map(lit(_)): _*))
@@ -176,21 +182,42 @@ object Sinks {
     val lock = new org.apache.hadoop.fs.Path(root, LockName)
     val holder =
       s"pid=${ProcessHandle.current().pid()} acquired=${System.currentTimeMillis()}"
-    def tryCreate(): Boolean =
-      try {
-        val out = fs.create(lock, false)
-        try out.write(holder.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+    def tryCreate(): Boolean = {
+      val created =
+        try Some(fs.create(lock, false))
+        catch { case _: java.io.IOException => None } // held by someone else
+      created match {
+        case None => false
+        case Some(out) =>
+          // the lock FILE exists from here on — if writing the holder info
+          // fails (disk full), release it rather than orphaning a lock
+          // that would block every writer until staleness
+          try { out.write(holder.getBytes("UTF-8")); out.close(); true }
+          catch {
+            case e: java.io.IOException =>
+              try { out.close() } catch { case _: Throwable => () }
+              try fs.delete(lock, false) catch { case _: Throwable => () }
+              throw e
+          }
+      }
+    }
     if (tryCreate()) return
-    // held — stale? (getFileStatus races with the holder's own delete;
-    // treat a vanished lock as freed and retry the create)
-    val age =
-      try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-    if (age > staleLockMs) {
-      fs.delete(lock, false)
-      if (tryCreate()) return
+    // held — stale? A VANISHED lock (the holder's own release racing our
+    // getFileStatus) is a distinct case from a stale one: it must retry
+    // the create unconditionally — mapping it onto the age comparison
+    // would wrongly throw under staleLockMs = Long.MaxValue
+    // ("never steal"), where MaxValue > MaxValue is false.
+    val age: Option[Long] =
+      try Some(System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    age match {
+      case None => // vanished — freed; retry
+        if (tryCreate()) return
+      case Some(a) if a > staleLockMs => // stale — break and retry
+        fs.delete(lock, false)
+        if (tryCreate()) return
+      case _ => () // genuinely held
     }
     val who =
       try {
@@ -221,9 +248,33 @@ object Sinks {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(root, s"_staging_$runId")
     val trash = new org.apache.hadoop.fs.Path(root, s"_trash_$runId")
+    val intent = new org.apache.hadoop.fs.Path(root, s"_intent_$runId")
     df.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(staging.toString)
     fs.mkdirs(trash)
+    // INTENT MANIFEST (round 11, closing the doubled-heal window): one
+    // line per predicate partition — `<dirName>\t<staged|purge>` — written
+    // AFTER the staging write completes and BEFORE the first rename. The
+    // pre-manifest heal inferred intent from the filesystem ("live missing
+    // ⇒ the kill hit mid-swap ⇒ restore from trash"), which cannot
+    // represent an intentional PURGE: a kill between the last rename and
+    // the trash delete made the heal restore every purged partition —
+    // doubling a fold's history (the old rows AND the folded generation).
+    // With the manifest present, the heal rolls the commit FORWARD
+    // deterministically; the manifest is deleted LAST on success (a kill
+    // after trash/staging deletion heals as a no-op) and FIRST on
+    // in-process rollback (a kill mid-rollback falls back to the
+    // restore-from-trash heuristic, which completes the rollback).
+    val manifest = values.map { v =>
+      val dirName = s"$partitionCol=${escapePartitionValue(v)}"
+      val kind =
+        if (fs.exists(new org.apache.hadoop.fs.Path(staging, dirName)))
+          "staged"
+        else "purge"
+      s"$dirName\t$kind"
+    }.mkString("\n")
+    val mOut = fs.create(intent, false)
+    try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
     // journal of STARTED swaps, for exact rollback: (dirName, hadOld).
     // An entry is journaled BEFORE the staged→live rename, so a failure
     // between the two renames still rolls its partition back (self-review
@@ -252,14 +303,20 @@ object Sinks {
       // success: ONLY now is the old data let go. (The pre-round-10 code
       // deleted trash in a `finally` — an exception mid-commit destroyed
       // the only copy of the already-swapped partitions' old data.)
+      // Manifest goes LAST: a kill anywhere in here leaves a manifest
+      // whose roll-forward is a no-op over the already-final state.
       fs.delete(trash, true)
       fs.delete(staging, true)
+      fs.delete(intent, false)
     } catch {
       case e: Throwable =>
         // best-effort full rollback; trash/staging are deleted ONLY if
         // every restore succeeded — a failed restore keeps the old copy
-        // recoverable (recoverStagedCommit heals it on the next run)
+        // recoverable (recoverStagedCommit heals it on the next run).
+        // Manifest goes FIRST: once rollback begins, a kill must route
+        // the next heal to the restore heuristic, not roll-forward.
         try {
+          fs.delete(intent, false)
           swapped.foreach { case (dirName, hadOld) =>
             val live = new org.apache.hadoop.fs.Path(root, dirName)
             val trashed = new org.apache.hadoop.fs.Path(trash, dirName)
@@ -288,12 +345,26 @@ object Sinks {
       throw new java.io.IOException(s"rename failed: $src -> $dst")
 
   /** Heal a table after a KILLED [[replaceWhere]] commit (exceptions roll
-    * back in-process; only a kill can leave debris). For every leftover
-    * `_trash_*` entry whose live partition dir is MISSING, the kill landed
-    * between `live→trash` and `staged→live` — restore the old copy. A live
-    * dir that exists means that partition's swap completed — keep it (roll
-    * forward). All `_staging_*`/`_trash_*` dirs are then deleted. Safe to
-    * call any time under the single-writer assumption; [[replaceWhere]]
+    * back in-process; only a kill can leave debris). Two regimes, decided
+    * per runId by the presence of its `_intent_*` manifest:
+    *
+    *  - **Manifest present** (the kill hit between the manifest write and
+    *    the success path's final delete): the staging write had completed,
+    *    so the commit rolls FORWARD deterministically from the manifest —
+    *    `staged` entries whose staged dir still exists swap in (any live
+    *    dir at that point is the old copy and is dropped); `staged`
+    *    entries whose staged dir is gone already swapped — keep live;
+    *    `purge` entries delete any surviving live dir (the intentional
+    *    purge the old heuristic could not represent — it restored purged
+    *    partitions from trash, DOUBLING a compaction fold's history).
+    *    Idempotent: re-running the roll-forward is a no-op.
+    *  - **No manifest** (kill before any rename, or mid-rollback after
+    *    the rollback dropped the manifest): the restore heuristic — a
+    *    `_trash_*` partition whose live dir is missing comes back; a live
+    *    dir that exists is kept.
+    *
+    * All `_staging_*`/`_trash_*`/`_intent_*` leftovers are then deleted.
+    * Safe to call any time under the single-writer lock; [[replaceWhere]]
     * calls it on entry, so a simple re-run self-heals.
     */
   private[graft] def recoverStagedCommit(fs: org.apache.hadoop.fs.FileSystem,
@@ -301,17 +372,54 @@ object Sinks {
     if (!fs.exists(root)) return
     val leftovers = fs.listStatus(root).filter { s =>
       val n = s.getPath.getName
-      s.isDirectory && (n.startsWith("_staging_") || n.startsWith("_trash_"))
+      n.startsWith("_staging_") || n.startsWith("_trash_") ||
+        n.startsWith("_intent_")
     }
-    leftovers.foreach { s =>
-      if (s.getPath.getName.startsWith("_trash_"))
-        fs.listStatus(s.getPath).filter(_.isDirectory).foreach { part =>
-          val live = new org.apache.hadoop.fs.Path(root, part.getPath.getName)
-          // renameOrThrow: a false rename followed by the trash delete
-          // below would destroy the copy that failed to restore
-          if (!fs.exists(live)) renameOrThrow(fs, part.getPath, live)
+    // names are `_staging_<runId>` / `_trash_<runId>` / `_intent_<runId>`
+    // with runId = 8 hex chars (UUID prefix — no underscores)
+    val runIds = leftovers.map(_.getPath.getName.split('_').last).distinct
+    runIds.foreach { runId =>
+      val staging = new org.apache.hadoop.fs.Path(root, s"_staging_$runId")
+      val trash = new org.apache.hadoop.fs.Path(root, s"_trash_$runId")
+      val intent = new org.apache.hadoop.fs.Path(root, s"_intent_$runId")
+      if (fs.exists(intent)) {
+        // roll FORWARD per manifest
+        val lines =
+          try {
+            val in = fs.open(intent)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().toList
+            finally in.close()
+          } catch { case _: java.io.IOException => Nil }
+        lines.filter(_.contains('\t')).foreach { line =>
+          val Array(dirName, kind) = line.split('\t')
+          val live = new org.apache.hadoop.fs.Path(root, dirName)
+          val staged = new org.apache.hadoop.fs.Path(staging, dirName)
+          kind match {
+            case "staged" =>
+              if (fs.exists(staged)) {
+                if (fs.exists(live)) fs.delete(live, true) // old copy
+                renameOrThrow(fs, staged, live)
+              } // else: already swapped — live IS the new copy
+            case _ => // purge
+              if (fs.exists(live)) fs.delete(live, true)
+          }
         }
-      fs.delete(s.getPath, true)
+        fs.delete(trash, true)
+        fs.delete(staging, true)
+        fs.delete(intent, false)
+      } else {
+        // restore heuristic (no manifest: kill pre-rename or mid-rollback)
+        if (fs.exists(trash))
+          fs.listStatus(trash).filter(_.isDirectory).foreach { part =>
+            val live = new org.apache.hadoop.fs.Path(root, part.getPath.getName)
+            // renameOrThrow: a false rename followed by the trash delete
+            // below would destroy the copy that failed to restore
+            if (!fs.exists(live)) renameOrThrow(fs, part.getPath, live)
+          }
+        fs.delete(trash, true)
+        fs.delete(staging, true)
+      }
     }
   }
 

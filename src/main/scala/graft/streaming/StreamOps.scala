@@ -685,15 +685,25 @@ object StreamOps {
     * `coalesce`-free small files) per trigger FOREVER, and every
     * trigger's history read lists and opens all of them — at streaming
     * cadence the file count, the listing cost, and the per-trigger scan
-    * grow without bound. Whenever the partition count reaches
-    * `compactEvery`, the trigger first FOLDS every prior partition into
-    * one negative-keyed generation partition (`__batch = −batchId−1` —
-    * batch ids are non-negative, generation keys strictly decrease, so no
-    * collision is possible) via [[graft.io.Sinks.replaceWhere]]: the fold
-    * rides the staged-commit protocol, so a crash mid-fold is healed by
-    * [[graft.io.Sinks.recoverStagedCommit]] at the next trigger's entry
-    * and no reader ever sees a torn or doubled history. The per-trigger
-    * history read is then bounded by `compactEvery` partition directories
+    * grow without bound. The fix is a TIERED fold (two LSM-style
+    * levels) through [[graft.io.Sinks.replaceWhere]]: when `compactEvery`
+    * batch partitions have accumulated they fold into one odd-negative
+    * generation partition (`__batch = −(2·batchId+1)` — reading ONLY
+    * those small partitions, so per-trigger amortized rewrite is
+    * O(recent batches), never O(history)); when `compactEvery` odd
+    * generations have accumulated, they and the standing even
+    * mega-generation merge into a fresh even generation
+    * (`−(2·batchId+2)` — the only full-history rewrite, once every
+    * ~compactEvery² triggers). Batch ids strictly increase, so generation
+    * keys never collide. Each fold rides the staged-commit protocol and
+    * its intent manifest, so a KILL anywhere inside a fold is healed
+    * (rolled FORWARD — never doubled, never torn) by
+    * [[graft.io.Sinks.recoverStagedCommit]] at the next trigger's entry;
+    * the fold passes `staleLockMs = 0` because the gate is the table's
+    * only writer by construction (triggers are checkpoint-serialized), so
+    * a leftover writer lock is always a dead run's and is taken over
+    * immediately instead of stalling the stream. The per-trigger history
+    * read is bounded by `2·compactEvery + 2` partition directories
     * regardless of how many triggers have run.
     *
     * The replay contract survives compaction: only partitions with
@@ -750,19 +760,47 @@ object StreamOps {
               new org.apache.hadoop.fs.Path(root, "__batch=*")))
               .getOrElse(Array.empty)
           else Array.empty
-        // fold prior partitions once the directory count hits the bound;
-        // the current batch's own partition (present only on replay) is
-        // never folded — it must stay individually overwritable
-        val foldable = parts.map(_.getPath.getName.stripPrefix("__batch="))
-          .filter(_ != batchId.toString)
-        if (parts.length >= compactEvery && foldable.length >= 2) {
-          val gen = -batchId - 1
+        // TIERED fold (round-11 review: a single-generation fold re-read
+        // and re-wrote the ENTIRE history every compactEvery triggers —
+        // O(T²/c) cumulative write amplification). Key spaces: batches are
+        // ≥ 0; level-1 generations are ODD negatives −(2·batchId+1);
+        // level-2 are EVEN negatives −(2·batchId+2). Batch ids strictly
+        // increase, so generation keys never collide, and a REPLAYED
+        // trigger recomputes the same keys — idempotent. The current
+        // batch's own partition (present only on replay) never folds — it
+        // must stay individually overwritable.
+        val priorKeys = parts.map(
+            _.getPath.getName.stripPrefix("__batch=").toLong)
+          .filter(_ != batchId).distinct.toSeq
+        // staleLockMs = 0: the gate is the table's only writer by
+        // construction (triggers are checkpoint-serialized), so ANY lock
+        // found at trigger entry belongs to a killed run — waiting out
+        // the default 30 min would just keep the stream down (r11 review)
+        def fold(srcVals: Seq[Long], genKey: Long): Unit = {
           val folded = spark.read.parquet(historyPath)
-            .filter(col("__batch") =!= lit(batchId))
-            .withColumn("__batch", lit(gen))
+            .filter(col("__batch").isin(srcVals: _*))
+            .withColumn("__batch", lit(genKey))
           graft.io.Sinks.replaceWhere(folded, historyPath, "__batch",
-            foldable.toSeq :+ gen.toString)
+            (srcVals.filter(_ != genKey) :+ genKey).map(_.toString),
+            staleLockMs = 0L)
         }
+        val batchKeys = priorKeys.filter(_ >= 0)
+        val gen1Keys = priorKeys.filter(v => v < 0 && v % 2 != 0)
+        val gen2Keys = priorKeys.filter(v => v < 0 && v % 2 == 0)
+        // level 1: fold the accumulated SMALL batch partitions into one
+        // fresh odd generation — reads only those partitions, so the
+        // per-trigger amortized rewrite is O(recent batches), not O(history)
+        val gen1After =
+          if (batchKeys.size >= compactEvery) {
+            fold(batchKeys, -(2 * batchId + 1))
+            gen1Keys :+ (-(2 * batchId + 1))
+          } else gen1Keys
+        // level 2: when odd generations accrete to the bound, merge them
+        // (plus the standing even mega-generation, if any) into one fresh
+        // even generation — the full-history rewrite now happens every
+        // ~compactEvery² triggers instead of every compactEvery
+        if (gen1After.size >= compactEvery)
+          fold(gen1After ++ gen2Keys, -(2 * batchId + 2))
         val hasHistory = parts.nonEmpty
         // a REPLAYED batch must not gate against its own prior admissions:
         // doc X admitted by the first run of batch N would self-match

@@ -414,4 +414,66 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter($"month" === "2024-03")
       .select("id").as[Int].collect().toSeq == Seq(10))
   }
+
+  test("recoverStagedCommit with an intent manifest rolls FORWARD: purged " +
+      "partitions stay purged, in-flight swaps complete (no doubled history)") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp() + "/heal"
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // committed base: months 01..03
+    Sinks.overwritePartitions(
+      Seq((1, "2024-01"), (2, "2024-02"), (3, "2024-03")).toDF("id", "month"),
+      dir, "month")
+    // Simulate the kill window that used to DOUBLE a compaction fold's
+    // history: a replaceWhere over {02 (incoming rows), 03 (purge)} died
+    // AFTER the last rename but BEFORE trash deletion. Filesystem state at
+    // that instant: live 02 = the NEW copy, live 03 = gone (purged), the
+    // OLD copies of both sit in trash, staging is spent, the intent
+    // manifest is present.
+    val staging = new Path(root, "_staging_healtest")
+    val trash = new Path(root, "_trash_healtest")
+    fs.mkdirs(staging); fs.mkdirs(trash)
+    assert(fs.rename(new Path(root, "month=2024-02"), new Path(trash, "month=2024-02")))
+    assert(fs.rename(new Path(root, "month=2024-03"), new Path(trash, "month=2024-03")))
+    // the new 02 copy (what the staged->live rename landed)
+    Seq((99, "2024-02")).toDF("id", "month").write.mode("append")
+      .partitionBy("month").parquet(dir)
+    val out = fs.create(new Path(root, "_intent_healtest"), false)
+    out.write("month=2024-02\tstaged\nmonth=2024-03\tpurge".getBytes("UTF-8"))
+    out.close()
+    Sinks.recoverStagedCommit(fs, root)
+    // rolled FORWARD: 02 is the new copy, 03 stays purged (the
+    // pre-manifest heuristic restored BOTH from trash -> doubled rows)
+    val back = spark.read.parquet(dir).select("id", "month").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(back == Seq((1, "2024-01"), (99, "2024-02")))
+    assert(!fs.exists(trash) && !fs.exists(staging) &&
+      !fs.exists(new Path(root, "_intent_healtest")))
+
+    // ...and a kill BETWEEN the two renames (live in trash, staged not yet
+    // live) also rolls forward: the staged copy lands instead of the old
+    // one coming back
+    val staging2 = new Path(root, "_staging_healtwo")
+    val trash2 = new Path(root, "_trash_healtwo")
+    fs.mkdirs(trash2)
+    Seq((77, "2024-01")).toDF("id", "month").write.mode("overwrite")
+      .partitionBy("month").parquet(staging2.toString)
+    assert(fs.rename(new Path(root, "month=2024-01"), new Path(trash2, "month=2024-01")))
+    val out2 = fs.create(new Path(root, "_intent_healtwo"), false)
+    out2.write("month=2024-01\tstaged".getBytes("UTF-8")); out2.close()
+    Sinks.recoverStagedCommit(fs, root)
+    val jan = spark.read.parquet(dir).filter($"month" === "2024-01")
+      .select("id").as[Int].collect().toSeq
+    assert(jan == Seq(77))
+    // without a manifest the restore heuristic still applies (kill before
+    // any rename): a trashed partition whose live dir is missing returns
+    val trash3 = new Path(root, "_trash_healthree")
+    fs.mkdirs(trash3)
+    assert(fs.rename(new Path(root, "month=2024-02"), new Path(trash3, "month=2024-02")))
+    Sinks.recoverStagedCommit(fs, root)
+    val feb = spark.read.parquet(dir).filter($"month" === "2024-02")
+      .select("id").as[Int].collect().toSeq
+    assert(feb == Seq(99))
+  }
 }

@@ -975,19 +975,25 @@ class StreamingSpec extends SparkSpec {
       (0 until 12).foreach { i =>
         StreamOps.nearDupGateBatch(batchRows(i).toDF("doc_id", "text"),
           histC, i.toLong, "doc_id", "text", threshold = 0.95,
-          compactEvery = 4)
+          compactEvery = 2)
         StreamOps.nearDupGateBatch(batchRows(i).toDF("doc_id", "text"),
           histU, i.toLong, "doc_id", "text", threshold = 0.95,
           compactEvery = 1000)
         // identical verdicts under compaction, every trigger
         assert(admitted(histC) == admitted(histU))
-        // the compacted layout's partition count is bounded by
-        // compactEvery (the fold runs BEFORE the trigger's write, so the
-        // post-trigger count can reach fold-result + current batch but
-        // never grows with the trigger count)
-        assert(partDirs(histC).size <= 4,
+        // the tiered layout's partition count is bounded by
+        // 2*compactEvery + 2 (batches + level-1 generations + the one
+        // level-2 mega-generation + the current batch) — never grows
+        // with the trigger count
+        assert(partDirs(histC).size <= 2 * 2 + 2,
           s"trigger $i: ${partDirs(histC)}")
       }
+      // both tiers actually exercised: an odd level-1 generation existed
+      // and a level-2 (even-negative) mega-generation has formed
+      assert(partDirs(histC).exists { d =>
+        val v = d.stripPrefix("__batch=").toLong
+        v < 0 && v % 2 == 0
+      }, s"expected a level-2 generation in ${partDirs(histC)}")
       // only the novel doc of each trigger was admitted
       val expect = (0 until 12).map(i => if (i == 0) 0L else i * 10L + 1L).toSet
       assert(admitted(histC) == expect)
@@ -998,7 +1004,7 @@ class StreamingSpec extends SparkSpec {
       // against a history whose older partitions are folded — same state
       val before = admitted(histC)
       StreamOps.nearDupGateBatch(batchRows(11).toDF("doc_id", "text"),
-        histC, 11L, "doc_id", "text", threshold = 0.95, compactEvery = 4)
+        histC, 11L, "doc_id", "text", threshold = 0.95, compactEvery = 2)
       assert(admitted(histC) == before)
       // crash-window heal: simulate a kill mid-fold (a partition renamed
       // to trash, not yet restored) — the next trigger must restore it
@@ -1012,7 +1018,7 @@ class StreamingSpec extends SparkSpec {
         new org.apache.hadoop.fs.Path(trash, victim)))
       StreamOps.nearDupGateBatch(Seq((999L, novelText(99)))
         .toDF("doc_id", "text"), histC, 12L, "doc_id", "text",
-        threshold = 0.95, compactEvery = 4)
+        threshold = 0.95, compactEvery = 2)
       assert(admitted(histC) == before + 999L)
       assert(!fs.exists(trash))
     } finally {
