@@ -2625,10 +2625,25 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       // pid-suffixed: two concurrent graft processes on the same data dir
       // (a Bench and a Verify run) must not overwrite each other's index
-      // mid-scan (r11 review find)
-      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${
-        java.lang.Integer.toHexString(dir.hashCode)}-${
-        ProcessHandle.current().pid()}"
+      // mid-scan (r11 review find). Dead pids' leftover dirs are swept at
+      // entry so repeated runs don't accrete orphan indexes in tmpdir.
+      val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val prefix = s"graft-ivfpq-${java.lang.Integer.toHexString(dir.hashCode)}-"
+      scala.util.Using.resource(java.nio.file.Files.list(tmpRoot)) { st =>
+        st.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(prefix) &&
+              scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+                .forall(pid => ProcessHandle.of(pid).isEmpty)) {
+            import scala.jdk.CollectionConverters._
+            scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+              w.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            }
+          }
+        }
+      }
+      val idx = s"$tmpRoot/$prefix${ProcessHandle.current().pid()}"
       Quantize.writeIvfPqIndex(emb, idx, nCells = 16, m = 4, k = 4, dim = 64)
       Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
         topK = 5, nProbe = 4, m = 4, k = 4, dim = 64)

@@ -273,8 +273,28 @@ object Sinks {
         else "purge"
       s"$dirName\t$kind"
     }.mkString("\n")
-    val mOut = fs.create(intent, false)
-    try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
+    // ATOMIC manifest placement (r11 second review): a bare create+write
+    // at the final path could be killed mid-write, leaving a TRUNCATED
+    // manifest the heal would trust — with purge lines surviving and the
+    // staged line lost, the heal would purge the sources and delete the
+    // staging dir holding the only copy of the folded data. The manifest
+    // is therefore written to a tmp file INSIDE the staging dir (heals
+    // delete staging wholesale, and the runId scan never sees it) and
+    // RENAMED into place — the rename is the manifest's atomic commit
+    // point: it either exists complete or not at all. A failure anywhere
+    // before the first partition rename cleans up and rethrows (nothing
+    // has been swapped yet — the table is untouched).
+    try {
+      val tmp = new org.apache.hadoop.fs.Path(staging, "_intent.tmp")
+      val mOut = fs.create(tmp, false)
+      try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
+      renameOrThrow(fs, tmp, intent)
+    } catch {
+      case e: Throwable =>
+        try { fs.delete(staging, true); fs.delete(trash, true) }
+        catch { case t: Throwable => e.addSuppressed(t) }
+        throw e
+    }
     // journal of STARTED swaps, for exact rollback: (dirName, hadOld).
     // An entry is journaled BEFORE the staged→live rename, so a failure
     // between the two renames still rolls its partition back (self-review
@@ -303,10 +323,15 @@ object Sinks {
       // success: ONLY now is the old data let go. (The pre-round-10 code
       // deleted trash in a `finally` — an exception mid-commit destroyed
       // the only copy of the already-swapped partitions' old data.)
-      // Manifest goes LAST: a kill anywhere in here leaves a manifest
-      // whose roll-forward is a no-op over the already-final state.
-      fs.delete(trash, true)
-      fs.delete(staging, true)
+      // Manifest goes LAST, and the trash/staging deletes THROW on a
+      // false return (Hadoop reports many failures as false): deleting
+      // the manifest after a silently-failed trash delete would leave
+      // old copies in trash with no manifest — the restore heuristic
+      // would then resurrect the purged partitions, the exact doubled-
+      // history bug the manifest closed. Throwing leaves the manifest in
+      // place, so the next heal rolls forward and retries the deletes.
+      deleteOrThrow(fs, trash)
+      deleteOrThrow(fs, staging)
       fs.delete(intent, false)
     } catch {
       case e: Throwable =>
@@ -343,6 +368,15 @@ object Sinks {
                             dst: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** `FileSystem.delete` likewise reports failure by returning false;
+    * on paths whose removal ORDER protects data (trash before manifest),
+    * a silent false must abort, not proceed.
+    */
+  private def deleteOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            path: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(path) && !fs.delete(path, true))
+      throw new java.io.IOException(s"delete failed: $path")
 
   /** Heal a table after a KILLED [[replaceWhere]] commit (exceptions roll
     * back in-process; only a kill can leave debris). Two regimes, decided
@@ -383,16 +417,35 @@ object Sinks {
       val trash = new org.apache.hadoop.fs.Path(root, s"_trash_$runId")
       val intent = new org.apache.hadoop.fs.Path(root, s"_intent_$runId")
       if (fs.exists(intent)) {
-        // roll FORWARD per manifest
-        val lines =
-          try {
-            val in = fs.open(intent)
-            try scala.io.Source.fromInputStream(in, "UTF-8")
-              .getLines().toList
-            finally in.close()
-          } catch { case _: java.io.IOException => Nil }
-        lines.filter(_.contains('\t')).foreach { line =>
-          val Array(dirName, kind) = line.split('\t')
+        // roll FORWARD per manifest. The read must NOT degrade on error:
+        // swallowing an IOException here and then deleting trash/staging
+        // below would destroy both remaining copies of a mid-swap
+        // partition — abort loudly instead and let the caller retry
+        // (r11 second review).
+        val lines = {
+          val in = fs.open(intent)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList.filter(_.nonEmpty)
+          finally in.close()
+        }
+        // STRICT parsing: the manifest is rename-committed, so a
+        // malformed line means real corruption — refuse to guess. A
+        // lenient fallback that mapped unknown tokens to "purge" would
+        // delete live data on a torn token; a MatchError would be an
+        // undiagnosable crash.
+        val entries = lines.map { line =>
+          line.split('\t') match {
+            case Array(dirName, kind)
+              if dirName.nonEmpty && (kind == "staged" || kind == "purge") =>
+              (dirName, kind)
+            case _ => throw new IllegalStateException(
+              s"corrupt intent manifest $intent: unparseable line '$line' — " +
+                "refusing to heal; inspect the table's _staging/_trash dirs")
+          }
+        }
+        if (entries.isEmpty) throw new IllegalStateException(
+          s"corrupt intent manifest $intent: empty — refusing to heal")
+        entries.foreach { case (dirName, kind) =>
           val live = new org.apache.hadoop.fs.Path(root, dirName)
           val staged = new org.apache.hadoop.fs.Path(staging, dirName)
           kind match {
@@ -405,8 +458,10 @@ object Sinks {
               if (fs.exists(live)) fs.delete(live, true)
           }
         }
-        fs.delete(trash, true)
-        fs.delete(staging, true)
+        // trash/staging before manifest, throwing on silent failure —
+        // the same ordering argument as the success path
+        deleteOrThrow(fs, trash)
+        deleteOrThrow(fs, staging)
         fs.delete(intent, false)
       } else {
         // restore heuristic (no manifest: kill pre-rename or mid-rollback)
