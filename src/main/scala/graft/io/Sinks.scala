@@ -158,10 +158,13 @@ object Sinks {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
     fs.mkdirs(root) // the lock must have a directory to live in
-    acquireWriterLock(fs, root, staleLockMs)
-    try replaceWhereLocked(df, fs, root, partitionCol, values,
-      failAfterSwaps, failMidSwap)
-    finally fs.delete(new org.apache.hadoop.fs.Path(root, LockName), false)
+    val token = acquireWriterLock(fs, root, staleLockMs)
+    var committed = false
+    try {
+      replaceWhereLocked(df, fs, root, token, partitionCol, values,
+        failAfterSwaps, failMidSwap)
+      committed = true
+    } finally releaseWriterLock(fs, root, token, throwOnLost = committed)
   }
 
   /** Name of the table-scoped writer lock. Underscore-prefixed, so data
@@ -169,19 +172,53 @@ object Sinks {
     */
   private[graft] val LockName = "_writer_lock"
 
-  /** Take the table's writer lock or throw. Atomicity rides
+  private[graft] lazy val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "unknown-host" }
+
+  /** Read the lock's holder line, if the lock exists. */
+  private def readLock(fs: org.apache.hadoop.fs.FileSystem,
+                       lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](512)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case _: Throwable => Some("<unreadable>")
+    }
+
+  /** Take the table's writer lock or throw; returns the acquisition TOKEN
+    * (a per-acquire UUID written into the holder line) that release and
+    * the pre-swap fence check ownership against. Atomicity rides
     * `FileSystem.create(overwrite = false)` — one winner when two writers
-    * race. A lock whose modification time is older than `staleLockMs`
-    * belongs to a killed writer: it is deleted and the acquisition
-    * retried ONCE (two stealers can race on the delete; the create
-    * decides the winner — the loser gets the descriptive error).
+    * race.
+    *
+    * A lock is STALE when (a) its modification time is older than
+    * `staleLockMs`, or (b) its holder line names THIS host and a pid that
+    * is provably dead (`ProcessHandle.of(pid)` empty) — the common killed-
+    * local-run case recovers instantly instead of waiting out the bound.
+    * The steal is ATOMIC among stealers (r11 advice — the old
+    * delete+create could delete a lock a faster stealer had just created):
+    * the stale lock is RENAMED to a token-unique name first (only one
+    * stealer's rename succeeds; the loser re-enters the held path), its
+    * content is verified against the holder line the staleness decision
+    * was based on (a mismatch means the holder released and a NEW writer
+    * created a fresh lock inside our read→rename window — the fresh lock
+    * is renamed back and the call fails descriptively), and only then is
+    * the renamed file deleted and the create retried.
     */
-  private def acquireWriterLock(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def acquireWriterLock(fs: org.apache.hadoop.fs.FileSystem,
                                 root: org.apache.hadoop.fs.Path,
-                                staleLockMs: Long): Unit = {
+                                staleLockMs: Long): String = {
     val lock = new org.apache.hadoop.fs.Path(root, LockName)
+    val token = java.util.UUID.randomUUID().toString
     val holder =
-      s"pid=${ProcessHandle.current().pid()} acquired=${System.currentTimeMillis()}"
+      s"host=$localHost pid=${ProcessHandle.current().pid()} token=$token " +
+        s"acquired=${System.currentTimeMillis()}"
     def tryCreate(): Boolean = {
       val created =
         try Some(fs.create(lock, false))
@@ -201,33 +238,61 @@ object Sinks {
           }
       }
     }
-    if (tryCreate()) return
+    if (tryCreate()) return token
     // held — stale? A VANISHED lock (the holder's own release racing our
     // getFileStatus) is a distinct case from a stale one: it must retry
     // the create unconditionally — mapping it onto the age comparison
     // would wrongly throw under staleLockMs = Long.MaxValue
     // ("never steal"), where MaxValue > MaxValue is false.
-    val age: Option[Long] =
-      try Some(System.currentTimeMillis() -
-        fs.getFileStatus(lock).getModificationTime)
+    val status: Option[org.apache.hadoop.fs.FileStatus] =
+      try Some(fs.getFileStatus(lock))
       catch { case _: java.io.FileNotFoundException => None }
-    age match {
+    val observed = readLock(fs, lock)
+    // same-host dead-pid liveness: `host=H pid=P ...` with H = this host
+    // and P not running ⇒ the holder can never release — stale now
+    val holderDead = observed.exists { line =>
+      val kv = line.split(' ').flatMap(_.split('=') match {
+        case Array(k, v) => Some(k -> v); case _ => None
+      }).toMap
+      kv.get("host").contains(localHost) &&
+        kv.get("pid").exists(p =>
+          scala.util.Try(p.toLong).toOption
+            .exists(pid => ProcessHandle.of(pid).isEmpty))
+    }
+    status match {
       case None => // vanished — freed; retry
-        if (tryCreate()) return
-      case Some(a) if a > staleLockMs => // stale — break and retry
-        fs.delete(lock, false)
-        if (tryCreate()) return
+        if (tryCreate()) return token
+      case Some(st)
+        if holderDead ||
+          System.currentTimeMillis() - st.getModificationTime > staleLockMs =>
+        // atomic steal: rename decides the winner among stealers
+        val claimed = new org.apache.hadoop.fs.Path(root,
+          s"${LockName}_stale_$token")
+        val renamed = try fs.rename(lock, claimed)
+                      catch { case _: java.io.IOException => false }
+        if (renamed) {
+          val nowHolds = readLock(fs, claimed)
+          if (nowHolds == observed || nowHolds.isEmpty) {
+            fs.delete(claimed, false)
+            if (tryCreate()) return token
+          } else {
+            // the stale holder released and a FRESH writer locked inside
+            // our read→rename window — give the fresh lock back
+            if (!fs.rename(claimed, lock)) {
+              // a third writer locked meanwhile; the fresh writer whose
+              // file we hold would lose its lock silently — surface it
+              fs.delete(claimed, false)
+              throw new java.util.ConcurrentModificationException(
+                s"replaceWhere: lost a three-way lock race on $root " +
+                  s"(displaced holder: ${nowHolds.getOrElse("?")}); that " +
+                  "writer's release will now detect the loss — retry this " +
+                  "call")
+            }
+          }
+        } // else: a faster stealer (or the holder's release) won — held path
       case _ => () // genuinely held
     }
-    val who =
-      try {
-        val in = fs.open(lock)
-        try {
-          val buf = new Array[Byte](256)
-          val n = in.read(buf)
-          new String(buf, 0, math.max(n, 0), "UTF-8")
-        } finally in.close()
-      } catch { case _: Throwable => "<unreadable>" }
+    val who = readLock(fs, lock).getOrElse("<gone>")
     throw new java.util.ConcurrentModificationException(
       s"replaceWhere: $root is locked by another writer ($who). The " +
         "staged-commit protocol is single-writer per table — concurrent " +
@@ -236,8 +301,56 @@ object Sinks {
         s"if the holder is dead, the lock goes stale after ${staleLockMs} ms.")
   }
 
+  /** Ownership-checked release (r11 verdict ask): delete the lock ONLY if
+    * it still carries our token. A lock that vanished or was stolen while
+    * we held it means another writer may have interleaved with our commit
+    * — never delete THEIR lock (the old unconditional `finally delete`
+    * let a resumed stale writer unlock writer B mid-commit, admitting C).
+    * When our commit SUCCEEDED under a lost lock, throw: the table may
+    * carry an interleaved write and the caller must know.
+    */
+  private[graft] def releaseWriterLock(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                token: String, throwOnLost: Boolean): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(root, LockName)
+    readLock(fs, lock) match {
+      case Some(line) if line.contains(s"token=$token") =>
+        fs.delete(lock, false)
+      case other =>
+        val what = other.fold("vanished")(l => s"now held by: $l")
+        System.err.println(
+          s"[graft] replaceWhere: writer lock on $root was lost while held " +
+            s"($what) — NOT deleting it; this commit may have raced the " +
+            "thief's. Audit the table.")
+        if (throwOnLost) throw new java.util.ConcurrentModificationException(
+          s"replaceWhere: lock on $root was stolen during the commit " +
+            s"($what); the commit completed but may have interleaved with " +
+            "the new holder — audit the table")
+    }
+  }
+
+  /** Pre-swap fence: the staging write is the long operation a stale-lock
+    * takeover happens during — re-verify ownership after it, BEFORE the
+    * first live-partition rename, so a displaced writer aborts without
+    * touching live data (its staging debris heals at the thief's next
+    * entry). The residual unfenced window is the metadata-only rename
+    * loop — milliseconds, vs the minutes-scale staging write.
+    */
+  private[graft] def assertLockOwned(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              token: String): Unit = {
+    val line = readLock(fs, new org.apache.hadoop.fs.Path(root, LockName))
+    if (!line.exists(_.contains(s"token=$token")))
+      throw new java.util.ConcurrentModificationException(
+        s"replaceWhere: writer lock on $root was " +
+          line.fold("released")(l => s"taken over ($l)") +
+          " while this commit was staging — aborting before any live " +
+          "partition is touched; the new holder heals our staging debris")
+  }
+
   private def replaceWhereLocked(df: DataFrame,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      lockToken: String,
       partitionCol: String, values: Seq[String], failAfterSwaps: Int,
       failMidSwap: Boolean): Unit = {
     // heal any prior killed run BEFORE staging: restores vanished
@@ -302,6 +415,9 @@ object Sinks {
     // the old copy un-restored in a trash dir the rollback then deleted).
     val swapped = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
     try {
+      // fence: the staging write above is where a stale-lock takeover
+      // happens; verify the lock is still ours before the first rename
+      assertLockOwned(fs, root, lockToken)
       values.foreach { v =>
         if (!failMidSwap && swapped.size >= failAfterSwaps)
           throw new IllegalStateException(
@@ -332,21 +448,29 @@ object Sinks {
       // place, so the next heal rolls forward and retries the deletes.
       deleteOrThrow(fs, trash)
       deleteOrThrow(fs, staging)
-      fs.delete(intent, false)
+      deleteOrThrow(fs, intent)
     } catch {
       case e: Throwable =>
         // best-effort full rollback; trash/staging are deleted ONLY if
         // every restore succeeded — a failed restore keeps the old copy
         // recoverable (recoverStagedCommit heals it on the next run).
-        // Manifest goes FIRST: once rollback begins, a kill must route
-        // the next heal to the restore heuristic, not roll-forward.
+        // Manifest goes FIRST, and its delete must THROW on Hadoop's
+        // silent false (r11 advice): proceeding would restore the old
+        // copies and delete trash/staging while the orphaned manifest
+        // survives — the next heal would then roll FORWARD against the
+        // rolled-back table and its purge entries would delete the
+        // just-restored partitions. Aborting here leaves the state
+        // roll-forward-consistent (manifest + staging + trash intact)
+        // for the next heal.
         try {
-          fs.delete(intent, false)
+          deleteOrThrow(fs, intent)
           swapped.foreach { case (dirName, hadOld) =>
             val live = new org.apache.hadoop.fs.Path(root, dirName)
             val trashed = new org.apache.hadoop.fs.Path(trash, dirName)
-            // drop the new copy (if the staged rename had happened)...
-            if (fs.exists(live)) fs.delete(live, true)
+            // drop the new copy (if the staged rename had happened) —
+            // checked: a silent false here followed by the restore rename
+            // would fail it confusingly (destination occupied)
+            deleteOrThrow(fs, live)
             // ...and restore the old one from trash (if the live→trash
             // rename had happened — it may not have, journal-first)
             if (hadOld && fs.exists(trashed)) renameOrThrow(fs, trashed, live)
@@ -404,6 +528,12 @@ object Sinks {
   private[graft] def recoverStagedCommit(fs: org.apache.hadoop.fs.FileSystem,
                                          root: org.apache.hadoop.fs.Path): Unit = {
     if (!fs.exists(root)) return
+    // a stealer killed inside its rename-steal window leaves the renamed
+    // stale lock behind; it is dead weight (a LIVE stealer that loses its
+    // in-flight file just falls back to the held/retry path)
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(s"${LockName}_stale_"))
+      .foreach(s => fs.delete(s.getPath, false))
     val leftovers = fs.listStatus(root).filter { s =>
       val n = s.getPath.getName
       n.startsWith("_staging_") || n.startsWith("_trash_") ||
@@ -451,18 +581,23 @@ object Sinks {
           kind match {
             case "staged" =>
               if (fs.exists(staged)) {
-                if (fs.exists(live)) fs.delete(live, true) // old copy
-                renameOrThrow(fs, staged, live)
+                deleteOrThrow(fs, live) // old copy; silent false would
+                renameOrThrow(fs, staged, live) // fail this rename oddly
               } // else: already swapped — live IS the new copy
             case _ => // purge
-              if (fs.exists(live)) fs.delete(live, true)
+              // deleteOrThrow (r11 advice): a silent false here followed
+              // by the trash/manifest deletes below would leave the
+              // purged partition's old rows LIVE — the doubled-history
+              // bug the manifest closed, reintroduced through one
+              // unchecked delete. Throwing keeps the manifest for retry.
+              deleteOrThrow(fs, live)
           }
         }
         // trash/staging before manifest, throwing on silent failure —
         // the same ordering argument as the success path
         deleteOrThrow(fs, trash)
         deleteOrThrow(fs, staging)
-        fs.delete(intent, false)
+        deleteOrThrow(fs, intent)
       } else {
         // restore heuristic (no manifest: kill pre-rename or mid-rollback)
         if (fs.exists(trash))

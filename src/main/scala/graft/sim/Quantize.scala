@@ -247,7 +247,11 @@ object Quantize {
     *    bucketed-history posture; at 100 TB only nProbe/nCells of the
     *    index is ever read per batch);
     *  - `centroids/` — the nCells coarse-quantizer rows (tiny);
-    *  - `codebook/` — the k PQ codebook rows (tiny).
+    *  - `codebook/` — the k PQ codebook rows (tiny);
+    *  - `_meta` — the index's own parameters (format version, nCells, m,
+    *    k, dim, metric), so a cold session pointed at the directory ALONE
+    *    can query it (r11 verdict ask — the query path used to take
+    *    m/k/dim from the caller, who had to remember the build config).
     *
     * Centroids and codebook come from the same deterministic affine pick
     * as [[ivfPqTopK]], so a stored-then-queried index answers EXACTLY
@@ -256,6 +260,10 @@ object Quantize {
   def writeIvfPqIndex(corpus: DataFrame, dir: String, nCells: Int = 16,
                       m: Int = 4, k: Int = 4, dim: Int = 64): Unit = {
     val sub = subDim(m, k, dim)
+    writeIndexMeta(corpus.sparkSession, dir,
+      Seq("format" -> "graft-ivfpq-v1", "nCells" -> nCells.toString,
+        "m" -> m.toString, "k" -> k.toString, "dim" -> dim.toString,
+        "metric" -> "l2"))
     val cPrep = corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
     val cents = Ivf.centroids(cPrep, nCells)
@@ -271,7 +279,47 @@ object Quantize {
       .parquet(s"$dir/postings")
   }
 
-  /** Query a [[writeIvfPqIndex]]-stored index. The probed-cell set is
+  /** Tiny driver-side `_meta` sidecar: `key=value` lines, written via the
+    * Hadoop FS (underscore-prefixed so data readers skip it). This is what
+    * makes the stored index SELF-DESCRIBING — build parameters live with
+    * the data, not in the caller's memory.
+    */
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, kvs: Seq[(String, String)]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_meta"), true)
+    try out.write(kvs.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Map[String, String] = {
+    val meta = new org.apache.hadoop.fs.Path(dir, "_meta")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(meta),
+      s"$dir has no _meta sidecar — not a graft IVF-PQ index (or written " +
+        "by a pre-v1 build; rebuild with writeIvfPqIndex)")
+    val in = fs.open(meta)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = text.linesIterator.filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    require(kv.get("format").contains("graft-ivfpq-v1"),
+      s"$dir/_meta has unknown format ${kv.getOrElse("format", "<absent>")}")
+    kv
+  }
+
+  /** Query a [[writeIvfPqIndex]]-stored index. SELF-DESCRIBING: the PQ
+    * geometry (m, k, dim) and cell count come from the index's `_meta`
+    * sidecar, so the only inputs are the query batch, the path, and the
+    * query-time knobs (topK, nProbe) — a cold session pointed at the
+    * directory alone can query it.
+    *
+    * The probed-cell set is
     * collected to the driver first — bounded by nCells (cell IDS, not
     * data; the same control-flow-scale read as k-means convergence) — so
     * the postings scan carries a `cell IN (...)` partition filter and
@@ -284,9 +332,15 @@ object Quantize {
     * never touched — the point of the stored form.
     */
   def ivfPqTopKStored(queries: DataFrame, dir: String, topK: Int,
-                      nProbe: Int = 4, m: Int = 4, k: Int = 4,
-                      dim: Int = 64): DataFrame = {
+                      nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    val meta = readIndexMeta(spark, dir)
+    val m = meta("m").toInt
+    val k = meta("k").toInt
+    val dim = meta("dim").toInt
+    val nCells = meta("nCells").toInt
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe=$nProbe outside 1..nCells=$nCells (from $dir/_meta)")
     val sub = subDim(m, k, dim)
     val cents = spark.read.parquet(s"$dir/centroids")
     val cbPacked = broadcast(spark.read.parquet(s"$dir/codebook")

@@ -699,10 +699,11 @@ object StreamOps {
     * its intent manifest, so a KILL anywhere inside a fold is healed
     * (rolled FORWARD — never doubled, never torn) by
     * [[graft.io.Sinks.recoverStagedCommit]] at the next trigger's entry;
-    * the fold passes `staleLockMs = 0` because the gate is the table's
-    * only writer by construction (triggers are checkpoint-serialized), so
-    * a leftover writer lock is always a dead run's and is taken over
-    * immediately instead of stalling the stream. The per-trigger history
+    * a dead run's leftover writer lock is taken over via the lock's
+    * same-host dead-pid liveness check (instant on a single box) or the
+    * fold's 10-min staleness bound (cross-host restart), while a LIVE
+    * concurrent writer — two streams misconfigured onto one historyPath —
+    * still fails fast. The per-trigger history
     * read is bounded by `2·compactEvery + 2` partition directories
     * regardless of how many triggers have run.
     *
@@ -772,17 +773,24 @@ object StreamOps {
         val priorKeys = parts.map(
             _.getPath.getName.stripPrefix("__batch=").toLong)
           .filter(_ != batchId).distinct.toSeq
-        // staleLockMs = 0: the gate is the table's only writer by
-        // construction (triggers are checkpoint-serialized), so ANY lock
-        // found at trigger entry belongs to a killed run — waiting out
-        // the default 30 min would just keep the stream down (r11 review)
+        // staleLockMs: the gate is the table's only writer by construction
+        // (triggers are checkpoint-serialized), so a lock found at trigger
+        // entry normally belongs to a killed run — the lock's same-host
+        // dead-pid liveness check steals those INSTANTLY (local mode and
+        // single-box deployments; a killed run's pid is provably dead).
+        // The 10-min bound only gates the cross-host case (driver restarted
+        // on another machine). It is deliberately NOT 0 (r11 advice): two
+        // streams misconfigured onto the same historyPath are both ALIVE,
+        // and 0 made every lock instantly stealable — mutual exclusion
+        // disabled exactly when it mattered. With a positive bound the
+        // second stream fails fast and descriptively instead.
         def fold(srcVals: Seq[Long], genKey: Long): Unit = {
           val folded = spark.read.parquet(historyPath)
             .filter(col("__batch").isin(srcVals: _*))
             .withColumn("__batch", lit(genKey))
           graft.io.Sinks.replaceWhere(folded, historyPath, "__batch",
             (srcVals.filter(_ != genKey) :+ genKey).map(_.toString),
-            staleLockMs = 0L)
+            staleLockMs = 10L * 60 * 1000)
         }
         val batchKeys = priorKeys.filter(_ >= 0)
         val gen1Keys = priorKeys.filter(v => v < 0 && v % 2 != 0)

@@ -208,7 +208,7 @@ class IvfSpec extends SparkSpec {
     try {
       Quantize.writeIvfPqIndex(emb, dir, nCells = 8, m = 4, k = 4, dim = 64)
       val stored = Quantize.ivfPqTopKStored(queries, dir, topK = 5,
-        nProbe = 2, m = 4, k = 4, dim = 64)
+        nProbe = 2)
       val inline = Quantize.ivfPqTopK(queries, emb, topK = 5,
         nCells = 8, nProbe = 2, m = 4, k = 4, dim = 64)
       def rows(df: org.apache.spark.sql.DataFrame) =
@@ -232,7 +232,7 @@ class IvfSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val physical = Quantize.ivfPqTopKStored(queries, dir, topK = 5,
-          nProbe = 2, m = 4, k = 4, dim = 64).queryExecution.executedPlan
+          nProbe = 2).queryExecution.executedPlan
         def isPostings(s: FileSourceScanExec): Boolean =
           s.relation.location.rootPaths.exists(_.toString.contains("postings"))
         val postingScans = physical.collect {
@@ -247,6 +247,53 @@ class IvfSpec extends SparkSpec {
             s"index side must not shuffle before the probe join:\n$j")
         }
       } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir))) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  test("stored index is self-describing: a cold session queries it from " +
+      "the path alone, with NON-default geometry read from _meta") {
+    import graft.sim.Quantize
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfmeta").toString
+    try {
+      // non-default m/k/nCells: a query path that silently fell back to
+      // its old defaults (m=4, k=4) would answer WRONG here, so equality
+      // with the inline build proves the parameters came from the sidecar
+      Quantize.writeIvfPqIndex(emb, dir, nCells = 8, m = 8, k = 2, dim = 64)
+      // fresh session, path + query-time knobs only — nothing session-
+      // cached from the build, no geometry passed by the caller
+      val cold = spark.newSession()
+      val coldQueries = Tables.embeddings(cold, sf)
+        .filter(col("vec_id") % 50 === 0)
+      val stored = Quantize.ivfPqTopKStored(coldQueries, dir, topK = 5,
+        nProbe = 2)
+      val inline = Quantize.ivfPqTopK(queries, emb, topK = 5,
+        nCells = 8, nProbe = 2, m = 8, k = 2, dim = 64)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSeq
+      assert(rows(stored) == rows(inline))
+      // nProbe is validated against the sidecar's nCells
+      val bad = intercept[IllegalArgumentException] {
+        Quantize.ivfPqTopKStored(coldQueries, dir, topK = 5, nProbe = 99)
+      }
+      assert(bad.getMessage.contains("nCells"))
+      // a directory without the sidecar is rejected descriptively
+      val notAnIndex = java.nio.file.Files.createTempDirectory("graft-noidx")
+      val miss = intercept[IllegalArgumentException] {
+        Quantize.ivfPqTopKStored(coldQueries, notAnIndex.toString, topK = 5)
+      }
+      assert(miss.getMessage.contains("_meta"))
+      java.nio.file.Files.deleteIfExists(notAnIndex)
     } finally {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.walk(
