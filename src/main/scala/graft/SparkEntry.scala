@@ -43,6 +43,30 @@ object SparkEntry {
 
   private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to", "it")
 
+  /** Sweep tmpdir working dirs named `<prefix><pid>` whose pid is provably
+    * DEAD (shared by the stored-index and bounded-containment queries):
+    * repeated runs must not accrete orphan dirs, and two live graft
+    * processes on one data dir must not touch each other's. `.exists`, not
+    * `.forall` (r11 advice): an unparseable suffix means "not our naming
+    * scheme — leave it alone", not "dead".
+    */
+  private def sweepDeadPidDirs(tmpRoot: java.nio.file.Path,
+                               prefix: String): Unit =
+    scala.util.Using.resource(java.nio.file.Files.list(tmpRoot)) { st =>
+      st.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix) &&
+            scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+              .exists(pid => ProcessHandle.of(pid).isEmpty)) {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+            w.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+      }
+    }
+
   private def trainingOps: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the dup key, keep smallest doc_id.
     "d1_dedup_exact" -> { (s, dir) =>
@@ -111,6 +135,25 @@ object SparkEntry {
           col("doc_id"), col("text"), 1),
         Jaccard.shingleSets(docs, col("doc_id"), col("text"), 1),
         threshold = 0.5)
+    },
+
+    // d15's SCALE posture (round 12, the measured sf10 RAM-cliff fix):
+    // the candidate stage batched into sequential token-range jobs, so
+    // peak in-flight candidate volume is capped at ~1/tokenBatches —
+    // the executor-memory knob a 100 TB run sizes. Same oracle as d15:
+    // the batching is exactness-preserving (first-shared-prefix-token
+    // argument in Jaccard.containmentPairsBounded's scaladoc).
+    "d15b_containment_bounded" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val prefix = s"graft-d15b-${java.lang.Integer.toHexString(dir.hashCode)}-"
+      sweepDeadPidDirs(tmpRoot, prefix)
+      val work = s"$tmpRoot/$prefix${ProcessHandle.current().pid()}"
+      Jaccard.containmentPairsBounded(
+        Jaccard.shingleSets(docs.filter(col("doc_id") % 50 === 0),
+          col("doc_id"), col("text"), 1),
+        Jaccard.shingleSets(docs, col("doc_id"), col("text"), 1),
+        threshold = 0.5, tokenBatches = 4, workDir = work)
     },
 
     // Embedding-cosine near-dup, probe sample vs corpus.
@@ -2629,24 +2672,13 @@ object SparkEntry {
       // entry so repeated runs don't accrete orphan indexes in tmpdir.
       val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
       val prefix = s"graft-ivfpq-${java.lang.Integer.toHexString(dir.hashCode)}-"
-      scala.util.Using.resource(java.nio.file.Files.list(tmpRoot)) { st =>
-        st.iterator().forEachRemaining { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith(prefix) &&
-              scala.util.Try(n.stripPrefix(prefix).toLong).toOption
-                .forall(pid => ProcessHandle.of(pid).isEmpty)) {
-            import scala.jdk.CollectionConverters._
-            scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
-              w.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-            }
-          }
-        }
-      }
+      sweepDeadPidDirs(tmpRoot, prefix)
       val idx = s"$tmpRoot/$prefix${ProcessHandle.current().pid()}"
       Quantize.writeIvfPqIndex(emb, idx, nCells = 16, m = 4, k = 4, dim = 64)
+      // geometry (m/k/dim/nCells) comes from the index's _meta sidecar —
+      // the query side passes only the path and the query-time knobs
       Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
-        topK = 5, nProbe = 4, m = 4, k = 4, dim = 64)
+        topK = 5, nProbe = 4)
     },
 
     // The composed training-data prep job: quality filter → content-
@@ -9802,6 +9834,23 @@ object SparkEntry {
         |WHERE jaccard >= 0.9""".stripMargin,
 
     "d15_containment_pairs" ->
+      """WITH probes AS (
+        |  SELECT doc_id AS id_a, list_distinct(string_split(lower(text), ' ')) AS sa
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS id_b, list_distinct(string_split(lower(text), ' ')) AS sb
+        |  FROM documents)
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT id_a, id_b,
+        |    round(len(list_intersect(sa, sb))::DOUBLE / len(sa), 6)
+        |      AS containment
+        |  FROM probes JOIN corpus ON id_a <> id_b)
+        |WHERE containment >= 0.5""".stripMargin,
+
+    // identical oracle to d15: the token-range batching and the positional
+    // filter are both exactness-preserving — the stored-and-read-back
+    // result must hash-match the inline computation
+    "d15b_containment_bounded" ->
       """WITH probes AS (
         |  SELECT doc_id AS id_a, list_distinct(string_split(lower(text), ' ')) AS sa
         |  FROM documents WHERE doc_id % 50 = 0),

@@ -129,26 +129,74 @@ object Jaccard {
                        threshold: Double): DataFrame = {
     val pa = CacheScope.cache(hashedSets(probes, "id_a", "set_a"))
     val pb = CacheScope.cache(hashedSets(corpus, "id_b", "set_b"))
+    verifyContainment(
+      containmentCandidates(pa, pb, threshold).distinct(), pa, pb, threshold)
+  }
+
+  /** The candidate stage of [[containmentPairs]]: probe prefix index ×
+    * corpus full inverted index, with BOTH exact pre-verification filters:
+    *
+    *  - size: |B| ≥ t·|A| (the only size bound containment admits);
+    *  - positional (Xiao et al., VLDB'08 PPJoin — round 12, the measured
+    *    d15 superlinear-wall fix): both indexes carry each token's RANK in
+    *    the shared (df, token) order, and a match at probe position i /
+    *    corpus position j can only witness a qualifying pair if
+    *    `1 + min(n_a − i, n_b − j) ≥ ⌈t·n_a⌉` — at the pair's FIRST shared
+    *    token every one of the ≥ ⌈t·n_a⌉ − 1 remaining shared tokens lies
+    *    in both suffixes, so the first match always passes and the pair is
+    *    never lost (exact, like the prefix filter); matches on a document's
+    *    common TAIL tokens — precisely the high-df explosion rows — fail it
+    *    and never reach the candidate shuffle. At the sf10 rehearsal the
+    *    candidate volume, not the verify, was the RAM/spill cliff: this
+    *    prunes it inside the join, before any exchange.
+    *
+    * Emits possibly-duplicated (id_a, id_b) match rows — callers dedup
+    * (`.distinct()` inline, or per-batch in [[containmentPairsBounded]]).
+    */
+  private def containmentCandidates(pa: DataFrame, pb: DataFrame,
+                                    threshold: Double, tokenBatches: Int = 1,
+                                    batch: Int = 0): DataFrame = {
     val tokenDf = pb.select(explode(col("set_b")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
+    // token-range restriction for the batched path: AFTER ranking (ranks
+    // must be global for the prefix + positional bounds to stay exact),
+    // BEFORE the join (so only this range's index rows are in flight)
+    def inBatch(df: DataFrame): DataFrame =
+      if (tokenBatches <= 1) df
+      else df.filter(pmod(col("tok"), lit(tokenBatches)) === lit(batch))
 
-    val w = Window.partitionBy(col("id_a")).orderBy(col("df"), col("tok"))
-    val ia = pa.select(col("id_a"), size(col("set_a")).as("n_a"),
+    val wA = Window.partitionBy(col("id_a")).orderBy(col("df"), col("tok"))
+    val ia = inBatch(pa.select(col("id_a"), size(col("set_a")).as("n_a"),
         explode(col("set_a")).as("tok"))
       .join(tokenDf, Seq("tok"), "left")
       .na.fill(0L, Seq("df"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <=
-        col("n_a") - ceil(col("n_a") * threshold - lit(1e-9)) + 1)
-      .select(col("id_a"), col("n_a"), col("tok"))
-    val ib = pb.select(col("id_b"), size(col("set_b")).as("n_b"),
-      explode(col("set_b")).as("tok"))
+      .withColumn("__pa", row_number().over(wA))
+      .filter(col("__pa") <=
+        col("n_a") - ceil(col("n_a") * threshold - lit(1e-9)) + 1))
+      .select(col("id_a"), col("n_a"), col("__pa"), col("tok"))
+    // corpus positions ride the SAME (df, tok) order — the positional
+    // bound needs one consistent rank on both sides. Window over the
+    // exploded corpus index: linear in corpus tokens, one exchange.
+    val wB = Window.partitionBy(col("id_b")).orderBy(col("df"), col("tok"))
+    val ib = inBatch(pb.select(col("id_b"), size(col("set_b")).as("n_b"),
+        explode(col("set_b")).as("tok"))
+      .join(tokenDf, Seq("tok"))
+      .withColumn("__pb", row_number().over(wB)))
+      .select(col("id_b"), col("n_b"), col("__pb"), col("tok"))
 
-    val candidates = ia.join(ib,
+    ia.join(ib,
         ia("tok") === ib("tok") && col("id_a") =!= col("id_b") &&
-          col("n_b") >= col("n_a") * threshold - lit(1e-9))
-      .select("id_a", "id_b").distinct()
+          col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
+          lit(1) + least(col("n_a") - col("__pa"), col("n_b") - col("__pb"))
+            >= ceil(col("n_a") * threshold - lit(1e-9)))
+      .select("id_a", "id_b")
+  }
 
+  /** The verification stage of [[containmentPairs]]: merge-scan intersect
+    * against the full hashed sets, exact containment, threshold cut.
+    */
+  private def verifyContainment(candidates: DataFrame, pa: DataFrame,
+                                pb: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.graftfn.{asColumn, asExpression}
     candidates
       .join(pa, Seq("id_a"))
@@ -159,6 +207,48 @@ object Jaccard {
         round(col("shared").cast("double") / size(col("set_a")), 6))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
+  }
+
+  /** [[containmentPairs]] with the candidate stage BATCHED by token range —
+    * the round-12 scale posture for the measured sf10 RAM cliff: instead
+    * of one job whose in-flight candidate set grows with the corpus, the
+    * prefix-token space splits into `tokenBatches` hash ranges and each
+    * range runs candidate-join → dedup → verify as its OWN sequential
+    * action, landing verified pairs under `workDir`. Peak in-flight
+    * candidate volume is capped at ~1/tokenBatches of the total (tokens
+    * hash-uniformly over ranges), turning the cliff into a planned
+    * iteration count — the knob a 100 TB job sizes to its executors'
+    * memory, exactly like the IVF probe budget.
+    *
+    * Exactness: a qualifying pair's first shared prefix token lands in
+    * exactly one batch and survives the positional filter there, so the
+    * pair is verified in ≥ 1 batch; a pair whose prefix tokens span
+    * several batches verifies redundantly (identical rows — the final
+    * read dedups), bounded by min(prefix length, tokenBatches). The
+    * hashed-set frames are cached once across all batches.
+    *
+    * Returns the verified pairs read back from `workDir` (deduped);
+    * callers own the directory's lifecycle.
+    */
+  def containmentPairsBounded(probes: DataFrame, corpus: DataFrame,
+                              threshold: Double, tokenBatches: Int,
+                              workDir: String): DataFrame = {
+    require(tokenBatches >= 1, "tokenBatches must be >= 1")
+    val spark = probes.sparkSession
+    val pa = CacheScope.cache(hashedSets(probes, "id_a", "set_a"))
+    val pb = CacheScope.cache(hashedSets(corpus, "id_b", "set_b"))
+    val out = s"$workDir/verified"
+    (0 until tokenBatches).foreach { b =>
+      // one SEQUENTIAL action per token range: the write is the action,
+      // so batch b's candidate shuffle is fully drained (and its shuffle
+      // files GC-able) before batch b+1 starts — peak in-flight state is
+      // one range's, never the corpus's
+      val candB = containmentCandidates(pa, pb, threshold,
+        tokenBatches, b).distinct()
+      verifyContainment(candB, pa, pb, threshold)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(out)
+    }
+    spark.read.parquet(out).distinct()
   }
 
   /** Threshold-sensitivity audit: cumulative pair counts at each candidate

@@ -377,6 +377,32 @@ class PropertySpec extends SparkSpec {
       s"containment pairs differ: got ${got.keySet}, want $want")
   }
 
+  test("property: containmentPairsBounded (token-range batched) equals the " +
+      "inline containmentPairs on random corpora, at several batch counts") {
+    val wordText: Gen[String] = for {
+      n <- Gen.choose(1, 15)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg"))
+    } yield ws.mkString(" ")
+    val texts = samples(wordText, 30).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val sets = graft.dedup.Jaccard.shingleSets(df, col("doc_id"), col("text"), 1)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double)].collect().toSet
+    val inline = rows(
+      graft.dedup.Jaccard.containmentPairs(sets, sets, threshold = 0.7))
+    // batch counts beyond the vocab size force EMPTY batches too — the
+    // exactness argument (first shared prefix token lands in exactly one
+    // batch) must hold under skewed and vacuous ranges alike
+    Seq(1, 3, 16).foreach { b =>
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-cpb-$b").toString
+      val got = rows(graft.dedup.Jaccard.containmentPairsBounded(
+        sets, sets, threshold = 0.7, tokenBatches = b, workDir = work))
+      assert(got == inline, s"tokenBatches=$b drifted from inline")
+    }
+  }
+
   // --- retrieval stack vs plain Scala references ---------------------------
 
   private def r6(x: Double): Double =
