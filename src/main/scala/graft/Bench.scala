@@ -125,7 +125,7 @@ object Bench {
     * can shed the ~6 s total overhead (2 passes x 71 queries x 40 ms).
     */
   private val calibEnabled = sys.env.getOrElse("SPARK_GRAFT_CALIB", "1") != "0"
-  private def calibrate(): Double = {
+  private[graft] def calibrate(): Double = {
     if (!calibEnabled) return -1.0
     var x = 0x9e3779b97f4a7c15L
     val t0 = System.nanoTime()

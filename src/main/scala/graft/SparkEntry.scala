@@ -134,7 +134,7 @@ object SparkEntry {
         Jaccard.shingleSets(docs.filter(col("doc_id") % 50 === 0),
           col("doc_id"), col("text"), 1),
         Jaccard.shingleSets(docs, col("doc_id"), col("text"), 1),
-        threshold = 0.5)
+        threshold = 0.5, broadcastProbes = true)
     },
 
     // d15's SCALE posture (round 12, the measured sf10 RAM-cliff fix):
@@ -149,11 +149,15 @@ object SparkEntry {
       val prefix = s"graft-d15b-${java.lang.Integer.toHexString(dir.hashCode)}-"
       sweepDeadPidDirs(tmpRoot, prefix)
       val work = s"$tmpRoot/$prefix${ProcessHandle.current().pid()}"
+      // the executor-memory knob: a bigger tier wants more, smaller
+      // batches (the rehearsal sweeps it; results are batch-invariant)
+      val batches = sys.env.getOrElse("SPARK_GRAFT_D15B_BATCHES", "4").toInt
       Jaccard.containmentPairsBounded(
         Jaccard.shingleSets(docs.filter(col("doc_id") % 50 === 0),
           col("doc_id"), col("text"), 1),
         Jaccard.shingleSets(docs, col("doc_id"), col("text"), 1),
-        threshold = 0.5, tokenBatches = 4, workDir = work)
+        threshold = 0.5, tokenBatches = batches, workDir = work,
+        broadcastProbes = true)
     },
 
     // Embedding-cosine near-dup, probe sample vs corpus.

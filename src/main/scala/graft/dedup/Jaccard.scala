@@ -125,12 +125,24 @@ object Jaccard {
     * and the only size filter is the one containment admits:
     * |B| ≥ t·|A|. Candidates verify with the merge-scan intersect.
     */
+  /** @param broadcastProbes hint that the PROBE side is a bounded panel
+    *        (the s29 rule: probe panels don't grow with the corpus) whose
+    *        hashed sets fit a broadcast. The verify join then attaches
+    *        `set_a` via a broadcast hash join instead of a second
+    *        sort-merge join — the r12 sf10 instrumentation showed that
+    *        second SMJ sorting the (pair × set_b) intermediate (~13 GB,
+    *        the tier's entire spill); with the broadcast, only the two
+    *        LINEAR sides (candidate ids, corpus sets) ever sort and the
+    *        joined rows stream straight into the merge-scan intersect.
+    */
   def containmentPairs(probes: DataFrame, corpus: DataFrame,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       broadcastProbes: Boolean = false): DataFrame = {
     val pa = CacheScope.cache(hashedSets(probes, "id_a", "set_a"))
     val pb = CacheScope.cache(hashedSets(corpus, "id_b", "set_b"))
     verifyContainment(
-      containmentCandidates(pa, pb, threshold).distinct(), pa, pb, threshold)
+      containmentCandidates(pa, pb, threshold).distinct(), pa, pb,
+      threshold, broadcastProbes)
   }
 
   /** The candidate stage of [[containmentPairs]]: probe prefix index ×
@@ -153,6 +165,35 @@ object Jaccard {
     * Emits possibly-duplicated (id_a, id_b) match rows — callers dedup
     * (`.distinct()` inline, or per-batch in [[containmentPairsBounded]]).
     */
+  /** Positional inverted index: (id, n, pos, tok) with `pos` = the
+    * token's 1-based rank in the document's (df, tok)-ascending order —
+    * the shared total order both the prefix and the positional filters
+    * ride. Built with groupBy + per-document `array_sort` + `posexplode`
+    * rather than a `row_number` window: the window's exchange-then-SORT
+    * globally sorts the whole exploded token table (measured at sf10:
+    * 200M rows, ~8 GB of sort spill — the tier's dominant cost), while
+    * the hash aggregation never global-sorts — per-document arrays
+    * (tens of entries) sort in cache. Identical output: tok values are
+    * distinct within a document, so (df, tok) is a strict total order
+    * either way.
+    */
+  private def positionalIndex(p: DataFrame, idName: String, setName: String,
+      tokenDf: DataFrame, nName: String, posName: String,
+      prefixThreshold: Option[Double]): DataFrame = {
+    val sorted = p.select(col(idName), size(col(setName)).as(nName),
+        explode(col(setName)).as("tok"))
+      .join(tokenDf, Seq("tok"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy(col(idName), col(nName))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("__st"))
+      .select(col(idName), col(nName),
+        posexplode(col("__st")).as(Seq("__p0", "__s")))
+      .select(col(idName), col(nName), (col("__p0") + 1).as(posName),
+        col("__s.tok").as("tok"))
+    prefixThreshold.fold(sorted)(t => sorted.filter(col(posName) <=
+      col(nName) - ceil(col(nName) * t - lit(1e-9)) + 1))
+  }
+
   private def containmentCandidates(pa: DataFrame, pb: DataFrame,
                                     threshold: Double, tokenBatches: Int = 1,
                                     batch: Int = 0): DataFrame = {
@@ -165,24 +206,10 @@ object Jaccard {
       if (tokenBatches <= 1) df
       else df.filter(pmod(col("tok"), lit(tokenBatches)) === lit(batch))
 
-    val wA = Window.partitionBy(col("id_a")).orderBy(col("df"), col("tok"))
-    val ia = inBatch(pa.select(col("id_a"), size(col("set_a")).as("n_a"),
-        explode(col("set_a")).as("tok"))
-      .join(tokenDf, Seq("tok"), "left")
-      .na.fill(0L, Seq("df"))
-      .withColumn("__pa", row_number().over(wA))
-      .filter(col("__pa") <=
-        col("n_a") - ceil(col("n_a") * threshold - lit(1e-9)) + 1))
-      .select(col("id_a"), col("n_a"), col("__pa"), col("tok"))
-    // corpus positions ride the SAME (df, tok) order — the positional
-    // bound needs one consistent rank on both sides. Window over the
-    // exploded corpus index: linear in corpus tokens, one exchange.
-    val wB = Window.partitionBy(col("id_b")).orderBy(col("df"), col("tok"))
-    val ib = inBatch(pb.select(col("id_b"), size(col("set_b")).as("n_b"),
-        explode(col("set_b")).as("tok"))
-      .join(tokenDf, Seq("tok"))
-      .withColumn("__pb", row_number().over(wB)))
-      .select(col("id_b"), col("n_b"), col("__pb"), col("tok"))
+    val ia = inBatch(positionalIndex(pa, "id_a", "set_a", tokenDf,
+      "n_a", "__pa", Some(threshold)))
+    val ib = inBatch(positionalIndex(pb, "id_b", "set_b", tokenDf,
+      "n_b", "__pb", None))
 
     ia.join(ib,
         ia("tok") === ib("tok") && col("id_a") =!= col("id_b") &&
@@ -196,11 +223,16 @@ object Jaccard {
     * against the full hashed sets, exact containment, threshold cut.
     */
   private def verifyContainment(candidates: DataFrame, pa: DataFrame,
-                                pb: DataFrame, threshold: Double): DataFrame = {
+                                pb: DataFrame, threshold: Double,
+                                broadcastProbes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    // corpus side FIRST (its sort payload is linear: one set per corpus
+    // doc, never per pair); the probe side attaches second — broadcast
+    // when the caller vouches the panel is bounded, so the pair-scale
+    // intermediate is never sorted with a set column aboard
     candidates
-      .join(pa, Seq("id_a"))
       .join(pb, Seq("id_b"))
+      .join(if (broadcastProbes) broadcast(pa) else pa, Seq("id_a"))
       .withColumn("shared", asColumn(graft.functions.SortedIntersectSize(
         asExpression(col("set_a")), asExpression(col("set_b")))))
       .withColumn("containment",
@@ -232,23 +264,53 @@ object Jaccard {
     */
   def containmentPairsBounded(probes: DataFrame, corpus: DataFrame,
                               threshold: Double, tokenBatches: Int,
-                              workDir: String): DataFrame = {
+                              workDir: String,
+                              broadcastProbes: Boolean = false): DataFrame = {
     require(tokenBatches >= 1, "tokenBatches must be >= 1")
     val spark = probes.sparkSession
     val pa = CacheScope.cache(hashedSets(probes, "id_a", "set_a"))
     val pb = CacheScope.cache(hashedSets(corpus, "id_b", "set_b"))
-    val out = s"$workDir/verified"
+    // RANK ONCE, ITERATE OFF STORAGE: the df-join + per-document position
+    // aggregation is the index build's linear one-time cost — recomputing
+    // it per batch would multiply exactly the stage batching exists to
+    // relieve. Both ranked indexes land partitioned by token range, so
+    // each batch's job reads ONLY its range's directories
+    // (PartitionFilters — the stored-IVF-postings posture).
+    val tokenDf = pb.select(explode(col("set_b")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val iaPath = s"$workDir/ia"
+    val ibPath = s"$workDir/ib"
+    positionalIndex(pa, "id_a", "set_a", tokenDf, "n_a", "__pa",
+        Some(threshold))
+      .withColumn("__tb", pmod(col("tok"), lit(tokenBatches)))
+      .write.mode("overwrite").partitionBy("__tb").parquet(iaPath)
+    positionalIndex(pb, "id_b", "set_b", tokenDf, "n_b", "__pb", None)
+      .withColumn("__tb", pmod(col("tok"), lit(tokenBatches)))
+      .write.mode("overwrite").partitionBy("__tb").parquet(ibPath)
+    val candPath = s"$workDir/cand"
     (0 until tokenBatches).foreach { b =>
       // one SEQUENTIAL action per token range: the write is the action,
       // so batch b's candidate shuffle is fully drained (and its shuffle
       // files GC-able) before batch b+1 starts — peak in-flight state is
-      // one range's, never the corpus's
-      val candB = containmentCandidates(pa, pb, threshold,
-        tokenBatches, b).distinct()
-      verifyContainment(candB, pa, pb, threshold)
-        .write.mode(if (b == 0) "overwrite" else "append").parquet(out)
+      // one range's, never the corpus's. Batches land CANDIDATE PAIRS
+      // (two longs) only; verification runs ONCE over the globally-deduped
+      // union — an early d15b shape verified per batch and re-shuffled the
+      // full corpus SET column tokenBatches times (measured at sf10:
+      // 70 GB of spill, 1.5× the inline wall). The candidate stage is the
+      // thing the r11 decade measured as the RAM cliff; the single verify
+      // join is candidate-scale and was already fine.
+      val ia = spark.read.parquet(iaPath).filter(col("__tb") === b)
+      val ib = spark.read.parquet(ibPath).filter(col("__tb") === b)
+      ia.join(ib,
+          ia("tok") === ib("tok") && col("id_a") =!= col("id_b") &&
+            col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
+            lit(1) + least(col("n_a") - col("__pa"), col("n_b") - col("__pb"))
+              >= ceil(col("n_a") * threshold - lit(1e-9)))
+        .select("id_a", "id_b").distinct()
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(candPath)
     }
-    spark.read.parquet(out).distinct()
+    verifyContainment(spark.read.parquet(candPath).distinct(),
+      pa, pb, threshold, broadcastProbes)
   }
 
   /** Threshold-sensitivity audit: cumulative pair counts at each candidate

@@ -131,12 +131,18 @@ object Bpe {
     *        bounds the tree at ~16·batch folds; superseded checkpoints'
     *        blocks are freed as soon as the next one materializes.
     */
+  /** @param logEvery print a `[bpe] round …` progress line (merges so far,
+    *        elapsed seconds) every this many rounds — the s/round curve a
+    *        scale rehearsal reads; 0 (default) is silent.
+    */
   def trainBatched(df: DataFrame, text: Column, nMerges: Int,
                    minFreq: Long = 1L, batch: Int = 8,
-                   checkpointEvery: Int = 16): Seq[(String, String, Long)] = {
+                   checkpointEvery: Int = 16,
+                   logEvery: Int = 0): Seq[(String, String, Long)] = {
     require(nMerges >= 1, "nMerges must be >= 1")
     require(batch >= 1, "batch must be >= 1")
     import org.apache.spark.storage.StorageLevel
+    val startNs = System.nanoTime()
     val words = df
       .select(explode(filter(split(lower(text), " "),
         w => length(w) > 0)).as("w"))
@@ -191,6 +197,9 @@ object Bpe {
         }
         state = next
         rounds += 1
+        if (logEvery > 0 && rounds % logEvery == 0)
+          System.err.println(f"[bpe] round $rounds merges=${learned.size} " +
+            f"elapsed=${(System.nanoTime() - startNs) / 1e9}%.1f s")
       }
     }
     state.unpersist(blocking = false)

@@ -39,13 +39,69 @@ object RehearsalRun {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_NO_AQE=1: isolate AQE's post-shuffle coalescing in a
+      // tier experiment — on extreme CPU-per-byte plans (compressed-long
+      // shuffles feeding enumeration-heavy joins) byte-targeted coalescing
+      // can under-provision tasks
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("SPARK_GRAFT_NO_AQE")).toString)
+      // SPARK_GRAFT_NO_COALESCE=1: keep AQE's join re-planning but stop
+      // its byte-targeted post-shuffle coalescing — the two effects need
+      // separating on CPU-per-byte-extreme plans
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        (!sys.env.contains("SPARK_GRAFT_NO_COALESCE")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Per-query physical I/O accounting (round 12): when a wall ratio
+    // comes out superlinear, the shuffle/spill byte totals say whether the
+    // PLAN grew superlinearly (bytes grew faster than data) or the BOX hit
+    // its bandwidth floor (bytes linear, seconds-per-byte degraded) — the
+    // distinction the d15 decade diagnosis turns on.
+    val bytes = new java.util.concurrent.atomic.AtomicLongArray(5)
+    // (stage name, task-time-sum sec) — top entries say WHERE a tier's
+    // wall went; task-time sums are stable under the 32-thread overlap
+    val stages = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          bytes.addAndGet(0, m.shuffleReadMetrics.totalBytesRead)
+          bytes.addAndGet(1, m.shuffleWriteMetrics.bytesWritten)
+          bytes.addAndGet(2, m.memoryBytesSpilled)
+          bytes.addAndGet(3, m.diskBytesSpilled)
+          bytes.addAndGet(4, m.inputMetrics.bytesRead)
+        }
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val info = e.stageInfo
+        val key = info.name.takeWhile(_ != '('). take(40) +
+          s"#${info.details.hashCode.toHexString.take(4)}"
+        val sec = info.taskMetrics.executorRunTime / 1e3
+        stages.merge(key, sec, (a, b) => a + b)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     for (name <- names) {
+      (0 until 5).foreach(bytes.set(_, 0L))
+      val calib = graft.Bench.calibrate()
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(name)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[rehearsal] $name,$sec%.2f,$rows")
+      // listener events are async — drain before reading the counters
+      org.apache.spark.sql.graftfn.drainListenerBus(spark)
+      def gb(i: Int): String = f"${bytes.get(i) / 1e9}%.2f"
+      println(f"[rehearsal] $name,$sec%.2f,$rows,calib=$calib%.3f," +
+        s"shufR=${gb(0)}g,shufW=${gb(1)}g,memSpill=${gb(2)}g," +
+        s"diskSpill=${gb(3)}g,input=${gb(4)}g")
+      if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (k, v) =>
+          println(f"[stage] $name,$k,$v%.1f")
+        }
+      }
+      stages.clear()
       // Bench's full cleanup, GC kick included — without it broadcast and
       // shuffle blocks accumulate across the list and inflate the later
       // queries' walls (the exact cross-query bleed the ratio table must

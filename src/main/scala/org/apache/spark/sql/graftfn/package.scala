@@ -26,6 +26,14 @@ package object graftfn {
   def asSqlText(c: Column): String =
     classic.ColumnNodeToExpressionConverter(c.node).sql
 
+  /** Block until the listener bus has delivered every queued event —
+    * dev-tool use only (RehearsalRun reads task-metric accumulations right
+    * after an action; the bus is async). `listenerBus` is private[spark],
+    * hence the bridge.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register graft's SQL functions on a LIVE session (the
     * `SparkSessionExtensions` route only applies at session construction).
     */
