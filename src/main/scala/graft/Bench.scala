@@ -415,9 +415,15 @@ object Bench {
         val maxR = ratios.map(_._2).max
         val allCert = ratios.forall(_._3)
         val within = ratios.forall(_._2 <= 1.5)
+        // a heavy with NO isolated evidence (every rerun errored) must fail
+        // the verdict, not silently drop out of it (ADVICE r12): the claim
+        // is "EVERY heavy within 1.5× of certified isolation", so missing
+        // evidence ⇒ false, and the miss count is in the record
+        val missing = heavies.size - ratios.size
         s"""{"calib_floor":$calibFloor,"cert_factor":$certFactor,""" +
-          s""""n_heavies":${ratios.size},"all_reps_certified":$allCert,""" +
-          s""""max_suite_over_cert":$maxR,"all_within_1p5":${within && allCert}}"""
+          s""""n_heavies":${heavies.size},"missing_isolated":$missing,""" +
+          s""""all_reps_certified":$allCert,"max_suite_over_cert":$maxR,""" +
+          s""""all_within_1p5":${within && allCert && missing == 0}}"""
       }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$familiesJson,"heavy_isolation":$heavyJson,"heavy_cert":$heavyCertJson,"errors":$errs,$calibJson,"sf":${jstr(sfDir)}}"""

@@ -181,11 +181,11 @@ object Sinks {
                        lock: org.apache.hadoop.fs.Path): Option[String] =
     try {
       val in = fs.open(lock)
-      try {
-        val buf = new Array[Byte](512)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
-      } finally in.close()
+      // readNBytes loops to EOF — a single read() may legally return a
+      // short prefix (Hadoop InputStream contract), which would drop the
+      // token= suffix and make ownership checks spuriously fail
+      try Some(new String(in.readNBytes(512), "UTF-8"))
+      finally in.close()
     } catch {
       case _: java.io.FileNotFoundException => None
       case _: Throwable => Some("<unreadable>")
@@ -248,6 +248,19 @@ object Sinks {
       try Some(fs.getFileStatus(lock))
       catch { case _: java.io.FileNotFoundException => None }
     val observed = readLock(fs, lock)
+    // Close the stat→read window: the staleness decision (mtime from
+    // `status`) and the holder line the post-rename check compares against
+    // (`observed`) must describe the SAME lock incarnation. If the holder
+    // released and a fresh writer re-created the lock between the two
+    // reads, `observed` is already the fresh (live) holder's line and a
+    // steal would pass the content check while evicting a live lock.
+    // Re-stat after the read: any mtime change ⇒ not one snapshot ⇒ treat
+    // as genuinely held (the next caller re-evaluates from scratch).
+    val snapshotStable = status.forall { st =>
+      try fs.getFileStatus(lock).getModificationTime ==
+        st.getModificationTime
+      catch { case _: java.io.FileNotFoundException => false }
+    }
     // same-host dead-pid liveness: `host=H pid=P ...` with H = this host
     // and P not running ⇒ the holder can never release — stale now
     val holderDead = observed.exists { line =>
@@ -263,8 +276,9 @@ object Sinks {
       case None => // vanished — freed; retry
         if (tryCreate()) return token
       case Some(st)
-        if holderDead ||
-          System.currentTimeMillis() - st.getModificationTime > staleLockMs =>
+        if snapshotStable && (holderDead ||
+          System.currentTimeMillis() - st.getModificationTime >
+            staleLockMs) =>
         // atomic steal: rename decides the winner among stealers
         val claimed = new org.apache.hadoop.fs.Path(root,
           s"${LockName}_stale_$token")
@@ -272,7 +286,14 @@ object Sinks {
                       catch { case _: java.io.IOException => false }
         if (renamed) {
           val nowHolds = readLock(fs, claimed)
-          if (nowHolds == observed || nowHolds.isEmpty) {
+          // same-snapshot confirmation on the CLAIMED file: rename
+          // preserves mtime, so a fresh lock created after our stat (and
+          // carrying, improbably, the same holder line) still fails here
+          val claimedMtimeOk = nowHolds.isEmpty ||
+            (try fs.getFileStatus(claimed).getModificationTime ==
+              st.getModificationTime
+            catch { case _: java.io.FileNotFoundException => true })
+          if (nowHolds.isEmpty || (nowHolds == observed && claimedMtimeOk)) {
             fs.delete(claimed, false)
             if (tryCreate()) return token
           } else {

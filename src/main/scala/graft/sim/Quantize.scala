@@ -260,10 +260,12 @@ object Quantize {
   def writeIvfPqIndex(corpus: DataFrame, dir: String, nCells: Int = 16,
                       m: Int = 4, k: Int = 4, dim: Int = 64): Unit = {
     val sub = subDim(m, k, dim)
-    writeIndexMeta(corpus.sparkSession, dir,
-      Seq("format" -> "graft-ivfpq-v1", "nCells" -> nCells.toString,
-        "m" -> m.toString, "k" -> k.toString, "dim" -> dim.toString,
-        "metric" -> "l2"))
+    // `_meta` is the COMMIT MARKER: invalidate it up front, write it back
+    // only after every data directory has landed. A build killed mid-write
+    // (or a rebuild with different geometry over an existing index) leaves
+    // the directory meta-less, which the read path rejects as incomplete —
+    // never a valid-looking sidecar describing absent or stale parquet.
+    deleteIndexMeta(corpus.sparkSession, dir)
     val cPrep = corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
     val cents = Ivf.centroids(cPrep, nCells)
@@ -277,6 +279,10 @@ object Quantize {
           _.getField("cell")).as("codes"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/postings")
+    writeIndexMeta(corpus.sparkSession, dir,
+      Seq("format" -> "graft-ivfpq-v1", "nCells" -> nCells.toString,
+        "m" -> m.toString, "k" -> k.toString, "dim" -> dim.toString,
+        "metric" -> "l2"))
   }
 
   /** Tiny driver-side `_meta` sidecar: `key=value` lines, written via the
@@ -295,13 +301,24 @@ object Quantize {
     finally out.close()
   }
 
+  /** Remove the commit marker — called at the START of a (re)build so a
+    * killed build can never leave a valid `_meta` over stale/absent data.
+    */
+  private def deleteIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(dir, "_meta")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(meta)) fs.delete(meta, false)
+  }
+
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
                             dir: String): Map[String, String] = {
     val meta = new org.apache.hadoop.fs.Path(dir, "_meta")
     val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(meta),
-      s"$dir has no _meta sidecar — not a graft IVF-PQ index (or written " +
-        "by a pre-v1 build; rebuild with writeIvfPqIndex)")
+      s"$dir has no _meta sidecar — not a graft IVF-PQ index, an " +
+        "INCOMPLETE build (killed before the commit marker was written; " +
+        "rebuild with writeIvfPqIndex), or a pre-v1 layout")
     val in = fs.open(meta)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   * merged symbol is impossible (`ab = a` would need `b` empty), so one
   * left-to-right pass per rank is also exhaustive for that rank.
   *
-  * Plan shape: a PURE PROJECTION — zero shuffles, zero joins; the merge
-  * table compiles into the expression tree (one fold per rank), so 100 TB
-  * of text encodes embarrassingly parallel. Each per-word fold carries
-  * (accumulated subwords, one pending symbol) — O(word length) work per
-  * rank.
+  * Plan shape: a PURE PROJECTION — zero shuffles, zero joins — so 100 TB
+  * of text encodes embarrassingly parallel. The merge table rides as ONE
+  * codegen reference object inside a native expression
+  * ([[BpeEncodeWords]]), keeping the PLAN constant-size at production
+  * vocabularies (16k–50k merges) where the earlier one-fold-per-rank
+  * design walled in the analyzer; the fold chain survives as the
+  * spec-pinned reference implementation ([[encodeFolded]]).
   */
 object Bpe {
 
@@ -245,7 +247,15 @@ object Bpe {
         .otherwise(concat(s.getField("acc"), array(s.getField("pend")))))
   }
 
-  /** Encode one word column: characters in, subword array out. */
+  /** Encode one word column via the FOLD CHAIN — one [[mergePass]] per
+    * rank compiled into the expression tree. This is the reference
+    * implementation the native path ([[BpeEncodeWords]]) is proven equal
+    * to (BpeSpec property), and it stays correct at any table size — but
+    * its PLAN grows with the table (16k merges = a 16k-deep per-word
+    * expression chain: analyzer, canonicalization, and codegen all wall
+    * before data is read), so [[encode]] no longer rides it. Kept public
+    * for the spec cross-check and the fold-vs-native scale harness.
+    */
   def encodeWord(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(filter(split(word, ""), c => length(c) > 0)) {
       case (cur, (a, b)) => mergePass(cur, a, b)
@@ -262,6 +272,30 @@ object Bpe {
     */
   def encode(df: DataFrame, id: Column, text: Column,
              merges: Seq[(String, String)]): DataFrame = {
+    validate(merges)
+    // the merge table rides as ONE native-expression reference object
+    // (plan size O(1) in table size — the 16k-merge production regime),
+    // proven fold-equal by BpeSpec; lower/split/empty-drop stay built-in
+    // so their semantics are byte-identical to the fold path's
+    import org.apache.spark.sql.graftfn
+    df.select(id,
+        filter(split(lower(text), " "), w => length(w) > 0).as("__w"))
+      .select(id, size(col("__w")).as("n_tokens"),
+        graftfn.asColumn(BpeEncodeWords(
+          graftfn.asExpression(col("__w")), merges)).as("__enc"))
+      .select(id, col("n_tokens"),
+        concat_ws(" ", col("__enc")).as("bpe_text"),
+        size(col("__enc")).as("n_bpe_tokens"))
+  }
+
+  /** The fold-chain [[encode]] (per-rank `aggregate` passes compiled into
+    * the plan) — the reference implementation, byte-identical output to
+    * [[encode]] on any valid table. Its plan grows linearly with the merge
+    * table, so it is for specs and the scale A/B harness, not production
+    * apply. See [[encodeWord]].
+    */
+  def encodeFolded(df: DataFrame, id: Column, text: Column,
+                   merges: Seq[(String, String)]): DataFrame = {
     validate(merges)
     df.select(id,
         filter(split(lower(text), " "), w => length(w) > 0).as("__w"))

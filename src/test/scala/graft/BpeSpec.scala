@@ -94,6 +94,130 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  /** A constructive merge table of arbitrary size without training:
+    * symbols grow by deterministic pairwise combination of earlier
+    * symbols — every rank references only singles or earlier outputs
+    * (validate passes), and the chained structure (long shared prefixes)
+    * is exactly the shape trained tables have.
+    */
+  private def syntheticTable(n: Int): Seq[(String, String)] = {
+    val syms = scala.collection.mutable.ArrayBuffer[String](
+      "a", "b", "c", "d", "e")
+    val table = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val seen = scala.collection.mutable.Set[(String, String)]()
+    var i = 0
+    while (table.size < n) {
+      val l = syms((i * 7 + 3) % syms.size)
+      val r = syms((i * 13 + 1) % syms.size)
+      if ((l + r).length <= 24 && !seen((l, r))) {
+        table += ((l, r)); seen += ((l, r)); syms += l + r
+      }
+      i += 1
+    }
+    table.toSeq
+  }
+
+  /** Local reference model of the fold chain: for each rank IN ORDER, one
+    * greedy-leftmost non-overlapping pass (the merged symbol never
+    * re-matches its own rank — the fold's pend-reset). This is the fold's
+    * semantics in ten lines; the "fold model ≡ Spark fold plan" leg is
+    * pinned at 64 merges below (per-rank pass logic does not change with
+    * table size), and the "native ≡ fold model" leg then runs at
+    * production size where the Spark fold CANNOT: its Column tree
+    * overflows a default stack in ColumnNodeToExpressionConverter below
+    * 1,200 ranks, and past ~100 ranks nested-lambda resolution exceeds
+    * the analyzer's maxIterations — the two walls that justify the
+    * native expression.
+    */
+  private def sweepBpe(word: String, table: Seq[(String, String)]): Seq[String] = {
+    var syms = word.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp)))
+    for ((a, b) <- table) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  test("encode: Spark fold plan equals the local sweep model on random " +
+    "words at 64 merges (the model-validity leg)") {
+    val table = syntheticTable(64)
+    Bpe.validate(table)
+    val rng = new scala.util.Random(23)
+    val words = (0 until 120).map(_ =>
+      (1 to (1 + rng.nextInt(14))).map(_ =>
+        "abcde".charAt(rng.nextInt(5))).mkString)
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val folded = Bpe.encodeFolded(df, col("doc_id"), col("text"), table)
+      .orderBy("doc_id").select("bpe_text").as[String].collect().toSeq
+    assert(folded == words.map(w => sweepBpe(w, table).mkString(" ")))
+  }
+
+  test("encode: native expression equals the fold semantics on random " +
+    "words over a 1,200-merge constructive table (the production-size " +
+    "property — the Spark fold itself cannot build a plan this size)") {
+    val table = syntheticTable(1200)
+    Bpe.validate(table)
+    val rng = new scala.util.Random(41)
+    val words = (0 until 300).map(_ =>
+      (1 to (1 + rng.nextInt(14))).map(_ =>
+        "abcde".charAt(rng.nextInt(5))).mkString)
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val native = Bpe.encode(df, col("doc_id"), col("text"), table)
+      .orderBy("doc_id")
+      .select("n_tokens", "bpe_text", "n_bpe_tokens")
+      .as[(Int, String, Int)].collect().toSeq
+    val expected = words.map { w =>
+      val enc = sweepBpe(w, table)
+      (1, enc.mkString(" "), enc.size)
+    }
+    assert(native == expected)
+  }
+
+  test("encode: native equals fold on a table with a RE-LEARNED pair " +
+    "(duplicate (lhs,rhs) at two ranks — the multi-rank index path)") {
+    // (a,b) appears at rank 0 AND rank 3. The fold runs both passes; the
+    // native loop must consult the pair's FULL rank list (rank 3 is only
+    // eligible once the loop has passed rank 0), not just its first rank —
+    // a first-rank-only index would terminate the loop differently even
+    // when the second pass is a no-op, because rank discovery drives
+    // which OTHER ranks run in between.
+    val table = Seq("a" -> "b", "ab" -> "c", "b" -> "a", "a" -> "b")
+    val words = Seq("abc", "abab", "ababa", "ba", "baba", "aabb", "bbaa")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val native = Bpe.encode(df, col("doc_id"), col("text"), table)
+      .orderBy("doc_id").select("bpe_text").as[String].collect().toSeq
+    val folded = Bpe.encodeFolded(df, col("doc_id"), col("text"), table)
+      .orderBy("doc_id").select("bpe_text").as[String].collect().toSeq
+    assert(native == folded)
+  }
+
+  test("encode: native handles surrogate-pair code points like the fold") {
+    // U+1F600 is two UTF-16 chars; Spark's split(w, "") keeps it whole,
+    // and the native code-point split must agree
+    val table = Seq("a" -> "b")
+    val words = Seq("a😀b", "ab😀", "😀😀ab")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val native = Bpe.encode(df, col("doc_id"), col("text"), table)
+      .orderBy("doc_id").select("bpe_text", "n_bpe_tokens")
+      .as[(String, Int)].collect().toSeq
+    val folded = Bpe.encodeFolded(df, col("doc_id"), col("text"), table)
+      .orderBy("doc_id").select("bpe_text", "n_bpe_tokens")
+      .as[(String, Int)].collect().toSeq
+    assert(native == folded)
+    assert(native.head == ("a 😀 b", 3)) // merge blocked by the emoji
+  }
+
   test("train: greedy argmax with (cnt, lhs, rhs) tie-break, chained symbols") {
     // corpus: "abab" ×3, "ab" ×2 → (a,b) count 3·2+2 = 8 wins round 1;
     // round 2 sees [ab, ab] ×3 → (ab, ab) count 3.
