@@ -787,6 +787,22 @@ object SparkEntry {
       graft.graph.PageRank.ranks(edges, iterations = 5)
     },
 
+    // PageRank with the stochastic-matrix dangling patch (g1's documented
+    // divergence, closed): sources span 0..22 but destinations span 0..30,
+    // so nodes 23..30 are genuine SINKS — the un-fetched frontier shape of
+    // a real crawl graph. Each round their mass redistributes to all nodes
+    // as an integer share; the oracle replays every iteration including
+    // the per-round dangling sum and floor-divided share.
+    "g16_pagerank_dangling" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val edges = d.select((col("doc_id") % 23).as("src"),
+          ((col("doc_id") * 7 + 3) % 31).as("dst"))
+        .unionAll(d.select((col("doc_id") % 23).as("src"),
+          ((col("doc_id") * 11 + 5) % 31).as("dst")))
+      graft.graph.PageRank.ranks(edges, iterations = 5,
+        redistributeDangling = true)
+    },
+
     // Interval×interval overlap join (user sessions × synthetic ops
     // windows placed arithmetically from o_orderkey inside the events
     // month, the j9 convention): binned decomposition, pairs deduped by
@@ -2685,6 +2701,25 @@ object SparkEntry {
         topK = 5, nProbe = 4)
     },
 
+    // Filtered vector search on the STORED index (the deploy-standard
+    // "top-k WHERE label IN (...)"): the label rides IN the postings
+    // (attrs = label at build), the predicate lands on the postings scan
+    // as PushedFilters right after the probed-cell PartitionFilters
+    // prune, and only matching candidates reach ADC scoring —
+    // filter-then-rank (the k survivors are the k best among MATCHES).
+    // Oracle = s9's inline replay with the same candidate predicate.
+    "s31_filtered_stored" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val prefix = s"graft-ivfpqf-${java.lang.Integer.toHexString(dir.hashCode)}-"
+      sweepDeadPidDirs(tmpRoot, prefix)
+      val idx = s"$tmpRoot/$prefix${ProcessHandle.current().pid()}"
+      Quantize.writeIvfPqIndex(emb, idx, nCells = 16, m = 4, k = 4,
+        dim = 64, attrs = Seq("label"))
+      Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
+        topK = 5, nProbe = 4, filter = Some(col("label").isin(1, 2)))
+    },
+
     // The composed training-data prep job: quality filter → content-
     // fingerprint dedup → stratified sample, as one plan with a single
     // shuffle (the fingerprint exchange).
@@ -2750,6 +2785,33 @@ object SparkEntry {
     "t78_curriculum" -> { (s, dir) =>
       graft.text.Chunking.curriculum(Tables.documents(s, dir), col("doc_id"),
         col("n_chars"), nStages = 4)
+    },
+
+    // HTML→text extraction front end (the step upstream of t4/t45/t76 in
+    // every real web pipeline): synthetic HTML built FROM the documents
+    // table — headline, prose with an inline link, a link-farm nav div,
+    // tail prose, plus script/style/comment noise — then script/style
+    // strip → block segmentation → per-block link-density scoring →
+    // cleaned-text emit. Pure projection (RE2-safe regexes + HOFs, zero
+    // shuffle); the oracle replays the full strip/segment/score pipeline
+    // on the identically-constructed HTML.
+    "t82_html_extract" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var t = 'doc';" +
+          " track(9);</script><style>.m { color: #333; }</style></head>" +
+          "<body><h1>"),
+        substring(col("text"), 1, 40),
+        lit("</h1><!-- render marker --><p>"),
+        substring(col("text"), 20, 120),
+        lit(" <a href=\"/ref\">see also</a></p><div class=\"nav\">" +
+          "<a href=\"/h\">home</a> <a href=\"/p\">prev</a> " +
+          "<a href=\"/n\">next</a> <a href=\"/t\">top</a></div><p>"),
+        substring(col("text"), 60, 200),
+        lit("</p><p>   </p></body></html>"))
+      graft.web.HtmlExtract.extract(
+        d.select(col("doc_id"), html.as("html")),
+        col("doc_id"), col("html"))
     },
 
     // Sliding-window token chunking (map-only Generate, no shuffle).
@@ -4061,6 +4123,20 @@ object SparkEntry {
     // the inline s9 build it was written from — one oracle, two engines,
     // two index lifecycles.
     ("s30_ivf_pq_stored" -> baseOracles("s9_ivf_pq_topk")) +
+    // s31: s9's replay with the label predicate applied to the CANDIDATE
+    // set (filter-then-rank) — derived from the one s9 source so the
+    // three index lifecycles (inline, stored, stored+filter) can never
+    // drift apart; the require trips if the s9 text is ever restructured.
+    ("s31_filtered_stored" -> {
+      val base = baseOracles("s9_ivf_pq_topk")
+      val marker = "WHERE q.query_id <> a.vec_id)"
+      require(base.contains(marker),
+        "s9 oracle text drifted; update the s31 derivation marker")
+      base.replace(marker,
+        "WHERE q.query_id <> a.vec_id\n" +
+          "    AND a.vec_id IN (SELECT vec_id FROM embeddings " +
+          "WHERE label IN (1, 2)))")
+    }) +
     // pipe_ivm oracle: the four incremental replays composed verbatim,
     // each collapsed to its labeled scalar — composition adds no math.
     ("pipe_ivm_e2e" ->
@@ -9141,6 +9217,36 @@ object SparkEntry {
          |SELECT node, pr AS rank_micro FROM r5""".stripMargin
     },
 
+    // g16: g1's replay plus the per-round dangling share — sum the ranks
+    // of nodes with no out-edges, floor-divide by the node count, and add
+    // the share inside the damped term. Every step integer-exact.
+    "g16_pagerank_dangling" -> {
+      val iter = (k: Int) =>
+        s"""dm$k AS (
+           |  SELECT coalesce(sum(pr), 0) // (SELECT count(*) FROM n) AS share
+           |  FROM r${k - 1} WHERE node NOT IN (SELECT src FROM d)),
+           |r$k AS (
+           |  SELECT n.node,
+           |    CAST(150000 + (850 * (coalesce(c.s, 0)
+           |      + (SELECT share FROM dm$k))) // 1000 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst, sum(r.pr // d.outdeg) AS s
+           |    FROM e JOIN d USING (src) JOIN r${k - 1} r ON r.node = e.src
+           |    GROUP BY e.dst) c ON c.dst = n.node)"""
+      s"""WITH raw AS (
+         |  SELECT doc_id % 23 AS src, (doc_id * 7 + 3) % 31 AS dst
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 23, (doc_id * 11 + 5) % 31 FROM documents),
+         |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |n AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, pr AS rank_micro FROM r5""".stripMargin
+    },
+
     // Whole-sketch replay: registers = per-(group, bucket) max rank over
     // the square-mixed engine-neutral hash (rank = 24 − ⌊log2(h DIV 64)⌋,
     // 25 when the quotient is 0 — exact: the gap log2(2^k+1)−k dwarfs a
@@ -9452,6 +9558,62 @@ object SparkEntry {
          |      t -> ${duckTokenHash("t")})),
          |    (acc, th) -> (acc * 31 + th) % 1000000007) AS fingerprint
          |FROM documents""".stripMargin,
+
+    // t82: the engine's strip → segment → score → emit pipeline replayed
+    // verbatim (same RE2-safe regexes, same integer link-ppm floor) on
+    // HTML constructed identically from the documents table.
+    "t82_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var t = ''doc''; track(9);</script><style>.m { color: #333; }</style></head><body><h1>'
+        |    || substr(text, 1, 40)
+        |    || '</h1><!-- render marker --><p>'
+        |    || substr(text, 20, 120)
+        |    || ' <a href="/ref">see also</a></p><div class="nav"><a href="/h">home</a> <a href="/p">prev</a> <a href="/n">next</a> <a href="/t">top</a></div><p>'
+        |    || substr(text, 60, 200)
+        |    || '</p><p>   </p></body></html>' AS html
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, string_split_regex(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?i)</?(p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|section|article|header|footer|blockquote|nav|aside|main|figure|figcaption|pre|hr)\b[^>]*>',
+        |      chr(10), 'g'),
+        |    chr(10)) AS raw
+        |  FROM h),
+        |blk AS (
+        |  SELECT doc_id, list_filter(list_transform(raw, b -> struct_pack(
+        |      txt := trim(regexp_replace(regexp_replace(b,
+        |        '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |      ltxt := trim(regexp_replace(regexp_replace(
+        |        coalesce(array_to_string(regexp_extract_all(b,
+        |          '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''),
+        |        '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
+        |    s -> len(struct_extract(s, 'txt')) > 0) AS b
+        |  FROM segs),
+        |scored AS (
+        |  SELECT doc_id, list_transform(b, s -> struct_pack(
+        |    txt := struct_extract(s, 'txt'),
+        |    ppm := CASE WHEN len(struct_extract(s, 'txt')) > 0
+        |      THEN CAST(floor(len(struct_extract(s, 'ltxt'))::DOUBLE
+        |        * 1000000 / len(struct_extract(s, 'txt'))) AS BIGINT)
+        |      ELSE 1000000 END)) AS b
+        |  FROM blk),
+        |kept AS (
+        |  SELECT doc_id, b,
+        |    list_transform(list_filter(b,
+        |      s -> len(struct_extract(s, 'txt')) >= 20
+        |        AND struct_extract(s, 'ppm') <= 500000),
+        |      s -> struct_extract(s, 'txt')) AS k
+        |  FROM scored)
+        |SELECT doc_id,
+        |  CAST(len(b) AS INT) AS n_blocks,
+        |  CAST(len(k) AS INT) AS n_kept,
+        |  array_to_string(k, ' ') AS clean_text,
+        |  CAST(len(array_to_string(k, ' ')) AS INT) AS n_clean_chars
+        |FROM kept""".stripMargin,
 
     // d2 is LSH-approximate by construction, but with b=6/r=12 at t=0.95 its
     // recall against brute force is exactly 100% on this data (verified: the

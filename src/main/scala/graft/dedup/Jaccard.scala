@@ -262,11 +262,29 @@ object Jaccard {
     * Returns the verified pairs read back from `workDir` (deduped);
     * callers own the directory's lifecycle.
     */
+  /** @param maxPairsPerJob HOT-RANGE GUARD: token ranges hash-balance the
+    *        candidate volume only when no single token dominates; one hot
+    *        token (a universal boilerplate shingle) lands ALL of its
+    *        `np·nc` pairs in whichever range its hash picks, re-creating
+    *        the cliff the batching exists to cap. With a bound set, the
+    *        per-range candidate weight `Σ_tok np·nc` is computed from the
+    *        ranked indexes (one token-df-scale aggregate; `tokenBatches`
+    *        rows to the driver — control flow), and any range past the
+    *        bound runs as `ceil(w / bound)` sequential sub-jobs sliced by
+    *        PROBE-ID hash — slicing the probe side splits even a single
+    *        token's pair block, which re-hashing tokens cannot. Exactness
+    *        is untouched: the sub-jobs partition the range's `id_a` space,
+    *        so their union is exactly the range's candidate join
+    *        (PropertySpec pins equality on a constructed hot-token
+    *        corpus). Default = no bound (the measured r12 posture).
+    */
   def containmentPairsBounded(probes: DataFrame, corpus: DataFrame,
                               threshold: Double, tokenBatches: Int,
                               workDir: String,
-                              broadcastProbes: Boolean = false): DataFrame = {
+                              broadcastProbes: Boolean = false,
+                              maxPairsPerJob: Long = Long.MaxValue): DataFrame = {
     require(tokenBatches >= 1, "tokenBatches must be >= 1")
+    require(maxPairsPerJob >= 1, "maxPairsPerJob must be >= 1")
     val spark = probes.sparkSession
     val pa = CacheScope.cache(hashedSets(probes, "id_a", "set_a"))
     val pb = CacheScope.cache(hashedSets(corpus, "id_b", "set_b"))
@@ -288,6 +306,25 @@ object Jaccard {
       .withColumn("__tb", pmod(col("tok"), lit(tokenBatches)))
       .write.mode("overwrite").partitionBy("__tb").parquet(ibPath)
     val candPath = s"$workDir/cand"
+    // hot-range guard: per-range candidate weight Σ_tok na·nb, read from
+    // the just-written ranked indexes (tokenBatches rows — control flow);
+    // a range past maxPairsPerJob splits into probe-id-hash sub-jobs
+    val subJobs: Map[Int, Int] =
+      if (maxPairsPerJob == Long.MaxValue) Map.empty
+      else {
+        val na = spark.read.parquet(iaPath)
+          .groupBy("__tb", "tok").agg(count(lit(1)).as("na"))
+        val nb = spark.read.parquet(ibPath)
+          .groupBy("__tb", "tok").agg(count(lit(1)).as("nb"))
+        na.join(nb, Seq("__tb", "tok"))
+          .groupBy("__tb").agg(sum(col("na") * col("nb")).as("w"))
+          .collect()
+          .map(r => r.getAs[Number](0).intValue() ->
+            math.max(1L, (r.getLong(1) + maxPairsPerJob - 1) /
+              maxPairsPerJob).toInt)
+          .toMap
+      }
+    var wrote = false
     (0 until tokenBatches).foreach { b =>
       // one SEQUENTIAL action per token range: the write is the action,
       // so batch b's candidate shuffle is fully drained (and its shuffle
@@ -299,15 +336,24 @@ object Jaccard {
       // 70 GB of spill, 1.5× the inline wall). The candidate stage is the
       // thing the r11 decade measured as the RAM cliff; the single verify
       // join is candidate-scale and was already fine.
-      val ia = spark.read.parquet(iaPath).filter(col("__tb") === b)
-      val ib = spark.read.parquet(ibPath).filter(col("__tb") === b)
-      ia.join(ib,
-          ia("tok") === ib("tok") && col("id_a") =!= col("id_b") &&
-            col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
-            lit(1) + least(col("n_a") - col("__pa"), col("n_b") - col("__pb"))
-              >= ceil(col("n_a") * threshold - lit(1e-9)))
-        .select("id_a", "id_b").distinct()
-        .write.mode(if (b == 0) "overwrite" else "append").parquet(candPath)
+      val nSub = subJobs.getOrElse(b, 1)
+      (0 until nSub).foreach { j =>
+        val iaAll = spark.read.parquet(iaPath).filter(col("__tb") === b)
+        // hash, not modulo: id_a may be any type, and sequential ids
+        // modulo nSub would correlate with data order
+        val ia = if (nSub == 1) iaAll
+                 else iaAll.filter(pmod(xxhash64(col("id_a")), lit(nSub)) === j)
+        val ib = spark.read.parquet(ibPath).filter(col("__tb") === b)
+        ia.join(ib,
+            ia("tok") === ib("tok") && col("id_a") =!= col("id_b") &&
+              col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
+              lit(1) + least(col("n_a") - col("__pa"),
+                col("n_b") - col("__pb"))
+                >= ceil(col("n_a") * threshold - lit(1e-9)))
+          .select("id_a", "id_b").distinct()
+          .write.mode(if (wrote) "append" else "overwrite").parquet(candPath)
+        wrote = true
+      }
     }
     verifyContainment(spark.read.parquet(candPath).distinct(),
       pa, pb, threshold, broadcastProbes)

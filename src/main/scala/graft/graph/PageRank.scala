@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * is the 100 TB side and stays put (bucketed by src on disk in a real
   * deployment — [[graft.io.Sinks]] bucketed writes), while the rank frame —
   * O(nodes) — shuffles to meet it. Dangling nodes (no out-edges) keep
-  * receiving rank but leak their own mass, the classic simplification;
-  * redistributing it needs one extra 1-row broadcast per iteration and is
-  * deliberately out of scope (documented divergence from the paper's
-  * stochastic-matrix patch).
+  * receiving rank but leak their own mass by DEFAULT (the classic
+  * simplification, and the faithful g1 contract); pass
+  * `redistributeDangling = true` for the paper's stochastic-matrix patch —
+  * each round's dangling mass shared to all nodes as one integer-exact
+  * 1-row broadcast (crawl graphs are dangling-heavy, so crawl-budget
+  * ranking wants it on; g16's oracle replays it).
   *
   * Iterations chain LAZILY (each is join + agg over the cached edge frame);
   * for the fixed small iteration counts of ranking jobs (5–20) the plan
@@ -43,9 +45,24 @@ object PageRank {
     *
     * @param edges two-column frame (src, dst); duplicates and self-loops
     *              are dropped here, so callers can feed raw link lists
+    * @param redistributeDangling apply the paper's stochastic-matrix patch:
+    *        each round, the mass held by DANGLING nodes (no out-edges) is
+    *        shared to every node — `share = Σdangling rank DIV nNodes`
+    *        enters the damped term alongside the edge contributions,
+    *        integer-exact. Default OFF: the reference-faithful variant
+    *        leaks dangling mass (the g1 contract and its oracle). Real
+    *        crawl graphs are dangling-HEAVY (the un-fetched frontier), so
+    *        crawl-budget ranking wants this on — g16's oracle replays the
+    *        redistributed iteration exactly. Costs per round: one 1-row
+    *        broadcast (the share) and one aggregate over the rank frame;
+    *        because that makes each round consume the previous ranks
+    *        TWICE, the loop localCheckpoints every round to keep the plan
+    *        linear in iterations (lazy chaining would double the tree per
+    *        round — the connected-components lineage hazard squared).
     */
   def ranks(edges: DataFrame, iterations: Int,
-            dampingPermille: Int = 850): DataFrame = {
+            dampingPermille: Int = 850,
+            redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
@@ -60,20 +77,55 @@ object PageRank {
       .unionAll(e.select(col("dst").as("node")))
       .distinct().cache()
     val base = 1000000L - dampingPermille * 1000L
-    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
-    for (_ <- 1 to iterations) {
-      val contribs = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("rank_micro DIV __outdeg").as("__c"))
-        .groupBy("dst").agg(sum(col("__c")).as("__in"))
-      ranks = nodes
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"$dampingPermille * coalesce(__in, 0L) DIV 1000"))
-            .as("rank_micro"))
+    if (!redistributeDangling) {
+      var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+      for (_ <- 1 to iterations) {
+        val contribs = eDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"), expr("rank_micro DIV __outdeg").as("__c"))
+          .groupBy("dst").agg(sum(col("__c")).as("__in"))
+        ranks = nodes
+          .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr(s"$dampingPermille * coalesce(__in, 0L) DIV 1000"))
+              .as("rank_micro"))
+      }
+      ranks
+    } else {
+      // dangling flag rides WITH the rank frame (computed once) so the
+      // per-round dangling-mass aggregate needs no extra join
+      val flagged = nodes
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), col("__outdeg").isNull.as("__dangling"))
+        .cache()
+      val nNodes = flagged.agg(count(lit(1)).as("__n"))
+      var ranks = flagged.withColumn("rank_micro", lit(1000000L))
+      var prevCp: Option[DataFrame] = None
+      for (_ <- 1 to iterations) {
+        val contribs = eDeg
+          .join(ranks.select(col("node").as("src"), col("rank_micro")), "src")
+          .select(col("dst"), expr("rank_micro DIV __outdeg").as("__c"))
+          .groupBy("dst").agg(sum(col("__c")).as("__in"))
+        val share = broadcast(
+          ranks.filter(col("__dangling"))
+            .agg(coalesce(sum("rank_micro"), lit(0L)).as("__dm"))
+            .crossJoin(nNodes)
+            .select(expr("__dm DIV __n").as("__share")))
+        val next = flagged
+          .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .crossJoin(share)
+          .select(col("node"), col("__dangling"),
+            (lit(base) + expr(s"$dampingPermille * " +
+              "(coalesce(__in, 0L) + __share) DIV 1000"))
+              .as("rank_micro"))
+        val cp = next.localCheckpoint(true) // eager: cut the doubled lineage
+        prevCp.foreach(graft.dedup.Clusters.dropCheckpointBlocks)
+        prevCp = Some(cp)
+        ranks = cp
+      }
+      ranks.select("node", "rank_micro")
     }
-    ranks
   }
 
   /** Personalized PageRank (the topic-sensitive variant, Haveliwala

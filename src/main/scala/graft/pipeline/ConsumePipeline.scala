@@ -250,4 +250,54 @@ object ConsumePipeline {
         .select(outputCols.map(col): _*)
     }.reduce(_ unionByName _)
   }
+
+  /** [[build]] under the 100 TB BUCKETED posture: the loop-hoisted stage-1
+    * frame lands ONCE as a catalog table bucketed + sorted on `user_id`
+    * ([[graft.io.Sinks.writeBucketed]]) and every iteration reads it back
+    * with the bucket layout AS the alignment — the swap for when the
+    * working set no longer fits executor storage (the reference's cache
+    * points, `script/main.py:125,324`, assume it does; `.cache()` past
+    * memory degrades to disk-spilled blocks with none of a bucketed
+    * table's pruning or co-partitioning).
+    *
+    * Two deltas from [[build]], both plan-visible (PlanAuditSpec pins
+    * them; the rehearsal tool measures them at sf1/sf10):
+    *
+    *  - `base1All.cache()` → `writeBucketed(..., "user_id", numBuckets)`:
+    *    iterations scan the bucketed table; the scan's HashPartitioning
+    *    on user_id satisfies every downstream user_id requirement, so the
+    *    base side reaches stage 3's windows with ZERO exchanges;
+    *  - [[enrichAligned]]'s `repartition(user_id)` is DROPPED: the
+    *    alignment it pays one exchange for arrives free with the bucket
+    *    layout (the cache stays, so stage 3's four reads still share one
+    *    enrichment).
+    *
+    * Output is row-identical to [[build]] (the pipe_consume oracles hold
+    * for both). Callers own the table's lifecycle (`DROP TABLE` when
+    * done).
+    */
+  def buildBucketed(spark: SparkSession, dir: String,
+                    params: ConsumeParams = ConsumeParams(),
+                    table: String = "graft_consume_base1",
+                    numBuckets: Int = 32): DataFrame = {
+    val events = Tables.events(spark, dir).cache()
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val repaired = repairCdc(events).cache()
+    val side = SideInputs(orders, events, params.activityFrom,
+      params.activityTo).cache()
+    graft.io.Sinks.writeBucketed(baseFirst(repaired, customer), table,
+      "user_id", numBuckets)
+    val base1All = spark.table(table)
+    params.iterations.map { it =>
+      val b1 = base1All.filter(it.filter)
+      // bucket layout = alignment: no repartition, cache only
+      val b2 = enrich(b1, side).cache()
+      val b3 = baseFinal(b2, params.monthStart, params.monthEnd)
+      modify(b3, nation)
+        .withColumn("iteration", lit(it.name))
+        .select(outputCols.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
 }

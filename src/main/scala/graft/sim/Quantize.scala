@@ -257,8 +257,18 @@ object Quantize {
     * as [[ivfPqTopK]], so a stored-then-queried index answers EXACTLY
     * like the inline path — the s30 oracle gates on that equality.
     */
+  /** @param attrs extra corpus columns to store WITH each posting (e.g. a
+    *        label): the deploy-standard "top-k WHERE label IN (...)" query
+    *        then filters candidates BEFORE any distance work, composing
+    *        with partition-pruned probes — see [[ivfPqTopKStored]]'s
+    *        `filter`. Joined back by id at BUILD time (one offline
+    *        shuffle; the index is built once, queried many times) and
+    *        recorded in `_meta` so a cold session knows what is
+    *        filterable.
+    */
   def writeIvfPqIndex(corpus: DataFrame, dir: String, nCells: Int = 16,
-                      m: Int = 4, k: Int = 4, dim: Int = 64): Unit = {
+                      m: Int = 4, k: Int = 4, dim: Int = 64,
+                      attrs: Seq[String] = Nil): Unit = {
     val sub = subDim(m, k, dim)
     // `_meta` is the COMMIT MARKER: invalidate it up front, write it back
     // only after every data directory has landed. A build killed mid-write
@@ -272,17 +282,22 @@ object Quantize {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     Ivf.centroids(cPrep, k).write.mode("overwrite").parquet(s"$dir/codebook")
     val cbPacked = packedCodebook(corpus, col("vec_id"), col("embedding"), k)
-    Ivf.assign(cPrep, cents, "neighbor_id", "__x")
+    val coded = Ivf.assign(cPrep, cents, "neighbor_id", "__x")
       .crossJoin(cbPacked)
       .select(col("cell"), col("neighbor_id"),
         transform(selectSubspaces(col("__x"), col("__cb"), m, sub),
           _.getField("cell")).as("codes"))
-      .write.mode("overwrite").partitionBy("cell")
+    val withAttrs =
+      if (attrs.isEmpty) coded
+      else coded.join(
+        corpus.select(col("vec_id").as("neighbor_id") +: attrs.map(col): _*),
+        Seq("neighbor_id"))
+    withAttrs.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/postings")
     writeIndexMeta(corpus.sparkSession, dir,
       Seq("format" -> "graft-ivfpq-v1", "nCells" -> nCells.toString,
         "m" -> m.toString, "k" -> k.toString, "dim" -> dim.toString,
-        "metric" -> "l2"))
+        "metric" -> "l2", "attrs" -> attrs.mkString(",")))
   }
 
   /** Tiny driver-side `_meta` sidecar: `key=value` lines, written via the
@@ -348,8 +363,19 @@ object Quantize {
     * against the tiny stored centroid table); corpus embeddings are
     * never touched — the point of the stored form.
     */
+  /** @param filter optional predicate over the POSTINGS scan — the stored
+    *        attr columns (see [[writeIvfPqIndex]]'s `attrs`) and
+    *        `neighbor_id`. Lands directly on the parquet scan (simple
+    *        predicates push down as `PushedFilters`, after the probed-cell
+    *        `PartitionFilters` prune), so non-matching candidates are
+    *        dropped BEFORE any ADC distance work — filter-then-rank, the
+    *        deploy-standard "top-k WHERE label IN (...)" semantics (NOT
+    *        rank-then-filter: the k survivors are the k best among
+    *        matches).
+    */
   def ivfPqTopKStored(queries: DataFrame, dir: String, topK: Int,
-                      nProbe: Int = 4): DataFrame = {
+                      nProbe: Int = 4,
+                      filter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     val meta = readIndexMeta(spark, dir)
     val m = meta("m").toInt
@@ -369,8 +395,9 @@ object Quantize {
       cents, "query_id", "__q", nProbe)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val coded = spark.read.parquet(s"$dir/postings")
+    val pruned = spark.read.parquet(s"$dir/postings")
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val coded = filter.fold(pruned)(pruned.filter)
       .select(col("cell"), col("neighbor_id"), col("codes").as("__codes"))
     adcScoreTopK(coded, adcTablesFor(probes, cbPacked, m, sub), topK, m)
   }

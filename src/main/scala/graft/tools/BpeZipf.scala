@@ -68,7 +68,8 @@ object BpeZipf {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 5,
-      "usage: BpeZipf <nDocs> <wordsPerDoc> <vocab> <nMerges> <batch>")
+      "usage: BpeZipf <nDocs> <wordsPerDoc> <vocab> <nMerges> <batch> " +
+        "[saveTsv]")
     val (nDocs, wordsPerDoc, vocab, nMerges, batch) =
       (args(0).toLong, args(1).toInt, args(2).toInt, args(3).toInt,
         args(4).toInt)
@@ -97,6 +98,15 @@ object BpeZipf {
     graft.text.Bpe.validate(merges.map(m => (m._1, m._2)))
     println(f"[bpe-zipf] merges=${merges.size} wall=$wall%.1f s " +
       f"(${wall / math.max(merges.size, 1) * batch}%.2f s/round at batch=$batch)")
+    // optional: persist the trained table as TSV (lhs \t rhs \t count) so
+    // the encode-scale harness (BpeEncodeScale) applies the REAL tokenizer
+    // instead of retraining 30+ minutes per measurement
+    args.lift(5).foreach { path =>
+      val lines = merges.map { case (a, b, c) => s"$a\t$b\t$c" }
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        lines.mkString("\n").getBytes("UTF-8"))
+      System.err.println(s"[bpe-zipf] table saved to $path")
+    }
     spark.stop()
   }
 }

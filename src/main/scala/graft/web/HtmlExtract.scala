@@ -1,0 +1,109 @@
+package graft.web
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction: the step UPSTREAM of every web-corpus curation
+  * chain (CCNet / C4 / RefinedWeb all start here) — tag/script/style
+  * strip, block segmentation on block-level tags, per-block link-density
+  * boilerplate scoring, cleaned-text emit. Feeds the quality filters
+  * (t4), URL ops ([[UrlOps]]), and span dedup that currently assume
+  * already-extracted text.
+  *
+  * Plan shape: a PURE PROJECTION — explicit-class regexes and
+  * higher-order functions only, zero shuffles, zero UDFs; 100 TB of crawl
+  * HTML extracts embarrassingly parallel. Every regex is RE2-compatible
+  * (no backreferences, no lookaround — script and style strip as two
+  * separate patterns for exactly this reason), so the same patterns
+  * replay verbatim in the DuckDB oracle and would on any RE2-based
+  * engine.
+  *
+  * Scoring (integer-exact cross-engine): a block's `link_ppm` is
+  * `floor(anchor_chars · 10⁶ / text_chars)` — the boilerplate signal of
+  * Kohlschütter et al.'s boilerpipe, reduced to its strongest single
+  * feature. A block is KEPT when its cleaned text has at least `minChars`
+  * characters AND `link_ppm ≤ maxLinkPpm`; link-farm navigation blocks
+  * (text ≈ anchors) score 10⁶ and die, prose with an inline link scores
+  * low and survives. Tag-free whitespace-only blocks don't count as
+  * blocks at all.
+  */
+object HtmlExtract {
+
+  /** Block-level boundary tags → newline (segmentation points). */
+  private val BlockTags =
+    "(?i)</?(p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|section|article|" +
+      "header|footer|blockquote|nav|aside|main|figure|figcaption|pre|hr)" +
+      "\\b[^>]*>"
+
+  /** Strip non-content containers WITH their contents, then comments.
+    * Two patterns, not one with a backreference — RE2 compatibility.
+    */
+  private def stripNonContent(html: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html,
+          "(?is)<script\\b[^>]*>.*?</script>", " "),
+        "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Remaining (inline) tags → space, whitespace collapsed, trimmed. */
+  private def cleanText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "(?s)<[^>]*>", " "), "\\s+", " "))
+
+  /** Per-block structs: `txt` (cleaned text) and `link_ppm`
+    * (anchor-chars/text-chars in parts-per-million; empty text scores
+    * the full 10⁶ so it can never be kept by the density test alone).
+    */
+  private def blockStructs(html: Column): Column =
+    transform(
+      split(regexp_replace(stripNonContent(html), BlockTags, "\n"), "\n"),
+      b => {
+        val txt = cleanText(b)
+        val ltxt = cleanText(concat_ws(" ",
+          regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))))
+        struct(txt.as("txt"),
+          when(length(txt) > 0,
+            // floor over an exact double: numerator ≤ 1e6·len < 2^53 and
+            // the true quotient is ≥ 1/len away from the next integer, so
+            // IEEE rounding can't cross it — DuckDB replays bit-identically
+            floor(length(ltxt).cast("double") * 1000000d / length(txt))
+              .cast("long"))
+            .otherwise(lit(1000000L)).as("link_ppm"))
+      })
+
+  /** Per-document extraction: `n_blocks` (non-empty text blocks),
+    * `n_kept` (blocks surviving the length + link-density tests),
+    * `clean_text` (kept blocks joined, document order), `n_clean_chars`.
+    */
+  def extract(df: DataFrame, id: Column, html: Column,
+              minChars: Int = 20, maxLinkPpm: Long = 500000L): DataFrame = {
+    val blks = blockStructs(html)
+    def keep(s: Column): Column =
+      length(s.getField("txt")) >= minChars &&
+        s.getField("link_ppm") <= maxLinkPpm
+    df.select(id,
+        filter(blks, s => length(s.getField("txt")) > 0).as("__b"))
+      .select(id,
+        size(col("__b")).as("n_blocks"),
+        size(filter(col("__b"), keep(_))).as("n_kept"),
+        concat_ws(" ",
+          transform(filter(col("__b"), keep(_)), _.getField("txt")))
+          .as("clean_text"))
+      .withColumn("n_clean_chars", length(col("clean_text")))
+  }
+
+  /** Per-block view (posexplode — still map-only, zero shuffle):
+    * (id, block_idx, text, link_ppm, kept). The debugging/threshold-tuning
+    * surface; [[extract]] is the production emit.
+    */
+  def blocks(df: DataFrame, id: Column, html: Column,
+             minChars: Int = 20, maxLinkPpm: Long = 500000L): DataFrame =
+    df.select(id,
+        posexplode(filter(blockStructs(html),
+          s => length(s.getField("txt")) > 0)).as(Seq("block_idx", "__s")))
+      .select(id, col("block_idx"),
+        col("__s.txt").as("text"),
+        col("__s.link_ppm").as("link_ppm"))
+      .withColumn("kept",
+        length(col("text")) >= minChars && col("link_ppm") <= maxLinkPpm)
+}

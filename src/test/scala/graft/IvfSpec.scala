@@ -303,4 +303,106 @@ class IvfSpec extends SparkSpec {
       }
     }
   }
+
+  test("filtered stored query is filter-then-rank: the label predicate " +
+      "prunes candidates on the postings scan, before any ADC work") {
+    import graft.sim.Quantize
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivffilt").toString
+    try {
+      Quantize.writeIvfPqIndex(emb, dir, nCells = 8, m = 4, k = 4,
+        dim = 64, attrs = Seq("label"))
+      // the attr is IN the postings and recorded in the sidecar
+      assert(spark.read.parquet(s"$dir/postings").columns.contains("label"))
+      val metaText = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_meta")), "UTF-8")
+      assert(metaText.contains("attrs=label"))
+      val pred = col("label").isin(1, 2)
+      val got = Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+          nProbe = 2, filter = Some(pred))
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      // reference semantics: rank ALL candidates unfiltered (topK covers
+      // the corpus), keep label matches IN RANK ORDER, take 5, re-number —
+      // filter-then-rank must equal filtering the complete ranking
+      val okIds = emb.filter(pred).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      val expected = Quantize.ivfPqTopKStored(queries, dir,
+          topK = Int.MaxValue, nProbe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .filter(t => okIds(t._2))
+        .groupBy(_._1).toSeq
+        .flatMap { case (_, rows) =>
+          rows.sortBy(_._4).take(5).zipWithIndex.map {
+            case ((q, n, d, _), i) => (q, n, d, i + 1) }
+        }
+        .sortBy(t => (t._1, t._4))
+      assert(got == expected && got.nonEmpty)
+      // plan pins (AQE off): probed cells still arrive as PARTITION
+      // filters AND the label predicate is pushed into the postings scan
+      // (so non-matching candidates die in the reader, before the probe
+      // join and ADC fold)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val physical = Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+          nProbe = 2, filter = Some(pred)).queryExecution.executedPlan
+        val postingScans = physical.collect {
+          case s: FileSourceScanExec if s.relation.location.rootPaths
+            .exists(_.toString.contains("postings")) => s }
+        assert(postingScans.nonEmpty, s"no postings scan in:\n$physical")
+        postingScans.foreach { s =>
+          assert(s.partitionFilters.nonEmpty,
+            s"probed cells must prune postings partitions:\n$s")
+          assert(s.metadata.get("PushedFilters").exists(_.contains("In(label")),
+            s"label predicate must push into the postings scan:\n$s")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir))) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  test("_meta is the COMMIT MARKER: a failed rebuild over a valid index " +
+      "leaves the directory rejected as incomplete, never valid-looking") {
+    import graft.sim.Quantize
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfcommit").toString
+    try {
+      Quantize.writeIvfPqIndex(emb, dir, nCells = 8, m = 4, k = 4, dim = 64)
+      assert(Quantize.ivfPqTopKStored(queries, dir, topK = 3, nProbe = 2)
+        .count() > 0)
+      // a rebuild that dies before finishing (no embedding column ⇒ the
+      // centroid pick throws) must have already invalidated the sidecar —
+      // the OLD _meta over NEW/partial data is the corruption this guards
+      intercept[Exception] {
+        Quantize.writeIvfPqIndex(emb.drop("embedding"), dir,
+          nCells = 8, m = 4, k = 4, dim = 64)
+      }
+      val rejected = intercept[IllegalArgumentException] {
+        Quantize.ivfPqTopKStored(queries, dir, topK = 3, nProbe = 2)
+      }
+      assert(rejected.getMessage.contains("_meta"))
+      // a fresh successful build recommissions the directory
+      Quantize.writeIvfPqIndex(emb, dir, nCells = 8, m = 4, k = 4, dim = 64)
+      assert(Quantize.ivfPqTopKStored(queries, dir, topK = 3, nProbe = 2)
+        .count() > 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir))) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }

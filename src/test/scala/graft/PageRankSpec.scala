@@ -40,6 +40,48 @@ class PageRankSpec extends SparkSpec {
       "every node keeps at least the base 150000 micro-rank")
   }
 
+  test("ranks: dangling redistribution, hand-computed integer fixpoint") {
+    // a -> b, a -> d, b -> a (d dangling), redistributeDangling = true.
+    // iter 1: share = 1000000 DIV 3 = 333333
+    //   a = 150000 + 850*(1000000+333333) DIV 1000 = 1283333
+    //   b = 150000 + 850*(500000+333333)  DIV 1000 =  858333 ; d same
+    // iter 2: dangling mass = d = 858333, share = 286111
+    //   a = 150000 + 850*(858333+286111) DIV 1000 = 1122777
+    //   b = 150000 + 850*(641666+286111) DIV 1000 =  938610 ; d same
+    val edges = Seq(("a", "b"), ("a", "d"), ("b", "a")).toDF("src", "dst")
+    val out = PageRank.ranks(edges, iterations = 2,
+        redistributeDangling = true)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 1122777L), ("b", 938610L), ("d", 938610L)))
+  }
+
+  test("ranks: redistribution conserves mass to floor losses EXACTLY " +
+    "(two-sided bound) and strictly beats the leaky variant") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("g16_pagerank_dangling")(spark, sf)
+    val (total, n) = out.agg(sum("rank_micro"), count(lit(1)))
+      .as[(Long, Long)].head()
+    // the same edge set, leak variant, for the strict comparison + E
+    val d = Tables.documents(spark, sf)
+    val edges = d.select((col("doc_id") % 23).as("src"),
+        ((col("doc_id") * 7 + 3) % 31).as("dst"))
+      .unionAll(d.select((col("doc_id") % 23).as("src"),
+        ((col("doc_id") * 11 + 5) % 31).as("dst")))
+    val e = edges.filter(col("src") =!= col("dst")).distinct().count()
+    val leaky = PageRank.ranks(edges, iterations = 5)
+      .agg(sum("rank_micro")).as[Long].head()
+    // real-valued redistribution conserves N·1e6 exactly; the integer form
+    // only loses floor remainders — per round < E (contrib floors)
+    // + N (share floor) + N (damping DIV 1000), damped below 1 so 5
+    // rounds bound the loss at 5·(E + 2N) micro
+    assert(total <= n * 1000000L, s"mass grew: $total over $n nodes")
+    assert(total >= n * 1000000L - 5L * (e + 2L * n),
+      s"lost more than floor remainders: $total vs ${n * 1000000L} " +
+        s"(n=$n, e=$e)")
+    assert(total > leaky,
+      s"redistribution must strictly beat the leak: $total vs $leaky")
+  }
+
   test("personalized: restart mass lands only on seeds") {
     // 2-cycle a<->b with seed a (ids as longs: 1, 2)
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")

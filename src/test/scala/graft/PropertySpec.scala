@@ -403,6 +403,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: hot-range guard (maxPairsPerJob sub-jobs) equals inline " +
+      "containment on a constructed hot-token corpus") {
+    // EVERY document shares the token "hot" — all of its np·nc candidate
+    // pairs land in one token range no matter how many ranges exist (the
+    // exact skew the probe-id sub-slicing guards), plus a varied tail so
+    // non-hot ranges and the positional filter stay exercised
+    val rng = new scala.util.Random(19)
+    val tail = Seq("aa", "bb", "cc", "dd", "ee")
+    val texts = (0 until 40).map { i =>
+      ("hot" +: Seq.fill(1 + rng.nextInt(4))(tail(rng.nextInt(5))))
+        .distinct.mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val sets = graft.dedup.Jaccard.shingleSets(df, col("doc_id"), col("text"), 1)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double)].collect().toSet
+    val inline = rows(
+      graft.dedup.Jaccard.containmentPairs(sets, sets, threshold = 0.6))
+    // bounds tight enough to force MANY sub-jobs (hot range weight is
+    // ~40·40), loose enough for single jobs, and the no-bound control
+    Seq(50L, 400L, Long.MaxValue).foreach { bound =>
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-cpbh-$bound").toString
+      val got = rows(graft.dedup.Jaccard.containmentPairsBounded(
+        sets, sets, threshold = 0.6, tokenBatches = 3, workDir = work,
+        maxPairsPerJob = bound))
+      assert(got == inline, s"maxPairsPerJob=$bound drifted from inline")
+    }
+  }
+
   // --- retrieval stack vs plain Scala references ---------------------------
 
   private def r6(x: Double): Double =
