@@ -102,7 +102,7 @@ object BpeEncodeScale {
       val (_, nSubExec, nSubTok) = measure(
         Bpe.encode(sub, col("doc_id"), col("text"), table))
       val fold: Option[(Double, Double)] =
-        if (foldWalled) None
+        if (foldWalled || foldTimeoutSec <= 0) None
         else {
           val prev = spark.conf.getOption("spark.sql.analyzer.maxIterations")
           spark.conf.set("spark.sql.analyzer.maxIterations", n + 64)
