@@ -2720,6 +2720,27 @@ object SparkEntry {
         topK = 5, nProbe = 4, filter = Some(col("label").isin(1, 2)))
     },
 
+    // Stored-index UPSERT (the lifecycle's last leg: build once / store /
+    // query many / APPEND the delta): the index is built on the EVEN half
+    // only, the odd half appended against the STORED centroids+codebook —
+    // no rebuild — and the query answers over both. Oracle = s9's replay
+    // with the centroid/codebook PICKS restricted to the build half while
+    // assignment/coding run over everything: exactly the append
+    // semantics, so a wrong cell or code on any appended vector
+    // hash-fails.
+    "s32_ivf_pq_upsert" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val prefix = s"graft-ivfpqu-${java.lang.Integer.toHexString(dir.hashCode)}-"
+      sweepDeadPidDirs(tmpRoot, prefix)
+      val idx = s"$tmpRoot/$prefix${ProcessHandle.current().pid()}"
+      Quantize.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), idx,
+        nCells = 16, m = 4, k = 4, dim = 64)
+      Quantize.appendIvfPqIndex(emb.filter(col("vec_id") % 2 =!= 0), idx)
+      Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
+        topK = 5, nProbe = 4)
+    },
+
     // The composed training-data prep job: quality filter → content-
     // fingerprint dedup → stratified sample, as one plan with a single
     // shuffle (the fingerprint exchange).
@@ -4136,6 +4157,21 @@ object SparkEntry {
         "WHERE q.query_id <> a.vec_id\n" +
           "    AND a.vec_id IN (SELECT vec_id FROM embeddings " +
           "WHERE label IN (1, 2)))")
+    }) +
+    // s32: s9's replay with BOTH affine picks (centroids + codebook)
+    // restricted to the even build half, assignment/coding over the full
+    // corpus — the upsert semantics (appended vectors code against the
+    // stored geometry). Derived from the one s9 source; the require
+    // pins exactly the two pick subqueries.
+    ("s32_ivf_pq_upsert" -> {
+      val base = baseOracles("s9_ivf_pq_topk")
+      val marker = "SELECT vec_id, e FROM emb\n    ORDER BY"
+      val hits = java.util.regex.Pattern.quote(marker).r
+        .findAllMatchIn(base).size
+      require(hits == 2,
+        s"s9 oracle text drifted ($hits pick markers, want 2); update s32")
+      base.replace(marker,
+        "SELECT vec_id, e FROM emb WHERE vec_id % 2 = 0\n    ORDER BY")
     }) +
     // pipe_ivm oracle: the four incremental replays composed verbatim,
     // each collapsed to its labeled scalar — composition adds no math.

@@ -300,6 +300,59 @@ object Quantize {
         "metric" -> "l2", "attrs" -> attrs.mkString(",")))
   }
 
+  /** UPSERT into a [[writeIvfPqIndex]]-stored index: code `newCorpus`
+    * against the STORED centroids and codebook (geometry and attr list
+    * from `_meta` — the caller passes nothing but data and path) and
+    * append the postings, no rebuild. This closes the 100 TB index
+    * lifecycle: build once, store, query many, APPEND the daily delta —
+    * re-clustering a petabyte because 0.1% of it is new is the
+    * anti-pattern this exists to avoid. Coding against the stored
+    * geometry means the result is EXACTLY the index whose centroid/
+    * codebook pick saw only the original build corpus but whose postings
+    * cover everything — the s32 oracle replays that semantics directly.
+    *
+    * Same commit-marker protocol as the build: `_meta` comes OFF before
+    * the postings mutate and returns only after the append lands, so a
+    * killed append leaves a rejected-as-incomplete directory, never a
+    * valid-looking index with a torn delta. Single-writer by contract
+    * (like the build); centroid drift under sustained appends is the
+    * monitored quantity — `s19_centroid_drift` is the rebuild trigger.
+    */
+  def appendIvfPqIndex(newCorpus: DataFrame, dir: String): Unit = {
+    val spark = newCorpus.sparkSession
+    val meta = readIndexMeta(spark, dir)
+    val m = meta("m").toInt
+    val k = meta("k").toInt
+    val dim = meta("dim").toInt
+    val attrs = meta.get("attrs").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(',').toSeq).getOrElse(Nil)
+    val sub = subDim(m, k, dim)
+    deleteIndexMeta(spark, dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cbStored = broadcast(spark.read.parquet(s"$dir/codebook")
+      .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
+        .as("__cb")))
+    val cPrep = newCorpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val coded = Ivf.assign(cPrep, cents, "neighbor_id", "__x")
+      .crossJoin(cbStored)
+      .select(col("cell"), col("neighbor_id"),
+        transform(selectSubspaces(col("__x"), col("__cb"), m, sub),
+          _.getField("cell")).as("codes"))
+    val withAttrs =
+      if (attrs.isEmpty) coded
+      else coded.join(
+        newCorpus.select(col("vec_id").as("neighbor_id") +: attrs.map(col): _*),
+        Seq("neighbor_id"))
+    withAttrs.write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/postings")
+    writeIndexMeta(spark, dir,
+      Seq("format" -> "graft-ivfpq-v1", "nCells" -> meta("nCells"),
+        "m" -> m.toString, "k" -> k.toString, "dim" -> dim.toString,
+        "metric" -> meta.getOrElse("metric", "l2"),
+        "attrs" -> attrs.mkString(",")))
+  }
+
   /** Tiny driver-side `_meta` sidecar: `key=value` lines, written via the
     * Hadoop FS (underscore-prefixed so data readers skip it). This is what
     * makes the stored index SELF-DESCRIBING — build parameters live with

@@ -371,6 +371,60 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("stored index UPSERT: appended vectors code against the STORED " +
+      "geometry, attrs survive, and queries see both halves") {
+    import graft.sim.Quantize
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfup").toString
+    try {
+      val evens = emb.filter(col("vec_id") % 2 === 0)
+      val odds = emb.filter(col("vec_id") % 2 =!= 0)
+      Quantize.writeIvfPqIndex(evens, dir, nCells = 8, m = 4, k = 4,
+        dim = 64, attrs = Seq("label"))
+      Quantize.appendIvfPqIndex(odds, dir)
+      // every corpus vector posted exactly once, attrs on BOTH halves
+      val postings = spark.read.parquet(s"$dir/postings")
+      assert(postings.count() == emb.filter(col("embedding").isNotNull).count())
+      assert(postings.filter(col("neighbor_id") % 2 =!= 0 &&
+        col("label").isNull).isEmpty, "appended postings lost their attrs")
+      // appended vectors carry the label the corpus has for them
+      val mismatch = postings.select(col("neighbor_id").as("vec_id"),
+          col("label").as("p_label"))
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .filter(col("p_label") =!= col("label"))
+      assert(mismatch.isEmpty, "appended attr values drifted")
+      // queries actually REACH the appended half (an append that lands in
+      // wrong cells or drops rows would starve odd neighbors)
+      val res = Quantize.ivfPqTopKStored(queries, dir, topK = 5, nProbe = 2)
+      assert(res.filter(col("neighbor_id") % 2 =!= 0).count() > 0,
+        "no appended (odd) vector ever returned — append not searchable")
+      // the filtered path composes with upserted attrs
+      val filtered = Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+        nProbe = 2, filter = Some(col("label").isin(1, 2)))
+      val okIds = emb.filter(col("label").isin(1, 2)).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(filtered.collect().forall(r => okIds(r.getLong(1))))
+      // marker protocol covers the append: a killed append (no embedding
+      // column ⇒ throws after the marker came off) leaves the directory
+      // rejected as incomplete
+      intercept[Exception] {
+        Quantize.appendIvfPqIndex(odds.drop("embedding"), dir)
+      }
+      val rejected = intercept[IllegalArgumentException] {
+        Quantize.ivfPqTopKStored(queries, dir, topK = 3, nProbe = 2)
+      }
+      assert(rejected.getMessage.contains("_meta"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir))) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("_meta is the COMMIT MARKER: a failed rebuild over a valid index " +
       "leaves the directory rejected as incomplete, never valid-looking") {
     import graft.sim.Quantize
