@@ -2835,6 +2835,36 @@ object SparkEntry {
         col("doc_id"), col("html"))
     },
 
+    // Main-content selection (Readability/boilerpipe "largest content
+    // region"): longest CONTIGUOUS run of kept blocks, ties earliest —
+    // a nav strip between prose regions yields the bigger side, not a
+    // splice. The synthetic page has a front run (h1 + teaser) and a
+    // back run (up to 3 body paragraphs) split by a link farm; the text
+    // length decides which run wins per doc, exercising both branches
+    // and the tie→earliest rule. One aggregate fold over the block
+    // array, integer-exact state, zero shuffle; the oracle replays the
+    // identical fold via list_reduce over the same 5-long encoding.
+    "t83_html_main" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val html = concat(
+        lit("<html><head><script>var m = 1; track(m);</script>" +
+          "<style>.n { color: #000; }</style></head><body><h1>"),
+        substring(col("text"), 1, 40),
+        lit("</h1><!-- teaser --><p>"),
+        substring(col("text"), 30, 60),
+        lit("</p><div class=\"nav\"><a href=\"/h\">home</a> " +
+          "<a href=\"/p\">prev</a> <a href=\"/n\">next</a></div><p>"),
+        substring(col("text"), 50, 150),
+        lit("</p><p>"),
+        substring(col("text"), 180, 150),
+        lit("</p><p>"),
+        substring(col("text"), 320, 150),
+        lit("</p></body></html>"))
+      graft.web.HtmlExtract.mainContent(
+        d.select(col("doc_id"), html.as("html")),
+        col("doc_id"), col("html"))
+    },
+
     // Sliding-window token chunking (map-only Generate, no shuffle).
     "t8_chunk" -> { (s, dir) =>
       graft.text.Chunking.chunk(Tables.documents(s, dir), col("doc_id"),
@@ -9650,6 +9680,87 @@ object SparkEntry {
         |  array_to_string(k, ' ') AS clean_text,
         |  CAST(len(array_to_string(k, ' ')) AS INT) AS n_clean_chars
         |FROM kept""".stripMargin,
+
+    // t83: the engine's main-content fold replayed verbatim — same block
+    // construction as t82 (on the t83 page layout), then the identical
+    // 5-long [idx, runStart, runLen, bestStart, bestLen] state machine
+    // via list_reduce (blocks pre-encoded to the state's element type so
+    // the reduce unifies), then the same slice + join emit.
+    "t83_html_main" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script>var m = 1; track(m);</script><style>.n { color: #000; }</style></head><body><h1>'
+        |    || substr(text, 1, 40)
+        |    || '</h1><!-- teaser --><p>'
+        |    || substr(text, 30, 60)
+        |    || '</p><div class="nav"><a href="/h">home</a> <a href="/p">prev</a> <a href="/n">next</a></div><p>'
+        |    || substr(text, 50, 150)
+        |    || '</p><p>'
+        |    || substr(text, 180, 150)
+        |    || '</p><p>'
+        |    || substr(text, 320, 150)
+        |    || '</p></body></html>' AS html
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, string_split_regex(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?i)</?(p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|section|article|header|footer|blockquote|nav|aside|main|figure|figcaption|pre|hr)\b[^>]*>',
+        |      chr(10), 'g'),
+        |    chr(10)) AS raw
+        |  FROM h),
+        |blk AS (
+        |  SELECT doc_id, list_filter(list_transform(raw, b -> struct_pack(
+        |      txt := trim(regexp_replace(regexp_replace(b,
+        |        '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |      ltxt := trim(regexp_replace(regexp_replace(
+        |        coalesce(array_to_string(regexp_extract_all(b,
+        |          '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''),
+        |        '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
+        |    s -> len(struct_extract(s, 'txt')) > 0) AS b
+        |  FROM segs),
+        |scored AS (
+        |  SELECT doc_id, list_transform(b, s -> struct_pack(
+        |    txt := struct_extract(s, 'txt'),
+        |    ppm := CASE WHEN len(struct_extract(s, 'txt')) > 0
+        |      THEN CAST(floor(len(struct_extract(s, 'ltxt'))::DOUBLE
+        |        * 1000000 / len(struct_extract(s, 'txt'))) AS BIGINT)
+        |      ELSE 1000000 END)) AS b
+        |  FROM blk),
+        |enc AS (
+        |  SELECT doc_id, b, list_transform(b, s ->
+        |    [CASE WHEN len(struct_extract(s, 'txt')) >= 20
+        |        AND struct_extract(s, 'ppm') <= 500000
+        |      THEN 1 ELSE 0 END, 0, 0, 0, 0]::BIGINT[]) AS e
+        |  FROM scored),
+        |fold AS (
+        |  SELECT doc_id, b,
+        |    list_reduce(list_prepend([0, 0, 0, 0, 0]::BIGINT[], e),
+        |      (s, x) -> [s[1] + 1,
+        |        CASE WHEN x[1] = 1 THEN
+        |          CASE WHEN s[3] = 0 THEN s[1] ELSE s[2] END
+        |          ELSE s[2] END,
+        |        CASE WHEN x[1] = 1 THEN s[3] + 1 ELSE 0 END,
+        |        CASE WHEN x[1] = 1 AND s[3] + 1 > s[5] THEN
+        |          CASE WHEN s[3] = 0 THEN s[1] ELSE s[2] END
+        |          ELSE s[4] END,
+        |        CASE WHEN x[1] = 1 AND s[3] + 1 > s[5]
+        |          THEN s[3] + 1 ELSE s[5] END]) AS f
+        |  FROM enc),
+        |emit AS (
+        |  SELECT doc_id,
+        |    CAST(len(b) AS INT) AS n_blocks,
+        |    f[4] AS main_start,
+        |    f[5] AS main_blocks,
+        |    coalesce(array_to_string(list_transform(
+        |      b[(f[4] + 1):(f[4] + f[5])],
+        |      s -> struct_extract(s, 'txt')), ' '), '') AS main_text
+        |  FROM fold)
+        |SELECT doc_id, n_blocks, main_start, main_blocks, main_text,
+        |  CAST(len(main_text) AS INT) AS n_main_chars
+        |FROM emit""".stripMargin,
 
     // d2 is LSH-approximate by construction, but with b=6/r=12 at t=0.95 its
     // recall against brute force is exactly 100% on this data (verified: the

@@ -92,6 +92,60 @@ object HtmlExtract {
       .withColumn("n_clean_chars", length(col("clean_text")))
   }
 
+  /** MAIN-CONTENT selection (the Readability/boilerpipe "largest content
+    * region" heuristic): the longest CONTIGUOUS run of kept blocks, ties
+    * to the earliest. Navigation/boilerplate blocks break runs, so a page
+    * whose prose is split by one nav strip yields the larger prose side
+    * rather than everything — the behavior article extractors want where
+    * [[extract]]'s keep-all-matching emit would splice header prose onto
+    * body prose.
+    *
+    * One `aggregate` fold over the block array per row, state = five
+    * longs `[idx, runStart, runLen, bestStart, bestLen]` — integer-exact
+    * and replayed verbatim by the DuckDB oracle's `list_reduce` over the
+    * same encoding. Still a pure zero-shuffle projection.
+    *
+    * Emits: `n_blocks`, `main_start` (0-based index of the chosen run in
+    * the non-empty block sequence), `main_blocks` (run length; 0 = no
+    * kept block), `main_text`, `n_main_chars`.
+    */
+  def mainContent(df: DataFrame, id: Column, html: Column,
+                  minChars: Int = 20, maxLinkPpm: Long = 500000L): DataFrame = {
+    def keep(s: Column): Column =
+      length(s.getField("txt")) >= minChars &&
+        s.getField("link_ppm") <= maxLinkPpm
+    val st0 = array(lit(0L), lit(0L), lit(0L), lit(0L), lit(0L))
+    df.select(id,
+        filter(blockStructs(html),
+          s => length(s.getField("txt")) > 0).as("__b"))
+      .withColumn("__f", aggregate(col("__b"), st0, (s, b) => {
+        val idx = element_at(s, 1)
+        val cs = element_at(s, 2)
+        val cl = element_at(s, 3)
+        val bs = element_at(s, 4)
+        val bl = element_at(s, 5)
+        // a kept block extends (or starts) the current run; the best run
+        // updates only on STRICT improvement — ties stay earliest
+        val cs2 = when(cl === 0, idx).otherwise(cs)
+        val cl2 = cl + 1
+        val grew = keep(b) && cl2 > bl
+        array(idx + 1,
+          when(keep(b), cs2).otherwise(cs),
+          when(keep(b), cl2).otherwise(lit(0L)),
+          when(grew, cs2).otherwise(bs),
+          when(grew, cl2).otherwise(bl))
+      }))
+      .select(id,
+        size(col("__b")).as("n_blocks"),
+        element_at(col("__f"), 4).as("main_start"),
+        element_at(col("__f"), 5).as("main_blocks"),
+        concat_ws(" ", transform(
+          slice(col("__b"), (element_at(col("__f"), 4) + 1).cast("int"),
+            element_at(col("__f"), 5).cast("int")),
+          _.getField("txt"))).as("main_text"))
+      .withColumn("n_main_chars", length(col("main_text")))
+  }
+
   /** Per-block view (posexplode — still map-only, zero shuffle):
     * (id, block_idx, text, link_ppm, kept). The debugging/threshold-tuning
     * surface; [[extract]] is the production emit.

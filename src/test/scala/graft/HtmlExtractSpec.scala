@@ -98,4 +98,66 @@ class HtmlExtractSpec extends SparkSpec {
     assert(nb == 2 && nk == 1)
     assert(text == "This block is comfortably past the minimum length.")
   }
+
+  private def main(html: String): (Int, Long, Long, String, Int) =
+    HtmlExtract.mainContent(Seq((1L, html)).toDF("doc_id", "html"),
+        col("doc_id"), col("html"))
+      .select("n_blocks", "main_start", "main_blocks", "main_text",
+        "n_main_chars")
+      .as[(Int, Long, Long, String, Int)].head()
+
+  test("mainContent picks the LARGEST contiguous kept run, not all kept " +
+    "blocks: a nav strip splits the page and the bigger prose side wins") {
+    val (nb, ms, mb, text, chars) = main(
+      "<body><p>Header teaser sentence long enough to keep around.</p>" +
+        "<div><a href='/1'>home</a> <a href='/2'>about</a></div>" +
+        "<p>Body paragraph one carries the real article prose.</p>" +
+        "<p>Body paragraph two continues the very same article.</p>" +
+        "<p>Body paragraph three closes out the article body.</p></body>")
+    assert(nb == 5)
+    // runs: [teaser] (len 1), nav breaks, [body1..body3] (len 3)
+    assert(ms == 2L && mb == 3L, s"expected run at 2 len 3, got ($ms,$mb)")
+    assert(text == "Body paragraph one carries the real article prose. " +
+      "Body paragraph two continues the very same article. " +
+      "Body paragraph three closes out the article body.")
+    assert(chars == text.length)
+    // extract() would have spliced the teaser in — mainContent must not
+    assert(!text.contains("teaser"))
+  }
+
+  test("mainContent ties go to the EARLIEST run; strict improvement only") {
+    val (_, ms, mb, text, _) = main(
+      "<body><p>First run paragraph alpha is long enough here.</p>" +
+        "<p>First run paragraph beta is also long enough here.</p>" +
+        "<div><a href='/x'>nav</a></div>" +
+        "<p>Second run paragraph gamma is long enough as well.</p>" +
+        "<p>Second run paragraph delta is long enough as well.</p></body>")
+    assert(ms == 0L && mb == 2L, s"tie must stay earliest: ($ms,$mb)")
+    assert(text.startsWith("First run paragraph alpha"))
+  }
+
+  test("mainContent on an all-boilerplate page: zero-length run, empty text") {
+    val (nb, ms, mb, text, chars) = main(
+      "<body><div><a href='/1'>home</a> <a href='/2'>about</a></div>" +
+        "<p>tiny</p></body>")
+    assert(nb == 2 && ms == 0L && mb == 0L && text == "" && chars == 0)
+  }
+
+  test("mainContent with no break: the whole page is one run") {
+    val (nb, ms, mb, text, _) = main(
+      "<body><h1>A headline long enough to clear the bar</h1>" +
+        "<p>And a paragraph that follows it immediately after.</p></body>")
+    assert(nb == 2 && ms == 0L && mb == 2L)
+    assert(text.startsWith("A headline") && text.endsWith("after."))
+  }
+
+  test("mainContent run indices are over NON-EMPTY blocks (whitespace-only " +
+    "blocks are invisible to the run structure)") {
+    val (nb, ms, mb, text, _) = main(
+      "<body><p>   </p><p>short</p><div>  </div>" +
+        "<p>The only substantial paragraph on this entire page.</p></body>")
+    // non-empty blocks: [short, substantial]; short breaks, run = [1,1]
+    assert(nb == 2 && ms == 1L && mb == 1L)
+    assert(text == "The only substantial paragraph on this entire page.")
+  }
 }
