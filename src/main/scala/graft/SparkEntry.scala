@@ -2741,6 +2741,43 @@ object SparkEntry {
         topK = 5, nProbe = 4)
     },
 
+    // Stored-index DELETE (tombstones, the Lucene/FAISS model): the
+    // doomed ids (vec_id % 7 = 3) land in a tombstone sidecar — no
+    // postings rewrite — and the query path anti-joins them out BEFORE
+    // any ADC work. Deleted vectors still QUERY (retraction removes them
+    // as answers, not as askers). Oracle = s9's replay with the same ids
+    // excluded from the candidate set only.
+    "s33_ivf_pq_delete" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val prefix = s"graft-ivfpqd-${java.lang.Integer.toHexString(dir.hashCode)}-"
+      sweepDeadPidDirs(tmpRoot, prefix)
+      val idx = s"$tmpRoot/$prefix${ProcessHandle.current().pid()}"
+      Quantize.writeIvfPqIndex(emb, idx, nCells = 16, m = 4, k = 4, dim = 64)
+      Quantize.deleteFromIvfPqIndex(
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
+      Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
+        topK = 5, nProbe = 4)
+    },
+
+    // Compaction folds the tombstones INTO the postings (rewrite-minus,
+    // tmp-then-swap) and must change NO answer: same oracle as s33 — the
+    // tombstone path and the compacted index are the same index.
+    "s34_ivf_pq_compact" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val prefix = s"graft-ivfpqc-${java.lang.Integer.toHexString(dir.hashCode)}-"
+      sweepDeadPidDirs(tmpRoot, prefix)
+      val idx = s"$tmpRoot/$prefix${ProcessHandle.current().pid()}"
+      Quantize.writeIvfPqIndex(emb, idx, nCells = 16, m = 4, k = 4, dim = 64)
+      Quantize.deleteFromIvfPqIndex(
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
+      val (kept, folded) = Quantize.compactIvfPqIndex(s, idx)
+      require(folded > 0 && kept >= 0, s"compact saw no tombstones: $folded")
+      Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
+        topK = 5, nProbe = 4)
+    },
+
     // The composed training-data prep job: quality filter → content-
     // fingerprint dedup → stratified sample, as one plan with a single
     // shuffle (the fingerprint exchange).
@@ -4187,6 +4224,26 @@ object SparkEntry {
         "WHERE q.query_id <> a.vec_id\n" +
           "    AND a.vec_id IN (SELECT vec_id FROM embeddings " +
           "WHERE label IN (1, 2)))")
+    }) +
+    // s33/s34: s9's replay with the tombstoned ids excluded from the
+    // CANDIDATE set only (deleted vectors still ask, never answer) —
+    // derived from the one s9 source like s31. s34 (compacted) shares it
+    // verbatim: compaction is exactness-preserving by construction.
+    ("s33_ivf_pq_delete" -> {
+      val base = baseOracles("s9_ivf_pq_topk")
+      val marker = "WHERE q.query_id <> a.vec_id)"
+      require(base.contains(marker),
+        "s9 oracle text drifted; update the s33 derivation marker")
+      base.replace(marker,
+        "WHERE q.query_id <> a.vec_id AND a.vec_id % 7 <> 3)")
+    }) +
+    ("s34_ivf_pq_compact" -> {
+      val base = baseOracles("s9_ivf_pq_topk")
+      val marker = "WHERE q.query_id <> a.vec_id)"
+      require(base.contains(marker),
+        "s9 oracle text drifted; update the s34 derivation marker")
+      base.replace(marker,
+        "WHERE q.query_id <> a.vec_id AND a.vec_id % 7 <> 3)")
     }) +
     // s32: s9's replay with BOTH affine picks (centroids + codebook)
     // restricted to the even build half, assignment/coding over the full

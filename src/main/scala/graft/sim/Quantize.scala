@@ -276,6 +276,14 @@ object Quantize {
     // the directory meta-less, which the read path rejects as incomplete —
     // never a valid-looking sidecar describing absent or stale parquet.
     deleteIndexMeta(corpus.sparkSession, dir)
+    // a REBUILD starts from zero deletes: leftover tombstones from the
+    // previous index generation must not apply to the fresh postings
+    locally {
+      val tomb = new org.apache.hadoop.fs.Path(dir, "tombstones")
+      val fs = tomb.getFileSystem(corpus.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(tomb)) require(fs.delete(tomb, true),
+        s"cannot clear stale $tomb before rebuild")
+    }
     val cPrep = corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
     val cents = Ivf.centroids(cPrep, nCells)
@@ -351,6 +359,76 @@ object Quantize {
         "m" -> m.toString, "k" -> k.toString, "dim" -> dim.toString,
         "metric" -> meta.getOrElse("metric", "l2"),
         "attrs" -> attrs.mkString(",")))
+  }
+
+  /** DELETE from a [[writeIvfPqIndex]]-stored index — TOMBSTONES, not a
+    * rewrite: the doomed ids land in a `tombstones/` parquet dir and the
+    * query path drops matching candidates before any ADC work. At 100 TB
+    * rewriting petabyte postings because 0.1% of vectors were retracted
+    * is the same anti-pattern the upsert avoids for inserts — this is the
+    * Lucene/FAISS delete model (mark now, fold in at compaction).
+    *
+    * Contract (documented, spec-pinned):
+    *  - tombstones are ID-level and survive until [[compactIvfPqIndex]]
+    *    folds them in — re-ingesting a deleted id via
+    *    [[appendIvfPqIndex]] stays dead until a compact runs first;
+    *  - the query-time exclusion is a broadcast anti join, so the live
+    *    tombstone set must stay delta-scale — compaction is the pressure
+    *    valve, and `tombstone_rows` in [[compactIvfPqIndex]]'s report is
+    *    the "time to compact" signal;
+    *  - same commit-marker protocol as build/append: `_meta` comes off
+    *    before the tombstone append and returns after, so a killed
+    *    delete leaves the directory rejected-as-incomplete, never a
+    *    valid-looking index with a torn (partially applied) delete.
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val meta = readIndexMeta(spark, dir)   // validates format first
+    deleteIndexMeta(spark, dir)
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+    writeIndexMeta(spark, dir, meta.toSeq.sortBy(_._1))
+  }
+
+  /** Fold accumulated tombstones INTO the postings and drop them — the
+    * compaction leg of the delete model. Rewrites postings MINUS the
+    * tombstoned ids (per-cell, tombstones broadcast into an anti join),
+    * so post-compact queries pay zero exclusion work and the tombstone
+    * set returns to empty.
+    *
+    * Crash posture: the compacted postings land in `postings.tmp` FIRST;
+    * only then does the swap (delete old, rename tmp) run, then the
+    * tombstone drop, then `_meta` returns. `_meta` is off for the whole
+    * window, so any kill leaves a rejected-as-incomplete directory — and
+    * the postings bytes survive in at least one of the two dirs at every
+    * instant (the rewrite never overwrites in place).
+    *
+    * Returns (postings_kept, tombstone_rows_folded); no-op (and no
+    * marker cycle) when there are no tombstones.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): (Long, Long) = {
+    val meta = readIndexMeta(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val tombPath = new org.apache.hadoop.fs.Path(dir, "tombstones")
+    val fs = tombPath.getFileSystem(conf)
+    if (!fs.exists(tombPath)) return (-1L, 0L)
+    val tomb = spark.read.parquet(tombPath.toString)
+    val nTomb = tomb.count()
+    deleteIndexMeta(spark, dir)
+    val postings = new org.apache.hadoop.fs.Path(dir, "postings")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "postings.tmp")
+    if (fs.exists(tmp)) require(fs.delete(tmp, true), s"cannot clear $tmp")
+    val kept = spark.read.parquet(postings.toString)
+      .join(broadcast(tomb.withColumnRenamed("vec_id", "__dead")),
+        col("neighbor_id") === col("__dead"), "left_anti")
+    kept.write.partitionBy("cell").parquet(tmp.toString)
+    val nKept = spark.read.parquet(tmp.toString).count()
+    require(fs.delete(postings, true), s"cannot drop $postings for swap")
+    require(fs.rename(tmp, postings), s"cannot swap $tmp into place")
+    require(fs.delete(tombPath, true), s"cannot drop folded $tombPath")
+    writeIndexMeta(spark, dir, meta.toSeq.sortBy(_._1))
+    (nKept, nTomb)
   }
 
   /** Tiny driver-side `_meta` sidecar: `key=value` lines, written via the
@@ -450,7 +528,17 @@ object Quantize {
       .collect().map(_.getInt(0)).sorted
     val pruned = spark.read.parquet(s"$dir/postings")
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
-    val coded = filter.fold(pruned)(pruned.filter)
+    // tombstoned ids (deleteFromIvfPqIndex) drop BEFORE any ADC work —
+    // a broadcast anti join at the delta scale compaction keeps bounded
+    val tombPath = new org.apache.hadoop.fs.Path(dir, "tombstones")
+    val live =
+      if (!tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(tombPath)) pruned
+      else pruned.join(
+        broadcast(spark.read.parquet(tombPath.toString)
+          .withColumnRenamed("vec_id", "__dead")),
+        col("neighbor_id") === col("__dead"), "left_anti")
+    val coded = filter.fold(live)(live.filter)
       .select(col("cell"), col("neighbor_id"), col("codes").as("__codes"))
     adcScoreTopK(coded, adcTablesFor(probes, cbPacked, m, sub), topK, m)
   }

@@ -459,4 +459,79 @@ class IvfSpec extends SparkSpec {
       }
     }
   }
+
+  test("stored index DELETE: tombstone-exact vs the predicate path, dead " +
+      "until compaction even if re-appended, compaction answer-preserving, " +
+      "rebuild clears stale tombstones, killed delete rejected") {
+    import graft.sim.Quantize
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "adc_dist", "rank")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    try {
+      Quantize.writeIvfPqIndex(emb, dir, nCells = 8, m = 4, k = 4, dim = 64)
+      // ground truth BEFORE any tombstone exists: exclude the doomed ids
+      // via the postings-scan predicate (same index, same geometry)
+      val wantDel = sorted(Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+        nProbe = 2, filter = Some(col("neighbor_id") % 7 =!= 3)))
+      val before = sorted(Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+        nProbe = 2))
+      assert(before != wantDel,
+        "doomed ids never in any top-k — deletion unexercised, pick others")
+      val doomed = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+      Quantize.deleteFromIvfPqIndex(doomed, dir)
+      val afterDel = Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+        nProbe = 2)
+      assert(afterDel.filter(col("neighbor_id") % 7 === 3).count() == 0)
+      assert(sorted(afterDel) == wantDel,
+        "tombstone exclusion must equal the predicate path exactly")
+      // contract: a deleted id re-APPENDED while its tombstone lives
+      // stays dead (id-level delete outlives the posting)
+      Quantize.appendIvfPqIndex(emb.filter(col("vec_id") % 7 === 3), dir)
+      assert(Quantize.ivfPqTopKStored(queries, dir, topK = 5, nProbe = 2)
+        .filter(col("neighbor_id") % 7 === 3).count() == 0)
+      // compaction folds the tombstones in without changing any answer
+      // (the re-appended dead postings fold away with the originals)
+      val (kept, folded) = Quantize.compactIvfPqIndex(spark, dir)
+      val nDoomed = doomed.distinct().count()
+      assert(folded == nDoomed, s"folded $folded of $nDoomed tombstones")
+      assert(kept == emb.count() - nDoomed)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "tombstones")))
+      assert(sorted(Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+        nProbe = 2)) == wantDel)
+      // second compact is a no-op (no marker cycle, sentinel return)
+      assert(Quantize.compactIvfPqIndex(spark, dir) == ((-1L, 0L)))
+      // post-compact, the id is re-ingestable for real
+      Quantize.appendIvfPqIndex(emb.filter(col("vec_id") % 7 === 3), dir)
+      assert(sorted(Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+        nProbe = 2)) == before, "post-compact re-ingest must restore the " +
+        "original answers (same geometry, same postings set)")
+      // a REBUILD clears leftover tombstones: delete again, rebuild, and
+      // the fresh index must answer as if no delete ever happened
+      Quantize.deleteFromIvfPqIndex(doomed, dir)
+      Quantize.writeIvfPqIndex(emb, dir, nCells = 8, m = 4, k = 4, dim = 64)
+      assert(sorted(Quantize.ivfPqTopKStored(queries, dir, topK = 5,
+        nProbe = 2)) == before)
+      // killed delete (bad ids frame throws after the marker came off)
+      // leaves the directory rejected as incomplete
+      intercept[Exception] {
+        Quantize.deleteFromIvfPqIndex(doomed.withColumnRenamed(
+          "vec_id", "other"), dir)
+      }
+      val rejected = intercept[IllegalArgumentException] {
+        Quantize.ivfPqTopKStored(queries, dir, topK = 3, nProbe = 2)
+      }
+      assert(rejected.getMessage.contains("_meta"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir))) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }
