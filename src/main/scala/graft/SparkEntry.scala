@@ -2902,6 +2902,57 @@ object SparkEntry {
         col("doc_id"), col("html"))
     },
 
+    // Outlink extraction (the crawl-frontier feed): anchors pulled from
+    // synthetic pages, minimally RESOLVED against the page's own host
+    // (absolute kept, protocol-relative de-slashed, root-relative gets
+    // the base host; fragments/mailto/javascript/path-relative drop),
+    // then the full t45 canonicalization chain per link (normalize +
+    // eTLD+1). Map-only posexplode, zero shuffle; the oracle replays
+    // extraction, resolution, and normalization per exploded link.
+    "t84_html_links" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val target = graft.pipeline.WebRank.syntheticUrl(col("doc_id") * 7 + 3)
+      val html = concat(
+        lit("<body><p>Prose with an absolute link <a href=\""), target,
+        lit("\">target</a> and a tracked local one " +
+          "<a href=\"/local/page?utm_source=x&q="),
+        (col("doc_id") % 7).cast("string"),
+        lit("\">here</a>.</p><p><a href='//cdn.mirror"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".org/asset/a.js'>mirror</a> <a href=\"#top\">top</a> " +
+          "<a href=\"mailto:ed@example.org\">mail</a> " +
+          "<a href=\"javascript:void(0)\">js</a> " +
+          "<a href=\"img/rel.png\">rel</a></p></body>"))
+      graft.web.HtmlExtract.links(
+        d.select(col("doc_id"), html.as("html")),
+        col("doc_id"), col("html"),
+        graft.pipeline.WebRank.syntheticUrl(col("doc_id")))
+    },
+
+    // The crawl graph built from EXTRACTED links end-to-end (pipe_webrank
+    // ranks a synthetic stand-in edge list; this one starts from raw
+    // HTML): pages linking two partner sites + noise anchors → href
+    // extraction/resolution → registrable-domain edges (self-loops =
+    // intra-site navigation, dropped) → integer PageRank. The oracle
+    // replays the two surviving link arms as UNION ALL edge CTEs and the
+    // g1-faithful rank iterations.
+    "pipe_webgraph_e2e" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      def mkUrl(c: Column) = graft.pipeline.WebRank.syntheticUrl(c)
+      val html = concat(
+        lit("<body><p>Article prose linking <a href=\""),
+        mkUrl(col("doc_id") * 7 + 3),
+        lit("\">partner one</a> and <a href=\""),
+        mkUrl(col("doc_id") * 13 + 5),
+        lit("\">partner two</a>.</p><div><a href=\"/about\">about</a> " +
+          "<a href=\"#x\">top</a> <a href=\"mailto:z@y.org\">m</a> " +
+          "<a href=\"assets/logo.png\">logo</a></div></body>"))
+      val pages = d.select(col("doc_id"), html.as("html"))
+      val edges = graft.web.HtmlExtract.hostEdges(pages, col("doc_id"),
+        col("html"), mkUrl(col("doc_id")))
+      graft.graph.PageRank.ranks(edges, iterations = 5)
+    },
+
     // Sliding-window token chunking (map-only Generate, no shuffle).
     "t8_chunk" -> { (s, dir) =>
       graft.text.Chunking.chunk(Tables.documents(s, dir), col("doc_id"),
@@ -3833,18 +3884,27 @@ object SparkEntry {
     * over STRING domain nodes, and the budget is the t18 HUGEINT
     * share idiom.
     */
+  /** The t45/webrank synthetic-URL registrable domain as DuckDB SQL. */
+  private def duckDomOf(id: String): String =
+    s"'site' || (($id) % 37) || '.' || " +
+      s"(['com','org','net','co.uk'])[CAST(($id) % 4 + 1 AS INT)]"
+
+  /** One g1-faithful integer PageRank iteration as a CTE over the shared
+    * (e, d, n, r{k-1}) frames — the replay webRankOracle and
+    * pipeWebGraphOracle both chain.
+    */
+  private def duckPrIter(k: Int): String =
+    s"""r$k AS (
+       |  SELECT n.node,
+       |    CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS pr
+       |  FROM n LEFT JOIN (
+       |    SELECT e.dst, sum(r.pr // d.outdeg) AS s
+       |    FROM e JOIN d USING (src) JOIN r${k - 1} r ON r.node = e.src
+       |    GROUP BY e.dst) c ON c.dst = n.node)"""
+
   private def webRankOracle: String = {
-    val domOf = (id: String) =>
-      s"'site' || (($id) % 37) || '.' || " +
-        s"(['com','org','net','co.uk'])[CAST(($id) % 4 + 1 AS INT)]"
-    val iter = (k: Int) =>
-      s"""r$k AS (
-         |  SELECT n.node,
-         |    CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS pr
-         |  FROM n LEFT JOIN (
-         |    SELECT e.dst, sum(r.pr // d.outdeg) AS s
-         |    FROM e JOIN d USING (src) JOIN r${k - 1} r ON r.node = e.src
-         |    GROUP BY e.dst) c ON c.dst = n.node)"""
+    val domOf = duckDomOf _
+    val iter = duckPrIter _
     s"""WITH doms AS (
        |  SELECT ${domOf("doc_id")} AS domain, text FROM documents),
        |m AS (
@@ -3887,6 +3947,106 @@ object SparkEntry {
        |    ELSE 0 END AS BIGINT) AS budget_ppm
        |FROM scored CROSS JOIN tot""".stripMargin
   }
+
+  /** The t45/webrank synthetic URL (full form, scheme + noise + tracking
+    * params) as DuckDB SQL over an id expression.
+    */
+  private def duckSynthUrl(id: String): String =
+    s"(CASE WHEN ($id) % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || " +
+      s"(CASE WHEN ($id) % 3 = 0 THEN 'WWW.' ELSE '' END) || " +
+      s"(CASE WHEN ($id) % 5 = 0 THEN 'cdn.' ELSE '' END) || " +
+      s"'Site' || (($id) % 37) || '.' || " +
+      s"(['com','org','net','co.uk'])[CAST(($id) % 4 + 1 AS INT)] || " +
+      s"'/p/' || ($id) || '?utm_source=feed&id=' || (($id) % 7) || '&ref=x'"
+
+  /** t84 oracle: href extraction (same RE2-safe `["']`-class pattern),
+    * the three resolution conventions, then the t45 normalization chain
+    * replayed PER exploded link. The range-join + `WHERE i < len(l)`
+    * explode is the s9 precedent; 16 bounds the synthetic page's anchor
+    * count (7).
+    */
+  private def htmlLinksOracle: String =
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |    '<body><p>Prose with an absolute link <a href="'
+       |    || ${duckSynthUrl("doc_id * 7 + 3")}
+       |    || '">target</a> and a tracked local one <a href="/local/page?utm_source=x&q='
+       |    || (doc_id % 7)
+       |    || '">here</a>.</p><p><a href=''//cdn.mirror' || (doc_id % 5)
+       |    || '.org/asset/a.js''>mirror</a> <a href="#top">top</a> <a href="mailto:ed@example.org">mail</a> <a href="javascript:void(0)">js</a> <a href="img/rel.png">rel</a></p></body>'
+       |      AS html,
+       |    (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END)
+       |    || 'site' || (doc_id % 37) || '.'
+       |    || (['com','org','net','co.uk'])[CAST(doc_id % 4 + 1 AS INT)]
+       |      AS bh
+       |  FROM documents),
+       |res AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |      regexp_extract_all(html,
+       |        '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"''>]*)["'']', 1),
+       |      h -> struct_pack(href := h, r :=
+       |        CASE WHEN regexp_matches(h, '^//')
+       |               THEN regexp_replace(h, '^//', '')
+       |             WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+       |               THEN h
+       |             WHEN regexp_matches(h, '^/') THEN bh || h
+       |             ELSE NULL END)),
+       |    s -> struct_extract(s, 'r') IS NOT NULL) AS l
+       |  FROM pages),
+       |lx AS (
+       |  SELECT doc_id, CAST(t.i AS INT) AS link_idx,
+       |    struct_extract(l[CAST(t.i + 1 AS INT)], 'href') AS href,
+       |    struct_extract(l[CAST(t.i + 1 AS INT)], 'r') AS u
+       |  FROM res CROSS JOIN range(0, 16) t(i)
+       |  WHERE t.i < len(l)),
+       |nh AS (
+       |  SELECT doc_id, link_idx, href,
+       |    regexp_replace(lower(regexp_extract(
+       |      regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+       |      '^([^/?#]+)', 1)), '^www\\.', '') AS host,
+       |    regexp_replace(regexp_replace(u,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/?#]+', '') AS rest
+       |  FROM lx),
+       |q AS (
+       |  SELECT doc_id, link_idx, href, host,
+       |    regexp_extract(rest, '^([^?#]*)', 1) AS path,
+       |    list_filter(string_split(regexp_extract(rest, '\\?([^#]*)', 1),
+       |        '&'),
+       |      p -> len(p) > 0 AND
+       |        NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))
+       |      AS kept,
+       |    string_split(host, '.') AS hl
+       |  FROM nh)
+       |SELECT doc_id, link_idx, href,
+       |  host || path || (CASE WHEN len(kept) > 0
+       |    THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url,
+       |  CASE WHEN len(hl) >= 3 AND (hl[-2] || '.' || hl[-1])
+       |      IN ('co.uk', 'co.jp', 'com.au', 'co.nz')
+       |    THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+       |    ELSE hl[-2] || '.' || hl[-1] END AS domain
+       |FROM q""".stripMargin
+
+  /** pipe_webgraph oracle: the two surviving link arms (absolute partner
+    * anchors; the root-relative/-noise anchors resolve to self-loops or
+    * drop) as UNION ALL edge CTEs, then the shared g1-faithful rank
+    * iterations.
+    */
+  private def pipeWebGraphOracle: String =
+    s"""WITH raw AS (
+       |  SELECT ${duckDomOf("doc_id")} AS src,
+       |         ${duckDomOf("doc_id * 7 + 3")} AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT ${duckDomOf("doc_id")},
+       |         ${duckDomOf("doc_id * 13 + 5")}
+       |  FROM documents),
+       |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |n AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+       |${(1 to 5).map(duckPrIter).mkString(",\n")}
+       |SELECT node, pr AS rank_micro FROM r5""".stripMargin
 
   /** The engine-neutral token hash as DuckDB SQL: base-131 Horner over
     * `ord(char)` mod 1e9+7, seed 7 — mirrors [[TextAnalysis.tokenHash]].
@@ -7097,6 +7257,8 @@ object SparkEntry {
     "t52_bpe_train" -> bpeTrainOracle,
     "t81_bpe_train_batched" -> bpeTrainBatchedOracle,
     "pipe_webrank_e2e" -> webRankOracle,
+    "t84_html_links" -> htmlLinksOracle,
+    "pipe_webgraph_e2e" -> pipeWebGraphOracle,
 
     "w13_abandonment" ->
       """WITH e AS (

@@ -160,4 +160,66 @@ object HtmlExtract {
         col("__s.link_ppm").as("link_ppm"))
       .withColumn("kept",
         length(col("text")) >= minChars && col("link_ppm") <= maxLinkPpm)
+
+  /** All `href` attribute values, document order. One RE2-safe pattern:
+    * the `["']` CLASS (not a backreference) accepts either quote — a
+    * mismatched pair extracts deterministically on both engines.
+    */
+  private def hrefs(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"']"), lit(1))
+
+  /** Minimal outlink resolution against the page's own host — the subset
+    * every crawl-graph build needs, each case a documented convention:
+    * protocol-relative `//host/p` → `host/p`; absolute `scheme://…` kept
+    * (normalization strips the scheme anyway); root-relative `/p` →
+    * `baseHost/p`. Everything else resolves to NULL and is dropped:
+    * fragments, `mailto:`/`javascript:`/`data:` (no `://`, so they fail
+    * the scheme test), and PATH-relative links — full RFC 3986
+    * dot-segment merging is out of scope, and dropping beats resolving
+    * wrong (a crawl frontier built on bad merges poisons the graph).
+    */
+  private def resolveHref(h: Column, baseHost: Column): Column =
+    when(h.rlike("^//"), regexp_replace(h, "^//", ""))
+      .when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+      .when(h.rlike("^/"), concat(baseHost, h))
+      .otherwise(lit(null))
+
+  /** Kept (href, resolved) pairs, document order. */
+  private def resolvedLinks(html: Column, baseUrl: Column): Column =
+    filter(
+      transform(hrefs(html), h =>
+        struct(h.as("href"),
+          resolveHref(h, UrlOps.host(baseUrl)).as("res"))),
+      s => s.getField("res").isNotNull)
+
+  /** Per-link OUTLINK table (the crawl-frontier feed): one row per
+    * resolvable anchor — `link_idx` (0-based over KEPT links, document
+    * order), the raw `href`, the [[UrlOps.normalizeUrl]]-canonical `url`,
+    * and the eTLD+1 `domain`. Map-only posexplode, zero shuffle; pages
+    * with no resolvable link emit nothing (the table is link-scale).
+    */
+  def links(df: DataFrame, id: Column, html: Column,
+            baseUrl: Column): DataFrame =
+    df.select(id,
+        posexplode(resolvedLinks(html, baseUrl)).as(Seq("link_idx", "__l")))
+      .select(id, col("link_idx"),
+        col("__l.href").as("href"),
+        UrlOps.normalizeUrl(col("__l.res")).as("url"),
+        UrlOps.registrableDomain(col("__l.res")).as("domain"))
+
+  /** Registrable-domain edge list from extracted outlinks — the input
+    * [[graft.graph.PageRank]] and the crawl-budget pipeline key on:
+    * `(src, dst)` distinct, self-loops dropped (intra-site links are
+    * navigation, not endorsement). ONE edge-scale shuffle (the distinct);
+    * extraction itself stays map-only.
+    */
+  def hostEdges(df: DataFrame, id: Column, html: Column,
+                baseUrl: Column): DataFrame =
+    df.select(UrlOps.registrableDomain(baseUrl).as("src"),
+        explode(transform(resolvedLinks(html, baseUrl),
+          _.getField("res"))).as("__u"))
+      .select(col("src"), UrlOps.registrableDomain(col("__u")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
 }

@@ -37,6 +37,11 @@ object UrlOps {
   /** Tracking parameters dropped by [[normalizeUrl]]. */
   val TrackingParamPattern = "^(utm_[^=]*|ref|fbclid|gclid)="
 
+  /** Lowercased, `www.`-stripped host — the base a page's root-relative
+    * outlinks resolve against ([[HtmlExtract.links]]).
+    */
+  def host(url: Column): Column = hostOf(url)
+
   private def hostOf(url: Column): Column = {
     val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     regexp_replace(lower(regexp_extract(noScheme, "^([^/?#]+)", 1)), "^www\\.", "")

@@ -160,4 +160,57 @@ class HtmlExtractSpec extends SparkSpec {
     assert(nb == 2 && ms == 1L && mb == 1L)
     assert(text == "The only substantial paragraph on this entire page.")
   }
+
+  test("links: resolution conventions — absolute kept, protocol-relative " +
+    "de-slashed, root-relative gets the base host; fragment/mailto/" +
+    "javascript/path-relative drop; link_idx runs over KEPT links") {
+    val df = Seq((1L,
+      "<body><a href=\"https://WWW.Ext.CO.UK/a?utm_source=t&x=1\">abs</a>" +
+        "<a href='//cdn.other.org/lib.js'>pr</a>" +
+        "<a href=\"/p/2#frag\">root</a>" +
+        "<a href=\"#top\">frag</a><a href=\"mailto:a@b.c\">m</a>" +
+        "<a href=\"javascript:void(0)\">j</a><a href=\"rel/img.png\">r</a>" +
+        "<a name=\"no-href\">skip</a></body>",
+      "http://www.base.com/page?q=1")).toDF("doc_id", "html", "base")
+    val rows = HtmlExtract.links(df, col("doc_id"), col("html"), col("base"))
+      .orderBy("link_idx")
+      .select("link_idx", "href", "url", "domain")
+      .as[(Int, String, String, String)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0, 1, 2))
+    assert(rows(0) == ((0, "https://WWW.Ext.CO.UK/a?utm_source=t&x=1",
+      "ext.co.uk/a?x=1", "ext.co.uk")))
+    assert(rows(1) == ((1, "//cdn.other.org/lib.js",
+      "cdn.other.org/lib.js", "other.org")))
+    // root-relative resolves against the page's own (www-stripped) host;
+    // the fragment is dropped by normalization
+    assert(rows(2) == ((2, "/p/2#frag", "base.com/p/2", "base.com")))
+  }
+
+  test("links: pages with no resolvable anchor emit nothing; malformed " +
+    "quotes extract deterministically") {
+    val df = Seq(
+      (1L, "<p>No anchors at all, just prose.</p>", "http://a.com"),
+      (2L, "<a href=\"rel.html\">only relative</a>", "http://a.com"),
+      (3L, "<a href=\"http://x.org/p'>mismatched</a>", "http://a.com"))
+      .toDF("doc_id", "html", "base")
+    val rows = HtmlExtract.links(df, col("doc_id"), col("html"), col("base"))
+      .select("doc_id", "url").as[(Long, String)].collect().toSeq
+    // doc 3: the ["'] class closes the value at the single quote —
+    // deterministic, same on both engines
+    assert(rows == Seq((3L, "x.org/p")))
+  }
+
+  test("hostEdges: distinct registrable-domain pairs, self-loops dropped") {
+    val df = Seq(
+      (1L, "<a href=\"http://b.com/1\">x</a><a href=\"http://b.com/2\">y</a>" +
+        "<a href=\"/self\">s</a><a href=\"http://c.co.uk/\">z</a>",
+        "http://a.com/p"),
+      (2L, "<a href=\"http://b.com/3\">x</a>", "http://a.com/q"))
+      .toDF("doc_id", "html", "base")
+    val edges = HtmlExtract.hostEdges(df, col("doc_id"), col("html"),
+        col("base"))
+      .as[(String, String)].collect().toSeq.sorted
+    // two pages of a.com both link b.com (deduped); /self is a self-loop
+    assert(edges == Seq(("a.com", "b.com"), ("a.com", "c.co.uk")))
+  }
 }
