@@ -2929,6 +2929,33 @@ object SparkEntry {
         graft.pipeline.WebRank.syntheticUrl(col("doc_id")))
     },
 
+    // Model-based corpus filtering, TRAIN side (the fastText/DCLM shape:
+    // a linear model over hashing-trick features, bootstrapped from a
+    // WEAK label — here the seed-keyword heuristic "mentions spark"):
+    // logistic regression on hashed set-of-words presence bits, 20
+    // full-batch GD rounds — one (dim+1)-key aggregation job per round,
+    // weights quantized to 6dp between rounds so the oracle's replay
+    // sees identical literals each round and float drift cannot
+    // compound. The trained model fully separates the weak label
+    // (pos-mean 1.000 / neg-mean 0.000 at sf0.01) — real learning, not
+    // a prior fit.
+    "t85_lr_train" -> { (s, dir) =>
+      graft.text.Classifier.trainedWeights(Tables.documents(s, dir),
+        array_contains(split(lower(col("text")), " "), "spark"),
+        col("text"), dim = 256, iters = 20, lr = 20.0)
+    },
+
+    // APPLY side: the trained model scores every doc as a pure
+    // projection (zero shuffle) — the shape of every model-based filter
+    // pass over a 100 TB corpus (train small, apply wide).
+    "t86_lr_score" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val w = graft.text.Classifier.trainLogistic(d,
+        array_contains(split(lower(col("text")), " "), "spark"),
+        col("text"), dim = 256, iters = 20, lr = 20.0)
+      graft.text.Classifier.score(d, col("doc_id"), col("text"), w)
+    },
+
     // The crawl graph built from EXTRACTED links end-to-end (pipe_webrank
     // ranks a synthetic stand-in edge list; this one starts from raw
     // HTML): pages linking two partner sites + noise anchors → href
@@ -4025,6 +4052,72 @@ object SparkEntry {
        |    THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
        |    ELSE hl[-2] || '.' || hl[-1] END AS domain
        |FROM q""".stripMargin
+
+  /** The quantized-weight logistic-GD replay shared by t85/t86: feature
+    * CTE (hashed-TF + bias slot), zero-init w0, then per round: the
+    * sequential-fold dot → σ → per-slot gradient sums (range join, the
+    * s9 explode precedent) → round-6 weight update. Mirrors
+    * [[graft.text.Classifier]] exactly — same quantization points, so
+    * the literals entering every round agree across engines.
+    */
+  private def lrCtes(dim: Int, iters: Int, lr: String): String = {
+    val d1 = dim + 1
+    // STRICTLY LINEAR chain: every CTE is referenced exactly once (the
+    // previous weights ride THROUGH the gradient aggregation as
+    // min(pw[i]) — identical within a group) — w{k-1} referenced twice
+    // would make DuckDB's CTE inlining expand the chain 2^iters-fold.
+    // Every CTE is additionally MATERIALIZED: even the linear chain
+    // trips an optimizer pass that goes exponential in inlined depth
+    // past ~9 levels (measured 0.42→0.67→1.72 s at k=8,9,10, then
+    // minutes at 20); materialization fences it to 1 s total.
+    def iterCte(k: Int): String =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y, f.x, w.w AS pw,
+         |    1.0 / (1.0 + exp(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${d1 + 1}),
+         |        i -> f.x[CAST(i AS INT)] * w.w[CAST(i AS INT)])),
+         |      (a, b) -> a + b)))) AS p
+         |  FROM feat f CROSS JOIN w${k - 1} w),
+         |g$k AS MATERIALIZED (
+         |  SELECT t.i AS i, sum(x[CAST(t.i AS INT)] * (p - y)) AS g,
+         |    count(*) AS n, min(pw[CAST(t.i AS INT)]) AS wprev
+         |  FROM p$k CROSS JOIN range(1, ${d1 + 1}) t(i) GROUP BY t.i),
+         |w$k AS MATERIALIZED (
+         |  SELECT list(round(wprev - $lr * g / n, 6) ORDER BY i) AS w
+         |  FROM g$k)"""
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
+       |      THEN 1.0 ELSE 0.0 END AS y,
+       |    list_transform(string_split(lower(text), ' '),
+       |      t -> ${duckTokenHash("t")} % $dim) AS hs
+       |  FROM documents),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    list_append(list_transform(range(0, $dim),
+       |      j -> CASE WHEN list_contains(hs, j)
+       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END),
+       |    CAST(1.0 AS DOUBLE)) AS x
+       |  FROM toks),
+       |w0 AS (SELECT list_transform(range(0, $d1),
+       |  i -> CAST(0.0 AS DOUBLE)) AS w),
+       |${(1 to iters).map(iterCte).mkString(",\n")}""".stripMargin
+  }
+
+  private def lrTrainOracle: String =
+    s"""${lrCtes(256, 20, "20.0")}
+       |SELECT CAST(t.i AS INT) AS pos, w[CAST(t.i + 1 AS INT)] AS weight
+       |FROM w20 CROSS JOIN range(0, 257) t(i)""".stripMargin
+
+  private def lrScoreOracle: String =
+    s"""${lrCtes(256, 20, "20.0")}
+       |SELECT f.doc_id,
+       |  round(1.0 / (1.0 + exp(-(list_reduce(list_prepend(
+       |    CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, 258),
+       |      i -> f.x[CAST(i AS INT)] * w.w[CAST(i AS INT)])),
+       |    (a, b) -> a + b)))), 6) AS score
+       |FROM feat f CROSS JOIN w20 w""".stripMargin
 
   /** pipe_webgraph oracle: the two surviving link arms (absolute partner
     * anchors; the root-relative/-noise anchors resolve to self-loops or
@@ -7259,6 +7352,8 @@ object SparkEntry {
     "pipe_webrank_e2e" -> webRankOracle,
     "t84_html_links" -> htmlLinksOracle,
     "pipe_webgraph_e2e" -> pipeWebGraphOracle,
+    "t85_lr_train" -> lrTrainOracle,
+    "t86_lr_score" -> lrScoreOracle,
 
     "w13_abandonment" ->
       """WITH e AS (
