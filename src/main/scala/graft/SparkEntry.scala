@@ -2932,7 +2932,7 @@ object SparkEntry {
     // Model-based corpus filtering, TRAIN side (the fastText/DCLM shape:
     // a linear model over hashing-trick features, bootstrapped from a
     // WEAK label — here the seed-keyword heuristic "mentions spark"):
-    // logistic regression on hashed set-of-words presence bits, 20
+    // logistic regression on hashed set-of-words presence bits, 10
     // full-batch GD rounds — one (dim+1)-key aggregation job per round,
     // weights quantized to 6dp between rounds so the oracle's replay
     // sees identical literals each round and float drift cannot
@@ -2942,7 +2942,7 @@ object SparkEntry {
     "t85_lr_train" -> { (s, dir) =>
       graft.text.Classifier.trainedWeights(Tables.documents(s, dir),
         array_contains(split(lower(col("text")), " "), "spark"),
-        col("text"), dim = 256, iters = 20, lr = 20.0)
+        col("text"), dim = 256, iters = 10, lr = 20.0)
     },
 
     // APPLY side: the trained model scores every doc as a pure
@@ -2952,7 +2952,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val w = graft.text.Classifier.trainLogistic(d,
         array_contains(split(lower(col("text")), " "), "spark"),
-        col("text"), dim = 256, iters = 20, lr = 20.0)
+        col("text"), dim = 256, iters = 10, lr = 20.0)
       graft.text.Classifier.score(d, col("doc_id"), col("text"), w)
     },
 
@@ -4105,19 +4105,19 @@ object SparkEntry {
   }
 
   private def lrTrainOracle: String =
-    s"""${lrCtes(256, 20, "20.0")}
+    s"""${lrCtes(256, 10, "20.0")}
        |SELECT CAST(t.i AS INT) AS pos, w[CAST(t.i + 1 AS INT)] AS weight
-       |FROM w20 CROSS JOIN range(0, 257) t(i)""".stripMargin
+       |FROM w10 CROSS JOIN range(0, 257) t(i)""".stripMargin
 
   private def lrScoreOracle: String =
-    s"""${lrCtes(256, 20, "20.0")}
+    s"""${lrCtes(256, 10, "20.0")}
        |SELECT f.doc_id,
        |  round(1.0 / (1.0 + exp(-(list_reduce(list_prepend(
        |    CAST(0.0 AS DOUBLE),
        |    list_transform(range(1, 258),
        |      i -> f.x[CAST(i AS INT)] * w.w[CAST(i AS INT)])),
        |    (a, b) -> a + b)))), 6) AS score
-       |FROM feat f CROSS JOIN w20 w""".stripMargin
+       |FROM feat f CROSS JOIN w10 w""".stripMargin
 
   /** pipe_webgraph oracle: the two surviving link arms (absolute partner
     * anchors; the root-relative/-noise anchors resolve to self-loops or
