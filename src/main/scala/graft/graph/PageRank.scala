@@ -67,10 +67,16 @@ object PageRank {
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
     val Seq(srcName, dstName) = edges.columns.toSeq.take(2)
+    // the deduped edge list is CACHED before anything derives from it:
+    // eDeg is `e ⋈ e.groupBy` — two references — and nodes is two more,
+    // so an uncached `e` re-runs the caller's whole edge-derivation plan
+    // up to 4× (for pipe_webgraph that is the full HTML link extraction;
+    // measured ~2× the query wall at sf10). Edge-scale memory: the
+    // distinct pair list, far below the derivation's input.
     val e = edges
       .select(col(srcName).as("src"), col(dstName).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+      .distinct().cache()
     val deg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
     val eDeg = e.join(deg, "src").cache()
     val nodes = e.select(col("src").as("node"))

@@ -415,6 +415,12 @@ object Quantize {
     if (!fs.exists(tombPath)) return (-1L, 0L)
     val tomb = spark.read.parquet(tombPath.toString)
     val nTomb = tomb.count()
+    // INTENT manifest before the marker comes off (the Sinks staged-commit
+    // pattern): unlike a killed build/append — whose partial data is
+    // unrecoverable garbage — a killed compact leaves everything needed to
+    // heal on disk, and `_meta.pending` both proves the incomplete state
+    // came from a compact and preserves the sidecar content to restore.
+    writePendingMeta(spark, dir, meta.toSeq.sortBy(_._1))
     deleteIndexMeta(spark, dir)
     val postings = new org.apache.hadoop.fs.Path(dir, "postings")
     val tmp = new org.apache.hadoop.fs.Path(dir, "postings.tmp")
@@ -428,7 +434,74 @@ object Quantize {
     require(fs.rename(tmp, postings), s"cannot swap $tmp into place")
     require(fs.delete(tombPath, true), s"cannot drop folded $tombPath")
     writeIndexMeta(spark, dir, meta.toSeq.sortBy(_._1))
+    deletePendingMeta(spark, dir)
     (nKept, nTomb)
+  }
+
+  /** Heal an index whose compact was KILLED mid-flight. Applicable iff
+    * `_meta.pending` exists (the compact intent manifest — a killed
+    * build/append leaves no pending file and stays honestly
+    * unrecoverable). Every kill window restores to a VALID index:
+    *
+    *  - killed during the tmp write → drop the partial tmp, restore
+    *    `_meta` (postings untouched, tombstones intact — the pre-compact
+    *    index exactly);
+    *  - killed between the postings drop and the rename → complete the
+    *    swap (tmp is fully written by then — the swap only starts after
+    *    the tmp count);
+    *  - killed before the tombstone drop → restore as-is: re-running
+    *    compact anti-joins already-folded ids out of already-compacted
+    *    postings, a no-op by idempotence.
+    *
+    * Returns true when something was healed; false when no pending
+    * manifest exists (nothing to do — or not a compact kill).
+    */
+  def recoverIvfPqCompact(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val pending = new org.apache.hadoop.fs.Path(dir, "_meta.pending")
+    val fs = pending.getFileSystem(conf)
+    if (!fs.exists(pending)) return false
+    val postings = new org.apache.hadoop.fs.Path(dir, "postings")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "postings.tmp")
+    if (!fs.exists(postings)) {
+      require(fs.exists(tmp),
+        s"$dir: neither postings nor postings.tmp — not a compact kill " +
+          "window; refusing to heal (rebuild from the corpus)")
+      require(fs.rename(tmp, postings), s"cannot complete swap of $tmp")
+    } else if (fs.exists(tmp)) {
+      // partial tmp write: the old postings are still the truth
+      require(fs.delete(tmp, true), s"cannot drop partial $tmp")
+    }
+    // restore the sidecar VERBATIM from the intent manifest, then retire
+    // it; leftover tombstones are safe in every window (idempotent fold)
+    val in = fs.open(pending)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_meta"), true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    deletePendingMeta(spark, dir)
+    true
+  }
+
+  private def writePendingMeta(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               kvs: Seq[(String, String)]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_meta.pending"),
+      true)
+    try out.write(kvs.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def deletePendingMeta(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_meta.pending")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, false)
   }
 
   /** Tiny driver-side `_meta` sidecar: `key=value` lines, written via the

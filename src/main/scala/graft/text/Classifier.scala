@@ -15,18 +15,27 @@ import org.apache.spark.sql.functions._
   *
   * Features are hashed PRESENCE bits ([[TextAnalysis.tokenHash]] mod
   * `dim`, set-of-words — presence, not TF, is what makes short seed
-  * signals linearly separable against collision noise) plus a trailing
-  * constant-1 bias slot.
+  * signals linearly separable against collision noise) plus a constant-1
+  * bias slot at position `dim`. The representation is SPARSE throughout:
+  * a doc is its distinct bucket-id array (∼50 longs), never a dense
+  * dim+1 vector — presence features make `x·err` zero on every absent
+  * bucket, so absent buckets contribute nothing to any gradient sum and
+  * materializing them is pure waste. The dense formulation was measured
+  * first: 600 s at sf10 (cache eviction at 2 KB/row × 500k docs plus
+  * interpreted-HOF cost on 257 slots/row) vs ∼20 s sparse — a 30×
+  * scale-killer hiding at small SF, where both look instant.
   *
   * Training is FULL-BATCH gradient descent: per iteration, ONE job
-  * computes the gradient — a posexplode of the per-doc `x·(p−y)`
-  * contribution vectors into a (dim+1)-key partial-aggregated groupBy —
-  * and the driver folds it into the weight vector (dim+1 doubles:
-  * control-flow-scale state, the k-means-centroid pattern). At 100 TB
-  * nothing changes: the shuffle carries dim+1 keys regardless of corpus
-  * size, map-side partials do the heavy summation, and the model rides
-  * back as a literal. Iterations are jobs, not plan nesting — the plan
-  * never deepens (the BPE-fold lesson).
+  * computes the gradient — explode each doc's present buckets with its
+  * scalar error, partial-aggregated groupBy over ≤ dim+1 keys — and the
+  * driver folds it into the weight vector (dim+1 doubles: control-flow-
+  * scale state, the k-means-centroid pattern). Buckets no doc touches
+  * simply don't appear — their gradient is exactly zero and their weight
+  * carries over. At 100 TB nothing changes: the shuffle carries ≤ dim+1
+  * keys regardless of corpus size, map-side partials do the heavy
+  * summation, and the model rides back as a literal. Iterations are
+  * jobs, not plan nesting — the plan never deepens (the BPE-fold
+  * lesson).
   *
   * Cross-engine determinism: QUANTIZED-WEIGHT GD. After every iteration
   * the weights round to 6 decimals BEFORE re-entering the next iteration
@@ -36,40 +45,28 @@ import org.apache.spark.sql.functions._
   * across iterations. Within an iteration the only order-sensitive
   * arithmetic is the cross-row gradient sum (partition-order
   * reassociation ~1e-13 relative — absorbed by the 1e-6 quantum, the
-  * Lloyd-refinement precedent); the per-doc dot product is a SEQUENTIAL
-  * fold (bit-reproducible, s-family convention). Saturated docs are
-  * consistent too: both engines' `exp` overflow to +∞ past |z|≈709,
-  * and σ degrades to exactly 0 or 1 on both.
+  * Lloyd-refinement precedent); the per-doc dot runs in ASCENDING BUCKET
+  * ORDER (the bucket array is sorted), which an oracle's dense
+  * ascending-index fold reproduces term-for-term — absent buckets add
+  * an exact 0.0 either way. Saturated docs are consistent too: both
+  * engines' `exp` overflow to +∞ past |z|≈709, and σ degrades to
+  * exactly 0 or 1 on both.
   */
 object Classifier {
 
-  /** Hashed set-of-words vector with the trailing bias slot: length
-    * `dim + 1`, `x(j) = 1` iff some token hashes to bucket j, `x(dim) =
-    * 1`. Pure projection.
-    *
-    * Formulated as a FOLD over the (distinct) hash array into a zero
-    * vector — the hash array is the fold's collection ARGUMENT, so it
-    * evaluates once per row no matter what the optimizer inlines. The
-    * tempting per-bucket formulation (`transform(0..dim, j =>
-    * exists(hs, _ === j))`) re-references `hs` inside a per-element
-    * lambda, and Spark does not common-subexpress across lambda scopes:
-    * every token re-hashes dim times — measured 38 s vs ~2 s for 20 GD
-    * rounds over 5k docs. Same lesson as the BPE fold, smaller blast
-    * radius.
+  /** Sorted distinct bucket ids of the doc's tokens, bias bucket `dim`
+    * appended (sorted ⇒ the dot fold's float order matches a dense
+    * ascending-index replay). Pure projection.
     */
-  def hashedBow(text: Column, dim: Int): Column = {
-    val hs = array_distinct(transform(split(lower(text), " "),
-      t => pmod(TextAnalysis.tokenHash(t), lit(dim.toLong))))
-    concat(
-      aggregate(hs, array_repeat(lit(0.0d), dim), (acc, h) =>
-        transform(acc, (v, i) =>
-          when(i.cast("long") === h, lit(1.0d)).otherwise(v))),
-      array(lit(1.0d)))
-  }
+  def hashedBuckets(text: Column, dim: Int): Column =
+    array_sort(array_union(
+      transform(split(lower(text), " "),
+        t => pmod(TextAnalysis.tokenHash(t), lit(dim.toLong))),
+      array(lit(dim.toLong))))
 
   /** `dim+1` quantized weights after `iters` full-batch GD rounds from
-    * zero init (last slot = bias). One (dim+1)-key aggregation job per
-    * round; the corpus caches once across rounds.
+    * zero init (last slot = bias). One ≤(dim+1)-key aggregation job per
+    * round; the sparse bucket arrays cache once across rounds.
     */
   def trainLogistic(docs: DataFrame, label: Column, text: Column,
                     dim: Int = 256, iters: Int = 10,
@@ -77,34 +74,34 @@ object Classifier {
     require(dim >= 2 && iters >= 1 && lr > 0,
       s"need dim >= 2, iters >= 1, lr > 0; got dim=$dim iters=$iters lr=$lr")
     val ds = docs.select(label.cast("double").as("__y"),
-      hashedBow(text, dim).as("__x")).cache()
+      hashedBuckets(text, dim).as("__h")).cache()
     try {
+      val n = ds.count()
+      require(n > 0, "empty corpus")
       var w = Array.fill(dim + 1)(0.0d)
       for (_ <- 1 to iters) {
-        // the scalar (p − y) rides as an array_repeat collection argument
-        // so σ's 257-slot dot fold evaluates ONCE per row, not once per
-        // exploded element (same lambda-scope-CSE trap as hashedBow)
-        val err = sigmoid(col("__x"), w) - col("__y")
-        val g = ds
-          .select(posexplode(zip_with(col("__x"),
-            array_repeat(err, dim + 1), _ * _)).as(Seq("pos", "v")))
-          .groupBy("pos").agg(sum("v").as("g"), count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2))))
-          .toMap
-        require(g.size == dim + 1, s"gradient lost slots: ${g.size}")
+        // scalar error per doc, exploded over ONLY the present buckets —
+        // absent buckets have x=0 and contribute exactly nothing
+        val err = sigmoid(col("__h"), w) - col("__y")
+        val g = ds.select(col("__h"), err.as("__e"))
+          .select(explode(col("__h")).as("pos"), col("__e"))
+          .groupBy("pos").agg(sum("__e").as("g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
         w = Array.tabulate(dim + 1) { i =>
-          val (gi, n) = g(i)
-          quantize6(w(i) - lr * gi / n)
+          g.get(i).fold(w(i))(gi => quantize6(w(i) - lr * gi / n))
         }
       }
       w
     } finally { ds.unpersist(); () }
   }
 
-  /** σ(w·x) with the sequential-fold dot product; `w` already quantized. */
-  private def sigmoid(x: Column, w: Array[Double]): Column = {
-    val dot = aggregate(zip_with(x, array(w.map(lit).toIndexedSeq: _*),
-      _ * _), lit(0.0d), _ + _)
+  /** σ(Σ_{j∈h} w_j) — the sparse dot as a sequential fold over the
+    * sorted bucket array; `w` already quantized.
+    */
+  private def sigmoid(h: Column, w: Array[Double]): Column = {
+    val wLit = array(w.map(lit).toIndexedSeq: _*)
+    val dot = aggregate(h, lit(0.0d),
+      (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
     lit(1.0d) / (lit(1.0d) + exp(-dot))
   }
 
@@ -134,6 +131,7 @@ object Classifier {
   def score(docs: DataFrame, id: Column, text: Column,
             w: Array[Double]): DataFrame = {
     val dim = w.length - 1
-    docs.select(id, round(sigmoid(hashedBow(text, dim), w), 6).as("score"))
+    docs.select(id,
+      round(sigmoid(hashedBuckets(text, dim), w), 6).as("score"))
   }
 }

@@ -460,6 +460,95 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("killed compact heals from the intent manifest in EVERY kill " +
+      "window — partial tmp, half-finished swap, undropped tombstones — " +
+      "back to a valid index with unchanged answers") {
+    import graft.sim.Quantize
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = Files.createTempDirectory("graft-ivfheal").toString
+    def sorted() =
+      Quantize.ivfPqTopKStored(queries, dir, topK = 5, nProbe = 2)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def cp(a: String, b: String): Unit = {
+      val src = Paths.get(dir, a); val dst = Paths.get(dir, b)
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(src)) { st =>
+        st.iterator().asScala.toSeq.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    def rmr(a: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(dir, a)
+      if (Files.exists(p))
+        scala.util.Using.resource(Files.walk(p)) { st =>
+          st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(Files.deleteIfExists(_))
+        }
+    }
+    try {
+      Quantize.writeIvfPqIndex(emb, dir, nCells = 8, m = 4, k = 4, dim = 64)
+      Quantize.deleteFromIvfPqIndex(
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir)
+      val want = sorted()   // tombstone-path answers = post-compact answers
+      // stage the three kill windows by hand from a completed compact's
+      // ingredients: snapshot the pre-compact state first
+      cp("postings", "postings.preserve")
+      cp("tombstones", "tombstones.preserve")
+      val meta = Files.readAllBytes(Paths.get(dir, "_meta"))
+      Files.write(Paths.get(dir, "_meta.pending"), meta)
+
+      // window 1: killed during the tmp write — partial tmp, _meta off
+      Files.delete(Paths.get(dir, "_meta"))
+      Files.createDirectories(Paths.get(dir, "postings.tmp"))
+      Files.write(Paths.get(dir, "postings.tmp", "part-torn.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(Quantize.recoverIvfPqCompact(spark, dir))
+      assert(!Files.exists(Paths.get(dir, "postings.tmp")))
+      assert(sorted() == want, "window-1 heal must restore the index")
+
+      // window 2: killed between the postings drop and the rename —
+      // tmp holds the COMPLETE compacted postings, postings gone
+      // (window 1 healed BEFORE any folding, so the tombstones are
+      // still live and this compact does the real fold)
+      val (kept, _) = Quantize.compactIvfPqIndex(spark, dir)
+      assert(kept > 0)
+      Files.write(Paths.get(dir, "_meta.pending"), meta)
+      Files.delete(Paths.get(dir, "_meta"))
+      cp("postings", "postings.tmp")
+      rmr("postings")
+      assert(Quantize.recoverIvfPqCompact(spark, dir))
+      assert(sorted() == want, "window-2 heal must complete the swap")
+
+      // window 3: killed before the tombstone drop — compacted postings
+      // in place, stale tombstones survive; heal restores, the stale
+      // fold is idempotent, and a re-compact clears it
+      cp("tombstones.preserve", "tombstones")
+      Files.write(Paths.get(dir, "_meta.pending"), meta)
+      Files.delete(Paths.get(dir, "_meta"))
+      assert(Quantize.recoverIvfPqCompact(spark, dir))
+      assert(sorted() == want, "window-3 heal must keep answers")
+      val (kept3, folded3) = Quantize.compactIvfPqIndex(spark, dir)
+      assert(folded3 > 0 && kept3 == kept,
+        "re-compact over already-folded tombstones must be a no-op fold")
+      assert(sorted() == want)
+      // no pending manifest => nothing to heal
+      assert(!Quantize.recoverIvfPqCompact(spark, dir))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir))) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("stored index DELETE: tombstone-exact vs the predicate path, dead " +
       "until compaction even if re-appended, compaction answer-preserving, " +
       "rebuild clears stale tombstones, killed delete rejected") {
@@ -525,6 +614,8 @@ class IvfSpec extends SparkSpec {
         Quantize.ivfPqTopKStored(queries, dir, topK = 3, nProbe = 2)
       }
       assert(rejected.getMessage.contains("_meta"))
+      // ...and a killed delete is NOT compact-healable: no intent manifest
+      assert(!Quantize.recoverIvfPqCompact(spark, dir))
     } finally {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.walk(
