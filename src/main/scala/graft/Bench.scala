@@ -55,6 +55,13 @@ object Bench {
     "d15_containment_pairs" -> 2.4, "s30_ivf_pq_stored" -> 3.7,
     // r12: 4 sequential token-range jobs + parquet round-trip
     "d15b_containment_bounded" -> 4.0,
+    // r13 continuation: index lifecycle legs (build dominates; s34 adds
+    // the compaction rewrite), sparse-LR train (10 gradient jobs), the
+    // dangling-PageRank replay, crawl graph from extracted links
+    "s32_ivf_pq_upsert" -> 4.8, "s34_ivf_pq_compact" -> 4.4,
+    "s33_ivf_pq_delete" -> 3.6, "s31_filtered_stored" -> 3.3,
+    "t85_lr_train" -> 3.1, "t86_lr_score" -> 2.9,
+    "g16_pagerank_dangling" -> 3.5, "pipe_webgraph_e2e" -> 1.9,
     // round-8 continuation-session additions (sf0.1 records / estimates):
     // the composed ANN mart and the iterative WCC warm with the heavies
     "pipe_annhealth_e2e" -> 4.0, "s25_index_shadow" -> 3.0,
