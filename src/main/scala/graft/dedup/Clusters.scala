@@ -76,6 +76,14 @@ object Clusters {
       .localCheckpoint()
     var iter = 0
     var converged = false
+    // Loop rounds are edge/label-scale: size their shuffles from the
+    // MEASURED edge count instead of the session's data-scale parallelism
+    // (guide §2.2 — the loop is latency-bound on task dispatch and AQE
+    // per-stage jobs; see AdaptiveIter). The count reads the cache the
+    // seed aggregation just filled — the expensive pair detection already
+    // ran above at full parallelism and is untouched by the flip.
+    val nEdges = edges.count()
+    graft.ops.AdaptiveIter.sizedRounds(pairs.sparkSession, nEdges) {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
@@ -120,6 +128,7 @@ object Clusters {
       dropCheckpointBlocks(m1)
       dropCheckpointBlocks(prev)
       iter += 1
+    }
     }
     edges.unpersist(blocking = false)
     // LOUD non-convergence (judge ask, r8): exiting the loop on the
@@ -218,6 +227,12 @@ object Clusters {
     val superseded = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var iter = 0
     var converged = false
+    // size the loop's shuffles from the MEASURED edge count (the initial
+    // fingerprint just computed it; see connectedComponents — same
+    // latency-bound-rounds rationale). `raw` and the initial `edges` were
+    // materialized eagerly above at full parallelism, so the caller's
+    // expensive pair stage is untouched by the flip.
+    graft.ops.AdaptiveIter.sizedRounds(pairs.sparkSession, fp._1) {
     while (!converged && iter < maxIter) {
       // large-star over BOTH orientations of the current edge set
       val both = edges.select(explode(array(
@@ -254,6 +269,7 @@ object Clusters {
       edges = small
       fp = fpNew
       iter += 1
+    }
     }
     superseded.foreach(dropCheckpointBlocks)
     if (!converged) throw new IllegalStateException(
