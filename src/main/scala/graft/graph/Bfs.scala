@@ -40,6 +40,10 @@ object Bfs {
       .withColumn("hop", lit(0L)).localCheckpoint()
     var frontier = reached
     var hop = 0
+    // loop shuffles sized from the measured (checkpointed) edge count —
+    // see AdaptiveIter; no-op at data scale
+    val nE = und.count()
+    graft.ops.AdaptiveIter.sizedRounds(spark, nE) {
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
       val next = frontier.join(und, col("node") === col("src"))
@@ -50,6 +54,7 @@ object Bfs {
         .localCheckpoint()
       reached = reached.unionAll(next).localCheckpoint()
       frontier = next
+    }
     }
     reached
   }

@@ -52,6 +52,11 @@ object Hits {
     // query lifetime — the storage-crowding hazard Bench.dropAllBlocks
     // documents. The returned frame is never dropped.
     val superseded = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // loop shuffles sized from the measured edge count (cheap: reads the
+    // checkpoint just materialized) — see AdaptiveIter; rounds here are
+    // latency-bound at test scale, untouched at data scale
+    val nE = e.count()
+    graft.ops.AdaptiveIter.sizedRounds(edges.sparkSession, nE) {
     for (_ <- 1 to rounds) {
       val a = nodes.join(
           e.join(scores.select(col("node"), col("hub_ppm")),
@@ -83,6 +88,7 @@ object Hits {
       val prev = scores
       scores = aN.join(hN, Seq("node")).localCheckpoint()
       superseded += prev
+    }
     }
     // Round 1's "prev" is the un-checkpointed SEED, whose plan reaches
     // back through `nodes` to the shared edge checkpoint `e` — and

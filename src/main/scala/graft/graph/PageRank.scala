@@ -108,6 +108,12 @@ object PageRank {
       val nNodes = flagged.agg(count(lit(1)).as("__n"))
       var ranks = flagged.withColumn("rank_micro", lit(1000000L))
       var prevCp: Option[DataFrame] = None
+      // this branch checkpoints per round (actions inside the loop), so
+      // its shuffles can be sized from the measured edge count — the
+      // count doubles as the eDeg cache fill, at full parallelism, before
+      // the flip (see AdaptiveIter; no-op at data scale)
+      val nE = eDeg.count()
+      graft.ops.AdaptiveIter.sizedRounds(edges.sparkSession, nE) {
       for (_ <- 1 to iterations) {
         val contribs = eDeg
           .join(ranks.select(col("node").as("src"), col("rank_micro")), "src")
@@ -129,6 +135,7 @@ object PageRank {
         prevCp.foreach(graft.dedup.Clusters.dropCheckpointBlocks)
         prevCp = Some(cp)
         ranks = cp
+      }
       }
       ranks.select("node", "rank_micro")
     }

@@ -69,6 +69,11 @@ object Bpe {
     var state = words.persist(StorageLevel.MEMORY_AND_DISK)
     val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var exhausted = false
+    // rounds aggregate the vocabulary table (distinct words) — size their
+    // shuffles from its measured count (the count doubles as the cache
+    // fill, at full parallelism; see AdaptiveIter; no-op at data scale)
+    val nWords = state.count()
+    graft.ops.AdaptiveIter.sizedRounds(df.sparkSession, nWords, rowBytes = 192) {
     while (learned.size < nMerges && !exhausted) {
       val top = state
         .select(col("freq"), explode(zip_with(
@@ -91,6 +96,7 @@ object Bpe {
           state.unpersist(blocking = false)
           state = next
       }
+    }
     }
     state.unpersist(blocking = false)
     learned.toSeq
@@ -156,6 +162,9 @@ object Bpe {
     var exhausted = false
     var rounds = 0
     var lastCp: Option[DataFrame] = None
+    // same sizing as [[train]]: vocabulary-table rounds, measured count
+    val nWords = state.count()
+    graft.ops.AdaptiveIter.sizedRounds(df.sparkSession, nWords, rowBytes = 192) {
     while (learned.size < nMerges && !exhausted) {
       val want = (nMerges - learned.size).min(batch)
       val top = state
@@ -203,6 +212,7 @@ object Bpe {
           System.err.println(f"[bpe] round $rounds merges=${learned.size} " +
             f"elapsed=${(System.nanoTime() - startNs) / 1e9}%.1f s")
       }
+    }
     }
     state.unpersist(blocking = false)
     lastCp.foreach(graft.dedup.Clusters.dropCheckpointBlocks)

@@ -79,6 +79,12 @@ object Classifier {
       val n = ds.count()
       require(n > 0, "empty corpus")
       var w = Array.fill(dim + 1)(0.0d)
+      // the gradient rollup is (dim+1)-key bounded at ANY corpus size
+      // (map-side partial aggregation), so the reduce side of every round
+      // is sized from dim, not the corpus; the feature map stage keeps the
+      // cached frame's full parallelism (see AdaptiveIter)
+      graft.ops.AdaptiveIter.sizedRounds(docs.sparkSession, dim + 1L,
+          rowBytes = 32) {
       for (_ <- 1 to iters) {
         // scalar error per doc, exploded over ONLY the present buckets —
         // absent buckets have x=0 and contribute exactly nothing
@@ -90,6 +96,7 @@ object Classifier {
         w = Array.tabulate(dim + 1) { i =>
           g.get(i).fold(w(i))(gi => quantize6(w(i) - lr * gi / n))
         }
+      }
       }
       w
     } finally { ds.unpersist(); () }
