@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.sim.{Ivf, Quantize}
+
+/** Dev utility: isolate the per-stage cost of the IVF-PQ encode path
+  * (`runMain graft.tools.ProfPq <sfDir>`). Not part of the driver contract.
+  */
+object ProfPq {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profpq] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = graft.Env.cpus
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.embeddings(spark, dir)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warm everything once
+    noop(emb)
+    val cPrep = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.centroids(cPrep, 16)
+    noop(Ivf.assign(cPrep, cents, "neighbor_id", "__x"))
+    noop(Quantize.productQuantize(emb, col("vec_id"), col("embedding"), 4, 4, 64))
+
+    time("scan only")(noop(emb))
+    time("centroids(16)")(noop(cents))
+    time("assign")(noop(Ivf.assign(cPrep, cents, "neighbor_id", "__x")))
+    time("assign 2nd")(noop(Ivf.assign(cPrep, cents, "neighbor_id", "__x")))
+    time("productQuantize (encode)")(
+      noop(Quantize.productQuantize(emb, col("vec_id"), col("embedding"), 4, 4, 64)))
+    time("productQuantize 2nd")(
+      noop(Quantize.productQuantize(emb, col("vec_id"), col("embedding"), 4, 4, 64)))
+
+    val idx = s"/tmp/profpq-${ProcessHandle.current().pid()}"
+    time("writeIvfPqIndex (build half)")(
+      Quantize.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), idx,
+        nCells = 16, m = 4, k = 4, dim = 64))
+    time("appendIvfPqIndex (other half)")(
+      Quantize.appendIvfPqIndex(emb.filter(col("vec_id") % 2 =!= 0), idx))
+    time("ivfPqTopKStored")(
+      noop(Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
+        topK = 5, nProbe = 4)))
+    time("writeIvfPqIndex 2nd")(
+      Quantize.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), idx,
+        nCells = 16, m = 4, k = 4, dim = 64))
+    time("appendIvfPqIndex 2nd")(
+      Quantize.appendIvfPqIndex(emb.filter(col("vec_id") % 2 =!= 0), idx))
+    time("ivfPqTopKStored 2nd")(
+      noop(Quantize.ivfPqTopKStored(emb.filter(col("vec_id") % 50 === 0), idx,
+        topK = 5, nProbe = 4)))
+    spark.stop()
+  }
+}

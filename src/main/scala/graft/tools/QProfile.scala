@@ -27,9 +27,14 @@ object QProfile {
     }
     override def onJobEnd(j: SparkListenerJobEnd): Unit =
       jobStart.remove(j.jobId).foreach(t0 => jobWall += ((j.jobId, j.time - t0)))
+    val stageDetail = mutable.ArrayBuffer[(Int, String, Int, Long)]()
+    private val stageTaskMs = mutable.Map[Int, Long]()
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages += 1
       tasks += s.stageInfo.numTasks
+      stageDetail += ((s.stageInfo.stageId,
+        s.stageInfo.name.takeWhile(_ != '\n').take(90), s.stageInfo.numTasks,
+        stageTaskMs.getOrElse(s.stageInfo.stageId, 0L)))
     }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
@@ -37,11 +42,13 @@ object QProfile {
         taskTimeMs += m.executorRunTime
         shuffleReadB += m.shuffleReadMetrics.totalBytesRead
         shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
+        stageTaskMs(t.stageId) = stageTaskMs.getOrElse(t.stageId, 0L) + m.executorRunTime
       }
     }
     def reset(): Unit = {
       jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0
       shuffleReadB = 0; shuffleWriteB = 0; jobWall.clear(); jobStart.clear()
+      stageDetail.clear(); stageTaskMs.clear()
     }
   }
 
@@ -76,6 +83,10 @@ object QProfile {
         f"stages=${acc.stages} tasks=${acc.tasks} taskTime=${acc.taskTimeMs / 1000.0}%.1f s " +
         f"shufR=${acc.shuffleReadB / 1e6}%.1f MB shufW=${acc.shuffleWriteB / 1e6}%.1f MB " +
         s"slowest[$slow]")
+      if (sys.env.get("QPROF_STAGES").contains("1"))
+        acc.stageDetail.sortBy(-_._4).take(12).foreach { case (id, nm, nt, ms) =>
+          println(f"[qprof]   stage $id%5d taskTime=${ms / 1000.0}%7.1f s tasks=$nt%4d  $nm")
+        }
       graft.Bench.dropAllBlocks(spark)
     }
     spark.stop()
