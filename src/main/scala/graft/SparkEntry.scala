@@ -149,15 +149,27 @@ object SparkEntry {
       val prefix = s"graft-d15b-${java.lang.Integer.toHexString(dir.hashCode)}-"
       sweepDeadPidDirs(tmpRoot, prefix)
       val work = s"$tmpRoot/$prefix${ProcessHandle.current().pid()}"
-      // the executor-memory knob: a bigger tier wants more, smaller
-      // batches (the rehearsal sweeps it; results are batch-invariant)
-      val batches = sys.env.getOrElse("SPARK_GRAFT_D15B_BATCHES", "4").toInt
+      // Scale-adaptive job sizing (r13, guide §2): the candidate stage
+      // packs 16-grain token ranges into sequential jobs by their MEASURED
+      // candidate weight, capped at pairsPerJob in-flight pairs per job —
+      // the executor-memory knob a 100 TB run sizes (~50M pairs ≈ 1.2 GB
+      // of in-flight candidate rows at 24 B each, executor-heap scale; a
+      // bigger tier raises it, a smaller one lowers it). Small inputs run
+      // ONE job (the inline shape); the r12 RAM-cliff cap still binds at
+      // scale because the cap is measured, not assumed. Batch-invariance
+      // is oracle-proven, so the pinned SPARK_GRAFT_D15B_BATCHES rehearsal
+      // mode (one job per range, knob-matrix comparable) stays available.
+      val pinned = sys.env.get("SPARK_GRAFT_D15B_BATCHES").map(_.toInt)
+      val pairsPerJob =
+        sys.env.getOrElse("SPARK_GRAFT_D15B_PAIRS_PER_JOB", "50000000").toLong
       Jaccard.containmentPairsBounded(
         Jaccard.shingleSets(docs.filter(col("doc_id") % 50 === 0),
           col("doc_id"), col("text"), 1),
         Jaccard.shingleSets(docs, col("doc_id"), col("text"), 1),
-        threshold = 0.5, tokenBatches = batches, workDir = work,
-        broadcastProbes = true)
+        threshold = 0.5, tokenBatches = pinned.getOrElse(16), workDir = work,
+        broadcastProbes = true,
+        maxPairsPerJob = if (pinned.isDefined) Long.MaxValue else pairsPerJob,
+        groupRanges = pinned.isEmpty)
     },
 
     // Embedding-cosine near-dup, probe sample vs corpus.

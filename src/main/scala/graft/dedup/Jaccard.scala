@@ -278,11 +278,29 @@ object Jaccard {
     *        (PropertySpec pins equality on a constructed hot-token
     *        corpus). Default = no bound (the measured r12 posture).
     */
+  /** @param groupRanges SCALE-ADAPTIVE JOB SIZING (optimization guide §2:
+    *        derive partitioning from measured input size, not a constant
+    *        tuned for one tier): when set, token ranges are PACKED into
+    *        sequential jobs by their measured candidate weight `Σ_tok
+    *        na·nb` — consecutive ranges group together while the group's
+    *        weight stays ≤ `maxPairsPerJob`, a range with no candidates is
+    *        skipped outright, and a single overweight range still splits
+    *        into probe-id sub-jobs (the hot-range guard). `tokenBatches`
+    *        then only sets the GRAIN of the on-disk range partitioning;
+    *        the number of sequential candidate jobs follows the DATA. A
+    *        small input runs one job (the inline shape, minus nothing);
+    *        a 100 TB input runs ceil(W / maxPairsPerJob) jobs — the same
+    *        peak-memory cap as before, now measured instead of assumed.
+    *        Exactness: a job is a union of whole token ranges, so the
+    *        per-range argument (first shared prefix token lands in exactly
+    *        one range) is untouched; PropertySpec pins equality.
+    */
   def containmentPairsBounded(probes: DataFrame, corpus: DataFrame,
                               threshold: Double, tokenBatches: Int,
                               workDir: String,
                               broadcastProbes: Boolean = false,
-                              maxPairsPerJob: Long = Long.MaxValue): DataFrame = {
+                              maxPairsPerJob: Long = Long.MaxValue,
+                              groupRanges: Boolean = false): DataFrame = {
     require(tokenBatches >= 1, "tokenBatches must be >= 1")
     require(maxPairsPerJob >= 1, "maxPairsPerJob must be >= 1")
     val spark = probes.sparkSession
@@ -306,44 +324,78 @@ object Jaccard {
       .withColumn("__tb", pmod(col("tok"), lit(tokenBatches)))
       .write.mode("overwrite").partitionBy("__tb").parquet(ibPath)
     val candPath = s"$workDir/cand"
-    // hot-range guard: per-range candidate weight Σ_tok na·nb, read from
-    // the just-written ranked indexes (tokenBatches rows — control flow);
-    // a range past maxPairsPerJob splits into probe-id-hash sub-jobs
-    val subJobs: Map[Int, Int] =
-      if (maxPairsPerJob == Long.MaxValue) Map.empty
+    // schema-supplied re-reads: the indexes were just written, their schema
+    // is known — skip per-job inference and hoist the relation
+    val iaFull = spark.read.parquet(iaPath)
+    val ibFull = spark.read.parquet(ibPath)
+    // per-range candidate weight Σ_tok na·nb, read from the just-written
+    // ranked indexes (tokenBatches rows — control flow). Feeds BOTH the
+    // hot-range guard (a range past maxPairsPerJob splits into
+    // probe-id-hash sub-jobs) and, under `groupRanges`, the job packing.
+    val needWeights = groupRanges || maxPairsPerJob != Long.MaxValue
+    val weights: Map[Int, Long] =
+      if (!needWeights) Map.empty
       else {
-        val na = spark.read.parquet(iaPath)
-          .groupBy("__tb", "tok").agg(count(lit(1)).as("na"))
-        val nb = spark.read.parquet(ibPath)
-          .groupBy("__tb", "tok").agg(count(lit(1)).as("nb"))
+        val na = iaFull.groupBy("__tb", "tok").agg(count(lit(1)).as("na"))
+        val nb = ibFull.groupBy("__tb", "tok").agg(count(lit(1)).as("nb"))
         na.join(nb, Seq("__tb", "tok"))
           .groupBy("__tb").agg(sum(col("na") * col("nb")).as("w"))
           .collect()
-          .map(r => r.getAs[Number](0).intValue() ->
-            math.max(1L, (r.getLong(1) + maxPairsPerJob - 1) /
-              maxPairsPerJob).toInt)
+          .map(r => r.getAs[Number](0).intValue() -> r.getLong(1))
           .toMap
       }
+    val subJobs: Map[Int, Int] =
+      if (maxPairsPerJob == Long.MaxValue) Map.empty
+      else weights.map { case (b, w) =>
+        b -> math.max(1L, (w + maxPairsPerJob - 1) / maxPairsPerJob).toInt
+      }
+    // job list: each entry is the set of token ranges one sequential
+    // action covers. Default (groupRanges = false): one job per range —
+    // the r12 posture, knob-matrix comparable. groupRanges: greedy packing
+    // of consecutive ranges up to maxPairsPerJob; zero-weight ranges
+    // (no token shared between probe and corpus side) drop out — their
+    // candidate join is provably empty.
+    val jobGroups: Seq[Seq[Int]] =
+      if (!groupRanges) (0 until tokenBatches).map(Seq(_))
+      else {
+        val live = (0 until tokenBatches).filter(b => weights.getOrElse(b, 0L) > 0L)
+        val groups = scala.collection.mutable.ArrayBuffer[Vector[Int]]()
+        var cur = Vector.empty[Int]
+        var curW = 0L
+        live.foreach { b =>
+          val w = weights(b)
+          if (cur.nonEmpty && curW + w > maxPairsPerJob) {
+            groups += cur; cur = Vector(b); curW = w
+          } else { cur = cur :+ b; curW += w }
+        }
+        if (cur.nonEmpty) groups += cur
+        groups.toSeq
+      }
     var wrote = false
-    (0 until tokenBatches).foreach { b =>
-      // one SEQUENTIAL action per token range: the write is the action,
-      // so batch b's candidate shuffle is fully drained (and its shuffle
-      // files GC-able) before batch b+1 starts — peak in-flight state is
-      // one range's, never the corpus's. Batches land CANDIDATE PAIRS
-      // (two longs) only; verification runs ONCE over the globally-deduped
-      // union — an early d15b shape verified per batch and re-shuffled the
-      // full corpus SET column tokenBatches times (measured at sf10:
-      // 70 GB of spill, 1.5× the inline wall). The candidate stage is the
-      // thing the r11 decade measured as the RAM cliff; the single verify
-      // join is candidate-scale and was already fine.
-      val nSub = subJobs.getOrElse(b, 1)
+    jobGroups.foreach { group =>
+      // one SEQUENTIAL action per job: the write is the action, so this
+      // job's candidate shuffle is fully drained (and its shuffle files
+      // GC-able) before the next starts — peak in-flight state is one
+      // job's bounded weight, never the corpus's. Jobs land CANDIDATE
+      // PAIRS (two longs) only; verification runs ONCE over the globally-
+      // deduped union — an early d15b shape verified per batch and
+      // re-shuffled the full corpus SET column tokenBatches times
+      // (measured at sf10: 70 GB of spill, 1.5× the inline wall). The
+      // candidate stage is the thing the r11 decade measured as the RAM
+      // cliff; the single verify join is candidate-scale and was fine.
+      val nSub =
+        if (group.size == 1) subJobs.getOrElse(group.head, 1) else 1
       (0 until nSub).foreach { j =>
-        val iaAll = spark.read.parquet(iaPath).filter(col("__tb") === b)
+        val iaAll =
+          if (group.size == 1) iaFull.filter(col("__tb") === group.head)
+          else iaFull.filter(col("__tb").isin(group.map(Integer.valueOf): _*))
         // hash, not modulo: id_a may be any type, and sequential ids
         // modulo nSub would correlate with data order
         val ia = if (nSub == 1) iaAll
                  else iaAll.filter(pmod(xxhash64(col("id_a")), lit(nSub)) === j)
-        val ib = spark.read.parquet(ibPath).filter(col("__tb") === b)
+        val ib =
+          if (group.size == 1) ibFull.filter(col("__tb") === group.head)
+          else ibFull.filter(col("__tb").isin(group.map(Integer.valueOf): _*))
         ia.join(ib,
             ia("tok") === ib("tok") && col("id_a") =!= col("id_b") &&
               col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
@@ -355,6 +407,13 @@ object Jaccard {
         wrote = true
       }
     }
+    // every live range may have dropped out (no shared tokens at all):
+    // the result is exactly empty — land an empty frame so the read-back
+    // below has a schema to parse
+    if (!wrote)
+      iaFull.select("id_a").limit(0)
+        .crossJoin(ibFull.select("id_b").limit(0))
+        .write.mode("overwrite").parquet(candPath)
     verifyContainment(spark.read.parquet(candPath).distinct(),
       pa, pb, threshold, broadcastProbes)
   }
