@@ -316,12 +316,19 @@ object Jaccard {
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val iaPath = s"$workDir/ia"
     val ibPath = s"$workDir/ib"
+    // REBALANCE by range before the partitioned write (guide §6): without
+    // it every writer task lands a file per range it sees (tasks × ranges
+    // tiny files); with it each range's index is a few contiguous files —
+    // and every candidate job below then reads large files from exactly
+    // its ranges' directories. AQE splits an oversized range across tasks.
     positionalIndex(pa, "id_a", "set_a", tokenDf, "n_a", "__pa",
         Some(threshold))
       .withColumn("__tb", pmod(col("tok"), lit(tokenBatches)))
+      .hint("rebalance", col("__tb"))
       .write.mode("overwrite").partitionBy("__tb").parquet(iaPath)
     positionalIndex(pb, "id_b", "set_b", tokenDf, "n_b", "__pb", None)
       .withColumn("__tb", pmod(col("tok"), lit(tokenBatches)))
+      .hint("rebalance", col("__tb"))
       .write.mode("overwrite").partitionBy("__tb").parquet(ibPath)
     val candPath = s"$workDir/cand"
     // schema-supplied re-reads: the indexes were just written, their schema

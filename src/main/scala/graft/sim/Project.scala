@@ -23,8 +23,11 @@ object Project {
     val planes = Similarity.hyperplanes(outDim, dim, seed)
     val x = embedding.cast("array<double>")
     val outCols = planes.zipWithIndex.map { case (p, j) =>
-      round(aggregate(zip_with(x, typedLit(p.toSeq), (a, b) => a * b),
-        lit(0.0), (acc, v) => acc + v), 6).as(s"y$j")
+      // native fold (guide §4): bit-identical to the HOF dot product
+      round(org.apache.spark.sql.graftfn.asColumn(graft.functions.ArrayDot(
+        org.apache.spark.sql.graftfn.asExpression(x),
+        org.apache.spark.sql.graftfn.asExpression(typedLit(p.toSeq)))),
+        6).as(s"y$j")
     }
     df.select(id +: outCols: _*)
   }

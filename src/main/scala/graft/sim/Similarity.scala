@@ -312,7 +312,10 @@ object Similarity {
     */
   def lshCode(emb: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(emb, typedLit(p.toSeq), _ * _), lit(0.0), _ + _)
+      // native fold (guide §4): bit-identical to
+      // aggregate(zip_with(emb, plane, _ * _), 0.0, _ + _)
+      val dot = asColumn(graft.functions.ArrayDot(
+        asExpression(emb), asExpression(typedLit(p.toSeq))))
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
@@ -473,7 +476,8 @@ object Similarity {
       // order IS the packed-code bit order
       val weights = typedLit((0 until tables * nPlanes).map(1L << _))
       val signs = transform(planesLit, p =>
-        when(aggregate(zip_with(emb, p, _ * _), lit(0.0), _ + _) >= 0,
+        when(asColumn(graft.functions.ArrayDot(
+            asExpression(emb), asExpression(p))) >= 0,
           lit(1L)).otherwise(lit(0L)))
       val packed = aggregate(zip_with(signs, weights, _ * _), lit(0L), _ + _)
       val mask = (1L << nPlanes) - 1

@@ -48,6 +48,37 @@ object ProfPq {
     time("productQuantize 2nd")(
       noop(Quantize.productQuantize(emb, col("vec_id"), col("embedding"), 4, 4, 64)))
 
+    if (sys.env.get("PROFPQ_WRITE").contains("1")) {
+      val coded = Quantize.productQuantize(emb, col("vec_id"), col("embedding"), 4, 4, 64)
+        .withColumn("cell", pmod(col("vec_id"), lit(16)).cast("int"))
+      coded.write.mode("overwrite").partitionBy("cell").parquet("/tmp/profpq-w0") // warm
+      time("write partitionBy (no rebalance)")(
+        coded.write.mode("overwrite").partitionBy("cell").parquet("/tmp/profpq-w1"))
+      time("write partitionBy (rebalance by cell)")(
+        coded.hint("rebalance", col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet("/tmp/profpq-w2"))
+      time("write partitionBy (repartition by cell)")(
+        coded.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet("/tmp/profpq-w3"))
+      def nFiles(p: String) =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .filter(f => f.toString.endsWith(".parquet")).count()
+      println(s"[profpq] files no-rebalance=${nFiles("/tmp/profpq-w1")} " +
+        s"rebalance=${nFiles("/tmp/profpq-w2")} repartition=${nFiles("/tmp/profpq-w3")}")
+      time("read back (no rebalance)")(
+        noop(spark.read.parquet("/tmp/profpq-w1")))
+      time("read back (rebalance)")(
+        noop(spark.read.parquet("/tmp/profpq-w2")))
+      return
+    }
+    if (sys.env.get("PROFPQ_PLAN").contains("1")) {
+      val coded = Quantize.productQuantize(emb, col("vec_id"), col("embedding"), 4, 4, 64)
+      val plan = coded.queryExecution.executedPlan.toString
+      println(s"[profpq] productQuantize plan chars=${plan.length}")
+      println(plan.take(12000))
+      return
+    }
+
     val idx = s"/tmp/profpq-${ProcessHandle.current().pid()}"
     time("writeIvfPqIndex (build half)")(
       Quantize.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), idx,
