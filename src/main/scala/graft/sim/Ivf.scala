@@ -71,29 +71,22 @@ object Ivf {
     */
   private def assignCells(vectors: DataFrame, cents: DataFrame, idName: String,
                           embName: String, keep: Int): DataFrame = {
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
     val packed = broadcast(
       cents.agg(collect_list(struct(col("cell"), col("c_emb"))).as("__cents")))
+    // ONE native kernel per row (guide §4) replacing the interpreted
+    // slice(array_sort(transform(...), comparator), 1, keep) HOF pipeline —
+    // bit-identical by construction (same cosine loop, Spark's own
+    // nan-aware double ordering, same TimSort, -Inf null guard; see
+    // functions.TopCellsBySim's contract scaladoc)
     vectors
       .select(col("vec_id").as(idName), col("embedding").cast("array<double>").as(embName))
       .crossJoin(packed)
       .select(col(idName), col(embName),
-        posexplode(slice(array_sort(
-          transform(col("__cents"), c =>
-            // null-safe: a null cosine (degenerate vector) sorts LAST as
-            // -Inf — a raw null would make both comparator branches false
-            // and the fallthrough cell-difference intransitive (TimSort
-            // contract violation)
-            struct(coalesce(
-              Similarity.cosine(col(embName), c.getField("c_emb")),
-              lit(Double.NegativeInfinity)).as("sim"),
-              c.getField("cell").as("cell"))),
-          (l, r) =>
-            when(l.getField("sim") > r.getField("sim"), -1)
-              .when(l.getField("sim") < r.getField("sim"), 1)
-              .otherwise(l.getField("cell") - r.getField("cell"))),
-          1, keep)).as(Seq("probe_rank", "__rc")))
-      .select(col(idName), col(embName), col("__rc.cell").as("cell"),
-        col("probe_rank"))
+        posexplode(asColumn(graft.functions.TopCellsBySim(
+          asExpression(col(embName)), asExpression(col("__cents")), keep)))
+          .as(Seq("probe_rank", "cell")))
+      .select(col(idName), col(embName), col("cell"), col("probe_rank"))
   }
 
   /** Single-cell corpus assignment (the IVF index). */

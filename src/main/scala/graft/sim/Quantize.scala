@@ -234,6 +234,29 @@ object Quantize {
         round(sqrt(col("__adc")), 6).as("adc_dist"), col("__rn").as("rank"))
   }
 
+  /** Schemas of the index's own stored artifacts — the WRITER fixed them,
+    * so the read side supplies them instead of paying per-read parquet
+    * schema inference (a footer-reading job + ~70 ms of driver planning
+    * per call — the Tables.load lesson applied to the index lifecycle).
+    * `postings` is NOT listed: its schema varies with stored attrs, so it
+    * keeps inference.
+    */
+  private val centroidsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("c_emb",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+  private val tombstoneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType)))
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame =
+    spark.read.schema(centroidsSchema).parquet(path)
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame =
+    spark.read.schema(tombstoneSchema).parquet(path)
+
   /** Persist the IVF-PQ index — the 100 TB lifecycle [[ivfPqTopK]]'s
     * scaladoc promises: build ONCE, store (cell, codes) per vector —
     * m small ints plus a cell id, never the embeddings — and query many
@@ -343,8 +366,8 @@ object Quantize {
       .map(_.split(',').toSeq).getOrElse(Nil)
     val sub = subDim(m, k, dim)
     deleteIndexMeta(spark, dir)
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val cbStored = broadcast(spark.read.parquet(s"$dir/codebook")
+    val cents = readCentroids(spark, s"$dir/centroids")
+    val cbStored = broadcast(readCentroids(spark, s"$dir/codebook")
       .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
         .as("__cb")))
     val cPrep = newCorpus.filter(col("embedding").isNotNull)
@@ -422,7 +445,7 @@ object Quantize {
     val tombPath = new org.apache.hadoop.fs.Path(dir, "tombstones")
     val fs = tombPath.getFileSystem(conf)
     if (!fs.exists(tombPath)) return (-1L, 0L)
-    val tomb = spark.read.parquet(tombPath.toString)
+    val tomb = readTombstones(spark, tombPath.toString)
     val nTomb = tomb.count()
     // INTENT manifest before the marker comes off (the Sinks staged-commit
     // pattern): unlike a killed build/append — whose partial data is
@@ -599,8 +622,8 @@ object Quantize {
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe=$nProbe outside 1..nCells=$nCells (from $dir/_meta)")
     val sub = subDim(m, k, dim)
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val cbPacked = broadcast(spark.read.parquet(s"$dir/codebook")
+    val cents = readCentroids(spark, s"$dir/centroids")
+    val cbPacked = broadcast(readCentroids(spark, s"$dir/codebook")
       .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
         .as("__cb")))
     val probes = Ivf.assignProbes(
@@ -618,7 +641,7 @@ object Quantize {
       if (!tombPath.getFileSystem(spark.sessionState.newHadoopConf())
           .exists(tombPath)) pruned
       else pruned.join(
-        broadcast(spark.read.parquet(tombPath.toString)
+        broadcast(readTombstones(spark, tombPath.toString)
           .withColumnRenamed("vec_id", "__dead")),
         col("neighbor_id") === col("__dead"), "left_anti")
     val coded = filter.fold(live)(live.filter)

@@ -72,9 +72,18 @@ object QProfile {
       graft.Bench.dropAllBlocks(spark)
       Thread.sleep(300)
       acc.reset()
-      val t0 = System.nanoTime()
-      val rows = fn(spark, dir).count()
-      val wall = (System.nanoTime() - t0) / 1e9
+      // QPROF_REPS>1: report the MIN wall over reps (throttle antidote);
+      // stage/job accounting covers the LAST rep only
+      val reps = sys.env.getOrElse("QPROF_REPS", "1").toInt.max(1)
+      var rows = 0L
+      var wall = Double.MaxValue
+      for (r <- 1 to reps) {
+        if (r == reps) { Thread.sleep(200); acc.reset() }
+        val t0 = System.nanoTime()
+        rows = fn(spark, dir).count()
+        wall = math.min(wall, (System.nanoTime() - t0) / 1e9)
+        graft.Bench.dropAllBlocks(spark)
+      }
       // listener bus is async; give it a beat to drain
       Thread.sleep(500)
       val slow = acc.jobWall.sortBy(-_._2).take(8)
