@@ -87,8 +87,16 @@ object Winnowing {
                         maxBucket: Int = 500, salt: Int = 4): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     val idName = df.select(id).columns.head
-    val docHash = fingerprints(df, id, text, k, w)
+    // CACHED (r13): consumed three times — the oversized-bucket census and
+    // BOTH sides of the pair-stage self-join — and each evaluation re-runs
+    // the winnowing fingerprint windows, the operator's expensive frame.
+    val docHash0 = fingerprints(df, id, text, k, w)
       .select(col(idName), col("gram_hash")).distinct()
+    val docHash =
+      if (df.sparkSession.conf
+            .get("spark.graft.cachePairInputs", "true") == "true")
+        CacheScope.cache(docHash0)
+      else docHash0
     val oversized = docHash.groupBy("gram_hash")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select("gram_hash")

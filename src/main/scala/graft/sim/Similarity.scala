@@ -437,12 +437,24 @@ object Similarity {
                            nProbe: Int = 3, dim: Int = 64,
                            salt: Int = 8): DataFrame = {
     val cents = Ivf.refine(corpus, Ivf.centroids(corpus, nCells), lloydIters, dim)
-    val assigned = Ivf.assignProbes(corpus, cents, "__kid", "__ku", nProbe)
+    // CACHED (r13, guide §1.2 "don't compute things twice"): the pair
+    // stage's self-join evaluates its input once per side, and this input
+    // re-runs the Lloyd refinement + the whole corpus assignment each
+    // time — the query's single most expensive frame (measured: one
+    // evaluation ≈ 1.2 s of the 5.9 s query at sf0.1). One
+    // materialization, both sides read the cache.
+    val assigned0 = Ivf.assignProbes(corpus, cents, "__kid", "__ku", nProbe)
+      .select(col("cell"), col("__kid").as("vid"), col("__ku").as("u"))
+    val assigned =
+      if (corpus.sparkSession.conf
+            .get("spark.graft.cachePairInputs", "true") == "true")
+        graft.dedup.CacheScope.cache(assigned0)
+      else assigned0
     // triangle-salted within-cell pairing: a plain cell self-join would run
     // nCells-way parallel at best and put a whole cell's quadratic pair
     // stage on one task (ScaleJoins.bucketedSelfPairs)
     graft.ops.ScaleJoins.bucketedSelfPairs(
-        assigned.select(col("cell"), col("__kid").as("vid"), col("__ku").as("u")),
+        assigned,
         bucket = Seq("cell"), id = "vid", payload = Seq("u"), salt = salt)
       .withColumn("cosine", round(cosine(col("u_a"), col("u_b")), 6))
       .filter(col("cosine") >= threshold)
