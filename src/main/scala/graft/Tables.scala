@@ -37,7 +37,16 @@ object Tables {
 
   /** Listing fingerprint; None when the path cannot be listed (missing,
     * permission) — the caller then falls back to the uncached read so the
-    * error surface is exactly the old one.
+    * error surface is exactly the old one. Fatal throwables (OOM,
+    * interrupts) propagate — only NonFatal listing failures take the
+    * fallback (ADVICE r13).
+    *
+    * Granularity note: the fingerprint is a non-recursive (name, length,
+    * mtime) listing — a same-name same-length rewrite within the
+    * filesystem's mtime granularity (1 s on some stores) would serve the
+    * stale schema/repartition decision. Acceptable here: the memo holds no
+    * rows, both memoized values depend only on the schema and the split
+    * count, and the test data is immutable per path within a process.
     */
   private def listingFingerprint(spark: SparkSession, path: String): Option[String] =
     try {
@@ -46,7 +55,7 @@ object Tables {
       val entries = fs.listStatus(p).map(st =>
         s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       Some(entries.sorted.mkString("\n"))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

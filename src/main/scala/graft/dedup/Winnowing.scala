@@ -37,9 +37,35 @@ object Winnowing {
     * shorter than w+k−1 tokens (no complete window) are dropped —
     * callers wanting whole-short-doc coverage can union t3-style full
     * fingerprints for those.
+    *
+    * Runs as the codegen'd [[graft.functions.WinnowFingerprints]] kernel:
+    * one per-row pass (token hashes by code-point walk, gram Horner,
+    * monotonic-deque window minimum, in-place dedup), exploded. The former
+    * HOF+window formulation — kept below as [[fingerprintsHof]], the
+    * executable specification WinnowingSpec pins the kernel against —
+    * dispatched interpreted lambdas per gram per token per character and
+    * paid a per-document Exchange+Sort+Window plus a distinct aggregate;
+    * r14 measured it as the whole cost of d13/d14/t32.
     */
   def fingerprints(df: DataFrame, id: Column, text: Column,
                    k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    val idName = df.select(id).columns.head
+    // explode of the empty array drops short docs — the HOF form's
+    // size(tokens) >= k+w-1 filter, for free
+    df.select(id, explode(asColumn(graft.functions.WinnowFingerprints(
+        asExpression(text), k, w))).as("__fp"))
+      .select(col(idName), col("__fp.gram_hash").as("gram_hash"),
+        col("__fp.pos").as("pos"))
+  }
+
+  /** The HOF/built-ins formulation of [[fingerprints]] — the executable
+    * specification (bit-identical output; property-spec'd against the
+    * kernel on unicode/multi-space/short-doc corpora).
+    */
+  private[graft] def fingerprintsHof(df: DataFrame, id: Column, text: Column,
+                                     k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     val idName = df.select(id).columns.head
     val toks = TextAnalysis.tokens(text)
@@ -86,17 +112,18 @@ object Winnowing {
                         k: Int = 4, w: Int = 5, minShared: Int = 2,
                         maxBucket: Int = 500, salt: Int = 4): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
     val idName = df.select(id).columns.head
-    // CACHED (r13): consumed three times — the oversized-bucket census and
-    // BOTH sides of the pair-stage self-join — and each evaluation re-runs
-    // the winnowing fingerprint windows, the operator's expensive frame.
-    val docHash0 = fingerprints(df, id, text, k, w)
-      .select(col(idName), col("gram_hash")).distinct()
-    val docHash =
-      if (df.sparkSession.conf
-            .get("spark.graft.cachePairInputs", "true") == "true")
-        CacheScope.cache(docHash0)
-      else docHash0
+    // Distinct (id, gram_hash) straight from the kernel's distinct-hash
+    // mode: per-document distinctness is computed in the same per-row pass
+    // as the selection, and rows are independent across documents by the id
+    // key — so the former corpus-scale `.distinct()` EXCHANGE is gone, and
+    // with it the reason to cache this frame (r13's cache was measured flat
+    // and is reverted; the r14 kernel makes each re-evaluation a cheap
+    // projection).
+    val docHash = df.select(id, explode(asColumn(
+        graft.functions.WinnowFingerprints(asExpression(text), k, w,
+          distinctHashes = true))).as("gram_hash"))
     val oversized = docHash.groupBy("gram_hash")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select("gram_hash")

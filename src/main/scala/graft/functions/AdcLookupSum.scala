@@ -13,14 +13,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * ~5 interpreted dispatches per subspace per scored PAIR, the query-time
   * hot loop of the stored IVF-PQ index (guide §4).
   *
-  * Exact semantics of the HOF form: m is `codes`' length (the build writes
-  * both sides with exactly m subspaces); a null element anywhere nulls the
-  * sum; summation is a left fold in subspace order (bit-identical floats).
-  * A structurally impossible shape (tbl shorter than codes, code id outside
-  * the codebook) returns null.
+  * Exact semantics of the HOF form: the fold iterated a LITERAL `m` from
+  * the index meta (the build writes both sides with exactly m subspaces),
+  * so a stored codes array of any OTHER length — corrupt or
+  * mixed-generation index — nulled the sum instead of silently scoring a
+  * partial distance; `m` rides this expression for the same reason
+  * (ADVICE r13). A null element anywhere nulls the sum; summation is a
+  * left fold in subspace order (bit-identical floats). A structurally
+  * impossible shape (tbl shorter than m, code id outside the codebook)
+  * returns null.
   */
-case class AdcLookupSum(left: Expression, right: Expression)
+case class AdcLookupSum(left: Expression, right: Expression, m: Int)
     extends BinaryExpression {
+
+  require(m >= 1, s"m must be >= 1, got $m")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -39,8 +45,7 @@ case class AdcLookupSum(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val tbl = a.asInstanceOf[ArrayData]
     val codes = b.asInstanceOf[ArrayData]
-    val m = codes.numElements()
-    if (tbl.numElements() < m) return null
+    if (codes.numElements() != m || tbl.numElements() < m) return null
     var acc = 0.0
     var j = 0
     while (j < m) {
@@ -56,14 +61,12 @@ case class AdcLookupSum(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val m = ctx.freshName("m")
       val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
       val row = ctx.freshName("row")
       val c = ctx.freshName("c")
       s"""
-         |final int $m = $b.numElements();
-         |if ($a.numElements() < $m) {
+         |if ($b.numElements() != $m || $a.numElements() < $m) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;

@@ -44,16 +44,41 @@ object Abc {
       "thresholds must be ascending")
     val perKey = df.select(key.as("__k"), value.as("__val"))
       .groupBy(col("__k")).agg(sum(col("__val")).as("__rev"))
+    // Bucket-parallel cumulative sum (r14, the tokenBudgetSelect
+    // construction): the former global `Window.orderBy(__rev desc)` put
+    // EVERY distinct value level on one task — for continuous values that
+    // is ≈ |keys|, the unbounded serial step this operator exists to
+    // refuse. Levels bucket by a sign-split BIT-LENGTH of the level value
+    // — an exact integer coarsening of the `__rev desc` order (equal
+    // levels can never straddle buckets; ≤ 129 buckets over the full
+    // int64 domain; Long.MinValue pinned below the negation overflow) —
+    // the ≤ 129-row histogram takes one bounded serial window for prefix
+    // offsets, and the level cumsum runs per bucket in parallel. Bucket
+    // order refines level order, so offset + within-bucket sum IS the
+    // global running total — bit-identical classes.
+    val bucket = when(col("__rev") > 0, length(bin(col("__rev"))).cast("int"))
+      .when(col("__rev") === 0, lit(0))
+      .when(col("__rev") === Long.MinValue, lit(-65))
+      .otherwise((-length(bin(-col("__rev")))).cast("int"))
     val levels = perKey.groupBy(col("__rev"))
       .agg(count(lit(1)).as("__nk"))
       .withColumn("__lt", col("__rev") * col("__nk"))
-    val desc = Window.orderBy(col("__rev").desc)
+      .withColumn("__b", bucket)
+    val hist = levels.groupBy(col("__b")).agg(sum(col("__lt")).as("__bt"))
+    // single partition by construction (≤ 129 rows); the literal partition
+    // key keeps the bounded frame out of WindowExec's move-everything path
+    val wh = Window.partitionBy(lit(0)).orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist
+      .withColumn("__before", coalesce(sum(col("__bt")).over(wh), lit(0L)))
+      .select(col("__b"), col("__before"))
+    val tot = hist.agg(sum(col("__bt")).as("__tot"))
+    val desc = Window.partitionBy(col("__b")).orderBy(col("__rev").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
     val classed = levels
-      .withColumn("__cum", sum(col("__lt")).over(desc))
-      .withColumn("__tot", sum(col("__lt")).over(whole))
+      .join(broadcast(off), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__cum", col("__before") + sum(col("__lt")).over(desc))
       .withColumn("abc_class",
         thresholds.foldLeft(lit(null).cast("string")) { case (acc, (lbl, ppm)) =>
           coalesce(acc, when((col("__cum") - col("__lt")) * lit(1000000L) <

@@ -97,19 +97,35 @@ object Associations {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("co_count"))
       .filter(col("co_count") >= minSupport)
-    // mirror each unordered pair into both directed neighbor rows
-    val directed = co.select(col("id_a").as("item"),
-        col("id_b").as("neighbor"), col("co_count"))
-      .unionByName(co.select(col("id_b").as("item"),
-        col("id_a").as("neighbor"), col("co_count")))
+    // Marginals attach BEFORE the mirror, and the mirror is one
+    // explode(array(...)) — not a union of two selects over `co`. The
+    // union form evaluated the whole pair stage (basket distinct + salted
+    // self-join + pair rollup) TWICE, once per direction (r14 measured:
+    // the duplicated subtree was most of this query's cost; Catalyst does
+    // not reuse the exchange across the two branches). Explode keeps one
+    // evaluation and mirrors rows map-side; the marginal joins move from
+    // the directed (2×) frame to the unordered (1×) frame — same rows,
+    // half the broadcast probes, and `itemCnt` is scanned once per side
+    // instead of once per (side × direction).
+    val directed = co
+      .join(broadcast(itemCnt.select(col("__item").as("id_a"),
+        col("__cnt").as("cnt_a"))), "id_a")
+      .join(broadcast(itemCnt.select(col("__item").as("id_b"),
+        col("__cnt").as("cnt_b"))), "id_b")
+      .select(explode(array(
+        struct(col("id_a").as("item"), col("id_b").as("neighbor"),
+          col("co_count"), col("cnt_a").as("cnt_item"),
+          col("cnt_b").as("cnt_neighbor")),
+        struct(col("id_b").as("item"), col("id_a").as("neighbor"),
+          col("co_count"), col("cnt_b").as("cnt_item"),
+          col("cnt_a").as("cnt_neighbor")))).as("e"))
+      .select(col("e.item").as("item"), col("e.neighbor").as("neighbor"),
+        col("e.co_count").as("co_count"), col("e.cnt_item").as("cnt_item"),
+        col("e.cnt_neighbor").as("cnt_neighbor"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("item"))
       .orderBy(col("cosine").desc, col("co_count").desc, col("neighbor"))
     directed
-      .join(broadcast(itemCnt.select(col("__item").as("item"),
-        col("__cnt").as("cnt_item"))), "item")
-      .join(broadcast(itemCnt.select(col("__item").as("neighbor"),
-        col("__cnt").as("cnt_neighbor"))), "neighbor")
       .withColumn("cosine",
         round(col("co_count").cast("double") /
           sqrt(col("cnt_item").cast("double") *

@@ -69,8 +69,16 @@ object Ivf {
     * closeness rank of the kept cell) for probe-budget sweeps; single-cell
     * callers drop it.
     */
+  /** `embFloat = true` emits `embName` as the RAW `array<float>` column
+    * (r14, guide §2.3): a caller that carries the embedding as pair-stage
+    * PAYLOAD ([[Similarity.kmeansCandidatePairs]]) then shuffles/caches
+    * half the bytes, and [[graft.functions.ArrayCosine]] widens floats
+    * in-register — bit-identical scores. The kernel input is cast to
+    * doubles per ROW either way, so the assignment itself is unchanged.
+    */
   private def assignCells(vectors: DataFrame, cents: DataFrame, idName: String,
-                          embName: String, keep: Int): DataFrame = {
+                          embName: String, keep: Int,
+                          embFloat: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftfn.{asColumn, asExpression}
     val packed = broadcast(
       cents.agg(collect_list(struct(col("cell"), col("c_emb"))).as("__cents")))
@@ -78,14 +86,41 @@ object Ivf {
     // slice(array_sort(transform(...), comparator), 1, keep) HOF pipeline —
     // bit-identical by construction (same cosine loop, Spark's own
     // nan-aware double ordering, same TimSort, -Inf null guard; see
-    // functions.TopCellsBySim's contract scaladoc)
+    // functions.TopCellsBySim's contract scaladoc). The HOF form stays
+    // below behind `spark.graft.nativeTopCells=false` as the executable
+    // specification (IvfSpec pins equality) and the A/B arm for isolated
+    // kernel measurements (r14 — the r13 verdict flagged the missing
+    // before-evidence).
+    val embDouble: Column =
+      if (embFloat) col(embName).cast("array<double>") else col(embName)
+    val topCells: Column =
+      if (vectors.sparkSession.conf
+            .get("spark.graft.nativeTopCells", "true") == "true")
+        asColumn(graft.functions.TopCellsBySim(
+          asExpression(embDouble), asExpression(col("__cents")), keep))
+      else
+        transform(slice(array_sort(
+          transform(col("__cents"), c =>
+            // null-safe: a null cosine (degenerate vector) sorts LAST as
+            // -Inf — a raw null would make both comparator branches false
+            // and the fallthrough cell-difference intransitive (TimSort
+            // contract violation)
+            struct(coalesce(
+              Similarity.cosine(embDouble, c.getField("c_emb")),
+              lit(Double.NegativeInfinity)).as("sim"),
+              c.getField("cell").as("cell"))),
+          (l, r) =>
+            when(l.getField("sim") > r.getField("sim"), -1)
+              .when(l.getField("sim") < r.getField("sim"), 1)
+              .otherwise(l.getField("cell") - r.getField("cell"))),
+          1, keep), rc => rc.getField("cell"))
+    val embOut: Column =
+      if (embFloat) col("embedding") else col("embedding").cast("array<double>")
     vectors
-      .select(col("vec_id").as(idName), col("embedding").cast("array<double>").as(embName))
+      .select(col("vec_id").as(idName), embOut.as(embName))
       .crossJoin(packed)
       .select(col(idName), col(embName),
-        posexplode(asColumn(graft.functions.TopCellsBySim(
-          asExpression(col(embName)), asExpression(col("__cents")), keep)))
-          .as(Seq("probe_rank", "cell")))
+        posexplode(topCells).as(Seq("probe_rank", "cell")))
       .select(col(idName), col(embName), col("cell"), col("probe_rank"))
   }
 
@@ -100,8 +135,10 @@ object Ivf {
     * straddle single-cell boundaries ([[Similarity.kmeansCandidatePairs]]).
     */
   def assignProbes(corpus: DataFrame, cents: DataFrame, idName: String,
-                   embName: String, nProbe: Int): DataFrame =
-    assignCells(corpus, cents, idName, embName, keep = nProbe)
+                   embName: String, nProbe: Int,
+                   embFloat: Boolean = false): DataFrame =
+    assignCells(corpus, cents, idName, embName, keep = nProbe,
+        embFloat = embFloat)
       .drop("probe_rank")
 
   /** Lloyd refinement: `iters` k-means steps — assign, then recentre each

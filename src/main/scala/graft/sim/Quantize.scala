@@ -152,7 +152,7 @@ object Quantize {
           }).as("__tbl")))
     val scored = coded.join(qTbl, col("query_id") =!= col("neighbor_id"))
       // native ADC kernel (guide §4) — bit-identical to the HOF fold
-      .withColumn("__adc", adcSum(col("__tbl"), col("__codes")))
+      .withColumn("__adc", adcSum(col("__tbl"), col("__codes"), m))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -225,7 +225,7 @@ object Quantize {
     val scored = coded.join(qTbl, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // native ADC kernel (guide §4) — bit-identical to the HOF fold
-      .withColumn("__adc", adcSum(col("__tbl"), col("__codes")))
+      .withColumn("__adc", adcSum(col("__tbl"), col("__codes"), m))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -662,9 +662,10 @@ object Quantize {
     * kernel — see its scaladoc for the exact-semantics contract vs the old
     * `aggregate(sequence(...))` fold.
     */
-  private def adcSum(tbl: Column, codes: Column): Column = {
+  private def adcSum(tbl: Column, codes: Column, m: Int): Column = {
     import org.apache.spark.sql.graftfn.{asColumn, asExpression}
-    asColumn(graft.functions.AdcLookupSum(asExpression(tbl), asExpression(codes)))
+    asColumn(graft.functions.AdcLookupSum(asExpression(tbl),
+      asExpression(codes), m))
   }
 
   private def l2sq(a: Column, b: Column): Column = {

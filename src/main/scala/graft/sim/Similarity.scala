@@ -441,9 +441,23 @@ object Similarity {
     // stage's self-join evaluates its input once per side, and this input
     // re-runs the Lloyd refinement + the whole corpus assignment each
     // time — the query's single most expensive frame (measured: one
-    // evaluation ≈ 1.2 s of the 5.9 s query at sf0.1). One
+    // evaluation ≈ 1.2 s of the 5.9 s query at sf0.1; re-measured r14
+    // isolated A/B: cache ON med 6.04 s vs OFF 6.65 s). One
     // materialization, both sides read the cache.
-    val assigned0 = Ivf.assignProbes(corpus, cents, "__kid", "__ku", nProbe)
+    //
+    // LIFECYCLE (ADVICE r13): the result is lazy, so the cache must
+    // outlive this call — CacheScope registers the unpersist on the
+    // innermost active scope and degrades to a plain .cache() when none
+    // is active. Library callers outside a CacheScope.withScope (or the
+    // bench harness, which drops all blocks per query) own the release:
+    // wrap the materialization in CacheScope.withScope or clear the
+    // session's caches between invocations, exactly as the MinHashLSH
+    // prep-frame contract documents.
+    // embFloat: the embedding rides the pair shuffle AND this cache as the
+    // raw float array (half the bytes — guide §2.3); ArrayCosine widens
+    // floats in-register, bit-identically to the former double payload
+    val assigned0 = Ivf.assignProbes(corpus, cents, "__kid", "__ku", nProbe,
+        embFloat = true)
       .select(col("cell"), col("__kid").as("vid"), col("__ku").as("u"))
     val assigned =
       if (corpus.sparkSession.conf
@@ -496,8 +510,14 @@ object Similarity {
       val tblCodes = transform(sequence(lit(0), lit(tables - 1)), t =>
         call_function("shiftright", col("pk"), t * nPlanes)
           .bitwiseAND(lit(mask)))
+      // payload rides the pair shuffle as the RAW float array (r14, guide
+      // §2.3 narrower types): the 4.5×/side triangle replication used to
+      // carry pre-cast 64-double arrays — half of this query's shuffle
+      // bytes were the exact widening of floats the scorer could do
+      // in-register. ArrayCosine reads float arrays natively (bit-identical
+      // to the cast: float→double widening is exact).
       corpus.select(col("vec_id").as("vid"), packed.as("pk"),
-          asDouble(col("embedding")).as("u"))
+          col("embedding").as("u"))
         .select(col("vid"), col("pk"), col("u"),
           posexplode(tblCodes).as(Seq("tbl", "code")))
     }

@@ -91,12 +91,19 @@ object Vocab {
     * exact mass. The threshold test is integer (`cum·1000 ≥ target·total`)
     * so no float boundary exists.
     *
-    * The ranking window is global but VOCABULARY-bounded (distinct terms,
-    * not occurrences — the corpus is already reduced by the count
-    * aggregate before the sort). For web-scale vocabularies, partition
-    * the window by a count-histogram bucket first (the
-    * [[QualityFilters.tokenBudgetSelect]] construction); at any corpus
-    * where the vocab fits a task, this direct form is the right plan.
+    * The ranking runs BUCKET-PARALLEL (the
+    * [[QualityFilters.tokenBudgetSelect]] construction, made the default
+    * here in r14 — the former global `Window.orderBy` put the whole
+    * vocabulary on one task, the plan a web-scale vocabulary cannot run):
+    * terms bucket by the BIT LENGTH of their count — `length(bin(cnt))`,
+    * an exact integer coarsening of the `cnt desc` order (equal counts
+    * can never straddle buckets, higher count ⟹ same-or-higher bucket) —
+    * the ≤ 63-row histogram takes one bounded serial window for the
+    * per-bucket (tokens, terms) prefix offsets, and rank/cumsum windows
+    * run per bucket in parallel, each offset by its bucket's prefix.
+    * Bucket order refines the global (cnt desc, token) order, so
+    * offset + within-bucket value IS the global window's value for every
+    * row — the output is bit-identical to the direct form.
     */
   def vocabCoverage(df: DataFrame, text: Column,
                     targetsPermille: Seq[Int]): DataFrame = {
@@ -105,13 +112,25 @@ object Vocab {
       "targets must be permille values in [1, 1000]")
     val cnt = df.select(explode(TextAnalysis.tokens(text)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val total = cnt.agg(sum("cnt").as("__tot"))
-    val w = Window.orderBy(col("cnt").desc, col("token"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = cnt.select(
-      row_number().over(Window.orderBy(col("cnt").desc, col("token")))
-        .cast("long").as("rank"),
-      sum("cnt").over(w).as("cum"))
+      .withColumn("__b", length(bin(col("cnt"))).cast("int"))
+    val hist = cnt.groupBy("__b")
+      .agg(sum("cnt").as("__btoks"), count(lit(1)).as("__bterms"))
+    // single-partition by construction (≤ 63 rows — one per count bit
+    // length); the literal partition key keeps the bounded frame out of
+    // WindowExec's move-everything warning
+    val wh = Window.partitionBy(lit(0)).orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist
+      .withColumn("__toks_before", coalesce(sum("__btoks").over(wh), lit(0L)))
+      .withColumn("__terms_before", coalesce(sum("__bterms").over(wh), lit(0L)))
+      .select(col("__b"), col("__toks_before"), col("__terms_before"))
+    val total = hist.agg(sum("__btoks").as("__tot"))
+    val wr = Window.partitionBy("__b").orderBy(col("cnt").desc, col("token"))
+    val wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cnt.join(broadcast(off), "__b")
+      .select(
+        (col("__terms_before") + row_number().over(wr)).cast("long").as("rank"),
+        (col("__toks_before") + sum("cnt").over(wc)).as("cum"))
     ranked.crossJoin(broadcast(total))
       .select(col("rank"), col("cum"),
         explode(typedLit(targetsPermille)).as("target_permille"), col("__tot"))

@@ -34,4 +34,32 @@ class AbcSpec extends SparkSpec {
     val out = run(Seq((7L, 42L)))
     assert(out == Map("A" -> ((1L, 42L, 1000000L, 42L, 42L))))
   }
+
+  test("bucket-parallel cumsum ≡ global order: boundary, zero and negative levels") {
+    // level values straddle bit-length bucket boundaries (1|2,3|4..7|8..)
+    // and include 0 and negatives (return-heavy keys) — the r14 bucketed
+    // window must reproduce the global (rev desc) running total exactly
+    val rows = Seq(1L -> 16L, 2L -> 9L, 3L -> 8L, 4L -> 7L, 5L -> 4L,
+      6L -> 3L, 7L -> 2L, 8L -> 1L, 9L -> 1L, 10L -> 0L, 11L -> -1L,
+      12L -> -5L)
+    val out = run(rows)
+    // reference: global cumulative over levels desc (rev desc), exclusive
+    // prefix crossing test, thresholds A=700000, B=900000 over total=45
+    val levels = rows.groupBy(_._2).map { case (v, ks) => (v, ks.size.toLong) }
+      .toSeq.sortBy(-_._1)
+    val tot = levels.map { case (v, n) => v * n }.sum
+    var cum = 0L
+    val expect = levels.map { case (v, n) =>
+      val before = cum; cum += v * n
+      val cls = if (before * 1000000L < 700000L * tot) "A"
+        else if (before * 1000000L < 900000L * tot) "B" else "C"
+      (cls, v, n)
+    }
+    val expMap = expect.groupBy(_._1).map { case (c, ls) =>
+      c -> ((ls.map(_._3).sum, ls.map(l => l._2 * l._3).sum,
+        ls.map(l => l._2 * l._3).sum * 1000000L / tot,
+        ls.map(_._2).min, ls.map(_._2).max))
+    }
+    assert(out == expMap)
+  }
 }

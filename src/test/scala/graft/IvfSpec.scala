@@ -625,4 +625,24 @@ class IvfSpec extends SparkSpec {
       }
     }
   }
+
+  test("native TopCellsBySim kernel ≡ HOF arm (spark.graft.nativeTopCells A/B)") {
+    import spark.implicits._
+    // degenerate vectors included: zero vector (NaN cosine), null embedding
+    val rows = (0L until 50L).map { i =>
+      val emb: Array[Float] =
+        if (i == 7) Array.fill(8)(0.0f)
+        else Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)
+      (i, if (i == 13) null else emb, s"l${i % 3}")
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = Ivf.centroids(emb, 8)
+    def probes(native: Boolean) = {
+      spark.conf.set("spark.graft.nativeTopCells", native.toString)
+      try Ivf.assignProbes(emb, cents, "vid", "u", nProbe = 3)
+        .select("vid", "cell").as[(Long, Int)].collect().toSet
+      finally spark.conf.unset("spark.graft.nativeTopCells")
+    }
+    assert(probes(native = true) == probes(native = false))
+  }
 }

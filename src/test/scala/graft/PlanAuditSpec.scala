@@ -493,10 +493,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
-  test("ABC classes (a14) serializes only value-DISTINCT levels") {
+  test("ABC classes (a14) runs the level cumsum bucket-parallel (r14)") {
     val p = plan(SparkEntry.queries("a14_abc_classes")(spark, sf))
-    assert("Exchange SinglePartition".r.findAllIn(p).length == 1,
-      s"expected exactly the level-window single-partition step in:\n$p")
+    // the level-scale cumulative window is PARTITIONED by the bit-length
+    // bucket — the former global orderBy over distinct levels (≈ |keys|
+    // for continuous values, on one task) is gone
+    assert(p.contains("windowspecdefinition(__b"),
+      s"expected the level window partitioned by the value bucket in:\n$p")
+    // serial steps are histogram-bounded: the ≤129-row bucket-offset
+    // window and the one-row total aggregate — nothing level-scale
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 2,
+      s"expected exactly the two histogram-scale single-partition steps in:\n$p")
   }
 
   test("weighted quantiles (w34) costs the rollup shuffle plus the value-scale regroup only") {

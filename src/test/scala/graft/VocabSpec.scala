@@ -182,6 +182,28 @@ class VocabSpec extends SparkSpec {
     assert(out(1000) == ((3L, 10L)))
   }
 
+  test("vocabCoverage: bucket-parallel ranks match the global order under ties") {
+    // counts: d=5, e=5, a=4, b=2, c=2, x=1, y=1, z=1 (total 21) — ties
+    // within a bit-length bucket (d/e at 5, b/c at 2, x/y/z at 1) and a
+    // bucket boundary between 5 (len 3) and 4 (len 3) vs 2 (len 2):
+    // global order (cnt desc, token asc) = d,e,a,b,c,x,y,z with cums
+    // 5,10,14,16,18,19,20,21
+    val text = Seq.fill(5)("d").mkString(" ") + " " +
+      Seq.fill(5)("e").mkString(" ") + " " + Seq.fill(4)("a").mkString(" ") +
+      " b b c c x y z"
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val out = Vocab.vocabCoverage(docs, col("text"),
+      Seq(200, 476, 477, 800, 953, 1000))
+      .as[(Int, Long, Long)].collect()
+      .map { case (t, v, c) => t -> ((v, c)) }.toMap
+    assert(out(200) == ((1L, 5L)))   // 5/21 = 238‰ >= 200
+    assert(out(476) == ((2L, 10L)))  // 10·1000 = 476·21 exactly
+    assert(out(477) == ((3L, 14L)))
+    assert(out(800) == ((5L, 18L)))  // 18/21 = 857‰
+    assert(out(953) == ((8L, 21L)))  // 20/21 = 952.4‰ < 953 -> need all 8
+    assert(out(1000) == ((8L, 21L)))
+  }
+
   test("distributionDrift: identical sources drift 0, disjoint vocab drifts ~2e6") {
     // s1/s2 share one distribution; s3's vocabulary is disjoint
     val docs = Seq(

@@ -75,6 +75,43 @@ class WinnowingSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("kernel ≡ HOF specification: bit-identical (id, gram_hash, pos) sets") {
+    // adversarial corpus: multi-space (empty tokens), leading/trailing
+    // spaces, unicode incl. a surrogate pair, case folding, all-equal
+    // tokens (rightmost tie-break), exact-boundary lengths, and a seeded
+    // random slab
+    val rnd = new scala.util.Random(7)
+    val randomDocs = (100L to 130L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(60))(s"w${rnd.nextInt(9)}").mkString(" "))
+    }
+    val docs = Seq(
+      (1L, "Alpha  beta GAMMA  delta epsilon zeta eta theta iota"),
+      (2L, "  leading and trailing spaces one two three four five six  "),
+      (3L, "héllo wörld ünïcode ÆØÅ ß straße 𝄞 clef note more toks"),
+      (4L, Seq.fill(15)("same").mkString(" ")),
+      (5L, "a b c d e f g"), // 7 tokens: below k+w-1, dropped
+      (6L, "a b c d e f g h"), // exactly one window
+      (7L, "")) ++ randomDocs
+    val df = docs.toDF("id", "text")
+    for ((k, w) <- Seq((4, 5), (1, 1), (2, 3), (5, 2))) {
+      val kernel = Winnowing.fingerprints(df, col("id"), col("text"), k, w)
+        .as[(Long, Long, Long)].collect().toSet
+      val hof = Winnowing.fingerprintsHof(df, col("id"), col("text"), k, w)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(kernel == hof, s"kernel diverged from HOF spec at k=$k w=$w")
+    }
+    // distinct-hash mode ≡ fingerprints.select(id, gram_hash).distinct()
+    import org.apache.spark.sql.graftfn.{asColumn, asExpression}
+    val kernelHashes = df.select(col("id"), explode(asColumn(
+        graft.functions.WinnowFingerprints(asExpression(col("text")), 4, 5,
+          distinctHashes = true))).as("gram_hash"))
+      .as[(Long, Long)].collect()
+    val expected = Winnowing.fingerprintsHof(df, col("id"), col("text"), 4, 5)
+      .select("id", "gram_hash").distinct().as[(Long, Long)].collect().toSet
+    assert(kernelHashes.toSet == expected)
+    assert(kernelHashes.length == expected.size, "per-doc hashes not distinct")
+  }
+
   test("docs without a complete window are dropped") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g h"))
       .toDF("id", "text") // 7 tokens < k+w-1=8; 8 tokens = exactly one window
