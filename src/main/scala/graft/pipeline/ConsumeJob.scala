@@ -52,14 +52,16 @@ object ConsumeJob {
       params.activityFrom, params.activityTo).cache()
 
     // stage 1 hoisted out of the loop — iteration filters are per-user
-    // predicates over the user-keyed window, see ConsumePipeline.build
-    val base1All = ConsumePipeline.baseFirst(repaired, customer).cache()
+    // predicates over the user-keyed window, see ConsumePipeline.build;
+    // the user_id alignment rides the same computation (alignRepaired)
+    val base1All = ConsumePipeline.baseFirst(
+      ConsumePipeline.alignRepaired(repaired), customer).cache()
 
     val perIteration = params.iterations.map { it =>
       val b1 = base1All.filter(it.filter)
-      // stage 3 + both exports read base2 repeatedly — the shared cache
-      // alignment (see ConsumePipeline.enrichAligned)
-      val b2 = ConsumePipeline.enrichAligned(b1, side)
+      // stage 3 + both exports read base2 repeatedly — cached; the filter
+      // and broadcast joins preserve base1All's user_id layout
+      val b2 = ConsumePipeline.enrich(b1, side).cache()
       val b3raw = ConsumePipeline.baseFinal(b2, params.monthStart, params.monthEnd)
       // config-driven base-data drop (`script/main.py:349-351`) — BEFORE
       // modify, so the accumulated table loses the columns too

@@ -143,19 +143,25 @@ object ConsumePipeline {
     }
   }
 
-  /** Stage 2 + the cache alignment every orchestrator needs: the enriched
-    * frame repartitioned on user_id BEFORE caching. Stage 1's window leaves
-    * a (user_id, day) layout whose day key is pruned away, so every stage-3
-    * consumer of cached base2 (the invalid-id aggregation, the anti join,
-    * both price-history windows) would otherwise re-shuffle the iteration
-    * slice on user_id — three exchanges. Aligning the cache costs ONE
-    * exchange at materialization and stage 3 then runs entirely
-    * shuffle-free on the cached layout (PlanAuditSpec pins this; the
-    * SQL-template mode applies the same alignment to its base2 view).
-    * Callers own the unpersist.
+  /** The user_id cache alignment, HOISTED to the repaired stream (r14).
+    *
+    * History: r3–r13 aligned per iteration — `enrich(...)
+    * .repartition(user_id).cache()` — because stage 1's window leaves a
+    * (user_id, day) layout that satisfies none of stage 3's user_id
+    * requirements. That paid one REPARTITION_BY_COL exchange PER
+    * ITERATION plus the window's own (user_id, day) ENSURE exchange.
+    * Aligning the REPAIRED stream instead exploits the subset rule:
+    * `hashpartitioning(user_id)` satisfies the day-dedup window's
+    * `ClusteredDistribution(user_id, day)`, so the window's ENSURE
+    * exchange disappears, base1All caches already user_id-aligned, the
+    * iteration filters and the broadcast side joins preserve the layout,
+    * b2 caches aligned FOR FREE, and stage 3 stays shuffle-free
+    * (PlanAuditSpec pins it). Net plan: 1 REPARTITION_BY_COL total where
+    * there were 1 ENSURE + one REPARTITION_BY_COL per iteration.
+    * Callers own the unpersist of whatever they cache downstream.
     */
-  def enrichAligned(base: DataFrame, side: SideInputs): DataFrame =
-    enrich(base, side).repartition(col("user_id")).cache()
+  def alignRepaired(repaired: DataFrame): DataFrame =
+    repaired.repartition(col("user_id"))
 
   /** Stage 2 body given precomputed side inputs. */
   def enrich(base: DataFrame, side: SideInputs): DataFrame = {
@@ -236,14 +242,15 @@ object ConsumePipeline {
     // window + enrichment join ONCE and filter the cached result per
     // iteration (the reference re-runs stage 1 per loop pass,
     // `script/main.py:305-324`; that doubles the most expensive window).
-    val base1All = baseFirst(repaired, customer).cache()
+    // The user_id alignment is hoisted into this one computation (see
+    // alignRepaired): everything downstream inherits the layout.
+    val base1All = baseFirst(alignRepaired(repaired), customer).cache()
     params.iterations.map { it =>
       val b1 = base1All.filter(it.filter)
-      // cached + user_id-aligned: stage 3 reads base2 four times and then
-      // runs shuffle-free on the cached layout (see enrichAligned; measured:
-      // the SQL-template variant with this cache beat the uncached
-      // DataFrame path)
-      val b2 = enrichAligned(b1, side)
+      // cached: stage 3 reads base2 four times; the filter and the
+      // broadcast side joins preserve base1All's user_id layout, so the
+      // cache lands aligned with no per-iteration exchange (alignRepaired)
+      val b2 = enrich(b1, side).cache()
       val b3 = baseFinal(b2, params.monthStart, params.monthEnd)
       modify(b3, nation)
         .withColumn("iteration", lit(it.name))
@@ -267,7 +274,7 @@ object ConsumePipeline {
     *    iterations scan the bucketed table; the scan's HashPartitioning
     *    on user_id satisfies every downstream user_id requirement, so the
     *    base side reaches stage 3's windows with ZERO exchanges;
-    *  - [[enrichAligned]]'s `repartition(user_id)` is DROPPED: the
+    *  - [[alignRepaired]]'s `repartition(user_id)` is DROPPED: the
     *    alignment it pays one exchange for arrives free with the bucket
     *    layout (the cache stays, so stage 3's four reads still share one
     *    enrichment).

@@ -42,8 +42,14 @@ object ConsumeSqlPipeline {
       "extra_columns_wo_prefix" -> extraCols.mkString(", "),
       "extra_columns_with_prefix" -> extraCols.map("b." + _).mkString(", ")))
     // cached across the iteration loop — the reference caches its cleaned
-    // CDC table the same way (script/main.py:125)
-    spark.sql(q0).cache().createOrReplaceTempView("graft_repaired")
+    // CDC table the same way (script/main.py:125). Repartitioned on
+    // user_id BEFORE the cache (r14, ConsumePipeline.alignRepaired): the
+    // stage-1 window's (user_id, day) clustering is satisfied by the
+    // user_id layout (subset rule), so the window adds no exchange, the
+    // hoisted base1 view caches aligned, and the per-iteration base2
+    // repartition this mode used to pay is gone.
+    spark.sql(q0).repartition(col("user_id")).cache()
+      .createOrReplaceTempView("graft_repaired")
 
     // Loop-invariant stage-2 side inputs (templates 2a–2d): the activity id
     // set and the three per-user statistic families depend only on the
@@ -97,10 +103,10 @@ object ConsumeSqlPipeline {
         "views_view" -> "graft_side_views"))
       // cached: stage 3 reads base2 four times (two history branches, each
       // with the invalid-id subquery) — uncached, the whole stage-2 join
-      // tree would recompute per reference. Aligned on user_id before
-      // caching exactly like the DataFrame pipeline (ConsumePipeline.build):
-      // one exchange at materialization, stage 3 shuffle-free after.
-      spark.sql(q2).repartition(col("user_id")).cache()
+      // tree would recompute per reference. The user_id alignment arrives
+      // free from the repaired view's layout (see above), so no
+      // per-iteration repartition; stage 3 stays shuffle-free.
+      spark.sql(q2).cache()
         .createOrReplaceTempView(s"graft_base2_${it.name}")
 
       val q3 = Sources.readAndFormatSqlResource("graft/queries/3-basedata_final.sql", Map(

@@ -173,7 +173,7 @@ class PlanAuditSpec extends SparkSpec {
       // plan pin (AQE off, uncached composition so the scan is visible):
       // stage 2+3 over the bucketed table must contain NO shuffle whose
       // subtree reads the table — the bucket layout IS the user_id
-      // alignment enrichAligned pays an exchange for. Clear the cache
+      // alignment alignRepaired pays an exchange for. Clear the cache
       // first: buildBucketed's per-iteration b2 cache would otherwise be
       // plan-matched here and hide the table scan inside an
       // InMemoryRelation.
